@@ -1,13 +1,329 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry runs a dialect query through [[GraftEngine]] (or a library
+  * operator) against the driver-generated parquet tables; `oracleSql` holds
+  * the DuckDB-equivalent ANSI SQL the driver uses as the correctness oracle.
+  *
+  * Float-aggregate outputs are `round`ed on BOTH sides so that
+  * partition-order-dependent double summation cannot flip the comparison.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    GraftEngine.sql(
+      "SELECT event_type, count(*) AS cnt, round(avg(value), 4) AS avg_value, " +
+        "window_start() AS ws FROM stream " +
+        "GROUP BY event_type, TumblingWindow('1d') WITH (TIMESTAMP='ts') " +
+        "ORDER BY ws, event_type",
+      Tables.load(spark, "/root/testdata/sf0.001"))
+
+  private final case class Q(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def gq(name: String, graftSql: String, oracle: String): Q =
+    Q(name, (s, dir) => GraftEngine.sql(graftSql, Tables.load(s, dir)),
+      Option(oracle).filter(_.nonEmpty))
+
+  // ----------------------------------------------------------------- queries
+
+  private lazy val defs: List[Q] = List(
+    // --- §2.2 projection / filter / predicates -----------------------------
+    gq("q_filter_project",
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem " +
+        "WHERE l_quantity > 45",
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem " +
+        "WHERE l_quantity > 45"),
+
+    gq("q_transform_case",
+      // per-row double arithmetic is bit-identical across engines — no rounding
+      "SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS net, " +
+        "CASE WHEN l_quantity > 30 THEN 'big' WHEN l_quantity > 10 THEN 'mid' ELSE 'small' END AS sz " +
+        "FROM lineitem WHERE l_returnflag = 'R'",
+      "SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS net, " +
+        "CASE WHEN l_quantity > 30 THEN 'big' WHEN l_quantity > 10 THEN 'mid' ELSE 'small' END AS sz " +
+        "FROM lineitem WHERE l_returnflag = 'R'"),
+
+    gq("q_predicates",
+      "SELECT p_partkey, p_name FROM part WHERE p_size BETWEEN 10 AND 20 " +
+        "AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3') AND p_name LIKE '%a%' " +
+        "AND p_retailprice IS NOT NULL",
+      "SELECT p_partkey, p_name FROM part WHERE p_size BETWEEN 10 AND 20 " +
+        "AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3') AND p_name LIKE '%a%' " +
+        "AND p_retailprice IS NOT NULL"),
+
+    // --- §2.4 aggregations -------------------------------------------------
+    gq("q_agg_basic",
+      "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, " +
+        "round(sum(l_extendedprice), 2) AS sum_price, round(avg(l_discount), 6) AS avg_disc, " +
+        "count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus",
+      "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, " +
+        "round(sum(l_extendedprice), 2) AS sum_price, round(avg(l_discount), 6) AS avg_disc, " +
+        "count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+
+    gq("q_agg_stats",
+      "SELECT l_returnflag, round(stddev(l_quantity), 6) AS sd_pop, " +
+        "round(stddevs(l_quantity), 6) AS sd_samp, round(var(l_quantity), 6) AS var_pop, " +
+        "round(vars(l_quantity), 6) AS var_samp, round(median(l_quantity), 4) AS med, " +
+        "round(percentile(l_quantity, 0.9), 4) AS p90 FROM lineitem GROUP BY l_returnflag",
+      "SELECT l_returnflag, round(stddev_pop(l_quantity), 6) AS sd_pop, " +
+        "round(stddev_samp(l_quantity), 6) AS sd_samp, round(var_pop(l_quantity), 6) AS var_pop, " +
+        "round(var_samp(l_quantity), 6) AS var_samp, round(median(l_quantity), 4) AS med, " +
+        "round(quantile_cont(l_quantity, 0.9), 4) AS p90 FROM lineitem GROUP BY l_returnflag"),
+
+    gq("q_agg_minmax_distinct",
+      "SELECT o_orderstatus, min(o_totalprice) AS mn, max(o_totalprice) AS mx, " +
+        "count(DISTINCT o_custkey) AS ncust FROM orders GROUP BY o_orderstatus",
+      "SELECT o_orderstatus, min(o_totalprice) AS mn, max(o_totalprice) AS mx, " +
+        "count(DISTINCT o_custkey) AS ncust FROM orders GROUP BY o_orderstatus"),
+
+    gq("q_post_agg_having",
+      "SELECT l_returnflag, round(max(l_extendedprice) - min(l_extendedprice), 2) AS rng, " +
+        "round(sum(l_quantity) / count(*), 4) AS manual_avg FROM lineitem " +
+        "GROUP BY l_returnflag HAVING rng > 0",
+      "SELECT l_returnflag, round(max(l_extendedprice) - min(l_extendedprice), 2) AS rng, " +
+        "round(sum(l_quantity) / count(*), 4) AS manual_avg FROM lineitem " +
+        "GROUP BY l_returnflag HAVING round(max(l_extendedprice) - min(l_extendedprice), 2) > 0"),
+
+    gq("q_having_hidden_agg",
+      "SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY o_orderpriority " +
+        "HAVING max(o_totalprice) > 100000",
+      "SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY o_orderpriority " +
+        "HAVING max(o_totalprice) > 100000"),
+
+    gq("q_group_scalar_key",
+      "SELECT year(o_orderdate) AS y, month(o_orderdate) AS m, count(*) AS cnt, " +
+        "round(sum(o_totalprice), 2) AS total FROM orders " +
+        "GROUP BY year(o_orderdate), month(o_orderdate)",
+      "SELECT CAST(year(o_orderdate) AS INTEGER) AS y, CAST(month(o_orderdate) AS INTEGER) AS m, " +
+        "count(*) AS cnt, round(sum(o_totalprice), 2) AS total FROM orders " +
+        "GROUP BY 1, 2"),
+
+    gq("q_first_last_collect",
+      "SELECT user_id, first_value(event_type) AS first_ev, last_value(event_type) AS last_ev, " +
+        "count(*) AS cnt FROM events GROUP BY user_id " +
+        "WITH (TIMESTAMP='ts', TIEBREAK='event_id')",
+      "SELECT user_id, arg_min(event_type, ts) AS first_ev, arg_max(event_type, ts) AS last_ev, " +
+        "count(*) AS cnt FROM events GROUP BY user_id"),
+
+    gq("q_merge_dedup_agg",
+      "SELECT user_id, merge_agg(event_type) AS evs, deduplicate(event_type) AS uniq " +
+        "FROM events WHERE event_id < 200 GROUP BY user_id " +
+        "WITH (TIMESTAMP='ts', TIEBREAK='event_id')",
+      "WITH e AS (SELECT user_id, event_type, ts FROM events WHERE event_id < 200), " +
+        "m AS (SELECT user_id, string_agg(event_type, ',' ORDER BY ts) AS evs FROM e GROUP BY user_id), " +
+        "d AS (SELECT user_id, list(event_type ORDER BY min_ts) AS uniq FROM " +
+        "(SELECT user_id, event_type, min(ts) AS min_ts FROM e GROUP BY user_id, event_type) " +
+        "GROUP BY user_id) " +
+        "SELECT m.user_id AS user_id, m.evs AS evs, d.uniq AS uniq FROM m JOIN d ON m.user_id = d.user_id"),
+
+    // --- §2.6 sort / limit / top-k ----------------------------------------
+    gq("q_topk",
+      "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
+        "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 25",
+      "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
+        "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 25"),
+
+    gq("q_distinct",
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"),
+
+    // --- §2.3 joins --------------------------------------------------------
+    gq("q_join_inner",
+      "SELECT l_orderkey, l_linenumber, o.o_orderstatus, o.o_totalprice FROM lineitem " +
+        "JOIN orders o ON l_orderkey = o.o_orderkey WHERE l_quantity > 48",
+      "SELECT l_orderkey, l_linenumber, o.o_orderstatus, o.o_totalprice FROM lineitem " +
+        "JOIN orders o ON l_orderkey = o.o_orderkey WHERE l_quantity > 48"),
+
+    gq("q_join_multi_agg",
+      "SELECT n.n_name AS nation, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
+        "count(*) AS cnt FROM lineitem " +
+        "JOIN supplier s ON l_suppkey = s.s_suppkey " +
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey " +
+        "GROUP BY n.n_name",
+      "SELECT n.n_name AS nation, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
+        "count(*) AS cnt FROM lineitem " +
+        "JOIN supplier s ON l_suppkey = s.s_suppkey " +
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey " +
+        "GROUP BY n.n_name"),
+
+    gq("q_join_left_null",
+      "SELECT o_orderkey, c.c_name FROM orders " +
+        "LEFT JOIN customer c ON o_custkey = c.c_custkey WHERE o_totalprice > 300000",
+      "SELECT o_orderkey, c.c_name FROM orders " +
+        "LEFT JOIN customer c ON o_custkey = c.c_custkey WHERE o_totalprice > 300000"),
+
+    // --- §2.8 scalar function library -------------------------------------
+    gq("q_string_funcs",
+      "SELECT p_partkey, upper(p_brand) AS ub, lower(p_type) AS lt, " +
+        "concat(p_brand, '_', p_type) AS ct, substring(p_name, 0, 8) AS sub, " +
+        "replace(p_type, ' ', '-') AS rep, length(p_name) AS len, " +
+        "indexof(p_name, 'a') AS idx, lpad(p_brand, 12, '*') AS pad, " +
+        "trim(p_name) AS tr FROM part WHERE p_partkey <= 500",
+      "SELECT p_partkey, upper(p_brand) AS ub, lower(p_type) AS lt, " +
+        "concat(p_brand, '_', p_type) AS ct, substr(p_name, 1, 8) AS sub, " +
+        "replace(p_type, ' ', '-') AS rep, CAST(length(p_name) AS INTEGER) AS len, " +
+        "CAST(strpos(p_name, 'a') - 1 AS INTEGER) AS idx, lpad(p_brand, 12, '*') AS pad, " +
+        "trim(p_name) AS tr FROM part WHERE p_partkey <= 500"),
+
+    gq("q_math_funcs",
+      "SELECT l_orderkey, l_linenumber, abs(l_discount - 0.05) AS a, " +
+        "round(sqrt(l_quantity), 6) AS sq, floor(l_extendedprice / 1000) AS fl, " +
+        "ceil(l_quantity / 7) AS ce, mod(l_orderkey, 7) AS md, " +
+        "round(exp(l_discount), 6) AS ex, round(ln(l_quantity + 1), 6) AS lg, " +
+        "sign(l_discount - 0.05) AS sg FROM lineitem WHERE l_partkey < 100",
+      "SELECT l_orderkey, l_linenumber, abs(l_discount - 0.05) AS a, " +
+        "round(sqrt(l_quantity), 6) AS sq, CAST(floor(l_extendedprice / 1000) AS BIGINT) AS fl, " +
+        "CAST(ceil(l_quantity / 7) AS BIGINT) AS ce, CAST(mod(l_orderkey, 7) AS BIGINT) AS md, " +
+        "round(exp(l_discount), 6) AS ex, round(ln(l_quantity + 1), 6) AS lg, " +
+        "CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg FROM lineitem WHERE l_partkey < 100"),
+
+    gq("q_datetime_funcs",
+      "SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m, " +
+        "day(o_orderdate) AS d, dayofweek(o_orderdate) AS dw, " +
+        "date_format(o_orderdate, 'yyyy-MM-dd') AS fmt FROM orders WHERE o_orderkey < 3000",
+      "SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS y, " +
+        "CAST(month(o_orderdate) AS INTEGER) AS m, CAST(day(o_orderdate) AS INTEGER) AS d, " +
+        "CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dw, " +
+        "strftime(o_orderdate, '%Y-%m-%d') AS fmt FROM orders WHERE o_orderkey < 3000"),
+
+    gq("q_json_funcs",
+      "SELECT event_id, cast(json_extract(props, '$.k'), 'int') AS k, " +
+        "json_valid(props) AS ok, json_type(props) AS jt FROM events WHERE event_id < 500",
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, " +
+        "props IS NOT NULL AND json_valid(props) AS ok, " +
+        "CASE WHEN trim(props) LIKE '{%' THEN 'object' ELSE 'other' END AS jt " +
+        "FROM events WHERE event_id < 500"),
+
+    gq("q_hash_conv_funcs",
+      "SELECT p_partkey, md5(p_name) AS h1, sha256(p_brand) AS h2, " +
+        "dec2hex(p_partkey) AS hx, hex2dec(dec2hex(p_partkey)) AS rt, " +
+        "cast(p_size, 'string') AS ss FROM part WHERE p_partkey <= 300",
+      "SELECT p_partkey, md5(p_name) AS h1, sha256(p_brand) AS h2, " +
+        "lower(hex(p_partkey)) AS hx, CAST(p_partkey AS BIGINT) AS rt, " +
+        "CAST(p_size AS VARCHAR) AS ss FROM part WHERE p_partkey <= 300"),
+
+    gq("q_conditional_funcs",
+      "SELECT event_id, if_null(null_if(event_type, 'error'), 'was_error') AS et, " +
+        "coalesce(null_if(value, 0), -1) AS v, " +
+        "least(value, 100) AS lo, greatest(value, 100) AS hi " +
+        "FROM events WHERE event_id < 400",
+      "SELECT event_id, ifnull(nullif(event_type, 'error'), 'was_error') AS et, " +
+        "coalesce(nullif(value, 0), -1) AS v, " +
+        "least(value, 100) AS lo, greatest(value, 100) AS hi " +
+        "FROM events WHERE event_id < 400"),
+
+    // --- §2.8 unnest (multi-row) ------------------------------------------
+    gq("q_unnest",
+      "SELECT doc_id, unnest(split(text, ' ')) AS word FROM documents WHERE doc_id < 50",
+      "SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents WHERE doc_id < 50"),
+
+    // --- §2.9 windows (batch analog of streaming semantics) ---------------
+    gq("q_window_tumbling",
+      "SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sv, " +
+        "window_start() AS ws, window_end() AS we FROM events " +
+        "GROUP BY event_type, TumblingWindow('1d') WITH (TIMESTAMP='ts')",
+      "SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sv, " +
+        "CAST(floor(epoch(ts) / 86400) * 86400000 AS BIGINT) AS ws, " +
+        "CAST((floor(epoch(ts) / 86400) + 1) * 86400000 AS BIGINT) AS we " +
+        "FROM events GROUP BY event_type, floor(epoch(ts) / 86400)"),
+
+    gq("q_window_sliding",
+      "SELECT count(*) AS cnt, round(avg(value), 4) AS av, window_start() AS ws " +
+        "FROM events GROUP BY SlidingWindow('1d', '12h') WITH (TIMESTAMP='ts')",
+      "SELECT count(*) AS cnt, round(avg(value), 4) AS av, " +
+        "CAST((floor(epoch(ts) / 43200) - k) * 43200000 AS BIGINT) AS ws " +
+        "FROM events CROSS JOIN (VALUES (0), (1)) t(k) " +
+        "GROUP BY (floor(epoch(ts) / 43200) - k)"),
+
+    gq("q_window_session",
+      "SELECT user_id, count(*) AS cnt, window_start() AS ws FROM events " +
+        "GROUP BY user_id, SessionWindow('1h') WITH (TIMESTAMP='ts')",
+      "WITH g AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER " +
+        "(PARTITION BY user_id ORDER BY ts) >= INTERVAL 1 HOUR OR lag(ts) OVER " +
+        "(PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS brk FROM events), " +
+        "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM g) " +
+        "SELECT user_id, count(*) AS cnt, epoch_ms(min(ts)) AS ws FROM s GROUP BY user_id, sid"),
+
+    gq("q_window_counting",
+      "SELECT user_id, count(*) AS cnt, round(sum(value), 2) AS sv FROM events " +
+        "GROUP BY user_id, CountingWindow(5) WITH (TIMESTAMP='ts', TIEBREAK='event_id')",
+      "WITH r AS (SELECT user_id, value, " +
+        "CAST(floor((row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) / 5) AS BIGINT) AS wid " +
+        "FROM events) " +
+        "SELECT user_id, count(*) AS cnt, round(sum(value), 2) AS sv FROM r GROUP BY user_id, wid"),
+
+    // --- §2.5 analytics / CDC ---------------------------------------------
+    gq("q_lag",
+      "SELECT user_id, event_id, round(value - lag(value, 1, 0) " +
+        "OVER (PARTITION BY user_id), 2) AS dv FROM events " +
+        "WITH (TIMESTAMP='ts', TIEBREAK='event_id')",
+      "SELECT user_id, event_id, round(value - lag(value, 1, 0) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS dv FROM events"),
+
+    gq("q_latest",
+      "SELECT user_id, event_id, latest(null_if(value, 0)) " +
+        "OVER (PARTITION BY user_id) AS lv FROM events " +
+        "WITH (TIMESTAMP='ts', TIEBREAK='event_id')",
+      "SELECT user_id, event_id, last_value(nullif(value, 0) IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS lv " +
+        "FROM events"),
+
+    gq("q_acc_running",
+      "SELECT user_id, event_id, round(acc_sum(value) OVER (PARTITION BY user_id), 2) AS rs, " +
+        "acc_count(value) OVER (PARTITION BY user_id) AS rc, " +
+        "round(acc_max(value) OVER (PARTITION BY user_id), 2) AS rm FROM events " +
+        "WITH (TIMESTAMP='ts', TIEBREAK='event_id')",
+      "SELECT user_id, event_id, round(sum(value) OVER w, 2) AS rs, " +
+        "count(value) OVER w AS rc, round(max(value) OVER w, 2) AS rm FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)"),
+
+    gq("q_had_changed",
+      "SELECT user_id, event_id, had_changed(true, event_type) " +
+        "OVER (PARTITION BY user_id) AS h FROM events " +
+        "WITH (TIMESTAMP='ts', TIEBREAK='event_id')",
+      "SELECT user_id, event_id, CASE WHEN row_number() OVER w = 1 THEN true " +
+        "ELSE event_type IS DISTINCT FROM lag(event_type) OVER w END AS h FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"),
+
+    gq("q_window_analytic_combo",
+      // analytic across successive windows, auto-partitioned by group key
+      // (reference: rsql/ast.go:142-205)
+      "SELECT user_id, round(avg(value), 4) AS av, " +
+        "round(acc_sum(avg(value)), 4) AS running FROM events " +
+        "GROUP BY user_id, CountingWindow(10) WITH (TIMESTAMP='ts', TIEBREAK='event_id')",
+      "WITH r AS (SELECT user_id, value, ts, event_id, " +
+        "CAST(floor((row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) / 10) AS BIGINT) AS wid " +
+        "FROM events), a AS (SELECT user_id, wid, round(avg(value), 4) AS av, avg(value) AS av_raw " +
+        "FROM r GROUP BY user_id, wid) " +
+        "SELECT user_id, av, round(sum(av_raw) OVER (PARTITION BY user_id ORDER BY wid " +
+        "ROWS UNBOUNDED PRECEDING), 4) AS running FROM a"),
+
+    // --- set operations (Spark-first surface extension, SURVEY §2.7) ------
+    Q("q_union",
+      (s, dir) => {
+        val t = Tables.load(s, dir)
+        GraftEngine.sql("SELECT o_custkey AS k FROM orders WHERE o_totalprice > 250000", t)
+          .union(GraftEngine.sql("SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0", t))
+          .distinct()
+      },
+      Some("SELECT o_custkey AS k FROM orders WHERE o_totalprice > 250000 " +
+        "UNION SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0"))
+  )
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    defs.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

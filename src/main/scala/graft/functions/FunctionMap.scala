@@ -1,0 +1,232 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** StreamSQL builtin-function surface → Spark Column mapping.
+  *
+  * Catalog derived from the reference registry (reference: functions/registry.go:72-258
+  * and the per-category files functions_math.go / functions_string.go /
+  * functions_conversion.go / functions_datetime.go / functions_json.go /
+  * functions_hash.go / functions_array.go / functions_conditional.go /
+  * functions_type.go). Everything lowers to codegen'd Spark built-ins —
+  * no Scala UDFs in the hot path. Unknown names fall through to
+  * `call_function`, which surfaces the entire Spark function registry
+  * (a deliberate superset of the reference).
+  *
+  * Functions whose semantics depend on a literal argument (cast/encode/decode/
+  * date_add/extract/format/...) are dispatched by the ExprBuilder, which sees the
+  * AST literal; their helpers live here (`*Literal`).
+  *
+  * Dialect deltas handled here:
+  *  - `log` is log10 in the reference (functions_math.go:419-436); `ln` is natural.
+  *  - `indexof` is 0-based Go strings.Index (functions_string.go:271-289) vs
+  *    Spark's 1-based instr → subtract 1.
+  *  - `substring` is 0-based with negative-from-end (functions_string.go:291-315).
+  *  - `stddev`/`var` are population variants; `stddevs`/`vars` are sample
+  *    (functions_aggregation.go:399,813,933,1022).
+  */
+object FunctionMap {
+
+  /** Aggregate function names of the dialect (reference: functions_aggregation.go). */
+  val aggregateNames: Set[String] = Set(
+    "sum", "avg", "min", "max", "count", "stddev", "stddevs", "var", "vars",
+    "median", "percentile", "collect", "first_value", "last_value", "merge_agg",
+    "deduplicate", "nth_value", "window_start", "window_end",
+    // Spark-first surface extensions (free on Catalyst):
+    "count_distinct", "approx_count_distinct", "percentile_approx", "corr",
+    "covar_pop", "covar_samp", "skewness", "kurtosis")
+
+  /** Analytic (stateful/CDC) function names (reference: functions_analytical.go,
+    * functions/analytic_acc.go). Lowered by the plan builder, not here. */
+  val analyticNames: Set[String] = Set(
+    "lag", "latest", "had_changed", "changed_col", "changed_cols",
+    "acc_sum", "acc_max", "acc_min", "acc_count", "acc_avg",
+    // Spark-first extensions available on the batch path:
+    "lead", "row_number", "rank", "dense_rank", "ntile")
+
+  /** Names the ExprBuilder must special-case because an argument is a
+    * semantic literal (type name, format, unit, pattern). */
+  val literalArgNames: Set[String] = Set(
+    "cast", "encode", "decode", "date_add", "date_sub", "date_diff", "extract",
+    "format", "expr")
+
+  def isAggregate(name: String): Boolean = aggregateNames.contains(name.toLowerCase)
+  def isAnalytic(name: String): Boolean = analyticNames.contains(name.toLowerCase)
+
+  /** Scalar lowering for column-only functions. */
+  def scalar(name: String, args: List[Column]): Column = {
+    def a0 = args(0); def a1 = args(1); def a2 = args(2)
+    name.toLowerCase match {
+      // ---- math (functions_math.go) ----
+      case "ln"   => log(a0)
+      case "log"  => log10(a0) // reference log is base-10
+      case "log2" => log2(a0)
+      case "bitand" => a0.bitwiseAND(a1)
+      case "bitor"  => a0.bitwiseOR(a1)
+      case "bitxor" => a0.bitwiseXOR(a1)
+      case "bitnot" => bitwise_not(a0)
+      case "trunc" if args.size == 2 =>
+        // numeric truncation toward zero (functions_conversion.go:443)
+        val f = pow(lit(10.0), a1)
+        signum(a0) * floor(abs(a0) * f) / f
+      case "power" => pow(a0, a1)
+
+      // ---- string (functions_string.go) ----
+      case "indexof" => instr(a0, a1) - lit(1)
+      case "substring" =>
+        // 0-based; negative start counts from end; optional length
+        val len = length(a0)
+        val start0 = when(a1 < 0, greatest(len + a1, lit(0))).otherwise(a1)
+        val sparkStart = (start0 + lit(1)).cast("int")
+        if (args.size >= 3) substring(a0, sparkStart, a2.cast("int"))
+        else substring(a0, sparkStart, lit(Int.MaxValue))
+      case "regexp_matches" => call_function("rlike", a0, a1)
+      case "regexp_substring" => call_function("regexp_extract", a0, a1, lit(0))
+      case "endswith" => a0.endsWith(a1)
+      case "startswith" => a0.startsWith(a1)
+
+      // ---- conversion (functions_conversion.go) ----
+      case "hex2dec" => conv(a0, 16, 10).cast("long")
+      case "dec2hex" => lower(hex(a0.cast("long")))
+      case "convert_tz" => convert_timezone(a1, a0.cast("timestamp"))
+      case "to_seconds" => unix_timestamp(a0)
+      case "chr" => char(a0)
+
+      // ---- datetime (functions_datetime.go) ----
+      case "now" => unix_timestamp() // reference now() returns epoch seconds
+      case "current_time" => date_format(current_timestamp(), "HH:mm:ss")
+      case "current_date" => current_date().cast("string")
+      case "date_parse" => to_timestamp(a0, "yyyy-MM-dd HH:mm:ss")
+      case "from_unixtime" => from_unixtime(a0)
+
+      // ---- json (functions_json.go; json_extract w/ literal path in ExprBuilder) ----
+      case "json_valid" => a0.isNotNull && get_json_object(a0, "$").isNotNull
+      case "json_type" => jsonType(a0)
+      case "json_length" => jsonLength(a0)
+
+      // ---- hash (functions_hash.go) ----
+      case "sha256" => sha2(a0, 256)
+      case "sha512" => sha2(a0, 512)
+
+      // ---- array (functions_array.go) ----
+      case "array_length" => size(a0)
+
+      // ---- conditional (functions_conditional.go) ----
+      case "if_null" | "ifnull" => coalesce(a0, a1)
+      case "null_if" => nullif(a0, a1)
+      case "case_when" => caseWhenChain(args)
+
+      // ---- type predicates (functions_type.go) ----
+      case "is_null" => a0.isNull
+      case "is_not_null" => a0.isNotNull
+      case "is_numeric" => a0.cast("double").isNotNull
+      case "is_string" => typeof(a0) === "string"
+      case "is_bool" => typeof(a0) === "boolean"
+      case "is_array" => typeof(a0).startsWith("array")
+      case "is_object" => typeof(a0).startsWith("struct") || typeof(a0).startsWith("map")
+
+      // ---- everything else: direct Spark registry passthrough ----
+      case other => call_function(other, args: _*)
+    }
+  }
+
+  /** `format(v, '0.00')`-style numeric formatting with a literal pattern
+    * (functions_string.go:156-216): %.Nf where N = digits after '.'. */
+  def formatWithPattern(v: Column, pattern: String): Column = {
+    val precision = if (pattern.contains('.')) pattern.split("\\.")(1).length else 0
+    format_string(s"%.${precision}f", v.cast("double"))
+  }
+
+  /** cast(x, 'int'|'int64'|'float'|'string'|'bool') (functions_conversion.go:22-71). */
+  def castToLiteral(v: Column, ty: String): Column = ty.toLowerCase match {
+    case "int" | "int32" | "bigint" | "int64" | "long" => v.cast("long")
+    case "float" | "float64" | "double"                => v.cast("double")
+    case "string"                                      => v.cast("string")
+    case "bool" | "boolean"                            => v.cast("boolean")
+    case other                                         => v.cast(other)
+  }
+
+  def encodeAsLiteral(v: Column, fmt: String): Column = fmt.toLowerCase match {
+    case "base64" => base64(v.cast("binary"))
+    case "hex"    => lower(hex(v))
+    case other    => throw new IllegalArgumentException(s"encode: unknown format $other")
+  }
+
+  def decodeAsLiteral(v: Column, fmt: String): Column = fmt.toLowerCase match {
+    case "base64" => unbase64(v).cast("string")
+    case "hex"    => unhex(v).cast("string")
+    case other    => throw new IllegalArgumentException(s"decode: unknown format $other")
+  }
+
+  /** date_add(date, n, unit) over string timestamps, returning a formatted string
+    * (functions_datetime.go:101-175). */
+  def dateAddLiteral(d: Column, n: Column, unit: String): Column = {
+    val ts = d.cast("timestamp")
+    val res = unit.toLowerCase.stripSuffix("s") match {
+      case "year"   => add_months(ts, n * 12).cast("timestamp")
+      case "month"  => add_months(ts, n).cast("timestamp")
+      case "day"    => timestamp_add("DAY", n, ts)
+      case "hour"   => timestamp_add("HOUR", n, ts)
+      case "minute" => timestamp_add("MINUTE", n, ts)
+      case "second" => timestamp_add("SECOND", n, ts)
+      case other    => throw new IllegalArgumentException(s"date_add: unit $other")
+    }
+    date_format(res, "yyyy-MM-dd HH:mm:ss")
+  }
+
+  /** date_diff(a, b [,unit]) = a - b (functions_datetime.go:242-305). */
+  def dateDiffLiteral(a: Column, b: Column, unit: String): Column = {
+    val (ta, tb) = (a.cast("timestamp"), b.cast("timestamp"))
+    unit.toLowerCase.stripSuffix("s") match {
+      case "second" => unix_timestamp(ta) - unix_timestamp(tb)
+      case "minute" => ((unix_timestamp(ta) - unix_timestamp(tb)) / 60).cast("long")
+      case "hour"   => ((unix_timestamp(ta) - unix_timestamp(tb)) / 3600).cast("long")
+      case "day"    => datediff(ta, tb).cast("long")
+      case "month"  => months_between(ta, tb).cast("long")
+      case "year"   => (months_between(ta, tb) / 12).cast("long")
+      case other    => throw new IllegalArgumentException(s"date_diff: unit $other")
+    }
+  }
+
+  def extractLiteral(unit: String, ts: Column): Column = {
+    val t = ts.cast("timestamp")
+    unit.toLowerCase match {
+      case "year" => year(t); case "month" => month(t); case "day" => dayofmonth(t)
+      case "hour" => hour(t); case "minute" => minute(t); case "second" => second(t)
+      case "dow" | "dayofweek" => dayofweek(t)
+      case "doy" | "dayofyear" => dayofyear(t)
+      case "week" => weekofyear(t)
+      case other => throw new IllegalArgumentException(s"extract: field $other")
+    }
+  }
+
+  def jsonType(j: Column): Column = {
+    val t = ltrim(j)
+    when(j.isNull, lit(null).cast("string"))
+      .when(t.startsWith("{"), "object")
+      .when(t.startsWith("["), "array")
+      .when(t.startsWith("\""), "string")
+      .when(t === "true" || t === "false", "boolean")
+      .when(t === "null", "null")
+      .when(t.cast("double").isNotNull, "number")
+      .otherwise(lit(null).cast("string"))
+  }
+
+  def jsonLength(j: Column): Column = {
+    val t = ltrim(j)
+    when(t.startsWith("["), json_array_length(j))
+      .when(t.startsWith("{"), size(json_object_keys(j)))
+      .otherwise(lit(null).cast("int"))
+  }
+
+  def caseWhenChain(args: List[Column]): Column = {
+    // case_when(cond1, v1, cond2, v2, ..., [default]) (functions_conditional.go:196)
+    val pairs = args.grouped(2).toList
+    val (branches, default) =
+      if (args.size % 2 == 1) (pairs.init, Some(args.last)) else (pairs, None)
+    val start = when(branches.head.head, branches.head(1))
+    val chained = branches.tail.foldLeft(start)((acc, p) => acc.when(p.head, p(1)))
+    default.map(chained.otherwise).getOrElse(chained)
+  }
+}

@@ -1,0 +1,375 @@
+package graft.plan
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sql._
+
+/** Builds a Spark DataFrame plan from a dialect `Query`.
+  *
+  * The reference executes queries as per-row push pipelines
+  * (reference: stream/processor_data.go:84-110 — enrich → WHERE → window →
+  * aggregate → projection → HAVING → ORDER BY → LIMIT). Here the same
+  * semantics are *declared* and Catalyst plans them: predicate pushdown,
+  * column pruning, broadcast joins and whole-stage codegen come for free,
+  * and the plan scales out by partitioning instead of a single goroutine.
+  *
+  * Path selection mirrors rsql/ast.go:248-274: CEP ⟶ window/aggregate ⟶ direct.
+  */
+final class PlanBuilder(tables: Map[String, DataFrame]) {
+
+  private def table(name: String): DataFrame =
+    tables.getOrElse(name, tables.getOrElse(name.toLowerCase,
+      throw new IllegalArgumentException(
+        s"unknown table '$name'; registered: ${tables.keys.mkString(", ")}")))
+
+  def build(q: Query): DataFrame = {
+    val base = table(q.from)
+    val (joined, resolver) = buildJoins(base, q)
+    val ord = orderColumns(q, joined)
+
+    if (q.matchRecognize.isDefined)
+      graft.cep.CepExec.run(joined, q, resolver, ord.ord)
+    else if (isAggregation(q)) buildAggPath(q, joined, resolver, ord)
+    else buildDirectPath(q, joined, resolver, ord)
+  }
+
+  private def isAggregation(q: Query): Boolean =
+    q.window.isDefined || q.groupBy.nonEmpty ||
+      q.items.exists(i => ExprBuilder.containsAggregate(i.expr)) ||
+      q.having.exists(ExprBuilder.containsAggregate)
+
+  // ------------------------------------------------------------------ joins
+
+  /** Stream-table equi joins (reference: stream/join.go:36-68). The lookup
+    * side is a dimension table — broadcast it so the plan is a stream-side
+    * hash join with no shuffle of the (large) stream side. */
+  private def buildJoins(base: DataFrame, q: Query): (DataFrame, Resolver) = {
+    var df = base
+    var joinInfos = List.empty[Resolver.JoinInfo]
+    val streamAliases = Set("stream", q.from) ++ q.fromAlias.toSet
+
+    q.joins.foreach { jc =>
+      val alias = jc.alias.getOrElse(jc.table)
+      val right0 = table(jc.table)
+      val prefix = s"__j_${alias}_"
+      val right = right0.columns.foldLeft(right0)((d, c) => d.withColumnRenamed(c, prefix + c))
+      val info = Resolver.JoinInfo(alias, right0.columns.toList, prefix)
+      val resolver = new Resolver(base.columns.toList, streamAliases, joinInfos :+ info)
+      val cond = ExprBuilder.build(jc.on, directCtx(resolver))
+      df = df.join(broadcast(right), cond, jc.joinType)
+      joinInfos :+= info
+    }
+    (df, new Resolver(base.columns.toList, streamAliases, joinInfos))
+  }
+
+  private def directCtx(resolver: Resolver): ExprBuilder.Ctx =
+    ExprBuilder.Ctx(
+      resolveIdent = resolver.resolve,
+      onAggregate = fc => throw new IllegalArgumentException(
+        s"aggregate ${fc.name} not allowed here"),
+      onAnalytic = fc => throw new IllegalArgumentException(
+        s"analytic ${fc.name} not allowed here"))
+
+  // ---------------------------------------------------------- event order
+
+  private case class OrderCols(eventTs: Option[Column], ord: List[Column])
+
+  /** Event-time / order columns. WITH (TIMESTAMP='col', TIMEUNIT='ms')
+    * selects event time (reference: rsql/parser.go:1123-1172); TIEBREAK is a
+    * dialect extension giving batch mode a deterministic total order. */
+  private def orderColumns(q: Query, df: DataFrame): OrderCols = {
+    val tsName = q.options.get("TIMESTAMP")
+      .orElse(if (df.columns.contains("ts")) Some("ts") else None)
+    val unit = q.options.getOrElse("TIMEUNIT", "ms")
+    val ts = tsName.flatMap { n =>
+      df.schema.fields.find(_.name == n).map { f =>
+        f.dataType match {
+          case _: TimestampType => col(n)
+          case _: NumericType => unit match {
+            case "ms" => timestamp_millis(col(n).cast("long"))
+            case "s"  => timestamp_seconds(col(n))
+            case "us" => timestamp_micros(col(n).cast("long"))
+            case "ns" => timestamp_micros(expr(s"`$n` div 1000"))
+            case o    => throw new IllegalArgumentException(s"TIMEUNIT '$o'")
+          }
+          case _ => to_timestamp(col(n))
+        }
+      }
+    }
+    val tiebreak = q.options.get("TIEBREAK").map(col)
+    OrderCols(ts, tsName.map(col).toList ++ tiebreak.toList)
+  }
+
+  // ------------------------------------------------------------ direct path
+
+  /** Per-row pipeline: analytics → WHERE → projection → unnest →
+    * change-suppression → ORDER/LIMIT (reference: stream/stream.go:640-698,
+    * stream/processor_data.go:622-650). */
+  private def buildDirectPath(
+      q: Query, df0: DataFrame, resolver: Resolver, ord: OrderCols): DataFrame = {
+
+    val analyticCalls =
+      (q.items.map(_.expr) ++ q.where.toList).flatMap(ExprBuilder.collectAnalytics)
+    val (df1, anMap) =
+      if (analyticCalls.isEmpty) (df0, Map.empty[FuncCall, String])
+      else AnalyticsLowering.lower(
+        df0, analyticCalls,
+        e => ExprBuilder.build(e, directCtx(resolver)),
+        defaultPartition = Nil, ord = ord.ord)
+
+    val ctx = ExprBuilder.Ctx(
+      resolveIdent = resolver.resolve,
+      onAggregate = fc => throw new IllegalArgumentException(
+        s"aggregate ${fc.name} requires GROUP BY / a window"),
+      onAnalytic = fc => col(anMap(fc)),
+      starCols = () => resolver.starColumns)
+
+    val df2 = q.where.map(w => df1.filter(ExprBuilder.build(w, ctx))).getOrElse(df1)
+
+    // unnest expansion (reference: stream/processor_data.go:652-692): empty
+    // arrays yield zero rows (explode, not explode_outer)
+    val unnestIdx = q.items.indexWhere {
+      case SelectItem(FuncCall(n, _, _, _), _) => n.equalsIgnoreCase("unnest")
+      case _ => false
+    }
+    val selected: DataFrame = if (unnestIdx >= 0) {
+      val item = q.items(unnestIdx)
+      val arr = ExprBuilder.build(item.expr.asInstanceOf[FuncCall].args.head, ctx)
+      val withEx = df2.withColumn("__unnest", explode(arr))
+      val exCols: List[Column] = withEx.schema("__unnest").dataType match {
+        case st: StructType if item.alias.isEmpty =>
+          // object elements expand to columns (reference: functions_multirow.go:15-70)
+          st.fields.map(f => col("__unnest").getField(f.name).as(f.name)).toList
+        case _ => List(col("__unnest").as(item.alias.getOrElse("unnest")))
+      }
+      val cols = q.items.zipWithIndex.flatMap { case (it, i) =>
+        if (i == unnestIdx) exCols else expandItem(it, ctx, resolver)
+      }
+      withEx.select(cols: _*)
+    } else {
+      df2.select(q.items.flatMap(expandItem(_, ctx, resolver)): _*)
+    }
+
+    // change-detection row suppression (reference: stream/stream.go:551-567):
+    // a row whose changed_col outputs are all empty is dropped entirely
+    val changeOutputs = q.items.collect {
+      case it @ SelectItem(FuncCall(n, _, _, _), _)
+          if n.equalsIgnoreCase("changed_col") => it.outputName
+    }
+    val suppressed =
+      if (changeOutputs.nonEmpty)
+        selected.filter(changeOutputs.map(col(_).isNotNull).reduce(_ || _))
+      else selected
+
+    finishQuery(q, suppressed)
+  }
+
+  private def expandItem(
+      it: SelectItem, ctx: ExprBuilder.Ctx, resolver: Resolver): List[Column] =
+    it.expr match {
+      case Star => resolver.starColumns
+      case _    => List(ExprBuilder.build(it.expr, ctx).as(it.outputName))
+    }
+
+  // ------------------------------------------------------- aggregation path
+
+  /** Window pipeline: WHERE → window assignment → aggregate → projection →
+    * window-analytics → HAVING → DISTINCT → ORDER BY → LIMIT
+    * (reference: stream/processor_data.go:84-110,383-493). */
+  private def buildAggPath(
+      q: Query, df0: DataFrame, resolver: Resolver, ord: OrderCols): DataFrame = {
+
+    val dctx = directCtx(resolver)
+
+    // WHERE before windowing — the pushdown the reference hand-codes
+    // (stream/processor_data.go:93-104)
+    var pre = q.where.map(w => df0.filter(ExprBuilder.build(w, dctx))).getOrElse(df0)
+
+    // counting-window WHEN gating: only passing rows enter the window
+    // (reference: rsql/parser.go:601-665)
+    q.window.foreach {
+      case CountingWindow(_, Some(cond)) =>
+        pre = pre.filter(ExprBuilder.build(cond, dctx))
+      case _ => ()
+    }
+
+    // group keys as materialized columns (supports scalar-function keys,
+    // reference: rsql/ast.go:722-734, stream/processor_field.go:205-219)
+    val keyNames = q.groupBy.indices.map(i => s"__g_$i").toList
+    q.groupBy.zip(keyNames).foreach { case (e, n) =>
+      pre = pre.withColumn(n, ExprBuilder.build(e, dctx))
+    }
+    val keyCols = keyNames.map(col)
+
+    def needTs: Column = ord.eventTs.getOrElse(throw new IllegalArgumentException(
+      "time window requires an event-time column (WITH TIMESTAMP or a 'ts' column)"))
+
+    // window assignment → grouping columns
+    val isTimeWindow = q.window.exists {
+      case _: TumblingWindow | _: SlidingWindow | _: SessionWindow => true
+      case _ => false
+    }
+    val groupCols: List[Column] = q.window match {
+      case Some(TumblingWindow(size)) =>
+        pre = pre.withColumn("__window", window(needTs, s"$size milliseconds"))
+        col("__window") :: keyCols
+      case Some(SlidingWindow(size, slide)) =>
+        pre = pre.withColumn("__window",
+          window(needTs, s"$size milliseconds", s"$slide milliseconds"))
+        col("__window") :: keyCols
+      case Some(SessionWindow(gap)) =>
+        pre = pre.withColumn("__evts", needTs)
+        session_window(col("__evts"), s"$gap milliseconds").as("__window") :: keyCols
+      case Some(CountingWindow(n, _)) =>
+        require(ord.ord.nonEmpty,
+          "CountingWindow requires a deterministic order (WITH TIMESTAMP/TIEBREAK)")
+        val w = Window.partitionBy(keyCols: _*).orderBy(ord.ord: _*)
+        pre = pre.withColumn("__wid",
+          floor((row_number().over(w) - lit(1)) / lit(n)))
+        col("__wid") :: keyCols
+      case _ => keyCols // GLOBAL WINDOW / bare GROUP BY
+    }
+
+    // aggregate slot extraction (reference: aggregator/post_aggregation.go:60-200)
+    val slots = scala.collection.mutable.LinkedHashMap[FuncCall, String]()
+    def registerAggs(e: SqlExpr): Unit =
+      ExprBuilder.collectAggregates(e).foreach { fc =>
+        if (fc.lname != "window_start" && fc.lname != "window_end")
+          if (!slots.contains(fc)) slots += (fc -> s"__a_${slots.size}")
+      }
+    q.items.foreach(i => registerAggs(i.expr))
+    q.having.foreach(registerAggs)
+
+    // window_start()/window_end() pseudo-aggregates
+    // (reference: functions/functions_window.go:15-105); for counting/global
+    // windows the batch analog is min/max event time
+    val wsReferenced = (q.items.map(_.expr) ++ q.having.toList)
+      .flatMap(ExprBuilder.collectAggregates)
+      .exists(fc => fc.lname == "window_start" || fc.lname == "window_end")
+    val boundSlots: List[Column] =
+      if (!isTimeWindow && wsReferenced)
+        List(unix_millis(min(needTs)).as("__wstart"),
+          unix_millis(max(needTs)).as("__wend"))
+      else Nil
+    val (windowStart, windowEnd): (Column, Column) =
+      if (isTimeWindow) (unix_millis(col("__window.start")), unix_millis(col("__window.end")))
+      else (col("__wstart"), col("__wend"))
+
+    val aggOrd: Option[Column] = ord.ord match {
+      case Nil      => None
+      case c :: Nil => Some(c)
+      case cs       => Some(struct(cs: _*))
+    }
+    val aggExprs = slots.map { case (fc, name) =>
+      Aggregates.build(fc, a => ExprBuilder.build(a, dctx), aggOrd).as(name)
+    }.toList ++ boundSlots
+
+    val agged: DataFrame = {
+      val g = pre.groupBy(groupCols: _*)
+      aggExprs match {
+        case Nil          => g.agg(count(lit(1)).as("__cnt"))
+        case head :: tail => g.agg(head, tail: _*)
+      }
+    }
+
+    // post-aggregation resolution: group keys (structurally), agg slots,
+    // window bounds
+    val keyExprMap: Map[SqlExpr, Column] =
+      q.groupBy.zip(keyNames).map { case (e, n) => (e, col(n)) }.toMap
+
+    def postCtx(anMap: Map[FuncCall, String]): ExprBuilder.Ctx =
+      ExprBuilder.Ctx(
+        resolveIdent = id => keyExprMap.getOrElse(id, col(id.raw)),
+        onAggregate = fc => fc.lname match {
+          case "window_start" => windowStart
+          case "window_end"   => windowEnd
+          case _              => col(slots(fc))
+        },
+        onAnalytic = fc => col(anMap(fc)))
+
+    // analytics over window results: partitioned by group keys, ordered
+    // across successive windows (reference: stream/stream.go:574-615,
+    // rsql/ast.go:142-205 — state partitions auto-derived from GROUP BY keys)
+    val windowOrderCol: Column = q.window match {
+      case Some(_: TumblingWindow) | Some(_: SlidingWindow) | Some(_: SessionWindow) =>
+        col("__window.start")
+      case Some(_: CountingWindow) => col("__wid")
+      case _ => lit(1)
+    }
+    val windowAnalytics =
+      (q.items.map(_.expr) ++ q.having.toList).flatMap(ExprBuilder.collectAnalytics)
+    val (agged2, anMap) =
+      if (windowAnalytics.isEmpty) (agged, Map.empty[FuncCall, String])
+      else AnalyticsLowering.lower(
+        agged, windowAnalytics,
+        e => ExprBuilder.build(e, postCtx(Map.empty)),
+        defaultPartition = keyCols,
+        ord = List(windowOrderCol))
+
+    val ctx = postCtx(anMap)
+
+    // HAVING may reference select aliases or unselected aggregates
+    // (reference: rsql/ast.go:555-618)
+    val aliasMap: Map[String, SqlExpr] =
+      q.items.flatMap(i => i.alias.map(a => a -> i.expr)).toMap
+    val filtered = q.having match {
+      case Some(h) =>
+        agged2.filter(ExprBuilder.build(substAliases(h, aliasMap), ctx))
+      case None => agged2
+    }
+
+    val outCols = q.items.map { it =>
+      keyExprMap.get(it.expr) match {
+        case Some(kc) => kc.as(it.outputName)
+        case None     => ExprBuilder.build(it.expr, ctx).as(it.outputName)
+      }
+    }
+    finishQuery(q, filtered.select(outCols: _*))
+  }
+
+  /** Replace select-alias references with their definitions (HAVING scope). */
+  private def substAliases(e: SqlExpr, aliasMap: Map[String, SqlExpr]): SqlExpr = {
+    def go(e: SqlExpr): SqlExpr = e match {
+      case id @ Ident(List(Ident.Seg(n, Nil))) => aliasMap.getOrElse(n, id)
+      case BinOp(op, l, r)     => BinOp(op, go(l), go(r))
+      case UnaryOp(op, c)      => UnaryOp(op, go(c))
+      case IsNullExpr(c, neg)  => IsNullExpr(go(c), neg)
+      case LikeExpr(c, p, neg) => LikeExpr(go(c), p, neg)
+      case InExpr(c, items, neg) => InExpr(go(c), items.map(go), neg)
+      case BetweenExpr(c, lo, hi, neg) => BetweenExpr(go(c), go(lo), go(hi), neg)
+      case CaseWhen(op, br, el) =>
+        CaseWhen(op.map(go), br.map(b => (go(b._1), go(b._2))), el.map(go))
+      case fc: FuncCall if !ExprBuilder.isAggregateCall(fc) && !ExprBuilder.isAnalyticCall(fc) =>
+        fc.copy(args = fc.args.map(go))
+      case other => other
+    }
+    go(e)
+  }
+
+  // ------------------------------------------------- shared final clauses
+
+  /** DISTINCT → ORDER BY → LIMIT over the projected output
+    * (reference: stream/processor_data.go:477-514; ORDER BY + LIMIT lowers to
+    * Spark's TakeOrderedAndProject top-k). */
+  private def finishQuery(q: Query, df: DataFrame): DataFrame = {
+    val d = if (q.distinct) df.distinct() else df
+    val o =
+      if (q.orderBy.isEmpty) d
+      else {
+        val ctx = ExprBuilder.Ctx(
+          resolveIdent = id => col(id.raw),
+          onAggregate = fc => throw new IllegalArgumentException(
+            "aggregates in ORDER BY must be aliased in SELECT"),
+          onAnalytic = fc => throw new IllegalArgumentException(
+            "analytics in ORDER BY must be aliased in SELECT"))
+        val items = q.orderBy.map { oi =>
+          val c = ExprBuilder.build(oi.expr, ctx)
+          if (oi.asc) c.asc else c.desc
+        }
+        d.orderBy(items: _*)
+      }
+    q.limit.map(o.limit).getOrElse(o)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.plan
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.sql.Ident
+
+/** Resolves dialect identifiers to Spark columns.
+  *
+  * Handles: stream-alias stripping (`stream.deviceId` → `deviceId`,
+  * reference: rsql/parser.go:956-968), join-alias qualification
+  * (`m.location` → the prefixed join column, reference:
+  * stream/processor_field.go:58-107), nested dot-paths and array indices
+  * (`device.info.name`, `sensors[0].value`, reference: utils/fieldpath).
+  */
+final class Resolver(
+    baseColsOrdered: List[String],
+    streamAliases: Set[String],
+    joins: List[Resolver.JoinInfo]
+) {
+  private val baseCols: Set[String] = baseColsOrdered.toSet
+
+  def resolve(id: Ident): Column = {
+    val segs0 = id.segments
+    // strip the stream alias qualifier
+    val segs =
+      if (segs0.size > 1 && streamAliases.contains(segs0.head.name) &&
+        segs0.head.indexes.isEmpty && !baseCols.contains(segs0.head.name))
+        segs0.tail
+      else segs0
+
+    val head = segs.head
+    joins.find(j => j.alias == head.name && head.indexes.isEmpty && segs.size > 1) match {
+      case Some(j) =>
+        val second = segs(1)
+        nested(col(j.prefix + second.name), second.indexes, segs.drop(2))
+      case None =>
+        if (baseCols.contains(head.name))
+          nested(col(head.name), head.indexes, segs.tail)
+        else joins.find(_.contains(head.name)) match {
+          case Some(j) => nested(col(j.prefix + head.name), head.indexes, segs.tail)
+          // fall through to plain resolution (computed/internal columns)
+          case None => nested(col(head.name), head.indexes, segs.tail)
+        }
+    }
+  }
+
+  private def nested(root: Column, rootIdx: List[Int], rest: List[Ident.Seg]): Column = {
+    var c = root
+    rootIdx.foreach(i => c = c.getItem(i))
+    rest.foreach { s =>
+      c = c.getItem(s.name)
+      s.indexes.foreach(i => c = c.getItem(i))
+    }
+    c
+  }
+
+  /** `SELECT *`: stream columns, then joined columns under their plain names
+    * (skipping collisions with stream columns). */
+  def starColumns: List[Column] = {
+    val base = baseColsOrdered.map(col)
+    val joined = joins.flatMap { j =>
+      j.cols.collect {
+        case c if !baseCols.contains(c) => col(j.prefix + c).as(c)
+      }
+    }
+    base ++ joined
+  }
+}
+
+object Resolver {
+  final case class JoinInfo(alias: String, cols: List[String], prefix: String) {
+    private[plan] val colSet: Set[String] = cols.toSet
+    def contains(c: String): Boolean = colSet.contains(c)
+  }
+}
