@@ -306,6 +306,158 @@ object SparkEntry {
         "SELECT user_id, av, round(sum(av_raw) OVER (PARTITION BY user_id ORDER BY wid " +
         "ROWS UNBOUNDED PRECEDING), 4) AS running FROM a"),
 
+    // --- LLM-pipeline operators: text analysis ----------------------------
+    gq("q_doc_stats",
+      "SELECT lang, source, count(*) AS cnt, round(avg(n_chars), 4) AS avg_chars, " +
+        "max(n_chars) AS mx FROM documents GROUP BY lang, source",
+      "SELECT lang, source, count(*) AS cnt, round(avg(n_chars), 4) AS avg_chars, " +
+        "max(n_chars) AS mx FROM documents GROUP BY lang, source"),
+
+    Q("q_text_analysis",
+      (s, dir) => {
+        val t = Tables.load(s, dir)
+        operators.TextOps.analyze(t("documents"))
+          .select("doc_id", "token_count", "punct_ratio", "alpha_ratio",
+            "mean_word_len", "stopword_ratio", "quality", "lang_pred")
+      },
+      Some("""
+        WITH b AS (
+          SELECT doc_id, text,
+            CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS token_count,
+            length(text) AS n,
+            length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS npunct,
+            length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS nalpha,
+            length(regexp_replace(text, '\s+', '', 'g')) AS nws,
+            len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|it)\b')) AS nstop,
+            ' ' || lower(text) || ' ' AS padded
+          FROM documents
+        ), h AS (
+          SELECT *,
+            len(regexp_extract_all(padded, ' (the|and|is|of|to|that|with) ')) AS en,
+            len(regexp_extract_all(padded, ' (der|die|das|und|ist|nicht|mit) ')) AS de,
+            len(regexp_extract_all(padded, ' (le|la|les|et|est|dans|pour) ')) AS fr,
+            len(regexp_extract_all(padded, ' (el|los|las|es|en|que|por) ')) AS es,
+            length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS zh
+          FROM b
+        )
+        SELECT doc_id, token_count,
+          round(CASE WHEN n = 0 THEN 0 ELSE npunct::DOUBLE / n END, 6) AS punct_ratio,
+          round(CASE WHEN n = 0 THEN 0 ELSE nalpha::DOUBLE / n END, 6) AS alpha_ratio,
+          round(CASE WHEN token_count = 0 THEN 0 ELSE nws::DOUBLE / token_count END, 6) AS mean_word_len,
+          round(CASE WHEN token_count = 0 THEN 0 ELSE nstop::DOUBLE / token_count END, 6) AS stopword_ratio,
+          round((CASE WHEN n BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.3 END) * 0.4 +
+                (CASE WHEN (CASE WHEN n = 0 THEN 0 ELSE npunct::DOUBLE / n END) < 0.2 THEN 1.0 ELSE 0.4 END) * 0.3 +
+                (CASE WHEN (CASE WHEN n = 0 THEN 0 ELSE nalpha::DOUBLE / n END) > 0.5 THEN 1.0 ELSE 0.5 END) * 0.3, 4) AS quality,
+          CASE WHEN greatest(en, de, fr, es, zh) = 0 THEN 'und'
+               WHEN zh = greatest(en, de, fr, es, zh) THEN 'zh'
+               WHEN en = greatest(en, de, fr, es, zh) THEN 'en'
+               WHEN de = greatest(en, de, fr, es, zh) THEN 'de'
+               WHEN fr = greatest(en, de, fr, es, zh) THEN 'fr'
+               ELSE 'es' END AS lang_pred
+        FROM h""".stripMargin.trim)),
+
+    // --- LLM-pipeline operators: deduplication ----------------------------
+    Q("q_dedup_exact",
+      (s, dir) => operators.Dedup.exact(Tables.load(s, dir)("documents")),
+      Some("SELECT doc_id, text, lang, source, n_chars FROM documents " +
+        "WHERE doc_id IN (SELECT min(doc_id) FROM documents " +
+        "GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))")),
+
+    Q("q_dedup_minhash",
+      (s, dir) => operators.Dedup.minHashPairs(
+        Tables.load(s, dir)("documents"), threshold = 0.7),
+      // LSH recall at j≥0.7 with 16 bands × 4 rows ≈ 1 − (1−j⁴)¹⁶ > 0.988;
+      // the oracle is the exact all-pairs 3-gram Jaccard.
+      Some("""
+        WITH n AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM documents),
+        s AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) END AS sh FROM n)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7""".stripMargin.trim)),
+
+    Q("q_dedup_ngram_blocked",
+      (s, dir) => {
+        val docs = Tables.load(s, dir)("documents")
+        operators.Dedup.ngramJaccardPairs(docs, org.apache.spark.sql.functions.col("source"),
+          n = 3, threshold = 0.5)
+      },
+      Some("""
+        WITH n AS (SELECT doc_id, source, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM documents),
+        s AS (SELECT doc_id, source, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) END AS sh FROM n)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5""".stripMargin.trim)),
+
+    // rows-only (xxhash64-based signatures are not DuckDB-reproducible;
+    // recall asserted in OperatorsSpec instead)
+    Q("q_dedup_simhash",
+      (s, dir) => operators.Dedup.simHashPairs(
+        Tables.load(s, dir)("documents"), maxDist = 10), None),
+
+    // --- LLM-pipeline operators: similarity search ------------------------
+    Q("q_embed_topk",
+      (s, dir) => {
+        val emb = Tables.load(s, dir)("embeddings")
+        val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+          .withColumnRenamed("vec_id", "query_id")
+        operators.Similarity.topK(emb, queries, k = 10)
+      },
+      Some("""
+        WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+        p AS (SELECT q.query_id, e.vec_id,
+          round(list_inner_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+            (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+             sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6) AS sim
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank FROM p)
+        SELECT query_id, vec_id, sim, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 10""".stripMargin.trim)),
+
+    Q("q_embed_neardup",
+      (s, dir) => {
+        val emb = Tables.load(s, dir)("embeddings")
+        // exact brute-force pairs (the LSH path is covered rows-only + spec)
+        import org.apache.spark.sql.functions._
+        val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
+        val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
+        a.join(b, col("vec_a") < col("vec_b"))
+          .withColumn("sim", round(operators.Similarity.cosine(col("va"), col("vb")), 6))
+          .filter(col("sim") >= 0.4)
+          .select("vec_a", "vec_b", "sim")
+      },
+      Some("""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+            (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+             sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+          (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+           sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4""".stripMargin.trim)),
+
+    Q("q_embed_ann_lsh",
+      (s, dir) => {
+        val emb = Tables.load(s, dir)("embeddings")
+        val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+          .withColumnRenamed("vec_id", "query_id")
+        operators.Similarity.topKBucketed(emb, queries, k = 10)
+      }, None), // approximate by construction; recall asserted in OperatorsSpec
+
+    // --- LLM-pipeline operators: multimodal plumbing ----------------------
+    Q("q_multimodal_features",
+      (s, dir) => operators.Multimodal
+        .featureTable(s, Tables.load(s, dir)("documents"))
+        .select("media_id", "kind", "byte_len", "sha", "frames_sampled"),
+      Some("SELECT doc_id AS media_id, " +
+        "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
+        "CAST(strlen(text) AS INTEGER) AS byte_len, sha256(text) AS sha, " +
+        "CAST(CASE WHEN doc_id % 3 = 2 THEN " +
+        "floor((greatest(1, floor(strlen(text) / 4096)) + 9) / 10) ELSE 1 END AS INTEGER) AS frames_sampled " +
+        "FROM documents")),
+
     // --- set operations (Spark-first surface extension, SURVEY §2.7) ------
     Q("q_union",
       (s, dir) => {

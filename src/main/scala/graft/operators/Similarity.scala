@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Baseline: brute-force cosine top-k (broadcast the query set, scan the
+  * corpus once — the right plan when queries are few). Scale path:
+  * random-hyperplane LSH —
+  * deterministic seeded hyperplanes, signature bucketing, multi-probe via
+  * banding; candidate verification only. All pure Column expressions
+  * (`zip_with`/`aggregate` folds are sequential → bit-deterministic).
+  */
+object Similarity {
+
+  /** Σ aᵢbᵢ as double (deterministic left fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: broadcast queries × scan corpus.
+    * Output: (query_id, vec_id, sim, rank) — rank 1..k per query. */
+  def topK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    val joined = corpus.select(col(idCol), col(vecCol).as("__cv"))
+      .crossJoin(broadcast(queries.select(col(queryIdCol), col(vecCol).as("__qv"))))
+      .filter(col(idCol) =!= col(queryIdCol)) // self-match excluded when ids align
+      .withColumn("sim", round(cosine(col("__cv"), col("__qv")), 6))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: seeded LCG over (plane, dim).
+    * Values in [-0.5, 0.5); stable across sessions/partitions. */
+  private def hyperplanes(planes: Int, dims: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(planes, dims)(rnd.nextDouble() - 0.5)
+  }
+
+  /** Sign-bit signature of `vec` against `planes` hyperplanes → long. */
+  def lshSignature(vec: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val pc = array(p.map(lit): _*)
+      when(dot(vec, pc) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Near-dup pairs with cosine ≥ threshold via hyperplane-LSH banding:
+    * 16-bit signature split into 4 chunks (pigeonhole on small angular
+    * distance), bucket join per chunk, exact cosine verify. */
+  def nearDupPairs(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      threshold: Double = 0.95,
+      planesN: Int = 16,
+      chunks: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val dims = emb.select(size(col(vecCol))).first().getInt(0)
+    val planes = hyperplanes(planesN, dims, seed)
+    val bitsPer = planesN / chunks
+
+    val sigs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("sig", lshSignature(col("v"), planes))
+
+    val banded = sigs.select(col("id"), col("v"),
+      explode(transform(sequence(lit(0), lit(chunks - 1)),
+        c => struct(c.as("chunk"),
+          call_function("shiftright", col("sig"), c * bitsPer)
+            .bitwiseAND(lit((1L << bitsPer) - 1)).as("key"))))
+        .as("ck"))
+      .select(col("id"), col("v"), col("ck.chunk"), col("ck.key"))
+
+    val a = banded.alias("a"); val b = banded.alias("b")
+    a.join(b, col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .dropDuplicates("vec_a", "vec_b")
+      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("sim") >= threshold)
+      .select("vec_a", "vec_b", "sim")
+  }
+
+  /** IVF-style bucketed ANN top-k: assign corpus + queries to their nearest
+    * LSH bucket family and search only matching buckets — the scale path
+    * when queries are many (no broadcast of the whole corpus). Recall < 1
+    * by construction; rank semantics as in [[topK]]. */
+  def topKBucketed(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      queryIdCol: String = "query_id",
+      planesN: Int = 12,
+      chunks: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val dims = corpus.select(size(col(vecCol))).first().getInt(0)
+    val planes = hyperplanes(planesN, dims, seed)
+    val bitsPer = planesN / chunks
+    def band(df: DataFrame, id: String): DataFrame =
+      df.select(col(id), col(vecCol).as(s"__v_$id"),
+        lshSignature(col(vecCol), planes).as("sig"))
+        .select(col(id), col(s"__v_$id"),
+          explode(transform(sequence(lit(0), lit(chunks - 1)),
+            c => struct(c.as("chunk"),
+              call_function("shiftright", col("sig"), c * bitsPer)
+                .bitwiseAND(lit((1L << bitsPer) - 1)).as("key")))).as("ck"))
+        .select(col(id), col(s"__v_$id"), col("ck.chunk"), col("ck.key"))
+
+    val c = band(corpus, idCol).alias("c")
+    val q = band(queries, queryIdCol).alias("q")
+    val cand = c.join(q,
+        col("c.chunk") === col("q.chunk") && col("c.key") === col("q.key") &&
+          col(s"c.$idCol") =!= col(s"q.$queryIdCol"))
+      .select(col(s"q.$queryIdCol"), col(s"c.$idCol"),
+        col(s"c.__v_$idCol").as("cv"), col(s"q.__v_$queryIdCol").as("qv"))
+      .dropDuplicates(queryIdCol, idCol)
+      .withColumn("sim", round(cosine(col("cv"), col("qv")), 6))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+  }
+}

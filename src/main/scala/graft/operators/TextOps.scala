@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * All pure Column expressions (codegen'd, no UDFs, no shuffles) so they
+  * stream through a 100 TB corpus at scan speed: language-ID, quality
+  * scoring, token counting, fingerprinting.
+  */
+object TextOps {
+
+  /** Whitespace-ish token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count estimate: word-boundary pieces + long-word splits
+    * (≈ 1 token per 4 chars within words — the usual heuristic). */
+  def tokenCountBpe(text: Column): Column =
+    size(split(trim(text), "\\s+")) +
+      (length(regexp_replace(text, "\\s+", "")) / lit(4)).cast("long")
+
+  /** Words per sentence-ish, punctuation density, alpha ratio, mean word
+    * length — the usual cheap quality signals. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") / length(text))
+
+  def alphaRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / length(text))
+
+  def meanWordLen(text: Column): Column = {
+    val words = tokenCount(text)
+    when(words === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "\\s+", "")).cast("double") / words)
+  }
+
+  private val stopwordsEn = Seq("the", "and", "of", "to", "is", "in", "that", "it")
+
+  def stopwordRatio(text: Column): Column = {
+    val words = tokenCount(text)
+    val hits = regexp_count(lower(text), lit(s"\\b(${stopwordsEn.mkString("|")})\\b"))
+    when(words === 0, lit(0.0)).otherwise(hits.cast("double") / words)
+  }
+
+  /** Composite quality score in [0,1]; thresholds follow common corpus-
+    * filtering heuristics (length window, punct ceiling, stopword floor). */
+  def qualityScore(text: Column): Column = {
+    val lenScore = when(length(text).between(50, 20000), 1.0).otherwise(0.3)
+    val punct = when(punctRatio(text) < 0.2, 1.0).otherwise(0.4)
+    val alpha = when(alphaRatio(text) > 0.5, 1.0).otherwise(0.5)
+    round((lenScore * 0.4 + punct * 0.3 + alpha * 0.3), 4)
+  }
+
+  /** n-gram-heuristic language ID over {en,de,fr,es,zh}: per-language marker
+    * hits, argmax. Pure-SQL (portable to the DuckDB oracle). */
+  def langId(text: Column): Column = {
+    val t = concat(lit(" "), lower(text), lit(" "))
+    def hits(words: Seq[String]): Column =
+      regexp_count(t, lit(s" (${words.mkString("|")}) "))
+    val en = hits(Seq("the", "and", "is", "of", "to", "that", "with"))
+    val de = hits(Seq("der", "die", "das", "und", "ist", "nicht", "mit"))
+    val fr = hits(Seq("le", "la", "les", "et", "est", "dans", "pour"))
+    val es = hits(Seq("el", "los", "las", "es", "en", "que", "por"))
+    val zh = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
+    val m = greatest(en, de, fr, es, zh)
+    when(m === 0, lit("und"))
+      .when(zh === m, "zh").when(en === m, "en").when(de === m, "de")
+      .when(fr === m, "fr").otherwise("es")
+  }
+
+  /** Content fingerprint: 64-bit hash of whitespace/case-normalized text —
+    * the exact-dup key that survives formatting noise. */
+  def fingerprint(text: Column): Column =
+    xxhash64(normalize(text))
+
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Word shingles (n-grams) of the normalized text, distinct. */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(normalize(text), " ")
+    val k = size(words) - (n - 1)
+    when(k <= 0, array(normalize(text)))
+      .otherwise(array_distinct(transform(sequence(lit(0), k - 1),
+        i => array_join(slice(words, i + 1, lit(n)), " "))))
+  }
+
+  /** 64-bit SimHash over tokens — one pass, no shuffle: per-row fold of
+    * token hashes into 64 signed bit-counts, then sign bits.
+    * (Charikar's scheme; bit i set iff Σ ±1 over tokens ≥ 0.) */
+  def simHash(text: Column): Column = {
+    val hashes = transform(split(normalize(text), " "), t => xxhash64(t))
+    val counts = aggregate(
+      hashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (a, i) => a + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
+    )
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (c, i) => when(c >= 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ------------------------------------------------------ DataFrame-level ops
+
+  /** Annotate a corpus with the full text-analysis column set. */
+  def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("token_count", tokenCount(t))
+      .withColumn("punct_ratio", round(punctRatio(t), 6))
+      .withColumn("alpha_ratio", round(alphaRatio(t), 6))
+      .withColumn("mean_word_len", round(meanWordLen(t), 6))
+      .withColumn("stopword_ratio", round(stopwordRatio(t), 6))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("lang_pred", langId(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}
