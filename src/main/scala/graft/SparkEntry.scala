@@ -306,6 +306,22 @@ object SparkEntry {
         "SELECT user_id, av, round(sum(av_raw) OVER (PARTITION BY user_id ORDER BY wid " +
         "ROWS UNBOUNDED PRECEDING), 4) AS running FROM a"),
 
+    // --- §2.10 CEP MATCH_RECOGNIZE ----------------------------------------
+    gq("q_cep_pattern",
+      // 3 consecutive high-value events per user (PATTERN A{3}, skip past
+      // last row); t0 emitted as epoch-ms via timestamp arithmetic
+      "SELECT * FROM events MATCH_RECOGNIZE ( PARTITION BY user_id ORDER BY ts " +
+        "MEASURES MATCH_NUMBER() AS mn, LAST(A.value) AS lastv, FIRST(A.ts) - 0 AS t0 " +
+        "ONE ROW PER MATCH PATTERN (A{3}) WITHIN '60d' DEFINE A AS value > 50 )",
+      """
+        WITH s AS (SELECT user_id, ts, value, row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn FROM events),
+        q AS (SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY ts) AS grp FROM s WHERE value > 50),
+        i AS (SELECT *, row_number() OVER (PARTITION BY user_id, grp ORDER BY ts) - 1 AS idx FROM q),
+        t AS (SELECT user_id, grp, CAST(floor(idx / 3) AS BIGINT) AS trip,
+              count(*) AS cnt, arg_max(value, idx) AS lastv, epoch_ms(min(ts)) AS t0
+              FROM i GROUP BY user_id, grp, floor(idx / 3) HAVING count(*) = 3)
+        SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY t0) AS mn, lastv, t0 FROM t""".stripMargin.trim),
+
     // --- LLM-pipeline operators: text analysis ----------------------------
     gq("q_doc_stats",
       "SELECT lang, source, count(*) AS cnt, round(avg(n_chars), 4) AS avg_chars, " +

@@ -1,0 +1,284 @@
+package graft.cep
+
+import graft.sql._
+
+/** Row-level interpreter for dialect expressions inside the CEP operator.
+  *
+  * The engine's normal path lowers expressions to Catalyst columns; inside
+  * MATCH_RECOGNIZE, DEFINE predicates and MEASURES run per-row on the JVM
+  * against matched-row bindings (the reference evaluates these with its own
+  * interpreter + placeholder rewriting, reference: cep/eval.go:155-272).
+  * Scope here: literals, field refs, symbol-qualified refs, arithmetic,
+  * comparison, logic, CASE, IS NULL, navigation (PREV/NEXT/FIRST/LAST),
+  * CLASSIFIER(), MATCH_NUMBER(), and SUM/AVG/COUNT/MIN/MAX over pattern
+  * variables (reference: cep/eval.go:131-137).
+  */
+object RowEval {
+
+  /** Evaluation context for one (partial or complete) match.
+    *
+    * @param rows       the partition's ordered rows
+    * @param assignment matched (rowIndex, symbol) pairs in order
+    * @param matchNumber 1-based per-partition match counter
+    * @param currentIdx index into `assignment` for RUNNING (ALL ROWS) eval;
+    *                   None = FINAL semantics
+    * @param subsets    SUBSET name → member symbols
+    */
+  final case class Ctx(
+      rows: IndexedSeq[Map[String, Any]],
+      assignment: IndexedSeq[(Int, String)],
+      matchNumber: Long,
+      currentIdx: Option[Int],
+      subsets: Map[String, List[String]],
+      symbols: Set[String]) {
+
+    def visible: IndexedSeq[(Int, String)] = currentIdx match {
+      case Some(i) => assignment.take(i + 1)
+      case None    => assignment
+    }
+
+    def currentRow: Map[String, Any] = currentIdx match {
+      case Some(i) => rows(assignment(i)._1)
+      case None    => if (assignment.isEmpty) Map.empty else rows(assignment.last._1)
+    }
+
+    def currentRowIdx: Int = currentIdx match {
+      case Some(i) => assignment(i)._1
+      case None    => if (assignment.isEmpty) -1 else assignment.last._1
+    }
+
+    def symbolMembers(name: String): Set[String] =
+      subsets.get(name).map(_.toSet).getOrElse(Set(name))
+
+    def rowsOf(sym: String): IndexedSeq[Map[String, Any]] = {
+      val members = symbolMembers(sym)
+      visible.collect { case (ri, s) if members.contains(s) => rows(ri) }
+    }
+  }
+
+  def eval(e: SqlExpr, ctx: Ctx): Any = e match {
+    case NumberLit(t) => if (!t.exists(c => c == '.' || c == 'e' || c == 'E')) t.toLong else t.toDouble
+    case StringLit(s) => s
+    case BoolLit(b)   => b
+    case NullLit      => null
+    case Star         => null
+
+    case Ident(segs) =>
+      // sym.col → last value of that symbol's rows (RUNNING/FINAL per ctx);
+      // plain col → current row
+      if (segs.size >= 2 && ctx.symbols.union(ctx.subsets.keySet).contains(segs.head.name)) {
+        val rs = ctx.rowsOf(segs.head.name)
+        if (rs.isEmpty) null else fieldOf(rs.last, segs.tail)
+      } else fieldOf(ctx.currentRow, segs)
+
+    case fc: FuncCall => evalFunc(fc, ctx)
+
+    case BinOp(op, l, r) => op match {
+      case "and" =>
+        val lv = truthy(eval(l, ctx)); if (!lv) false else truthy(eval(r, ctx))
+      case "or" =>
+        val lv = truthy(eval(l, ctx)); if (lv) true else truthy(eval(r, ctx))
+      case _ =>
+        val (lv, rv) = (eval(l, ctx), eval(r, ctx))
+        if (lv == null || rv == null) {
+          op match {
+            case "=" | "!=" | "<" | "<=" | ">" | ">=" => null
+            case _ => null
+          }
+        } else op match {
+          case "+" => arith(lv, rv, _ + _)
+          case "-" => arith(lv, rv, _ - _)
+          case "*" => arith(lv, rv, _ * _)
+          case "/" => arith(lv, rv, _ / _)
+          case "%" => arith(lv, rv, _ % _)
+          case "=" => compare(lv, rv) == 0
+          case "!=" => compare(lv, rv) != 0
+          case "<" => compare(lv, rv) < 0
+          case "<=" => compare(lv, rv) <= 0
+          case ">" => compare(lv, rv) > 0
+          case ">=" => compare(lv, rv) >= 0
+        }
+    }
+
+    case UnaryOp("-", c) => eval(c, ctx) match {
+      case null => null
+      case v    => arith(0L, v, _ - _)
+    }
+    case UnaryOp("not", c) => eval(c, ctx) match {
+      case null       => null
+      case b: Boolean => !b
+      case v          => !truthy(v)
+    }
+    case UnaryOp(_, _) => null
+
+    case CaseWhen(operand, branches, otherwise) =>
+      val matched = operand match {
+        case Some(op) =>
+          val ov = eval(op, ctx)
+          branches.find(b => { val bv = eval(b._1, ctx); bv != null && ov != null && compare(ov, bv) == 0 })
+        case None => branches.find(b => truthy(eval(b._1, ctx)))
+      }
+      matched.map(b => eval(b._2, ctx)).orElse(otherwise.map(eval(_, ctx))).orNull
+
+    case IsNullExpr(c, negated) =>
+      val v = eval(c, ctx); if (negated) v != null else v == null
+
+    case LikeExpr(c, p, negated) =>
+      (eval(c, ctx), eval(p, ctx)) match {
+        case (s: String, pat: String) =>
+          val rx = java.util.regex.Pattern.quote(pat)
+            .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q")
+          val m = s.matches(rx)
+          if (negated) !m else m
+        case _ => null
+      }
+
+    case InExpr(c, items, negated) =>
+      val v = eval(c, ctx)
+      if (v == null) null
+      else {
+        val in = items.exists(i => { val iv = eval(i, ctx); iv != null && compare(v, iv) == 0 })
+        if (negated) !in else in
+      }
+
+    case BetweenExpr(c, lo, hi, negated) =>
+      (eval(c, ctx), eval(lo, ctx), eval(hi, ctx)) match {
+        case (v, l, h) if v != null && l != null && h != null =>
+          val in = compare(v, l) >= 0 && compare(v, h) <= 0
+          if (negated) !in else in
+        case _ => null
+      }
+  }
+
+  private def evalFunc(fc: FuncCall, ctx: Ctx): Any = fc.lname match {
+    case "match_number" => ctx.matchNumber
+    case "classifier" => ctx.currentIdx match {
+      case Some(i) => ctx.assignment(i)._2
+      case None    => if (ctx.assignment.isEmpty) null else ctx.assignment.last._2
+    }
+    case "first" | "last" =>
+      val target = fc.args.head
+      target match {
+        case Ident(segs) if segs.size >= 2 =>
+          val rs = ctx.rowsOf(segs.head.name)
+          if (rs.isEmpty) null
+          else fieldOf(if (fc.lname == "first") rs.head else rs.last, segs.tail)
+        case other =>
+          val rs = ctx.visible
+          if (rs.isEmpty) null
+          else eval(other,
+            ctx.copy(currentIdx = Some(if (fc.lname == "first") 0 else rs.size - 1)))
+      }
+    case "prev" | "next" =>
+      val off = fc.args.lift(1).map(a => eval(a, ctx) match {
+        case n: Number => n.intValue(); case _ => 1
+      }).getOrElse(1)
+      val delta = if (fc.lname == "prev") -off else off
+      val idx = ctx.currentRowIdx + delta
+      if (idx < 0 || idx >= ctx.rows.length) null
+      else fc.args.head match {
+        case Ident(segs) =>
+          val path = if (segs.size >= 2 &&
+            ctx.symbols.union(ctx.subsets.keySet).contains(segs.head.name)) segs.tail else segs
+          fieldOf(ctx.rows(idx), path)
+        case other => null
+      }
+    case "sum" | "avg" | "count" | "min" | "max" =>
+      val vals: Seq[Any] = fc.args.head match {
+        case Star => ctx.visible.map(_ => 1L)
+        case Ident(segs) if segs.size >= 2 &&
+            ctx.symbols.union(ctx.subsets.keySet).contains(segs.head.name) =>
+          ctx.rowsOf(segs.head.name).map(r => fieldOf(r, segs.tail)).filter(_ != null)
+        case Ident(segs) =>
+          ctx.visible.map(a => fieldOf(ctx.rows(a._1), segs)).filter(_ != null)
+        case other =>
+          ctx.visible.indices.map(i => eval(other, ctx.copy(currentIdx = Some(i))))
+            .filter(_ != null)
+      }
+      fc.lname match {
+        case "count" => vals.size.toLong
+        case "sum"   => if (vals.isEmpty) null else vals.map(toDouble).sum
+        case "avg"   => if (vals.isEmpty) null else vals.map(toDouble).sum / vals.size
+        case "min"   => if (vals.isEmpty) null else vals.minBy(toDouble)
+        case "max"   => if (vals.isEmpty) null else vals.maxBy(toDouble)
+      }
+    case "abs" => eval(fc.args.head, ctx) match {
+      case null => null; case v => math.abs(toDouble(v))
+    }
+    case "coalesce" =>
+      fc.args.iterator.map(eval(_, ctx)).find(_ != null).orNull
+    case "upper" => eval(fc.args.head, ctx) match {
+      case s: String => s.toUpperCase; case _ => null
+    }
+    case "lower" => eval(fc.args.head, ctx) match {
+      case s: String => s.toLowerCase; case _ => null
+    }
+    case other =>
+      throw new IllegalArgumentException(s"unsupported function in MATCH_RECOGNIZE: $other")
+  }
+
+  // ------------------------------------------------------------- helpers
+
+  private def fieldOf(row: Map[String, Any], segs: List[Ident.Seg]): Any = {
+    var cur: Any = row
+    segs.foreach { s =>
+      cur = cur match {
+        case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].getOrElse(s.name, null)
+        case r: org.apache.spark.sql.Row =>
+          try r.getAs[Any](s.name) catch { case _: Throwable => null }
+        case _ => null
+      }
+      s.indexes.foreach { i =>
+        cur = cur match {
+          case seq: Seq[_] => if (i < seq.size) seq(i) else null
+          case arr: Array[_] => if (i < arr.length) arr(i) else null
+          case _ => null
+        }
+      }
+    }
+    cur
+  }
+
+  def toDouble(v: Any): Double = v match {
+    case n: Number => n.doubleValue()
+    case b: Boolean => if (b) 1.0 else 0.0
+    case t: java.sql.Timestamp => t.getTime.toDouble
+    case i: java.time.Instant => i.toEpochMilli.toDouble
+    case s: String => try s.toDouble catch { case _: Throwable => Double.NaN }
+    case null => Double.NaN
+    case _ => Double.NaN
+  }
+
+  def toMillis(v: Any): Long = v match {
+    case n: Number => n.longValue()
+    case t: java.sql.Timestamp => t.getTime
+    case i: java.time.Instant => i.toEpochMilli
+    case d: java.sql.Date => d.getTime
+    case _ => 0L
+  }
+
+  def truthy(v: Any): Boolean = v match {
+    case null => false
+    case b: Boolean => b
+    case n: Number => n.doubleValue() != 0
+    case s: String => s.nonEmpty
+    case _ => true
+  }
+
+  def compare(a: Any, b: Any): Int = (a, b) match {
+    case (x: String, y: String) => x.compareTo(y)
+    case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y)
+    case (x: Boolean, y: Boolean) => x.compareTo(y)
+    case _ => java.lang.Double.compare(toDouble(a), toDouble(b))
+  }
+
+  private def arith(l: Any, r: Any, f: (Double, Double) => Double): Any = {
+    val res = f(toDouble(l), toDouble(r))
+    (l, r) match {
+      // integral op integral stays integral when exact (ts arithmetic etc.)
+      case (_: Long, _: Long) | (_: Int, _: Long) | (_: Long, _: Int) | (_: Int, _: Int)
+        if res == math.floor(res) && !res.isInfinite => res.toLong
+      case _ => res
+    }
+  }
+}

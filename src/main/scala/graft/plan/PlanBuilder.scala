@@ -30,7 +30,7 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
     val ord = orderColumns(q, joined)
 
     if (q.matchRecognize.isDefined)
-      graft.cep.CepExec.run(joined, q, resolver, ord.ord)
+      graft.cep.CepExec.run(joined, q, resolver)
     else if (isAggregation(q)) buildAggPath(q, joined, resolver, ord)
     else buildDirectPath(q, joined, resolver, ord)
   }

@@ -325,7 +325,7 @@ final class Parser(tokens: Vector[Token]) {
 
   private def parseSeq(): PatternNode = {
     val parts = scala.collection.mutable.ListBuffer[PatternNode]()
-    while (!cur.is(")") && !cur.is("|") && cur.kind != EofTok) {
+    while (!cur.is(")") && !cur.is("|") && !cur.is(",") && cur.kind != EofTok) {
       parts += parseQuantified()
     }
     if (parts.size == 1) parts.head else Pattern.Seq(parts.toList)

@@ -1,0 +1,130 @@
+package graft.cep
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{GraftEngine, SparkTestBase}
+
+/** MATCH_RECOGNIZE semantics, mirroring the reference e2e suite
+  * (reference: test/e2e/cep_test.go, cep_doc_verify_test.go). */
+class CepSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("A{2} threshold pattern, ONE ROW PER MATCH, skip past last row") {
+    val df = Seq((1000L, 60.0), (2000L, 70.0), (3000L, 40.0), (4000L, 80.0), (5000L, 90.0))
+      .toDF("ts", "v")
+    val out = GraftEngine.sql(
+      "SELECT mn, peak FROM stream MATCH_RECOGNIZE ( ORDER BY ts " +
+        "MEASURES MATCH_NUMBER() AS mn, A.v AS peak ONE ROW PER MATCH " +
+        "PATTERN (A{2}) WITHIN '1h' DEFINE A AS v > 50 ) ORDER BY mn", df)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq == Seq((1L, 70.0), (2L, 90.0)))
+  }
+
+  test("aggregate measures with span expression in outer select") {
+    val df = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0), (5L, 5.0), (6L, 6.0))
+      .toDF("ts", "v")
+    val out = GraftEngine.sql(
+      "SELECT hi - lo AS span, hi FROM stream MATCH_RECOGNIZE ( ORDER BY ts " +
+        "MEASURES MAX(v) AS hi, MIN(v) AS lo ONE ROW PER MATCH " +
+        "PATTERN (A{3}) WITHIN '1h' DEFINE A AS v > 0 ) ORDER BY hi", df)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(out.toSeq == Seq((2.0, 3.0), (2.0, 6.0)))
+  }
+
+  test("ALL ROWS PER MATCH with CLASSIFIER") {
+    val df = Seq((1000L, 60.0), (2000L, 70.0), (3000L, 40.0)).toDF("ts", "v")
+    val out = GraftEngine.sql(
+      "SELECT ts, c FROM stream MATCH_RECOGNIZE ( ORDER BY ts " +
+        "MEASURES CLASSIFIER() AS c ALL ROWS PER MATCH " +
+        "PATTERN (A{2}) WITHIN '1h' DEFINE A AS v > 50 ) ORDER BY ts", df)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1000L, "A"), (2000L, "A")))
+  }
+
+  test("SUBSET union variables with sum/last measures") {
+    val df = Seq((1L, 1, 10.0), (2L, 2, 20.0), (3L, 2, 30.0), (4L, 3, 40.0))
+      .toDF("ts", "k", "v")
+    val out = GraftEngine.sql(
+      "SELECT sv, av, last, mn FROM stream MATCH_RECOGNIZE ( ORDER BY ts " +
+        "MEASURES SUM(S.v) AS sv, SUM(B.v) AS av, S.v AS last, MATCH_NUMBER() AS mn " +
+        "ONE ROW PER MATCH PATTERN (A B+) SUBSET S = (A, B) WITHIN '1h' " +
+        "DEFINE A AS k == 1, B AS k == 2 )", df)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(out.toSeq == Seq((60.0, 50.0, 30.0, 1L)))
+  }
+
+  test("PERMUTE matches either order") {
+    val df = Seq(
+      ("s1", 1L, "login"), ("s1", 2L, "auth"),
+      ("s2", 3L, "auth"), ("s2", 4L, "login"),
+      ("s3", 5L, "login"), ("s3", 6L, "login")
+    ).toDF("sessionId", "ts", "event")
+    val out = GraftEngine.sql(
+      "SELECT * FROM stream MATCH_RECOGNIZE ( PARTITION BY sessionId ORDER BY ts " +
+        "MEASURES MATCH_NUMBER() AS mn, FIRST(Login.ts) AS t1, FIRST(Auth.ts) AS t2 " +
+        "ONE ROW PER MATCH PATTERN (PERMUTE(Login, Auth)) WITHIN '10m' " +
+        "DEFINE Login AS event == 'login', Auth AS event == 'auth' ) ORDER BY sessionId", df)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("s1", 1L, 2L), ("s2", 4L, 3L)))
+  }
+
+  test("WITHIN bound rejects slow sequences") {
+    val df = Seq((0L, 60.0), (7200000L, 70.0)).toDF("ts", "v") // 2h apart
+    val out = GraftEngine.sql(
+      "SELECT mn FROM stream MATCH_RECOGNIZE ( ORDER BY ts " +
+        "MEASURES MATCH_NUMBER() AS mn ONE ROW PER MATCH " +
+        "PATTERN (A{2}) WITHIN '1h' DEFINE A AS v > 50 )", df)
+    assert(out.count() == 0)
+  }
+
+  test("PARTITION BY keeps devices independent") {
+    val df = Seq(
+      ("d1", 1L, 60.0), ("d1", 2L, 70.0),
+      ("d2", 3L, 80.0), ("d2", 4L, 90.0), ("d2", 5L, 85.0)
+    ).toDF("dev", "ts", "v")
+    val out = GraftEngine.sql(
+      "SELECT * FROM stream MATCH_RECOGNIZE ( PARTITION BY dev ORDER BY ts " +
+        "MEASURES MATCH_NUMBER() AS mn, A.v AS v ONE ROW PER MATCH " +
+        "PATTERN (A{2}) WITHIN '1h' DEFINE A AS v > 50 ) ORDER BY dev, mn", df)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("d1", 1L, 70.0), ("d2", 1L, 90.0)))
+  }
+
+  test("alternation and reluctant quantifier") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "b"), (4L, "c")).toDF("ts", "k")
+    // greedy B+ takes both b's
+    val greedy = GraftEngine.sql(
+      "SELECT n FROM stream MATCH_RECOGNIZE ( ORDER BY ts " +
+        "MEASURES COUNT(*) AS n ONE ROW PER MATCH PATTERN (A B+) WITHIN '1h' " +
+        "DEFINE A AS k == 'a', B AS k == 'b' )", df)
+      .collect().map(_.getLong(0))
+    assert(greedy.toSeq == Seq(3L))
+    // reluctant B+? takes one
+    val reluctant = GraftEngine.sql(
+      "SELECT n FROM stream MATCH_RECOGNIZE ( ORDER BY ts " +
+        "MEASURES COUNT(*) AS n ONE ROW PER MATCH PATTERN (A B+?) WITHIN '1h' " +
+        "DEFINE A AS k == 'a', B AS k == 'b' )", df)
+      .collect().map(_.getLong(0))
+    assert(reluctant.toSeq == Seq(2L))
+  }
+
+  test("AFTER MATCH SKIP TO NEXT ROW overlaps") {
+    val df = Seq((1L, 60.0), (2L, 70.0), (3L, 80.0)).toDF("ts", "v")
+    val out = GraftEngine.sql(
+      "SELECT mn FROM stream MATCH_RECOGNIZE ( ORDER BY ts " +
+        "MEASURES MATCH_NUMBER() AS mn ONE ROW PER MATCH " +
+        "AFTER MATCH SKIP TO NEXT ROW PATTERN (A{2}) WITHIN '1h' " +
+        "DEFINE A AS v > 50 )", df)
+    assert(out.count() == 2) // [1,2] and [2,3]
+  }
+
+  test("optional and star quantifiers") {
+    val df = Seq((1L, "a"), (2L, "c"), (3L, "a"), (4L, "b"), (5L, "c")).toDF("ts", "k")
+    val out = GraftEngine.sql(
+      "SELECT n FROM stream MATCH_RECOGNIZE ( ORDER BY ts " +
+        "MEASURES COUNT(*) AS n ONE ROW PER MATCH PATTERN (A B* C) WITHIN '1h' " +
+        "DEFINE A AS k == 'a', B AS k == 'b', C AS k == 'c' ) ORDER BY n", df)
+      .collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(2L, 3L)) // a,c and a,b,c
+  }
+}
