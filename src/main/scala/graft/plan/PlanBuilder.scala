@@ -114,7 +114,25 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
       (q.items.map(_.expr) ++ q.where.toList).flatMap(ExprBuilder.collectAnalytics)
     val (df1, anMap) =
       if (analyticCalls.isEmpty) (df0, Map.empty[FuncCall, String])
-      else AnalyticsLowering.lower(
+      else if (df0.isStreaming) {
+        // streaming: per-key state machines (reference: stream/analytic.go)
+        val dctx = directCtx(resolver)
+        val parts = analyticCalls.head.over.map(_.partitionBy).getOrElse(Nil)
+        require(analyticCalls.forall(c => c.over.map(_.partitionBy).getOrElse(Nil) == parts),
+          "streaming analytics in one query must share a PARTITION BY")
+        var d = df0
+        val pNames = parts.indices.map(i => s"__pk_$i").toList
+        parts.zip(pNames).foreach { case (e, n) =>
+          d = d.withColumn(n, ExprBuilder.build(e, dctx))
+        }
+        val evts = ord.eventTs.getOrElse(throw new IllegalArgumentException(
+          "streaming analytics require an event-time column (WITH TIMESTAMP or 'ts')"))
+        d = d.withColumn("__ord_ms", unix_millis(evts))
+        val named = analyticCalls.distinct.zipWithIndex
+          .map { case (c, i) => (c, s"__an_$i") }
+        (graft.streaming.StatefulOps.analytics(d, named, pNames, "__ord_ms"),
+          named.toMap)
+      } else AnalyticsLowering.lower(
         df0, analyticCalls,
         e => ExprBuilder.build(e, directCtx(resolver)),
         defaultPartition = Nil, ord = ord.ord)
@@ -195,6 +213,8 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
       case _ => ()
     }
 
+    val isStream = df0.isStreaming
+
     // group keys as materialized columns (supports scalar-function keys,
     // reference: rsql/ast.go:722-734, stream/processor_field.go:205-219)
     val keyNames = q.groupBy.indices.map(i => s"__g_$i").toList
@@ -206,33 +226,9 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
     def needTs: Column = ord.eventTs.getOrElse(throw new IllegalArgumentException(
       "time window requires an event-time column (WITH TIMESTAMP or a 'ts' column)"))
 
-    // window assignment → grouping columns
-    val isTimeWindow = q.window.exists {
-      case _: TumblingWindow | _: SlidingWindow | _: SessionWindow => true
-      case _ => false
-    }
-    val groupCols: List[Column] = q.window match {
-      case Some(TumblingWindow(size)) =>
-        pre = pre.withColumn("__window", window(needTs, s"$size milliseconds"))
-        col("__window") :: keyCols
-      case Some(SlidingWindow(size, slide)) =>
-        pre = pre.withColumn("__window",
-          window(needTs, s"$size milliseconds", s"$slide milliseconds"))
-        col("__window") :: keyCols
-      case Some(SessionWindow(gap)) =>
-        pre = pre.withColumn("__evts", needTs)
-        session_window(col("__evts"), s"$gap milliseconds").as("__window") :: keyCols
-      case Some(CountingWindow(n, _)) =>
-        require(ord.ord.nonEmpty,
-          "CountingWindow requires a deterministic order (WITH TIMESTAMP/TIEBREAK)")
-        val w = Window.partitionBy(keyCols: _*).orderBy(ord.ord: _*)
-        pre = pre.withColumn("__wid",
-          floor((row_number().over(w) - lit(1)) / lit(n)))
-        col("__wid") :: keyCols
-      case _ => keyCols // GLOBAL WINDOW / bare GROUP BY
-    }
-
-    // aggregate slot extraction (reference: aggregator/post_aggregation.go:60-200)
+    // aggregate slot extraction (reference: aggregator/post_aggregation.go:60-200);
+    // GLOBAL WINDOW trigger predicates may use trigger-only aggregates
+    // (reference: rsql/parser.go:601-665)
     val slots = scala.collection.mutable.LinkedHashMap[FuncCall, String]()
     def registerAggs(e: SqlExpr): Unit =
       ExprBuilder.collectAggregates(e).foreach { fc =>
@@ -241,6 +237,67 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
       }
     q.items.foreach(i => registerAggs(i.expr))
     q.having.foreach(registerAggs)
+    q.window.foreach {
+      case GlobalWindow(Some(t)) => registerAggs(t)
+      case _ => ()
+    }
+
+    // stateful paths: counting windows in streaming mode; GLOBAL WINDOW
+    // TRIGGER WHEN (fire-and-purge) in both modes
+    val statefulAgged: Option[DataFrame] = q.window match {
+      case Some(CountingWindow(n, _)) if isStream =>
+        val d = pre.withColumn("__ord_ms", unix_millis(needTs))
+        Some(graft.streaming.StatefulOps.countingWindow(
+          d, keyNames, n, slots.toList, "__ord_ms",
+          ttlMs = q.options.get("STATETTL").map(Durations.toMillis).getOrElse(0L)))
+      case Some(GlobalWindow(Some(trig))) =>
+        val d = pre.withColumn("__ord_ms", unix_millis(needTs))
+        val trigRewritten = rewriteAggsToSlots(trig, slots.toMap)
+        Some(graft.streaming.StatefulOps.globalWindow(
+          d, keyNames, slots.toList, trigRewritten, "__ord_ms"))
+      case _ => None
+    }
+
+    // window assignment → grouping columns (declarative path)
+    val isTimeWindow = q.window.exists {
+      case _: TumblingWindow | _: SlidingWindow | _: SessionWindow => true
+      case _ => false
+    }
+    // event-time + watermark (reference: WITH MAXOUTOFORDERNESS,
+    // window/watermark.go:32,63-179; Spark advances per micro-batch)
+    def evtCol: Column = {
+      if (isTimeWindow) {
+        pre = pre.withColumn("__evt", needTs)
+        if (isStream) {
+          val ooo = q.options.get("MAXOUTOFORDERNESS")
+            .map(Durations.toMillis).getOrElse(0L)
+          pre = pre.withWatermark("__evt", s"$ooo milliseconds")
+        }
+      }
+      col("__evt")
+    }
+    val groupCols: List[Column] = if (statefulAgged.isDefined) Nil else q.window match {
+      case Some(TumblingWindow(size)) =>
+        val e = evtCol
+        pre = pre.withColumn("__window", window(e, s"$size milliseconds"))
+        col("__window") :: keyCols
+      case Some(SlidingWindow(size, slide)) =>
+        val e = evtCol
+        pre = pre.withColumn("__window",
+          window(e, s"$size milliseconds", s"$slide milliseconds"))
+        col("__window") :: keyCols
+      case Some(SessionWindow(gap)) =>
+        val e = evtCol
+        session_window(e, s"$gap milliseconds").as("__window") :: keyCols
+      case Some(CountingWindow(n, _)) =>
+        require(ord.ord.nonEmpty,
+          "CountingWindow requires a deterministic order (WITH TIMESTAMP/TIEBREAK)")
+        val w = Window.partitionBy(keyCols: _*).orderBy(ord.ord: _*)
+        pre = pre.withColumn("__wid",
+          floor((row_number().over(w) - lit(1)) / lit(n)))
+        col("__wid") :: keyCols
+      case _ => keyCols // GLOBAL WINDOW without trigger / bare GROUP BY
+    }
 
     // window_start()/window_end() pseudo-aggregates
     // (reference: functions/functions_window.go:15-105); for counting/global
@@ -249,30 +306,31 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
       .flatMap(ExprBuilder.collectAggregates)
       .exists(fc => fc.lname == "window_start" || fc.lname == "window_end")
     val boundSlots: List[Column] =
-      if (!isTimeWindow && wsReferenced)
+      if (statefulAgged.isEmpty && !isTimeWindow && wsReferenced)
         List(unix_millis(min(needTs)).as("__wstart"),
           unix_millis(max(needTs)).as("__wend"))
       else Nil
-    val (windowStart, windowEnd): (Column, Column) =
-      if (isTimeWindow) (unix_millis(col("__window.start")), unix_millis(col("__window.end")))
-      else (col("__wstart"), col("__wend"))
 
-    val aggOrd: Option[Column] = ord.ord match {
-      case Nil      => None
-      case c :: Nil => Some(c)
-      case cs       => Some(struct(cs: _*))
-    }
-    val aggExprs = slots.map { case (fc, name) =>
-      Aggregates.build(fc, a => ExprBuilder.build(a, dctx), aggOrd).as(name)
-    }.toList ++ boundSlots
-
-    val agged: DataFrame = {
+    val agged: DataFrame = statefulAgged.getOrElse {
+      val aggOrd: Option[Column] = ord.ord match {
+        case Nil      => None
+        case c :: Nil => Some(c)
+        case cs       => Some(struct(cs: _*))
+      }
+      val aggExprs = slots.map { case (fc, name) =>
+        Aggregates.build(fc, a => ExprBuilder.build(a, dctx), aggOrd).as(name)
+      }.toList ++ boundSlots
       val g = pre.groupBy(groupCols: _*)
       aggExprs match {
         case Nil          => g.agg(count(lit(1)).as("__cnt"))
         case head :: tail => g.agg(head, tail: _*)
       }
     }
+
+    val (windowStart, windowEnd): (Column, Column) =
+      if (statefulAgged.isEmpty && isTimeWindow)
+        (unix_millis(col("__window.start")), unix_millis(col("__window.end")))
+      else (col("__wstart"), col("__wend"))
 
     // post-aggregation resolution: group keys (structurally), agg slots,
     // window bounds
@@ -300,6 +358,9 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
     }
     val windowAnalytics =
       (q.items.map(_.expr) ++ q.having.toList).flatMap(ExprBuilder.collectAnalytics)
+    if (isStream && windowAnalytics.nonEmpty)
+      throw new UnsupportedOperationException(
+        "analytics over window results are batch-only for now")
     val (agged2, anMap) =
       if (windowAnalytics.isEmpty) (agged, Map.empty[FuncCall, String])
       else AnalyticsLowering.lower(
@@ -329,6 +390,25 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
     finishQuery(q, filtered.select(outCols: _*))
   }
 
+  /** Rewrite aggregate calls to their slot columns (GLOBAL trigger scope). */
+  private def rewriteAggsToSlots(e: SqlExpr, slots: Map[FuncCall, String]): SqlExpr = {
+    def go(e: SqlExpr): SqlExpr = e match {
+      case fc: FuncCall if ExprBuilder.isAggregateCall(fc) =>
+        Ident.simple(slots(fc))
+      case fc: FuncCall => fc.copy(args = fc.args.map(go))
+      case BinOp(op, l, r) => BinOp(op, go(l), go(r))
+      case UnaryOp(op, c) => UnaryOp(op, go(c))
+      case IsNullExpr(c, neg) => IsNullExpr(go(c), neg)
+      case LikeExpr(c, p, neg) => LikeExpr(go(c), p, neg)
+      case InExpr(c, items, neg) => InExpr(go(c), items.map(go), neg)
+      case BetweenExpr(c, lo, hi, neg) => BetweenExpr(go(c), go(lo), go(hi), neg)
+      case CaseWhen(op, br, el) =>
+        CaseWhen(op.map(go), br.map(b => (go(b._1), go(b._2))), el.map(go))
+      case other => other
+    }
+    go(e)
+  }
+
   /** Replace select-alias references with their definitions (HAVING scope). */
   private def substAliases(e: SqlExpr, aliasMap: Map[String, SqlExpr]): SqlExpr = {
     def go(e: SqlExpr): SqlExpr = e match {
@@ -354,6 +434,10 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
     * (reference: stream/processor_data.go:477-514; ORDER BY + LIMIT lowers to
     * Spark's TakeOrderedAndProject top-k). */
   private def finishQuery(q: Query, df: DataFrame): DataFrame = {
+    // streaming: DISTINCT/ORDER BY/LIMIT are per-emitted-batch semantics in
+    // the reference (stream/sorter.go:11-35) → apply in foreachBatch
+    // (graft.streaming.Sinks.orderedBatches); the unbounded plan skips them
+    if (df.isStreaming) return df
     val d = if (q.distinct) df.distinct() else df
     val o =
       if (q.orderBy.isEmpty) d

@@ -1,0 +1,374 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+import graft.sql._
+import graft.cep.RowEval
+
+/** Stateful operators the reference implements as in-process state machines
+  * and Spark cannot express declaratively: counting windows
+  * (reference: window/counting_window.go), GLOBAL WINDOW TRIGGER WHEN
+  * (reference: window/global_window.go:50-58,197-253 — running aggregates,
+  * fire-and-purge), and streaming analytics
+  * (reference: stream/analytic.go).
+  *
+  * Both execution modes share the per-key logic: batch runs it via
+  * `flatMapGroups` over fully-materialized keys; streaming via
+  * `flatMapGroupsWithState` with the same state carried across
+  * micro-batches. Keys distribute across executors — per-key state is
+  * bounded (buffer ≤ window size; global windows O(1)), so the operator
+  * scales with the number of keys, exactly like the state-store model.
+  */
+object StatefulOps extends Serializable {
+
+  // ------------------------------------------------------------ helpers
+
+  private def rowToMap(names: Array[String], r: Row): Map[String, Any] =
+    names.zipWithIndex.map { case (n, i) => n -> r.get(i) }.toMap
+
+  private def singleRowCtx(m: Map[String, Any]): RowEval.Ctx =
+    RowEval.Ctx(IndexedSeq(m), IndexedSeq((0, "")), 0L, Some(0), Map.empty, Set.empty)
+
+  private def evalOn(m: Map[String, Any], e: SqlExpr): Any =
+    RowEval.eval(e, singleRowCtx(m))
+
+  private def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (n: Number, LongType) => n.longValue()
+    case (n: Number, DoubleType) => n.doubleValue()
+    case (n: Number, IntegerType) => n.intValue()
+    case (s, StringType) => s.toString
+    case (b: Boolean, BooleanType) => b
+    case (s: Seq[_], ArrayType(et, _)) => s.map(coerce(_, et))
+    case (x, _) => x
+  }
+
+  /** Result type of a buffered aggregate slot. */
+  private def aggType(fc: FuncCall, schema: StructType): DataType = {
+    def argType: DataType = fc.args.headOption.flatMap {
+      case Ident(segs) => schema.fields.find(_.name == segs.head.name).map(_.dataType)
+      case _ => None
+    }.getOrElse(DoubleType)
+    fc.lname match {
+      case "count" => LongType
+      case "sum" | "avg" | "stddev" | "stddevs" | "var" | "vars" |
+           "median" | "percentile" => DoubleType
+      case "min" | "max" | "first_value" | "last_value" | "nth_value" => argType
+      case "collect" | "deduplicate" => ArrayType(argType)
+      case "merge_agg" => StringType
+      case _ => DoubleType
+    }
+  }
+
+  private def aggValue(fc: FuncCall, rows: Seq[Map[String, Any]]): Any = {
+    if (fc.lname == "count" && fc.args == List(Star)) rows.size.toLong
+    else {
+      val values = rows.map(r => evalOn(r, fc.args.head))
+      val extra = fc.args.lift(1).collect { case n: NumberLit => n.toDouble }
+      RowAgg.overBuffer(fc.lname, values, extra)
+    }
+  }
+
+  // ------------------------------------------------- counting window
+
+  /** CountingWindow(n) per group key: buffer rows, fire every n
+    * (reference: window/counting_window.go — per-key buffers; STATETTL reaps
+    * idle keys → streaming uses ProcessingTimeTimeout when ttlMs > 0).
+    *
+    * Input df must carry materialized key columns (`keyNames`) and an
+    * epoch-ms order column (`ordName`). Output: keys + slot columns +
+    * `__wstart`/`__wend` (min/max event time — the batch analog of the
+    * reference's trigger timestamps).
+    */
+  def countingWindow(
+      df: DataFrame,
+      keyNames: List[String],
+      n: Int,
+      slots: List[(FuncCall, String)],
+      ordName: String,
+      ttlMs: Long = 0L): DataFrame = {
+
+    val schema = df.schema
+    val names = schema.fieldNames
+    val outSchema = StructType(
+      keyNames.map(k => schema(k)) ++
+        slots.map { case (fc, sn) => StructField(sn, aggType(fc, schema), nullable = true) } ++
+        List(StructField("__wstart", LongType), StructField("__wend", LongType)))
+
+    def emit(buf: Seq[Map[String, Any]]): Row = {
+      val keyVals = keyNames.map(buf.head(_))
+      val slotVals = slots.map { case (fc, _) => coerce(aggValue(fc, buf), aggType(fc, schema)) }
+      val ws = RowEval.toMillis(buf.head(ordName))
+      val we = RowEval.toMillis(buf.last(ordName))
+      Row.fromSeq(keyVals ++ slotVals ++ Seq(ws, we))
+    }
+
+    val keyIdx = keyNames.map(schema.fieldIndex)
+    val grouped = df.groupByKey(r =>
+      keyIdx.map(i => String.valueOf(r.get(i))).mkString(""))(Encoders.STRING)
+
+    if (df.isStreaming) {
+      val fn = (_: String, it: Iterator[Row], state: GroupState[Vector[Map[String, Any]]]) => {
+        val incoming = it.map(r => rowToMap(names, r)).toVector
+          .sortBy(m => RowEval.toMillis(m(ordName)))
+        var buf = state.getOption.getOrElse(Vector.empty) ++ incoming
+        val out = Vector.newBuilder[Row]
+        while (buf.size >= n) {
+          out += emit(buf.take(n))
+          buf = buf.drop(n)
+        }
+        if (buf.isEmpty) state.remove() else state.update(buf)
+        if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+        out.result().iterator
+      }
+      val timeout =
+        if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+      grouped.flatMapGroupsWithState(OutputMode.Append, timeout)(fn)(
+        Encoders.kryo[Vector[Map[String, Any]]], Encoders.row(outSchema))
+    } else {
+      grouped.flatMapGroups { (_, it) =>
+        val rows = it.map(r => rowToMap(names, r)).toVector
+          .sortBy(m => RowEval.toMillis(m(ordName)))
+        rows.grouped(n).filter(_.size == n).map(emit)
+      }(Encoders.row(outSchema))
+    }
+  }
+
+  // --------------------------------------------------- global window
+
+  /** GLOBAL WINDOW TRIGGER WHEN pred: per-key running aggregates (O(1)
+    * state), fire-and-purge when the predicate over aggregate values holds
+    * (reference: window/global_window.go:197-253,445-520).
+    *
+    * `slots` must be O(1) aggregates; `trigger` is the predicate with
+    * aggregate calls already rewritten to slot idents by the caller.
+    */
+  def globalWindow(
+      df: DataFrame,
+      keyNames: List[String],
+      slots: List[(FuncCall, String)],
+      trigger: SqlExpr,
+      ordName: String): DataFrame = {
+
+    val schema = df.schema
+    val names = schema.fieldNames
+    val outSchema = StructType(
+      keyNames.map(k => schema(k)) ++
+        slots.map { case (fc, sn) =>
+          val dt = fc.lname match {
+            case "count" => LongType
+            case "min" | "max" | "first_value" | "last_value" =>
+              aggType(fc, schema) match {
+                case t @ (LongType | IntegerType | DoubleType | StringType |
+                          TimestampType) => if (fc.lname == "min" || fc.lname == "max") DoubleType else t
+                case _ => DoubleType
+              }
+            case _ => DoubleType
+          }
+          StructField(sn, dt, nullable = true)
+        } ++
+        List(StructField("__wstart", LongType), StructField("__wend", LongType)))
+
+    type GState = (Map[String, RowAgg.Running], Long) // accumulators, window-start ms
+
+    def process(stateIn: Option[(Map[String, RowAgg.Running], Long)],
+        rows: Seq[Map[String, Any]]): (Vector[Row], Option[(Map[String, RowAgg.Running], Long)]) = {
+      var accs = stateIn.map(_._1).getOrElse(
+        slots.map { case (fc, sn) => sn -> RowAgg.Running() }.toMap)
+      var wstart = stateIn.map(_._2).getOrElse(-1L)
+      val out = Vector.newBuilder[Row]
+      rows.foreach { m =>
+        val ts = RowEval.toMillis(m(ordName))
+        if (wstart < 0) wstart = ts
+        slots.foreach { case (fc, sn) =>
+          val v = if (fc.lname == "count" && fc.args == List(Star)) 1L
+            else evalOn(m, fc.args.head)
+          if (fc.lname == "count" && fc.args == List(Star)) accs(sn).add(1L)
+          else accs(sn).add(v)
+        }
+        val slotVals: Map[String, Any] = slots.map { case (fc, sn) =>
+          sn -> accs(sn).result(RowAgg.runningName(fc))
+        }.toMap
+        if (RowEval.truthy(evalOn(slotVals, trigger))) {
+          val keyVals = keyNames.map(m(_))
+          out += Row.fromSeq(keyVals ++
+            slots.map { case (fc, sn) =>
+              coerce(slotVals(sn), outSchema(sn).dataType)
+            } ++ Seq(wstart, ts))
+          // FIRE_AND_PURGE (reference: window/global_window.go:50-58)
+          accs = slots.map { case (_, sn) => sn -> RowAgg.Running() }.toMap
+          wstart = -1L
+        }
+      }
+      (out.result(), Some((accs, wstart)))
+    }
+
+    val keyIdx = keyNames.map(schema.fieldIndex)
+    val grouped = df.groupByKey(r =>
+      keyIdx.map(i => String.valueOf(r.get(i))).mkString(""))(Encoders.STRING)
+
+    if (df.isStreaming) {
+      val fn = (_: String, it: Iterator[Row], state: GroupState[GState]) => {
+        val rows = it.map(r => rowToMap(names, r)).toVector
+          .sortBy(m => RowEval.toMillis(m(ordName)))
+        val (out, st) = process(state.getOption, rows)
+        st.foreach(state.update)
+        out.iterator
+      }
+      grouped.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)(
+        Encoders.kryo[GState], Encoders.row(outSchema))
+    } else {
+      grouped.flatMapGroups { (_, it) =>
+        val rows = it.map(r => rowToMap(names, r)).toVector
+          .sortBy(m => RowEval.toMillis(m(ordName)))
+        process(None, rows)._1.iterator
+      }(Encoders.row(outSchema))
+    }
+  }
+
+  // ------------------------------------------------ streaming analytics
+
+  /** Analytic state per call (reference: stream/analytic.go state machines +
+    * functions/functions_analytical.go). Serialized via kryo across
+    * micro-batches. */
+  private final case class AnState(
+      var lagBuf: Vector[Any] = Vector.empty,
+      var latest: Any = null,
+      var acc: RowAgg.Running = RowAgg.Running(),
+      var started: Boolean = false,
+      var prevVals: Vector[Any] = Vector.empty,
+      var seen: Boolean = false,
+      var lastResult: Any = null)
+
+  /** Streaming lowering of the direct-path analytics. All calls must share
+    * one partition spec (the reference keeps independent per-call state;
+    * a shared groupByKey keeps this a single shuffle).
+    * Output = input columns + one column per call. */
+  def analytics(
+      df: DataFrame,
+      calls: List[(FuncCall, String)],
+      partitionNames: List[String],
+      ordName: String): DataFrame = {
+
+    val schema = df.schema
+    val names = schema.fieldNames
+
+    def callType(fc: FuncCall): DataType = fc.lname match {
+      case "had_changed" => BooleanType
+      case "acc_count" => LongType
+      case "acc_sum" | "acc_avg" | "acc_min" | "acc_max" => DoubleType
+      case _ =>
+        // changed_col's first arg may be the ignoreNull flag — skip literals
+        val colArg = fc.args.find {
+          case _: Ident => true
+          case _ => false
+        }
+        colArg.flatMap {
+          case Ident(segs) => schema.fields.find(_.name == segs.head.name).map(_.dataType)
+          case _ => None
+        }.getOrElse(DoubleType)
+    }
+
+    val outSchema = StructType(schema.fields.toList ++
+      calls.map { case (fc, n) => StructField(n, callType(fc), nullable = true) })
+
+    /** One event through one analytic state machine
+      * (WHEN gating replays the last result — stream/analytic.go:142-148). */
+    def apply1(fc: FuncCall, st: AnState, m: Map[String, Any]): Any = {
+      val gate = fc.over.flatMap(_.when).forall(c => RowEval.truthy(evalOn(m, c)))
+      if (!gate) return st.lastResult
+      val res: Any = fc.lname match {
+        case "lag" =>
+          val nOff = fc.args.lift(1).collect { case n: NumberLit => n.toLong.toInt }.getOrElse(1)
+          val default = fc.args.lift(2).map(evalOn(m, _)).orNull
+          val ignoreNull = fc.args.lift(3).collect { case BoolLit(b) => b }.getOrElse(false)
+          val v = evalOn(m, fc.args.head)
+          val r = if (st.lagBuf.size >= nOff) st.lagBuf(st.lagBuf.size - nOff) else default
+          if (!ignoreNull || v != null) st.lagBuf = (st.lagBuf :+ v).takeRight(nOff)
+          r
+        case "latest" =>
+          val v = evalOn(m, fc.args.head)
+          if (v != null) st.latest = v
+          val default = fc.args.lift(1).map(evalOn(m, _)).orNull
+          if (st.latest != null) st.latest else default
+        case acc if acc.startsWith("acc_") =>
+          val startCond = fc.args.lift(1)
+          val resetCond = fc.args.lift(2)
+          resetCond.foreach { rc =>
+            if (RowEval.truthy(evalOn(m, rc))) st.acc = RowAgg.Running()
+          }
+          if (!st.started)
+            st.started = startCond.forall(sc => RowEval.truthy(evalOn(m, sc)))
+          if (st.started) st.acc.add(evalOn(m, fc.args.head))
+          val kind = acc.stripPrefix("acc_") match {
+            case "count" => "count"; case "sum" => "sum"; case "avg" => "avg"
+            case "min" => "min"; case "max" => "max"
+          }
+          if (!st.started) null else st.acc.result(kind)
+        case "had_changed" | "changed_col" =>
+          val (ignoreNull, colExprs) = fc.args match {
+            case BoolLit(b) :: rest if rest.nonEmpty => (b, rest)
+            case as => (true, as)
+          }
+          val vals = colExprs.map(evalOn(m, _)).toVector
+          val changed =
+            if (!st.seen) true
+            else vals.zip(st.prevVals).exists { case (v, p) =>
+              if (ignoreNull && v == null) false
+              else if (p == null) v != null
+              else v == null || RowEval.compare(v, p) != 0
+            }
+          // update state (nulls don't overwrite under ignoreNull)
+          val newPrev =
+            if (!st.seen) vals
+            else vals.zip(st.prevVals).map { case (v, p) =>
+              if (ignoreNull && v == null) p else v
+            }
+          st.prevVals = newPrev
+          st.seen = true
+          if (fc.lname == "had_changed") changed
+          else if (changed) vals.head else null
+        case other =>
+          throw new IllegalArgumentException(s"unsupported streaming analytic $other")
+      }
+      st.lastResult = res
+      res
+    }
+
+    def processRows(states: scala.collection.mutable.Map[String, AnState],
+        rows: Seq[Map[String, Any]]): Iterator[Row] =
+      rows.iterator.map { m =>
+        val vals = names.map(m(_)) ++ calls.map { case (fc, n) =>
+          val st = states.getOrElseUpdate(n, AnState())
+          coerce(apply1(fc, st, m), outSchema(n).dataType)
+        }
+        Row.fromSeq(vals.toIndexedSeq)
+      }
+
+    val keyIdx = partitionNames.map(schema.fieldIndex)
+    val grouped = df.groupByKey(r =>
+      keyIdx.map(i => String.valueOf(r.get(i))).mkString(""))(Encoders.STRING)
+
+    if (df.isStreaming) {
+      val fn = (_: String, it: Iterator[Row], state: GroupState[Map[String, AnState]]) => {
+        val rows = it.map(r => rowToMap(names, r)).toVector
+          .sortBy(m => RowEval.toMillis(m(ordName)))
+        val states = scala.collection.mutable.Map[String, AnState]() ++
+          state.getOption.getOrElse(Map.empty)
+        val out = processRows(states, rows).toVector
+        state.update(states.toMap)
+        out.iterator
+      }
+      grouped.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)(
+        Encoders.kryo[Map[String, AnState]], Encoders.row(outSchema))
+    } else {
+      grouped.flatMapGroups { (_, it) =>
+        val rows = it.map(r => rowToMap(names, r)).toVector
+          .sortBy(m => RowEval.toMillis(m(ordName)))
+        processRows(scala.collection.mutable.Map[String, AnState](), rows)
+      }(Encoders.row(outSchema))
+    }
+  }
+}
