@@ -1,24 +1,87 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main — one JSON line with per-query seconds (driver contract)
+  * plus rows/s for the reference's three published rule shapes
+  * (BASELINE.md: filter / transform / analytic+partition on the event
+  * stream, reference: test/e2e/stress_test.go:162-176).
+  *
+  * Results are forced through a noop sink so projection/codegen work is
+  * actually executed (a bare count() would let Catalyst prune the
+  * projections being measured).
+  */
 object Bench {
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val tables0 = Tables.load(spark, sfDir)
+    // rule-shape throughput is measured on a replicated in-memory stream so
+    // per-job fixed overhead (~0.3s) doesn't swamp per-row cost — the
+    // reference's numbers are per-row costs of a warm single-core loop
+    val replicate = sys.env.getOrElse("SPARK_GRAFT_RULE_REPLICATE", "20").toInt
+    val bigEvents = tables0("events")
+      .crossJoin(spark.range(replicate).select(org.apache.spark.sql.functions.col("id").as("__rep")))
+      .drop("__rep")
+      .cache()
+    val eventRows = bigEvents.count() // warms cache + JVM
+    val tables = tables0 + ("stream" -> bigEvents)
+
+    // the three baseline rule shapes (BASELINE.md)
+    val ruleShapes: List[(String, String)] = List(
+      "rule_filter" ->
+        "SELECT user_id, value FROM stream WHERE value > 25",
+      "rule_transform" ->
+        "SELECT user_id, value * 1.8 + 32 AS fahrenheit FROM stream",
+      "rule_analytic" ->
+        ("SELECT user_id, value, lag(value) OVER (PARTITION BY user_id) AS prev " +
+          "FROM stream WITH (TIMESTAMP='ts', TIEBREAK='event_id')"))
+
+    // headline operator coverage at scale
+    val headline: List[String] = List(
+      "q_agg_basic", "q_agg_stats", "q_join_multi_agg", "q_window_tumbling",
+      "q_window_sliding", "q_window_session", "q_window_counting", "q_topk",
+      "q_lag", "q_acc_running", "q_cep_pattern", "q_text_analysis",
+      "q_dedup_exact", "q_dedup_minhash", "q_embed_topk", "q_distinct")
+
+    def timed(df: => DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    ruleShapes.foreach { case (name, sql) =>
+      results(name) = try timed(GraftEngine.sql(sql, tables)) catch { case _: Throwable => -1.0 }
+    }
+    val qmap = SparkEntry.queries
+    headline.foreach { name =>
+      results(name) =
+        try timed(qmap(name)(spark, sfDir)) catch { case _: Throwable => -1.0 }
+    }
+
+    val qs = results.map { case (k, v) => s""""$k":${"%.4f".format(v)}""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val tput = ruleShapes.map { case (name, _) =>
+      val s = results(name)
+      val rps = if (s > 0) (eventRows / s).toLong else -1
+      s""""$name":$rps"""
+    }.mkString("{", ",", "}")
+    val total = results.values.filter(_ > 0).sum
+    println(
+      s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,""" +
+        s""""rows_per_sec":$tput,"event_rows":$eventRows,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

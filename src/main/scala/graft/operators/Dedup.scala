@@ -24,15 +24,13 @@ object Dedup {
       .filter(col("__rn") === 1)
       .drop("__fp", "__rn")
 
-  /** MinHash signature of the shingle set: k independent permutations
-    * approximated by seeded xxhash64; deterministic. */
-  def minHashSignature(text: Column, shingleN: Int, k: Int): Column = {
-    val sh = TextOps.shingles(text, shingleN)
-    // per-seed min over shingle hashes; seeds folded in via concat
-    val seeds = sequence(lit(0), lit(k - 1))
-    transform(seeds, s =>
-      array_min(transform(sh, g => xxhash64(concat(g, lit("#"), s.cast("string"))))))
-  }
+  /** MinHash signature over pre-hashed shingles: each shingle string is
+    * hashed ONCE (xxhash64), then the k permutations derive from cheap
+    * 16-byte hashes of (base, seed) — ~30× less work than re-hashing the
+    * string per seed. Deterministic. */
+  def minHashSignature(shingleHashes: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), s =>
+      array_min(transform(shingleHashes, h => xxhash64(h, s))))
 
   /** MinHash + LSH near-dup pairs: signature → b bands of r rows →
     * band-bucket join → exact Jaccard verify on shingle sets.
@@ -48,31 +46,35 @@ object Dedup {
       rows: Int = 4,
       threshold: Double = 0.7): DataFrame = {
     val k = bands * rows
-    val withSig = docs
-      .select(col(idCol).as("id"), col(textCol).as("t"))
-      .withColumn("sig", minHashSignature(col("t"), shingleN, k))
-      .withColumn("sh", TextOps.shingles(col("t"), shingleN))
-      .select("id", "sig", "sh")
+    // shingle + hash once; signatures/shingles persisted — the self-join
+    // must not recompute them, and the banded join must stay SLIM (ids
+    // only): shipping shingle arrays through a 16× band explosion is the
+    // difference between seconds and minutes at scale
+    val withSh = docs
+      .select(col(idCol).as("id"), TextOps.shingles(col(textCol), shingleN).as("sh"))
+      .persist()
+    val withSig = withSh
+      .withColumn("sig", minHashSignature(transform(col("sh"), g => xxhash64(g)), k))
 
-    // explode bands: bucket key = hash of the band's signature slice
     val banded = withSig.select(
-      col("id"), col("sh"),
+      col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
-          xxhash64(to_json(struct(slice(col("sig"), b * rows + lit(1), lit(rows))))).as("bucket"))))
+          xxhash64(slice(col("sig"), b * rows + lit(1), lit(rows))).as("bucket"))))
         .as("bb"))
-      .select(col("id"), col("sh"), col("bb.band"), col("bb.bucket"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+      .persist()
 
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    val cand = a.join(b,
+    val cand = banded.alias("a").join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
 
+    // exact-Jaccard verification only on the candidate pairs
     cand
+      .join(withSh.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(withSh.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jaccard",
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 6))
@@ -90,23 +92,28 @@ object Dedup {
       maxDist: Int = 3): DataFrame = {
     val chunks = maxDist + 1
     val bitsPer = 64 / chunks
+    // signatures computed once and persisted; banded join stays slim
     val sigs = docs.select(col(idCol).as("id"), TextOps.simHash(col(textCol)).as("sig"))
+      .persist()
 
-    val banded = sigs.select(col("id"), col("sig"),
+    val banded = sigs.select(col("id"),
       explode(transform(sequence(lit(0), lit(chunks - 1)),
         c => struct(c.as("chunk"),
           call_function("shiftright", col("sig"), c * bitsPer)
             .bitwiseAND(lit((1L << bitsPer) - 1)).as("key"))))
         .as("ck"))
-      .select(col("id"), col("sig"), col("ck.chunk"), col("ck.key"))
+      .select(col("id"), col("ck.chunk"), col("ck.key"))
 
-    val a = banded.alias("a"); val b = banded.alias("b")
-    a.join(b, col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        TextOps.hamming(col("a.sig"), col("b.sig")).as("dist"))
+    banded.alias("a").join(banded.alias("b"),
+        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+      .join(sigs.select(col("id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("dist", TextOps.hamming(col("sig_a"), col("sig_b")))
       .filter(col("dist") <= maxDist)
+      .select("doc_a", "doc_b", "dist")
   }
 
   /** Exact n-gram Jaccard over a candidate blocking key (default: shared

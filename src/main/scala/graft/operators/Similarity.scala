@@ -74,23 +74,27 @@ object Similarity {
     val planes = hyperplanes(planesN, dims, seed)
     val bitsPer = planesN / chunks
 
+    // signatures once, persisted; slim banded self-join, vectors re-joined
+    // only for candidate verification
     val sigs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("sig", lshSignature(col("v"), planes))
+      .persist()
 
-    val banded = sigs.select(col("id"), col("v"),
+    val banded = sigs.select(col("id"),
       explode(transform(sequence(lit(0), lit(chunks - 1)),
         c => struct(c.as("chunk"),
           call_function("shiftright", col("sig"), c * bitsPer)
             .bitwiseAND(lit((1L << bitsPer) - 1)).as("key"))))
         .as("ck"))
-      .select(col("id"), col("v"), col("ck.chunk"), col("ck.key"))
+      .select(col("id"), col("ck.chunk"), col("ck.key"))
 
-    val a = banded.alias("a"); val b = banded.alias("b")
-    a.join(b, col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
+    banded.alias("a").join(banded.alias("b"),
+        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
+      .join(sigs.select(col("id").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(sigs.select(col("id").as("vec_b"), col("v").as("vb")), "vec_b")
       .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
       .filter(col("sim") >= threshold)
       .select("vec_a", "vec_b", "sim")
