@@ -474,7 +474,36 @@ object SparkEntry {
         "floor((greatest(1, floor(strlen(text) / 4096)) + 9) / 10) ELSE 1 END AS INTEGER) AS frames_sampled " +
         "FROM documents")),
 
+    // --- type predicates (§2.8) -------------------------------------------
+    gq("q_type_predicates",
+      "SELECT event_id, is_null(value) AS n, is_not_null(value) AS nn, " +
+        "is_numeric(json_extract(props, '$.k')) AS num, " +
+        "if_null(cast(json_extract(props, '$.k'), 'int'), -1) AS kv " +
+        "FROM events WHERE event_id < 300",
+      "SELECT event_id, value IS NULL AS n, value IS NOT NULL AS nn, " +
+        "TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) IS NOT NULL AS num, " +
+        "ifnull(CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS kv " +
+        "FROM events WHERE event_id < 300"),
+
     // --- set operations (Spark-first surface extension, SURVEY §2.7) ------
+    Q("q_intersect",
+      (s, dir) => {
+        val t = Tables.load(s, dir)
+        GraftEngine.sql("SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000", t)
+          .intersect(GraftEngine.sql("SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0", t))
+      },
+      Some("SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000 " +
+        "INTERSECT SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0")),
+
+    Q("q_except",
+      (s, dir) => {
+        val t = Tables.load(s, dir)
+        GraftEngine.sql("SELECT c_custkey AS k FROM customer", t)
+          .except(GraftEngine.sql("SELECT o_custkey AS k FROM orders", t))
+      },
+      Some("SELECT c_custkey AS k FROM customer " +
+        "EXCEPT SELECT o_custkey AS k FROM orders")),
+
     Q("q_union",
       (s, dir) => {
         val t = Tables.load(s, dir)

@@ -1,0 +1,87 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.streaming.DataStreamWriter
+import graft.GraftEngine
+import graft.streaming.Sinks
+
+/** User-facing facade — the Spark-native analog of the reference's
+  * `streamsql.Streamsql` object (reference: streamsql.go):
+  *
+  * | reference                      | here                                  |
+  * |--------------------------------|---------------------------------------|
+  * | `New(); Execute(sql)`          | `StreamSql(spark).execute(sql)`       |
+  * | `Emit(map)` push               | register a streaming source (Kafka/   |
+  * |                                | file/MemoryStream) as `stream`        |
+  * | `EmitSync` single-row          | `execute` over a 1-row batch DF       |
+  * | `RegisterTable` (:490-515)     | `registerTable(name, df)`             |
+  * | `AddSink(fn)` (:406-424)       | `addSink(df)(fn)`                     |
+  * | `ToChannel` (:483-488)         | `toMemory(df, name)` + spark.table    |
+  * | `PrintTable` (:446-457)        | `printTable(df)` / `df.show()`        |
+  * | `RegisterCustomFunction`       | `registerFunction` → Spark UDF        |
+  * |   (functions/registry.go:238)  |   registry (dialect resolves through  |
+  * |                                |   call_function fallback)             |
+  * | custom `AggregatorFunction`    | `registerAggregator` → Spark          |
+  * |   (functions/aggregator_types) |   `Aggregator` + `functions.udaf`     |
+  */
+final class StreamSql(val spark: SparkSession) {
+  private var tables: Map[String, DataFrame] = Map.empty
+
+  /** Register a lookup/source table (reference: streamsql.go:490-515).
+    * A streaming DataFrame registered as `stream` makes `execute` produce
+    * streaming plans. */
+  def registerTable(name: String, df: DataFrame): this.type = {
+    tables += (name -> df)
+    df.createOrReplaceTempView(name)
+    this
+  }
+
+  /** Replace a table's contents (reference UpsertTable, streamsql.go:520-534
+    * — Spark stream-static joins re-plan the static side per micro-batch, so
+    * a re-registered table is picked up naturally). */
+  def upsertTable(name: String, df: DataFrame): this.type = registerTable(name, df)
+
+  /** Compile and run a dialect query (reference Execute, streamsql.go:139-199).
+    * Batch sources yield a batch DataFrame; a streaming `stream` source
+    * yields an unbounded DataFrame to hand to a sink below. */
+  def execute(sql: String): DataFrame = GraftEngine.sql(sql, tables)
+
+  /** Per-batch callback sink (reference AddSink, streamsql.go:406-424). */
+  def addSink(df: DataFrame)(f: Seq[Row] => Unit): DataStreamWriter[Row] =
+    Sinks.addSink(df)(f)
+
+  def toMemory(df: DataFrame, name: String) = Sinks.toMemory(df, name)
+  def printTable(df: DataFrame) = Sinks.printTable(df)
+
+  /** One-line scalar UDF, immediately callable in dialect SQL — unknown
+    * function names resolve through Spark's registry
+    * (reference RegisterCustomFunction, functions/registry.go:238-258). */
+  def registerFunction[A, R](name: String, f: A => R)(implicit
+      ta: reflect.runtime.universe.TypeTag[A],
+      tr: reflect.runtime.universe.TypeTag[R]): this.type = {
+    spark.udf.register(name, f)
+    this
+  }
+
+  def registerFunction2[A, B, R](name: String, f: (A, B) => R)(implicit
+      ta: reflect.runtime.universe.TypeTag[A],
+      tb: reflect.runtime.universe.TypeTag[B],
+      tr: reflect.runtime.universe.TypeTag[R]): this.type = {
+    spark.udf.register(name, f)
+    this
+  }
+
+  /** Custom aggregate — the analog of implementing AggregatorFunction
+    * {New, Add, Result} (reference: functions/aggregator_types.go:74-80). */
+  def registerAggregator[IN: reflect.runtime.universe.TypeTag, BUF, OUT](
+      name: String, agg: Aggregator[IN, BUF, OUT]): this.type = {
+    spark.udf.register(name, org.apache.spark.sql.functions.udaf(agg))
+    graft.functions.FunctionMap.registerAggregate(name) // planner: aggregates
+    this
+  }
+}
+
+object StreamSql {
+  def apply(spark: SparkSession): StreamSql = new StreamSql(spark)
+}

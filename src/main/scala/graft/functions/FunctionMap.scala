@@ -51,7 +51,17 @@ object FunctionMap {
     "cast", "encode", "decode", "date_add", "date_sub", "date_diff", "extract",
     "format", "expr")
 
-  def isAggregate(name: String): Boolean = aggregateNames.contains(name.toLowerCase)
+  /** User-registered aggregate names — the analog of registering a custom
+    * function under TypeAggregation (reference: functions/registry.go:12-29
+    * — the category tells the planner it aggregates). */
+  private val customAggregates =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def registerAggregate(name: String): Unit = customAggregates.add(name.toLowerCase)
+
+  def isAggregate(name: String): Boolean =
+    aggregateNames.contains(name.toLowerCase) ||
+      customAggregates.contains(name.toLowerCase)
   def isAnalytic(name: String): Boolean = analyticNames.contains(name.toLowerCase)
 
   /** Scalar lowering for column-only functions. */

@@ -108,7 +108,30 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
     * change-suppression → ORDER/LIMIT (reference: stream/stream.go:640-698,
     * stream/processor_data.go:622-650). */
   private def buildDirectPath(
-      q: Query, df0: DataFrame, resolver: Resolver, ord: OrderCols): DataFrame = {
+      q0: Query, df0: DataFrame, resolver: Resolver, ord: OrderCols): DataFrame = {
+
+    // changed_cols(prefix, ignoreNull, c1..cn) fans out to one changed_col
+    // per column named prefix+colname (reference: stream/analytic.go:236-289)
+    val q = q0.copy(items = q0.items.flatMap {
+      case SelectItem(FuncCall(n, args, over, d), _) if n.equalsIgnoreCase("changed_cols") =>
+        val (prefix, rest) = args match {
+          case StringLit(p) :: tail => (p, tail)
+          case tail                 => ("", tail)
+        }
+        val (flag, cols) = rest match {
+          case (b: BoolLit) :: tail => (b, tail)
+          case tail                 => (BoolLit(true), tail)
+        }
+        require(cols.nonEmpty, "changed_cols requires at least one column argument")
+        cols.map { c =>
+          val name = c match {
+            case id: Ident => prefix + id.segments.last.name
+            case _         => prefix + "col"
+          }
+          SelectItem(FuncCall("changed_col", List(flag, c), over, d), Some(name))
+        }
+      case it => List(it)
+    })
 
     val analyticCalls =
       (q.items.map(_.expr) ++ q.where.toList).flatMap(ExprBuilder.collectAnalytics)

@@ -1,0 +1,84 @@
+package graft.api
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Encoder, Encoders}
+import graft.SparkTestBase
+
+/** Facade surface: table registry, custom scalar/aggregate functions, and
+  * the changed_cols fan-out (reference: streamsql.go API + registry). */
+class ApiSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("execute over registered tables with lookup join") {
+    val ss = StreamSql(spark)
+    ss.registerTable("stream",
+      Seq(("d1", 20.0, 1000L), ("d2", 30.0, 2000L)).toDF("deviceId", "temp", "ts"))
+    ss.registerTable("meta", Seq(("d1", "plantA")).toDF("deviceId", "location"))
+    val out = ss.execute(
+      "SELECT deviceId, m.location FROM stream JOIN meta m ON deviceId = m.deviceId")
+    assert(out.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("d1", "plantA")))
+  }
+
+  test("custom scalar function callable from dialect SQL") {
+    val ss = StreamSql(spark)
+    ss.registerFunction[Double, Double]("f2c", (f: Double) => (f - 32) / 1.8)
+    ss.registerTable("stream", Seq(("d1", 212.0)).toDF("deviceId", "temperature"))
+    val out = ss.execute("SELECT deviceId, round(f2c(temperature), 2) AS c FROM stream")
+    assert(out.collect().head.getDouble(1) == 100.0)
+  }
+
+  test("custom aggregator callable from dialect SQL") {
+    // the reference's AggregatorFunction{New,Add,Result} contract
+    val geoMean = new Aggregator[Double, (Double, Long), Double] {
+      def zero = (0.0, 0L)
+      def reduce(b: (Double, Long), a: Double) = (b._1 + math.log(a), b._2 + 1)
+      def merge(x: (Double, Long), y: (Double, Long)) = (x._1 + y._1, x._2 + y._2)
+      def finish(r: (Double, Long)) = if (r._2 == 0) 0.0 else math.exp(r._1 / r._2)
+      def bufferEncoder: Encoder[(Double, Long)] = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+      def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+    }
+    val ss = StreamSql(spark)
+    ss.registerAggregator("geo_mean", geoMean)
+    ss.registerTable("stream",
+      Seq(("a", 2.0), ("a", 8.0), ("b", 3.0)).toDF("k", "v"))
+    val out = ss.execute("SELECT k, round(geo_mean(v), 4) AS g FROM stream GROUP BY k ORDER BY k")
+    assert(out.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("a", 4.0), ("b", 3.0)))
+  }
+
+  test("changed_cols fans out with prefix and suppresses all-empty rows") {
+    val df = Seq(
+      ("d1", 20.0, "on", 1000L),
+      ("d1", 20.0, "on", 2000L),  // nothing changed → suppressed
+      ("d1", 25.0, "on", 3000L),  // temp changed
+      ("d1", 25.0, "off", 4000L)  // status changed
+    ).toDF("deviceId", "temp", "status", "ts")
+    val out = graft.GraftEngine.sql(
+      "SELECT ts, changed_cols('chg_', true, temp, status) OVER (PARTITION BY deviceId) " +
+        "FROM stream ORDER BY ts", df)
+    assert(out.columns.toSeq == Seq("ts", "chg_temp", "chg_status"))
+    val rows = out.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) null else r.getDouble(1),
+      if (r.isNullAt(2)) null else r.getString(2)))
+    assert(rows.toSeq == Seq(
+      (1000L, 20.0, "on"), (3000L, 25.0, null), (4000L, null, "off")))
+  }
+
+  test("acc_sum with start and reset conditions (batch lowering)") {
+    // acc_sum(v, startCond, resetCond): gated start, reset clears the run
+    // (reference: functions/analytic_acc.go)
+    val df = Seq(
+      ("k", 1.0, 1L), ("k", 2.0, 2L), // before start (v>=2 starts at row 2)
+      ("k", 3.0, 3L), ("k", -1.0, 4L), // reset at v<0
+      ("k", 5.0, 5L)
+    ).toDF("g", "v", "ts")
+    val out = graft.GraftEngine.sql(
+      "SELECT ts, acc_sum(v, v >= 2, v < 0) OVER (PARTITION BY g) AS s FROM stream ORDER BY ts", df)
+    val got = out.collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getDouble(1)))
+    // row1: not started → null; row2: start, 2; row3: 5; row4: reset seg, -1; row5: 4
+    assert(got.toSeq == Seq((1L, null), (2L, 2.0), (3L, 5.0), (4L, -1.0), (5L, 4.0)))
+  }
+}
