@@ -474,6 +474,52 @@ object SparkEntry {
         "floor((greatest(1, floor(strlen(text) / 4096)) + 9) / 10) ELSE 1 END AS INTEGER) AS frames_sampled " +
         "FROM documents")),
 
+    // --- conversion / encode / regexp (§2.8) ------------------------------
+    gq("q_conversion_funcs",
+      "SELECT p_partkey, encode(p_brand, 'base64') AS b64, " +
+        "decode(encode(p_brand, 'base64'), 'base64') AS rt, " +
+        "trunc(p_retailprice / 7, 2) AS tr, " +
+        "regexp_replace(p_name, '[aeiou]', '_') AS rr, " +
+        "regexp_matches(p_name, '^[a-z]+ ') AS rm " +
+        "FROM part WHERE p_partkey <= 400",
+      "SELECT p_partkey, to_base64(p_brand::BLOB) AS b64, " +
+        "from_base64(to_base64(p_brand::BLOB))::VARCHAR AS rt, " +
+        "CAST(sign(p_retailprice / 7) AS DOUBLE) * floor(abs(p_retailprice / 7) * 100) / 100 AS tr, " +
+        "regexp_replace(p_name, '[aeiou]', '_', 'g') AS rr, " +
+        "regexp_matches(p_name, '^[a-z]+ ') AS rm " +
+        "FROM part WHERE p_partkey <= 400"),
+
+    gq("q_datetime_arith",
+      "SELECT o_orderkey, date_add(o_orderdate, 3, 'day') AS d3, " +
+        "date_diff(date_add(o_orderdate, 90, 'minute'), o_orderdate, 'minute') AS dm, " +
+        "extract('year', o_orderdate) AS ey, " +
+        "to_seconds(o_orderdate) AS secs " +
+        "FROM orders WHERE o_orderkey < 2000",
+      "SELECT o_orderkey, strftime(o_orderdate + INTERVAL 3 DAY, '%Y-%m-%d %H:%M:%S') AS d3, " +
+        "90 AS dm, CAST(year(o_orderdate) AS INTEGER) AS ey, " +
+        "CAST(epoch(o_orderdate) AS BIGINT) AS secs " +
+        "FROM orders WHERE o_orderkey < 2000"),
+
+    gq("q_array_funcs",
+      "SELECT doc_id, array_length(split(text, ' ')) AS n, " +
+        "array_contains(split(text, ' '), 'spark') AS has_spark, " +
+        "array_sort(array_distinct(slice(split(text, ' '), 1, 5))) AS first5, " +
+        "element_at(split(text, ' '), 1) AS w1 " +
+        "FROM documents WHERE doc_id < 100",
+      "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n, " +
+        "list_contains(string_split(text, ' '), 'spark') AS has_spark, " +
+        "list_sort(list_distinct(string_split(text, ' ')[1:5])) AS first5, " +
+        "string_split(text, ' ')[1] AS w1 " +
+        "FROM documents WHERE doc_id < 100"),
+
+    gq("q_window_id",
+      "SELECT event_type, count(*) AS cnt, window_id() AS wid FROM events " +
+        "GROUP BY event_type, TumblingWindow('1d') WITH (TIMESTAMP='ts')",
+      "SELECT event_type, count(*) AS cnt, " +
+        "CAST(floor(epoch(ts) / 86400) * 86400000 AS BIGINT)::VARCHAR || '_' || " +
+        "CAST((floor(epoch(ts) / 86400) + 1) * 86400000 AS BIGINT)::VARCHAR AS wid " +
+        "FROM events GROUP BY event_type, floor(epoch(ts) / 86400)"),
+
     // --- type predicates (§2.8) -------------------------------------------
     gq("q_type_predicates",
       "SELECT event_id, is_null(value) AS n, is_not_null(value) AS nn, " +

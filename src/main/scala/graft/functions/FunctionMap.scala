@@ -32,7 +32,7 @@ object FunctionMap {
   val aggregateNames: Set[String] = Set(
     "sum", "avg", "min", "max", "count", "stddev", "stddevs", "var", "vars",
     "median", "percentile", "collect", "first_value", "last_value", "merge_agg",
-    "deduplicate", "nth_value", "window_start", "window_end",
+    "deduplicate", "nth_value", "window_start", "window_end", "window_id",
     // Spark-first surface extensions (free on Catalyst):
     "count_distinct", "approx_count_distinct", "percentile_approx", "corr",
     "covar_pop", "covar_samp", "skewness", "kurtosis")

@@ -104,7 +104,14 @@ object ExprBuilder {
 
   def build(e: SqlExpr, ctx: Ctx): Column = e match {
     case id: Ident       => ctx.resolveIdent(id)
-    case n: NumberLit    => if (n.isIntegral) lit(n.toLong) else lit(n.toDouble)
+    case n: NumberLit =>
+      if (!n.isIntegral) lit(n.toDouble)
+      else {
+        // int-range literals lower as INT (widens implicitly; strict-INT
+        // parameters like element_at's index reject BIGINT)
+        val v = n.toLong
+        if (v >= Int.MinValue && v <= Int.MaxValue) lit(v.toInt) else lit(v)
+      }
     case StringLit(s)    => lit(s)
     case BoolLit(b)      => lit(b)
     case NullLit         => lit(null)

@@ -255,7 +255,7 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
     val slots = scala.collection.mutable.LinkedHashMap[FuncCall, String]()
     def registerAggs(e: SqlExpr): Unit =
       ExprBuilder.collectAggregates(e).foreach { fc =>
-        if (fc.lname != "window_start" && fc.lname != "window_end")
+        if (!Set("window_start", "window_end", "window_id").contains(fc.lname))
           if (!slots.contains(fc)) slots += (fc -> s"__a_${slots.size}")
       }
     q.items.foreach(i => registerAggs(i.expr))
@@ -327,7 +327,7 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
     // windows the batch analog is min/max event time
     val wsReferenced = (q.items.map(_.expr) ++ q.having.toList)
       .flatMap(ExprBuilder.collectAggregates)
-      .exists(fc => fc.lname == "window_start" || fc.lname == "window_end")
+      .exists(fc => Set("window_start", "window_end", "window_id").contains(fc.lname))
     val boundSlots: List[Column] =
       if (statefulAgged.isEmpty && !isTimeWindow && wsReferenced)
         List(unix_millis(min(needTs)).as("__wstart"),
@@ -366,6 +366,10 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
         onAggregate = fc => fc.lname match {
           case "window_start" => windowStart
           case "window_end"   => windowEnd
+          case "window_id" =>
+            // stable per-window id for sink-side dedup/replace on re-emits
+            // (reference: stream/processor_data.go:420-435)
+            concat_ws("_", windowStart, windowEnd)
           case _              => col(slots(fc))
         },
         onAnalytic = fc => col(anMap(fc)))

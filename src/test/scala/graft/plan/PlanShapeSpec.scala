@@ -1,0 +1,54 @@
+package graft.plan
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{GraftEngine, SparkTestBase, Tables}
+
+/** Pins the physical-plan properties the engine's scale story depends on:
+  * filter/column pushdown to the parquet scan, broadcast joins for lookup
+  * tables, no extra shuffles. A regression here is a performance bug even
+  * when results stay correct. */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  lazy val tables = Tables.load(spark, "/root/testdata/sf0.001")
+
+  private def planOf(sql: String): String = {
+    val df = GraftEngine.sql(sql, tables)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filters and column pruning reach the parquet scan") {
+    val p = planOf("SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 45")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p)
+  }
+
+  test("lookup joins broadcast the dimension side (no stream-side shuffle)") {
+    val p = planOf(
+      "SELECT l_orderkey, s.s_name FROM lineitem JOIN supplier s ON l_suppkey = s.s_suppkey")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the only exchange is the broadcast of the dimension table
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("aggregation uses partial (map-side) combine and one shuffle") {
+    val p = planOf(
+      "SELECT l_returnflag, sum(l_quantity) AS s FROM lineitem GROUP BY l_returnflag")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("whole-stage codegen covers the scalar pipeline") {
+    val p = planOf(
+      "SELECT upper(p_brand) AS b, length(p_name) AS l FROM part WHERE p_size > 10")
+    // '*' prefix marks whole-stage-codegen'd operators in the plan string
+    assert(p.contains("*("), p)
+  }
+
+  test("ORDER BY + LIMIT lowers to top-k (TakeOrderedAndProject)") {
+    val p = planOf(
+      "SELECT l_orderkey, l_extendedprice FROM lineitem " +
+        "ORDER BY l_extendedprice DESC LIMIT 10")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}
