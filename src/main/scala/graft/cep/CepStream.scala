@@ -1,0 +1,85 @@
+package graft.cep
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+import graft.sql._
+
+/** Streaming MATCH_RECOGNIZE: per-key row buffers + the batch matcher over
+  * the *safe* prefix of the buffer (reference: cep/engine.go — incremental
+  * run sets with a WITHIN sweeper; here WITHIN doubles as the completeness
+  * horizon).
+  *
+  * Emission rule: a match anchored at row `i` can still grow (greedy
+  * quantifiers) only by rows with ts ≤ ts(i) + WITHIN. So once the
+  * partition has seen maxTs > ts(i) + WITHIN, every match starting at `i`
+  * is final. Each micro-batch appends to the buffer, runs the matcher over
+  * rows whose starts are final, emits, and drops the consumed prefix.
+  * Per-key state is bounded by the reference's maxRunRows. Late rows older
+  * than the emitted horizon are dropped (the reference drops sub-watermark
+  * rows the same way).
+  */
+object CepStream extends Serializable {
+
+  final case class KeyState(
+      buffer: Vector[Map[String, Any]],
+      matchCount: Long,
+      horizonMs: Long) // rows with ts < horizon are already consumed/emitted
+
+  // (process logic shared with CepExec via these parameters)
+  def run(
+      keyed: DataFrame,
+      keyIdx: Int,
+      fieldNames: Array[String],
+      outSchema: StructType,
+      mr: MatchRecognize,
+      symbols: Set[String],
+      sortRows: Vector[Map[String, Any]] => IndexedSeq[Map[String, Any]],
+      tsOfRow: Map[String, Any] => Long,
+      defineTest: (IndexedSeq[Map[String, Any]]) =>
+        (String, Int, IndexedSeq[(Int, String)]) => Boolean,
+      emitMatch: (IndexedSeq[Map[String, Any]], Matcher.Match, Long) => Iterator[Row])
+      : DataFrame = {
+
+    val fn = (_: String, it: Iterator[Row], state: GroupState[KeyState]) => {
+      val incoming = it.map(r =>
+        fieldNames.zipWithIndex.map { case (n, i) => n -> r.get(i) }.toMap).toVector
+      val st = state.getOption.getOrElse(KeyState(Vector.empty, 0L, Long.MinValue))
+
+      // drop late rows below the consumed horizon; append; bound the buffer
+      val merged = (st.buffer ++ incoming.filter(m => tsOfRow(m) >= st.horizonMs))
+      val sorted = sortRows(merged).toVector.takeRight(Matcher.MaxRunRows)
+      val maxTs = if (sorted.isEmpty) Long.MinValue else tsOfRow(sorted.last)
+
+      // rows whose matches can no longer grow: ts + WITHIN < maxTs
+      val safeEnd = sorted.lastIndexWhere(m => tsOfRow(m) + mr.withinMs < maxTs) + 1
+      if (safeEnd <= 0) {
+        state.update(st.copy(buffer = sorted))
+        Iterator.empty
+      } else {
+        val safe: IndexedSeq[Map[String, Any]] = sorted.take(safeEnd)
+        val matches = Matcher.findMatches(safe, mr,
+          i => tsOfRow(safe(i)), defineTest(safe))
+        val out = matches.iterator.zipWithIndex.flatMap { case (m, i) =>
+          emitMatch(safe, m, st.matchCount + i + 1)
+        }.toVector
+        // consume: PAST LAST ROW semantics — drop everything before the last
+        // match end; unmatched safe rows before it can never match again
+        val consumedUpTo =
+          if (matches.isEmpty) 0 else matches.last.endIdx + 1
+        val remaining = sorted.drop(consumedUpTo)
+        val newHorizon =
+          if (consumedUpTo == 0) st.horizonMs
+          else tsOfRow(sorted(consumedUpTo - 1))
+        state.update(KeyState(remaining, st.matchCount + matches.size,
+          math.max(st.horizonMs, newHorizon)))
+        out.iterator
+      }
+    }
+
+    keyed
+      .groupByKey((r: Row) => r.getString(keyIdx))(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)(
+        Encoders.kryo[KeyState], Encoders.row(outSchema))
+  }
+}

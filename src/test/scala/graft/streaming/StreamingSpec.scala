@@ -128,6 +128,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1000L, "on"), (3000L, "off")))
   }
 
+  test("streaming MATCH_RECOGNIZE emits finalized matches across batches") {
+    // WITHIN '2s' horizon: matches finalize once a row 2s newer arrives
+    val rows = Seq(
+      Ev("d1", 60, 1000, "a"), Ev("d1", 70, 1500, "a"), // match [1000,1500]
+      Ev("d1", 40, 2000, "a"),
+      Ev("d1", 80, 5000, "a"), Ev("d1", 90, 5500, "a"), // match [5000,5500]
+      Ev("d1", 10, 9000, "a")) // horizon push → finalizes the second match
+    val out = runStream(
+      "SELECT * FROM stream MATCH_RECOGNIZE ( PARTITION BY deviceId ORDER BY ts " +
+        "MEASURES MATCH_NUMBER() AS mn, LAST(A.temperature) AS peak ONE ROW PER MATCH " +
+        "PATTERN (A{2}) WITHIN '2s' DEFINE A AS temperature > 50 ) " +
+        "WITH (TIMESTAMP='ts', TIMEUNIT='ms')",
+      rows, batches = 3)
+    val got = out.collect().map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 70.0), (2L, 90.0)))
+  }
+
   test("per-batch ordered sink applies ORDER BY/LIMIT per emitted batch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
