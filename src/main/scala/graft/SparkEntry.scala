@@ -31,6 +31,35 @@ object SparkEntry {
     Q(name, (s, dir) => GraftEngine.sql(graftSql, Tables.load(s, dir)),
       Option(oracle).filter(_.nonEmpty))
 
+  /** DuckDB replica of [[operators.Similarity.topKBucketed]] (planesN=12,
+    * chunks=4, seed=42, 64-dim): the operator's seeded hyperplanes are
+    * inlined as literals, signatures and chunk-bucket candidate join are
+    * recomputed in SQL. fp-parity of list_inner_product with the Spark
+    * sequential fold is established by q_embed_topk. */
+  private lazy val annLshOracleSql: String = {
+    val planes = operators.Similarity.hyperplanes(12, 64, 42L)
+    val rows = planes.zipWithIndex
+      .map { case (p, i) => s"($i, [${p.mkString(", ")}]::DOUBLE[])" }
+      .mkString(",\n          ")
+    val chunkMatch = (0 until 4)
+      .map(c => s"((c.sig >> ${c * 3}) & 7) = ((q.sig >> ${c * 3}) & 7)")
+      .mkString(" OR ")
+    s"""
+      WITH planes(plane, w) AS (VALUES $rows),
+      sg AS (SELECT e.vec_id,
+          sum(CASE WHEN list_inner_product(e.embedding::DOUBLE[], p.w) >= 0
+                   THEN (1::BIGINT << p.plane) ELSE 0::BIGINT END)::BIGINT AS sig
+        FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id),
+      c AS (SELECT s.vec_id, s.sig, e.embedding FROM sg s JOIN embeddings e USING (vec_id)),
+      cand AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+          round(list_inner_product(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+            (sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) *
+             sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6) AS sim
+        FROM c JOIN c AS q ON q.vec_id < 5 AND c.vec_id <> q.vec_id AND ($chunkMatch)),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank FROM cand)
+      SELECT query_id, vec_id, sim, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 10""".trim
+  }
+
   // ----------------------------------------------------------------- queries
 
   private lazy val defs: List[Q] = List(
@@ -113,12 +142,15 @@ object SparkEntry {
         "count(*) AS cnt FROM events GROUP BY user_id"),
 
     gq("q_merge_dedup_agg",
-      "SELECT user_id, merge_agg(event_type) AS evs, deduplicate(event_type) AS uniq " +
+      // deduplicate() (array-valued) joined to a string post-aggregation:
+      // the driver's pandas compare cannot hash ndarray cells
+      "SELECT user_id, merge_agg(event_type) AS evs, " +
+        "array_join(deduplicate(event_type), ',') AS uniq " +
         "FROM events WHERE event_id < 200 GROUP BY user_id " +
         "WITH (TIMESTAMP='ts', TIEBREAK='event_id')",
       "WITH e AS (SELECT user_id, event_type, ts FROM events WHERE event_id < 200), " +
         "m AS (SELECT user_id, string_agg(event_type, ',' ORDER BY ts) AS evs FROM e GROUP BY user_id), " +
-        "d AS (SELECT user_id, list(event_type ORDER BY min_ts) AS uniq FROM " +
+        "d AS (SELECT user_id, array_to_string(list(event_type ORDER BY min_ts), ',') AS uniq FROM " +
         "(SELECT user_id, event_type, min(ts) AS min_ts FROM e GROUP BY user_id, event_type) " +
         "GROUP BY user_id) " +
         "SELECT m.user_id AS user_id, m.evs AS evs, d.uniq AS uniq FROM m JOIN d ON m.user_id = d.user_id"),
@@ -258,7 +290,8 @@ object SparkEntry {
       "WITH r AS (SELECT user_id, value, " +
         "CAST(floor((row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) / 5) AS BIGINT) AS wid " +
         "FROM events) " +
-        "SELECT user_id, count(*) AS cnt, round(sum(value), 2) AS sv FROM r GROUP BY user_id, wid"),
+        "SELECT user_id, count(*) AS cnt, round(sum(value), 2) AS sv FROM r GROUP BY user_id, wid " +
+        "HAVING count(*) = 5"),
 
     // --- §2.5 analytics / CDC ---------------------------------------------
     gq("q_lag",
@@ -302,7 +335,7 @@ object SparkEntry {
       "WITH r AS (SELECT user_id, value, ts, event_id, " +
         "CAST(floor((row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) / 10) AS BIGINT) AS wid " +
         "FROM events), a AS (SELECT user_id, wid, round(avg(value), 4) AS av, avg(value) AS av_raw " +
-        "FROM r GROUP BY user_id, wid) " +
+        "FROM r GROUP BY user_id, wid HAVING count(*) = 10) " +
         "SELECT user_id, av, round(sum(av_raw) OVER (PARTITION BY user_id ORDER BY wid " +
         "ROWS UNBOUNDED PRECEDING), 4) AS running FROM a"),
 
@@ -408,11 +441,24 @@ object SparkEntry {
         FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5""".stripMargin.trim)),
 
-    // rows-only (xxhash64-based signatures are not DuckDB-reproducible;
-    // recall asserted in OperatorsSpec instead)
+    // portableHash=true → md5-derived 60-bit token hashes, bit-identical in
+    // DuckDB; pigeonhole banding has full recall, so the op output is
+    // exactly the ≤-maxDist pair set and the oracle recomputes it directly
     Q("q_dedup_simhash",
       (s, dir) => operators.Dedup.simHashPairs(
-        Tables.load(s, dir)("documents"), maxDist = 10), None),
+        Tables.load(s, dir)("documents"), maxDist = 10, portableHash = true),
+      Some("""
+        WITH nrm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+        tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS t FROM nrm),
+        h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv FROM tok),
+        bitc AS (SELECT doc_id, i, sum(CASE WHEN ((hv >> i) & 1) = 1 THEN 1 ELSE -1 END) AS c
+                 FROM h CROSS JOIN range(0, 64) r(i) GROUP BY doc_id, i),
+        sig AS (SELECT doc_id, sum(CASE WHEN c >= 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)::BIGINT AS sig
+                FROM bitc GROUP BY doc_id)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS dist
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 10""".stripMargin.trim)),
 
     // --- LLM-pipeline operators: similarity search ------------------------
     Q("q_embed_topk",
@@ -454,13 +500,15 @@ object SparkEntry {
           (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
            sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4""".stripMargin.trim)),
 
+    // the oracle inlines the SAME deterministic hyperplanes the operator
+    // uses (seed 42), so the approximate candidate set is reproduced exactly
     Q("q_embed_ann_lsh",
       (s, dir) => {
         val emb = Tables.load(s, dir)("embeddings")
         val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
           .withColumnRenamed("vec_id", "query_id")
         operators.Similarity.topKBucketed(emb, queries, k = 10)
-      }, None), // approximate by construction; recall asserted in OperatorsSpec
+      }, Some(annLshOracleSql)),
 
     // --- LLM-pipeline operators: multimodal plumbing ----------------------
     Q("q_multimodal_features",
@@ -501,14 +549,16 @@ object SparkEntry {
         "FROM orders WHERE o_orderkey < 2000"),
 
     gq("q_array_funcs",
+      // first5 joined to a string: the driver's pandas compare cannot hash
+      // ndarray cells, so array outputs are stringified on BOTH sides
       "SELECT doc_id, array_length(split(text, ' ')) AS n, " +
         "array_contains(split(text, ' '), 'spark') AS has_spark, " +
-        "array_sort(array_distinct(slice(split(text, ' '), 1, 5))) AS first5, " +
+        "array_join(array_sort(array_distinct(slice(split(text, ' '), 1, 5))), '|') AS first5, " +
         "element_at(split(text, ' '), 1) AS w1 " +
         "FROM documents WHERE doc_id < 100",
       "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n, " +
         "list_contains(string_split(text, ' '), 'spark') AS has_spark, " +
-        "list_sort(list_distinct(string_split(text, ' ')[1:5])) AS first5, " +
+        "array_to_string(list_sort(list_distinct(string_split(text, ' ')[1:5])), '|') AS first5, " +
         "string_split(text, ' ')[1] AS w1 " +
         "FROM documents WHERE doc_id < 100"),
 

@@ -51,22 +51,30 @@ object CepStream extends Serializable {
       val sorted = sortRows(merged).toVector.takeRight(Matcher.MaxRunRows)
       val maxTs = if (sorted.isEmpty) Long.MinValue else tsOfRow(sorted.last)
 
-      // rows whose matches can no longer grow: ts + WITHIN < maxTs
+      // rows whose matches can no longer grow: ts + WITHIN < maxTs.
+      // Run the matcher over the FULL buffer (a match starting at a safe row
+      // may extend into rows beyond safeEnd — those extension rows are
+      // guaranteed present, since ext.ts ≤ ts(start)+WITHIN < maxTs), then
+      // emit/consume only matches whose START falls in the safe prefix.
       val safeEnd = sorted.lastIndexWhere(m => tsOfRow(m) + mr.withinMs < maxTs) + 1
       if (safeEnd <= 0) {
         state.update(st.copy(buffer = sorted))
         Iterator.empty
       } else {
-        val safe: IndexedSeq[Map[String, Any]] = sorted.take(safeEnd)
-        val matches = Matcher.findMatches(safe, mr,
-          i => tsOfRow(safe(i)), defineTest(safe))
+        val all = Matcher.findMatches(sorted, mr,
+          i => tsOfRow(sorted(i)), defineTest(sorted))
+        // matches are ordered & non-overlapping (PAST LAST ROW), so the
+        // safe-start ones form a prefix of the list
+        val matches = all.takeWhile(_.startIdx < safeEnd)
         val out = matches.iterator.zipWithIndex.flatMap { case (m, i) =>
-          emitMatch(safe, m, st.matchCount + i + 1)
+          emitMatch(sorted, m, st.matchCount + i + 1)
         }.toVector
-        // consume: PAST LAST ROW semantics — drop everything before the last
-        // match end; unmatched safe rows before it can never match again
+        // consume: PAST LAST ROW semantics — drop through the last emitted
+        // match end, and always the full safe prefix: unmatched safe rows can
+        // never start a future match (their starts are final), and no future
+        // match can reach back before its own (unsafe) start row
         val consumedUpTo =
-          if (matches.isEmpty) 0 else matches.last.endIdx + 1
+          if (matches.isEmpty) safeEnd else math.max(safeEnd, matches.last.endIdx + 1)
         val remaining = sorted.drop(consumedUpTo)
         val newHorizon =
           if (consumedUpTo == 0) st.horizonMs

@@ -72,7 +72,7 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
 
     // exact-Jaccard verification only on the candidate pairs
-    cand
+    val out = cand
       .join(withSh.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(withSh.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jaccard",
@@ -80,20 +80,41 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))), 6))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+    materializeAndRelease(out, withSh, banded)
+  }
+
+  /** Materialize `out` (small: the near-dup pair set), then release the big
+    * cached intermediates — cached blocks must not accumulate across calls
+    * in a long-lived session. Callers may `unpersist()` the (small) result
+    * when done with it. */
+  private[operators] def materializeAndRelease(out: DataFrame, cached: DataFrame*): DataFrame = {
+    val m = out.persist()
+    m.count()
+    cached.foreach(_.unpersist(false))
+    m
   }
 
   /** SimHash near-dup pairs: 64-bit signatures, Hamming ≤ maxDist.
     * Pigeonhole banding: split the signature into maxDist+1 chunks — any
-    * pair within maxDist agrees exactly on ≥1 chunk → join per chunk. */
+    * pair within maxDist agrees exactly on ≥1 chunk → join per chunk
+    * (full recall, so the output is exactly the ≤-maxDist pair set).
+    *
+    * @param portableHash md5-derived token hash ([[TextOps.portableHash60]])
+    *   instead of xxhash64 — bit-identical signatures are then reproducible
+    *   in ANSI SQL engines (the DuckDB oracle); xxhash64 is faster. */
   def simHashPairs(
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3,
+      portableHash: Boolean = false): DataFrame = {
     val chunks = maxDist + 1
     val bitsPer = 64 / chunks
+    val tokenHash: Column => Column =
+      if (portableHash) TextOps.portableHash60 else (t => xxhash64(t))
     // signatures computed once and persisted; banded join stays slim
-    val sigs = docs.select(col(idCol).as("id"), TextOps.simHash(col(textCol)).as("sig"))
+    val sigs = docs.select(col(idCol).as("id"),
+        TextOps.simHash(col(textCol), tokenHash).as("sig"))
       .persist()
 
     val banded = sigs.select(col("id"),
@@ -104,7 +125,7 @@ object Dedup {
         .as("ck"))
       .select(col("id"), col("ck.chunk"), col("ck.key"))
 
-    banded.alias("a").join(banded.alias("b"),
+    val out = banded.alias("a").join(banded.alias("b"),
         col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
@@ -114,6 +135,7 @@ object Dedup {
       .withColumn("dist", TextOps.hamming(col("sig_a"), col("sig_b")))
       .filter(col("dist") <= maxDist)
       .select("doc_a", "doc_b", "dist")
+    materializeAndRelease(out, sigs)
   }
 
   /** Exact n-gram Jaccard over a candidate blocking key (default: shared

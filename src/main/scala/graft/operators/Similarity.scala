@@ -43,9 +43,10 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplanes: seeded LCG over (plane, dim).
-    * Values in [-0.5, 0.5); stable across sessions/partitions. */
-  private def hyperplanes(planes: Int, dims: Int, seed: Long): Array[Array[Double]] = {
+  /** Deterministic pseudo-random hyperplanes: seeded PRNG over (plane, dim).
+    * Values in [-0.5, 0.5); stable across sessions/partitions — and
+    * reproducible by an external oracle that inlines the same literals. */
+  def hyperplanes(planes: Int, dims: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(planes, dims)(rnd.nextDouble() - 0.5)
   }
@@ -88,7 +89,7 @@ object Similarity {
         .as("ck"))
       .select(col("id"), col("ck.chunk"), col("ck.key"))
 
-    banded.alias("a").join(banded.alias("b"),
+    val out = banded.alias("a").join(banded.alias("b"),
         col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"))
@@ -98,6 +99,7 @@ object Similarity {
       .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
       .filter(col("sim") >= threshold)
       .select("vec_a", "vec_b", "sim")
+    Dedup.materializeAndRelease(out, sigs)
   }
 
   /** IVF-style bucketed ANN top-k: assign corpus + queries to their nearest

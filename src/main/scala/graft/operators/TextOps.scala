@@ -89,11 +89,20 @@ object TextOps {
         i => array_join(slice(words, i + 1, lit(n)), " "))))
   }
 
+  /** md5-derived 60-bit token hash — reproducible in any ANSI engine that
+    * has md5 + hex parsing (the DuckDB oracle uses
+    * `('0x' || substr(md5(t),1,15))::BIGINT`). 15 hex chars = 60 bits,
+    * always non-negative, fits a long exactly. */
+  def portableHash60(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
   /** 64-bit SimHash over tokens — one pass, no shuffle: per-row fold of
     * token hashes into 64 signed bit-counts, then sign bits.
     * (Charikar's scheme; bit i set iff Σ ±1 over tokens ≥ 0.) */
-  def simHash(text: Column): Column = {
-    val hashes = transform(split(normalize(text), " "), t => xxhash64(t))
+  def simHash(text: Column): Column = simHash(text, t => xxhash64(t))
+
+  def simHash(text: Column, tokenHash: Column => Column): Column = {
+    val hashes = transform(split(normalize(text), " "), t => tokenHash(t))
     val counts = aggregate(
       hashes,
       array_repeat(lit(0), 64),

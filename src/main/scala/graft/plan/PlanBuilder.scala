@@ -334,6 +334,14 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
           unix_millis(max(needTs)).as("__wend"))
       else Nil
 
+    // batch CountingWindow fires only complete n-row windows, matching the
+    // streaming path and the reference (window/counting.go) — the trailing
+    // partial group is held back, never emitted
+    val countWindowN: Option[Int] = q.window match {
+      case Some(CountingWindow(n, _)) if statefulAgged.isEmpty => Some(n)
+      case _ => None
+    }
+
     val agged: DataFrame = statefulAgged.getOrElse {
       val aggOrd: Option[Column] = ord.ord match {
         case Nil      => None
@@ -342,11 +350,16 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
       }
       val aggExprs = slots.map { case (fc, name) =>
         Aggregates.build(fc, a => ExprBuilder.build(a, dctx), aggOrd).as(name)
-      }.toList ++ boundSlots
+      }.toList ++ boundSlots ++
+        countWindowN.map(_ => count(lit(1)).as("__wcnt")).toList
       val g = pre.groupBy(groupCols: _*)
-      aggExprs match {
+      val full = aggExprs match {
         case Nil          => g.agg(count(lit(1)).as("__cnt"))
         case head :: tail => g.agg(head, tail: _*)
+      }
+      countWindowN match {
+        case Some(n) => full.filter(col("__wcnt") === n).drop("__wcnt")
+        case None    => full
       }
     }
 

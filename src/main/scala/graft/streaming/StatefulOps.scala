@@ -107,7 +107,7 @@ object StatefulOps extends Serializable {
 
     val keyIdx = keyNames.map(schema.fieldIndex)
     val grouped = df.groupByKey(r =>
-      keyIdx.map(i => String.valueOf(r.get(i))).mkString(""))(Encoders.STRING)
+      keyIdx.map(i => if (r.isNullAt(i)) "\u0000NULL" else String.valueOf(r.get(i))).mkString("\u001f"))(Encoders.STRING)
 
     if (df.isStreaming) {
       val fn = (_: String, it: Iterator[Row], state: GroupState[Vector[Map[String, Any]]]) => {
@@ -207,7 +207,7 @@ object StatefulOps extends Serializable {
 
     val keyIdx = keyNames.map(schema.fieldIndex)
     val grouped = df.groupByKey(r =>
-      keyIdx.map(i => String.valueOf(r.get(i))).mkString(""))(Encoders.STRING)
+      keyIdx.map(i => if (r.isNullAt(i)) "\u0000NULL" else String.valueOf(r.get(i))).mkString("\u001f"))(Encoders.STRING)
 
     if (df.isStreaming) {
       val fn = (_: String, it: Iterator[Row], state: GroupState[GState]) => {
@@ -349,7 +349,7 @@ object StatefulOps extends Serializable {
 
     val keyIdx = partitionNames.map(schema.fieldIndex)
     val grouped = df.groupByKey(r =>
-      keyIdx.map(i => String.valueOf(r.get(i))).mkString(""))(Encoders.STRING)
+      keyIdx.map(i => if (r.isNullAt(i)) "\u0000NULL" else String.valueOf(r.get(i))).mkString("\u001f"))(Encoders.STRING)
 
     if (df.isStreaming) {
       val fn = (_: String, it: Iterator[Row], state: GroupState[Map[String, AnState]]) => {

@@ -145,6 +145,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 70.0), (2L, 90.0)))
   }
 
+  test("streaming MATCH_RECOGNIZE greedy match extends past the safety horizon") {
+    // rows t=0s,5s then t=15s: with WITHIN '10s' only t=0 is "safe" when
+    // t=15 arrives, but the greedy A+ match anchored at t=0 legitimately
+    // includes t=5 (5s ≤ 0s+WITHIN) — it must emit [t0,t5], not a
+    // truncated [t0]
+    val rows = Seq(
+      Ev("d1", 60, 0L, "a"), Ev("d1", 70, 5000L, "a"),
+      Ev("d1", 80, 15000L, "a"),
+      Ev("d1", 0, 30000L, "a")) // below threshold; finalizes the t=15 match
+    val out = runStream(
+      "SELECT * FROM stream MATCH_RECOGNIZE ( PARTITION BY deviceId ORDER BY ts " +
+        "MEASURES FIRST(A.ts) - 0 AS t0, LAST(A.temperature) AS lastv ONE ROW PER MATCH " +
+        "PATTERN (A+) WITHIN '10s' DEFINE A AS temperature > 50 ) " +
+        "WITH (TIMESTAMP='ts', TIMEUNIT='ms')",
+      rows, batches = 4)
+    val got = out.collect().map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((0L, 70.0), (15000L, 80.0)))
+  }
+
   test("per-batch ordered sink applies ORDER BY/LIMIT per emitted batch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
