@@ -1,0 +1,223 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, Literal, XXH64}
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass compute kernels for the text/dedup operators, exposed as
+  * Catalyst `StaticInvoke` expressions.
+  *
+  * Why not `functions._` compositions: the regex formulation of
+  * [[graft.operators.TextOps.analyze]] re-scans every document ~10× (one
+  * regexp per signal), and MinHash over `transform`/`aggregate`
+  * higher-order functions evaluates an interpreted lambda per array
+  * element. A `StaticInvoke` of a static JVM method stays inside
+  * whole-stage codegen (non-virtual call, no UDF ser/de) and computes all
+  * signals in ONE pass over the string bytes — the hot path a 100 TB scan
+  * actually takes. Why not custom `Expression` subclasses with `doGenCode`:
+  * `StaticInvoke` IS the Catalyst-provided bridge for exactly this shape
+  * (cf. Spark's own DateTimeUtils/IntervalUtils usage), with null
+  * propagation and codegen handled by the framework.
+  *
+  * Semantics are bit-identical to the regex formulation (the DuckDB oracle
+  * of q_text_analysis pins them): \s = ASCII whitespace, \p{Punct} = ASCII
+  * punctuation, \w = [A-Za-z0-9_], counts over code points.
+  */
+object TextKernels {
+
+  // ------------------------------------------------------------ text stats
+
+  val textStatsType: StructType = StructType(Seq(
+    StructField("token_count", IntegerType, nullable = false),
+    StructField("n", IntegerType, nullable = false),
+    StructField("npunct", IntegerType, nullable = false),
+    StructField("nalpha", IntegerType, nullable = false),
+    StructField("nws", IntegerType, nullable = false),
+    StructField("nstop", IntegerType, nullable = false),
+    StructField("en", IntegerType, nullable = false),
+    StructField("de", IntegerType, nullable = false),
+    StructField("fr", IntegerType, nullable = false),
+    StructField("es", IntegerType, nullable = false),
+    StructField("zh", IntegerType, nullable = false)))
+
+  /** All q_text_analysis signals in one pass over the text. */
+  def textStatsCol(text: Column): Column = GraftColumnBridge.column(
+    StaticInvoke(
+      TextKernels.getClass, textStatsType, "textStats",
+      Seq(GraftColumnBridge.expression(text)), Seq(StringType),
+      returnNullable = false))
+
+  private val stopwords =
+    Set("the", "and", "of", "to", "is", "in", "that", "it")
+  private val langMarkers: Array[Array[String]] = Array(
+    Array("the", "and", "is", "of", "to", "that", "with"),
+    Array("der", "die", "das", "und", "ist", "nicht", "mit"),
+    Array("le", "la", "les", "et", "est", "dans", "pour"),
+    Array("el", "los", "las", "es", "en", "que", "por"))
+
+  private def isWs(c: Char): Boolean = // Java regex \s
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  private def isPunct(c: Char): Boolean = // Java regex \p{Punct} (ASCII)
+    (c >= '!' && c <= '/') || (c >= ':' && c <= '@') ||
+      (c >= '[' && c <= '`') || (c >= '{' && c <= '~')
+  private def isAlpha(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+  private def isWord(c: Char): Boolean = // Java regex \w
+    isAlpha(c) || (c >= '0' && c <= '9') || c == '_'
+
+  def textStats(s: UTF8String): InternalRow = {
+    val str = s.toString
+    val len = str.length
+    var n = 0; var npunct = 0; var nalpha = 0; var nwsp = 0
+    var tokens = 0; var inToken = false
+    var nstop = 0; var wordStart = -1
+    var zh = 0
+    var i = 0
+    while (i < len) {
+      val c = str.charAt(i)
+      val cp = str.codePointAt(i)
+      n += 1
+      if (isWs(c)) nwsp += 1
+      else {
+        if (isPunct(c)) npunct += 1
+        if (isAlpha(c)) nalpha += 1
+        if (cp >= 0x4e00 && cp <= 0x9fff) zh += 1
+      }
+      // whitespace-delimited tokens (split(trim, "\s+"))
+      if (!isWs(c)) { if (!inToken) { tokens += 1; inToken = true } }
+      else inToken = false
+      // \b-delimited word runs for stopword hits (case-insensitive)
+      if (isWord(c)) { if (wordStart < 0) wordStart = i }
+      else if (wordStart >= 0) {
+        if (isStopword(str, wordStart, i)) nstop += 1
+        wordStart = -1
+      }
+      i += Character.charCount(cp)
+    }
+    if (wordStart >= 0 && isStopword(str, wordStart, len)) nstop += 1
+
+    // language markers: non-overlapping ' word ' scan over ' '+lower+' '
+    // (the trailing space of a hit is CONSUMED, matching regexp_count)
+    val padded = " " + str.toLowerCase(java.util.Locale.ROOT) + " "
+    val lang = new Array[Int](4)
+    var li = 0
+    while (li < 4) { lang(li) = markerHits(padded, langMarkers(li)); li += 1 }
+
+    new GenericInternalRow(Array[Any](
+      tokens, n, npunct, nalpha, n - nwsp, nstop,
+      lang(0), lang(1), lang(2), lang(3), zh))
+  }
+
+  private def isStopword(str: String, from: Int, until: Int): Boolean = {
+    if (until - from < 2 || until - from > 4) return false
+    val w = str.substring(from, until).toLowerCase(java.util.Locale.ROOT)
+    stopwords.contains(w)
+  }
+
+  private def markerHits(padded: String, words: Array[String]): Int = {
+    var hits = 0; var i = 0
+    val len = padded.length
+    while (i < len) {
+      if (padded.charAt(i) == ' ') {
+        var matchedEnd = -1
+        var w = 0
+        while (matchedEnd < 0 && w < words.length) {
+          val word = words(w)
+          val end = i + 1 + word.length
+          if (end < len && padded.charAt(end) == ' ' &&
+              padded.regionMatches(i + 1, word, 0, word.length))
+            matchedEnd = end
+          w += 1
+        }
+        if (matchedEnd >= 0) { hits += 1; i = matchedEnd + 1 }
+        else i += 1
+      } else i += 1
+    }
+    hits
+  }
+
+  // ------------------------------------------------------------- shingles
+
+  /** Distinct word n-grams of an already-normalized (single-space) text;
+    * whole text when shorter than n words. Same output as the
+    * transform/slice/array_join formulation, one pass, no HOF lambdas. */
+  def shinglesCol(normText: Column, n: Int): Column = GraftColumnBridge.column(
+    StaticInvoke(
+      TextKernels.getClass, ArrayType(StringType, containsNull = false),
+      "shingles",
+      Seq(GraftColumnBridge.expression(normText), Literal(n)),
+      Seq(StringType, IntegerType),
+      returnNullable = false))
+
+  def shingles(norm: UTF8String, n: Int): ArrayData = {
+    val str = norm.toString
+    // word start offsets in the single-space-normalized string
+    val starts = new java.util.ArrayList[Integer]()
+    starts.add(0)
+    var i = str.indexOf(' ')
+    while (i >= 0) { starts.add(i + 1); i = str.indexOf(' ', i + 1) }
+    val words = starts.size()
+    if (words < n) return new GenericArrayData(Array[Any](norm))
+    val seen = new java.util.LinkedHashSet[String]()
+    var w = 0
+    while (w + n <= words) {
+      val from = starts.get(w)
+      val until = if (w + n == words) str.length else starts.get(w + n) - 1
+      seen.add(str.substring(from, until))
+      w += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator(); var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  // ------------------------------------------------------------- minhash
+
+  /** MinHash band buckets in one pass: per shingle ONE xxhash64 of the
+    * bytes, then k cheap hashLong mixes; per band the row-minima fold into
+    * a 64-bit bucket key. Output: array(bands) of bucket hashes — feed to
+    * posexplode for the (band, bucket) LSH join. */
+  def minhashBucketsCol(shingles: Column, bands: Int, rows: Int): Column =
+    GraftColumnBridge.column(
+      StaticInvoke(
+        TextKernels.getClass, ArrayType(LongType, containsNull = false),
+        "minhashBuckets",
+        Seq(GraftColumnBridge.expression(shingles), Literal(bands), Literal(rows)),
+        Seq(ArrayType(StringType), IntegerType, IntegerType),
+        returnNullable = false))
+
+  def minhashBuckets(shingles: ArrayData, bands: Int, rows: Int): ArrayData = {
+    val k = bands * rows
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val s = shingles.getUTF8String(i)
+      val base = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      var p = 0
+      while (p < k) {
+        val v = XXH64.hashLong(base, p)
+        if (v < mins(p)) mins(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    val buckets = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 42L
+      var r = 0
+      while (r < rows) { h = XXH64.hashLong(mins(b * rows + r), h); r += 1 }
+      buckets(b) = h
+      b += 1
+    }
+    new GenericArrayData(buckets)
+  }
+}

@@ -45,24 +45,21 @@ object Dedup {
       bands: Int = 16,
       rows: Int = 4,
       threshold: Double = 0.7): DataFrame = {
-    val k = bands * rows
-    // shingle + hash once; signatures/shingles persisted — the self-join
+    // shingle + hash once; shingles persisted — the verification joins
     // must not recompute them, and the banded join must stay SLIM (ids
     // only): shipping shingle arrays through a 16× band explosion is the
-    // difference between seconds and minutes at scale
+    // difference between seconds and minutes at scale. Band buckets come
+    // from the single-pass kernel (one xxhash64 per shingle + cheap long
+    // mixes) instead of interpreted HOF lambdas.
     val withSh = docs
       .select(col(idCol).as("id"), TextOps.shingles(col(textCol), shingleN).as("sh"))
       .persist()
-    val withSig = withSh
-      .withColumn("sig", minHashSignature(transform(col("sh"), g => xxhash64(g)), k))
 
-    val banded = withSig.select(
+    val banded = withSh.select(
       col("id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          xxhash64(slice(col("sig"), b * rows + lit(1), lit(rows))).as("bucket"))))
-        .as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bucket"))
+      posexplode(graft.functions.TextKernels.minhashBucketsCol(col("sh"), bands, rows)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
       .persist()
 
     val cand = banded.alias("a").join(banded.alias("b"),

@@ -80,14 +80,11 @@ object TextOps {
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
-  /** Word shingles (n-grams) of the normalized text, distinct. */
-  def shingles(text: Column, n: Int): Column = {
-    val words = split(normalize(text), " ")
-    val k = size(words) - (n - 1)
-    when(k <= 0, array(normalize(text)))
-      .otherwise(array_distinct(transform(sequence(lit(0), k - 1),
-        i => array_join(slice(words, i + 1, lit(n)), " "))))
-  }
+  /** Word shingles (n-grams) of the normalized text, distinct.
+    * Single-pass kernel — the transform/slice/array_join HOF formulation
+    * evaluates an interpreted lambda per shingle. */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.TextKernels.shinglesCol(normalize(text), n)
 
   /** md5-derived 60-bit token hash — reproducible in any ANSI engine that
     * has md5 + hex parsing (the DuckDB oracle uses
@@ -120,17 +117,41 @@ object TextOps {
 
   // ------------------------------------------------------ DataFrame-level ops
 
-  /** Annotate a corpus with the full text-analysis column set. */
+  /** Annotate a corpus with the full text-analysis column set.
+    *
+    * One [[graft.functions.TextKernels.textStatsCol]] pass computes every
+    * counter (the per-signal regex formulation above re-scans each document
+    * ~10×); the ratio/score/argmax arithmetic over the counters is
+    * identical to the per-signal definitions, which the DuckDB oracle pins. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    docs
-      .withColumn("token_count", tokenCount(t))
-      .withColumn("punct_ratio", round(punctRatio(t), 6))
-      .withColumn("alpha_ratio", round(alphaRatio(t), 6))
-      .withColumn("mean_word_len", round(meanWordLen(t), 6))
-      .withColumn("stopword_ratio", round(stopwordRatio(t), 6))
-      .withColumn("quality", qualityScore(t))
-      .withColumn("lang_pred", langId(t))
+    val st = graft.functions.TextKernels.textStatsCol(t)
+    val d = docs.withColumn("__st", st)
+    def f(name: String) = col("__st").getField(name)
+    val words = f("token_count")
+    val n = f("n")
+    val punct = when(n === 0, lit(0.0)).otherwise(f("npunct").cast("double") / n)
+    val alpha = when(n === 0, lit(0.0)).otherwise(f("nalpha").cast("double") / n)
+    val mwl = when(words === 0, lit(0.0)).otherwise(f("nws").cast("double") / words)
+    val stop = when(words === 0, lit(0.0)).otherwise(f("nstop").cast("double") / words)
+    val lenScore = when(n.between(50, 20000), 1.0).otherwise(0.3)
+    val punctScore = when(punct < 0.2, 1.0).otherwise(0.4)
+    val alphaScore = when(alpha > 0.5, 1.0).otherwise(0.5)
+    val (en, de, fr, es, zh) = (f("en"), f("de"), f("fr"), f("es"), f("zh"))
+    val m = greatest(en, de, fr, es, zh)
+    val lang = when(m === 0, lit("und"))
+      .when(zh === m, "zh").when(en === m, "en").when(de === m, "de")
+      .when(fr === m, "fr").otherwise("es")
+    d
+      .withColumn("token_count", words)
+      .withColumn("punct_ratio", round(punct, 6))
+      .withColumn("alpha_ratio", round(alpha, 6))
+      .withColumn("mean_word_len", round(mwl, 6))
+      .withColumn("stopword_ratio", round(stop, 6))
+      .withColumn("quality",
+        round(lenScore * 0.4 + punctScore * 0.3 + alphaScore * 0.3, 4))
+      .withColumn("lang_pred", lang)
       .withColumn("fingerprint", fingerprint(t))
+      .drop("__st")
   }
 }
