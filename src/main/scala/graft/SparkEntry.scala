@@ -155,6 +155,36 @@ object SparkEntry {
         "GROUP BY user_id) " +
         "SELECT m.user_id AS user_id, m.evs AS evs, d.uniq AS uniq FROM m JOIN d ON m.user_id = d.user_id"),
 
+    gq("q_collect_nth",
+      // collect() in event order + nth_value (functions_aggregation.go:564,
+      // functions_window.go:232); array output stringified for the comparator
+      "SELECT user_id, array_join(collect(event_type), '|') AS evs, " +
+        "nth_value(event_type, 2) AS second, count(*) AS cnt " +
+        "FROM events WHERE event_id < 400 GROUP BY user_id " +
+        "WITH (TIMESTAMP='ts', TIEBREAK='event_id')",
+      "SELECT user_id, array_to_string(list(event_type ORDER BY ts, event_id), '|') AS evs, " +
+        "(list(event_type ORDER BY ts, event_id))[2] AS second, count(*) AS cnt " +
+        "FROM events WHERE event_id < 400 GROUP BY user_id"),
+
+    gq("q_agg_stats2",
+      // higher-moment aggregates (Spark-first extensions, SURVEY §2.4):
+      // DuckDB kurtosis is sample-corrected → kurtosis_pop; no skewness_pop
+      // → population skewness recomputed from raw moments
+      "SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6) AS cr, " +
+        "round(covar_pop(l_quantity, l_extendedprice), 4) AS cvp, " +
+        "round(covar_samp(l_quantity, l_extendedprice), 4) AS cvs, " +
+        "round(skewness(l_quantity), 6) AS sk, round(kurtosis(l_quantity), 6) AS ku " +
+        "FROM lineitem GROUP BY l_returnflag",
+      "WITH m AS (SELECT l_returnflag AS rf, avg(l_quantity) AS mu, " +
+        "stddev_pop(l_quantity) AS sg FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT l.l_returnflag, round(corr(l_quantity, l_extendedprice), 6) AS cr, " +
+        "round(covar_pop(l_quantity, l_extendedprice), 4) AS cvp, " +
+        "round(covar_samp(l_quantity, l_extendedprice), 4) AS cvs, " +
+        "round(avg(pow(l_quantity - mu, 3)) / pow(sg, 3), 6) AS sk, " +
+        "round(kurtosis_pop(l_quantity), 6) AS ku " +
+        "FROM lineitem l JOIN m ON l.l_returnflag = m.rf " +
+        "GROUP BY l.l_returnflag, mu, sg"),
+
     // --- §2.6 sort / limit / top-k ----------------------------------------
     gq("q_topk",
       "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
@@ -251,6 +281,68 @@ object SparkEntry {
         "least(value, 100) AS lo, greatest(value, 100) AS hi " +
         "FROM events WHERE event_id < 400"),
 
+    gq("q_trig_funcs",
+      // transcendentals rounded on BOTH sides: Java Math.* and libm may
+      // differ in the last ulp (sinh/cosh/tanh have no DuckDB builtin →
+      // exp formulation)
+      "SELECT l_orderkey, l_linenumber, round(sin(l_quantity), 6) AS sn, " +
+        "round(cos(l_quantity), 6) AS cs, round(tan(l_discount), 6) AS tn, " +
+        "round(atan(l_discount), 6) AS at, round(atan2(l_quantity, l_discount + 1), 6) AS at2, " +
+        "round(sinh(l_discount), 6) AS sh, round(cosh(l_discount), 6) AS ch, " +
+        "round(tanh(l_discount), 6) AS th, round(asin(l_discount), 6) AS asn, " +
+        "round(acos(l_discount), 6) AS acs, round(power(l_quantity, 2), 2) AS pw " +
+        "FROM lineitem WHERE l_partkey < 80",
+      "SELECT l_orderkey, l_linenumber, round(sin(l_quantity), 6) AS sn, " +
+        "round(cos(l_quantity), 6) AS cs, round(tan(l_discount), 6) AS tn, " +
+        "round(atan(l_discount), 6) AS at, round(atan2(l_quantity, l_discount + 1), 6) AS at2, " +
+        "round((exp(l_discount) - exp(-l_discount)) / 2, 6) AS sh, " +
+        "round((exp(l_discount) + exp(-l_discount)) / 2, 6) AS ch, " +
+        "round((exp(l_discount) - exp(-l_discount)) / (exp(l_discount) + exp(-l_discount)), 6) AS th, " +
+        "round(asin(l_discount), 6) AS asn, round(acos(l_discount), 6) AS acs, " +
+        "round(pow(l_quantity, 2), 2) AS pw " +
+        "FROM lineitem WHERE l_partkey < 80"),
+
+    gq("q_string_funcs2",
+      "SELECT p_partkey, rpad(p_brand, 12, '*') AS rp, " +
+        "ltrim(concat(' ', p_name)) AS lt, rtrim(concat(p_name, ' ')) AS rt, " +
+        "endswith(p_type, 'd') AS ew, startswith(p_type, 'a') AS sw, " +
+        "array_join(split(p_type, ' '), '_') AS sp, chr(65 + mod(p_size, 26)) AS ch " +
+        "FROM part WHERE p_partkey <= 350",
+      "SELECT p_partkey, rpad(p_brand, 12, '*') AS rp, " +
+        "ltrim(' ' || p_name) AS lt, rtrim(p_name || ' ') AS rt, " +
+        "ends_with(p_type, 'd') AS ew, starts_with(p_type, 'a') AS sw, " +
+        "array_to_string(string_split(p_type, ' '), '_') AS sp, " +
+        "chr(65 + p_size % 26) AS ch " +
+        "FROM part WHERE p_partkey <= 350"),
+
+    gq("q_array_funcs2",
+      // position/remove/except/union/intersect (functions_array.go:71-312);
+      // set-valued results sorted+stringified (list_distinct order differs)
+      "SELECT doc_id, array_position(split(text, ' '), 'the') AS pos, " +
+        "array_join(array_remove(slice(split(text, ' '), 1, 6), 'the'), '|') AS rem, " +
+        "array_join(array_sort(array_except(slice(split(text, ' '), 1, 8), slice(split(text, ' '), 1, 4))), '|') AS exc, " +
+        "array_join(array_sort(array_union(slice(split(text, ' '), 1, 3), slice(split(text, ' '), 4, 3))), '|') AS uni, " +
+        "array_join(array_sort(array_intersect(split(text, ' '), array('the', 'and', 'of'))), '|') AS its " +
+        "FROM documents WHERE doc_id < 120",
+      // coalesce to '': DuckDB array_to_string of an EMPTY list yields NULL,
+      // Spark array_join yields ''
+      "SELECT doc_id, CAST(coalesce(list_position(string_split(text, ' '), 'the'), 0) AS BIGINT) AS pos, " +
+        "coalesce(array_to_string(list_filter(string_split(text, ' ')[1:6], x -> x != 'the'), '|'), '') AS rem, " +
+        "coalesce(array_to_string(list_sort(list_distinct(list_filter(string_split(text, ' ')[1:8], " +
+        "x -> NOT list_contains(string_split(text, ' ')[1:4], x)))), '|'), '') AS exc, " +
+        "coalesce(array_to_string(list_sort(list_distinct(list_concat(string_split(text, ' ')[1:3], " +
+        "string_split(text, ' ')[4:6]))), '|'), '') AS uni, " +
+        "coalesce(array_to_string(list_sort(list_distinct(list_intersect(string_split(text, ' '), " +
+        "['the', 'and', 'of']))), '|'), '') AS its " +
+        "FROM documents WHERE doc_id < 120"),
+
+    gq("q_datetime_funcs2",
+      "SELECT event_id, hour(ts) AS hh, minute(ts) AS mi, second(ts) AS ss, " +
+        "dayofyear(ts) AS dy, weekofyear(ts) AS wy FROM events WHERE event_id < 800",
+      "SELECT event_id, CAST(hour(ts) AS INTEGER) AS hh, CAST(minute(ts) AS INTEGER) AS mi, " +
+        "CAST(second(ts) AS INTEGER) AS ss, CAST(dayofyear(ts) AS INTEGER) AS dy, " +
+        "CAST(weekofyear(ts) AS INTEGER) AS wy FROM events WHERE event_id < 800"),
+
     // --- §2.8 unnest (multi-row) ------------------------------------------
     gq("q_unnest",
       "SELECT doc_id, unnest(split(text, ' ')) AS word FROM documents WHERE doc_id < 50",
@@ -325,6 +417,19 @@ object SparkEntry {
       "SELECT user_id, event_id, CASE WHEN row_number() OVER w = 1 THEN true " +
         "ELSE event_type IS DISTINCT FROM lag(event_type) OVER w END AS h FROM events " +
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"),
+
+    gq("q_changed_col",
+      // CDC changed_col: value when changed vs previous event, else NULL;
+      // first event counts as a change (functions_analytical.go:58-76)
+      "SELECT user_id, event_id, changed_col(true, event_type) " +
+        "OVER (PARTITION BY user_id) AS chg FROM events " +
+        "WITH (TIMESTAMP='ts', TIEBREAK='event_id')",
+      // outer filter: the reference SUPPRESSES rows where no changed_col
+      // fired (omit-empty, stream/stream.go:551-567) — ours does too
+      "SELECT * FROM (SELECT user_id, event_id, CASE WHEN row_number() OVER w = 1 " +
+        "OR event_type IS DISTINCT FROM lag(event_type) OVER w " +
+        "THEN event_type END AS chg FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) WHERE chg IS NOT NULL"),
 
     gq("q_window_analytic_combo",
       // analytic across successive windows, auto-partitioned by group key

@@ -62,13 +62,15 @@ object Aggregates {
       // distinct values, first-seen order (functions_aggregation.go:900)
       case "deduplicate" => array_distinct(orderedValues)
 
-      // n-th value in window, 1-based (functions/functions_window.go:232)
+      // n-th value in window, 1-based; NULL when the window is shorter
+      // (functions/functions_window.go:232 — try_element_at: ANSI element_at
+      // raises on out-of-bounds)
       case "nth_value" =>
         val n = fc.args(1) match {
           case nl: NumberLit => nl.toLong.toInt
           case other => throw new IllegalArgumentException(s"nth_value index: $other")
         }
-        element_at(orderedValues, n)
+        try_element_at(orderedValues, lit(n))
 
       // Spark-first surface extensions
       case "count_distinct"        => count_distinct(a0)
