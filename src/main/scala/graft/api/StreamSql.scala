@@ -54,6 +54,17 @@ final class StreamSql(val spark: SparkSession) {
   def toMemory(df: DataFrame, name: String) = Sinks.toMemory(df, name)
   def printTable(df: DataFrame) = Sinks.printTable(df)
 
+  /** Back streaming state (windows, stateful ops, CEP buffers) with the
+    * RocksDB state store — bounded heap at 100k+ key scale, the Spark
+    * counterpart of the reference's partition-capacity story
+    * (README.md:21,187 — "100k+ device partitions in 128 MB"). Set before
+    * starting queries; per-query override via the same conf on the writer. */
+  def useRocksDBStateStore(): this.type = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    this
+  }
+
   /** One-line scalar UDF, immediately callable in dialect SQL — unknown
     * function names resolve through Spark's registry
     * (reference RegisterCustomFunction, functions/registry.go:238-258). */

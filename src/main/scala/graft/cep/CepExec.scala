@@ -110,10 +110,14 @@ object CepExec extends Serializable {
         Iterator.single(Row.fromSeq(vals.toIndexedSeq))
       }
 
+    // IDLETIMEOUT: processing-time flush of buffered runs on an idle key
+    // (reference: window/watermark.go:108-124)
+    val idleMs = q.options.get("IDLETIMEOUT")
+      .map(graft.sql.Durations.toMillis).getOrElse(0L)
     val out =
       if (df.isStreaming)
         CepStream.run(keyed, keyIdx, fieldNames, outSchema, mrLocal, symbolsLocal,
-          sortRows, tsOfRow, defineTestFor, emitMatch)
+          sortRows, tsOfRow, defineTestFor, emitMatch, idleMs)
       else keyed
         .groupByKey(r => r.getString(keyIdx))(Encoders.STRING)
         .flatMapGroups { (_, it) =>

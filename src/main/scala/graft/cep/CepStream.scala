@@ -38,10 +38,29 @@ object CepStream extends Serializable {
       tsOfRow: Map[String, Any] => Long,
       defineTest: (IndexedSeq[Map[String, Any]]) =>
         (String, Int, IndexedSeq[(Int, String)]) => Boolean,
-      emitMatch: (IndexedSeq[Map[String, Any]], Matcher.Match, Long) => Iterator[Row])
-      : DataFrame = {
+      emitMatch: (IndexedSeq[Map[String, Any]], Matcher.Match, Long) => Iterator[Row],
+      idleMs: Long = 0L): DataFrame = {
 
     val fn = (_: String, it: Iterator[Row], state: GroupState[KeyState]) => {
+      if (state.hasTimedOut) {
+        // IDLETIMEOUT (reference: window/watermark.go:108-124 — idle source
+        // advances the watermark on processing time): finalize the whole
+        // buffer, emit every match, advance the consumed horizon past it
+        val st = state.getOption.getOrElse(KeyState(Vector.empty, 0L, Long.MinValue))
+        val sorted = st.buffer
+        val matches = Matcher.findMatches(sorted, mr,
+          i => tsOfRow(sorted(i)), defineTest(sorted))
+        val out = matches.iterator.zipWithIndex.flatMap { case (m, i) =>
+          emitMatch(sorted, m, st.matchCount + i + 1)
+        }.toVector
+        val horizon =
+          if (sorted.isEmpty) st.horizonMs
+          else math.max(st.horizonMs, tsOfRow(sorted.last))
+        state.update(KeyState(Vector.empty, st.matchCount + matches.size, horizon))
+        // no re-arm: the buffer is drained, nothing left to flush — arming
+        // here would schedule timeout batches forever on a quiet stream
+        out.iterator
+      } else {
       val incoming = it.map(r =>
         fieldNames.zipWithIndex.map { case (n, i) => n -> r.get(i) }.toMap).toVector
       val st = state.getOption.getOrElse(KeyState(Vector.empty, 0L, Long.MinValue))
@@ -59,6 +78,7 @@ object CepStream extends Serializable {
       val safeEnd = sorted.lastIndexWhere(m => tsOfRow(m) + mr.withinMs < maxTs) + 1
       if (safeEnd <= 0) {
         state.update(st.copy(buffer = sorted))
+        if (idleMs > 0) state.setTimeoutDuration(idleMs)
         Iterator.empty
       } else {
         val all = Matcher.findMatches(sorted, mr,
@@ -81,13 +101,18 @@ object CepStream extends Serializable {
           else tsOfRow(sorted(consumedUpTo - 1))
         state.update(KeyState(remaining, st.matchCount + matches.size,
           math.max(st.horizonMs, newHorizon)))
+        if (idleMs > 0 && remaining.nonEmpty) state.setTimeoutDuration(idleMs)
         out.iterator
+      }
       }
     }
 
+    val timeout =
+      if (idleMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     keyed
       .groupByKey((r: Row) => r.getString(keyIdx))(Encoders.STRING)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)(
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(fn)(
         Encoders.kryo[KeyState], Encoders.row(outSchema))
   }
 }

@@ -287,14 +287,21 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
       case _ => false
     }
     // event-time + watermark (reference: WITH MAXOUTOFORDERNESS,
-    // window/watermark.go:32,63-179; Spark advances per micro-batch)
+    // window/watermark.go:32,63-179; Spark advances per micro-batch).
+    // ALLOWEDLATENESS (window/tumbling_window.go:48-53) extends the
+    // watermark delay: a late row within lateness is absorbed into its
+    // window, and an update-mode sink re-emits the accumulated result —
+    // results carry window_id() for sink-side replace, matching the
+    // reference's triggeredWindows re-emission
     def evtCol: Column = {
       if (isTimeWindow) {
         pre = pre.withColumn("__evt", needTs)
         if (isStream) {
           val ooo = q.options.get("MAXOUTOFORDERNESS")
             .map(Durations.toMillis).getOrElse(0L)
-          pre = pre.withWatermark("__evt", s"$ooo milliseconds")
+          val late = q.options.get("ALLOWEDLATENESS")
+            .map(Durations.toMillis).getOrElse(0L)
+          pre = pre.withWatermark("__evt", s"${ooo + late} milliseconds")
         }
       }
       col("__evt")

@@ -11,6 +11,9 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // rapid micro-batches (processing-time timeouts) can deadlock the
+      // 4.1 checksum checkpoint manager's await inside state commits
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

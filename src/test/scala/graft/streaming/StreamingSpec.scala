@@ -15,16 +15,24 @@ class StreamingSpec extends AnyFunSuite {
   import spark.implicits._
 
   private var viewN = 0
-  private def runStream(sql: String, rows: Seq[Ev], batches: Int = 1): org.apache.spark.sql.DataFrame = {
+  private def runStream(sql: String, rows: Seq[Ev], batches: Int = 1,
+      mode: String = "append", triggerMs: Long = 0L,
+      interBatch: () => Unit = () => ()): org.apache.spark.sql.DataFrame = {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
     val out = GraftEngine.sql(sql, Map("stream" -> mem.toDF()))
     viewN += 1
     val name = s"out$viewN"
-    val query = out.writeStream.format("memory").queryName(name)
-      .outputMode(if (out.isStreaming) "append" else "append").start()
+    var writer = out.writeStream.format("memory").queryName(name).outputMode(mode)
+    if (triggerMs > 0)
+      writer = writer.trigger(
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+    val query = writer.start()
     val per = math.max(1, rows.size / batches)
+    var first = true
     rows.grouped(per).foreach { chunk =>
+      if (!first) interBatch()
+      first = false
       mem.addData(chunk: _*)
       query.processAllAvailable()
     }
@@ -162,6 +170,76 @@ class StreamingSpec extends AnyFunSuite {
       rows, batches = 4)
     val got = out.collect().map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1)
     assert(got.toSeq == Seq((0L, 70.0), (15000L, 80.0)))
+  }
+
+  test("ALLOWEDLATENESS absorbs late rows and re-emits accumulating updates") {
+    // window [0,5s) triggers with cnt=2, then a late t=3s row arrives:
+    // within ALLOWEDLATENESS the row is absorbed and the window re-emits
+    // cnt=3 under the SAME window_id (sink-side replace key) — reference:
+    // window/tumbling_window.go:48-53, stream/processor_data.go:420-435
+    val rows = Seq(
+      Ev("d1", 1, 1000L, "a"), Ev("d1", 2, 2000L, "a"), Ev("d1", 3, 6000L, "a"),
+      Ev("d1", 4, 3000L, "a")) // late: below max seen ts, inside lateness
+    val out = runStream(
+      "SELECT count(*) AS c, window_id() AS wid FROM stream " +
+        "GROUP BY TumblingWindow('5s') " +
+        "WITH (TIMESTAMP='ts', TIMEUNIT='ms', MAXOUTOFORDERNESS='0s', ALLOWEDLATENESS='1m')",
+      rows, batches = 2, mode = "update")
+    val emits = out.collect().map(r => (r.getString(1), r.getLong(0))).toSeq
+    val w0 = emits.filter(_._1 == "0_5000")
+    assert(w0.contains(("0_5000", 2L)) && w0.contains(("0_5000", 3L)),
+      s"expected accumulating re-emit for window 0_5000, got $emits")
+  }
+
+  test("IDLETIMEOUT flushes buffered CEP matches on an idle key") {
+    // WITHIN '1h' means the horizon never finalizes from data alone; the
+    // 1s IDLETIMEOUT (processing-time watermark advance, reference:
+    // window/watermark.go:108-124) flushes d1's buffered match after the
+    // idle gap. NOTE: with a processing-time timeout armed the engine
+    // always "requires another batch", so processAllAvailable never
+    // returns — the test polls the sink instead.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = GraftEngine.sql(
+      "SELECT * FROM stream MATCH_RECOGNIZE ( PARTITION BY deviceId ORDER BY ts " +
+        "MEASURES MATCH_NUMBER() AS mn, LAST(A.temperature) AS peak ONE ROW PER MATCH " +
+        "PATTERN (A{2}) WITHIN '1h' DEFINE A AS temperature > 50 ) " +
+        "WITH (TIMESTAMP='ts', TIMEUNIT='ms', IDLETIMEOUT='1s')",
+      Map("stream" -> mem.toDF()))
+    val query = out.writeStream.format("memory").queryName("idleout")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(250L))
+      .start()
+    mem.addData(Ev("d1", 60, 0L, "a"), Ev("d1", 70, 1000L, "a"))
+    val deadline = System.currentTimeMillis() + 30000
+    var got: Seq[(String, Long, Double)] = Nil
+    while (got.isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(500)
+      got = spark.table("idleout").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    }
+    query.stop()
+    assert(got.contains(("d1", 1L, 70.0)), s"expected flushed d1 match, got $got")
+  }
+
+  test("streaming stateful ops run on the RocksDB state store") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    graft.api.StreamSql(spark).useRocksDBStateStore()
+    try {
+      val rows = Seq(
+        Ev("d1", 1, 1000, "a"), Ev("d1", 2, 2000, "a"),
+        Ev("d1", 3, 3000, "a"), Ev("d1", 4, 4000, "a"))
+      val out = runStream(
+        "SELECT deviceId, sum(temperature) AS s FROM stream " +
+          "GROUP BY deviceId, CountingWindow(2) WITH (TIMESTAMP='ts')",
+        rows, batches = 2)
+      assert(out.collect().map(_.getDouble(1)).sorted.toSeq == Seq(3.0, 7.0))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 
   test("per-batch ordered sink applies ORDER BY/LIMIT per emitted batch") {
