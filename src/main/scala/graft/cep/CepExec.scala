@@ -203,6 +203,29 @@ object CepExec extends Serializable {
       args.headOption.map(measureType(_, schema, symbols, subsets)).getOrElse(DoubleType)
     case FuncCall(n, args, _, _) if n.equalsIgnoreCase("coalesce") =>
       args.headOption.map(measureType(_, schema, symbols, subsets)).getOrElse(StringType)
+    case FuncCall(n, _, _, _) if Set("sqrt", "exp", "ln", "log", "log10", "log2",
+        "sign", "round", "power", "pow", "mod", "abs").contains(n.toLowerCase) =>
+      DoubleType
+    case FuncCall(n, _, _, _) if Set("floor", "ceil", "ceiling", "length",
+        "indexof").contains(n.toLowerCase) =>
+      LongType
+    case FuncCall(n, _, _, _) if Set("startswith", "endswith", "is_null",
+        "is_not_null", "is_numeric").contains(n.toLowerCase) =>
+      BooleanType
+    case FuncCall(n, args, _, _)
+        if Set("least", "greatest", "if_null", "ifnull", "null_if", "nullif")
+          .contains(n.toLowerCase) =>
+      args.headOption.map(measureType(_, schema, symbols, subsets)).getOrElse(StringType)
+    case FuncCall(n, args, _, _) if n.equalsIgnoreCase("cast") =>
+      args.lift(1) match {
+        case Some(StringLit(t)) => t.toLowerCase match {
+          case "int" | "int32" | "bigint" | "int64" | "long" => LongType
+          case "float" | "float64" | "double"                => DoubleType
+          case "bool" | "boolean"                            => BooleanType
+          case _                                             => StringType
+        }
+        case _ => StringType
+      }
     case Ident(segs) =>
       val colName =
         if (segs.size >= 2 && (symbols.contains(segs.head.name) || subsets.contains(segs.head.name)))

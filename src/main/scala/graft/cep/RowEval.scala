@@ -202,20 +202,120 @@ object RowEval {
         case "min"   => if (vals.isEmpty) null else vals.minBy(toDouble)
         case "max"   => if (vals.isEmpty) null else vals.maxBy(toDouble)
       }
-    case "abs" => eval(fc.args.head, ctx) match {
-      case null => null; case v => math.abs(toDouble(v))
-    }
+    case "abs" => num1(fc, ctx)(math.abs)
     case "coalesce" =>
       fc.args.iterator.map(eval(_, ctx)).find(_ != null).orNull
-    case "upper" => eval(fc.args.head, ctx) match {
-      case s: String => s.toUpperCase; case _ => null
+    case "upper" => str1(fc, ctx)(_.toUpperCase)
+    case "lower" => str1(fc, ctx)(_.toLowerCase)
+
+    // ---- math (same lowering as FunctionMap: ln natural, log base-10) ----
+    case "sqrt"  => num1(fc, ctx)(math.sqrt)
+    case "exp"   => num1(fc, ctx)(math.exp)
+    case "ln"    => num1(fc, ctx)(math.log)
+    case "log" | "log10" => num1(fc, ctx)(math.log10)
+    case "log2"  => num1(fc, ctx)(x => math.log(x) / math.log(2))
+    case "sign"  => num1(fc, ctx)(math.signum)
+    case "floor" => eval(fc.args.head, ctx) match {
+      case null => null; case v => math.floor(toDouble(v)).toLong
     }
-    case "lower" => eval(fc.args.head, ctx) match {
-      case s: String => s.toLowerCase; case _ => null
+    case "ceil" | "ceiling" => eval(fc.args.head, ctx) match {
+      case null => null; case v => math.ceil(toDouble(v)).toLong
     }
+    case "round" =>
+      val d = fc.args.lift(1).map(a => toDouble(eval(a, ctx)).toInt).getOrElse(0)
+      eval(fc.args.head, ctx) match {
+        case null => null
+        case v =>
+          BigDecimal(toDouble(v)).setScale(d, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    case "power" | "pow" => num2(fc, ctx)(math.pow)
+    case "mod" => num2(fc, ctx)((a, b) => a % b)
+    case "least" =>
+      val vs = fc.args.map(eval(_, ctx))
+      if (vs.exists(_ == null)) null else vs.minBy(toDouble)
+    case "greatest" =>
+      val vs = fc.args.map(eval(_, ctx))
+      if (vs.exists(_ == null)) null else vs.maxBy(toDouble)
+
+    // ---- string (dialect semantics: 0-based indexof/substring) ----
+    case "length" => str1(fc, ctx)(s => s.length.toLong)
+    case "trim"   => str1(fc, ctx)(_.trim)
+    case "ltrim"  => str1(fc, ctx)(_.replaceAll("^\\s+", ""))
+    case "rtrim"  => str1(fc, ctx)(_.replaceAll("\\s+$", ""))
+    case "concat" =>
+      val vs = fc.args.map(eval(_, ctx))
+      if (vs.exists(_ == null)) null else vs.map(_.toString).mkString
+    case "replace" =>
+      (eval(fc.args.head, ctx), eval(fc.args(1), ctx), eval(fc.args(2), ctx)) match {
+        case (s: String, f: String, t: String) => s.replace(f, t)
+        case _ => null
+      }
+    case "indexof" => // 0-based Go strings.Index (functions_string.go:271-289)
+      (eval(fc.args.head, ctx), eval(fc.args(1), ctx)) match {
+        case (s: String, sub: String) => s.indexOf(sub).toLong
+        case _ => null
+      }
+    case "substring" => // 0-based; negative start from end (functions_string.go:291-315)
+      eval(fc.args.head, ctx) match {
+        case s: String =>
+          val start = toDouble(eval(fc.args(1), ctx)).toInt
+          val from = if (start < 0) math.max(s.length + start, 0) else math.min(start, s.length)
+          val until = fc.args.lift(2)
+            .map(a => math.min(from + toDouble(eval(a, ctx)).toInt, s.length))
+            .getOrElse(s.length)
+          if (until <= from) "" else s.substring(from, until)
+        case _ => null
+      }
+    case "startswith" =>
+      (eval(fc.args.head, ctx), eval(fc.args(1), ctx)) match {
+        case (s: String, p: String) => s.startsWith(p); case _ => null
+      }
+    case "endswith" =>
+      (eval(fc.args.head, ctx), eval(fc.args(1), ctx)) match {
+        case (s: String, p: String) => s.endsWith(p); case _ => null
+      }
+
+    // ---- conditional / type predicates ----
+    case "if_null" | "ifnull" =>
+      eval(fc.args.head, ctx) match {
+        case null => eval(fc.args(1), ctx); case v => v
+      }
+    case "null_if" | "nullif" =>
+      val (a, b) = (eval(fc.args.head, ctx), eval(fc.args(1), ctx))
+      if (a != null && b != null && compare(a, b) == 0) null else a
+    case "is_null"     => eval(fc.args.head, ctx) == null
+    case "is_not_null" => eval(fc.args.head, ctx) != null
+    case "is_numeric"  => eval(fc.args.head, ctx) match {
+      case null => false
+      case n: Number => true
+      case s: String => !toDouble(s).isNaN
+      case _ => false
+    }
+    case "cast" =>
+      val v = eval(fc.args.head, ctx)
+      val tpe = fc.args(1) match { case StringLit(t) => t.toLowerCase; case _ => "string" }
+      if (v == null) null else tpe match {
+        case "int" | "int32" | "bigint" | "int64" | "long" => toDouble(v).toLong
+        case "float" | "float64" | "double"                => toDouble(v)
+        case "bool" | "boolean"                            => truthy(v)
+        case _                                             => v.toString
+      }
+
     case other =>
       throw new IllegalArgumentException(s"unsupported function in MATCH_RECOGNIZE: $other")
   }
+
+  private def num1(fc: FuncCall, ctx: Ctx)(f: Double => Double): Any =
+    eval(fc.args.head, ctx) match { case null => null; case v => f(toDouble(v)) }
+
+  private def num2(fc: FuncCall, ctx: Ctx)(f: (Double, Double) => Double): Any =
+    (eval(fc.args.head, ctx), eval(fc.args(1), ctx)) match {
+      case (null, _) | (_, null) => null
+      case (a, b) => f(toDouble(a), toDouble(b))
+    }
+
+  private def str1(fc: FuncCall, ctx: Ctx)(f: String => Any): Any =
+    eval(fc.args.head, ctx) match { case s: String => f(s); case _ => null }
 
   // ------------------------------------------------------------- helpers
 

@@ -20,6 +20,22 @@ class CepSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 70.0), (2L, 90.0)))
   }
 
+  test("scalar function library inside DEFINE and MEASURES") {
+    val df = Seq((1000L, 16.0, "warn"), (2000L, 25.0, "ERROR"), (3000L, 4.0, "ok"))
+      .toDF("ts", "v", "status")
+    val out = GraftEngine.sql(
+      "SELECT root, msg, pos, sub FROM stream MATCH_RECOGNIZE ( ORDER BY ts " +
+        "MEASURES round(sqrt(LAST(A.v)), 2) AS root, " +
+        "concat(upper(LAST(A.status)), '!') AS msg, " +
+        "indexof(LAST(A.status), 'RR') AS pos, " +
+        "substring(LAST(A.status), 0, 3) AS sub " +
+        "ONE ROW PER MATCH PATTERN (A) WITHIN '1h' " +
+        "DEFINE A AS sqrt(v) >= 4 AND startswith(lower(status), 'e') " +
+        ") ", df)
+      .collect().map(r => (r.getDouble(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq((5.0, "ERROR!", 1L, "ERR")))
+  }
+
   test("aggregate measures with span expression in outer select") {
     val df = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0), (5L, 5.0), (6L, 6.0))
       .toDF("ts", "v")
