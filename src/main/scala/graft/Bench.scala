@@ -61,11 +61,21 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // one untimed warm-up pass (JIT, codegen cache, OS page cache for the
+    // parquet inputs) — the timed pass then measures steady-state cost, the
+    // number that actually extrapolates to a long-running cluster
+    val qmap = SparkEntry.queries
+    ruleShapes.foreach { case (_, sql) =>
+      try timed(GraftEngine.sql(sql, tables)) catch { case _: Throwable => () }
+    }
+    headline.foreach { name =>
+      try timed(qmap(name)(spark, sfDir)) catch { case _: Throwable => () }
+    }
+
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     ruleShapes.foreach { case (name, sql) =>
       results(name) = try timed(GraftEngine.sql(sql, tables)) catch { case _: Throwable => -1.0 }
     }
-    val qmap = SparkEntry.queries
     headline.foreach { name =>
       results(name) =
         try timed(qmap(name)(spark, sfDir)) catch { case _: Throwable => -1.0 }
