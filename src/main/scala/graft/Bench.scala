@@ -81,7 +81,43 @@ object Bench {
         try timed(qmap(name)(spark, sfDir)) catch { case _: Throwable => -1.0 }
     }
 
+    // micro-batch latency for the rule shapes (BASELINE.md comparability
+    // note: the reference reports per-row push latency of an embedded
+    // engine; the Spark-comparable figure is per-micro-batch latency)
+    val latency = scala.collection.mutable.LinkedHashMap[String, Double]()
+    try {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.functions.{col, unix_millis}
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val feed = tables0("events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+          unix_millis(col("ts")).as("ts"))
+        .as[(Long, Long, String, Double, Long)].take(50000)
+      ruleShapes.foreach { case (name, sql) =>
+        val mem = MemoryStream[(Long, Long, String, Double, Long)]
+        val src = mem.toDF()
+          .toDF("event_id", "user_id", "event_type", "value", "ts")
+        val out = GraftEngine.sql(
+          sql.replace("WITH (TIMESTAMP='ts', TIEBREAK='event_id')",
+            "WITH (TIMESTAMP='ts', TIMEUNIT='ms', TIEBREAK='event_id')"),
+          Map("stream" -> src))
+        val q = out.writeStream.format("noop").outputMode("append").start()
+        feed.grouped(5000).foreach { chunk =>
+          mem.addData(chunk: _*)
+          q.processAllAvailable()
+        }
+        val durations = q.recentProgress.toList
+          .filter(_.numInputRows > 0).map(_.batchDuration.toDouble).sorted
+        q.stop()
+        if (durations.nonEmpty)
+          latency(name) = durations(durations.size / 2) // median ms per 5k-row batch
+      }
+    } catch { case _: Throwable => () }
+
     val qs = results.map { case (k, v) => s""""$k":${"%.4f".format(v)}""" }
+      .mkString("{", ",", "}")
+    val lat = latency.map { case (k, v) => s""""$k":${"%.1f".format(v)}""" }
       .mkString("{", ",", "}")
     val tput = ruleShapes.map { case (name, _) =>
       val s = results(name)
@@ -91,7 +127,8 @@ object Bench {
     val total = results.values.filter(_ > 0).sum
     println(
       s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,""" +
-        s""""rows_per_sec":$tput,"event_rows":$eventRows,"sf":"$sfDir"}""")
+        s""""rows_per_sec":$tput,"micro_batch_latency_ms_5k_rows":$lat,""" +
+        s""""event_rows":$eventRows,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
