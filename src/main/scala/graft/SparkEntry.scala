@@ -418,6 +418,34 @@ object SparkEntry {
         "ELSE event_type IS DISTINCT FROM lag(event_type) OVER w END AS h FROM events " +
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"),
 
+    gq("q_over_when",
+      // WHEN-gated analytic state (reference: stream/analytic.go:142-148):
+      // lag updates only at 'click' rows; other rows replay the last result
+      "SELECT user_id, event_id, lag(value) " +
+        "OVER (PARTITION BY user_id WHEN event_type = 'click') AS pv FROM events " +
+        "WITH (TIMESTAMP='ts', TIEBREAK='event_id')",
+      "WITH b AS (SELECT user_id, event_id, ts, " +
+        "CASE WHEN event_type = 'click' THEN value END AS x FROM events), " +
+        "c AS (SELECT *, last_value(x IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevg FROM b), " +
+        "d AS (SELECT *, CASE WHEN x IS NOT NULL THEN struct_pack(v := prevg) END AS resu FROM c) " +
+        "SELECT user_id, event_id, (last_value(resu IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)).v AS pv FROM d"),
+
+    gq("q_global_trigger",
+      // GLOBAL WINDOW fire-and-purge (reference: window/global_window.go:
+      // 197-253): count(*)>=3 fires at every 3rd row per key and purges, so
+      // the emitted aggregates equal complete 3-row blocks in event order
+      "SELECT user_id, count(*) AS cnt, round(sum(value), 2) AS sv FROM events " +
+        "GROUP BY user_id, GLOBAL WINDOW TRIGGER WHEN count(*) >= 3 " +
+        "WITH (TIMESTAMP='ts', TIEBREAK='event_id')",
+      "WITH r AS (SELECT user_id, value, " +
+        "CAST(floor((row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) / 3) AS BIGINT) AS wid " +
+        "FROM events) " +
+        "SELECT user_id, count(*) AS cnt, round(sum(value), 2) AS sv FROM r " +
+        "GROUP BY user_id, wid HAVING count(*) = 3"),
+
     gq("q_changed_col",
       // CDC changed_col: value when changed vs previous event, else NULL;
       // first event counts as a change (functions_analytical.go:58-76)

@@ -153,8 +153,8 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
         d = d.withColumn("__ord_ms", unix_millis(evts))
         val named = analyticCalls.distinct.zipWithIndex
           .map { case (c, i) => (c, s"__an_$i") }
-        (graft.streaming.StatefulOps.analytics(d, named, pNames, "__ord_ms"),
-          named.toMap)
+        (graft.streaming.StatefulOps.analytics(d, named, pNames, "__ord_ms",
+          tieName = q.options.get("TIEBREAK")), named.toMap)
       } else AnalyticsLowering.lower(
         df0, analyticCalls,
         e => ExprBuilder.build(e, directCtx(resolver)),
@@ -272,12 +272,14 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
         val d = pre.withColumn("__ord_ms", unix_millis(needTs))
         Some(graft.streaming.StatefulOps.countingWindow(
           d, keyNames, n, slots.toList, "__ord_ms",
-          ttlMs = q.options.get("STATETTL").map(Durations.toMillis).getOrElse(0L)))
+          ttlMs = q.options.get("STATETTL").map(Durations.toMillis).getOrElse(0L),
+          tieName = q.options.get("TIEBREAK")))
       case Some(GlobalWindow(Some(trig))) =>
         val d = pre.withColumn("__ord_ms", unix_millis(needTs))
         val trigRewritten = rewriteAggsToSlots(trig, slots.toMap)
         Some(graft.streaming.StatefulOps.globalWindow(
-          d, keyNames, slots.toList, trigRewritten, "__ord_ms"))
+          d, keyNames, slots.toList, trigRewritten, "__ord_ms",
+          tieName = q.options.get("TIEBREAK")))
       case _ => None
     }
 

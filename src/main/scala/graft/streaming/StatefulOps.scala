@@ -23,6 +23,18 @@ import graft.cep.RowEval
   */
 object StatefulOps extends Serializable {
 
+  /** Event order: epoch-ms order column, then the optional TIEBREAK column —
+    * ties at ms granularity must sort deterministically or per-key replays
+    * diverge between runs (reference orders by (timestamp, arrival)). */
+  private def ordLess(a: Map[String, Any], b: Map[String, Any],
+      ordName: String, tieName: Option[String]): Boolean = {
+    val ta = RowEval.toMillis(a(ordName)); val tb = RowEval.toMillis(b(ordName))
+    if (ta != tb) ta < tb
+    else tieName.exists(t =>
+      RowEval.compare(a.getOrElse(t, null), b.getOrElse(t, null)) < 0)
+  }
+
+
   // ------------------------------------------------------------ helpers
 
   private def rowToMap(names: Array[String], r: Row): Map[String, Any] =
@@ -88,7 +100,8 @@ object StatefulOps extends Serializable {
       n: Int,
       slots: List[(FuncCall, String)],
       ordName: String,
-      ttlMs: Long = 0L): DataFrame = {
+      ttlMs: Long = 0L,
+      tieName: Option[String] = None): DataFrame = {
 
     val schema = df.schema
     val names = schema.fieldNames
@@ -112,7 +125,7 @@ object StatefulOps extends Serializable {
     if (df.isStreaming) {
       val fn = (_: String, it: Iterator[Row], state: GroupState[Vector[Map[String, Any]]]) => {
         val incoming = it.map(r => rowToMap(names, r)).toVector
-          .sortBy(m => RowEval.toMillis(m(ordName)))
+          .sortWith(ordLess(_, _, ordName, tieName))
         var buf = state.getOption.getOrElse(Vector.empty) ++ incoming
         val out = Vector.newBuilder[Row]
         while (buf.size >= n) {
@@ -130,7 +143,7 @@ object StatefulOps extends Serializable {
     } else {
       grouped.flatMapGroups { (_, it) =>
         val rows = it.map(r => rowToMap(names, r)).toVector
-          .sortBy(m => RowEval.toMillis(m(ordName)))
+          .sortWith(ordLess(_, _, ordName, tieName))
         rows.grouped(n).filter(_.size == n).map(emit)
       }(Encoders.row(outSchema))
     }
@@ -150,7 +163,8 @@ object StatefulOps extends Serializable {
       keyNames: List[String],
       slots: List[(FuncCall, String)],
       trigger: SqlExpr,
-      ordName: String): DataFrame = {
+      ordName: String,
+      tieName: Option[String] = None): DataFrame = {
 
     val schema = df.schema
     val names = schema.fieldNames
@@ -212,7 +226,7 @@ object StatefulOps extends Serializable {
     if (df.isStreaming) {
       val fn = (_: String, it: Iterator[Row], state: GroupState[GState]) => {
         val rows = it.map(r => rowToMap(names, r)).toVector
-          .sortBy(m => RowEval.toMillis(m(ordName)))
+          .sortWith(ordLess(_, _, ordName, tieName))
         val (out, st) = process(state.getOption, rows)
         st.foreach(state.update)
         out.iterator
@@ -222,7 +236,7 @@ object StatefulOps extends Serializable {
     } else {
       grouped.flatMapGroups { (_, it) =>
         val rows = it.map(r => rowToMap(names, r)).toVector
-          .sortBy(m => RowEval.toMillis(m(ordName)))
+          .sortWith(ordLess(_, _, ordName, tieName))
         process(None, rows)._1.iterator
       }(Encoders.row(outSchema))
     }
@@ -250,7 +264,8 @@ object StatefulOps extends Serializable {
       df: DataFrame,
       calls: List[(FuncCall, String)],
       partitionNames: List[String],
-      ordName: String): DataFrame = {
+      ordName: String,
+      tieName: Option[String] = None): DataFrame = {
 
     val schema = df.schema
     val names = schema.fieldNames
@@ -354,7 +369,7 @@ object StatefulOps extends Serializable {
     if (df.isStreaming) {
       val fn = (_: String, it: Iterator[Row], state: GroupState[Map[String, AnState]]) => {
         val rows = it.map(r => rowToMap(names, r)).toVector
-          .sortBy(m => RowEval.toMillis(m(ordName)))
+          .sortWith(ordLess(_, _, ordName, tieName))
         val states = scala.collection.mutable.Map[String, AnState]() ++
           state.getOption.getOrElse(Map.empty)
         val out = processRows(states, rows).toVector
@@ -366,7 +381,7 @@ object StatefulOps extends Serializable {
     } else {
       grouped.flatMapGroups { (_, it) =>
         val rows = it.map(r => rowToMap(names, r)).toVector
-          .sortBy(m => RowEval.toMillis(m(ordName)))
+          .sortWith(ordLess(_, _, ordName, tieName))
         processRows(scala.collection.mutable.Map[String, AnState](), rows)
       }(Encoders.row(outSchema))
     }
