@@ -593,6 +593,24 @@ object SparkEntry {
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.sig, b.sig)) <= 10""".stripMargin.trim)),
 
+    // winnowed k-gram fingerprints (MOSS): md5-derived hashes → window
+    // minima → shared-count join; the oracle replays the same scheme in SQL
+    Q("q_winnow_pairs",
+      (s, dir) => operators.Dedup.winnowPairs(
+        Tables.load(s, dir)("documents"), k = 8, w = 16, minShared = 5),
+      Some("""
+        WITH nrm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s FROM documents),
+        g AS (SELECT doc_id, r.i, length(s) - 8 + 1 AS ng,
+                ('0x' || substr(md5(substr(s, r.i::INTEGER, 8)), 1, 15))::BIGINT AS h
+              FROM nrm CROSS JOIN range(1, 100001) r(i)
+              WHERE r.i <= length(s) - 8 + 1),
+        m AS (SELECT doc_id, i, ng, min(h) OVER (PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS mh FROM g),
+        f AS (SELECT DISTINCT doc_id, mh FROM m WHERE i <= greatest(1, ng - 16 + 1))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM f a JOIN f b ON a.mh = b.mh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 5""".stripMargin.trim)),
+
     // --- LLM-pipeline operators: similarity search ------------------------
     Q("q_embed_topk",
       (s, dir) => {

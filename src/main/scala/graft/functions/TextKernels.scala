@@ -177,6 +177,67 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  // ----------------------------------------------------- winnowing (MOSS)
+
+  /** Winnowed k-gram fingerprints (Schleimer/Wilkerson/Aiken winnowing):
+    * hash every character k-gram, slide a w-gram window, keep each window's
+    * minimum hash, dedupe. Shared-fingerprint counts between documents are
+    * the classic local-similarity / plagiarism signal. Hashes are
+    * md5-derived 60-bit values, so the DuckDB oracle reproduces them
+    * exactly. Returns the distinct fingerprint set sorted ascending. */
+  def winnowFingerprintsCol(normText: Column, k: Int, w: Int): Column =
+    GraftColumnBridge.column(
+      StaticInvoke(
+        TextKernels.getClass, ArrayType(LongType, containsNull = false),
+        "winnowFingerprints",
+        Seq(GraftColumnBridge.expression(normText), Literal(k), Literal(w)),
+        Seq(StringType, IntegerType, IntegerType),
+        returnNullable = false))
+
+  def winnowFingerprints(norm: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = norm.toString
+    val n = s.length
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val ng = n - k + 1
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hs = new Array[Long](ng)
+    var i = 0
+    while (i < ng) {
+      md.reset()
+      val d = md.digest(
+        s.substring(i, i + k).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex chars of the digest = 60 bits (same parse as
+      // portableHash60 / the oracle's ('0x'||substr(md5(g),1,15))::BIGINT)
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      v = (v << 4) | ((d(7) & 0xf0L) >>> 4)
+      hs(i) = v
+      i += 1
+    }
+    val out = new java.util.TreeSet[java.lang.Long]()
+    if (ng <= w) {
+      var m = hs(0); var p = 1
+      while (p < ng) { if (hs(p) < m) m = hs(p); p += 1 }
+      out.add(m)
+    } else {
+      // O(ng) sliding-window minima via monotonic deque
+      val deque = new java.util.ArrayDeque[Int]()
+      var j = 0
+      while (j < ng) {
+        while (!deque.isEmpty && hs(deque.peekLast) >= hs(j)) deque.pollLast()
+        deque.addLast(j)
+        if (deque.peekFirst <= j - w) deque.pollFirst()
+        if (j >= w - 1) out.add(hs(deque.peekFirst))
+        j += 1
+      }
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator(); var o = 0
+    while (it.hasNext) { arr(o) = it.next(); o += 1 }
+    new GenericArrayData(arr)
+  }
+
   // ------------------------------------------------------------- minhash
 
   /** MinHash band buckets in one pass: per shingle ONE xxhash64 of the

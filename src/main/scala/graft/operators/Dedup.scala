@@ -135,6 +135,31 @@ object Dedup {
     materializeAndRelease(out, sigs)
   }
 
+  /** Winnowed-fingerprint near-dup pairs (MOSS-style local similarity):
+    * per-doc winnowed k-gram fingerprint sets (one kernel pass, no
+    * shuffle), exploded and equi-joined on the fingerprint value — the
+    * shuffle key is the fingerprint, whose cardinality grows with the
+    * corpus, so the join scales out; no cartesian anywhere.
+    *
+    * @return (doc_a, doc_b, shared) — pairs sharing ≥ minShared fingerprints
+    */
+  def winnowPairs(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 8,
+      w: Int = 16,
+      minShared: Long = 5L): DataFrame = {
+    val fp = docs.select(col(idCol).as("id"),
+      explode(graft.functions.TextKernels.winnowFingerprintsCol(
+        TextOps.normalize(col(textCol)), k, w)).as("fp"))
+    fp.alias("a").join(fp.alias("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Exact n-gram Jaccard over a candidate blocking key (default: shared
     * fingerprint-band). For small corpora `blockCol = lit(1)` degenerates to
     * all-pairs — only for tests. */

@@ -51,4 +51,20 @@ class PlanShapeSpec extends AnyFunSuite {
         "ORDER BY l_extendedprice DESC LIMIT 10")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("MinHash LSH candidate join is an equi hash join, never a cartesian") {
+    val pairs = graft.operators.Dedup.minHashPairs(tables("documents"), threshold = 0.7)
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    pairs.unpersist()
+  }
+
+  test("text-analysis kernel stays in whole-stage codegen with one scan") {
+    val an = graft.operators.TextOps.analyze(tables("documents"))
+    val p = an.queryExecution.executedPlan.toString
+    assert(p.contains("*("), p) // codegen'd project over the kernel call
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Exchange"), p) // pure map-side — no shuffle
+  }
 }
