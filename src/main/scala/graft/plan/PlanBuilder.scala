@@ -265,8 +265,18 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
       case _ => ()
     }
 
+    // analytics over window results (reference: stream/stream.go:574-615,
+    // rsql/ast.go:142-205) — needed up-front: streaming tumbling windows
+    // with analytics route to a combined stateful operator
+    val windowAnalytics =
+      (q.items.map(_.expr) ++ q.having.toList).flatMap(ExprBuilder.collectAnalytics)
+
     // stateful paths: counting windows in streaming mode; GLOBAL WINDOW
-    // TRIGGER WHEN (fire-and-purge) in both modes
+    // TRIGGER WHEN (fire-and-purge) in both modes; tumbling windows with
+    // window-path analytics in streaming mode (Spark disallows a second
+    // stateful operator after a streaming aggregation, so one operator
+    // owns both the window buffers and the cross-window analytic state)
+    var statefulAnMap: Map[FuncCall, String] = Map.empty
     val statefulAgged: Option[DataFrame] = q.window match {
       case Some(CountingWindow(n, _)) if isStream =>
         val d = pre.withColumn("__ord_ms", unix_millis(needTs))
@@ -279,6 +289,22 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
         val trigRewritten = rewriteAggsToSlots(trig, slots.toMap)
         Some(graft.streaming.StatefulOps.globalWindow(
           d, keyNames, slots.toList, trigRewritten, "__ord_ms",
+          tieName = q.options.get("TIEBREAK")))
+      case Some(TumblingWindow(size)) if isStream && windowAnalytics.nonEmpty =>
+        val d = pre.withColumn("__ord_ms", unix_millis(needTs))
+        val oooMs = q.options.get("MAXOUTOFORDERNESS")
+          .map(Durations.toMillis).getOrElse(0L)
+        statefulAnMap = windowAnalytics.distinct.zipWithIndex
+          .map { case (c, i) => c -> s"__wan_$i" }.toMap
+        val anNamed = statefulAnMap.toList.map { case (c, n) =>
+          // aggregate args → slot idents so calls evaluate on window results
+          (c.copy(
+            args = c.args.map(rewriteAggsToSlots(_, slots.toMap)),
+            over = c.over.map(o => o.copy(
+              when = o.when.map(rewriteAggsToSlots(_, slots.toMap))))), n)
+        }
+        Some(graft.streaming.StatefulOps.tumblingWindowAnalytics(
+          d, keyNames, size, slots.toList, anNamed, "__ord_ms", oooMs,
           tieName = q.options.get("TIEBREAK")))
       case _ => None
     }
@@ -405,13 +431,12 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
       case Some(_: CountingWindow) => col("__wid")
       case _ => lit(1)
     }
-    val windowAnalytics =
-      (q.items.map(_.expr) ++ q.having.toList).flatMap(ExprBuilder.collectAnalytics)
-    if (isStream && windowAnalytics.nonEmpty)
+    if (isStream && windowAnalytics.nonEmpty && statefulAnMap.isEmpty)
       throw new UnsupportedOperationException(
-        "analytics over window results are batch-only for now")
+        "streaming analytics over window results require a tumbling window")
     val (agged2, anMap) =
       if (windowAnalytics.isEmpty) (agged, Map.empty[FuncCall, String])
+      else if (statefulAnMap.nonEmpty) (agged, statefulAnMap) // computed in-op
       else AnalyticsLowering.lower(
         agged, windowAnalytics,
         e => ExprBuilder.build(e, postCtx(Map.empty)),

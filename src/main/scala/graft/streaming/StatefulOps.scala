@@ -247,7 +247,7 @@ object StatefulOps extends Serializable {
   /** Analytic state per call (reference: stream/analytic.go state machines +
     * functions/functions_analytical.go). Serialized via kryo across
     * micro-batches. */
-  private final case class AnState(
+  private[streaming] final case class AnState(
       var lagBuf: Vector[Any] = Vector.empty,
       var latest: Any = null,
       var acc: RowAgg.Running = RowAgg.Running(),
@@ -255,6 +255,72 @@ object StatefulOps extends Serializable {
       var prevVals: Vector[Any] = Vector.empty,
       var seen: Boolean = false,
       var lastResult: Any = null)
+
+  /** One window-result or event row through one analytic state machine
+    * (WHEN gating replays the last result — stream/analytic.go:142-148).
+    * Shared by the direct-path analytics and the window-path analytics
+    * (tumblingWindowAnalytics). */
+  private def applyAnalytic(fc: FuncCall, st: AnState, m: Map[String, Any]): Any = {
+    val gate = fc.over.flatMap(_.when).forall(c => RowEval.truthy(evalOn(m, c)))
+    if (!gate) return st.lastResult
+    val res: Any = fc.lname match {
+      case "lag" =>
+        val nOff = fc.args.lift(1).collect { case n: NumberLit => n.toLong.toInt }.getOrElse(1)
+        val default = fc.args.lift(2).map(evalOn(m, _)).orNull
+        val ignoreNull = fc.args.lift(3).collect { case BoolLit(b) => b }.getOrElse(false)
+        val v = evalOn(m, fc.args.head)
+        val r = if (st.lagBuf.size >= nOff) st.lagBuf(st.lagBuf.size - nOff) else default
+        if (!ignoreNull || v != null) st.lagBuf = (st.lagBuf :+ v).takeRight(nOff)
+        r
+      case "latest" =>
+        val v = evalOn(m, fc.args.head)
+        if (v != null) st.latest = v
+        val default = fc.args.lift(1).map(evalOn(m, _)).orNull
+        if (st.latest != null) st.latest else default
+      case acc if acc.startsWith("acc_") =>
+        val startCond = fc.args.lift(1)
+        val resetCond = fc.args.lift(2)
+        resetCond.foreach { rc =>
+          if (RowEval.truthy(evalOn(m, rc))) st.acc = RowAgg.Running()
+        }
+        if (!st.started)
+          st.started = startCond.forall(sc => RowEval.truthy(evalOn(m, sc)))
+        if (st.started) st.acc.add(evalOn(m, fc.args.head))
+        val kind = acc.stripPrefix("acc_") match {
+          case "count" => "count"; case "sum" => "sum"; case "avg" => "avg"
+          case "min" => "min"; case "max" => "max"
+        }
+        if (!st.started) null else st.acc.result(kind)
+      case "had_changed" | "changed_col" =>
+        val (ignoreNull, colExprs) = fc.args match {
+          case BoolLit(b) :: rest if rest.nonEmpty => (b, rest)
+          case as => (true, as)
+        }
+        val vals = colExprs.map(evalOn(m, _)).toVector
+        val changed =
+          if (!st.seen) true
+          else vals.zip(st.prevVals).exists { case (v, p) =>
+            if (ignoreNull && v == null) false
+            else if (p == null) v != null
+            else v == null || RowEval.compare(v, p) != 0
+          }
+        // update state (nulls don't overwrite under ignoreNull)
+        val newPrev =
+          if (!st.seen) vals
+          else vals.zip(st.prevVals).map { case (v, p) =>
+            if (ignoreNull && v == null) p else v
+          }
+        st.prevVals = newPrev
+        st.seen = true
+        if (fc.lname == "had_changed") changed
+        else if (changed) vals.head else null
+      case other =>
+        throw new IllegalArgumentException(s"unsupported streaming analytic $other")
+    }
+    st.lastResult = res
+    res
+  }
+
 
   /** Streaming lowering of the direct-path analytics. All calls must share
     * one partition spec (the reference keeps independent per-call state;
@@ -289,68 +355,9 @@ object StatefulOps extends Serializable {
     val outSchema = StructType(schema.fields.toList ++
       calls.map { case (fc, n) => StructField(n, callType(fc), nullable = true) })
 
-    /** One event through one analytic state machine
-      * (WHEN gating replays the last result — stream/analytic.go:142-148). */
-    def apply1(fc: FuncCall, st: AnState, m: Map[String, Any]): Any = {
-      val gate = fc.over.flatMap(_.when).forall(c => RowEval.truthy(evalOn(m, c)))
-      if (!gate) return st.lastResult
-      val res: Any = fc.lname match {
-        case "lag" =>
-          val nOff = fc.args.lift(1).collect { case n: NumberLit => n.toLong.toInt }.getOrElse(1)
-          val default = fc.args.lift(2).map(evalOn(m, _)).orNull
-          val ignoreNull = fc.args.lift(3).collect { case BoolLit(b) => b }.getOrElse(false)
-          val v = evalOn(m, fc.args.head)
-          val r = if (st.lagBuf.size >= nOff) st.lagBuf(st.lagBuf.size - nOff) else default
-          if (!ignoreNull || v != null) st.lagBuf = (st.lagBuf :+ v).takeRight(nOff)
-          r
-        case "latest" =>
-          val v = evalOn(m, fc.args.head)
-          if (v != null) st.latest = v
-          val default = fc.args.lift(1).map(evalOn(m, _)).orNull
-          if (st.latest != null) st.latest else default
-        case acc if acc.startsWith("acc_") =>
-          val startCond = fc.args.lift(1)
-          val resetCond = fc.args.lift(2)
-          resetCond.foreach { rc =>
-            if (RowEval.truthy(evalOn(m, rc))) st.acc = RowAgg.Running()
-          }
-          if (!st.started)
-            st.started = startCond.forall(sc => RowEval.truthy(evalOn(m, sc)))
-          if (st.started) st.acc.add(evalOn(m, fc.args.head))
-          val kind = acc.stripPrefix("acc_") match {
-            case "count" => "count"; case "sum" => "sum"; case "avg" => "avg"
-            case "min" => "min"; case "max" => "max"
-          }
-          if (!st.started) null else st.acc.result(kind)
-        case "had_changed" | "changed_col" =>
-          val (ignoreNull, colExprs) = fc.args match {
-            case BoolLit(b) :: rest if rest.nonEmpty => (b, rest)
-            case as => (true, as)
-          }
-          val vals = colExprs.map(evalOn(m, _)).toVector
-          val changed =
-            if (!st.seen) true
-            else vals.zip(st.prevVals).exists { case (v, p) =>
-              if (ignoreNull && v == null) false
-              else if (p == null) v != null
-              else v == null || RowEval.compare(v, p) != 0
-            }
-          // update state (nulls don't overwrite under ignoreNull)
-          val newPrev =
-            if (!st.seen) vals
-            else vals.zip(st.prevVals).map { case (v, p) =>
-              if (ignoreNull && v == null) p else v
-            }
-          st.prevVals = newPrev
-          st.seen = true
-          if (fc.lname == "had_changed") changed
-          else if (changed) vals.head else null
-        case other =>
-          throw new IllegalArgumentException(s"unsupported streaming analytic $other")
-      }
-      st.lastResult = res
-      res
-    }
+    def apply1(fc: FuncCall, st: AnState, m: Map[String, Any]): Any =
+      applyAnalytic(fc, st, m)
+
 
     def processRows(states: scala.collection.mutable.Map[String, AnState],
         rows: Seq[Map[String, Any]]): Iterator[Row] =
@@ -383,6 +390,125 @@ object StatefulOps extends Serializable {
         val rows = it.map(r => rowToMap(names, r)).toVector
           .sortWith(ordLess(_, _, ordName, tieName))
         processRows(scala.collection.mutable.Map[String, AnState](), rows)
+      }(Encoders.row(outSchema))
+    }
+  }
+
+  // -------------------------- tumbling window + window-path analytics
+
+  /** Per-key state for [[tumblingWindowAnalytics]]: open window buffers,
+    * the key's max event time (its private watermark source), analytic
+    * state across finalized windows, and the finalized horizon. */
+  private[streaming] final case class TwState(
+      buffers: Map[Long, Vector[Map[String, Any]]],
+      maxTs: Long,
+      an: Map[String, AnState],
+      horizon: Long)
+
+  /** Streaming tumbling window WITH analytics across successive windows
+    * (reference: stream/stream.go:574-615 — window-path analytics keep
+    * state across window emissions, auto-partitioned by the GROUP BY keys).
+    *
+    * Spark disallows a second stateful operator after a streaming
+    * aggregation, so ONE `flatMapGroupsWithState` holds both the
+    * per-window row buffers and the cross-window analytic state. A window
+    * finalizes when the key's observed watermark (maxTs − oooMs) passes
+    * its end; finalization runs in start order, which is exactly the order
+    * the analytic state machines require. Late rows into finalized windows
+    * are dropped (the reference drops sub-watermark rows the same way).
+    *
+    * `anCalls` arrive with aggregate arguments already rewritten to slot
+    * idents, so they evaluate against the window-result row.
+    */
+  def tumblingWindowAnalytics(
+      df: DataFrame,
+      keyNames: List[String],
+      sizeMs: Long,
+      slots: List[(FuncCall, String)],
+      anCalls: List[(FuncCall, String)],
+      ordName: String,
+      oooMs: Long,
+      tieName: Option[String] = None): DataFrame = {
+
+    val schema = df.schema
+    val names = schema.fieldNames
+
+    val resultFields: List[StructField] =
+      keyNames.map(k => schema(k)) ++
+        slots.map { case (fc, sn) => StructField(sn, aggType(fc, schema), nullable = true) } ++
+        List(StructField("__wstart", LongType), StructField("__wend", LongType))
+    val resultSchema = StructType(resultFields)
+
+    def anType(fc: FuncCall): DataType = fc.lname match {
+      case "had_changed" => BooleanType
+      case "acc_count" => LongType
+      case acc if acc.startsWith("acc_") => DoubleType
+      case _ =>
+        fc.args.collectFirst {
+          case Ident(segs) if resultSchema.fieldNames.contains(segs.head.name) =>
+            resultSchema(segs.head.name).dataType
+        }.getOrElse(DoubleType)
+    }
+    val outSchema = StructType(resultFields ++
+      anCalls.map { case (fc, n) => StructField(n, anType(fc), nullable = true) })
+
+    def process(stIn: Option[TwState], incoming: Vector[Map[String, Any]],
+        closeAll: Boolean): (Vector[Row], TwState) = {
+      val st = stIn.getOrElse(TwState(Map.empty, Long.MinValue, Map.empty, Long.MinValue))
+      val batchMax =
+        if (incoming.isEmpty) Long.MinValue
+        else incoming.iterator.map(m => RowEval.toMillis(m(ordName))).max
+      val maxTs = math.max(st.maxTs, batchMax)
+      val wm = if (closeAll) Long.MaxValue else maxTs - oooMs
+
+      var bufs = st.buffers
+      incoming.foreach { m =>
+        val ws = math.floorDiv(RowEval.toMillis(m(ordName)), sizeMs) * sizeMs
+        if (ws >= st.horizon) // window not yet finalized
+          bufs = bufs.updated(ws, bufs.getOrElse(ws, Vector.empty) :+ m)
+      }
+
+      val states = scala.collection.mutable.Map[String, AnState]() ++ st.an
+      val out = Vector.newBuilder[Row]
+      var horizon = st.horizon
+      val toClose = bufs.keys.filter(ws => ws + sizeMs <= wm).toList.sorted
+      toClose.foreach { ws =>
+        val buf = bufs(ws).sortWith(ordLess(_, _, ordName, tieName))
+        val keyVals = keyNames.map(buf.head(_))
+        val resMap: Map[String, Any] =
+          keyNames.zip(keyVals).toMap ++
+            slots.map { case (fc, sn) => sn -> aggValue(fc, buf) }.toMap +
+            ("__wstart" -> ws) + ("__wend" -> (ws + sizeMs))
+        val anVals = anCalls.map { case (fc, n) =>
+          val s = states.getOrElseUpdate(n, AnState())
+          coerce(applyAnalytic(fc, s, resMap), outSchema(n).dataType)
+        }
+        out += Row.fromSeq(keyVals ++
+          slots.map { case (_, sn) => coerce(resMap(sn), resultSchema(sn).dataType) } ++
+          Seq(ws, ws + sizeMs) ++ anVals)
+        bufs -= ws
+        horizon = math.max(horizon, ws + sizeMs)
+      }
+      (out.result(), TwState(bufs, maxTs, states.toMap, horizon))
+    }
+
+    val keyIdx = keyNames.map(schema.fieldIndex)
+    val grouped = df.groupByKey(r =>
+      keyIdx.map(i => if (r.isNullAt(i)) "\u0000NULL" else String.valueOf(r.get(i))).mkString("\u001f"))(Encoders.STRING)
+
+    if (df.isStreaming) {
+      val fn = (_: String, it: Iterator[Row], state: GroupState[TwState]) => {
+        val rows = it.map(r => rowToMap(names, r)).toVector
+        val (out, st) = process(state.getOption, rows, closeAll = false)
+        state.update(st)
+        out.iterator
+      }
+      grouped.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)(
+        Encoders.kryo[TwState], Encoders.row(outSchema))
+    } else {
+      grouped.flatMapGroups { (_, it) =>
+        val rows = it.map(r => rowToMap(names, r)).toVector
+        process(None, rows, closeAll = true)._1.iterator
       }(Encoders.row(outSchema))
     }
   }

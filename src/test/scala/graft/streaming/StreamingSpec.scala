@@ -172,6 +172,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0L, 70.0), (15000L, 80.0)))
   }
 
+  test("streaming analytics across successive tumbling windows") {
+    // acc_sum over window averages, per key, across window emissions
+    // (reference: stream/stream.go:574-615 — window-path analytics); one
+    // stateful operator owns both window buffers and cross-window state
+    val rows = Seq(
+      Ev("d1", 10, 1000L, "a"), Ev("d1", 20, 2000L, "a"),   // w[0,5s): avg 15
+      Ev("d1", 30, 6000L, "a"), Ev("d1", 50, 7000L, "a"),   // w[5,10s): avg 40
+      Ev("d2", 5, 1500L, "a"),                              // d2 w[0,5s): avg 5
+      Ev("d1", 1, 20000L, "a"), Ev("d2", 1, 20000L, "a"))   // advance watermark
+    val out = runStream(
+      "SELECT deviceId, round(avg(temperature), 2) AS av, " +
+        "round(acc_sum(avg(temperature)), 2) AS running, window_start() AS ws " +
+        "FROM stream GROUP BY deviceId, TumblingWindow('5s') " +
+        "WITH (TIMESTAMP='ts', TIMEUNIT='ms')",
+      rows, batches = 3)
+    val got = out.collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getDouble(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq(
+      ("d1", 0L, 15.0, 15.0), ("d1", 5000L, 40.0, 55.0), ("d2", 0L, 5.0, 5.0)),
+      s"got $got")
+  }
+
   test("ALLOWEDLATENESS absorbs late rows and re-emits accumulating updates") {
     // window [0,5s) triggers with cnt=2, then a late t=3s row arrives:
     // within ALLOWEDLATENESS the row is absorbed and the window re-emits
