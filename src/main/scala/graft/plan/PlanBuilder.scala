@@ -290,7 +290,13 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
         Some(graft.streaming.StatefulOps.globalWindow(
           d, keyNames, slots.toList, trigRewritten, "__ord_ms",
           tieName = q.options.get("TIEBREAK")))
-      case Some(TumblingWindow(size)) if isStream && windowAnalytics.nonEmpty =>
+      case Some(w @ (_: TumblingWindow | _: SlidingWindow))
+          if isStream && windowAnalytics.nonEmpty =>
+        val (size, slide) = w match {
+          case TumblingWindow(s)    => (s, s)
+          case SlidingWindow(s, sl) => (s, sl)
+          case _                    => throw new MatchError(w)
+        }
         val d = pre.withColumn("__ord_ms", unix_millis(needTs))
         val oooMs = q.options.get("MAXOUTOFORDERNESS")
           .map(Durations.toMillis).getOrElse(0L)
@@ -305,7 +311,7 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
         }
         Some(graft.streaming.StatefulOps.tumblingWindowAnalytics(
           d, keyNames, size, slots.toList, anNamed, "__ord_ms", oooMs,
-          tieName = q.options.get("TIEBREAK")))
+          tieName = q.options.get("TIEBREAK"), slideMs = slide))
       case _ => None
     }
 

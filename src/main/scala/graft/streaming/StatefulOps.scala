@@ -428,7 +428,9 @@ object StatefulOps extends Serializable {
       anCalls: List[(FuncCall, String)],
       ordName: String,
       oooMs: Long,
-      tieName: Option[String] = None): DataFrame = {
+      tieName: Option[String] = None,
+      slideMs: Long = 0L): DataFrame = {
+    val slide = if (slideMs > 0) slideMs else sizeMs
 
     val schema = df.schema
     val names = schema.fieldNames
@@ -463,9 +465,14 @@ object StatefulOps extends Serializable {
 
       var bufs = st.buffers
       incoming.foreach { m =>
-        val ws = math.floorDiv(RowEval.toMillis(m(ordName)), sizeMs) * sizeMs
-        if (ws >= st.horizon) // window not yet finalized
-          bufs = bufs.updated(ws, bufs.getOrElse(ws, Vector.empty) :+ m)
+        val ts = RowEval.toMillis(m(ordName))
+        // every window [ws, ws+size) with ws ≡ 0 (mod slide) containing ts
+        var ws = math.floorDiv(ts, slide) * slide
+        while (ws + sizeMs > ts) {
+          if (ws >= st.horizon) // window not yet finalized
+            bufs = bufs.updated(ws, bufs.getOrElse(ws, Vector.empty) :+ m)
+          ws -= slide
+        }
       }
 
       val states = scala.collection.mutable.Map[String, AnState]() ++ st.an
@@ -487,7 +494,7 @@ object StatefulOps extends Serializable {
           slots.map { case (_, sn) => coerce(resMap(sn), resultSchema(sn).dataType) } ++
           Seq(ws, ws + sizeMs) ++ anVals)
         bufs -= ws
-        horizon = math.max(horizon, ws + sizeMs)
+        horizon = math.max(horizon, ws + slide)
       }
       (out.result(), TwState(bufs, maxTs, states.toMap, horizon))
     }

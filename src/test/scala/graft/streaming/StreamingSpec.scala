@@ -195,6 +195,24 @@ class StreamingSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("streaming analytics across sliding windows") {
+    // lag of the window count across overlapping 10s/5s windows per key
+    val rows = Seq(
+      Ev("d1", 1, 1000L, "a"), Ev("d1", 2, 6000L, "a"), Ev("d1", 3, 11000L, "a"),
+      Ev("d1", 9, 60000L, "a")) // advance watermark
+    val out = runStream(
+      "SELECT deviceId, count(*) AS c, lag(count(*)) AS prevc, window_start() AS ws " +
+        "FROM stream GROUP BY deviceId, SlidingWindow('10s', '5s') " +
+        "WITH (TIMESTAMP='ts', TIMEUNIT='ms')",
+      rows, batches = 2)
+    val got = out.collect()
+      .map(r => (r.getLong(3), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sortBy(_._1).toSeq
+    // windows: [-5,5):1 row, [0,10):2, [5,15):2, [10,20):1 — lag chains them
+    assert(got == Seq((-5000L, 1L, -1L), (0L, 2L, 1L), (5000L, 2L, 2L), (10000L, 1L, 2L)),
+      s"got $got")
+  }
+
   test("ALLOWEDLATENESS absorbs late rows and re-emits accumulating updates") {
     // window [0,5s) triggers with cnt=2, then a late t=3s row arrives:
     // within ALLOWEDLATENESS the row is absorbed and the window re-emits
