@@ -263,6 +263,15 @@ object SparkEntry {
         "CASE WHEN trim(props) LIKE '{%' THEN 'object' ELSE 'other' END AS jt " +
         "FROM events WHERE event_id < 500"),
 
+    gq("q_json_format_funcs",
+      "SELECT event_id, json_length(props) AS jl, format(value / 3, '0.00') AS fv, " +
+        "date_parse(date_format(ts, 'yyyy-MM-dd HH:mm:ss')) AS rt " +
+        "FROM events WHERE event_id < 350",
+      "SELECT event_id, CAST(len(json_keys(props)) AS INTEGER) AS jl, " +
+        "printf('%.2f', value / 3) AS fv, " +
+        "strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS rt " +
+        "FROM events WHERE event_id < 350"),
+
     gq("q_hash_conv_funcs",
       "SELECT p_partkey, md5(p_name) AS h1, sha256(p_brand) AS h2, " +
         "dec2hex(p_partkey) AS hx, hex2dec(dec2hex(p_partkey)) AS rt, " +
