@@ -497,6 +497,40 @@ object SparkEntry {
               FROM i GROUP BY user_id, grp, floor(idx / 3) HAVING count(*) = 3)
         SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY t0) AS mn, lastv, t0 FROM t""".stripMargin.trim),
 
+    gq("q_cep_skip_next",
+      // AFTER MATCH SKIP TO NEXT ROW → overlapping matches: every position
+      // in a >50-run that still has 2 successors starts a match
+      "SELECT * FROM events MATCH_RECOGNIZE ( PARTITION BY user_id ORDER BY ts " +
+        "MEASURES MATCH_NUMBER() AS mn, FIRST(A.ts) - 0 AS t0, LAST(A.value) AS lastv " +
+        "ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW PATTERN (A{3}) WITHIN '60d' " +
+        "DEFINE A AS value > 50 )",
+      """
+        WITH s AS (SELECT user_id, ts, value, row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn FROM events),
+        q AS (SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY ts) AS grp FROM s WHERE value > 50),
+        i AS (SELECT *, row_number() OVER (PARTITION BY user_id, grp ORDER BY ts) - 1 AS idx,
+               count(*) OVER (PARTITION BY user_id, grp) AS glen FROM q),
+        m AS (SELECT a.user_id AS user_id, epoch_ms(a.ts) AS t0, c.value AS lastv
+              FROM i a JOIN i c ON a.user_id = c.user_id AND a.grp = c.grp AND c.idx = a.idx + 2
+              WHERE a.idx <= a.glen - 3)
+        SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY t0) AS mn, t0, lastv FROM m""".stripMargin.trim),
+
+    gq("q_cep_all_rows",
+      // ALL ROWS PER MATCH emits every matched row with its measures
+      "SELECT user_id, value, mn, cls FROM events MATCH_RECOGNIZE ( " +
+        "PARTITION BY user_id ORDER BY ts " +
+        "MEASURES MATCH_NUMBER() AS mn, CLASSIFIER() AS cls ALL ROWS PER MATCH " +
+        "PATTERN (A{3}) WITHIN '60d' DEFINE A AS value > 50 )",
+      """
+        WITH s AS (SELECT user_id, ts, value, row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn FROM events),
+        q AS (SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY ts) AS grp FROM s WHERE value > 50),
+        i AS (SELECT *, row_number() OVER (PARTITION BY user_id, grp ORDER BY ts) - 1 AS idx FROM q),
+        t AS (SELECT user_id, grp, CAST(floor(idx / 3) AS BIGINT) AS trip, min(ts) AS t0
+              FROM i GROUP BY user_id, grp, floor(idx / 3) HAVING count(*) = 3),
+        n AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY t0) AS mn FROM t)
+        SELECT i.user_id AS user_id, i.value AS value, n.mn AS mn, 'A' AS cls
+        FROM i JOIN n ON i.user_id = n.user_id AND i.grp = n.grp
+          AND CAST(floor(i.idx / 3) AS BIGINT) = n.trip""".stripMargin.trim),
+
     // --- LLM-pipeline operators: text analysis ----------------------------
     gq("q_doc_stats",
       "SELECT lang, source, count(*) AS cnt, round(avg(n_chars), 4) AS avg_chars, " +
