@@ -277,13 +277,26 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
     // stateful operator after a streaming aggregation, so one operator
     // owns both the window buffers and the cross-window analytic state)
     var statefulAnMap: Map[FuncCall, String] = Map.empty
+    // window-path analytic calls with aggregate args rewritten to slot
+    // idents, so they evaluate against the stateful op's window-result row
+    def statefulAnNamed(): List[(FuncCall, String)] = {
+      statefulAnMap = windowAnalytics.distinct.zipWithIndex
+        .map { case (c, i) => c -> s"__wan_$i" }.toMap
+      statefulAnMap.toList.map { case (c, n) =>
+        (c.copy(
+          args = c.args.map(rewriteAggsToSlots(_, slots.toMap)),
+          over = c.over.map(o => o.copy(
+            when = o.when.map(rewriteAggsToSlots(_, slots.toMap))))), n)
+      }
+    }
     val statefulAgged: Option[DataFrame] = q.window match {
       case Some(CountingWindow(n, _)) if isStream =>
         val d = pre.withColumn("__ord_ms", unix_millis(needTs))
         Some(graft.streaming.StatefulOps.countingWindow(
           d, keyNames, n, slots.toList, "__ord_ms",
           ttlMs = q.options.get("STATETTL").map(Durations.toMillis).getOrElse(0L),
-          tieName = q.options.get("TIEBREAK")))
+          tieName = q.options.get("TIEBREAK"),
+          anCalls = if (windowAnalytics.isEmpty) Nil else statefulAnNamed()))
       case Some(GlobalWindow(Some(trig))) =>
         val d = pre.withColumn("__ord_ms", unix_millis(needTs))
         val trigRewritten = rewriteAggsToSlots(trig, slots.toMap)
@@ -300,17 +313,8 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
         val d = pre.withColumn("__ord_ms", unix_millis(needTs))
         val oooMs = q.options.get("MAXOUTOFORDERNESS")
           .map(Durations.toMillis).getOrElse(0L)
-        statefulAnMap = windowAnalytics.distinct.zipWithIndex
-          .map { case (c, i) => c -> s"__wan_$i" }.toMap
-        val anNamed = statefulAnMap.toList.map { case (c, n) =>
-          // aggregate args → slot idents so calls evaluate on window results
-          (c.copy(
-            args = c.args.map(rewriteAggsToSlots(_, slots.toMap)),
-            over = c.over.map(o => o.copy(
-              when = o.when.map(rewriteAggsToSlots(_, slots.toMap))))), n)
-        }
         Some(graft.streaming.StatefulOps.tumblingWindowAnalytics(
-          d, keyNames, size, slots.toList, anNamed, "__ord_ms", oooMs,
+          d, keyNames, size, slots.toList, statefulAnNamed(), "__ord_ms", oooMs,
           tieName = q.options.get("TIEBREAK"), slideMs = slide))
       case _ => None
     }
@@ -439,7 +443,8 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
     }
     if (isStream && windowAnalytics.nonEmpty && statefulAnMap.isEmpty)
       throw new UnsupportedOperationException(
-        "streaming analytics over window results require a tumbling window")
+        "streaming analytics over window results require a tumbling, " +
+          "sliding, or counting window")
     val (agged2, anMap) =
       if (windowAnalytics.isEmpty) (agged, Map.empty[FuncCall, String])
       else if (statefulAnMap.nonEmpty) (agged, statefulAnMap) // computed in-op

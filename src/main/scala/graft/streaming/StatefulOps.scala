@@ -101,50 +101,82 @@ object StatefulOps extends Serializable {
       slots: List[(FuncCall, String)],
       ordName: String,
       ttlMs: Long = 0L,
-      tieName: Option[String] = None): DataFrame = {
+      tieName: Option[String] = None,
+      anCalls: List[(FuncCall, String)] = Nil): DataFrame = {
 
     val schema = df.schema
     val names = schema.fieldNames
-    val outSchema = StructType(
+    val resultFields =
       keyNames.map(k => schema(k)) ++
         slots.map { case (fc, sn) => StructField(sn, aggType(fc, schema), nullable = true) } ++
-        List(StructField("__wstart", LongType), StructField("__wend", LongType)))
+        List(StructField("__wstart", LongType), StructField("__wend", LongType))
+    val resultSchema = StructType(resultFields)
+    def anType(fc: FuncCall): DataType = fc.lname match {
+      case "had_changed" => BooleanType
+      case "acc_count" => LongType
+      case acc if acc.startsWith("acc_") => DoubleType
+      case _ =>
+        fc.args.collectFirst {
+          case Ident(segs) if resultSchema.fieldNames.contains(segs.head.name) =>
+            resultSchema(segs.head.name).dataType
+        }.getOrElse(DoubleType)
+    }
+    val outSchema = StructType(resultFields ++
+      anCalls.map { case (fc, an) => StructField(an, anType(fc), nullable = true) })
 
-    def emit(buf: Seq[Map[String, Any]]): Row = {
+    // analytics across successive windows share per-key state (reference:
+    // stream/stream.go:574-615); counting windows fire in event order per
+    // key, so applying them at emit time matches the reference's order
+    def emit(buf: Seq[Map[String, Any]],
+        states: scala.collection.mutable.Map[String, AnState]): Row = {
       val keyVals = keyNames.map(buf.head(_))
-      val slotVals = slots.map { case (fc, _) => coerce(aggValue(fc, buf), aggType(fc, schema)) }
       val ws = RowEval.toMillis(buf.head(ordName))
       val we = RowEval.toMillis(buf.last(ordName))
-      Row.fromSeq(keyVals ++ slotVals ++ Seq(ws, we))
+      val resMap: Map[String, Any] =
+        keyNames.zip(keyVals).toMap ++
+          slots.map { case (fc, sn) => sn -> aggValue(fc, buf) }.toMap +
+          ("__wstart" -> ws) + ("__wend" -> we)
+      val anVals = anCalls.map { case (fc, an) =>
+        val st = states.getOrElseUpdate(an, AnState())
+        coerce(applyAnalytic(fc, st, resMap), outSchema(an).dataType)
+      }
+      Row.fromSeq(keyVals ++
+        slots.map { case (_, sn) => coerce(resMap(sn), resultSchema(sn).dataType) } ++
+        Seq(ws, we) ++ anVals)
     }
 
     val keyIdx = keyNames.map(schema.fieldIndex)
     val grouped = df.groupByKey(r =>
       keyIdx.map(i => if (r.isNullAt(i)) "\u0000NULL" else String.valueOf(r.get(i))).mkString("\u001f"))(Encoders.STRING)
 
+    type CState = (Vector[Map[String, Any]], Map[String, AnState])
     if (df.isStreaming) {
-      val fn = (_: String, it: Iterator[Row], state: GroupState[Vector[Map[String, Any]]]) => {
+      val fn = (_: String, it: Iterator[Row], state: GroupState[CState]) => {
         val incoming = it.map(r => rowToMap(names, r)).toVector
           .sortWith(ordLess(_, _, ordName, tieName))
-        var buf = state.getOption.getOrElse(Vector.empty) ++ incoming
+        val st = state.getOption.getOrElse((Vector.empty[Map[String, Any]], Map.empty[String, AnState]))
+        var buf = st._1 ++ incoming
+        val states = scala.collection.mutable.Map[String, AnState]() ++ st._2
         val out = Vector.newBuilder[Row]
         while (buf.size >= n) {
-          out += emit(buf.take(n))
+          out += emit(buf.take(n), states)
           buf = buf.drop(n)
         }
-        if (buf.isEmpty) state.remove() else state.update(buf)
+        if (buf.isEmpty && states.isEmpty) state.remove()
+        else state.update((buf, states.toMap))
         if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
         out.result().iterator
       }
       val timeout =
         if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
       grouped.flatMapGroupsWithState(OutputMode.Append, timeout)(fn)(
-        Encoders.kryo[Vector[Map[String, Any]]], Encoders.row(outSchema))
+        Encoders.kryo[CState], Encoders.row(outSchema))
     } else {
       grouped.flatMapGroups { (_, it) =>
         val rows = it.map(r => rowToMap(names, r)).toVector
           .sortWith(ordLess(_, _, ordName, tieName))
-        rows.grouped(n).filter(_.size == n).map(emit)
+        val states = scala.collection.mutable.Map[String, AnState]()
+        rows.grouped(n).filter(_.size == n).map(emit(_, states))
       }(Encoders.row(outSchema))
     }
   }

@@ -195,6 +195,22 @@ class StreamingSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("streaming analytics across counting windows (combo shape)") {
+    // the q_window_analytic_combo shape: acc_sum of window averages,
+    // CountingWindow per key — streaming now matches the batch lowering
+    val rows = Seq(
+      Ev("d1", 10, 1000L, "a"), Ev("d1", 20, 2000L, "a"),
+      Ev("d1", 30, 3000L, "a"), Ev("d1", 50, 4000L, "a"),
+      Ev("d1", 99, 5000L, "a")) // partial window: held back
+    val out = runStream(
+      "SELECT deviceId, round(avg(temperature), 2) AS av, " +
+        "round(acc_sum(avg(temperature)), 2) AS running FROM stream " +
+        "GROUP BY deviceId, CountingWindow(2) WITH (TIMESTAMP='ts', TIMEUNIT='ms')",
+      rows, batches = 2)
+    val got = out.collect().map(r => (r.getDouble(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(got == Seq((15.0, 15.0), (40.0, 55.0)), s"got $got")
+  }
+
   test("streaming analytics across sliding windows") {
     // lag of the window count across overlapping 10s/5s windows per key
     val rows = Seq(
