@@ -316,6 +316,13 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
         Some(graft.streaming.StatefulOps.tumblingWindowAnalytics(
           d, keyNames, size, slots.toList, statefulAnNamed(), "__ord_ms", oooMs,
           tieName = q.options.get("TIEBREAK"), slideMs = slide))
+      case Some(SessionWindow(gap)) if isStream && windowAnalytics.nonEmpty =>
+        val d = pre.withColumn("__ord_ms", unix_millis(needTs))
+        val oooMs = q.options.get("MAXOUTOFORDERNESS")
+          .map(Durations.toMillis).getOrElse(0L)
+        Some(graft.streaming.StatefulOps.sessionWindowAnalytics(
+          d, keyNames, gap, slots.toList, statefulAnNamed(), "__ord_ms", oooMs,
+          tieName = q.options.get("TIEBREAK")))
       case _ => None
     }
 
@@ -444,7 +451,7 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
     if (isStream && windowAnalytics.nonEmpty && statefulAnMap.isEmpty)
       throw new UnsupportedOperationException(
         "streaming analytics over window results require a tumbling, " +
-          "sliding, or counting window")
+          "sliding, session, or counting window")
     val (agged2, anMap) =
       if (windowAnalytics.isEmpty) (agged, Map.empty[FuncCall, String])
       else if (statefulAnMap.nonEmpty) (agged, statefulAnMap) // computed in-op

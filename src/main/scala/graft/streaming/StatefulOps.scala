@@ -23,6 +23,9 @@ import graft.cep.RowEval
   */
 object StatefulOps extends Serializable {
 
+  private val KEYNULL = "\u0000NULL" // null-key sentinel
+  private val KEYSEP = "\u001f"      // unambiguous key-tuple separator
+
   /** Event order: epoch-ms order column, then the optional TIEBREAK column —
     * ties at ms granularity must sort deterministically or per-key replays
     * diverge between runs (reference orders by (timestamp, arrival)). */
@@ -427,6 +430,114 @@ object StatefulOps extends Serializable {
   }
 
   // -------------------------- tumbling window + window-path analytics
+
+  /** Per-key state for [[sessionWindowAnalytics]]. */
+  final case class SessState(
+      sessions: Vector[(Long, Long, Vector[Map[String, Any]])], // (start, lastTs, rows)
+      maxTs: Long,
+      an: Map[String, AnState],
+      horizon: Long)
+
+  /** Streaming session windows WITH analytics across successive sessions
+    * (reference: window/session_window.go + stream/stream.go:574-615).
+    * Sessions merge on gap overlap and finalize once the key's observed
+    * watermark (maxTs − oooMs) passes lastTs + gap — no future row can
+    * join a session whose gap horizon the watermark passed. Finalization
+    * runs in start order; rows older than the finalized horizon drop. */
+  def sessionWindowAnalytics(
+      df: DataFrame,
+      keyNames: List[String],
+      gapMs: Long,
+      slots: List[(FuncCall, String)],
+      anCalls: List[(FuncCall, String)],
+      ordName: String,
+      oooMs: Long,
+      tieName: Option[String] = None): DataFrame = {
+
+    val schema = df.schema
+    val names = schema.fieldNames
+    val resultFields =
+      keyNames.map(k => schema(k)) ++
+        slots.map { case (fc, sn) => StructField(sn, aggType(fc, schema), nullable = true) } ++
+        List(StructField("__wstart", LongType), StructField("__wend", LongType))
+    val resultSchema = StructType(resultFields)
+    def anType(fc: FuncCall): DataType = fc.lname match {
+      case "had_changed" => BooleanType
+      case "acc_count" => LongType
+      case acc if acc.startsWith("acc_") => DoubleType
+      case _ =>
+        fc.args.collectFirst {
+          case Ident(segs) if resultSchema.fieldNames.contains(segs.head.name) =>
+            resultSchema(segs.head.name).dataType
+        }.getOrElse(DoubleType)
+    }
+    val outSchema = StructType(resultFields ++
+      anCalls.map { case (fc, an) => StructField(an, anType(fc), nullable = true) })
+
+    def process(stIn: Option[SessState], incoming: Vector[Map[String, Any]],
+        closeAll: Boolean): (Vector[Row], SessState) = {
+      val st = stIn.getOrElse(SessState(Vector.empty, Long.MinValue, Map.empty, Long.MinValue))
+      var sessions = st.sessions
+      var maxTs = st.maxTs
+      incoming.foreach { m =>
+        val ts = RowEval.toMillis(m(ordName))
+        maxTs = math.max(maxTs, ts)
+        if (ts >= st.horizon) {
+          // absorb into every overlapping session, then merge the chain
+          val (overlap, rest) = sessions.partition { case (s0, e0, _) =>
+            ts >= s0 - gapMs && ts < e0 + gapMs }
+          val merged =
+            if (overlap.isEmpty) (ts, ts, Vector(m))
+            else ((overlap.map(_._1) :+ ts).min, (overlap.map(_._2) :+ ts).max,
+              overlap.flatMap(_._3) :+ m)
+          sessions = (rest :+ merged).sortBy(_._1)
+        }
+      }
+      val wm = if (closeAll) Long.MaxValue else maxTs - oooMs
+      val states = scala.collection.mutable.Map[String, AnState]() ++ st.an
+      val out = Vector.newBuilder[Row]
+      var horizon = st.horizon
+      val (toClose, open) = sessions.partition { case (_, e0, _) => e0 + gapMs <= wm }
+      toClose.sortBy(_._1).foreach { case (s0, e0, rows) =>
+        val buf = rows.sortWith(ordLess(_, _, ordName, tieName))
+        val keyVals = keyNames.map(buf.head(_))
+        val we = e0 + gapMs
+        val resMap: Map[String, Any] =
+          keyNames.zip(keyVals).toMap ++
+            slots.map { case (fc, sn) => sn -> aggValue(fc, buf) }.toMap +
+            ("__wstart" -> s0) + ("__wend" -> we)
+        val anVals = anCalls.map { case (fc, an) =>
+          val ast = states.getOrElseUpdate(an, AnState())
+          coerce(applyAnalytic(fc, ast, resMap), outSchema(an).dataType)
+        }
+        out += Row.fromSeq(keyVals ++
+          slots.map { case (_, sn) => coerce(resMap(sn), resultSchema(sn).dataType) } ++
+          Seq(s0, we) ++ anVals)
+        horizon = math.max(horizon, we)
+      }
+      (out.result(), SessState(open, maxTs, states.toMap, horizon))
+    }
+
+    val keyIdx = keyNames.map(schema.fieldIndex)
+    val grouped = df.groupByKey(r =>
+      keyIdx.map(i => if (r.isNullAt(i)) KEYNULL else String.valueOf(r.get(i))).mkString(KEYSEP))(Encoders.STRING)
+
+    if (df.isStreaming) {
+      val fn = (_: String, it: Iterator[Row], state: GroupState[SessState]) => {
+        val rows = it.map(r => rowToMap(names, r)).toVector
+        val (out, stOut) = process(state.getOption, rows, closeAll = false)
+        state.update(stOut)
+        out.iterator
+      }
+      grouped.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)(
+        Encoders.kryo[SessState], Encoders.row(outSchema))
+    } else {
+      grouped.flatMapGroups { (_, it) =>
+        val rows = it.map(r => rowToMap(names, r)).toVector
+        process(None, rows, closeAll = true)._1.iterator
+      }(Encoders.row(outSchema))
+    }
+  }
 
   /** Per-key state for [[tumblingWindowAnalytics]]: open window buffers,
     * the key's max event time (its private watermark source), analytic

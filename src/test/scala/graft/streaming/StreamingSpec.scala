@@ -211,6 +211,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq((15.0, 15.0), (40.0, 55.0)), s"got $got")
   }
 
+  test("streaming analytics across session windows") {
+    // sessions (gap 5s): [1s,2s] and [10s,12s] per key; acc_count chains
+    // across finalized sessions in start order
+    val rows = Seq(
+      Ev("d1", 1, 1000L, "a"), Ev("d1", 2, 2000L, "a"),
+      Ev("d1", 3, 10000L, "a"), Ev("d1", 4, 12000L, "a"),
+      Ev("d1", 9, 60000L, "a")) // advances the key's watermark
+    val out = runStream(
+      "SELECT deviceId, count(*) AS c, acc_sum(count(*)) AS total, " +
+        "window_start() AS ws FROM stream " +
+        "GROUP BY deviceId, SessionWindow('5s') WITH (TIMESTAMP='ts', TIMEUNIT='ms')",
+      rows, batches = 2)
+    val got = out.collect()
+      .map(r => (r.getLong(3), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(got == Seq((1000L, 2L, 2.0), (10000L, 2L, 4.0)), s"got $got")
+  }
+
   test("streaming analytics across sliding windows") {
     // lag of the window count across overlapping 10s/5s windows per key
     val rows = Seq(
