@@ -304,7 +304,8 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
           d, keyNames, slots.toList, trigRewritten, "__ord_ms",
           tieName = q.options.get("TIEBREAK")))
       case Some(w @ (_: TumblingWindow | _: SlidingWindow))
-          if isStream && windowAnalytics.nonEmpty =>
+          if isStream &&
+            (windowAnalytics.nonEmpty || q.options.contains("IDLETIMEOUT")) =>
         val (size, slide) = w match {
           case TumblingWindow(s)    => (s, s)
           case SlidingWindow(s, sl) => (s, sl)
@@ -315,14 +316,17 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
           .map(Durations.toMillis).getOrElse(0L)
         Some(graft.streaming.StatefulOps.tumblingWindowAnalytics(
           d, keyNames, size, slots.toList, statefulAnNamed(), "__ord_ms", oooMs,
-          tieName = q.options.get("TIEBREAK"), slideMs = slide))
-      case Some(SessionWindow(gap)) if isStream && windowAnalytics.nonEmpty =>
+          tieName = q.options.get("TIEBREAK"), slideMs = slide,
+          idleMs = q.options.get("IDLETIMEOUT").map(Durations.toMillis).getOrElse(0L)))
+      case Some(SessionWindow(gap)) if isStream &&
+          (windowAnalytics.nonEmpty || q.options.contains("IDLETIMEOUT")) =>
         val d = pre.withColumn("__ord_ms", unix_millis(needTs))
         val oooMs = q.options.get("MAXOUTOFORDERNESS")
           .map(Durations.toMillis).getOrElse(0L)
         Some(graft.streaming.StatefulOps.sessionWindowAnalytics(
           d, keyNames, gap, slots.toList, statefulAnNamed(), "__ord_ms", oooMs,
-          tieName = q.options.get("TIEBREAK")))
+          tieName = q.options.get("TIEBREAK"),
+          idleMs = q.options.get("IDLETIMEOUT").map(Durations.toMillis).getOrElse(0L)))
       case _ => None
     }
 

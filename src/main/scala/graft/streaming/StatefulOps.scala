@@ -452,7 +452,8 @@ object StatefulOps extends Serializable {
       anCalls: List[(FuncCall, String)],
       ordName: String,
       oooMs: Long,
-      tieName: Option[String] = None): DataFrame = {
+      tieName: Option[String] = None,
+      idleMs: Long = 0L): DataFrame = {
 
     val schema = df.schema
     val names = schema.fieldNames
@@ -524,12 +525,19 @@ object StatefulOps extends Serializable {
 
     if (df.isStreaming) {
       val fn = (_: String, it: Iterator[Row], state: GroupState[SessState]) => {
-        val rows = it.map(r => rowToMap(names, r)).toVector
-        val (out, stOut) = process(state.getOption, rows, closeAll = false)
+        val rows =
+          if (state.hasTimedOut) Vector.empty
+          else it.map(r => rowToMap(names, r)).toVector
+        val (out, stOut) = process(state.getOption, rows,
+          closeAll = state.hasTimedOut)
         state.update(stOut)
+        if (idleMs > 0 && stOut.sessions.nonEmpty) state.setTimeoutDuration(idleMs)
         out.iterator
       }
-      grouped.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)(
+      val timeout =
+        if (idleMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout
+      grouped.flatMapGroupsWithState(OutputMode.Append, timeout)(fn)(
         Encoders.kryo[SessState], Encoders.row(outSchema))
     } else {
       grouped.flatMapGroups { (_, it) =>
@@ -572,7 +580,8 @@ object StatefulOps extends Serializable {
       ordName: String,
       oooMs: Long,
       tieName: Option[String] = None,
-      slideMs: Long = 0L): DataFrame = {
+      slideMs: Long = 0L,
+      idleMs: Long = 0L): DataFrame = {
     val slide = if (slideMs > 0) slideMs else sizeMs
 
     val schema = df.schema
@@ -648,12 +657,21 @@ object StatefulOps extends Serializable {
 
     if (df.isStreaming) {
       val fn = (_: String, it: Iterator[Row], state: GroupState[TwState]) => {
-        val rows = it.map(r => rowToMap(names, r)).toVector
-        val (out, st) = process(state.getOption, rows, closeAll = false)
+        // IDLETIMEOUT (reference: window/watermark.go:108-124): an idle key
+        // flushes all open windows on processing time; no re-arm afterwards
+        val rows =
+          if (state.hasTimedOut) Vector.empty
+          else it.map(r => rowToMap(names, r)).toVector
+        val (out, st) = process(state.getOption, rows,
+          closeAll = state.hasTimedOut)
         state.update(st)
+        if (idleMs > 0 && st.buffers.nonEmpty) state.setTimeoutDuration(idleMs)
         out.iterator
       }
-      grouped.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)(
+      val timeout =
+        if (idleMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout
+      grouped.flatMapGroupsWithState(OutputMode.Append, timeout)(fn)(
         Encoders.kryo[TwState], Encoders.row(outSchema))
     } else {
       grouped.flatMapGroups { (_, it) =>

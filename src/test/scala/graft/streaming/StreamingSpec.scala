@@ -246,6 +246,57 @@ class StreamingSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("IDLETIMEOUT flushes open tumbling windows on an idle key") {
+    // no later row ever advances the key's watermark — only the 1s idle
+    // flush closes the [0,5s) window (poll the sink: processAllAvailable
+    // never returns while a processing-time timeout is armed)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = GraftEngine.sql(
+      "SELECT deviceId, count(*) AS c, acc_count(count(*)) AS n FROM stream " +
+        "GROUP BY deviceId, TumblingWindow('5s') " +
+        "WITH (TIMESTAMP='ts', TIMEUNIT='ms', IDLETIMEOUT='1s')",
+      Map("stream" -> mem.toDF()))
+    val q = out.writeStream.format("memory").queryName("idlewin")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(250L))
+      .start()
+    mem.addData(Ev("d1", 1, 1000L, "a"), Ev("d1", 2, 2000L, "a"))
+    val deadline = System.currentTimeMillis() + 30000
+    var got: Seq[(Long, Long)] = Nil
+    while (got.isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(500)
+      got = spark.table("idlewin").collect()
+        .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    }
+    q.stop()
+    assert(got == Seq((2L, 1L)), s"expected idle-flushed window, got $got")
+  }
+
+  test("IDLETIMEOUT works on plain windows without analytics") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = GraftEngine.sql(
+      "SELECT deviceId, round(sum(temperature), 2) AS s, window_start() AS ws " +
+        "FROM stream GROUP BY deviceId, TumblingWindow('5s') " +
+        "WITH (TIMESTAMP='ts', TIMEUNIT='ms', IDLETIMEOUT='1s')",
+      Map("stream" -> mem.toDF()))
+    val q = out.writeStream.format("memory").queryName("idleplain")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(250L))
+      .start()
+    mem.addData(Ev("d1", 1.5, 1000L, "a"), Ev("d1", 2.5, 2000L, "a"))
+    val deadline = System.currentTimeMillis() + 30000
+    var got: Seq[(Double, Long)] = Nil
+    while (got.isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(500)
+      got = spark.table("idleplain").collect()
+        .map(r => (r.getDouble(1), r.getLong(2))).toSeq
+    }
+    q.stop()
+    assert(got == Seq((4.0, 0L)), s"expected idle-flushed window, got $got")
+  }
+
   test("ALLOWEDLATENESS absorbs late rows and re-emits accumulating updates") {
     // window [0,5s) triggers with cnt=2, then a late t=3s row arrives:
     // within ALLOWEDLATENESS the row is absorbed and the window re-emits
