@@ -29,7 +29,18 @@ object Multimodal {
       sha: String,
       // decoded feature vector — stub: seeded, deterministic in content
       features: Array[Float],
-      frames_sampled: Int)
+      frames_sampled: Int,
+      resized_w: Int,
+      resized_h: Int)
+
+  /** Resize stub: target box fit preserving aspect ratio — the metadata
+    * arithmetic is real; a codec-backed version would also rescale pixels. */
+  private[operators] def fitBox(w: Int, h: Int, maxSide: Int): (Int, Int) = {
+    if (w <= 0 || h <= 0) (0, 0)
+    else if (w <= maxSide && h <= maxSide) (w, h)
+    else if (w >= h) (maxSide, math.max(1, math.round(h.toDouble * maxSide / w).toInt))
+    else (math.max(1, math.round(w.toDouble * maxSide / h).toInt), maxSide)
+  }
 
   /** STUB decode: deterministic 8-dim "feature vector" derived from content
     * bytes. A real implementation would decode pixels/samples here; the
@@ -60,11 +71,12 @@ object Multimodal {
     * work scales with input partitioning — repartition upstream to size
     * batches for executor memory. */
   def extractFeatures(media: Dataset[MediaRow], frameSize: Int = 4096,
-      everyNth: Int = 10): Dataset[MediaFeatures] = {
+      everyNth: Int = 10, resizeMaxSide: Int = 224): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // real impl: init decoder/codec once per partition here
       rows.map { r =>
+        val (rw, rh) = fitBox(r.width, r.height, resizeMaxSide)
         MediaFeatures(
           media_id = r.media_id,
           kind = r.kind,
@@ -73,7 +85,9 @@ object Multimodal {
             .digest(r.bytes).map("%02x".format(_)).mkString,
           features = decodeStub(r.bytes),
           frames_sampled =
-            if (r.kind == "video") sampleFrames(r.bytes, frameSize, everyNth) else 1)
+            if (r.kind == "video") sampleFrames(r.bytes, frameSize, everyNth) else 1,
+          resized_w = rw,
+          resized_h = rh)
       }
     }
   }

@@ -102,6 +102,52 @@ object Similarity {
     Dedup.materializeAndRelease(out, sigs)
   }
 
+  /** IVF top-k: quantize the corpus into `nlist` cells around deterministic
+    * seeded centroids (k-means would refine them; seeded directions are
+    * enough for a recall/latency trade-off and keep the operator
+    * reproducible), then search only the query's `nprobe` nearest cells.
+    * The inverted-list shape is the scale path when the corpus is huge and
+    * queries are many: the corpus shuffles ONCE on cell id, each query
+    * joins against nprobe cells instead of the full corpus.
+    *
+    * Output: (query_id, vec_id, sim, rank) — rank 1..k per query. */
+  def topKIvf(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      queryIdCol: String = "query_id",
+      seed: Long = 42L): DataFrame = {
+    val dims = corpus.select(size(col(vecCol))).first().getInt(0)
+    // deterministic centroid directions; cosine-based assignment only needs
+    // directions, not magnitudes
+    val cents = hyperplanes(nlist, dims, seed)
+
+    def cellSims(vec: Column): Column = // array of (cell, dot) structs, sorted desc
+      sort_array(
+        array(cents.zipWithIndex.map { case (c, i) =>
+          struct(dot(vec, array(c.map(lit): _*)).as("d"), lit(i).as("cell"))
+        }: _*), asc = false)
+
+    val assigned = corpus.select(col(idCol), col(vecCol).as("__cv"),
+      cellSims(col(vecCol))(0).getField("cell").as("__cell"))
+    val probed = queries.select(col(queryIdCol), col(vecCol).as("__qv"),
+        explode(slice(transform(cellSims(col(vecCol)), x => x.getField("cell")),
+          1, nprobe)).as("__cell"))
+
+    val cand = assigned.join(probed, Seq("__cell"))
+      .filter(col(idCol) =!= col(queryIdCol))
+      .dropDuplicates(queryIdCol, idCol)
+      .withColumn("sim", round(cosine(col("__cv"), col("__qv")), 6))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+  }
+
   /** IVF-style bucketed ANN top-k: assign corpus + queries to their nearest
     * LSH bucket family and search only matching buckets — the scale path
     * when queries are many (no broadcast of the whole corpus). Recall < 1

@@ -96,6 +96,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall > 0.3, s"ANN recall $recall") // 64-dim random vectors: weak but nonzero
   }
 
+  test("IVF ANN recall@10 improves with nprobe and reaches brute force at full probe") {
+    val queries = emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+    val exact = Similarity.topK(emb, queries, k = 10)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(nprobe: Int): Double = {
+      val approx = Similarity.topKIvf(emb, queries, k = 10, nlist = 16, nprobe = nprobe)
+        .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val r4 = recallAt(4)
+    assert(r4 > 0.2, s"IVF recall@nprobe=4 $r4")
+    assert(recallAt(16) == 1.0, "full probe must equal brute force")
+  }
+
   test("multimodal feature extraction is deterministic and typed") {
     val f1 = Multimodal.featureTable(spark, docs).orderBy("media_id").collect()
     val f2 = Multimodal.featureTable(spark, docs).orderBy("media_id").collect()
