@@ -60,6 +60,36 @@ object SparkEntry {
       SELECT query_id, vec_id, sim, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 10""".trim
   }
 
+  /** DuckDB replica of [[operators.Similarity.topKIvf]] (nlist=16, nprobe=4,
+    * seed=42): centroid directions inlined as literals; cell assignment and
+    * probe ranking replayed with the same (dot DESC, cell DESC) tie order
+    * Spark's sort_array uses on (d, cell) structs. */
+  private lazy val annIvfOracleSql: String = {
+    val cents = operators.Similarity.hyperplanes(16, 64, 42L)
+    val rows = cents.zipWithIndex
+      .map { case (c, i) => s"($i, [${c.mkString(", ")}]::DOUBLE[])" }
+      .mkString(",\n          ")
+    s"""
+      WITH cents(cell, w) AS (VALUES $rows),
+      a AS (SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_inner_product(e.embedding::DOUBLE[], c.w) DESC, c.cell DESC) AS rk
+          FROM embeddings e CROSS JOIN cents c) WHERE rk = 1),
+      p AS (SELECT vec_id AS query_id, cell FROM (
+          SELECT q.vec_id, c.cell, row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY list_inner_product(q.embedding::DOUBLE[], c.w) DESC, c.cell DESC) AS rk
+          FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 5) WHERE rk <= 4),
+      cand AS (SELECT p.query_id, a.vec_id,
+          round(list_inner_product(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+            (sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) *
+             sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6) AS sim
+        FROM p JOIN a ON p.cell = a.cell AND a.vec_id <> p.query_id
+        JOIN embeddings c ON c.vec_id = a.vec_id
+        JOIN embeddings q ON q.vec_id = p.query_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank FROM cand)
+      SELECT query_id, vec_id, sim, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 10""".trim
+  }
+
   // ----------------------------------------------------------------- queries
 
   private lazy val defs: List[Q] = List(
@@ -703,6 +733,16 @@ object SparkEntry {
           .withColumnRenamed("vec_id", "query_id")
         operators.Similarity.topKBucketed(emb, queries, k = 10)
       }, Some(annLshOracleSql)),
+
+    // IVF with deterministic centroids — oracle replays cell assignment,
+    // probe selection, and candidate ranking from inlined literals
+    Q("q_embed_ivf",
+      (s, dir) => {
+        val emb = Tables.load(s, dir)("embeddings")
+        val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+          .withColumnRenamed("vec_id", "query_id")
+        operators.Similarity.topKIvf(emb, queries, k = 10, nlist = 16, nprobe = 4)
+      }, Some(annIvfOracleSql)),
 
     // --- LLM-pipeline operators: multimodal plumbing ----------------------
     Q("q_multimodal_features",
