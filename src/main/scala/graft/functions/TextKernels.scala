@@ -77,11 +77,13 @@ object TextKernels {
     var tokens = 0; var inToken = false
     var nstop = 0; var wordStart = -1
     var zh = 0
+    var firstNonSpace = -1; var lastNonSpace = -1
     var i = 0
     while (i < len) {
       val c = str.charAt(i)
       val cp = str.codePointAt(i)
       n += 1
+      if (c != ' ') { if (firstNonSpace < 0) firstNonSpace = i; lastNonSpace = i }
       if (isWs(c)) nwsp += 1
       else {
         if (isPunct(c)) npunct += 1
@@ -100,6 +102,16 @@ object TextKernels {
       i += Character.charCount(cp)
     }
     if (wordStart >= 0 && isStopword(str, wordStart, len)) nstop += 1
+
+    // exact legacy token_count semantics: size(split(trim(text), "\s+")).
+    // trim strips ONLY spaces and Spark split keeps boundary empty fields,
+    // so a non-space whitespace char at either trimmed edge contributes an
+    // empty token (e.g. "  \t\n " → ["",""] → 2)
+    if (firstNonSpace < 0) tokens = 0 // all spaces / empty
+    else {
+      if (isWs(str.charAt(firstNonSpace))) tokens += 1
+      if (isWs(str.charAt(lastNonSpace))) tokens += 1
+    }
 
     // language markers: non-overlapping ' word ' scan over ' '+lower+' '
     // (the trailing space of a hit is CONSUMED, matching regexp_count)

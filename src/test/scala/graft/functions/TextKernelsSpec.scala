@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Pins the single-pass kernels to the regex formulation they replaced —
+  * the DuckDB oracles assume the two are bit-identical, so any divergence
+  * on edge shapes (empty, whitespace-only, CJK, punctuation-heavy, mixed
+  * scripts) is a correctness bug, not a style difference. */
+class TextKernelsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val edgeCases = Seq(
+    "",
+    " ",
+    "   \t\n  ",
+    "a",
+    "the",
+    "the the the and of it",
+    "word",
+    "hello, world! the-quick_brown fox99 jumps.",
+    "你好世界 中文 测试",
+    "mixed 中文 and english the of",
+    "punct!!! ??? ... ;;; :::",
+    "  leading and trailing  ",
+    "der die das und ist nicht mit le la les",
+    "el los las es en que por",
+    "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+    "supercalifragilisticexpialidocious",
+    "UPPER CASE THE AND OF IT",
+    "tabs\tand\nnewlines\rthe end")
+
+  test("textStats kernel matches the per-signal regex formulation") {
+    val df = edgeCases.toDF("text")
+    val t = col("text")
+    val words = when(length(trim(t)) === 0, lit(0)).otherwise(size(split(trim(t), "\\s+")))
+    val regexSide = df.select(
+      t.as("text"),
+      words.as("tc"),
+      length(t).as("n"),
+      length(regexp_replace(t, "[^\\p{Punct}]", "")).as("npunct"),
+      length(regexp_replace(t, "[^A-Za-z]", "")).as("nalpha"),
+      length(regexp_replace(t, "\\s+", "")).as("nws"),
+      regexp_count(lower(t), lit("\\b(the|and|of|to|is|in|that|it)\\b")).as("nstop"),
+      regexp_count(concat(lit(" "), lower(t), lit(" ")),
+        lit(" (the|and|is|of|to|that|with) ")).as("en"),
+      regexp_count(concat(lit(" "), lower(t), lit(" ")),
+        lit(" (der|die|das|und|ist|nicht|mit) ")).as("de"),
+      regexp_count(concat(lit(" "), lower(t), lit(" ")),
+        lit(" (le|la|les|et|est|dans|pour) ")).as("fr"),
+      regexp_count(concat(lit(" "), lower(t), lit(" ")),
+        lit(" (el|los|las|es|en|que|por) ")).as("es"),
+      length(regexp_replace(t, "[^\\x{4e00}-\\x{9fff}]", "")).as("zh")
+    ).collect().map(r => r.getString(0) ->
+      (1 until 12).map(i => r.getAs[Number](i).intValue()).toList).toMap
+
+    val kernelSide = df.select(t.as("text"), TextKernels.textStatsCol(t).as("st"))
+      .select(col("text"), col("st.*"))
+      .collect().map(r => r.getString(0) ->
+        (1 until 12).map(i => r.getAs[Number](i).intValue()).toList).toMap
+
+    edgeCases.foreach { s =>
+      // kernel field order: token_count n npunct nalpha nws nstop en de fr es zh
+      // regex field order:  tc          n npunct nalpha nws nstop en de fr es zh
+      assert(kernelSide(s) == regexSide(s),
+        s"mismatch for '${s.take(40)}': kernel=${kernelSide(s)} regex=${regexSide(s)}")
+    }
+  }
+
+  test("shingles kernel matches the transform/slice/array_join formulation") {
+    val df = edgeCases.toDF("text")
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val wordsArr = split(norm, " ")
+    val k = size(wordsArr) - lit(2)
+    val legacy = df.select(col("text"),
+      when(k <= 0, array(norm)).otherwise(
+        array_distinct(transform(sequence(lit(0), k - 1),
+          i => array_join(slice(wordsArr, i + 1, lit(3)), " ")))).as("sh"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    val kernel = df.select(col("text"),
+      TextKernels.shinglesCol(norm, 3).as("sh"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    edgeCases.foreach { s =>
+      assert(kernel(s) == legacy(s), s"shingles mismatch for '${s.take(40)}'")
+    }
+  }
+
+  test("winnow fingerprints on degenerate inputs") {
+    val out = Seq("", "short", "exactly8", "a bit longer text")
+      .toDF("text")
+      .select(col("text"), TextKernels.winnowFingerprintsCol(col("text"), 8, 16).as("fp"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).size).toMap
+    assert(out("") == 0)        // no 8-gram
+    assert(out("short") == 0)   // shorter than k
+    assert(out("exactly8") == 1) // one gram, one window
+    assert(out("a bit longer text") >= 1)
+  }
+
+  test("url_encode/url_decode round-trip through the dialect registry") {
+    val out = graft.GraftEngine.sql(
+      "SELECT url_decode(url_encode(s)) AS rt, url_encode(s) AS enc FROM stream",
+      Seq("a b&c=d/e?f").toDF("s"))
+      .collect().head
+    assert(out.getString(0) == "a b&c=d/e?f")
+    assert(!out.getString(1).contains(" "))
+  }
+}
