@@ -375,6 +375,23 @@ object SparkEntry {
         "['the', 'and', 'of']))), '|'), '') AS its " +
         "FROM documents WHERE doc_id < 120"),
 
+    gq("q_misc_funcs",
+      // dialect log is base-10 (functions_math.go:419-436); bit ops on keys
+      "SELECT l_orderkey, l_linenumber, round(log(l_quantity), 6) AS lg10, " +
+        "round(log2(l_quantity), 6) AS lg2, " +
+        "bitand(l_orderkey, 255) AS ba, bitor(l_linenumber, 8) AS bo, " +
+        "bitxor(l_orderkey, l_linenumber) AS bx, bitnot(l_linenumber) AS bn, " +
+        "regexp_substring(cast(l_shipdate, 'string'), '[0-9]{4}') AS rs, " +
+        "from_unixtime(l_orderkey + 1000000) AS fu " +
+        "FROM lineitem WHERE l_partkey < 60",
+      "SELECT l_orderkey, l_linenumber, round(log(l_quantity), 6) AS lg10, " +
+        "round(log2(l_quantity), 6) AS lg2, " +
+        "l_orderkey & 255 AS ba, CAST(l_linenumber | 8 AS INTEGER) AS bo, " +
+        "xor(l_orderkey, l_linenumber) AS bx, CAST(~l_linenumber AS INTEGER) AS bn, " +
+        "regexp_extract(l_shipdate::VARCHAR, '[0-9]{4}') AS rs, " +
+        "strftime(to_timestamp(l_orderkey + 1000000), '%Y-%m-%d %H:%M:%S') AS fu " +
+        "FROM lineitem WHERE l_partkey < 60"),
+
     gq("q_datetime_funcs2",
       "SELECT event_id, hour(ts) AS hh, minute(ts) AS mi, second(ts) AS ss, " +
         "dayofyear(ts) AS dy, weekofyear(ts) AS wy FROM events WHERE event_id < 800",
