@@ -367,6 +367,24 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stateful operators hold 10k independent key partitions") {
+    // the reference's capacity story is 100k+ device partitions in 128 MB
+    // (README.md:21,187); state here distributes across the state store and
+    // is bounded per key — 10k keys exercise the shape at test scale
+    val rows = (0 until 10000).flatMap { k =>
+      Seq(Ev(s"dev$k", 1, 1000L + k, "a"), Ev(s"dev$k", 2, 2000L + k, "a"),
+        Ev(s"dev$k", 3, 3000L + k, "a"))
+    }
+    val out = runStream(
+      "SELECT deviceId, sum(temperature) AS s FROM stream " +
+        "GROUP BY deviceId, CountingWindow(2) WITH (TIMESTAMP='ts')",
+      rows, batches = 2)
+    val got = out.collect()
+    // one complete 2-row window per key fires; the third row stays buffered
+    assert(got.length == 10000)
+    assert(got.map(_.getDouble(1)).forall(_ == 3.0))
+  }
+
   test("per-batch ordered sink applies ORDER BY/LIMIT per emitted batch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
