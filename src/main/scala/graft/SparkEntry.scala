@@ -502,6 +502,19 @@ object SparkEntry {
         "SELECT user_id, count(*) AS cnt, round(sum(value), 2) AS sv FROM r " +
         "GROUP BY user_id, wid HAVING count(*) = 3"),
 
+    gq("q_analytic_where",
+      // analytic call inside WHERE: extracted, evaluated per event, THEN
+      // filtered (reference: rsql/ast.go:314-320, stream/stream.go:657-671)
+      "SELECT user_id, event_id, value FROM events " +
+        "WHERE had_changed(true, event_type) OVER (PARTITION BY user_id) " +
+        "AND value > 10 WITH (TIMESTAMP='ts', TIEBREAK='event_id')",
+      "SELECT user_id, event_id, value FROM (" +
+        "SELECT user_id, event_id, value, " +
+        "CASE WHEN row_number() OVER w = 1 THEN true " +
+        "ELSE event_type IS DISTINCT FROM lag(event_type) OVER w END AS h " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+        "WHERE h AND value > 10"),
+
     gq("q_changed_col",
       // CDC changed_col: value when changed vs previous event, else NULL;
       // first event counts as a change (functions_analytical.go:58-76)
