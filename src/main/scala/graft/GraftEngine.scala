@@ -18,8 +18,18 @@ object GraftEngine {
   /** Execute a dialect query against registered tables. The `FROM` name
     * (conventionally `stream`) keys into `tables`; JOINs resolve lookup
     * tables from the same map (reference: streamsql.go:490-515 RegisterTable). */
-  def sql(query: String, tables: Map[String, DataFrame]): DataFrame =
-    new PlanBuilder(tables).build(Parser.parse(query))
+  def sql(query: String, tables: Map[String, DataFrame]): DataFrame = {
+    val stmt = Parser.parseStatement(query)
+    val builder = new PlanBuilder(tables)
+    stmt.ops.foldLeft(builder.build(stmt.head)) { case (acc, part) =>
+      val rhs = builder.build(part.q)
+      part.op match {
+        case "UNION"     => if (part.all) acc.union(rhs) else acc.union(rhs).distinct()
+        case "INTERSECT" => if (part.all) acc.intersectAll(rhs) else acc.intersect(rhs)
+        case "EXCEPT"    => if (part.all) acc.exceptAll(rhs) else acc.except(rhs)
+      }
+    }
+  }
 
   /** Convenience: single-stream form. */
   def sql(query: String, stream: DataFrame): DataFrame =

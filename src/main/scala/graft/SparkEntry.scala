@@ -845,34 +845,31 @@ object SparkEntry {
         "ifnull(CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS kv " +
         "FROM events WHERE event_id < 300"),
 
-    // --- set operations (Spark-first surface extension, SURVEY §2.7) ------
-    Q("q_intersect",
-      (s, dir) => {
-        val t = Tables.load(s, dir)
-        GraftEngine.sql("SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000", t)
-          .intersect(GraftEngine.sql("SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0", t))
-      },
-      Some("SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000 " +
-        "INTERSECT SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0")),
+    // --- set operations, dialect-level (Spark-first extension, SURVEY §2.7;
+    // the reference only reserves the keywords) ----------------------------
+    gq("q_intersect",
+      "SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000 " +
+        "INTERSECT SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0",
+      "SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000 " +
+        "INTERSECT SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0"),
 
-    Q("q_except",
-      (s, dir) => {
-        val t = Tables.load(s, dir)
-        GraftEngine.sql("SELECT c_custkey AS k FROM customer", t)
-          .except(GraftEngine.sql("SELECT o_custkey AS k FROM orders", t))
-      },
-      Some("SELECT c_custkey AS k FROM customer " +
-        "EXCEPT SELECT o_custkey AS k FROM orders")),
+    gq("q_except",
+      "SELECT c_custkey AS k FROM customer " +
+        "EXCEPT SELECT o_custkey AS k FROM orders",
+      "SELECT c_custkey AS k FROM customer " +
+        "EXCEPT SELECT o_custkey AS k FROM orders"),
 
-    Q("q_union",
-      (s, dir) => {
-        val t = Tables.load(s, dir)
-        GraftEngine.sql("SELECT o_custkey AS k FROM orders WHERE o_totalprice > 250000", t)
-          .union(GraftEngine.sql("SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0", t))
-          .distinct()
-      },
-      Some("SELECT o_custkey AS k FROM orders WHERE o_totalprice > 250000 " +
-        "UNION SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0"))
+    gq("q_union",
+      "SELECT o_custkey AS k FROM orders WHERE o_totalprice > 250000 " +
+        "UNION SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0",
+      "SELECT o_custkey AS k FROM orders WHERE o_totalprice > 250000 " +
+        "UNION SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0"),
+
+    gq("q_union_all",
+      "SELECT o_custkey AS k FROM orders WHERE o_totalprice > 250000 " +
+        "UNION ALL SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0",
+      "SELECT o_custkey AS k FROM orders WHERE o_totalprice > 250000 " +
+        "UNION ALL SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0")
   )
 
   /** One per implemented operator from SURVEY.md §2. */

@@ -127,6 +127,15 @@ object AfterMatch {
 }
 
 /** Whole-query IR (reference: rsql/ast.go:19-54 SelectStatement). */
+/** Top-level statement: a query optionally composed with further queries
+  * via set operations (Spark-first surface extension, SURVEY §2.7 — the
+  * reference only reserves the keywords). ORDER BY/LIMIT bind to each
+  * SELECT, not the composite. */
+final case class Statement(head: Query, ops: List[Statement.SetOpPart])
+object Statement {
+  final case class SetOpPart(op: String, all: Boolean, q: Query)
+}
+
 final case class Query(
     distinct: Boolean,
     items: List[SelectItem],

@@ -16,9 +16,9 @@ import Lexer._
 final class Parser(tokens: Vector[Token]) {
   private var pos = 0
 
-  private def cur: Token = tokens(pos)
+  private[sql] def cur: Token = tokens(pos)
   private def peek(k: Int): Token = tokens(math.min(pos + k, tokens.length - 1))
-  private def advance(): Token = { val t = cur; pos += 1; t }
+  private[sql] def advance(): Token = { val t = cur; pos += 1; t }
   private def fail(msg: String): Nothing =
     throw new ParseException(s"$msg at token '${cur.text}' (pos ${cur.pos})")
 
@@ -26,7 +26,7 @@ final class Parser(tokens: Vector[Token]) {
     if (cur.is(p)) pos += 1 else fail(s"expected '$p'")
   private def expectKw(kw: String): Unit =
     if (cur.isKw(kw)) pos += 1 else fail(s"expected $kw")
-  private def acceptKw(kw: String): Boolean =
+  private[sql] def acceptKw(kw: String): Boolean =
     if (cur.isKw(kw)) { pos += 1; true } else false
   private def acceptPunct(p: String): Boolean =
     if (cur.is(p)) { pos += 1; true } else false
@@ -102,7 +102,10 @@ final class Parser(tokens: Vector[Token]) {
       Some(v.toInt)
     } else None
 
-    if (cur.kind != EofTok) fail("unexpected trailing input")
+    // set-operation keywords end this SELECT; parseStatement consumes them
+    if (cur.kind != EofTok &&
+        !(cur.isKw("UNION") || cur.isKw("INTERSECT") || cur.isKw("EXCEPT")))
+      fail("unexpected trailing input")
 
     Query(distinct, items, from, fromAlias, joins.toList, mr, where, groupBy, window,
       having, options, orderBy, limit)
@@ -555,6 +558,19 @@ final class Parser(tokens: Vector[Token]) {
 
 object Parser {
   def parse(sql: String): Query = new Parser(Lexer.tokenize(sql)).parseQuery()
+
+  /** Statement = query (UNION|INTERSECT|EXCEPT [ALL] query)*. */
+  def parseStatement(sql: String): Statement = {
+    val p = new Parser(Lexer.tokenize(sql))
+    val head = p.parseQuery()
+    val ops = scala.collection.mutable.ListBuffer[Statement.SetOpPart]()
+    while (p.cur.isKw("UNION") || p.cur.isKw("INTERSECT") || p.cur.isKw("EXCEPT")) {
+      val op = p.advance().text.toUpperCase
+      val all = p.acceptKw("ALL")
+      ops += Statement.SetOpPart(op, all, p.parseQuery())
+    }
+    Statement(head, ops.toList)
+  }
   def parseExpression(s: String): SqlExpr = {
     val p = new Parser(Lexer.tokenize(s))
     p.parseExpr()

@@ -146,4 +146,12 @@ class ParserSpec extends AnyFunSuite {
     assertThrows[ParseException](Parser.parse("SELECT FROM stream"))
     assertThrows[ParseException](Parser.parse("SELECT a FROM stream LIMIT -1"))
   }
+  test("set-operation statements compose SELECTs") {
+    val st = Parser.parseStatement(
+      "SELECT a FROM stream WHERE a > 1 UNION ALL SELECT a FROM stream " +
+        "EXCEPT SELECT a FROM stream WHERE a < 0")
+    assert(st.ops.map(p => (p.op, p.all)) == List(("UNION", true), ("EXCEPT", false)))
+    assert(st.head.where.isDefined && st.ops(1).q.where.isDefined)
+  }
+
 }
