@@ -21,14 +21,31 @@ object GraftEngine {
   def sql(query: String, tables: Map[String, DataFrame]): DataFrame = {
     val stmt = Parser.parseStatement(query)
     val builder = new PlanBuilder(tables)
-    stmt.ops.foldLeft(builder.build(stmt.head)) { case (acc, part) =>
-      val rhs = builder.build(part.q)
-      part.op match {
-        case "UNION"     => if (part.all) acc.union(rhs) else acc.union(rhs).distinct()
-        case "INTERSECT" => if (part.all) acc.intersectAll(rhs) else acc.intersect(rhs)
-        case "EXCEPT"    => if (part.all) acc.exceptAll(rhs) else acc.except(rhs)
-      }
+    // ANSI precedence: INTERSECT binds tighter than UNION/EXCEPT —
+    // a UNION b INTERSECT c = a UNION (b INTERSECT c)
+    var acc: Option[DataFrame] = None
+    var accOp: (String, Boolean) = null
+    var term = builder.build(stmt.head)
+    def flush(): Unit = {
+      acc = Some(acc match {
+        case None => term
+        case Some(a) => accOp match {
+          case ("UNION", true)   => a.union(term)
+          case ("UNION", false)  => a.union(term).distinct()
+          case ("EXCEPT", true)  => a.exceptAll(term)
+          case ("EXCEPT", false) => a.except(term)
+          case other => throw new IllegalStateException(other.toString)
+        }
+      })
     }
+    stmt.ops.foreach { part =>
+      val rhs = builder.build(part.q)
+      if (part.op == "INTERSECT")
+        term = if (part.all) term.intersectAll(rhs) else term.intersect(rhs)
+      else { flush(); accOp = (part.op, part.all); term = rhs }
+    }
+    flush()
+    acc.get
   }
 
   /** Convenience: single-stream form. */

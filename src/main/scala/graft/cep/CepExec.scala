@@ -213,8 +213,13 @@ object CepExec extends Serializable {
         "is_not_null", "is_numeric").contains(n.toLowerCase) =>
       BooleanType
     case FuncCall(n, args, _, _)
-        if Set("least", "greatest", "if_null", "ifnull", "null_if", "nullif")
-          .contains(n.toLowerCase) =>
+        if Set("least", "greatest").contains(n.toLowerCase) =>
+      // widest numeric argument type wins (RowEval returns the raw value)
+      val ts = args.map(measureType(_, schema, symbols, subsets))
+      if (ts.contains(DoubleType)) DoubleType
+      else ts.headOption.getOrElse(DoubleType)
+    case FuncCall(n, args, _, _)
+        if Set("if_null", "ifnull", "null_if", "nullif").contains(n.toLowerCase) =>
       args.headOption.map(measureType(_, schema, symbols, subsets)).getOrElse(StringType)
     case FuncCall(n, args, _, _) if n.equalsIgnoreCase("cast") =>
       args.lift(1) match {

@@ -41,6 +41,7 @@ object CepStream extends Serializable {
       emitMatch: (IndexedSeq[Map[String, Any]], Matcher.Match, Long) => Iterator[Row],
       idleMs: Long = 0L): DataFrame = {
 
+    val pastLastRow = mr.afterMatch == AfterMatch.PastLastRow
     val fn = (_: String, it: Iterator[Row], state: GroupState[KeyState]) => {
       if (state.hasTimedOut) {
         // IDLETIMEOUT (reference: window/watermark.go:108-124 — idle source
@@ -83,18 +84,24 @@ object CepStream extends Serializable {
       } else {
         val all = Matcher.findMatches(sorted, mr,
           i => tsOfRow(sorted(i)), defineTest(sorted))
-        // matches are ordered & non-overlapping (PAST LAST ROW), so the
+        // matches are ordered by start under every skip mode, so the
         // safe-start ones form a prefix of the list
         val matches = all.takeWhile(_.startIdx < safeEnd)
         val out = matches.iterator.zipWithIndex.flatMap { case (m, i) =>
           emitMatch(sorted, m, st.matchCount + i + 1)
         }.toVector
-        // consume: PAST LAST ROW semantics — drop through the last emitted
-        // match end, and always the full safe prefix: unmatched safe rows can
-        // never start a future match (their starts are final), and no future
-        // match can reach back before its own (unsafe) start row
-        val consumedUpTo =
-          if (matches.isEmpty) safeEnd else math.max(safeEnd, matches.last.endIdx + 1)
+        // consume: under PAST LAST ROW, drop through the last emitted match
+        // end and always the full safe prefix (unmatched safe rows can never
+        // start a future match, and no future match reaches back before its
+        // own start row). Under the overlapping skip modes (TO NEXT ROW /
+        // TO FIRST / TO LAST), an unsafe-start match may still reuse rows
+        // beyond safeEnd that an emitted match consumed — so only the safe
+        // prefix may be dropped.
+        val consumedUpTo = pastLastRow match {
+          case true =>
+            if (matches.isEmpty) safeEnd else math.max(safeEnd, matches.last.endIdx + 1)
+          case false => safeEnd
+        }
         val remaining = sorted.drop(consumedUpTo)
         val newHorizon =
           if (consumedUpTo == 0) st.horizonMs

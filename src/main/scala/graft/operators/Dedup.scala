@@ -24,14 +24,6 @@ object Dedup {
       .filter(col("__rn") === 1)
       .drop("__fp", "__rn")
 
-  /** MinHash signature over pre-hashed shingles: each shingle string is
-    * hashed ONCE (xxhash64), then the k permutations derive from cheap
-    * 16-byte hashes of (base, seed) — ~30× less work than re-hashing the
-    * string per seed. Deterministic. */
-  def minHashSignature(shingleHashes: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), s =>
-      array_min(transform(shingleHashes, h => xxhash64(h, s))))
-
   /** MinHash + LSH near-dup pairs: signature → b bands of r rows →
     * band-bucket join → exact Jaccard verify on shingle sets.
     *

@@ -138,9 +138,10 @@ object Similarity {
         explode(slice(transform(cellSims(col(vecCol)), x => x.getField("cell")),
           1, nprobe)).as("__cell"))
 
+    // no dedup needed: each corpus vector lives in exactly one cell and a
+    // query probes distinct cells, so (query, vec) pairs are already unique
     val cand = assigned.join(probed, Seq("__cell"))
       .filter(col(idCol) =!= col(queryIdCol))
-      .dropDuplicates(queryIdCol, idCol)
       .withColumn("sim", round(cosine(col("__cv"), col("__qv")), 6))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
     cand.withColumn("rank", row_number().over(w))

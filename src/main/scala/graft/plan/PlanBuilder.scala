@@ -312,8 +312,12 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
           case _                    => throw new MatchError(w)
         }
         val d = pre.withColumn("__ord_ms", unix_millis(needTs))
+        // ALLOWEDLATENESS extends the absorption horizon here exactly like
+        // the declarative watermark path (late rows inside it still join
+        // their window; beyond it they drop)
         val oooMs = q.options.get("MAXOUTOFORDERNESS")
-          .map(Durations.toMillis).getOrElse(0L)
+          .map(Durations.toMillis).getOrElse(0L) +
+          q.options.get("ALLOWEDLATENESS").map(Durations.toMillis).getOrElse(0L)
         Some(graft.streaming.StatefulOps.tumblingWindowAnalytics(
           d, keyNames, size, slots.toList, statefulAnNamed(), "__ord_ms", oooMs,
           tieName = q.options.get("TIEBREAK"), slideMs = slide,
@@ -322,7 +326,8 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
           (windowAnalytics.nonEmpty || q.options.contains("IDLETIMEOUT")) =>
         val d = pre.withColumn("__ord_ms", unix_millis(needTs))
         val oooMs = q.options.get("MAXOUTOFORDERNESS")
-          .map(Durations.toMillis).getOrElse(0L)
+          .map(Durations.toMillis).getOrElse(0L) +
+          q.options.get("ALLOWEDLATENESS").map(Durations.toMillis).getOrElse(0L)
         Some(graft.streaming.StatefulOps.sessionWindowAnalytics(
           d, keyNames, gap, slots.toList, statefulAnNamed(), "__ord_ms", oooMs,
           tieName = q.options.get("TIEBREAK"),

@@ -557,7 +557,17 @@ final class Parser(tokens: Vector[Token]) {
 }
 
 object Parser {
-  def parse(sql: String): Query = new Parser(Lexer.tokenize(sql)).parseQuery()
+  /** Single-query entry point — rejects set-operation statements (use
+    * [[parseStatement]]) instead of silently truncating at the keyword. */
+  def parse(sql: String): Query = {
+    val p = new Parser(Lexer.tokenize(sql))
+    val q = p.parseQuery()
+    if (p.cur.kind != EofTok)
+      throw new IllegalArgumentException(
+        s"unexpected trailing input at '${p.cur.text}' — set-operation " +
+          "statements go through Parser.parseStatement / GraftEngine.sql")
+    q
+  }
 
   /** Statement = query (UNION|INTERSECT|EXCEPT [ALL] query)*. */
   def parseStatement(sql: String): Statement = {

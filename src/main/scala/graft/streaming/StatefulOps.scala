@@ -150,11 +150,18 @@ object StatefulOps extends Serializable {
 
     val keyIdx = keyNames.map(schema.fieldIndex)
     val grouped = df.groupByKey(r =>
-      keyIdx.map(i => if (r.isNullAt(i)) "\u0000NULL" else String.valueOf(r.get(i))).mkString("\u001f"))(Encoders.STRING)
+      keyIdx.map(i => if (r.isNullAt(i)) KEYNULL else String.valueOf(r.get(i))).mkString(KEYSEP))(Encoders.STRING)
 
     type CState = (Vector[Map[String, Any]], Map[String, AnState])
     if (df.isStreaming) {
       val fn = (_: String, it: Iterator[Row], state: GroupState[CState]) => {
+        if (state.hasTimedOut) {
+          // STATETTL reaps the idle key's state — partial buffer AND
+          // analytic state discarded (reference: counting_window.go:254-267);
+          // no re-arm, or a quiet stream busy-loops on timeout batches
+          state.remove()
+          Iterator.empty
+        } else {
         val incoming = it.map(r => rowToMap(names, r)).toVector
           .sortWith(ordLess(_, _, ordName, tieName))
         val st = state.getOption.getOrElse((Vector.empty[Map[String, Any]], Map.empty[String, AnState]))
@@ -166,9 +173,12 @@ object StatefulOps extends Serializable {
           buf = buf.drop(n)
         }
         if (buf.isEmpty && states.isEmpty) state.remove()
-        else state.update((buf, states.toMap))
-        if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+        else {
+          state.update((buf, states.toMap))
+          if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+        }
         out.result().iterator
+        }
       }
       val timeout =
         if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
@@ -256,7 +266,7 @@ object StatefulOps extends Serializable {
 
     val keyIdx = keyNames.map(schema.fieldIndex)
     val grouped = df.groupByKey(r =>
-      keyIdx.map(i => if (r.isNullAt(i)) "\u0000NULL" else String.valueOf(r.get(i))).mkString("\u001f"))(Encoders.STRING)
+      keyIdx.map(i => if (r.isNullAt(i)) KEYNULL else String.valueOf(r.get(i))).mkString(KEYSEP))(Encoders.STRING)
 
     if (df.isStreaming) {
       val fn = (_: String, it: Iterator[Row], state: GroupState[GState]) => {
@@ -406,7 +416,7 @@ object StatefulOps extends Serializable {
 
     val keyIdx = partitionNames.map(schema.fieldIndex)
     val grouped = df.groupByKey(r =>
-      keyIdx.map(i => if (r.isNullAt(i)) "\u0000NULL" else String.valueOf(r.get(i))).mkString("\u001f"))(Encoders.STRING)
+      keyIdx.map(i => if (r.isNullAt(i)) KEYNULL else String.valueOf(r.get(i))).mkString(KEYSEP))(Encoders.STRING)
 
     if (df.isStreaming) {
       val fn = (_: String, it: Iterator[Row], state: GroupState[Map[String, AnState]]) => {
@@ -653,7 +663,7 @@ object StatefulOps extends Serializable {
 
     val keyIdx = keyNames.map(schema.fieldIndex)
     val grouped = df.groupByKey(r =>
-      keyIdx.map(i => if (r.isNullAt(i)) "\u0000NULL" else String.valueOf(r.get(i))).mkString("\u001f"))(Encoders.STRING)
+      keyIdx.map(i => if (r.isNullAt(i)) KEYNULL else String.valueOf(r.get(i))).mkString(KEYSEP))(Encoders.STRING)
 
     if (df.isStreaming) {
       val fn = (_: String, it: Iterator[Row], state: GroupState[TwState]) => {

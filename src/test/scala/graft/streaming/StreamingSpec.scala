@@ -273,6 +273,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq((2L, 1L)), s"expected idle-flushed window, got $got")
   }
 
+  test("streaming MATCH_RECOGNIZE keeps overlap rows under SKIP TO NEXT ROW") {
+    // WITHIN '60s': after [0,55s,58s] is emitted, rows 55s/58s must stay
+    // buffered — the overlapping match [55s,58s,100s] starts at a
+    // then-unsafe row and is emitted once the watermark passes it
+    val rows = Seq(
+      Ev("d1", 60, 0L, "a"), Ev("d1", 70, 55000L, "a"), Ev("d1", 80, 58000L, "a"),
+      Ev("d1", 90, 100000L, "a"),
+      Ev("d1", 0, 200000L, "a")) // advances the horizon, not an A row
+    val out = runStream(
+      "SELECT * FROM stream MATCH_RECOGNIZE ( PARTITION BY deviceId ORDER BY ts " +
+        "MEASURES FIRST(A.ts) - 0 AS t0, LAST(A.temperature) AS lastv ONE ROW PER MATCH " +
+        "AFTER MATCH SKIP TO NEXT ROW PATTERN (A{3}) WITHIN '60s' " +
+        "DEFINE A AS temperature > 50 ) " +
+        "WITH (TIMESTAMP='ts', TIMEUNIT='ms')",
+      rows, batches = 5)
+    val got = out.collect().map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((0L, 80.0), (55000L, 90.0)), s"got ${got.toSeq}")
+  }
+
   test("IDLETIMEOUT works on plain windows without analytics") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
