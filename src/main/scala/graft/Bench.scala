@@ -98,10 +98,15 @@ object Bench {
         val mem = MemoryStream[(Long, Long, String, Double, Long)]
         val src = mem.toDF()
           .toDF("event_id", "user_id", "event_type", "value", "ts")
-        val out = GraftEngine.sql(
-          sql.replace("WITH (TIMESTAMP='ts', TIEBREAK='event_id')",
-            "WITH (TIMESTAMP='ts', TIMEUNIT='ms', TIEBREAK='event_id')"),
-          Map("stream" -> src))
+        // the feed carries epoch-ms longs, so any WITH options must gain
+        // TIMEUNIT='ms'; fail loudly if the rule-shape string drifted and
+        // the rewrite no-ops (a silent no-op corrupts the latency numbers)
+        val optStr = "WITH (TIMESTAMP='ts', TIEBREAK='event_id')"
+        val rewritten =
+          sql.replace(optStr, "WITH (TIMESTAMP='ts', TIMEUNIT='ms', TIEBREAK='event_id')")
+        require(!sql.contains("WITH (") || rewritten != sql,
+          s"rule shape '$name' has WITH options but not the expected '$optStr'")
+        val out = GraftEngine.sql(rewritten, Map("stream" -> src))
         val q = out.writeStream.format("noop").outputMode("append").start()
         feed.grouped(5000).foreach { chunk =>
           mem.addData(chunk: _*)

@@ -295,7 +295,19 @@ object RowEval {
       val v = eval(fc.args.head, ctx)
       val tpe = fc.args(1) match { case StringLit(t) => t.toLowerCase; case _ => "string" }
       if (v == null) null else tpe match {
-        case "int" | "int32" | "bigint" | "int64" | "long" => toDouble(v).toLong
+        case "int" | "int32" | "bigint" | "int64" | "long" => v match {
+          // integral inputs pass through exactly — no double round-trip
+          // (values above 2^53 would silently lose precision)
+          case n @ (_: java.lang.Long | _: java.lang.Integer |
+                    _: java.lang.Short | _: java.lang.Byte) =>
+            n.asInstanceOf[Number].longValue()
+          case s: String =>
+            try java.lang.Long.parseLong(s.trim)
+            catch { case _: NumberFormatException =>
+              val d = toDouble(s); if (d.isNaN) null else d.toLong }
+          case other =>
+            val d = toDouble(other); if (d.isNaN) null else d.toLong
+        }
         case "float" | "float64" | "double"                => toDouble(v)
         case "bool" | "boolean"                            => truthy(v)
         case _                                             => v.toString

@@ -321,7 +321,8 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
         Some(graft.streaming.StatefulOps.tumblingWindowAnalytics(
           d, keyNames, size, slots.toList, statefulAnNamed(), "__ord_ms", oooMs,
           tieName = q.options.get("TIEBREAK"), slideMs = slide,
-          idleMs = q.options.get("IDLETIMEOUT").map(Durations.toMillis).getOrElse(0L)))
+          idleMs = q.options.get("IDLETIMEOUT").map(Durations.toMillis).getOrElse(0L),
+          ttlMs = q.options.get("STATETTL").map(Durations.toMillis).getOrElse(0L)))
       case Some(SessionWindow(gap)) if isStream &&
           (windowAnalytics.nonEmpty || q.options.contains("IDLETIMEOUT")) =>
         val d = pre.withColumn("__ord_ms", unix_millis(needTs))
@@ -331,7 +332,8 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
         Some(graft.streaming.StatefulOps.sessionWindowAnalytics(
           d, keyNames, gap, slots.toList, statefulAnNamed(), "__ord_ms", oooMs,
           tieName = q.options.get("TIEBREAK"),
-          idleMs = q.options.get("IDLETIMEOUT").map(Durations.toMillis).getOrElse(0L)))
+          idleMs = q.options.get("IDLETIMEOUT").map(Durations.toMillis).getOrElse(0L),
+          ttlMs = q.options.get("STATETTL").map(Durations.toMillis).getOrElse(0L)))
       case _ => None
     }
 

@@ -563,7 +563,7 @@ object Parser {
     val p = new Parser(Lexer.tokenize(sql))
     val q = p.parseQuery()
     if (p.cur.kind != EofTok)
-      throw new IllegalArgumentException(
+      throw new ParseException(
         s"unexpected trailing input at '${p.cur.text}' — set-operation " +
           "statements go through Parser.parseStatement / GraftEngine.sql")
     q

@@ -463,7 +463,8 @@ object StatefulOps extends Serializable {
       ordName: String,
       oooMs: Long,
       tieName: Option[String] = None,
-      idleMs: Long = 0L): DataFrame = {
+      idleMs: Long = 0L,
+      ttlMs: Long = 0L): DataFrame = {
 
     val schema = df.schema
     val names = schema.fieldNames
@@ -495,8 +496,10 @@ object StatefulOps extends Serializable {
         maxTs = math.max(maxTs, ts)
         if (ts >= st.horizon) {
           // absorb into every overlapping session, then merge the chain
+          // strict on both sides: a row exactly gapMs away starts a new
+          // session, matching the close condition e0 + gapMs <= wm
           val (overlap, rest) = sessions.partition { case (s0, e0, _) =>
-            ts >= s0 - gapMs && ts < e0 + gapMs }
+            ts > s0 - gapMs && ts < e0 + gapMs }
           val merged =
             if (overlap.isEmpty) (ts, ts, Vector(m))
             else ((overlap.map(_._1) :+ ts).min, (overlap.map(_._2) :+ ts).max,
@@ -535,17 +538,36 @@ object StatefulOps extends Serializable {
 
     if (df.isStreaming) {
       val fn = (_: String, it: Iterator[Row], state: GroupState[SessState]) => {
-        val rows =
-          if (state.hasTimedOut) Vector.empty
-          else it.map(r => rowToMap(names, r)).toVector
-        val (out, stOut) = process(state.getOption, rows,
-          closeAll = state.hasTimedOut)
-        state.update(stOut)
-        if (idleMs > 0 && stOut.sessions.nonEmpty) state.setTimeoutDuration(idleMs)
-        out.iterator
+        if (state.hasTimedOut) {
+          // IDLETIMEOUT flushes open sessions on processing time
+          // (reference: window/watermark.go:108-124); a timeout with
+          // nothing left to flush — or a pure-STATETTL timeout — reaps
+          // the key wholesale (reference: counting_window.go:254-267)
+          val stIn = state.getOption
+          val hadOpen = stIn.exists(_.sessions.nonEmpty)
+          val (out, stOut) = process(stIn, Vector.empty, closeAll = idleMs > 0)
+          if (idleMs > 0 && hadOpen && anCalls.nonEmpty) {
+            state.update(stOut)
+            state.setTimeoutDuration(if (ttlMs > 0) ttlMs else idleMs)
+          } else state.remove()
+          out.iterator
+        } else {
+          val rows = it.map(r => rowToMap(names, r)).toVector
+          val (out, stOut) = process(state.getOption, rows, closeAll = false)
+          // a key whose sessions have fully flushed and that carries no
+          // cross-window analytic state holds nothing worth keeping —
+          // drop it so high-cardinality ephemeral keys don't accrete
+          if (stOut.sessions.isEmpty && anCalls.isEmpty) state.remove()
+          else {
+            state.update(stOut)
+            if (idleMs > 0) state.setTimeoutDuration(idleMs)
+            else if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+          }
+          out.iterator
+        }
       }
       val timeout =
-        if (idleMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+        if (idleMs > 0 || ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
         else GroupStateTimeout.NoTimeout
       grouped.flatMapGroupsWithState(OutputMode.Append, timeout)(fn)(
         Encoders.kryo[SessState], Encoders.row(outSchema))
@@ -591,7 +613,8 @@ object StatefulOps extends Serializable {
       oooMs: Long,
       tieName: Option[String] = None,
       slideMs: Long = 0L,
-      idleMs: Long = 0L): DataFrame = {
+      idleMs: Long = 0L,
+      ttlMs: Long = 0L): DataFrame = {
     val slide = if (slideMs > 0) slideMs else sizeMs
 
     val schema = df.schema
@@ -667,19 +690,35 @@ object StatefulOps extends Serializable {
 
     if (df.isStreaming) {
       val fn = (_: String, it: Iterator[Row], state: GroupState[TwState]) => {
-        // IDLETIMEOUT (reference: window/watermark.go:108-124): an idle key
-        // flushes all open windows on processing time; no re-arm afterwards
-        val rows =
-          if (state.hasTimedOut) Vector.empty
-          else it.map(r => rowToMap(names, r)).toVector
-        val (out, st) = process(state.getOption, rows,
-          closeAll = state.hasTimedOut)
-        state.update(st)
-        if (idleMs > 0 && st.buffers.nonEmpty) state.setTimeoutDuration(idleMs)
-        out.iterator
+        if (state.hasTimedOut) {
+          // IDLETIMEOUT (reference: window/watermark.go:108-124): an idle
+          // key flushes all open windows on processing time; a timeout with
+          // nothing left to flush — or a pure-STATETTL timeout — reaps the
+          // key wholesale (reference: counting_window.go:254-267)
+          val stIn = state.getOption
+          val hadOpen = stIn.exists(_.buffers.nonEmpty)
+          val (out, st) = process(stIn, Vector.empty, closeAll = idleMs > 0)
+          if (idleMs > 0 && hadOpen && anCalls.nonEmpty) {
+            state.update(st)
+            state.setTimeoutDuration(if (ttlMs > 0) ttlMs else idleMs)
+          } else state.remove()
+          out.iterator
+        } else {
+          val rows = it.map(r => rowToMap(names, r)).toVector
+          val (out, st) = process(state.getOption, rows, closeAll = false)
+          // drop fully-flushed keys with no analytic state — otherwise
+          // high-cardinality ephemeral keys retain (maxTs, horizon) forever
+          if (st.buffers.isEmpty && anCalls.isEmpty) state.remove()
+          else {
+            state.update(st)
+            if (idleMs > 0) state.setTimeoutDuration(idleMs)
+            else if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+          }
+          out.iterator
+        }
       }
       val timeout =
-        if (idleMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+        if (idleMs > 0 || ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
         else GroupStateTimeout.NoTimeout
       grouped.flatMapGroupsWithState(OutputMode.Append, timeout)(fn)(
         Encoders.kryo[TwState], Encoders.row(outSchema))
