@@ -591,6 +591,59 @@ object SparkEntry {
         FROM i JOIN n ON i.user_id = n.user_id AND i.grp = n.grp
           AND CAST(floor(i.idx / 3) AS BIGINT) = n.trip""".stripMargin.trim),
 
+    gq("q_cep_two_sym",
+      // two-symbol sequence A B (value spike then drop); conditions are
+      // disjoint so SKIP PAST LAST ROW equals the all-adjacent-pairs set
+      "SELECT * FROM events MATCH_RECOGNIZE ( PARTITION BY user_id ORDER BY ts " +
+        "MEASURES MATCH_NUMBER() AS mn, FIRST(A.ts) - 0 AS t0, " +
+        "LAST(A.value) AS av, LAST(B.value) AS bv " +
+        "ONE ROW PER MATCH PATTERN (A B) WITHIN '60d' " +
+        "DEFINE A AS value > 80, B AS value < 20 )",
+      """
+        WITH s AS (SELECT user_id, ts, value, lead(value) OVER (PARTITION BY user_id ORDER BY ts) AS nv FROM events),
+        m AS (SELECT user_id, epoch_ms(ts) AS t0, value AS av, nv AS bv FROM s WHERE value > 80 AND nv < 20)
+        SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY t0) AS mn, t0, av, bv FROM m""".stripMargin.trim),
+
+    gq("q_cep_alternation",
+      // alternation A | B with greedy preference A-first; conditions are
+      // disjoint so CLASSIFIER() is a pure CASE (cep/pattern.go alternation)
+      "SELECT user_id, value, cls FROM events MATCH_RECOGNIZE ( " +
+        "PARTITION BY user_id ORDER BY ts " +
+        "MEASURES CLASSIFIER() AS cls ALL ROWS PER MATCH " +
+        "PATTERN (A | B) WITHIN '60d' DEFINE A AS value > 90, B AS value < 5 )",
+      "SELECT user_id, value, CASE WHEN value > 90 THEN 'A' ELSE 'B' END AS cls " +
+        "FROM events WHERE value > 90 OR value < 5"),
+
+    gq("q_cep_plus",
+      // greedy A+ consumes each maximal >50 run whole; measures aggregate
+      // over the pattern variable (cep/eval.go:131-137 SUM/AVG/COUNT/...)
+      "SELECT * FROM events MATCH_RECOGNIZE ( PARTITION BY user_id ORDER BY ts " +
+        "MEASURES MATCH_NUMBER() AS mn, count(A.value) AS n, " +
+        "FIRST(A.ts) - 0 AS t0, round(avg(A.value), 4) AS av " +
+        "ONE ROW PER MATCH PATTERN (A+) WITHIN '60d' DEFINE A AS value > 50 )",
+      """
+        WITH s AS (SELECT user_id, ts, value, row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn FROM events),
+        q AS (SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY ts) AS grp FROM s WHERE value > 50),
+        t AS (SELECT user_id, count(*) AS n, epoch_ms(min(ts)) AS t0, round(avg(value), 4) AS av
+              FROM q GROUP BY user_id, grp)
+        SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY t0) AS mn, n, t0, av FROM t""".stripMargin.trim),
+
+    gq("q_cep_permute",
+      // PERMUTE(A, B) = A B | B A (cep/pattern.go:134-166); SKIP TO NEXT ROW
+      // emits every adjacent pair in either order (disjoint conditions)
+      "SELECT * FROM events MATCH_RECOGNIZE ( PARTITION BY user_id ORDER BY ts " +
+        "MEASURES MATCH_NUMBER() AS mn, LAST(A.value) AS av, LAST(B.value) AS bv " +
+        "ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW " +
+        "PATTERN (PERMUTE(A, B)) WITHIN '60d' " +
+        "DEFINE A AS value > 80, B AS value < 20 )",
+      """
+        WITH s AS (SELECT user_id, ts, value, lead(value) OVER (PARTITION BY user_id ORDER BY ts) AS nv FROM events),
+        m AS (SELECT user_id, ts,
+                CASE WHEN value > 80 THEN value ELSE nv END AS av,
+                CASE WHEN value > 80 THEN nv ELSE value END AS bv
+              FROM s WHERE (value > 80 AND nv < 20) OR (value < 20 AND nv > 80))
+        SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY ts) AS mn, av, bv FROM m""".stripMargin.trim),
+
     // --- LLM-pipeline operators: text analysis ----------------------------
     gq("q_doc_stats",
       "SELECT lang, source, count(*) AS cnt, round(avg(n_chars), 4) AS avg_chars, " +
@@ -811,6 +864,59 @@ object SparkEntry {
         "90 AS dm, CAST(year(o_orderdate) AS INTEGER) AS ey, " +
         "CAST(epoch(o_orderdate) AS BIGINT) AS secs " +
         "FROM orders WHERE o_orderkey < 2000"),
+
+    gq("q_datetime_arith2",
+      // date_sub / month add / hour diff / extract fields / convert_tz
+      // (functions_datetime.go:172-241, functions_conversion.go:242-300)
+      "SELECT o_orderkey, date_sub(o_orderdate, 45, 'day') AS dsub, " +
+        "date_add(o_orderdate, 2, 'month') AS dmon, " +
+        "date_diff(o_orderdate, date_sub(o_orderdate, 36, 'hour'), 'hour') AS dh, " +
+        "extract('dow', o_orderdate) AS dw, extract('week', o_orderdate) AS wk, " +
+        "date_format(convert_tz(o_orderdate, 'America/New_York'), 'yyyy-MM-dd HH:mm') AS nyt " +
+        "FROM orders WHERE o_orderkey < 1500",
+      "SELECT o_orderkey, strftime(o_orderdate - INTERVAL 45 DAY, '%Y-%m-%d %H:%M:%S') AS dsub, " +
+        "strftime(o_orderdate + INTERVAL 2 MONTH, '%Y-%m-%d %H:%M:%S') AS dmon, " +
+        "36 AS dh, " +
+        "CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dw, " +
+        "CAST(weekofyear(o_orderdate) AS INTEGER) AS wk, " +
+        "strftime(timezone('America/New_York', o_orderdate::TIMESTAMPTZ), '%Y-%m-%d %H:%M') AS nyt " +
+        "FROM orders WHERE o_orderkey < 1500"),
+
+    gq("q_url_funcs",
+      // url_encode/url_decode (functions_conversion.go:382-441); p_name is
+      // strictly [a-z ] and p_brand is Brand#N, so the oracle's replace
+      // chain reproduces application/x-www-form-urlencoded exactly
+      "SELECT p_partkey, url_encode(p_name) AS ue, " +
+        "url_decode(url_encode(p_name)) AS rt, url_encode(p_brand) AS ub " +
+        "FROM part WHERE p_partkey <= 300",
+      "SELECT p_partkey, replace(p_name, ' ', '+') AS ue, p_name AS rt, " +
+        "replace(p_brand, '#', '%23') AS ub FROM part WHERE p_partkey <= 300"),
+
+    gq("q_from_json",
+      // from_json → dynamic map (functions_json.go:42-69): values land as
+      // strings (map<string,string>), re-cast at use; to_json round-trips
+      "SELECT event_id, cast(element_at(from_json(props), 'k'), 'int') AS k, " +
+        "to_json(from_json(props)) AS rt FROM events WHERE event_id < 250",
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, " +
+        "'{\"k\":\"' || json_extract_string(props, '$.k') || '\"}' AS rt " +
+        "FROM events WHERE event_id < 250"),
+
+    gq("q_rank_funcs",
+      // ranking functions — absent in the reference (SURVEY §2.5), exposed
+      // as Spark-first extensions with full OVER (PARTITION BY … ORDER BY …)
+      "SELECT user_id, event_id, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn, " +
+        "rank() OVER (PARTITION BY user_id ORDER BY event_type) AS rk, " +
+        "dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS drk, " +
+        "ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nt, " +
+        "lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt " +
+        "FROM events WITH (TIMESTAMP='ts', TIEBREAK='event_id')",
+      "SELECT user_id, event_id, " +
+        "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS rn, " +
+        "CAST(rank() OVER (PARTITION BY user_id ORDER BY event_type) AS INTEGER) AS rk, " +
+        "CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS INTEGER) AS drk, " +
+        "CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS nt, " +
+        "lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events"),
 
     gq("q_array_funcs",
       // first5 joined to a string: the driver's pandas compare cannot hash

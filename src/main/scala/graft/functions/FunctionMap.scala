@@ -111,6 +111,11 @@ object FunctionMap {
       case "from_unixtime" => from_unixtime(a0)
 
       // ---- json (functions_json.go; json_extract w/ literal path in ExprBuilder) ----
+      case "from_json" if args.size == 1 =>
+        // reference from_json returns a dynamic map (functions_json.go:42-69);
+        // the closest static-schema form is map<string,string> — values
+        // re-cast at the use site (element_at + cast)
+        from_json(a0, "map<string,string>", Map.empty[String, String])
       case "json_valid" => a0.isNotNull && get_json_object(a0, "$").isNotNull
       case "json_type" => jsonType(a0)
       case "json_length" => jsonLength(a0)
