@@ -164,6 +164,24 @@ object SparkEntry {
         "count(*) AS cnt, round(sum(o_totalprice), 2) AS total FROM orders " +
         "GROUP BY 1, 2"),
 
+    gq("q_rollup",
+      // grouping sets (SURVEY §2.4: absent in the reference, free on
+      // Catalyst) — one shuffle covers all levels via partial aggregation
+      "SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
+        "round(sum(l_quantity), 2) AS sq FROM lineitem " +
+        "GROUP BY ROLLUP(l_returnflag, l_linestatus)",
+      "SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
+        "round(sum(l_quantity), 2) AS sq FROM lineitem " +
+        "GROUP BY ROLLUP(l_returnflag, l_linestatus)"),
+
+    gq("q_cube",
+      "SELECT o_orderstatus, o_orderpriority, count(*) AS cnt, " +
+        "round(avg(o_totalprice), 4) AS ap FROM orders " +
+        "GROUP BY CUBE(o_orderstatus, o_orderpriority)",
+      "SELECT o_orderstatus, o_orderpriority, count(*) AS cnt, " +
+        "round(avg(o_totalprice), 4) AS ap FROM orders " +
+        "GROUP BY CUBE(o_orderstatus, o_orderpriority)"),
+
     gq("q_first_last_collect",
       "SELECT user_id, first_value(event_type) AS first_ev, last_value(event_type) AS last_ev, " +
         "count(*) AS cnt FROM events GROUP BY user_id " +
@@ -964,6 +982,27 @@ object SparkEntry {
         "EXCEPT SELECT o_custkey AS k FROM orders",
       "SELECT c_custkey AS k FROM customer " +
         "EXCEPT SELECT o_custkey AS k FROM orders"),
+
+    gq("q_intersect_all",
+      // multiset semantics: duplicate keys survive up to min(multiplicity)
+      "SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000 " +
+        "INTERSECT ALL SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'",
+      "SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000 " +
+        "INTERSECT ALL SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'"),
+
+    gq("q_except_all",
+      "SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 40 " +
+        "EXCEPT ALL SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 40",
+      "SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 40 " +
+        "EXCEPT ALL SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 40"),
+
+    gq("q_negated_predicates",
+      "SELECT p_partkey, p_name FROM part WHERE p_size NOT BETWEEN 5 AND 45 " +
+        "AND p_brand NOT IN ('Brand#1', 'Brand#2') AND p_name NOT LIKE '%red%' " +
+        "AND NOT (p_retailprice IS NULL)",
+      "SELECT p_partkey, p_name FROM part WHERE p_size NOT BETWEEN 5 AND 45 " +
+        "AND p_brand NOT IN ('Brand#1', 'Brand#2') AND p_name NOT LIKE '%red%' " +
+        "AND NOT (p_retailprice IS NULL)"),
 
     gq("q_union",
       "SELECT o_custkey AS k FROM orders WHERE o_totalprice > 250000 " +

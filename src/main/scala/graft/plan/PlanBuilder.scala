@@ -415,7 +415,17 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
         Aggregates.build(fc, a => ExprBuilder.build(a, dctx), aggOrd).as(name)
       }.toList ++ boundSlots ++
         countWindowN.map(_ => count(lit(1)).as("__wcnt")).toList
-      val g = pre.groupBy(groupCols: _*)
+      // ROLLUP/CUBE grouping-set expansion (Spark-first extension) — the
+      // map-side partial aggregation covers all grouping sets in one pass
+      val g = q.groupStyle match {
+        case "rollup" =>
+          require(q.window.isEmpty, "ROLLUP cannot combine with a window")
+          pre.rollup(groupCols: _*)
+        case "cube" =>
+          require(q.window.isEmpty, "CUBE cannot combine with a window")
+          pre.cube(groupCols: _*)
+        case _ => pre.groupBy(groupCols: _*)
+      }
       val full = aggExprs match {
         case Nil          => g.agg(count(lit(1)).as("__cnt"))
         case head :: tail => g.agg(head, tail: _*)

@@ -149,7 +149,11 @@ final case class Query(
     having: Option[SqlExpr],
     options: Map[String, String], // WITH (k='v', ...) uppercased keys
     orderBy: List[OrderItem],
-    limit: Option[Int]
+    limit: Option[Int],
+    // "plain" | "rollup" | "cube" — GROUP BY ROLLUP/CUBE(...) is a
+    // Spark-first surface extension (SURVEY §2.4: the reference has no
+    // grouping sets; Catalyst provides them for free)
+    groupStyle: String = "plain"
 )
 
 object Durations {

@@ -65,10 +65,25 @@ final class Parser(tokens: Vector[Token]) {
 
     var groupBy = List.empty[SqlExpr]
     var window: Option[WindowSpec] = None
+    var groupStyle = "plain"
     if (acceptKw("GROUP")) {
       expectKw("BY")
-      val (g, w) = parseGroupByItems()
-      groupBy = g; window = w
+      // GROUP BY ROLLUP(a, b) / CUBE(a, b) — Spark-first extension
+      if (cur.kind == IdentTok && Set("rollup", "cube").contains(cur.text.toLowerCase)
+          && peek(1).is("(")) {
+        groupStyle = advance().text.toLowerCase
+        expectPunct("(")
+        val keys = scala.collection.mutable.ListBuffer[SqlExpr]()
+        while (!cur.is(")")) {
+          keys += parseExpr()
+          if (!cur.is(")")) expectPunct(",")
+        }
+        expectPunct(")")
+        groupBy = keys.toList
+      } else {
+        val (g, w) = parseGroupByItems()
+        groupBy = g; window = w
+      }
     }
 
     val having = if (acceptKw("HAVING")) Some(parseExpr()) else None
@@ -108,7 +123,7 @@ final class Parser(tokens: Vector[Token]) {
       fail("unexpected trailing input")
 
     Query(distinct, items, from, fromAlias, joins.toList, mr, where, groupBy, window,
-      having, options, orderBy, limit)
+      having, options, orderBy, limit, groupStyle)
   }
 
   private def isClauseStart(t: Token): Boolean =

@@ -40,6 +40,15 @@ class ParserSpec extends AnyFunSuite {
     assert(g.window.contains(GlobalWindow(None)))
   }
 
+  test("GROUP BY ROLLUP / CUBE grouping style") {
+    val r = Parser.parse("SELECT a, b, count(*) AS c FROM stream GROUP BY ROLLUP(a, b)")
+    assert(r.groupStyle == "rollup")
+    assert(r.groupBy == List(Ident.simple("a"), Ident.simple("b")))
+    val c = Parser.parse("SELECT a, count(*) AS c FROM stream GROUP BY CUBE(a)")
+    assert(c.groupStyle == "cube")
+    assert(Parser.parse("SELECT a, count(*) AS c FROM stream GROUP BY a").groupStyle == "plain")
+  }
+
   test("counting window with WHEN gating") {
     val q = Parser.parse(
       "SELECT avg(temp) AS m FROM stream GROUP BY CountingWindow(2) OVER (WHEN x > 0)")
