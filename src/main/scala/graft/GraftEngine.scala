@@ -62,7 +62,17 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String): Map[String, DataFrame] = {
+  // Loading resolves 10 parquet footers (a driver-side fixed cost per call);
+  // the resulting DataFrames are immutable logical plans, so memoize per
+  // (session, dir) — repeated queries against the same tables re-plan from
+  // the cached scan instead of re-listing files.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Map[String, DataFrame]]()
+
+  def load(spark: SparkSession, sfDir: String): Map[String, DataFrame] =
+    cache.computeIfAbsent((spark, sfDir), { case (s, dir) => doLoad(s, dir) })
+
+  private def doLoad(spark: SparkSession, sfDir: String): Map[String, DataFrame] = {
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects natively;
     // read it as a long and convert (integer division — ns epoch overflows
     // double precision).
