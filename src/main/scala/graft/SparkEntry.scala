@@ -712,6 +712,63 @@ object SparkEntry {
                ELSE 'es' END AS lang_pred
         FROM h""".stripMargin.trim)),
 
+    // --- LLM-pipeline operators: deterministic sampling -------------------
+    // (membership depends only on the row's key hash — reproducible across
+    // reshards, exactly replayable by the DuckDB oracle via md5)
+    Q("q_sample_hash",
+      (s, dir) => operators.Sampling.byHash(
+          Tables.load(s, dir)("documents"), org.apache.spark.sql.functions.col("doc_id"), 0.3)
+        .select("doc_id", "lang", "source"),
+      Some("SELECT doc_id, lang, source FROM documents " +
+        "WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 < 3000")),
+
+    Q("q_sample_stratified",
+      (s, dir) => operators.Sampling.stratified(
+          Tables.load(s, dir)("documents"), org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("lang"),
+          Map("en" -> 0.5, "zh" -> 1.0, "de" -> 0.25))
+        .select("doc_id", "lang"),
+      Some("SELECT doc_id, lang FROM documents " +
+        "WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 < " +
+        "CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 10000 WHEN 'de' THEN 2500 ELSE 0 END")),
+
+    Q("q_sample_split",
+      (s, dir) => operators.Sampling.split(
+          Tables.load(s, dir)("documents"), org.apache.spark.sql.functions.col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("cnt")),
+      Some("SELECT CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' " +
+        "ELSE 'test' END AS split, count(*) AS cnt FROM (SELECT " +
+        "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS b " +
+        "FROM documents) GROUP BY 1")),
+
+    Q("q_sample_pergroup",
+      (s, dir) => operators.Sampling.perGroup(
+          Tables.load(s, dir)("documents"), org.apache.spark.sql.functions.col("source"),
+          org.apache.spark.sql.functions.col("doc_id"), 10)
+        .select("doc_id", "source"),
+      Some("SELECT doc_id, source FROM (SELECT doc_id, source, " +
+        "row_number() OVER (PARTITION BY source ORDER BY " +
+        "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT, doc_id) AS rk " +
+        "FROM documents) WHERE rk <= 10")),
+
+    Q("q_tokens_bpe",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val d = Tables.load(s, dir)("documents")
+        d.select(col("doc_id"),
+          operators.TextOps.tokenCount(col("text")).as("tok_ws"),
+          operators.TextOps.tokenCountBpe(col("text")).as("tok_bpe"))
+      },
+      Some("SELECT doc_id, " +
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END AS INTEGER) AS tok_ws, " +
+        "CAST(len(string_split_regex(trim(text), '\\s+')) + " +
+        "floor(length(regexp_replace(text, '\\s+', '', 'g')) / 4) AS BIGINT) AS tok_bpe " +
+        "FROM documents")),
+
     // --- LLM-pipeline operators: deduplication ----------------------------
     Q("q_dedup_exact",
       (s, dir) => operators.Dedup.exact(Tables.load(s, dir)("documents")),

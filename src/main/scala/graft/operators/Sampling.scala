@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for large-scale training-data pipelines.
+  *
+  * All variants key off a content/id hash instead of an RNG so that a
+  * sample is (a) reproducible run-over-run, (b) consistent across a
+  * resharded 100 TB corpus (membership depends only on the row, never on
+  * partitioning), and (c) exactly replayable by any engine with md5 —
+  * which is what makes the DuckDB oracle possible. Pure Column
+  * expressions: no shuffle, no state, scan-speed.
+  *
+  * (The reference has no sampling surface; this is part of the
+  * LLM-pipeline extension set, SURVEY §7 M7.)
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, 10000) derived from the key's md5 — the
+    * portable equivalent of `('0x'||substr(md5(k),1,15))::BIGINT % 10000`. */
+  def hashBucket(key: Column): Column =
+    TextOps.portableHash60(key.cast("string")) % 10000
+
+  /** Keep ~`rate` of rows (0..1), deterministically by key. */
+  def byHash(df: DataFrame, key: Column, rate: Double): DataFrame =
+    df.filter(hashBucket(key) < lit((rate * 10000).toInt))
+
+  /** Per-stratum rates: rows in strata absent from `rates` are dropped. */
+  def stratified(
+      df: DataFrame, key: Column, stratum: Column,
+      rates: Map[String, Double]): DataFrame = {
+    val threshold = rates.foldLeft(lit(0)) { case (acc, (s, r)) =>
+      when(stratum === s, lit((r * 10000).toInt)).otherwise(acc)
+    }
+    df.filter(hashBucket(key) < threshold)
+  }
+
+  /** Disjoint train/validation/test-style splits by cumulative weight.
+    * Returns the frame with a `split` label column; weights need not sum
+    * to 1 (the remainder is labeled null and can be filtered). */
+  def split(df: DataFrame, key: Column, weights: Seq[(String, Double)],
+      labelCol: String = "split"): DataFrame = {
+    val b = hashBucket(key)
+    val (expr, _) = weights.foldLeft((lit(null).cast("string"), 0.0)) {
+      case ((acc, cum), (label, w)) =>
+        val hi = cum + w
+        val branch = when(b >= lit((cum * 10000).toInt) && b < lit((hi * 10000).toInt), label)
+        (coalesce(acc, branch), hi)
+    }
+    df.withColumn(labelCol, expr)
+  }
+
+  /** At most `k` rows per group, chosen by hash order (a deterministic
+    * reservoir): one shuffle on the group key, rank by the key hash. */
+  def perGroup(df: DataFrame, group: Column, key: Column, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(TextOps.portableHash60(key.cast("string")), key)
+    df.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k).drop("__rk")
+  }
+}

@@ -22,6 +22,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a.filter(!col("lang_pred").isin("en", "de", "fr", "es", "zh", "und")).count() == 0)
   }
 
+  test("hash sampling is deterministic, consistent across rates, and splits are disjoint") {
+    val n = docs.count()
+    val s30 = Sampling.byHash(docs, col("doc_id"), 0.3)
+    // deterministic: identical membership on re-evaluation
+    assert(s30.select("doc_id").collect().toSet == s30.select("doc_id").collect().toSet)
+    // monotone: the 30% sample is a subset of the 60% sample (same hash axis)
+    val ids30 = s30.select("doc_id").as[Long].collect().toSet
+    val ids60 = Sampling.byHash(docs, col("doc_id"), 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids30.subsetOf(ids60))
+    assert(math.abs(ids30.size.toDouble / n - 0.3) < 0.15) // rough rate
+    // split: labels partition the corpus, no overlap, full coverage at Σw=1
+    val sp = Sampling.split(docs, col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(sp.filter(col("split").isNull).count() == 0)
+    assert(sp.count() == n)
+    // perGroup caps every group at k
+    val pg = Sampling.perGroup(docs, col("source"), col("doc_id"), 3)
+    assert(pg.groupBy("source").count().filter(col("count") > 3).count() == 0)
+  }
+
   test("langId classifies real-language samples correctly") {
     // the testdata `lang` labels are synthetic (all texts are English-ish
     // word soup), so assert on real samples instead
