@@ -153,8 +153,17 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
         d = d.withColumn("__ord_ms", unix_millis(evts))
         val named = analyticCalls.distinct.zipWithIndex
           .map { case (c, i) => (c, s"__an_$i") }
-        (graft.streaming.StatefulOps.analytics(d, named, pNames, "__ord_ms",
-          tieName = q.options.get("TIEBREAK")), named.toMap)
+        // STATEOP='tws' selects the transformWithState lowering (Spark 4
+        // operator with state-store-native TTL); default is fMGWS
+        val lowered =
+          if (q.options.get("STATEOP").exists(_.equalsIgnoreCase("tws")))
+            graft.streaming.StatefulOps.analyticsTws(d, named, pNames, "__ord_ms",
+              tieName = q.options.get("TIEBREAK"),
+              ttlMs = q.options.get("STATETTL").map(Durations.toMillis).getOrElse(0L))
+          else
+            graft.streaming.StatefulOps.analytics(d, named, pNames, "__ord_ms",
+              tieName = q.options.get("TIEBREAK"))
+        (lowered, named.toMap)
       } else AnalyticsLowering.lower(
         df0, analyticCalls,
         e => ExprBuilder.build(e, directCtx(resolver)),

@@ -381,24 +381,8 @@ object StatefulOps extends Serializable {
     val schema = df.schema
     val names = schema.fieldNames
 
-    def callType(fc: FuncCall): DataType = fc.lname match {
-      case "had_changed" => BooleanType
-      case "acc_count" => LongType
-      case "acc_sum" | "acc_avg" | "acc_min" | "acc_max" => DoubleType
-      case _ =>
-        // changed_col's first arg may be the ignoreNull flag — skip literals
-        val colArg = fc.args.find {
-          case _: Ident => true
-          case _ => false
-        }
-        colArg.flatMap {
-          case Ident(segs) => schema.fields.find(_.name == segs.head.name).map(_.dataType)
-          case _ => None
-        }.getOrElse(DoubleType)
-    }
-
     val outSchema = StructType(schema.fields.toList ++
-      calls.map { case (fc, n) => StructField(n, callType(fc), nullable = true) })
+      calls.map { case (fc, n) => StructField(n, analyticType(fc, schema), nullable = true) })
 
     def apply1(fc: FuncCall, st: AnState, m: Map[String, Any]): Any =
       applyAnalytic(fc, st, m)
@@ -437,6 +421,80 @@ object StatefulOps extends Serializable {
         processRows(scala.collection.mutable.Map[String, AnState](), rows)
       }(Encoders.row(outSchema))
     }
+  }
+
+  /** [[analytics]] on Spark 4's `transformWithState` (STATEOP='tws'):
+    * same per-key state machines hosted in a [[org.apache.spark.sql.streaming.StatefulProcessor]],
+    * with the state-store-native TTL (`TTLConfig`) doing the idle-key
+    * reaping the reference implements as LRU eviction
+    * (reference: stream/analytic.go:18-21,386-394). Requires the RocksDB
+    * state-store provider (`StreamSql.useRocksDBStateStore()`). */
+  def analyticsTws(
+      df: DataFrame,
+      calls: List[(FuncCall, String)],
+      partitionNames: List[String],
+      ordName: String,
+      tieName: Option[String] = None,
+      ttlMs: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TTLConfig, ValueState}
+
+    val schema = df.schema
+    val names = schema.fieldNames
+    val outSchema = StructType(schema.fields.toList ++
+      calls.map { case (fc, n) => StructField(n, analyticType(fc, schema), nullable = true) })
+    val keyIdx = partitionNames.map(schema.fieldIndex)
+
+    final class AnalyticsProcessor extends StatefulProcessor[String, Row, Row] {
+      @transient private var anState: ValueState[Map[String, AnState]] = _
+
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+        val ttl =
+          if (ttlMs > 0) new TTLConfig(java.time.Duration.ofMillis(ttlMs))
+          else TTLConfig.NONE
+        anState = getHandle.getValueState[Map[String, AnState]](
+          "an", Encoders.kryo[Map[String, AnState]], ttl)
+      }
+
+      override def handleInputRows(
+          key: String, inputRows: Iterator[Row],
+          timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Row] = {
+        val rows = inputRows.map(r => rowToMap(names, r)).toVector
+          .sortWith(ordLess(_, _, ordName, tieName))
+        val states = scala.collection.mutable.Map[String, AnState]() ++
+          (if (anState.exists()) anState.get() else Map.empty[String, AnState])
+        val out = rows.map { m =>
+          val vals = names.map(m(_)) ++ calls.map { case (fc, n) =>
+            val st = states.getOrElseUpdate(n, AnState())
+            coerce(applyAnalytic(fc, st, m), outSchema(n).dataType)
+          }
+          Row.fromSeq(vals.toIndexedSeq)
+        }
+        anState.update(states.toMap)
+        out.iterator
+      }
+    }
+
+    df.groupByKey(r =>
+        keyIdx.map(i => if (r.isNullAt(i)) KEYNULL else String.valueOf(r.get(i))).mkString(KEYSEP))(Encoders.STRING)
+      .transformWithState(new AnalyticsProcessor, TimeMode.None(), OutputMode.Append())(
+        Encoders.row(outSchema))
+  }
+
+  /** Output type of a direct-path analytic call (shared by the fMGWS and
+    * transformWithState lowerings). */
+  private def analyticType(fc: FuncCall, schema: StructType): DataType = fc.lname match {
+    case "had_changed" => BooleanType
+    case "acc_count" => LongType
+    case "acc_sum" | "acc_avg" | "acc_min" | "acc_max" => DoubleType
+    case _ =>
+      val colArg = fc.args.find {
+        case _: Ident => true
+        case _ => false
+      }
+      colArg.flatMap {
+        case Ident(segs) => schema.fields.find(_.name == segs.head.name).map(_.dataType)
+        case _ => None
+      }.getOrElse(DoubleType)
   }
 
   // -------------------------- tumbling window + window-path analytics

@@ -386,6 +386,36 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("STATEOP='tws' runs streaming analytics on transformWithState") {
+    // transformWithState (Spark 4 stateful operator) requires the RocksDB
+    // state-store provider; state carries across micro-batches like fMGWS
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    graft.api.StreamSql(spark).useRocksDBStateStore()
+    try {
+      val rows = Seq(
+        Ev("d1", 10, 1000, "a"), Ev("d2", 5, 1500, "a"),
+        Ev("d1", 20, 2000, "a"), Ev("d1", 30, 3000, "a"), Ev("d2", 7, 2500, "a"))
+      val out = runStream(
+        "SELECT deviceId, temperature, lag(temperature) " +
+          "OVER (PARTITION BY deviceId) AS prev, " +
+          "acc_sum(temperature) OVER (PARTITION BY deviceId) AS rs FROM stream " +
+          "WITH (TIMESTAMP='ts', TIMEUNIT='ms', STATEOP='tws')",
+        rows, batches = 3)
+      val got = out.collect()
+        .map(r => (r.getString(0), r.getDouble(1),
+          Option(r.get(2)).map(_.asInstanceOf[Double]), r.getDouble(3))).toSet
+      assert(got == Set(
+        ("d1", 10.0, None, 10.0), ("d1", 20.0, Some(10.0), 30.0),
+        ("d1", 30.0, Some(20.0), 60.0),
+        ("d2", 5.0, None, 5.0), ("d2", 7.0, Some(5.0), 12.0)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stateful operators hold 10k independent key partitions") {
     // the reference's capacity story is 100k+ device partitions in 128 MB
     // (README.md:21,187); state here distributes across the state store and
