@@ -940,6 +940,21 @@ object SparkEntry {
         "CAST(epoch(o_orderdate) AS BIGINT) AS secs " +
         "FROM orders WHERE o_orderkey < 2000"),
 
+    gq("q_misc_funcs2",
+      // case_when function form (functions_conditional.go:196), plan-time
+      // dynamic expr() (functions_expr.go:16), typeof-based predicates
+      "SELECT l_orderkey, l_linenumber, " +
+        "case_when(l_quantity > 40, 'high', l_quantity > 20, 'mid', 'low') AS band, " +
+        "expr('l_extendedprice * (1 - l_discount)') AS net, " +
+        "is_string(l_returnflag) AS iss, is_bool(l_returnflag = 'R') AS isb, " +
+        "is_array(split(l_linestatus, ' ')) AS isa " +
+        "FROM lineitem WHERE l_partkey < 70",
+      "SELECT l_orderkey, l_linenumber, " +
+        "CASE WHEN l_quantity > 40 THEN 'high' WHEN l_quantity > 20 THEN 'mid' ELSE 'low' END AS band, " +
+        "l_extendedprice * (1 - l_discount) AS net, " +
+        "TRUE AS iss, TRUE AS isb, TRUE AS isa " +
+        "FROM lineitem WHERE l_partkey < 70"),
+
     gq("q_datetime_arith2",
       // date_sub / month add / hour diff / extract fields / convert_tz
       // (functions_datetime.go:172-241, functions_conversion.go:242-300)

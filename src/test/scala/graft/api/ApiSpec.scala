@@ -49,6 +49,19 @@ class ApiSpec extends AnyFunSuite {
       Seq(("a", 4.0), ("b", 3.0)))
   }
 
+  test("sha1/sha512 match the JDK digests (no DuckDB oracle available)") {
+    val ss = StreamSql(spark)
+    ss.registerTable("stream", Seq(("abc"), ("graft")).toDF("s"))
+    def jdk(alg: String, s: String): String =
+      java.security.MessageDigest.getInstance(alg)
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = ss.execute("SELECT s, sha1(s) AS h1, sha512(s) AS h5 FROM stream")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    Seq("abc", "graft").foreach { s =>
+      assert(got(s) == (jdk("SHA-1", s), jdk("SHA-512", s)))
+    }
+  }
+
   test("changed_cols fans out with prefix and suppresses all-empty rows") {
     val df = Seq(
       ("d1", 20.0, "on", 1000L),
