@@ -36,7 +36,8 @@ object Dedup {
       shingleN: Int = 3,
       bands: Int = 16,
       rows: Int = 4,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      maxBucket: Int = 100000): DataFrame = {
     // shingle + hash once; shingles persisted — the verification joins
     // must not recompute them, and the banded join must stay SLIM (ids
     // only): shipping shingle arrays through a 16× band explosion is the
@@ -54,7 +55,14 @@ object Dedup {
       .withColumnRenamed("col", "bucket")
       .persist()
 
-    val cand = banded.alias("a").join(banded.alias("b"),
+    // hot-bucket cap: a degenerate bucket of B docs (boilerplate, near-
+    // constant content) contributes B²/2 candidate pairs — at corpus scale
+    // a handful of such buckets dominates the whole join. Cap follows the
+    // standard LSH-at-scale practice: oversized buckets carry almost no
+    // signal (their members collide on a trivial band) and are dropped.
+    val capped = capBuckets(banded, Seq("band", "bucket"), maxBucket)
+
+    val cand = capped.alias("a").join(capped.alias("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
@@ -71,6 +79,18 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
     materializeAndRelease(out, withSh, banded)
   }
+
+  /** Drop rows in over-populated buckets: one whole-partition count per
+    * bucket key (no sort), on the same shuffle keys the candidate self-join
+    * uses, so the exchange is reused. `max <= 0` disables the cap. */
+  private[operators] def capBuckets(
+      banded: DataFrame, keys: Seq[String], max: Int): DataFrame =
+    if (max <= 0) banded
+    else banded
+      .withColumn("__bsz",
+        count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+      .filter(col("__bsz") <= max)
+      .drop("__bsz")
 
   /** Materialize `out` (small: the near-dup pair set), then release the big
     * cached intermediates — cached blocks must not accumulate across calls
@@ -96,7 +116,8 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       maxDist: Int = 3,
-      portableHash: Boolean = false): DataFrame = {
+      portableHash: Boolean = false,
+      maxBucket: Int = 100000): DataFrame = {
     val chunks = maxDist + 1
     val bitsPer = 64 / chunks
     val tokenHash: Column => Column =
@@ -114,7 +135,11 @@ object Dedup {
         .as("ck"))
       .select(col("id"), col("ck.chunk"), col("ck.key"))
 
-    val out = banded.alias("a").join(banded.alias("b"),
+    // same hot-bucket cap as the MinHash path — a chunk value shared by B
+    // signatures yields B²/2 candidates
+    val capped = capBuckets(banded, Seq("chunk", "key"), maxBucket)
+
+    val out = capped.alias("a").join(capped.alias("b"),
         col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
@@ -141,10 +166,14 @@ object Dedup {
       idCol: String = "doc_id",
       k: Int = 8,
       w: Int = 16,
-      minShared: Long = 5L): DataFrame = {
-    val fp = docs.select(col(idCol).as("id"),
+      minShared: Long = 5L,
+      maxDf: Int = 100000): DataFrame = {
+    val fp0 = docs.select(col(idCol).as("id"),
       explode(graft.functions.TextKernels.winnowFingerprintsCol(
         TextOps.normalize(col(textCol)), k, w)).as("fp"))
+    // document-frequency cap (MOSS drops "common code" fingerprints the
+    // same way): a fingerprint present in B docs joins into B²/2 pairs
+    val fp = capBuckets(fp0, Seq("fp"), maxDf)
     fp.alias("a").join(fp.alias("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))

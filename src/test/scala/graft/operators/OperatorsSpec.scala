@@ -22,6 +22,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a.filter(!col("lang_pred").isin("en", "de", "fr", "es", "zh", "und")).count() == 0)
   }
 
+  test("LSH hot-bucket caps bound candidate fanout") {
+    // maxBucket=1 drops every bucket that could produce a pair — the
+    // candidate set (and so the output) must collapse to empty, while the
+    // default cap leaves the planted near-dups intact (oracle-pinned)
+    val r = Dedup.minHashPairs(docs, threshold = 0.7, maxBucket = 1)
+    assert(r.count() == 0)
+    r.unpersist()
+    val s = Dedup.simHashPairs(docs, maxDist = 10, maxBucket = 1)
+    assert(s.count() == 0)
+    s.unpersist()
+    assert(Dedup.winnowPairs(docs, minShared = 1, maxDf = 1).count() == 0)
+  }
+
   test("hash sampling is deterministic, consistent across rates, and splits are disjoint") {
     val n = docs.count()
     val s30 = Sampling.byHash(docs, col("doc_id"), 0.3)
