@@ -492,6 +492,16 @@ object SparkEntry {
         "ELSE event_type IS DISTINCT FROM lag(event_type) OVER w END AS h FROM events " +
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"),
 
+    gq("q_had_changed_star",
+      // * expands to the whole row by column name (stream/analytic.go:
+      // 155-166); event_id is per-row unique so every event reports a
+      // change — the oracle pins the expansion itself, the column-list
+      // variant (q_had_changed) pins the comparison logic
+      "SELECT user_id, event_id, had_changed(true, *) " +
+        "OVER (PARTITION BY user_id) AS h FROM events " +
+        "WITH (TIMESTAMP='ts', TIEBREAK='event_id')",
+      "SELECT user_id, event_id, TRUE AS h FROM events"),
+
     gq("q_over_when",
       // WHEN-gated analytic state (reference: stream/analytic.go:142-148):
       // lag updates only at 'click' rows; other rows replay the last result

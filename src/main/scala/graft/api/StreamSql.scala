@@ -83,6 +83,20 @@ final class StreamSql(val spark: SparkSession) {
     this
   }
 
+  /** Custom analytic state machine — the analog of implementing
+    * `StatefulAnalytic.NewState() AnalyticState{Apply}`
+    * (reference: stream/analytic.go:93-114, functions/analytic_state.go).
+    * Callable in dialect SQL with `OVER (PARTITION BY … [WHEN …])`; one
+    * state instance per partition key; result type follows the argument
+    * column's type (or double). Batch queries run it through the same
+    * per-key state machines as streaming (no window-function lowering
+    * exists for arbitrary user state). */
+  def registerAnalytic(
+      name: String, newState: () => graft.functions.CustomAnalytic): this.type = {
+    graft.functions.FunctionMap.registerAnalytic(name, newState)
+    this
+  }
+
   /** Custom aggregate — the analog of implementing AggregatorFunction
     * {New, Add, Result} (reference: functions/aggregator_types.go:74-80). */
   def registerAggregator[IN: reflect.runtime.universe.TypeTag, BUF, OUT](

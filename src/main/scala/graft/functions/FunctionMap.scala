@@ -59,10 +59,29 @@ object FunctionMap {
 
   def registerAggregate(name: String): Unit = customAggregates.add(name.toLowerCase)
 
+  /** User-registered analytic state machines — the analog of implementing
+    * `StatefulAnalytic.NewState() AnalyticState{Apply,Reset}`
+    * (reference: stream/analytic.go:93-114, functions/analytic_state.go).
+    * The factory creates one state instance per (partition key, call);
+    * instances must be serializable (streaming state crosses micro-batches). */
+  private val customAnalytics =
+    new java.util.concurrent.ConcurrentHashMap[String, () => CustomAnalytic]()
+
+  def registerAnalytic(name: String, newState: () => CustomAnalytic): Unit =
+    customAnalytics.put(name.toLowerCase, newState)
+
+  def customAnalytic(name: String): Option[() => CustomAnalytic] =
+    Option(customAnalytics.get(name.toLowerCase))
+
+  def isCustomAnalytic(name: String): Boolean =
+    customAnalytics.containsKey(name.toLowerCase)
+
   def isAggregate(name: String): Boolean =
     aggregateNames.contains(name.toLowerCase) ||
       customAggregates.contains(name.toLowerCase)
-  def isAnalytic(name: String): Boolean = analyticNames.contains(name.toLowerCase)
+  def isAnalytic(name: String): Boolean =
+    analyticNames.contains(name.toLowerCase) ||
+      customAnalytics.containsKey(name.toLowerCase)
 
   /** Scalar lowering for column-only functions. */
   def scalar(name: String, args: List[Column]): Column = {

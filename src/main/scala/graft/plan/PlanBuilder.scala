@@ -110,9 +110,37 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
   private def buildDirectPath(
       q0: Query, df0: DataFrame, resolver: Resolver, ord: OrderCols): DataFrame = {
 
+    // had_changed(flag, *) compares the whole row BY COLUMN NAME — the *
+    // expands to every stream column (reference: stream/analytic.go:155-166,
+    // which compares the named row map to survive schema reordering)
+    def expandChangeStar(e: SqlExpr): SqlExpr = e match {
+      case fc @ FuncCall(n, args, _, _)
+          if n.equalsIgnoreCase("had_changed") && args.contains(Star) =>
+        val flag = args match {
+          case (b: BoolLit) :: _ => b
+          case _                 => BoolLit(true)
+        }
+        fc.copy(args = flag :: resolver.baseColumnNames.map(Ident.simple))
+      case fc: FuncCall => fc.copy(args = fc.args.map(expandChangeStar))
+      case BinOp(op, l, r) => BinOp(op, expandChangeStar(l), expandChangeStar(r))
+      case UnaryOp(op, c) => UnaryOp(op, expandChangeStar(c))
+      case CaseWhen(op, br, el) => CaseWhen(op.map(expandChangeStar),
+        br.map(b => (expandChangeStar(b._1), expandChangeStar(b._2))),
+        el.map(expandChangeStar))
+      case IsNullExpr(c, neg) => IsNullExpr(expandChangeStar(c), neg)
+      case LikeExpr(c, p, neg) => LikeExpr(expandChangeStar(c), p, neg)
+      case InExpr(c, items, neg) => InExpr(expandChangeStar(c), items.map(expandChangeStar), neg)
+      case BetweenExpr(c, lo, hi, neg) =>
+        BetweenExpr(expandChangeStar(c), expandChangeStar(lo), expandChangeStar(hi), neg)
+      case other => other
+    }
+    val q1 = q0.copy(
+      items = q0.items.map(it => it.copy(expr = expandChangeStar(it.expr))),
+      where = q0.where.map(expandChangeStar))
+
     // changed_cols(prefix, ignoreNull, c1..cn) fans out to one changed_col
     // per column named prefix+colname (reference: stream/analytic.go:236-289)
-    val q = q0.copy(items = q0.items.flatMap {
+    val q = q1.copy(items = q1.items.flatMap {
       case SelectItem(FuncCall(n, args, over, d), _) if n.equalsIgnoreCase("changed_cols") =>
         val (prefix, rest) = args match {
           case StringLit(p) :: tail => (p, tail)
@@ -135,9 +163,14 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
 
     val analyticCalls =
       (q.items.map(_.expr) ++ q.where.toList).flatMap(ExprBuilder.collectAnalytics)
+    // user-registered analytics have no declarative window-function
+    // lowering — batch routes through the same per-key state machines
+    // (flatMapGroups) the streaming path uses
+    val hasCustomAnalytic =
+      analyticCalls.exists(c => graft.functions.FunctionMap.isCustomAnalytic(c.lname))
     val (df1, anMap) =
       if (analyticCalls.isEmpty) (df0, Map.empty[FuncCall, String])
-      else if (df0.isStreaming) {
+      else if (df0.isStreaming || hasCustomAnalytic) {
         // streaming: per-key state machines (reference: stream/analytic.go)
         val dctx = directCtx(resolver)
         val parts = analyticCalls.head.over.map(_.partitionBy).getOrElse(Nil)
@@ -156,7 +189,7 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
         // STATEOP='tws' selects the transformWithState lowering (Spark 4
         // operator with state-store-native TTL); default is fMGWS
         val lowered =
-          if (q.options.get("STATEOP").exists(_.equalsIgnoreCase("tws")))
+          if (df0.isStreaming && q.options.get("STATEOP").exists(_.equalsIgnoreCase("tws")))
             graft.streaming.StatefulOps.analyticsTws(d, named, pNames, "__ord_ms",
               tieName = q.options.get("TIEBREAK"),
               ttlMs = q.options.get("STATETTL").map(Durations.toMillis).getOrElse(0L))

@@ -54,6 +54,10 @@ final class Resolver(
     c
   }
 
+  /** Stream-side column names in declaration order (for whole-row
+    * operations like `had_changed(true, *)`). */
+  def baseColumnNames: List[String] = baseColsOrdered
+
   /** `SELECT *`: stream columns, then joined columns under their plain names
     * (skipping collisions with stream columns). */
   def starColumns: List[Column] = {

@@ -299,7 +299,9 @@ object StatefulOps extends Serializable {
       var started: Boolean = false,
       var prevVals: Vector[Any] = Vector.empty,
       var seen: Boolean = false,
-      var lastResult: Any = null)
+      var lastResult: Any = null,
+      // user-registered state machine instance (graft.functions.CustomAnalytic)
+      var custom: Any = null)
 
   /** One window-result or event row through one analytic state machine
     * (WHEN gating replays the last result — stream/analytic.go:142-148).
@@ -360,7 +362,15 @@ object StatefulOps extends Serializable {
         if (fc.lname == "had_changed") changed
         else if (changed) vals.head else null
       case other =>
-        throw new IllegalArgumentException(s"unsupported streaming analytic $other")
+        graft.functions.FunctionMap.customAnalytic(other) match {
+          case Some(factory) =>
+            // user-registered state machine (reference: stream/analytic.go:93-114)
+            if (st.custom == null) st.custom = factory()
+            st.custom.asInstanceOf[graft.functions.CustomAnalytic]
+              .apply(evalOn(m, fc.args.head))
+          case None =>
+            throw new IllegalArgumentException(s"unsupported streaming analytic $other")
+        }
     }
     st.lastResult = res
     res

@@ -80,6 +80,48 @@ class ApiSpec extends AnyFunSuite {
       (1000L, 20.0, "on"), (3000L, 25.0, null), (4000L, null, "off")))
   }
 
+  test("custom analytic (EMA) registered and run per partition key") {
+    class Ema(alpha: Double) extends graft.functions.CustomAnalytic {
+      private var s: Double = Double.NaN
+      def apply(v: Any): Any = {
+        val x = graft.cep.RowEval.toDouble(v)
+        s = if (s.isNaN) x else alpha * x + (1 - alpha) * s
+        s
+      }
+    }
+    val ss = StreamSql(spark)
+    ss.registerAnalytic("ema5", () => new Ema(0.5))
+    val df = Seq(
+      ("a", 10.0, 1L), ("a", 20.0, 2L), ("a", 20.0, 3L),
+      ("b", 4.0, 1L)
+    ).toDF("g", "v", "ts")
+    val out = graft.GraftEngine.sql(
+      "SELECT g, ts, ema5(v) OVER (PARTITION BY g) AS e FROM stream " +
+        "WITH (TIMESTAMP='ts', TIMEUNIT='ms') ORDER BY g, ts", df)
+    val got = out.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      ("a", 1L, 10.0), ("a", 2L, 15.0), ("a", 3L, 17.5), ("b", 1L, 4.0)))
+  }
+
+  test("had_changed(true, *) compares the whole row by column name") {
+    val df = Seq(
+      ("d1", 20.0, "on", 1000L),
+      ("d1", 20.0, "on", 2000L),  // only ts differs — still a whole-row change
+      ("d1", 25.0, "on", 3000L)
+    ).toDF("deviceId", "temp", "status", "ts")
+    val out = graft.GraftEngine.sql(
+      "SELECT ts, had_changed(true, *) OVER (PARTITION BY deviceId) AS h " +
+        "FROM stream ORDER BY ts", df)
+    // ts is part of the row, so every event differs from its predecessor —
+    // matching the reference's named-row comparison over the full map
+    assert(out.collect().map(_.getBoolean(1)).forall(identity))
+    // excluding the changing columns: only the first row reports a change
+    val out2 = graft.GraftEngine.sql(
+      "SELECT ts, had_changed(true, deviceId, status) OVER (PARTITION BY deviceId) AS h " +
+        "FROM stream ORDER BY ts", df)
+    assert(out2.collect().map(_.getBoolean(1)).toSeq == Seq(true, false, false))
+  }
+
   test("acc_sum with start and reset conditions (batch lowering)") {
     // acc_sum(v, startCond, resetCond): gated start, reset clears the run
     // (reference: functions/analytic_acc.go)

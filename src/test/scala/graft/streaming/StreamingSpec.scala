@@ -386,6 +386,28 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("custom analytic state carries across micro-batches") {
+    class RunningMax extends graft.functions.CustomAnalytic {
+      private var m: Double = Double.NegativeInfinity
+      def apply(v: Any): Any = {
+        m = math.max(m, graft.cep.RowEval.toDouble(v)); m
+      }
+    }
+    graft.api.StreamSql(spark).registerAnalytic("run_max", () => new RunningMax)
+    val rows = Seq(
+      Ev("d1", 10, 1000, "a"), Ev("d1", 30, 2000, "a"),
+      Ev("d1", 20, 3000, "a"), Ev("d2", 5, 1500, "a"))
+    val out = runStream(
+      "SELECT deviceId, temperature, run_max(temperature) " +
+        "OVER (PARTITION BY deviceId) AS mx FROM stream " +
+        "WITH (TIMESTAMP='ts', TIMEUNIT='ms')",
+      rows, batches = 4) // one row per batch — state must persist
+    val got = out.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(got == Set(
+      ("d1", 10.0, 10.0), ("d1", 30.0, 30.0), ("d1", 20.0, 30.0), ("d2", 5.0, 5.0)))
+  }
+
   test("STATEOP='tws' runs streaming analytics on transformWithState") {
     // transformWithState (Spark 4 stateful operator) requires the RocksDB
     // state-store provider; state carries across micro-batches like fMGWS
