@@ -65,12 +65,32 @@ object Tables {
   // Loading resolves 10 parquet footers (a driver-side fixed cost per call);
   // the resulting DataFrames are immutable logical plans, so memoize per
   // (session, dir) — repeated queries against the same tables re-plan from
-  // the cached scan instead of re-listing files.
+  // the cached scan instead of re-listing files. The session key is WEAK:
+  // stopped sessions (and their cached plans) become collectable instead of
+  // pinning forever in a long-lived driver. Plans pin the file listing as
+  // of first load — rewriting the parquet dir in place needs a new session
+  // (or `Tables.invalidate`).
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Map[String, DataFrame]]()
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, Map[String, DataFrame]]]()
 
-  def load(spark: SparkSession, sfDir: String): Map[String, DataFrame] =
-    cache.computeIfAbsent((spark, sfDir), { case (s, dir) => doLoad(s, dir) })
+  def load(spark: SparkSession, sfDir: String): Map[String, DataFrame] = {
+    val perSession = cache.synchronized {
+      var m = cache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty
+        cache.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(sfDir, doLoad(spark, sfDir))
+  }
+
+  /** Drop cached plans for `sfDir` (all sessions) — needed after rewriting
+    * the directory's parquet files in place. */
+  def invalidate(sfDir: String): Unit = cache.synchronized {
+    cache.values.forEach(m => m.remove(sfDir))
+  }
 
   private def doLoad(spark: SparkSession, sfDir: String): Map[String, DataFrame] = {
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects natively;

@@ -27,6 +27,12 @@ object Dedup {
   /** MinHash + LSH near-dup pairs: signature → b bands of r rows →
     * band-bucket join → exact Jaccard verify on shingle sets.
     *
+    * @param maxBucket hot-bucket cap: a (band, bucket) shared by more than
+    *   this many docs is dropped ENTIRELY from candidate generation (all
+    *   members, not just the excess — an oversized bucket means the band
+    *   carries no discriminating signal). Pairs only reachable through
+    *   capped buckets are lost; set 0 to disable, lower it for
+    *   boilerplate-heavy corpora.
     * @return (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold
     */
   def minHashPairs(

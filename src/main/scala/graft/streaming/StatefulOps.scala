@@ -484,9 +484,12 @@ object StatefulOps extends Serializable {
       }
     }
 
+    // state TTL is only legal under ProcessingTime time mode (Spark rejects
+    // TTLConfig with TimeMode.None at query start)
+    val timeMode = if (ttlMs > 0) TimeMode.ProcessingTime() else TimeMode.None()
     df.groupByKey(r =>
         keyIdx.map(i => if (r.isNullAt(i)) KEYNULL else String.valueOf(r.get(i))).mkString(KEYSEP))(Encoders.STRING)
-      .transformWithState(new AnalyticsProcessor, TimeMode.None(), OutputMode.Append())(
+      .transformWithState(new AnalyticsProcessor, timeMode, OutputMode.Append())(
         Encoders.row(outSchema))
   }
 
@@ -608,16 +611,22 @@ object StatefulOps extends Serializable {
       val fn = (_: String, it: Iterator[Row], state: GroupState[SessState]) => {
         if (state.hasTimedOut) {
           // IDLETIMEOUT flushes open sessions on processing time
-          // (reference: window/watermark.go:108-124); a timeout with
-          // nothing left to flush — or a pure-STATETTL timeout — reaps
-          // the key wholesale (reference: counting_window.go:254-267)
+          // (reference: window/watermark.go:108-124). What remains after the
+          // flush: cross-window analytic state is RETAINED (IDLETIMEOUT only
+          // closes windows, it is not a reap) unless STATETTL explicitly
+          // opts into reaping (reference: counting_window.go:254-267); keys
+          // with no analytic state are dropped (nothing worth keeping —
+          // reaped keys see later rows as a fresh stream, exactly like the
+          // reference after state eviction).
           val stIn = state.getOption
           val hadOpen = stIn.exists(_.sessions.nonEmpty)
           val (out, stOut) = process(stIn, Vector.empty, closeAll = idleMs > 0)
-          if (idleMs > 0 && hadOpen && anCalls.nonEmpty) {
+          if (anCalls.nonEmpty && ttlMs == 0) state.update(stOut)
+          else if (anCalls.nonEmpty && idleMs > 0 && hadOpen) {
+            // idle flush emitted something — reap on the next TTL expiry
             state.update(stOut)
-            state.setTimeoutDuration(if (ttlMs > 0) ttlMs else idleMs)
-          } else state.remove()
+            state.setTimeoutDuration(ttlMs)
+          } else state.remove() // pure-TTL reap discards partials wholesale
           out.iterator
         } else {
           val rows = it.map(r => rowToMap(names, r)).toVector
@@ -625,6 +634,10 @@ object StatefulOps extends Serializable {
           // a key whose sessions have fully flushed and that carries no
           // cross-window analytic state holds nothing worth keeping —
           // drop it so high-cardinality ephemeral keys don't accrete
+          // (trade-off: the per-key lateness horizon goes with it, so a
+          // row arriving later than the key's whole flushed history starts
+          // a fresh stream — the reference behaves the same once STATETTL/
+          // LRU eviction reaps a key)
           if (stOut.sessions.isEmpty && anCalls.isEmpty) state.remove()
           else {
             state.update(stOut)
@@ -759,23 +772,31 @@ object StatefulOps extends Serializable {
     if (df.isStreaming) {
       val fn = (_: String, it: Iterator[Row], state: GroupState[TwState]) => {
         if (state.hasTimedOut) {
-          // IDLETIMEOUT (reference: window/watermark.go:108-124): an idle
-          // key flushes all open windows on processing time; a timeout with
-          // nothing left to flush — or a pure-STATETTL timeout — reaps the
-          // key wholesale (reference: counting_window.go:254-267)
+          // IDLETIMEOUT (reference: window/watermark.go:108-124) flushes all
+          // open windows on processing time. Cross-window analytic state is
+          // RETAINED after the flush (IDLETIMEOUT is not a reap) unless
+          // STATETTL explicitly opts into reaping (reference:
+          // counting_window.go:254-267); keys with no analytic state drop —
+          // later rows on a reaped key start a fresh stream, exactly like
+          // the reference after state eviction.
           val stIn = state.getOption
           val hadOpen = stIn.exists(_.buffers.nonEmpty)
           val (out, st) = process(stIn, Vector.empty, closeAll = idleMs > 0)
-          if (idleMs > 0 && hadOpen && anCalls.nonEmpty) {
+          if (anCalls.nonEmpty && ttlMs == 0) state.update(st)
+          else if (anCalls.nonEmpty && idleMs > 0 && hadOpen) {
+            // idle flush emitted something — reap on the next TTL expiry
             state.update(st)
-            state.setTimeoutDuration(if (ttlMs > 0) ttlMs else idleMs)
-          } else state.remove()
+            state.setTimeoutDuration(ttlMs)
+          } else state.remove() // pure-TTL reap discards partials wholesale
           out.iterator
         } else {
           val rows = it.map(r => rowToMap(names, r)).toVector
           val (out, st) = process(state.getOption, rows, closeAll = false)
           // drop fully-flushed keys with no analytic state — otherwise
           // high-cardinality ephemeral keys retain (maxTs, horizon) forever
+          // (trade-off: the per-key lateness horizon goes with it — rows
+          // later than the key's flushed history start a fresh stream, the
+          // reference's own post-eviction behavior)
           if (st.buffers.isEmpty && anCalls.isEmpty) state.remove()
           else {
             state.update(st)

@@ -438,6 +438,43 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("STATEOP='tws' with STATETTL starts and runs (ProcessingTime time mode)") {
+    // TTL-enabled TWS state is only legal under TimeMode.ProcessingTime —
+    // this pins that the query STARTS (TimeMode.None + TTLConfig throws at
+    // query start) and produces results. With processing-time timers armed
+    // processAllAvailable never returns, so the test polls the sink.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    graft.api.StreamSql(spark).useRocksDBStateStore()
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[Ev]
+      val out = GraftEngine.sql(
+        "SELECT deviceId, temperature, lag(temperature) " +
+          "OVER (PARTITION BY deviceId) AS prev FROM stream " +
+          "WITH (TIMESTAMP='ts', TIMEUNIT='ms', STATEOP='tws', STATETTL='1h')",
+        Map("stream" -> mem.toDF()))
+      val query = out.writeStream.format("memory").queryName("twsttl")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(250L))
+        .start()
+      mem.addData(Ev("d1", 10, 1000L, "a"), Ev("d1", 20, 2000L, "a"))
+      val deadline = System.currentTimeMillis() + 30000
+      var got: Seq[(Double, Option[Double])] = Nil
+      while (got.size < 2 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        got = spark.table("twsttl").collect()
+          .map(r => (r.getDouble(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toSeq
+      }
+      query.stop()
+      assert(got.toSet == Set((10.0, None), (20.0, Some(10.0))), s"got $got")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stateful operators hold 10k independent key partitions") {
     // the reference's capacity story is 100k+ device partitions in 128 MB
     // (README.md:21,187); state here distributes across the state store and
