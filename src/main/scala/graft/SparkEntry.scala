@@ -672,6 +672,20 @@ object SparkEntry {
               FROM s WHERE (value > 80 AND nv < 20) OR (value < 20 AND nv > 80))
         SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY ts) AS mn, av, bv FROM m""".stripMargin.trim),
 
+    gq("q_cep_subset",
+      // SUBSET U = (A, B): measures aggregate over the union of symbols
+      // (types/match_recognize.go:86-90, cep/eval.go subsets)
+      "SELECT * FROM events MATCH_RECOGNIZE ( PARTITION BY user_id ORDER BY ts " +
+        "MEASURES MATCH_NUMBER() AS mn, FIRST(A.ts) - 0 AS t0, " +
+        "round(avg(U.value), 4) AS uavg, count(U.value) AS un " +
+        "ONE ROW PER MATCH PATTERN (A B) SUBSET U = (A, B) WITHIN '60d' " +
+        "DEFINE A AS value > 80, B AS value < 20 )",
+      """
+        WITH s AS (SELECT user_id, ts, value, lead(value) OVER (PARTITION BY user_id ORDER BY ts) AS nv FROM events),
+        m AS (SELECT user_id, epoch_ms(ts) AS t0, round((value + nv) / 2, 4) AS uavg, CAST(2 AS BIGINT) AS un
+              FROM s WHERE value > 80 AND nv < 20)
+        SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY t0) AS mn, t0, uavg, un FROM m""".stripMargin.trim),
+
     // --- LLM-pipeline operators: text analysis ----------------------------
     gq("q_doc_stats",
       "SELECT lang, source, count(*) AS cnt, round(avg(n_chars), 4) AS avg_chars, " +
