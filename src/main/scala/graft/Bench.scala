@@ -53,7 +53,9 @@ object Bench {
       "q_agg_basic", "q_agg_stats", "q_join_multi_agg", "q_window_tumbling",
       "q_window_sliding", "q_window_session", "q_window_counting", "q_topk",
       "q_lag", "q_acc_running", "q_cep_pattern", "q_text_analysis",
-      "q_dedup_exact", "q_dedup_minhash", "q_embed_topk", "q_distinct")
+      "q_dedup_exact", "q_dedup_minhash", "q_embed_topk", "q_distinct",
+      "q_rank_funcs", "q_rollup", "q_dedup_simhash", "q_embed_ivf",
+      "q_sample_hash")
 
     def timed(df: => DataFrame): Double = {
       val t0 = System.nanoTime()

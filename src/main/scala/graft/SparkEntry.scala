@@ -746,6 +746,12 @@ object SparkEntry {
       Some("SELECT doc_id, lang, source FROM documents " +
         "WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 < 3000")),
 
+    gq("q_sample_sql",
+      // the same deterministic sample from dialect SQL (sample_hash fn)
+      "SELECT doc_id, lang FROM documents WHERE sample_hash(doc_id, 0.25)",
+      "SELECT doc_id, lang FROM documents " +
+        "WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 < 2500"),
+
     Q("q_sample_stratified",
       (s, dir) => operators.Sampling.stratified(
           Tables.load(s, dir)("documents"), org.apache.spark.sql.functions.col("doc_id"),

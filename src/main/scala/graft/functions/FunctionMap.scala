@@ -151,6 +151,12 @@ object FunctionMap {
       case "null_if" => nullif(a0, a1)
       case "case_when" => caseWhenChain(args)
 
+      // ---- deterministic sampling (LLM-pipeline extension) ----
+      // sample_hash(key, rate): keep ~rate of rows by the key's md5 bucket —
+      // reproducible across runs/reshards (operators.Sampling.byHash in SQL)
+      case "sample_hash" =>
+        graft.operators.Sampling.hashBucket(a0) < (a1 * lit(10000)).cast("int")
+
       // ---- type predicates (functions_type.go) ----
       case "is_null" => a0.isNull
       case "is_not_null" => a0.isNotNull
