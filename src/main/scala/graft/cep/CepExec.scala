@@ -117,7 +117,9 @@ object CepExec extends Serializable {
     val out =
       if (df.isStreaming)
         CepStream.run(keyed, keyIdx, fieldNames, outSchema, mrLocal, symbolsLocal,
-          sortRows, tsOfRow, defineTestFor, emitMatch, idleMs)
+          sortRows, tsOfRow, defineTestFor, emitMatch, idleMs,
+          ttlMs = q.options.get("STATETTL")
+            .map(graft.sql.Durations.toMillis).getOrElse(0L))
       else keyed
         .groupByKey(r => r.getString(keyIdx))(Encoders.STRING)
         .flatMapGroups { (_, it) =>

@@ -39,11 +39,19 @@ object CepStream extends Serializable {
       defineTest: (IndexedSeq[Map[String, Any]]) =>
         (String, Int, IndexedSeq[(Int, String)]) => Boolean,
       emitMatch: (IndexedSeq[Map[String, Any]], Matcher.Match, Long) => Iterator[Row],
-      idleMs: Long = 0L): DataFrame = {
+      idleMs: Long = 0L,
+      ttlMs: Long = 0L): DataFrame = {
 
     val pastLastRow = mr.afterMatch == AfterMatch.PastLastRow
     val fn = (_: String, it: Iterator[Row], state: GroupState[KeyState]) => {
       if (state.hasTimedOut) {
+        if (idleMs == 0) {
+          // pure-STATETTL reap: buffered partial runs discarded wholesale
+          // (reference: counting_window.go:254-267; CEP partitions are
+          // LRU-evicted the same way, cep/engine.go:17-22)
+          state.remove()
+          Iterator.empty
+        } else {
         // IDLETIMEOUT (reference: window/watermark.go:108-124 — idle source
         // advances the watermark on processing time): finalize the whole
         // buffer, emit every match, advance the consumed horizon past it
@@ -57,10 +65,18 @@ object CepStream extends Serializable {
         val horizon =
           if (sorted.isEmpty) st.horizonMs
           else math.max(st.horizonMs, tsOfRow(sorted.last))
-        state.update(KeyState(Vector.empty, st.matchCount + matches.size, horizon))
-        // no re-arm: the buffer is drained, nothing left to flush — arming
-        // here would schedule timeout batches forever on a quiet stream
+        if (sorted.isEmpty && ttlMs > 0) {
+          // two idle periods with nothing to flush and an explicit TTL —
+          // reap the key (match numbering restarts, as after any eviction)
+          state.remove()
+        } else {
+          state.update(KeyState(Vector.empty, st.matchCount + matches.size, horizon))
+          // re-arm only toward an explicit TTL reap: arming the idle flush
+          // again on a drained buffer would schedule timeout batches forever
+          if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+        }
         out.iterator
+        }
       } else {
       val incoming = it.map(r =>
         fieldNames.zipWithIndex.map { case (n, i) => n -> r.get(i) }.toMap).toVector
@@ -80,6 +96,7 @@ object CepStream extends Serializable {
       if (safeEnd <= 0) {
         state.update(st.copy(buffer = sorted))
         if (idleMs > 0) state.setTimeoutDuration(idleMs)
+        else if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
         Iterator.empty
       } else {
         val all = Matcher.findMatches(sorted, mr,
@@ -109,13 +126,14 @@ object CepStream extends Serializable {
         state.update(KeyState(remaining, st.matchCount + matches.size,
           math.max(st.horizonMs, newHorizon)))
         if (idleMs > 0 && remaining.nonEmpty) state.setTimeoutDuration(idleMs)
+        else if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
         out.iterator
       }
       }
     }
 
     val timeout =
-      if (idleMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      if (idleMs > 0 || ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
     keyed
       .groupByKey((r: Row) => r.getString(keyIdx))(Encoders.STRING)
