@@ -96,7 +96,16 @@ object Bench {
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
           unix_millis(col("ts")).as("ts"))
         .as[(Long, Long, String, Double, Long)].take(50000)
-      ruleShapes.foreach { case (name, sql) =>
+      // the analytic rule additionally measured on the transformWithState
+      // lowering (STATEOP='tws', RocksDB-backed state)
+      val latencyShapes = ruleShapes ++ List(
+        "rule_analytic_tws" ->
+          ("SELECT user_id, value, lag(value) OVER (PARTITION BY user_id) AS prev " +
+            "FROM stream " +
+            "WITH (TIMESTAMP='ts', TIMEUNIT='ms', TIEBREAK='event_id', STATEOP='tws')"))
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      latencyShapes.foreach { case (name, sql) =>
         val mem = MemoryStream[(Long, Long, String, Double, Long)]
         val src = mem.toDF()
           .toDF("event_id", "user_id", "event_type", "value", "ts")
@@ -106,7 +115,7 @@ object Bench {
         val optStr = "WITH (TIMESTAMP='ts', TIEBREAK='event_id')"
         val rewritten =
           sql.replace(optStr, "WITH (TIMESTAMP='ts', TIMEUNIT='ms', TIEBREAK='event_id')")
-        require(!sql.contains("WITH (") || rewritten != sql,
+        require(!sql.contains("WITH (") || rewritten != sql || sql.contains("TIMEUNIT"),
           s"rule shape '$name' has WITH options but not the expected '$optStr'")
         val out = GraftEngine.sql(rewritten, Map("stream" -> src))
         val q = out.writeStream.format("noop").outputMode("append").start()

@@ -493,6 +493,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(_.getDouble(1)).forall(_ == 3.0))
   }
 
+  test("transformWithState analytics hold 10k independent key partitions") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    graft.api.StreamSql(spark).useRocksDBStateStore()
+    try {
+      val rows = (0 until 10000).flatMap { k =>
+        Seq(Ev(s"dev$k", 1, 1000L + k, "a"), Ev(s"dev$k", 2, 2000L + k, "a"))
+      }
+      val out = runStream(
+        "SELECT deviceId, temperature, lag(temperature) " +
+          "OVER (PARTITION BY deviceId) AS prev FROM stream " +
+          "WITH (TIMESTAMP='ts', TIMEUNIT='ms', STATEOP='tws')",
+        rows, batches = 2)
+      val got = out.collect()
+      assert(got.length == 20000)
+      // second event of every key sees the first through TWS state
+      assert(got.count(r => !r.isNullAt(2)) == 10000)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("per-batch ordered sink applies ORDER BY/LIMIT per emitted batch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
