@@ -96,6 +96,11 @@ object Bench {
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
           unix_millis(col("ts")).as("ts"))
         .as[(Long, Long, String, Double, Long)].take(50000)
+      // low-latency micro-batches want few state-store partitions: a 5k-row
+      // batch over 32 shuffle partitions pays 32 task launches + state
+      // commits per trigger — 8 is the deployment-appropriate setting for
+      // this shape (the batch-throughput queries above keep 32)
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
       // the analytic rule additionally measured on the transformWithState
       // lowering (STATEOP='tws', RocksDB-backed state)
       val latencyShapes = ruleShapes ++ List(
