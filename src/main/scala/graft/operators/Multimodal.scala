@@ -35,7 +35,7 @@ object Multimodal {
 
   /** Resize stub: target box fit preserving aspect ratio — the metadata
     * arithmetic is real; a codec-backed version would also rescale pixels. */
-  private[operators] def fitBox(w: Int, h: Int, maxSide: Int): (Int, Int) = {
+  private[graft] def fitBox(w: Int, h: Int, maxSide: Int): (Int, Int) = {
     if (w <= 0 || h <= 0) (0, 0)
     else if (w <= maxSide && h <= maxSide) (w, h)
     else if (w >= h) (maxSide, math.max(1, math.round(h.toDouble * maxSide / w).toInt))
