@@ -672,6 +672,21 @@ object SparkEntry {
               FROM s WHERE (value > 80 AND nv < 20) OR (value < 20 AND nv > 80))
         SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY ts) AS mn, av, bv FROM m""".stripMargin.trim),
 
+    gq("q_cep_prev_define",
+      // PREV() navigation inside DEFINE (cep/eval.go:155-248 placeholder
+      // rewriting): B matches only when its value dropped vs the previous
+      // row; SKIP TO NEXT ROW makes matches start-independent so the
+      // all-adjacent-pairs oracle applies
+      "SELECT * FROM events MATCH_RECOGNIZE ( PARTITION BY user_id ORDER BY ts " +
+        "MEASURES MATCH_NUMBER() AS mn, FIRST(A.ts) - 0 AS t0, " +
+        "LAST(A.value) AS av, LAST(B.value) AS bv " +
+        "ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW PATTERN (A B) WITHIN '60d' " +
+        "DEFINE A AS value > 80, B AS value < PREV(value) )",
+      """
+        WITH s AS (SELECT user_id, ts, value, lead(value) OVER (PARTITION BY user_id ORDER BY ts) AS nv FROM events),
+        m AS (SELECT user_id, epoch_ms(ts) AS t0, value AS av, nv AS bv FROM s WHERE value > 80 AND nv < value)
+        SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY t0) AS mn, t0, av, bv FROM m""".stripMargin.trim),
+
     gq("q_cep_subset",
       // SUBSET U = (A, B): measures aggregate over the union of symbols
       // (types/match_recognize.go:86-90, cep/eval.go subsets)
