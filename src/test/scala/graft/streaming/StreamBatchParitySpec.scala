@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.{GraftEngine, SparkTestBase, Tables}
+
+case class PEv(event_id: Long, user_id: Long, event_type: String,
+    value: Double, ts: Long)
+
+/** Streaming/batch parity: the SAME dialect query over the SAME rows must
+  * produce the same result through the streaming lowering (MemoryStream,
+  * 3 micro-batches) as through the batch lowering. This is the
+  * differential layer SURVEY §5 plans on top of the DuckDB oracle: the
+  * oracle pins batch correctness, parity extends it to streaming.
+  *
+  * Sentinel rows (far-future ts, per key where needed) advance the
+  * event-time watermark / per-key CEP horizons so every real window
+  * flushes; both sides see the identical input, so sentinels cannot skew
+  * the comparison (their own unflushed windows are filtered identically).
+  */
+class StreamBatchParitySpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val Day = 86400000L
+
+  // sf0.001 events (1000 rows, 15 users) as epoch-ms tuples
+  private lazy val realRows: Seq[PEv] = {
+    import org.apache.spark.sql.functions._
+    Tables.load(spark, "/root/testdata/sf0.001")("events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        unix_millis(col("ts")).as("ts"))
+      .as[PEv].collect().toSeq.sortBy(e => (e.ts, e.event_id))
+  }
+  private lazy val realMaxTs: Long = realRows.map(_.ts).max
+
+  // one far-future sentinel per user (advances per-key CEP horizons and the
+  // global watermark); value 0 never satisfies the CEP/filter conditions
+  private lazy val sentinels: Seq[PEv] =
+    realRows.map(_.user_id).distinct.sorted.zipWithIndex.map { case (u, i) =>
+      PEv(10_000_000L + i, u, "zzz_sentinel", 0.0, realMaxTs + 200 * Day)
+    }
+  private lazy val allRows: Seq[PEv] = realRows ++ sentinels
+
+  private def batchDf: DataFrame = allRows.toDF()
+
+  private def runStreaming(sql: String): DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[PEv]
+    val out = GraftEngine.sql(sql, Map("stream" -> mem.toDF()))
+    val name = s"parity${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    allRows.grouped(math.max(1, allRows.size / 3)).foreach { chunk =>
+      mem.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    spark.table(name)
+  }
+
+  /** Rows → order-independent multiset fingerprint. */
+  private def fingerprint(df: DataFrame): Map[String, Int] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|"))
+      .groupBy(identity).view.mapValues(_.length).toMap
+
+  private def assertParity(sql: String, post: DataFrame => DataFrame = identity): Unit = {
+    val batch = fingerprint(post(GraftEngine.sql(sql, Map("stream" -> batchDf))))
+    val stream = fingerprint(post(runStreaming(sql)))
+    assert(batch.nonEmpty, "batch side produced no rows — vacuous parity")
+    assert(stream == batch,
+      s"streaming/batch divergence:\nonly-batch=${(batch.toSet -- stream.toSet).take(5)}" +
+        s"\nonly-stream=${(stream.toSet -- batch.toSet).take(5)}")
+  }
+
+  private val opts = "WITH (TIMESTAMP='ts', TIMEUNIT='ms', TIEBREAK='event_id', " +
+    "MAXOUTOFORDERNESS='60d')"
+
+  test("parity: tumbling window aggregation") {
+    assertParity(
+      "SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sv, " +
+        s"window_start() AS ws FROM stream GROUP BY event_type, TumblingWindow('1d') $opts",
+      _.filter(org.apache.spark.sql.functions.col("event_type") =!= "zzz_sentinel"))
+  }
+
+  test("parity: session window aggregation") {
+    assertParity(
+      "SELECT user_id, count(*) AS cnt, window_start() AS ws FROM stream " +
+        s"GROUP BY user_id, SessionWindow('1h') $opts",
+      _.filter(org.apache.spark.sql.functions.col("ws") <= realMaxTs))
+  }
+
+  test("parity: counting window (stateful operator)") {
+    assertParity(
+      "SELECT user_id, count(*) AS cnt, round(sum(value), 2) AS sv FROM stream " +
+        s"GROUP BY user_id, CountingWindow(5) $opts")
+  }
+
+  test("parity: global window fire-and-purge") {
+    assertParity(
+      "SELECT user_id, count(*) AS cnt, round(sum(value), 2) AS sv FROM stream " +
+        s"GROUP BY user_id, GLOBAL WINDOW TRIGGER WHEN count(*) >= 3 $opts")
+  }
+
+  test("parity: direct-path analytics (lag / acc_sum / had_changed)") {
+    assertParity(
+      "SELECT user_id, event_id, round(value - lag(value, 1, 0) OVER (PARTITION BY user_id), 2) AS dv, " +
+        "round(acc_sum(value) OVER (PARTITION BY user_id), 2) AS rs, " +
+        "had_changed(true, event_type) OVER (PARTITION BY user_id) AS h " +
+        s"FROM stream $opts")
+  }
+
+  test("parity: MATCH_RECOGNIZE (A{3} spike run)") {
+    assertParity(
+      "SELECT * FROM stream MATCH_RECOGNIZE ( PARTITION BY user_id ORDER BY ts " +
+        "MEASURES MATCH_NUMBER() AS mn, LAST(A.value) AS lastv, FIRST(A.ts) - 0 AS t0 " +
+        "ONE ROW PER MATCH PATTERN (A{3}) WITHIN '60d' DEFINE A AS value > 50 ) " +
+        s"$opts")
+  }
+}
