@@ -35,12 +35,18 @@ class StreamBatchParitySpec extends AnyFunSuite {
   }
   private lazy val realMaxTs: Long = realRows.map(_.ts).max
 
-  // one far-future sentinel per user (advances per-key CEP horizons and the
-  // global watermark); value 0 never satisfies the CEP/filter conditions
-  private lazy val sentinels: Seq[PEv] =
-    realRows.map(_.user_id).distinct.sorted.zipWithIndex.map { case (u, i) =>
-      PEv(10_000_000L + i, u, "zzz_sentinel", 0.0, realMaxTs + 200 * Day)
-    }
+  // far-future sentinels per (user × event_type): the stateful operators
+  // track a PER-KEY watermark (key = the query's group/partition columns,
+  // user_id or event_type), so every key must see a sentinel for its open
+  // windows to flush. value 0 never satisfies the CEP condition; sentinel
+  // rows land in their own far-future windows, filtered identically on
+  // both sides via ws <= realMaxTs.
+  private lazy val sentinels: Seq[PEv] = {
+    val users = realRows.map(_.user_id).distinct.sorted
+    val types = realRows.map(_.event_type).distinct.sorted
+    (for { (u, i) <- users.zipWithIndex; (t, j) <- types.zipWithIndex }
+      yield PEv(10_000_000L + i * 100 + j, u, t, 0.0, realMaxTs + 200 * Day)).toSeq
+  }
   private lazy val allRows: Seq[PEv] = realRows ++ sentinels
 
   private def batchDf: DataFrame = allRows.toDF()
@@ -81,7 +87,7 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assertParity(
       "SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sv, " +
         s"window_start() AS ws FROM stream GROUP BY event_type, TumblingWindow('1d') $opts",
-      _.filter(org.apache.spark.sql.functions.col("event_type") =!= "zzz_sentinel"))
+      _.filter(org.apache.spark.sql.functions.col("ws") <= realMaxTs))
   }
 
   test("parity: session window aggregation") {
@@ -109,6 +115,45 @@ class StreamBatchParitySpec extends AnyFunSuite {
         "round(acc_sum(value) OVER (PARTITION BY user_id), 2) AS rs, " +
         "had_changed(true, event_type) OVER (PARTITION BY user_id) AS h " +
         s"FROM stream $opts")
+  }
+
+  test("parity: sliding window aggregation") {
+    assertParity(
+      "SELECT count(*) AS cnt, round(avg(value), 4) AS av, window_start() AS ws " +
+        s"FROM stream GROUP BY SlidingWindow('1d', '12h') $opts",
+      _.filter(org.apache.spark.sql.functions.col("ws") <= realMaxTs))
+  }
+
+  test("parity: cross-window analytics on counting windows (combined stateful op)") {
+    assertParity(
+      "SELECT user_id, round(avg(value), 4) AS av, " +
+        "round(acc_sum(avg(value)), 4) AS running FROM stream " +
+        s"GROUP BY user_id, CountingWindow(10) $opts")
+  }
+
+  test("parity: cross-window analytics on tumbling windows") {
+    // streaming routes through tumblingWindowAnalytics (one operator owns
+    // window buffers + analytic state); batch uses groupBy + window funcs.
+    // Sentinel windows are far-future with sum 0, so filtering them AFTER
+    // the running sum leaves the real chain untouched on both sides.
+    assertParity(
+      "SELECT event_type, round(sum(value), 2) AS sv, " +
+        "round(acc_sum(sum(value)), 2) AS run, window_start() AS ws FROM stream " +
+        s"GROUP BY event_type, TumblingWindow('5d') $opts",
+      _.filter(org.apache.spark.sql.functions.col("ws") <= realMaxTs))
+  }
+
+  test("parity: WHEN-gated analytic replay") {
+    assertParity(
+      "SELECT user_id, event_id, lag(value) " +
+        "OVER (PARTITION BY user_id WHEN event_type = 'click') AS pv " +
+        s"FROM stream $opts")
+  }
+
+  test("parity: changed_col row suppression") {
+    assertParity(
+      "SELECT user_id, event_id, changed_col(true, event_type) " +
+        s"OVER (PARTITION BY user_id) AS chg FROM stream $opts")
   }
 
   test("parity: MATCH_RECOGNIZE (A{3} spike run)") {
