@@ -142,10 +142,13 @@ object AnalyticsLowering {
         val wAcc = Window.partitionBy(segParts: _*).orderBy(ordCols: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val gated = when(gate, e)
+        // acc_* are double accumulators in the reference (and in our
+        // streaming operators) — cast so batch and streaming agree on the
+        // result type even over integer-typed arguments like count(*)
         val accCol = fc.lname match {
-          case "acc_sum"   => sum(gated).over(wAcc)
-          case "acc_max"   => max(gated).over(wAcc)
-          case "acc_min"   => min(gated).over(wAcc)
+          case "acc_sum"   => sum(gated).over(wAcc).cast("double")
+          case "acc_max"   => max(gated).over(wAcc).cast("double")
+          case "acc_min"   => min(gated).over(wAcc).cast("double")
           case "acc_count" => count(gated).over(wAcc)
           case "acc_avg"   => avg(gated).over(wAcc)
         }

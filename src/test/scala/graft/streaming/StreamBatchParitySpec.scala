@@ -156,6 +156,32 @@ class StreamBatchParitySpec extends AnyFunSuite {
         s"OVER (PARTITION BY user_id) AS chg FROM stream $opts")
   }
 
+  test("parity: cross-window analytics on sliding windows") {
+    assertParity(
+      "SELECT user_id, round(sum(value), 2) AS sv, " +
+        "round(acc_sum(sum(value)), 2) AS run, window_start() AS ws FROM stream " +
+        s"GROUP BY user_id, SlidingWindow('2d', '1d') $opts",
+      _.filter(org.apache.spark.sql.functions.col("ws") <= realMaxTs))
+  }
+
+  test("parity: cross-window analytics on session windows") {
+    assertParity(
+      "SELECT user_id, count(*) AS cnt, " +
+        "round(acc_sum(count(*)), 2) AS run, window_start() AS ws FROM stream " +
+        s"GROUP BY user_id, SessionWindow('1h') $opts",
+      _.filter(org.apache.spark.sql.functions.col("ws") <= realMaxTs))
+  }
+
+  test("parity: MATCH_RECOGNIZE overlapping skip (TO NEXT ROW)") {
+    // exercises CepStream's conservative consumption under overlapping
+    // skip modes (only the safe prefix drops)
+    assertParity(
+      "SELECT * FROM stream MATCH_RECOGNIZE ( PARTITION BY user_id ORDER BY ts " +
+        "MEASURES MATCH_NUMBER() AS mn, FIRST(A.ts) - 0 AS t0, LAST(A.value) AS lastv " +
+        "ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW PATTERN (A{3}) WITHIN '60d' " +
+        s"DEFINE A AS value > 50 ) $opts")
+  }
+
   test("parity: MATCH_RECOGNIZE (A{3} spike run)") {
     assertParity(
       "SELECT * FROM stream MATCH_RECOGNIZE ( PARTITION BY user_id ORDER BY ts " +
