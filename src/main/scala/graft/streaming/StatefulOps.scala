@@ -68,7 +68,14 @@ object StatefulOps extends Serializable {
     }.getOrElse(DoubleType)
     fc.lname match {
       case "count" => LongType
-      case "sum" | "avg" | "stddev" | "stddevs" | "var" | "vars" |
+      // sum keeps the argument's integer type (as the declarative batch
+      // lowering does) — coerce() truncates the double accumulator back,
+      // exact below 2^53
+      case "sum" => argType match {
+        case LongType | IntegerType => LongType
+        case _                      => DoubleType
+      }
+      case "avg" | "stddev" | "stddevs" | "var" | "vars" |
            "median" | "percentile" => DoubleType
       case "min" | "max" | "first_value" | "last_value" | "nth_value" => argType
       case "collect" | "deduplicate" => ArrayType(argType)

@@ -103,6 +103,12 @@ class StreamBatchParitySpec extends AnyFunSuite {
         s"GROUP BY user_id, CountingWindow(5) $opts")
   }
 
+  test("parity: counting window sum over an integer column keeps its type") {
+    assertParity(
+      "SELECT user_id, sum(event_id) AS se, count(*) AS c FROM stream " +
+        s"GROUP BY user_id, CountingWindow(7) $opts")
+  }
+
   test("parity: global window fire-and-purge") {
     assertParity(
       "SELECT user_id, count(*) AS cnt, round(sum(value), 2) AS sv FROM stream " +
