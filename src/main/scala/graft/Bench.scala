@@ -102,15 +102,20 @@ object Bench {
       // this shape (the batch-throughput queries above keep 32)
       spark.conf.set("spark.sql.shuffle.partitions", "8")
       // the analytic rule additionally measured on the transformWithState
-      // lowering (STATEOP='tws', RocksDB-backed state)
+      // lowering (STATEOP='tws', RocksDB-backed state); only the tws shape
+      // switches the provider — rule_analytic stays on the default store so
+      // its numbers remain comparable across rounds
       val latencyShapes = ruleShapes ++ List(
         "rule_analytic_tws" ->
           ("SELECT user_id, value, lag(value) OVER (PARTITION BY user_id) AS prev " +
             "FROM stream " +
             "WITH (TIMESTAMP='ts', TIMEUNIT='ms', TIEBREAK='event_id', STATEOP='tws')"))
-      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       latencyShapes.foreach { case (name, sql) =>
+        if (name.endsWith("_tws"))
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        else
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         val mem = MemoryStream[(Long, Long, String, Double, Long)]
         val src = mem.toDF()
           .toDF("event_id", "user_id", "event_type", "value", "ts")

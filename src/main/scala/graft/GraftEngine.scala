@@ -65,17 +65,19 @@ object Tables {
   // Loading resolves 10 parquet footers (a driver-side fixed cost per call);
   // the resulting DataFrames are immutable logical plans, so memoize per
   // (session, dir) — repeated queries against the same tables re-plan from
-  // the cached scan instead of re-listing files. The session key is WEAK:
-  // stopped sessions (and their cached plans) become collectable instead of
-  // pinning forever in a long-lived driver. Plans pin the file listing as
+  // the cached scan instead of re-listing files. Weak keys alone would not
+  // free anything (each cached DataFrame strongly references its session,
+  // so the value pins the key); instead entries for STOPPED sessions are
+  // evicted deterministically on every load. Plans pin the file listing as
   // of first load — rewriting the parquet dir in place needs a new session
   // (or `Tables.invalidate`).
   private val cache =
-    new java.util.WeakHashMap[SparkSession,
+    new java.util.HashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, Map[String, DataFrame]]]()
 
   def load(spark: SparkSession, sfDir: String): Map[String, DataFrame] = {
     val perSession = cache.synchronized {
+      cache.keySet.removeIf(s => s.sparkContext.isStopped)
       var m = cache.get(spark)
       if (m == null) {
         m = scala.collection.concurrent.TrieMap.empty

@@ -87,13 +87,24 @@ final class StreamSql(val spark: SparkSession) {
     * `StatefulAnalytic.NewState() AnalyticState{Apply}`
     * (reference: stream/analytic.go:93-114, functions/analytic_state.go).
     * Callable in dialect SQL with `OVER (PARTITION BY … [WHEN …])`; one
-    * state instance per partition key; result type follows the argument
-    * column's type (or double). Batch queries run it through the same
-    * per-key state machines as streaming (no window-function lowering
-    * exists for arbitrary user state). */
+    * state instance per partition key; the result column is `resultType`
+    * (default double — custom machines fold through numeric state).
+    * Batch queries run it through the same per-key state machines as
+    * streaming (no window-function lowering exists for arbitrary user
+    * state). The registry is JVM-global like `spark.udf`'s underlying
+    * registry: later registrations of a name win, and queries capture the
+    * factory at PLAN time (re-registering does not affect running
+    * queries); `unregisterAnalytic` removes a name. */
   def registerAnalytic(
-      name: String, newState: () => graft.functions.CustomAnalytic): this.type = {
-    graft.functions.FunctionMap.registerAnalytic(name, newState)
+      name: String, newState: () => graft.functions.CustomAnalytic,
+      resultType: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.DoubleType): this.type = {
+    graft.functions.FunctionMap.registerAnalytic(name, newState, Some(resultType))
+    this
+  }
+
+  def unregisterAnalytic(name: String): this.type = {
+    graft.functions.FunctionMap.unregisterAnalytic(name)
     this
   }
 

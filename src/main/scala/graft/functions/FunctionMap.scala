@@ -63,15 +63,36 @@ object FunctionMap {
     * `StatefulAnalytic.NewState() AnalyticState{Apply,Reset}`
     * (reference: stream/analytic.go:93-114, functions/analytic_state.go).
     * The factory creates one state instance per (partition key, call);
-    * instances must be serializable (streaming state crosses micro-batches). */
+    * instances must be serializable (streaming state crosses micro-batches).
+    *
+    * The registry lives on the DRIVER and is process-global (like the JVM
+    * side of `spark.udf`): registration is per-JVM, later registrations of
+    * the same name win, `unregisterAnalytic` removes one. Operators
+    * SNAPSHOT the registry at plan time and ship the factories inside
+    * their closures — executor JVMs never consult this map. */
   private val customAnalytics =
-    new java.util.concurrent.ConcurrentHashMap[String, () => CustomAnalytic]()
+    new java.util.concurrent.ConcurrentHashMap[String, (() => CustomAnalytic, Option[org.apache.spark.sql.types.DataType])]()
 
-  def registerAnalytic(name: String, newState: () => CustomAnalytic): Unit =
-    customAnalytics.put(name.toLowerCase, newState)
+  def registerAnalytic(
+      name: String, newState: () => CustomAnalytic,
+      resultType: Option[org.apache.spark.sql.types.DataType] = None): Unit =
+    customAnalytics.put(name.toLowerCase, (newState, resultType))
+
+  def unregisterAnalytic(name: String): Unit =
+    customAnalytics.remove(name.toLowerCase)
 
   def customAnalytic(name: String): Option[() => CustomAnalytic] =
-    Option(customAnalytics.get(name.toLowerCase))
+    Option(customAnalytics.get(name.toLowerCase)).map(_._1)
+
+  def customAnalyticResultType(name: String): Option[org.apache.spark.sql.types.DataType] =
+    Option(customAnalytics.get(name.toLowerCase)).flatMap(_._2)
+
+  /** Driver-side snapshot for shipping into operator closures. */
+  def customAnalyticsSnapshot(): Map[String, () => CustomAnalytic] = {
+    val b = Map.newBuilder[String, () => CustomAnalytic]
+    customAnalytics.forEach((k, v) => b += (k -> v._1))
+    b.result()
+  }
 
   def isCustomAnalytic(name: String): Boolean =
     customAnalytics.containsKey(name.toLowerCase)

@@ -113,7 +113,7 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
     // had_changed(flag, *) compares the whole row BY COLUMN NAME — the *
     // expands to every stream column (reference: stream/analytic.go:155-166,
     // which compares the named row map to survive schema reordering)
-    def expandChangeStar(e: SqlExpr): SqlExpr = e match {
+    def expandChangeStar(e: SqlExpr): SqlExpr = SqlExpr.transformDown(e) {
       case fc @ FuncCall(n, args, _, _)
           if n.equalsIgnoreCase("had_changed") && args.contains(Star) =>
         val flag = args match {
@@ -121,18 +121,6 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
           case _                 => BoolLit(true)
         }
         fc.copy(args = flag :: resolver.baseColumnNames.map(Ident.simple))
-      case fc: FuncCall => fc.copy(args = fc.args.map(expandChangeStar))
-      case BinOp(op, l, r) => BinOp(op, expandChangeStar(l), expandChangeStar(r))
-      case UnaryOp(op, c) => UnaryOp(op, expandChangeStar(c))
-      case CaseWhen(op, br, el) => CaseWhen(op.map(expandChangeStar),
-        br.map(b => (expandChangeStar(b._1), expandChangeStar(b._2))),
-        el.map(expandChangeStar))
-      case IsNullExpr(c, neg) => IsNullExpr(expandChangeStar(c), neg)
-      case LikeExpr(c, p, neg) => LikeExpr(expandChangeStar(c), p, neg)
-      case InExpr(c, items, neg) => InExpr(expandChangeStar(c), items.map(expandChangeStar), neg)
-      case BetweenExpr(c, lo, hi, neg) =>
-        BetweenExpr(expandChangeStar(c), expandChangeStar(lo), expandChangeStar(hi), neg)
-      case other => other
     }
     val q1 = q0.copy(
       items = q0.items.map(it => it.copy(expr = expandChangeStar(it.expr))),
@@ -195,7 +183,8 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
               ttlMs = q.options.get("STATETTL").map(Durations.toMillis).getOrElse(0L))
           else
             graft.streaming.StatefulOps.analytics(d, named, pNames, "__ord_ms",
-              tieName = q.options.get("TIEBREAK"))
+              tieName = q.options.get("TIEBREAK"),
+              ttlMs = q.options.get("STATETTL").map(Durations.toMillis).getOrElse(0L))
         (lowered, named.toMap)
       } else AnalyticsLowering.lower(
         df0, analyticCalls,
@@ -546,42 +535,20 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
   }
 
   /** Rewrite aggregate calls to their slot columns (GLOBAL trigger scope). */
-  private def rewriteAggsToSlots(e: SqlExpr, slots: Map[FuncCall, String]): SqlExpr = {
-    def go(e: SqlExpr): SqlExpr = e match {
+  private def rewriteAggsToSlots(e: SqlExpr, slots: Map[FuncCall, String]): SqlExpr =
+    SqlExpr.transformDown(e) {
       case fc: FuncCall if ExprBuilder.isAggregateCall(fc) =>
         Ident.simple(slots(fc))
-      case fc: FuncCall => fc.copy(args = fc.args.map(go))
-      case BinOp(op, l, r) => BinOp(op, go(l), go(r))
-      case UnaryOp(op, c) => UnaryOp(op, go(c))
-      case IsNullExpr(c, neg) => IsNullExpr(go(c), neg)
-      case LikeExpr(c, p, neg) => LikeExpr(go(c), p, neg)
-      case InExpr(c, items, neg) => InExpr(go(c), items.map(go), neg)
-      case BetweenExpr(c, lo, hi, neg) => BetweenExpr(go(c), go(lo), go(hi), neg)
-      case CaseWhen(op, br, el) =>
-        CaseWhen(op.map(go), br.map(b => (go(b._1), go(b._2))), el.map(go))
-      case other => other
     }
-    go(e)
-  }
 
-  /** Replace select-alias references with their definitions (HAVING scope). */
-  private def substAliases(e: SqlExpr, aliasMap: Map[String, SqlExpr]): SqlExpr = {
-    def go(e: SqlExpr): SqlExpr = e match {
+  /** Replace select-alias references with their definitions (HAVING scope);
+    * aggregate/analytic calls are left intact for slot resolution. */
+  private def substAliases(e: SqlExpr, aliasMap: Map[String, SqlExpr]): SqlExpr =
+    SqlExpr.transformDown(e) {
       case id @ Ident(List(Ident.Seg(n, Nil))) => aliasMap.getOrElse(n, id)
-      case BinOp(op, l, r)     => BinOp(op, go(l), go(r))
-      case UnaryOp(op, c)      => UnaryOp(op, go(c))
-      case IsNullExpr(c, neg)  => IsNullExpr(go(c), neg)
-      case LikeExpr(c, p, neg) => LikeExpr(go(c), p, neg)
-      case InExpr(c, items, neg) => InExpr(go(c), items.map(go), neg)
-      case BetweenExpr(c, lo, hi, neg) => BetweenExpr(go(c), go(lo), go(hi), neg)
-      case CaseWhen(op, br, el) =>
-        CaseWhen(op.map(go), br.map(b => (go(b._1), go(b._2))), el.map(go))
-      case fc: FuncCall if !ExprBuilder.isAggregateCall(fc) && !ExprBuilder.isAnalyticCall(fc) =>
-        fc.copy(args = fc.args.map(go))
-      case other => other
+      case fc: FuncCall
+          if ExprBuilder.isAggregateCall(fc) || ExprBuilder.isAnalyticCall(fc) => fc
     }
-    go(e)
-  }
 
   // ------------------------------------------------- shared final clauses
 

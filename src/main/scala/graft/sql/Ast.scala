@@ -9,6 +9,30 @@ package graft.sql
   */
 sealed trait SqlExpr
 
+object SqlExpr {
+  /** Top-down rewrite: where `f` is defined, the node is REPLACED and not
+    * descended into (return the node unchanged to stop descent there);
+    * elsewhere children rewrite recursively. Single traversal skeleton for
+    * all plan-builder rewrites — new AST nodes only need a case here. */
+  def transformDown(e: SqlExpr)(f: PartialFunction[SqlExpr, SqlExpr]): SqlExpr = {
+    def go(e: SqlExpr): SqlExpr =
+      if (f.isDefinedAt(e)) f(e)
+      else e match {
+        case fc: FuncCall    => fc.copy(args = fc.args.map(go))
+        case BinOp(op, l, r) => BinOp(op, go(l), go(r))
+        case UnaryOp(op, c)  => UnaryOp(op, go(c))
+        case CaseWhen(op, br, el) =>
+          CaseWhen(op.map(go), br.map(b => (go(b._1), go(b._2))), el.map(go))
+        case IsNullExpr(c, n)  => IsNullExpr(go(c), n)
+        case LikeExpr(c, p, n) => LikeExpr(go(c), p, n)
+        case InExpr(c, items, n) => InExpr(go(c), items.map(go), n)
+        case BetweenExpr(c, lo, hi, n) => BetweenExpr(go(c), go(lo), go(hi), n)
+        case other => other
+      }
+    go(e)
+  }
+}
+
 /** Dotted field path with optional array indices, e.g. `device.info.name`,
   * `sensors[0].value`, `m.location` (join-alias qualified).
   * Each segment is (name, Seq(indices)). (reference: utils/fieldpath) */

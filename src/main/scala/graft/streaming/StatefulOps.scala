@@ -125,6 +125,8 @@ object StatefulOps extends Serializable {
       case "had_changed" => BooleanType
       case "acc_count" => LongType
       case acc if acc.startsWith("acc_") => DoubleType
+      case n if graft.functions.FunctionMap.isCustomAnalytic(n) =>
+        graft.functions.FunctionMap.customAnalyticResultType(n).getOrElse(DoubleType)
       case _ =>
         fc.args.collectFirst {
           case Ident(segs) if resultSchema.fieldNames.contains(segs.head.name) =>
@@ -137,6 +139,7 @@ object StatefulOps extends Serializable {
     // analytics across successive windows share per-key state (reference:
     // stream/stream.go:574-615); counting windows fire in event order per
     // key, so applying them at emit time matches the reference's order
+    val customReg = customSnapshot()
     def emit(buf: Seq[Map[String, Any]],
         states: scala.collection.mutable.Map[String, AnState]): Row = {
       val keyVals = keyNames.map(buf.head(_))
@@ -148,7 +151,7 @@ object StatefulOps extends Serializable {
           ("__wstart" -> ws) + ("__wend" -> we)
       val anVals = anCalls.map { case (fc, an) =>
         val st = states.getOrElseUpdate(an, AnState())
-        coerce(applyAnalytic(fc, st, resMap), outSchema(an).dataType)
+        coerce(applyAnalytic(fc, st, resMap, customReg), outSchema(an).dataType)
       }
       Row.fromSeq(keyVals ++
         slots.map { case (_, sn) => coerce(resMap(sn), resultSchema(sn).dataType) } ++
@@ -310,11 +313,17 @@ object StatefulOps extends Serializable {
       // user-registered state machine instance (graft.functions.CustomAnalytic)
       var custom: Any = null)
 
+  /** Driver-side snapshot of the user-analytic registry, captured into
+    * every operator closure — executor JVMs never see the global map. */
+  private def customSnapshot(): Map[String, () => graft.functions.CustomAnalytic] =
+    graft.functions.FunctionMap.customAnalyticsSnapshot()
+
   /** One window-result or event row through one analytic state machine
     * (WHEN gating replays the last result — stream/analytic.go:142-148).
     * Shared by the direct-path analytics and the window-path analytics
     * (tumblingWindowAnalytics). */
-  private def applyAnalytic(fc: FuncCall, st: AnState, m: Map[String, Any]): Any = {
+  private def applyAnalytic(fc: FuncCall, st: AnState, m: Map[String, Any],
+      custom: Map[String, () => graft.functions.CustomAnalytic]): Any = {
     val gate = fc.over.flatMap(_.when).forall(c => RowEval.truthy(evalOn(m, c)))
     if (!gate) return st.lastResult
     val res: Any = fc.lname match {
@@ -369,7 +378,7 @@ object StatefulOps extends Serializable {
         if (fc.lname == "had_changed") changed
         else if (changed) vals.head else null
       case other =>
-        graft.functions.FunctionMap.customAnalytic(other) match {
+        custom.get(other) match {
           case Some(factory) =>
             // user-registered state machine (reference: stream/analytic.go:93-114)
             if (st.custom == null) st.custom = factory()
@@ -393,7 +402,8 @@ object StatefulOps extends Serializable {
       calls: List[(FuncCall, String)],
       partitionNames: List[String],
       ordName: String,
-      tieName: Option[String] = None): DataFrame = {
+      tieName: Option[String] = None,
+      ttlMs: Long = 0L): DataFrame = {
 
     val schema = df.schema
     val names = schema.fieldNames
@@ -401,8 +411,9 @@ object StatefulOps extends Serializable {
     val outSchema = StructType(schema.fields.toList ++
       calls.map { case (fc, n) => StructField(n, analyticType(fc, schema), nullable = true) })
 
+    val customReg = customSnapshot()
     def apply1(fc: FuncCall, st: AnState, m: Map[String, Any]): Any =
-      applyAnalytic(fc, st, m)
+      applyAnalytic(fc, st, m, customReg)
 
 
     def processRows(states: scala.collection.mutable.Map[String, AnState],
@@ -421,15 +432,26 @@ object StatefulOps extends Serializable {
 
     if (df.isStreaming) {
       val fn = (_: String, it: Iterator[Row], state: GroupState[Map[String, AnState]]) => {
-        val rows = it.map(r => rowToMap(names, r)).toVector
-          .sortWith(ordLess(_, _, ordName, tieName))
-        val states = scala.collection.mutable.Map[String, AnState]() ++
-          state.getOption.getOrElse(Map.empty)
-        val out = processRows(states, rows).toVector
-        state.update(states.toMap)
-        out.iterator
+        if (state.hasTimedOut) {
+          // STATETTL reaps the idle key's analytic state wholesale
+          // (reference: LRU partition eviction, stream/analytic.go:18-21)
+          state.remove()
+          Iterator.empty
+        } else {
+          val rows = it.map(r => rowToMap(names, r)).toVector
+            .sortWith(ordLess(_, _, ordName, tieName))
+          val states = scala.collection.mutable.Map[String, AnState]() ++
+            state.getOption.getOrElse(Map.empty)
+          val out = processRows(states, rows).toVector
+          state.update(states.toMap)
+          if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+          out.iterator
+        }
       }
-      grouped.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)(
+      val timeout =
+        if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout
+      grouped.flatMapGroupsWithState(OutputMode.Append, timeout)(fn)(
         Encoders.kryo[Map[String, AnState]], Encoders.row(outSchema))
     } else {
       grouped.flatMapGroups { (_, it) =>
@@ -460,6 +482,7 @@ object StatefulOps extends Serializable {
     val outSchema = StructType(schema.fields.toList ++
       calls.map { case (fc, n) => StructField(n, analyticType(fc, schema), nullable = true) })
     val keyIdx = partitionNames.map(schema.fieldIndex)
+    val customReg = customSnapshot()
 
     final class AnalyticsProcessor extends StatefulProcessor[String, Row, Row] {
       @transient private var anState: ValueState[Map[String, AnState]] = _
@@ -482,7 +505,7 @@ object StatefulOps extends Serializable {
         val out = rows.map { m =>
           val vals = names.map(m(_)) ++ calls.map { case (fc, n) =>
             val st = states.getOrElseUpdate(n, AnState())
-            coerce(applyAnalytic(fc, st, m), outSchema(n).dataType)
+            coerce(applyAnalytic(fc, st, m, customReg), outSchema(n).dataType)
           }
           Row.fromSeq(vals.toIndexedSeq)
         }
@@ -506,6 +529,10 @@ object StatefulOps extends Serializable {
     case "had_changed" => BooleanType
     case "acc_count" => LongType
     case "acc_sum" | "acc_avg" | "acc_min" | "acc_max" => DoubleType
+    case n if graft.functions.FunctionMap.isCustomAnalytic(n) =>
+      // declared result type wins; default double (custom machines fold
+      // through toDouble) — never silently truncate to an int column type
+      graft.functions.FunctionMap.customAnalyticResultType(n).getOrElse(DoubleType)
     case _ =>
       val colArg = fc.args.find {
         case _: Ident => true
@@ -555,6 +582,8 @@ object StatefulOps extends Serializable {
       case "had_changed" => BooleanType
       case "acc_count" => LongType
       case acc if acc.startsWith("acc_") => DoubleType
+      case n if graft.functions.FunctionMap.isCustomAnalytic(n) =>
+        graft.functions.FunctionMap.customAnalyticResultType(n).getOrElse(DoubleType)
       case _ =>
         fc.args.collectFirst {
           case Ident(segs) if resultSchema.fieldNames.contains(segs.head.name) =>
@@ -564,6 +593,7 @@ object StatefulOps extends Serializable {
     val outSchema = StructType(resultFields ++
       anCalls.map { case (fc, an) => StructField(an, anType(fc), nullable = true) })
 
+    val customReg = customSnapshot()
     def process(stIn: Option[SessState], incoming: Vector[Map[String, Any]],
         closeAll: Boolean): (Vector[Row], SessState) = {
       val st = stIn.getOrElse(SessState(Vector.empty, Long.MinValue, Map.empty, Long.MinValue))
@@ -600,7 +630,7 @@ object StatefulOps extends Serializable {
             ("__wstart" -> s0) + ("__wend" -> we)
         val anVals = anCalls.map { case (fc, an) =>
           val ast = states.getOrElseUpdate(an, AnState())
-          coerce(applyAnalytic(fc, ast, resMap), outSchema(an).dataType)
+          coerce(applyAnalytic(fc, ast, resMap, customReg), outSchema(an).dataType)
         }
         out += Row.fromSeq(keyVals ++
           slots.map { case (_, sn) => coerce(resMap(sn), resultSchema(sn).dataType) } ++
@@ -718,6 +748,8 @@ object StatefulOps extends Serializable {
       case "had_changed" => BooleanType
       case "acc_count" => LongType
       case acc if acc.startsWith("acc_") => DoubleType
+      case n if graft.functions.FunctionMap.isCustomAnalytic(n) =>
+        graft.functions.FunctionMap.customAnalyticResultType(n).getOrElse(DoubleType)
       case _ =>
         fc.args.collectFirst {
           case Ident(segs) if resultSchema.fieldNames.contains(segs.head.name) =>
@@ -727,6 +759,7 @@ object StatefulOps extends Serializable {
     val outSchema = StructType(resultFields ++
       anCalls.map { case (fc, n) => StructField(n, anType(fc), nullable = true) })
 
+    val customReg = customSnapshot()
     def process(stIn: Option[TwState], incoming: Vector[Map[String, Any]],
         closeAll: Boolean): (Vector[Row], TwState) = {
       val st = stIn.getOrElse(TwState(Map.empty, Long.MinValue, Map.empty, Long.MinValue))
@@ -761,7 +794,7 @@ object StatefulOps extends Serializable {
             ("__wstart" -> ws) + ("__wend" -> (ws + sizeMs))
         val anVals = anCalls.map { case (fc, n) =>
           val s = states.getOrElseUpdate(n, AnState())
-          coerce(applyAnalytic(fc, s, resMap), outSchema(n).dataType)
+          coerce(applyAnalytic(fc, s, resMap, customReg), outSchema(n).dataType)
         }
         out += Row.fromSeq(keyVals ++
           slots.map { case (_, sn) => coerce(resMap(sn), resultSchema(sn).dataType) } ++
