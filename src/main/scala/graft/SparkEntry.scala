@@ -269,6 +269,31 @@ object SparkEntry {
       "SELECT o_orderkey, c.c_name FROM orders " +
         "LEFT JOIN customer c ON o_custkey = c.c_custkey WHERE o_totalprice > 300000"),
 
+    gq("q_join_window_agg",
+      // enrichment JOIN feeding a time-windowed aggregation — the reference
+      // pipeline order enrich → WHERE → window.Add
+      // (stream/processor_data.go:94-104, test/e2e/join_aggregation_test.go)
+      "SELECT s.s_name AS sname, count(*) AS cnt, round(sum(l_extendedprice), 2) AS rev, " +
+        "window_start() AS ws FROM lineitem " +
+        "JOIN supplier s ON l_suppkey = s.s_suppkey " +
+        "WHERE l_quantity > 30 " +
+        "GROUP BY s.s_name, TumblingWindow('365d') WITH (TIMESTAMP='l_shipdate')",
+      "SELECT s.s_name AS sname, count(*) AS cnt, round(sum(l_extendedprice), 2) AS rev, " +
+        "CAST(floor(epoch(l_shipdate) / 31536000) * 31536000000 AS BIGINT) AS ws " +
+        "FROM lineitem JOIN supplier s ON l_suppkey = s.s_suppkey " +
+        "WHERE l_quantity > 30 GROUP BY s.s_name, floor(epoch(l_shipdate) / 31536000)"),
+
+    gq("q_join_analytic",
+      // enrichment JOIN before per-event analytics (stream/stream.go:640-671
+      // — the direct path enriches, then runs the state machines)
+      "SELECT user_id, event_id, c.c_name AS cname, " +
+        "round(lag(value, 1, 0) OVER (PARTITION BY user_id), 2) AS pv FROM events " +
+        "JOIN customer c ON user_id = c.c_custkey " +
+        "WITH (TIMESTAMP='ts', TIEBREAK='event_id')",
+      "SELECT user_id, event_id, c.c_name AS cname, " +
+        "round(lag(value, 1, 0) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS pv " +
+        "FROM events JOIN customer c ON user_id = c.c_custkey"),
+
     // --- §2.8 scalar function library -------------------------------------
     gq("q_string_funcs",
       "SELECT p_partkey, upper(p_brand) AS ub, lower(p_type) AS lt, " +
