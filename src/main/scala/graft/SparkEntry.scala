@@ -697,6 +697,46 @@ object SparkEntry {
               FROM s WHERE (value > 80 AND nv < 20) OR (value < 20 AND nv > 80))
         SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY ts) AS mn, av, bv FROM m""".stripMargin.trim),
 
+    gq("q_cep_quant_range",
+      // bounded quantifier A{2,3}, greedy: each match takes 3 when 3+ rows
+      // remain in the run, else 2; a trailing single row stays unmatched
+      // (cep/engine.go:33-35 greedy-longest)
+      "SELECT * FROM events MATCH_RECOGNIZE ( PARTITION BY user_id ORDER BY ts " +
+        "MEASURES MATCH_NUMBER() AS mn, count(A.value) AS n, FIRST(A.ts) - 0 AS t0 " +
+        "ONE ROW PER MATCH PATTERN (A{2,3}) WITHIN '60d' DEFINE A AS value > 50 )",
+      """
+        WITH s AS (SELECT user_id, ts, value, row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn FROM events),
+        q AS (SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY ts) AS grp FROM s WHERE value > 50),
+        i AS (SELECT *, row_number() OVER (PARTITION BY user_id, grp ORDER BY ts) - 1 AS idx FROM q),
+        isl AS (SELECT user_id, grp, count(*) AS len FROM i GROUP BY user_id, grp),
+        -- greedy chunks: floor(len/3) threes, then a final two if len%3=2
+        mt AS (
+          SELECT user_id, grp, CAST(3 AS BIGINT) AS n, CAST(j.j * 3 AS BIGINT) AS sidx
+          FROM isl CROSS JOIN LATERAL (SELECT unnest(range(0, (len // 3)::INTEGER)) AS j) j
+          UNION ALL
+          SELECT user_id, grp, CAST(2 AS BIGINT) AS n, CAST((len // 3) * 3 AS BIGINT) AS sidx
+          FROM isl WHERE len % 3 = 2),
+        r AS (SELECT m.user_id AS user_id, m.n, epoch_ms(i.ts) AS t0
+              FROM mt m JOIN i ON i.user_id = m.user_id AND i.grp = m.grp AND i.idx = m.sidx)
+        SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY t0) AS mn, n, t0 FROM r""".stripMargin.trim),
+
+    gq("q_cep_reluctant",
+      // reluctant A{2,3}? takes the SHORTEST (2) every time — runs chunk
+      // into pairs, trailing singles unmatched (cep/engine.go:33-35)
+      "SELECT * FROM events MATCH_RECOGNIZE ( PARTITION BY user_id ORDER BY ts " +
+        "MEASURES MATCH_NUMBER() AS mn, count(A.value) AS n, FIRST(A.ts) - 0 AS t0 " +
+        "ONE ROW PER MATCH PATTERN (A{2,3}?) WITHIN '60d' DEFINE A AS value > 50 )",
+      """
+        WITH s AS (SELECT user_id, ts, value, row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn FROM events),
+        q AS (SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY ts) AS grp FROM s WHERE value > 50),
+        i AS (SELECT *, row_number() OVER (PARTITION BY user_id, grp ORDER BY ts) - 1 AS idx FROM q),
+        isl AS (SELECT user_id, grp, count(*) AS len FROM i GROUP BY user_id, grp),
+        mt AS (SELECT user_id, grp, CAST(2 AS BIGINT) AS n, CAST(j.j * 2 AS BIGINT) AS sidx
+               FROM isl CROSS JOIN LATERAL (SELECT unnest(range(0, (len // 2)::INTEGER)) AS j) j),
+        r AS (SELECT m.user_id AS user_id, m.n, epoch_ms(i.ts) AS t0
+              FROM mt m JOIN i ON i.user_id = m.user_id AND i.grp = m.grp AND i.idx = m.sidx)
+        SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY t0) AS mn, n, t0 FROM r""".stripMargin.trim),
+
     gq("q_cep_prev_define",
       // PREV() navigation inside DEFINE (cep/eval.go:155-248 placeholder
       // rewriting): B matches only when its value dropped vs the previous
