@@ -697,6 +697,25 @@ object SparkEntry {
               FROM s WHERE (value > 80 AND nv < 20) OR (value < 20 AND nv > 80))
         SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY ts) AS mn, av, bv FROM m""".stripMargin.trim),
 
+    gq("q_cep_running_measures",
+      // RUNNING aggregate semantics under ALL ROWS PER MATCH: each output
+      // row sees the prefix of its match (cep/eval.go RUNNING vs FINAL)
+      "SELECT user_id, value, mn, rcnt FROM events MATCH_RECOGNIZE ( " +
+        "PARTITION BY user_id ORDER BY ts " +
+        "MEASURES MATCH_NUMBER() AS mn, count(A.value) AS rcnt ALL ROWS PER MATCH " +
+        "PATTERN (A{3}) WITHIN '60d' DEFINE A AS value > 50 )",
+      """
+        WITH s AS (SELECT user_id, ts, value, row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn FROM events),
+        q AS (SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY ts) AS grp FROM s WHERE value > 50),
+        i AS (SELECT *, row_number() OVER (PARTITION BY user_id, grp ORDER BY ts) - 1 AS idx FROM q),
+        t AS (SELECT user_id, grp, CAST(floor(idx / 3) AS BIGINT) AS trip, min(ts) AS t0
+              FROM i GROUP BY user_id, grp, floor(idx / 3) HAVING count(*) = 3),
+        n AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY t0) AS mn FROM t)
+        SELECT i.user_id AS user_id, i.value AS value, n.mn AS mn,
+               i.idx - n.trip * 3 + 1 AS rcnt
+        FROM i JOIN n ON i.user_id = n.user_id AND i.grp = n.grp
+          AND CAST(floor(i.idx / 3) AS BIGINT) = n.trip""".stripMargin.trim),
+
     gq("q_cep_quant_range",
       // bounded quantifier A{2,3}, greedy: each match takes 3 when 3+ rows
       // remain in the run, else 2; a trailing single row stays unmatched

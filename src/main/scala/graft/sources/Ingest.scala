@@ -57,4 +57,23 @@ object Ingest {
       .select(schema.fieldNames.map(n => col(s"__parsed.$n")): _*)
     (out, obs)
   }
+
+  /** Parse a delimited-text column against `schema` (CSV line per row),
+    * drop malformed rows, observe `invalid`/`total` — the CSV twin of
+    * [[json]] for line-oriented feeds. `from_csv` is codegen'd; works on
+    * batch and streaming frames alike. */
+  def csv(df: DataFrame, lineCol: String, schema: StructType,
+      delimiter: String = ",", metricName: String = "ingest"): DataFrame = {
+    val parseSchema = schema.add(corruptCol, StringType)
+    val parsed = df.withColumn("__parsed",
+      from_csv(col(lineCol), parseSchema,
+        Map("sep" -> delimiter, "mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> corruptCol)))
+    parsed
+      .observe(metricName,
+        count(when(invalid, 1)).as("invalid"),
+        count(lit(1)).as("total"))
+      .filter(!invalid)
+      .select(schema.fieldNames.map(n => col(s"__parsed.$n")): _*)
+  }
 }

@@ -26,6 +26,17 @@ class IngestSpec extends AnyFunSuite {
     assert(m("invalid") == 1L && m("total") == 3L, m)
   }
 
+  test("CSV lines parse against the declared schema; malformed lines drop") {
+    val df = Seq(
+      "d1,21.5",
+      "totally,not,a,row,with,matching,shape",
+      "d2,30.0",
+      "d3,not_a_number").toDF("line")
+    val out = Ingest.csv(df, "line", schema)
+    val rows = out.collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq(("d1", 21.5), ("d2", 30.0)))
+  }
+
   test("streaming ingestion drops invalid rows per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
