@@ -700,9 +700,10 @@ object SparkEntry {
     gq("q_cep_running_measures",
       // RUNNING aggregate semantics under ALL ROWS PER MATCH: each output
       // row sees the prefix of its match (cep/eval.go RUNNING vs FINAL)
-      "SELECT user_id, value, mn, rcnt FROM events MATCH_RECOGNIZE ( " +
+      "SELECT user_id, value, mn, rcnt, fcnt FROM events MATCH_RECOGNIZE ( " +
         "PARTITION BY user_id ORDER BY ts " +
-        "MEASURES MATCH_NUMBER() AS mn, count(A.value) AS rcnt ALL ROWS PER MATCH " +
+        "MEASURES MATCH_NUMBER() AS mn, RUNNING count(A.value) AS rcnt, " +
+        "FINAL count(A.value) AS fcnt ALL ROWS PER MATCH " +
         "PATTERN (A{3}) WITHIN '60d' DEFINE A AS value > 50 )",
       """
         WITH s AS (SELECT user_id, ts, value, row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn FROM events),
@@ -712,7 +713,7 @@ object SparkEntry {
               FROM i GROUP BY user_id, grp, floor(idx / 3) HAVING count(*) = 3),
         n AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY t0) AS mn FROM t)
         SELECT i.user_id AS user_id, i.value AS value, n.mn AS mn,
-               i.idx - n.trip * 3 + 1 AS rcnt
+               i.idx - n.trip * 3 + 1 AS rcnt, CAST(3 AS BIGINT) AS fcnt
         FROM i JOIN n ON i.user_id = n.user_id AND i.grp = n.grp
           AND CAST(floor(i.idx / 3) AS BIGINT) = n.trip""".stripMargin.trim),
 

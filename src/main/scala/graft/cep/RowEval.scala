@@ -151,6 +151,11 @@ object RowEval {
   }
 
   private def evalFunc(fc: FuncCall, ctx: Ctx): Any = fc.lname match {
+    // RUNNING/FINAL markers from the measures parser: RUNNING keeps the
+    // per-row prefix visibility (the ALL ROWS default); FINAL sees the
+    // whole match from every row (one-row mode is FINAL already)
+    case "running" => eval(fc.args.head, ctx)
+    case "final"   => eval(fc.args.head, ctx.copy(currentIdx = None))
     case "match_number" => ctx.matchNumber
     case "classifier" => ctx.currentIdx match {
       case Some(i) => ctx.assignment(i)._2

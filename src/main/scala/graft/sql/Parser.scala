@@ -263,7 +263,16 @@ final class Parser(tokens: Vector[Token]) {
       val b = scala.collection.mutable.ListBuffer[SelectItem]()
       var done = false
       while (!done) {
-        val e = parseExpr()
+        // RUNNING/FINAL semantic modifier on an aggregate measure
+        // (SQL:2016; reference cep/eval.go RUNNING vs FINAL) — wrapped as
+        // a marker call the evaluator unwraps
+        val mode =
+          if (cur.kind == IdentTok && Set("RUNNING", "FINAL").contains(cur.upper) &&
+            peek(1).kind == IdentTok && peek(2).is("("))
+            Some(advance().upper.toLowerCase)
+          else None
+        val e0 = parseExpr()
+        val e = mode.map(m => FuncCall(m, List(e0))).getOrElse(e0)
         val alias = if (acceptKw("AS")) Some(parseIdentName()) else None
         b += SelectItem(e, alias)
         if (!acceptPunct(",")) done = true
