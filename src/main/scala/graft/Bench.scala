@@ -130,7 +130,7 @@ object Bench {
         val out = GraftEngine.sql(rewritten, Map("stream" -> src))
         val q = out.writeStream.format("noop").outputMode("append").start()
         feed.grouped(5000).foreach { chunk =>
-          mem.addData(chunk: _*)
+          mem.addData(chunk.toIndexedSeq: _*)
           q.processAllAvailable()
         }
         val durations = q.recentProgress.toList

@@ -54,7 +54,7 @@ object Similarity {
   /** Sign-bit signature of `vec` against `planes` hyperplanes → long. */
   def lshSignature(vec: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
-      val pc = array(p.map(lit): _*)
+      val pc = array(p.toIndexedSeq.map(lit): _*)
       when(dot(vec, pc) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
@@ -128,8 +128,8 @@ object Similarity {
 
     def cellSims(vec: Column): Column = // array of (cell, dot) structs, sorted desc
       sort_array(
-        array(cents.zipWithIndex.map { case (c, i) =>
-          struct(dot(vec, array(c.map(lit): _*)).as("d"), lit(i).as("cell"))
+        array(cents.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+          struct(dot(vec, array(c.toIndexedSeq.map(lit): _*)).as("d"), lit(i).as("cell"))
         }: _*), asc = false)
 
     val assigned = corpus.select(col(idCol), col(vecCol).as("__cv"),

@@ -42,7 +42,7 @@ object Ingest {
         count(when(invalid, 1)).as("invalid"),
         count(lit(1)).as("total"))
       .filter(!invalid)
-      .select(schema.fieldNames.map(n => col(s"__parsed.$n")): _*)
+      .select(schema.fieldNames.toIndexedSeq.map(n => col(s"__parsed.$n")): _*)
 
   /** Batch variant returning an [[Observation]] handle: `obs.get("invalid")`
     * blocks until the first action materializes the counts. */
@@ -54,7 +54,7 @@ object Ingest {
         count(when(invalid, 1)).as("invalid"),
         count(lit(1)).as("total"))
       .filter(!invalid)
-      .select(schema.fieldNames.map(n => col(s"__parsed.$n")): _*)
+      .select(schema.fieldNames.toIndexedSeq.map(n => col(s"__parsed.$n")): _*)
     (out, obs)
   }
 
@@ -74,6 +74,6 @@ object Ingest {
         count(when(invalid, 1)).as("invalid"),
         count(lit(1)).as("total"))
       .filter(!invalid)
-      .select(schema.fieldNames.map(n => col(s"__parsed.$n")): _*)
+      .select(schema.fieldNames.toIndexedSeq.map(n => col(s"__parsed.$n")): _*)
   }
 }
