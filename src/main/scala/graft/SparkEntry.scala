@@ -1092,14 +1092,16 @@ object SparkEntry {
         "date_add(o_orderdate, 2, 'month') AS dmon, " +
         "date_diff(o_orderdate, date_sub(o_orderdate, 36, 'hour'), 'hour') AS dh, " +
         "extract('dow', o_orderdate) AS dw, extract('week', o_orderdate) AS wk, " +
-        "date_format(convert_tz(o_orderdate, 'America/New_York'), 'yyyy-MM-dd HH:mm') AS nyt " +
+        "date_format(convert_tz(o_orderdate, 'America/New_York'), 'yyyy-MM-dd HH:mm') AS nyt, " +
+        "date_parse(date_format(o_orderdate, 'dd/MM/yyyy'), 'dd/MM/yyyy') AS rt2 " +
         "FROM orders WHERE o_orderkey < 1500",
       "SELECT o_orderkey, strftime(o_orderdate - INTERVAL 45 DAY, '%Y-%m-%d %H:%M:%S') AS dsub, " +
         "strftime(o_orderdate + INTERVAL 2 MONTH, '%Y-%m-%d %H:%M:%S') AS dmon, " +
         "36 AS dh, " +
         "CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dw, " +
         "CAST(weekofyear(o_orderdate) AS INTEGER) AS wk, " +
-        "strftime(timezone('America/New_York', o_orderdate::TIMESTAMPTZ), '%Y-%m-%d %H:%M') AS nyt " +
+        "strftime(timezone('America/New_York', o_orderdate::TIMESTAMPTZ), '%Y-%m-%d %H:%M') AS nyt, " +
+        "strptime(strftime(o_orderdate, '%d/%m/%Y'), '%d/%m/%Y') AS rt2 " +
         "FROM orders WHERE o_orderkey < 1500"),
 
     gq("q_url_funcs",

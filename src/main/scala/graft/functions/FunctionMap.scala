@@ -147,6 +147,9 @@ object FunctionMap {
       case "now" => unix_timestamp() // reference now() returns epoch seconds
       case "current_time" => date_format(current_timestamp(), "HH:mm:ss")
       case "current_date" => current_date().cast("string")
+      // 1-arg: conventional format; 2-arg: explicit pattern
+      // (functions_datetime.go:375-401 — date_parse(str, format))
+      case "date_parse" if args.size >= 2 => call_function("to_timestamp", a0, a1)
       case "date_parse" => to_timestamp(a0, "yyyy-MM-dd HH:mm:ss")
       case "from_unixtime" => from_unixtime(a0)
 

@@ -558,7 +558,13 @@ object StatefulOps extends Serializable {
     * Sessions merge on gap overlap and finalize once the key's observed
     * watermark (maxTs − oooMs) passes lastTs + gap — no future row can
     * join a session whose gap horizon the watermark passed. Finalization
-    * runs in start order; rows older than the finalized horizon drop. */
+    * runs in start order; rows older than the finalized horizon drop.
+    *
+    * State note: this operator buffers the raw rows of each OPEN session
+    * (it must — buffered aggregates like median/collect need them), the
+    * same shape the reference keeps (session rows until trigger). Queries
+    * without cross-window analytics use Spark's incremental
+    * `session_window` aggregation instead and buffer nothing. */
   def sessionWindowAnalytics(
       df: DataFrame,
       keyNames: List[String],
