@@ -493,6 +493,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(_.getDouble(1)).forall(_ == 3.0))
   }
 
+  test("IDLETIMEOUT flush retains cross-window analytic state") {
+    // idle flush closes open windows but is NOT a reap: the acc_sum chain
+    // must continue across the idle gap (STATETTL is the reap opt-in)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = GraftEngine.sql(
+      "SELECT deviceId, round(sum(temperature), 2) AS s, " +
+        "round(acc_sum(sum(temperature)), 2) AS run FROM stream " +
+        "GROUP BY deviceId, TumblingWindow('2s') " +
+        "WITH (TIMESTAMP='ts', TIMEUNIT='ms', MAXOUTOFORDERNESS='0s', IDLETIMEOUT='1s')",
+      Map("stream" -> mem.toDF()))
+    val q = out.writeStream.format("memory").queryName("idleacc")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(250L))
+      .start()
+    def poll(n: Int): Seq[(Double, Double)] = {
+      val deadline = System.currentTimeMillis() + 30000
+      var got = Seq.empty[(Double, Double)]
+      while (got.size < n && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        got = spark.table("idleacc").collect()
+          .map(r => (r.getDouble(1), r.getDouble(2))).toSeq
+      }
+      got
+    }
+    mem.addData(Ev("d1", 3, 0, "a"), Ev("d1", 4, 1000, "a")) // window [0,2s)
+    val first = poll(1) // idle flush emits (7, 7)
+    assert(first.contains((7.0, 7.0)), s"first flush: $first")
+    mem.addData(Ev("d1", 10, 5000, "a")) // window [4s,6s)
+    val second = poll(2) // second idle flush: run continues 7 + 10 = 17
+    q.stop()
+    assert(second.toSet == Set((7.0, 7.0), (10.0, 17.0)), s"got $second")
+  }
+
+  test("stateful sliding windows drop rows older than the finalized horizon") {
+    // SlidingWindow('2s','1s') + cross-window analytic → the combined
+    // stateful operator. ooo=0: watermark = per-key max ts. Sequence:
+    //   batch1: ts 1000, 2000        (nothing closes; wm=2000)
+    //   batch2: ts 5000              (closes windows ending ≤ 5000)
+    //   batch3: ts 1500 (LATE — its windows [0,2000),[1000,3000) are
+    //           finalized → dropped entirely)
+    //   batch4: ts 9000              (flushes the rest)
+    val rows = Seq(
+      Ev("d1", 1, 1000, "a"), Ev("d1", 2, 2000, "a"),
+      Ev("d1", 4, 5000, "a"),
+      Ev("d1", 8, 1500, "a"), // late
+      Ev("d1", 16, 9000, "a"))
+    val out = runStream(
+      "SELECT deviceId, round(sum(temperature), 2) AS s, " +
+        "round(acc_sum(sum(temperature)), 2) AS run, window_start() AS ws FROM stream " +
+        "GROUP BY deviceId, SlidingWindow('2s', '1s') " +
+        "WITH (TIMESTAMP='ts', TIMEUNIT='ms', MAXOUTOFORDERNESS='0s')",
+      rows, batches = 4)
+    val got = out.collect().map(r => (r.getLong(3), r.getDouble(1))).toMap
+    // late ts=1500 (temp 8) appears in NO window; ts=1000+2000 windows hold
+    // only the on-time rows
+    assert(got.get(0L).contains(1.0), s"window 0: $got")      // ts 1000
+    assert(got.get(1000L).contains(3.0), s"window 1000: $got") // ts 1000+2000
+    assert(got.get(2000L).contains(2.0), s"window 2000: $got") // ts 2000
+    assert(got.get(4000L).contains(4.0), s"window 4000: $got") // ts 5000
+    assert(!got.values.exists(v => v == 8.0 || v == 9.0 || v == 11.0),
+      s"late row leaked into a window: $got")
+  }
+
   test("transformWithState analytics hold 10k independent key partitions") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     graft.api.StreamSql(spark).useRocksDBStateStore()
