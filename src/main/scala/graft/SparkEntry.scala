@@ -244,6 +244,26 @@ object SparkEntry {
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"),
 
+    gq("q_full_clause_stack",
+      // WHERE → GROUP BY → HAVING (alias) → ORDER BY → LIMIT in one query
+      // (the reference pipeline end-to-end, stream/processor_data.go:383-493)
+      "SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
+        "round(avg(l_extendedprice), 2) AS ap FROM lineitem " +
+        "WHERE l_quantity > 10 GROUP BY l_returnflag, l_linestatus " +
+        "HAVING cnt > 1000 ORDER BY cnt DESC, l_returnflag, l_linestatus LIMIT 3",
+      "SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
+        "round(avg(l_extendedprice), 2) AS ap FROM lineitem " +
+        "WHERE l_quantity > 10 GROUP BY l_returnflag, l_linestatus " +
+        "HAVING count(*) > 1000 ORDER BY cnt DESC, l_returnflag, l_linestatus LIMIT 3"),
+
+    gq("q_distinct_expr",
+      // SELECT DISTINCT over computed columns (dedup after projection,
+      // reference: stream/processor_data.go:496-514)
+      "SELECT DISTINCT cast(value / 100, 'int') AS bucket, event_type " +
+        "FROM events WHERE value > 20",
+      "SELECT DISTINCT CAST(floor(value / 100) AS BIGINT) AS bucket, event_type " +
+        "FROM events WHERE value > 20"),
+
     // --- §2.3 joins --------------------------------------------------------
     gq("q_join_inner",
       "SELECT l_orderkey, l_linenumber, o.o_orderstatus, o.o_totalprice FROM lineitem " +
