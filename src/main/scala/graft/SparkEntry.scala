@@ -244,6 +244,32 @@ object SparkEntry {
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"),
 
+    gq("q_group_null_keys",
+      // NULL group keys collapse into one NULL group (reference:
+      // aggregator/group_aggregator.go:14-22,212-227 — sentinel key)
+      "SELECT null_if(event_type, 'error') AS et, count(*) AS cnt, " +
+        "round(sum(value), 2) AS sv FROM events GROUP BY null_if(event_type, 'error')",
+      "SELECT nullif(event_type, 'error') AS et, count(*) AS cnt, " +
+        "round(sum(value), 2) AS sv FROM events GROUP BY nullif(event_type, 'error')"),
+
+    gq("q_window_first_last",
+      // order-sensitive aggregates inside a time window (event order via
+      // TIMESTAMP+TIEBREAK; reference feeds accumulators in arrival order)
+      "SELECT user_id, first_value(value) AS fv, last_value(value) AS lv, " +
+        "window_start() AS ws FROM events " +
+        "GROUP BY user_id, TumblingWindow('7d') WITH (TIMESTAMP='ts', TIEBREAK='event_id')",
+      "SELECT user_id, arg_min(value, ts) AS fv, arg_max(value, ts) AS lv, " +
+        "CAST(floor(epoch(ts) / 604800) * 604800000 AS BIGINT) AS ws " +
+        "FROM events GROUP BY user_id, floor(epoch(ts) / 604800)"),
+
+    gq("q_like_wildcards",
+      // '_' single-char wildcard alongside '%' (reference LIKE matcher,
+      // functions/expr_bridge.go:633-660)
+      "SELECT p_partkey, p_name FROM part " +
+        "WHERE p_name LIKE '%r_d%' OR p_type LIKE 'a%d' OR p_brand LIKE 'Brand#_'",
+      "SELECT p_partkey, p_name FROM part " +
+        "WHERE p_name LIKE '%r_d%' OR p_type LIKE 'a%d' OR p_brand LIKE 'Brand#_'"),
+
     gq("q_full_clause_stack",
       // WHERE → GROUP BY → HAVING (alias) → ORDER BY → LIMIT in one query
       // (the reference pipeline end-to-end, stream/processor_data.go:383-493)
