@@ -258,7 +258,10 @@ object SparkEntry {
       "SELECT user_id, first_value(value) AS fv, last_value(value) AS lv, " +
         "window_start() AS ws FROM events " +
         "GROUP BY user_id, TumblingWindow('7d') WITH (TIMESTAMP='ts', TIEBREAK='event_id')",
-      "SELECT user_id, arg_min(value, ts) AS fv, arg_max(value, ts) AS lv, " +
+      // ordered-list indexing honors the full (ts, event_id) tiebreak —
+      // arg_min(value, ts) alone would be nondeterministic on equal ts
+      "SELECT user_id, (list(value ORDER BY ts, event_id))[1] AS fv, " +
+        "(list(value ORDER BY ts, event_id))[-1] AS lv, " +
         "CAST(floor(epoch(ts) / 604800) * 604800000 AS BIGINT) AS ws " +
         "FROM events GROUP BY user_id, floor(epoch(ts) / 604800)"),
 

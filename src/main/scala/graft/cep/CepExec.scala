@@ -195,6 +195,10 @@ object CepExec extends Serializable {
   /** Static result type for a measure expression. */
   private def measureType(e: SqlExpr, schema: StructType, symbols: Set[String],
       subsets: Map[String, List[String]]): DataType = e match {
+    // RUNNING/FINAL semantic markers are transparent wrappers
+    case FuncCall(n, args, _, _)
+        if n.equalsIgnoreCase("running") || n.equalsIgnoreCase("final") =>
+      args.headOption.map(measureType(_, schema, symbols, subsets)).getOrElse(StringType)
     case FuncCall(n, _, _, _) if n.equalsIgnoreCase("match_number") => LongType
     case FuncCall(n, _, _, _) if n.equalsIgnoreCase("classifier") => StringType
     case FuncCall(n, _, _, _) if n.equalsIgnoreCase("count") => LongType

@@ -35,14 +35,20 @@ object Ingest {
   private def invalid = col("__parsed").isNull ||
     col(s"__parsed.$corruptCol").isNotNull
 
-  def json(df: DataFrame, jsonCol: String, schema: StructType,
-      metricName: String = "ingest"): DataFrame =
-    parse(df, jsonCol, schema)
+  /** Shared validation tail: observe invalid/total, drop malformed rows,
+    * project the declared fields — one definition for every format. */
+  private def validated(parsed: DataFrame, schema: StructType,
+      metricName: String): DataFrame =
+    parsed
       .observe(metricName,
         count(when(invalid, 1)).as("invalid"),
         count(lit(1)).as("total"))
       .filter(!invalid)
       .select(schema.fieldNames.toIndexedSeq.map(n => col(s"__parsed.$n")): _*)
+
+  def json(df: DataFrame, jsonCol: String, schema: StructType,
+      metricName: String = "ingest"): DataFrame =
+    validated(parse(df, jsonCol, schema), schema, metricName)
 
   /** Batch variant returning an [[Observation]] handle: `obs.get("invalid")`
     * blocks until the first action materializes the counts. */
@@ -55,7 +61,7 @@ object Ingest {
         count(lit(1)).as("total"))
       .filter(!invalid)
       .select(schema.fieldNames.toIndexedSeq.map(n => col(s"__parsed.$n")): _*)
-    (out, obs)
+    (out, obs) // Observation variant: observe() needs the handle, not a name
   }
 
   /** Parse a delimited-text column against `schema` (CSV line per row),
@@ -69,11 +75,6 @@ object Ingest {
       from_csv(col(lineCol), parseSchema,
         Map("sep" -> delimiter, "mode" -> "PERMISSIVE",
           "columnNameOfCorruptRecord" -> corruptCol)))
-    parsed
-      .observe(metricName,
-        count(when(invalid, 1)).as("invalid"),
-        count(lit(1)).as("total"))
-      .filter(!invalid)
-      .select(schema.fieldNames.toIndexedSeq.map(n => col(s"__parsed.$n")): _*)
+    validated(parsed, schema, metricName)
   }
 }

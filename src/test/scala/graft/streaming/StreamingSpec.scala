@@ -529,12 +529,14 @@ class StreamingSpec extends AnyFunSuite {
 
   test("stateful sliding windows drop rows older than the finalized horizon") {
     // SlidingWindow('2s','1s') + cross-window analytic → the combined
-    // stateful operator. ooo=0: watermark = per-key max ts. Sequence:
-    //   batch1: ts 1000, 2000        (nothing closes; wm=2000)
-    //   batch2: ts 5000              (closes windows ending ≤ 5000)
-    //   batch3: ts 1500 (LATE — its windows [0,2000),[1000,3000) are
-    //           finalized → dropped entirely)
-    //   batch4: ts 9000              (flushes the rest)
+    // stateful operator. ooo=0: watermark = per-key max ts. One row per
+    // micro-batch (runStream sends ceil(5/4)=1 row per chunk):
+    //   ts 1000 → nothing closes (wm=1000)
+    //   ts 2000 → closes [0,2000) (wm=2000)
+    //   ts 5000 → closes windows ending ≤ 5000
+    //   ts 1500 → LATE: its windows [0,2000),[1000,3000) are finalized
+    //             → dropped entirely
+    //   ts 9000 → flushes the rest
     val rows = Seq(
       Ev("d1", 1, 1000, "a"), Ev("d1", 2, 2000, "a"),
       Ev("d1", 4, 5000, "a"),
