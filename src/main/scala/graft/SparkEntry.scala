@@ -1081,6 +1081,25 @@ object SparkEntry {
         operators.Similarity.topKIvf(emb, queries, k = 10, nlist = 16, nprobe = 4)
       }, Some(annIvfOracleSql)),
 
+    Q("q_embed_centroids",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val emb = Tables.load(s, dir)("embeddings")
+        // fixed-decimal formatting: raw double stringification flips to
+        // scientific notation below 1e-3 in the JVM but not in DuckDB
+        operators.Similarity.centroids(emb, col("vec_id") % 10)
+          .select(col("grp"),
+            array_join(transform(col("centroid"),
+              c => format_string("%.6f", round(c, 6))), ",").as("centroid"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id % 10 AS grp, u.x AS v, u.pos AS pos
+                   FROM embeddings, LATERAL (SELECT unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS pos) u),
+        m AS (SELECT grp, pos, printf('%.6f', round(avg(v::DOUBLE), 6)) AS m FROM e GROUP BY grp, pos)
+        SELECT grp, array_to_string(list(m ORDER BY pos), ',') AS centroid
+        FROM m GROUP BY grp""".stripMargin.trim)),
+
     // --- LLM-pipeline operators: multimodal plumbing ----------------------
     Q("q_multimodal_features",
       (s, dir) => operators.Multimodal

@@ -149,6 +149,25 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
   }
 
+  /** Per-group embedding centroids (cluster prep / dataset signatures):
+    * element-wise mean per group. Lowered as posexplode → one shuffle on
+    * (group, dim) with map-side partial avg → re-assemble in dim order —
+    * the shape that scales to arbitrary corpus size (no per-group buffering
+    * of whole vectors; dims × groups partial states). */
+  def centroids(
+      emb: DataFrame,
+      groupCol: Column,
+      vecCol: String = "embedding"): DataFrame = {
+    val exploded = emb.select(groupCol.as("grp"), posexplode(col(vecCol)))
+    exploded
+      .groupBy(col("grp"), col("pos"))
+      .agg(avg(col("col").cast("double")).as("m"))
+      .groupBy(col("grp"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("centroid"))
+  }
+
   /** IVF-style bucketed ANN top-k: assign corpus + queries to their nearest
     * LSH bucket family and search only matching buckets — the scale path
     * when queries are many (no broadcast of the whole corpus). Recall < 1
