@@ -188,6 +188,15 @@ class StreamBatchParitySpec extends AnyFunSuite {
         s"DEFINE A AS value > 50 ) $opts")
   }
 
+  test("parity: MATCH_RECOGNIZE ALL ROWS PER MATCH") {
+    // exercises CepStream's per-row emission (emitMatch ALL ROWS path)
+    assertParity(
+      "SELECT user_id, value, mn, cls FROM stream MATCH_RECOGNIZE ( " +
+        "PARTITION BY user_id ORDER BY ts " +
+        "MEASURES MATCH_NUMBER() AS mn, CLASSIFIER() AS cls ALL ROWS PER MATCH " +
+        s"PATTERN (A{3}) WITHIN '60d' DEFINE A AS value > 50 ) $opts")
+  }
+
   test("parity: MATCH_RECOGNIZE (A{3} spike run)") {
     assertParity(
       "SELECT * FROM stream MATCH_RECOGNIZE ( PARTITION BY user_id ORDER BY ts " +

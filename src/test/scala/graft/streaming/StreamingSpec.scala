@@ -583,6 +583,26 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("tumbling-analytics operator holds 10k independent key partitions") {
+    // the combined window-buffer + analytic-state operator at capacity:
+    // 2 windows per key, the far row closes the first
+    val rows = (0 until 10000).flatMap { k =>
+      Seq(Ev(s"dev$k", 1, 1000L, "a"), Ev(s"dev$k", 2, 1500L, "a"),
+        Ev(s"dev$k", 3, 10000L, "a"))
+    }
+    val out = runStream(
+      "SELECT deviceId, round(sum(temperature), 2) AS s, " +
+        "round(acc_sum(sum(temperature)), 2) AS run FROM stream " +
+        "GROUP BY deviceId, TumblingWindow('2s') " +
+        "WITH (TIMESTAMP='ts', TIMEUNIT='ms', MAXOUTOFORDERNESS='0s')",
+      rows, batches = 2)
+    val got = out.collect()
+    // first window [0,2s) of every key closes (sum 3); the ts=10000 window
+    // stays open below the per-key watermark
+    assert(got.length == 10000)
+    assert(got.forall(r => r.getDouble(1) == 3.0 && r.getDouble(2) == 3.0))
+  }
+
   test("per-batch ordered sink applies ORDER BY/LIMIT per emitted batch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
