@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types._
+
+/** One-pass compute kernels for the embedding-similarity operators
+  * (`graft.operators.Similarity`), exposed as Catalyst `StaticInvoke`
+  * expressions — the same codegen-friendly idiom as [[TextKernels]].
+  *
+  * Why: the `aggregate(zip_with(...))` higher-order-function formulation
+  * evaluates an interpreted lambda per array element per row; the LSH
+  * signature additionally repeats that fold once per hyperplane (16× per
+  * row). At 100 TB that interpreted inner loop IS the scan cost. A
+  * `StaticInvoke` of a static JVM method stays inside whole-stage codegen
+  * (non-virtual call, no UDF ser/de) and walks the vector bytes once.
+  *
+  * Numeric parity: every kernel accumulates `left-to-right` in double —
+  * identical operation order to the `aggregate` fold it replaces and to
+  * the DuckDB oracle's `list_inner_product(a::DOUBLE[], b::DOUBLE[])`, so
+  * results are bit-identical and the oracle hash-match is preserved.
+  * Vectors are `array<float>` (embeddings), hyperplanes/centroids are
+  * double literals baked in at plan time.
+  */
+object VectorKernels {
+
+  private def inv(ret: DataType, method: String, args: Seq[org.apache.spark.sql.catalyst.expressions.Expression], in: Seq[DataType]): Column =
+    GraftColumnBridge.column(StaticInvoke(
+      VectorKernels.getClass, ret, method, args, in, returnNullable = false))
+
+  private val floatArr = ArrayType(FloatType)
+  private val doubleArr = ArrayType(DoubleType, containsNull = false)
+
+  private def flatLit(planes: Array[Array[Double]]): Literal =
+    Literal.create(new GenericArrayData(planes.flatten), doubleArr)
+
+  // ------------------------------------------------------------- cosine
+
+  /** cos(a, b) over two float vectors, one pass (Σab, Σaa, Σbb together). */
+  def cosineCol(a: Column, b: Column): Column =
+    inv(DoubleType, "cosineFF",
+      Seq(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)),
+      Seq(floatArr, floatArr))
+
+  def cosineFF(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var sab = 0.0; var saa = 0.0; var sbb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      sab += x * y; saa += x * x; sbb += y * y
+      i += 1
+    }
+    sab / (math.sqrt(saa) * math.sqrt(sbb))
+  }
+
+  /** Σ aᵢbᵢ over two float vectors. */
+  def dotCol(a: Column, b: Column): Column =
+    inv(DoubleType, "dotFF",
+      Seq(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)),
+      Seq(floatArr, floatArr))
+
+  def dotFF(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  // ------------------------------------------- random-hyperplane LSH
+
+  /** Sign-bit signature of `vec` against `planes` hyperplanes → long;
+    * bit i = (vec · planeᵢ >= 0). All planes in one pass over the vector
+    * (replaces one interpreted fold per plane). */
+  def lshSignatureCol(vec: Column, planes: Array[Array[Double]]): Column =
+    inv(LongType, "lshSignature",
+      Seq(GraftColumnBridge.expression(vec), flatLit(planes),
+        Literal(planes.length)),
+      Seq(floatArr, doubleArr, IntegerType))
+
+  def lshSignature(vec: ArrayData, flat: ArrayData, planesN: Int): Long = {
+    val dims = flat.numElements() / planesN
+    var sig = 0L
+    var p = 0
+    while (p < planesN) {
+      var s = 0.0
+      val off = p * dims
+      var i = 0
+      while (i < dims) { s += vec.getFloat(i).toDouble * flat.getDouble(off + i); i += 1 }
+      if (s >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  // --------------------------------------------------- IVF cell routing
+
+  /** Cell whose centroid direction has the max dot with `vec`; ties break
+    * to the larger cell id (matches `sort_array(..., asc=false)(0)` on
+    * `struct(d, cell)` — descending lexicographic). */
+  def argmaxCellCol(vec: Column, cents: Array[Array[Double]]): Column =
+    inv(IntegerType, "argmaxCell",
+      Seq(GraftColumnBridge.expression(vec), flatLit(cents),
+        Literal(cents.length)),
+      Seq(floatArr, doubleArr, IntegerType))
+
+  def argmaxCell(vec: ArrayData, flat: ArrayData, nlist: Int): Int = {
+    val dims = flat.numElements() / nlist
+    var best = Double.NegativeInfinity
+    var bestCell = -1
+    var c = 0
+    while (c < nlist) {
+      var s = 0.0
+      val off = c * dims
+      var i = 0
+      while (i < dims) { s += vec.getFloat(i).toDouble * flat.getDouble(off + i); i += 1 }
+      if (s >= best) { best = s; bestCell = c } // >= : later cell wins ties
+      c += 1
+    }
+    bestCell
+  }
+
+  /** The `nprobe` cells with the largest centroid dots, descending (same
+    * order/tie rule as the sorted-struct formulation). */
+  def topCellsCol(vec: Column, cents: Array[Array[Double]], nprobe: Int): Column =
+    inv(ArrayType(IntegerType, containsNull = false), "topCells",
+      Seq(GraftColumnBridge.expression(vec), flatLit(cents),
+        Literal(cents.length), Literal(nprobe)),
+      Seq(floatArr, doubleArr, IntegerType, IntegerType))
+
+  def topCells(vec: ArrayData, flat: ArrayData, nlist: Int, nprobe: Int): ArrayData = {
+    val dims = flat.numElements() / nlist
+    val dots = new Array[Double](nlist)
+    var c = 0
+    while (c < nlist) {
+      var s = 0.0
+      val off = c * dims
+      var i = 0
+      while (i < dims) { s += vec.getFloat(i).toDouble * flat.getDouble(off + i); i += 1 }
+      dots(c) = s
+      c += 1
+    }
+    val k = math.min(nprobe, nlist)
+    val out = new Array[Int](k)
+    val taken = new Array[Boolean](nlist)
+    var j = 0
+    while (j < k) {
+      var best = Double.NegativeInfinity
+      var bestCell = -1
+      var cc = 0
+      while (cc < nlist) {
+        if (!taken(cc) && (dots(cc) >= best)) { best = dots(cc); bestCell = cc }
+        cc += 1
+      }
+      taken(bestCell) = true
+      out(j) = bestCell
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -15,14 +15,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢbᵢ as double (deterministic left fold). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Σ aᵢbᵢ as double (deterministic left-to-right accumulation). Both
+    * inputs must be `array<float>` (the embedding column type); the
+    * codegen'd kernel walks the vectors once — see
+    * [[graft.functions.VectorKernels]]. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorKernels.dotCol(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Single-pass cosine (Σab, Σaa, Σbb accumulated together — identical
+    * operation order to dot/norm composition). `array<float>` inputs. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorKernels.cosineCol(a, b)
+
+  /** HOF fold dot for arbitrary numeric arrays (plane literals etc.) —
+    * the general-purpose, non-kernel formulation. */
+  def dotFold(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
 
   /** Brute-force cosine top-k: broadcast queries × scan corpus.
     * Output: (query_id, vec_id, sim, rank) — rank 1..k per query. */
@@ -51,14 +61,10 @@ object Similarity {
     Array.fill(planes, dims)(rnd.nextDouble() - 0.5)
   }
 
-  /** Sign-bit signature of `vec` against `planes` hyperplanes → long. */
-  def lshSignature(vec: Column, planes: Array[Array[Double]]): Column = {
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      val pc = array(p.toIndexedSeq.map(lit): _*)
-      when(dot(vec, pc) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  /** Sign-bit signature of `vec` against `planes` hyperplanes → long.
+    * One kernel pass over the vector for all planes. */
+  def lshSignature(vec: Column, planes: Array[Array[Double]]): Column =
+    graft.functions.VectorKernels.lshSignatureCol(vec, planes)
 
   /** Near-dup pairs with cosine ≥ threshold via hyperplane-LSH banding:
     * 16-bit signature split into 4 chunks (pigeonhole on small angular
@@ -126,17 +132,11 @@ object Similarity {
     // directions, not magnitudes
     val cents = hyperplanes(nlist, dims, seed)
 
-    def cellSims(vec: Column): Column = // array of (cell, dot) structs, sorted desc
-      sort_array(
-        array(cents.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-          struct(dot(vec, array(c.toIndexedSeq.map(lit): _*)).as("d"), lit(i).as("cell"))
-        }: _*), asc = false)
-
     val assigned = corpus.select(col(idCol), col(vecCol).as("__cv"),
-      cellSims(col(vecCol))(0).getField("cell").as("__cell"))
+      graft.functions.VectorKernels.argmaxCellCol(col(vecCol), cents).as("__cell"))
     val probed = queries.select(col(queryIdCol), col(vecCol).as("__qv"),
-        explode(slice(transform(cellSims(col(vecCol)), x => x.getField("cell")),
-          1, nprobe)).as("__cell"))
+      explode(graft.functions.VectorKernels.topCellsCol(col(vecCol), cents, nprobe))
+        .as("__cell"))
 
     // no dedup needed: each corpus vector lives in exactly one cell and a
     // query probes distinct cells, so (query, vec) pairs are already unique
