@@ -123,8 +123,15 @@ object CepExec extends Serializable {
       else keyed
         .groupByKey(r => r.getString(keyIdx))(Encoders.STRING)
         .flatMapGroups { (_, it) =>
+          val fidx = ArrayRowMap.index(fieldNames)
+          val nf = fieldNames.length
           val maps: Vector[Map[String, Any]] =
-            it.map(r => fieldNames.zipWithIndex.map { case (n, i) => n -> r.get(i) }.toMap).toVector
+            it.map { r =>
+              val vals = new Array[Any](nf)
+              var i = 0
+              while (i < nf) { vals(i) = r.get(i); i += 1 }
+              new ArrayRowMap(fidx, fieldNames, vals): Map[String, Any]
+            }.toVector
           val sorted = sortRows(maps)
           val matches = Matcher.findMatches(sorted, mrLocal,
             i => tsOfRow(sorted(i)), defineTestFor(sorted))

@@ -15,14 +15,19 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup: keep the lowest-id row per normalized-content hash.
-    * Equivalent to a hash groupBy — one shuffle on the fingerprint. */
-  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    * Lowered as `min_by` hash aggregation, not a row_number window: partial
+    * (map-side) aggregation ships ONE candidate row per fingerprint per
+    * input partition through the shuffle and needs no sort — the window
+    * formulation shuffles every duplicate and sorts each partition, which
+    * is exactly the cost that explodes on a boilerplate-heavy corpus. */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val cols = docs.columns.toIndexedSeq
     docs
       .withColumn("__fp", TextOps.fingerprint(col(textCol)))
-      .withColumn("__rn",
-        row_number().over(Window.partitionBy(col("__fp")).orderBy(col(idCol))))
-      .filter(col("__rn") === 1)
-      .drop("__fp", "__rn")
+      .groupBy(col("__fp"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__r"))
+      .select(cols.map(c => col(s"__r.$c")): _*)
+  }
 
   /** MinHash + LSH near-dup pairs: signature → b bands of r rows →
     * band-bucket join → exact Jaccard verify on shingle sets.
