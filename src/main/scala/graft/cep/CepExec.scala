@@ -9,12 +9,14 @@ import graft.plan.{ExprBuilder, Resolver}
 /** MATCH_RECOGNIZE execution (reference: cep/ package — SQL:2016, Flink-
   * aligned subset; SURVEY.md §2.10).
   *
-  * Batch plan: WHERE-filter → key by PARTITION BY → `groupByKey.
-  * flatMapGroups` → per-key sort by ORDER BY → backtracking matcher
-  * ([[Matcher]]) → MEASURES evaluation ([[RowEval]]) → outer SELECT.
-  * Partitions scale out across executors; within a key the reference's own
-  * bounds apply (maxRunRows — cep/engine.go:17-22), so per-key state is
-  * bounded exactly like the reference's.
+  * Batch plan: WHERE-filter → key by PARTITION BY → `repartition(key)` →
+  * `sortWithinPartitions(key, ORDER BY)` (Spark's spillable external sort)
+  * → `mapPartitions` running the incremental matcher ([[CepIncremental]] →
+  * [[Matcher]]) → MEASURES evaluation ([[RowEval]]) → outer SELECT.
+  * Keys scale out across executors; within a key the heap holds only the
+  * active WITHIN window, bounded further by the reference's maxRunRows
+  * (cep/engine.go:17-22) — a skewed key spills in the sort instead of
+  * materializing in one task's memory.
   */
 object CepExec extends Serializable {
 
@@ -120,25 +122,44 @@ object CepExec extends Serializable {
           sortRows, tsOfRow, defineTestFor, emitMatch, idleMs,
           ttlMs = q.options.get("STATETTL")
             .map(graft.sql.Durations.toMillis).getOrElse(0L))
-      else keyed
-        .groupByKey(r => r.getString(keyIdx))(Encoders.STRING)
-        .flatMapGroups { (_, it) =>
-          val fidx = ArrayRowMap.index(fieldNames)
-          val nf = fieldNames.length
-          val maps: Vector[Map[String, Any]] =
-            it.map { r =>
+      else {
+        // Secondary-sort formulation: Spark's spillable external sort orders
+        // each key's rows (keys contiguous within a hash partition), then an
+        // incremental matcher holds only the active WITHIN window — a skewed
+        // key never materializes all its rows in one task's heap (the old
+        // groupByKey.flatMapGroups buffered the full key before sorting).
+        val sortCols: Seq[Column] = col("__cep_key").asc +:
+          orderPaths.map { case (segs, asc) =>
+            val c = segs.tail.foldLeft(col(segs.head.name))((cc, s) => cc.getField(s.name))
+            if (asc) c.asc else c.desc
+          }
+        keyed
+          .repartition(col("__cep_key"))
+          .sortWithinPartitions(sortCols: _*)
+          .mapPartitions { it =>
+            val fidx = ArrayRowMap.index(fieldNames)
+            val nf = fieldNames.length
+            def toMap(r: Row): Map[String, Any] = {
               val vals = new Array[Any](nf)
               var i = 0
               while (i < nf) { vals(i) = r.get(i); i += 1 }
-              new ArrayRowMap(fidx, fieldNames, vals): Map[String, Any]
-            }.toVector
-          val sorted = sortRows(maps)
-          val matches = Matcher.findMatches(sorted, mrLocal,
-            i => tsOfRow(sorted(i)), defineTestFor(sorted))
-          matches.iterator.zipWithIndex.flatMap { case (m, mi) =>
-            emitMatch(sorted, m, mi + 1L)
-          }
-        }(Encoders.row(outSchema))
+              new ArrayRowMap(fidx, fieldNames, vals)
+            }
+            var engine: CepIncremental = null
+            var curKey: String = null
+            val body = it.flatMap { r =>
+              val key = r.getString(keyIdx)
+              if (engine == null || key != curKey) {
+                val tail =
+                  if (engine == null) Iterator.empty[Row] else engine.finish()
+                curKey = key
+                engine = new CepIncremental(mrLocal, tsOfRow, defineTestFor, emitMatch)
+                tail ++ engine.offer(toMap(r))
+              } else engine.offer(toMap(r))
+            }
+            body ++ (if (engine == null) Iterator.empty[Row] else engine.finish())
+          }(Encoders.row(outSchema))
+      }
 
     // outer SELECT over (partition cols | input cols) + measures
     val projected = q.items match {

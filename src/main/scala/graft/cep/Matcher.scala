@@ -25,19 +25,26 @@ object Matcher {
 
   val MaxRunRows = 10000 // reference: cep/engine.go:17-22
 
-  /** Find all matches over `rows` honoring AFTER MATCH SKIP. */
+  /** Find all matches over `rows` honoring AFTER MATCH SKIP.
+    *
+    * Rows before `startFrom` are context only: visible to PREV/NEXT in
+    * DEFINE/MEASURES (they index into `rows`) but never a match start —
+    * used by the incremental batch engine, which keeps a tail of already-
+    * consumed rows in the buffer for positional navigation.
+    */
   def findMatches(
       rows: IndexedSeq[Map[String, Any]],
       mr: MatchRecognize,
       tsOf: Int => Long,
-      defineTest: (String, Int, IndexedSeq[(Int, String)]) => Boolean): Vector[Match] = {
+      defineTest: (String, Int, IndexedSeq[(Int, String)]) => Boolean,
+      startFrom: Int = 0): Vector[Match] = {
 
     val pattern = mr.pattern.getOrElse(
       Pattern.Sym(mr.defines.keys.headOption.getOrElse(
         throw new IllegalArgumentException("MATCH_RECOGNIZE requires PATTERN or DEFINE"))))
 
     val out = Vector.newBuilder[Match]
-    var start = 0
+    var start = startFrom
     while (start < rows.length) {
       tryMatchAt(rows, pattern, start, mr.withinMs, tsOf, defineTest) match {
         case Some(m) if m.assignment.nonEmpty =>

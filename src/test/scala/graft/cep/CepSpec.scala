@@ -143,4 +143,46 @@ class CepSpec extends AnyFunSuite {
       .collect().map(_.getLong(0))
     assert(out.toSeq == Seq(2L, 3L)) // a,c and a,b,c
   }
+
+  test("incremental engine evicts rows outside WITHIN — bounded heap on a hot key") {
+    val mr = graft.sql.Parser.parse(
+      "SELECT mn FROM stream MATCH_RECOGNIZE ( ORDER BY ts " +
+        "MEASURES MATCH_NUMBER() AS mn ONE ROW PER MATCH " +
+        "PATTERN (A{2}) WITHIN '1m' DEFINE A AS v > 50 )").matchRecognize.get
+    val defineTestFor = (sorted: IndexedSeq[Map[String, Any]]) =>
+      (sym: String, pos: Int, acc: IndexedSeq[(Int, String)]) =>
+        sorted(pos)("v").asInstanceOf[Double] > 50
+    val emit = (sorted: IndexedSeq[Map[String, Any]], m: Matcher.Match, mn: Long) =>
+      Iterator.single(org.apache.spark.sql.Row(mn))
+    val eng = new CepIncremental(mr,
+      m => m("ts").asInstanceOf[Long], defineTestFor, emit, flushEvery = 1024)
+    var emitted = 0L
+    var maxBuf = 0
+    var i = 0L
+    while (i < 200000L) { // 200k rows, one key, 1s apart, match pair every 1000s
+      val v = if (i % 1000 < 2) 60.0 else 10.0
+      emitted += eng.offer(Map("ts" -> i * 1000L, "v" -> v)).size
+      maxBuf = math.max(maxBuf, eng.bufferedRows)
+      i += 1
+    }
+    emitted += eng.finish().size
+    assert(emitted == 200L)
+    // active window is WITHIN (60 rows) + flushEvery batching + context tail
+    assert(maxBuf <= 1024 + CepIncremental.ContextRows + 64,
+      s"buffer grew to $maxBuf — WITHIN eviction not engaging")
+  }
+
+  test("hot key end-to-end: 1M rows in one partition key, bounded active window") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1000000L).select(
+      (col("id") * 1000L).as("ts"),
+      when(col("id") % 1000 < 2, 60.0).otherwise(10.0).as("v"))
+    val out = GraftEngine.sql(
+      "SELECT mn FROM stream MATCH_RECOGNIZE ( ORDER BY ts " +
+        "MEASURES MATCH_NUMBER() AS mn ONE ROW PER MATCH " +
+        "PATTERN (A{2}) WITHIN '1m' DEFINE A AS v > 50 )", df)
+    val agg = out.agg(count("mn"), max("mn")).head()
+    assert(agg.getLong(0) == 1000L) // one A{2} pair per 1000 rows
+    assert(agg.getLong(1) == 1000L) // match numbering stays continuous across flushes
+  }
 }
