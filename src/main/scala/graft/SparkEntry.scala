@@ -630,6 +630,24 @@ object SparkEntry {
         "THEN event_type END AS chg FROM events " +
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) WHERE chg IS NOT NULL"),
 
+    gq("q_changed_cols",
+      // changed_cols fan-out: one prefix-named changed_col per argument
+      // column; a row where EVERY fan-out output is empty is suppressed
+      // (reference: stream/analytic.go:236-289 + stream/stream.go:551-567)
+      "SELECT user_id, event_id, changed_cols('c_', true, event_type, props) " +
+        "OVER (PARTITION BY user_id) FROM events " +
+        "WITH (TIMESTAMP='ts', TIEBREAK='event_id')",
+      "SELECT user_id, event_id, c_event_type, c_props FROM (" +
+        "SELECT user_id, event_id, " +
+        "CASE WHEN row_number() OVER w = 1 " +
+        "OR event_type IS DISTINCT FROM lag(event_type) OVER w " +
+        "THEN event_type END AS c_event_type, " +
+        "CASE WHEN row_number() OVER w = 1 " +
+        "OR props IS DISTINCT FROM lag(props) OVER w " +
+        "THEN props END AS c_props FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+        "WHERE c_event_type IS NOT NULL OR c_props IS NOT NULL"),
+
     gq("q_window_analytic_combo",
       // analytic across successive windows, auto-partitioned by group key
       // (reference: rsql/ast.go:142-205)
