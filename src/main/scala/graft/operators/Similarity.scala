@@ -184,29 +184,46 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     val dims = corpus.select(size(col(vecCol))).first().getInt(0)
     val planes = hyperplanes(planesN, dims, seed)
+
+    // signatures once, persisted; banded join ships ids only, vectors
+    // re-join for candidate verification (same discipline as nearDupPairs —
+    // shipping arrays through the ×chunks band explosion is the difference
+    // between seconds and minutes at scale)
+    val csigs = corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cv"),
+      lshSignature(col(vecCol), planes).as("sig")).persist()
+    val qsigs = queries.select(col(queryIdCol).as("__qid"), col(vecCol).as("__qv"),
+      lshSignature(col(vecCol), planes).as("sig")).persist()
+
+    val cand = annCandidates(csigs, qsigs, planesN, chunks)
+    val verified = cand
+      .join(csigs.select(col("__cid"), col("__cv")), "__cid")
+      .join(qsigs.select(col("__qid"), col("__qv")), "__qid")
+      .withColumn("sim", round(cosine(col("__cv"), col("__qv")), 6))
+    val w = Window.partitionBy(col("__qid")).orderBy(col("sim").desc, col("__cid"))
+    val ranked = verified.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as(queryIdCol), col("__cid").as(idCol),
+        col("sim"), col("rank"))
+    Dedup.materializeAndRelease(ranked, csigs, qsigs)
+  }
+
+  /** Slim banded corpus×query candidate pairs: the only columns that ride
+    * the ×chunks explosion and its join exchange are (id, chunk, key).
+    * Inputs must carry `__cid`/`__qid` + `sig`. */
+  private[graft] def annCandidates(
+      csigs: DataFrame, qsigs: DataFrame, planesN: Int, chunks: Int): DataFrame = {
     val bitsPer = planesN / chunks
     def band(df: DataFrame, id: String): DataFrame =
-      df.select(col(id), col(vecCol).as(s"__v_$id"),
-        lshSignature(col(vecCol), planes).as("sig"))
-        .select(col(id), col(s"__v_$id"),
-          explode(transform(sequence(lit(0), lit(chunks - 1)),
-            c => struct(c.as("chunk"),
-              call_function("shiftright", col("sig"), c * bitsPer)
-                .bitwiseAND(lit((1L << bitsPer) - 1)).as("key")))).as("ck"))
-        .select(col(id), col(s"__v_$id"), col("ck.chunk"), col("ck.key"))
-
-    val c = band(corpus, idCol).alias("c")
-    val q = band(queries, queryIdCol).alias("q")
-    val cand = c.join(q,
-        col("c.chunk") === col("q.chunk") && col("c.key") === col("q.key") &&
-          col(s"c.$idCol") =!= col(s"q.$queryIdCol"))
-      .select(col(s"q.$queryIdCol"), col(s"c.$idCol"),
-        col(s"c.__v_$idCol").as("cv"), col(s"q.__v_$queryIdCol").as("qv"))
-      .dropDuplicates(queryIdCol, idCol)
-      .withColumn("sim", round(cosine(col("cv"), col("qv")), 6))
-    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+      df.select(col(id),
+        explode(transform(sequence(lit(0), lit(chunks - 1)),
+          c => struct(c.as("chunk"),
+            call_function("shiftright", col("sig"), c * bitsPer)
+              .bitwiseAND(lit((1L << bitsPer) - 1)).as("key")))).as("ck"))
+        .select(col(id), col("ck.chunk"), col("ck.key"))
+    band(csigs, "__cid")
+      .join(band(qsigs, "__qid"), Seq("chunk", "key"))
+      .filter(col("__cid") =!= col("__qid"))
+      .select("__qid", "__cid")
+      .dropDuplicates("__qid", "__cid")
   }
 }

@@ -60,6 +60,34 @@ class PlanShapeSpec extends AnyFunSuite {
     pairs.unpersist()
   }
 
+  test("bucketed ANN band-join exchanges carry ids only, no vectors") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val emb = tables("embeddings")
+    val planes = graft.operators.Similarity.hyperplanes(12, 64, 42L)
+    val csigs = emb.select(col("vec_id").as("__cid"), col("embedding").as("__cv"),
+      graft.operators.Similarity.lshSignature(col("embedding"), planes).as("sig"))
+    val qsigs = emb.limit(10).select(col("vec_id").as("__qid"),
+      col("embedding").as("__qv"),
+      graft.operators.Similarity.lshSignature(col("embedding"), planes).as("sig"))
+    // executedPlan (post-EnsureRequirements) carries the exchanges; AQE off
+    // so they are concrete ShuffleExchangeExec nodes, not an adaptive root
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val cand = graft.operators.Similarity.annCandidates(csigs, qsigs, 12, 4)
+      val exchanges = cand.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty)
+      exchanges.foreach { e =>
+        val names = e.output.map(_.name)
+        assert(!names.exists(n => n.contains("__cv") || n.contains("__qv") ||
+          n.contains("embedding")), s"vector column in band exchange: $names")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("text-analysis kernel stays in whole-stage codegen with one scan") {
     val an = graft.operators.TextOps.analyze(tables("documents"))
     val p = an.queryExecution.executedPlan.toString
