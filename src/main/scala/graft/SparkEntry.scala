@@ -1171,6 +1171,17 @@ object SparkEntry {
         "TRUE AS iss, TRUE AS isb, TRUE AS isa " +
         "FROM lineitem WHERE l_partkey < 70"),
 
+    gq("q_expr_dynamic",
+      // RUNTIME expr(): the expression string is built per row and
+      // interpreted against that row (functions_expr.go:16) — result is
+      // stringly typed (documented delta, SURVEY §2.8); integer arithmetic
+      // keeps Spark/DuckDB string forms identical
+      "SELECT event_id, " +
+        "expr(concat('event_id % ', cast(1 + user_id % 3, 'string'))) AS dyn " +
+        "FROM events WHERE user_id < 1000",
+      "SELECT event_id, CAST(event_id % (1 + user_id % 3) AS VARCHAR) AS dyn " +
+        "FROM events WHERE user_id < 1000"),
+
     gq("q_datetime_arith2",
       // date_sub / month add / hour diff / extract fields / convert_tz
       // (functions_datetime.go:172-241, functions_conversion.go:242-300)

@@ -19,7 +19,10 @@ object ExprBuilder {
       resolveIdent: Ident => Column,
       onAggregate: FuncCall => Column,
       onAnalytic: FuncCall => Column,
-      starCols: () => List[Column] = () => throw new IllegalStateException("* not allowed here")
+      starCols: () => List[Column] = () => throw new IllegalStateException("* not allowed here"),
+      // struct of the source row's columns, for per-row dynamic expr();
+      // None where runtime expressions are not supported (CEP, ORDER BY)
+      rowStruct: Option[() => Column] = None
   )
 
   def isAggregateCall(e: SqlExpr): Boolean = e match {
@@ -186,8 +189,20 @@ object ExprBuilder {
     }
     fc.lname match {
       case "expr" =>
-        // plan-time dynamic expression (functions_expr.go:16): parse + inline
-        build(Parser.parseExpression(litStr(0)), ctx)
+        fc.args.head match {
+          case StringLit(s) =>
+            // plan-time literal (functions_expr.go:16): parse + inline —
+            // fully typed, stays in codegen
+            build(Parser.parseExpression(s), ctx)
+          case _ =>
+            // runtime string: per-row interpreted fallback, stringly typed
+            ctx.rowStruct match {
+              case Some(rs) => graft.functions.DynamicExpr.asString(arg(0), rs())
+              case None => throw new ParseException(
+                "expr() with a runtime argument is only supported in the " +
+                  "SELECT/WHERE of a table query (use a string literal here)")
+            }
+        }
       case "cast"     => FunctionMap.castToLiteral(arg(0), litStr(1))
       case "encode"   => FunctionMap.encodeAsLiteral(arg(0), litStr(1))
       case "decode"   => FunctionMap.decodeAsLiteral(arg(0), litStr(1))

@@ -70,7 +70,13 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
       onAggregate = fc => throw new IllegalArgumentException(
         s"aggregate ${fc.name} not allowed here"),
       onAnalytic = fc => throw new IllegalArgumentException(
-        s"analytic ${fc.name} not allowed here"))
+        s"analytic ${fc.name} not allowed here"),
+      rowStruct = Some(() => rowStructOf(resolver)))
+
+  /** Struct of the source row's base columns — the row view a per-row
+    * dynamic expr() evaluates against. */
+  private def rowStructOf(resolver: Resolver): Column =
+    struct(resolver.baseColumnNames.map(n => col(s"`$n`").as(n)): _*)
 
   // ---------------------------------------------------------- event order
 
@@ -196,7 +202,8 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
       onAggregate = fc => throw new IllegalArgumentException(
         s"aggregate ${fc.name} requires GROUP BY / a window"),
       onAnalytic = fc => col(anMap(fc)),
-      starCols = () => resolver.starColumns)
+      starCols = () => resolver.starColumns,
+      rowStruct = Some(() => rowStructOf(resolver)))
 
     val df2 = q.where.map(w => df1.filter(ExprBuilder.build(w, ctx))).getOrElse(df1)
 

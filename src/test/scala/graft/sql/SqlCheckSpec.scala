@@ -73,6 +73,13 @@ class SqlCheckSpec extends AnyFunSuite {
     mustReject("SELECT changed_cols('p_', true) OVER (PARTITION BY deviceId) FROM stream")
   }
 
+  test("runtime expr() rejected where no row context exists, accepted in SELECT") {
+    // ORDER BY builds against projected output columns — no source row struct
+    mustReject("SELECT deviceId FROM stream ORDER BY expr(deviceId)")
+    mustAccept("SELECT deviceId, expr(concat('temperature * ', '2')) AS d FROM stream")
+    mustAccept("SELECT deviceId, expr('temperature * 2') AS d FROM stream")
+  }
+
   test("bad duration units are rejected") {
     mustReject("SELECT deviceId, count(*) AS c FROM stream " +
       "GROUP BY deviceId, TumblingWindow('5parsecs') WITH (TIMESTAMP='ts')")
