@@ -161,6 +161,43 @@ object Bench {
       }
     } catch { case _: Throwable => () }
 
+    // 10x scale smoke for the stateful operators: the same shape timed at
+    // 2M and 20M rows — catches nonlinear behavior (state growth, per-key
+    // buffer blowups) that a single sf0.1-sized run can't see. ~Linear
+    // scaling (ratio ≈ 10) is the pass condition.
+    val scaleSmoke = scala.collection.mutable.LinkedHashMap[String, Double]()
+    if (benchOnly.isEmpty &&
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_SMOKE", "1") == "1") {
+      val big10 = tables0("events")
+        .crossJoin(spark.range(10L * replicate)
+          .select(org.apache.spark.sql.functions.col("id").as("__rep")))
+        .drop("__rep")
+        .cache()
+      scaleSmoke("rows_20m") = big10.count().toDouble
+      val t10 = tables0 + ("stream" -> big10)
+      val smokeShapes = List(
+        "counting_window" ->
+          ("SELECT user_id, sum(value) AS s FROM stream " +
+            "GROUP BY user_id, CountingWindow(10) " +
+            "WITH (TIMESTAMP='ts', TIEBREAK='event_id')"),
+        "session_window" ->
+          ("SELECT user_id, count(*) AS c FROM stream " +
+            "GROUP BY user_id, SessionWindow('1h') WITH (TIMESTAMP='ts')"),
+        "cep" ->
+          ("SELECT * FROM stream MATCH_RECOGNIZE ( PARTITION BY user_id " +
+            "ORDER BY ts MEASURES COUNT(*) AS n ONE ROW PER MATCH " +
+            "PATTERN (A{3}) WITHIN '12h' DEFINE A AS value > 50 )"))
+      smokeShapes.foreach { case (name, sql) =>
+        try {
+          timedOnce(GraftEngine.sql(sql, tables)) // warm-up at 2M
+          scaleSmoke(s"${name}_2m_sec") = timed(GraftEngine.sql(sql, tables))
+          scaleSmoke(s"${name}_20m_sec") = timed(GraftEngine.sql(sql, t10))
+        } catch { case _: Throwable => scaleSmoke(s"${name}_2m_sec") = -1.0 }
+      }
+      big10.unpersist()
+    }
+
+
     val qs = results.map { case (k, v) => s""""$k":${"%.4f".format(v)}""" }
       .mkString("{", ",", "}")
     val lat = latency.map { case (k, v) => s""""$k":${"%.1f".format(v)}""" }
@@ -171,10 +208,12 @@ object Bench {
       s""""$name":$rps"""
     }.mkString("{", ",", "}")
     val total = results.values.filter(_ > 0).sum
+    val smoke = scaleSmoke.map { case (k, v) => s""""$k":${"%.4f".format(v)}""" }
+      .mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,""" +
         s""""rows_per_sec":$tput,"micro_batch_latency_ms_5k_rows":$lat,""" +
-        s""""event_rows":$eventRows,"sf":"$sfDir"}""")
+        s""""scale_smoke":$smoke,"event_rows":$eventRows,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1086,7 +1086,7 @@ object SparkEntry {
         val emb = Tables.load(s, dir)("embeddings")
         val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
           .withColumnRenamed("vec_id", "query_id")
-        operators.Similarity.topKBucketed(emb, queries, k = 10)
+        operators.Similarity.topKBucketed(emb, queries, k = 10, dims = 64)
       }, Some(annLshOracleSql)),
 
     // IVF with deterministic centroids — oracle replays cell assignment,
@@ -1096,7 +1096,7 @@ object SparkEntry {
         val emb = Tables.load(s, dir)("embeddings")
         val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
           .withColumnRenamed("vec_id", "query_id")
-        operators.Similarity.topKIvf(emb, queries, k = 10, nlist = 16, nprobe = 4)
+        operators.Similarity.topKIvf(emb, queries, k = 10, nlist = 16, nprobe = 4, dims = 64)
       }, Some(annIvfOracleSql)),
 
     Q("q_embed_centroids",

@@ -53,6 +53,11 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
   }
 
+  /** Embedding dimensionality: caller-supplied when known (avoids a driver
+    * job per operator call); otherwise inferred with a one-row limit scan. */
+  private def dimsOf(df: DataFrame, vecCol: String, dims: Int): Int =
+    if (dims > 0) dims else df.select(size(col(vecCol))).first().getInt(0)
+
   /** Deterministic pseudo-random hyperplanes: seeded PRNG over (plane, dim).
     * Values in [-0.5, 0.5); stable across sessions/partitions — and
     * reproducible by an external oracle that inlines the same literals. */
@@ -76,9 +81,10 @@ object Similarity {
       threshold: Double = 0.95,
       planesN: Int = 16,
       chunks: Int = 4,
-      seed: Long = 42L): DataFrame = {
-    val dims = emb.select(size(col(vecCol))).first().getInt(0)
-    val planes = hyperplanes(planesN, dims, seed)
+      seed: Long = 42L,
+      dims: Int = -1): DataFrame = {
+    val d = dimsOf(emb, vecCol, dims)
+    val planes = hyperplanes(planesN, d, seed)
     val bitsPer = planesN / chunks
 
     // signatures once, persisted; slim banded self-join, vectors re-joined
@@ -126,11 +132,11 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       queryIdCol: String = "query_id",
-      seed: Long = 42L): DataFrame = {
-    val dims = corpus.select(size(col(vecCol))).first().getInt(0)
+      seed: Long = 42L,
+      dims: Int = -1): DataFrame = {
     // deterministic centroid directions; cosine-based assignment only needs
     // directions, not magnitudes
-    val cents = hyperplanes(nlist, dims, seed)
+    val cents = hyperplanes(nlist, dimsOf(corpus, vecCol, dims), seed)
 
     val assigned = corpus.select(col(idCol), col(vecCol).as("__cv"),
       graft.functions.VectorKernels.argmaxCellCol(col(vecCol), cents).as("__cell"))
@@ -181,9 +187,9 @@ object Similarity {
       queryIdCol: String = "query_id",
       planesN: Int = 12,
       chunks: Int = 4,
-      seed: Long = 42L): DataFrame = {
-    val dims = corpus.select(size(col(vecCol))).first().getInt(0)
-    val planes = hyperplanes(planesN, dims, seed)
+      seed: Long = 42L,
+      dims: Int = -1): DataFrame = {
+    val planes = hyperplanes(planesN, dimsOf(corpus, vecCol, dims), seed)
 
     // signatures once, persisted; banded join ships ids only, vectors
     // re-join for candidate verification (same discipline as nearDupPairs —

@@ -50,18 +50,28 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
     var joinInfos = List.empty[Resolver.JoinInfo]
     val streamAliases = Set("stream", q.from) ++ q.fromAlias.toSet
 
+    // schema-less escape hatch: first map<string,_> column hosts virtual
+    // columns for identifiers no declared column matches
+    val dynMapCol = base.schema.fields.collectFirst {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] &&
+          f.dataType.asInstanceOf[org.apache.spark.sql.types.MapType]
+            .keyType == org.apache.spark.sql.types.StringType =>
+        f.name
+    }
+
     q.joins.foreach { jc =>
       val alias = jc.alias.getOrElse(jc.table)
       val right0 = table(jc.table)
       val prefix = s"__j_${alias}_"
       val right = right0.columns.foldLeft(right0)((d, c) => d.withColumnRenamed(c, prefix + c))
       val info = Resolver.JoinInfo(alias, right0.columns.toList, prefix)
-      val resolver = new Resolver(base.columns.toList, streamAliases, joinInfos :+ info)
+      val resolver = new Resolver(base.columns.toList, streamAliases,
+        joinInfos :+ info, dynMapCol)
       val cond = ExprBuilder.build(jc.on, directCtx(resolver))
       df = df.join(broadcast(right), cond, jc.joinType)
       joinInfos :+= info
     }
-    (df, new Resolver(base.columns.toList, streamAliases, joinInfos))
+    (df, new Resolver(base.columns.toList, streamAliases, joinInfos, dynMapCol))
   }
 
   private def directCtx(resolver: Resolver): ExprBuilder.Ctx =

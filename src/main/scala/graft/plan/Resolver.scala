@@ -15,7 +15,11 @@ import graft.sql.Ident
 final class Resolver(
     baseColsOrdered: List[String],
     streamAliases: Set[String],
-    joins: List[Resolver.JoinInfo]
+    joins: List[Resolver.JoinInfo],
+    // schema-less payload escape hatch: a map<string,_> column whose keys
+    // serve as virtual columns for identifiers no declared column matches
+    // (reference accepts arbitrary map rows, types/row.go:27-31)
+    dynMapCol: Option[String] = None
 ) {
   private val baseCols: Set[String] = baseColsOrdered.toSet
 
@@ -38,8 +42,15 @@ final class Resolver(
           nested(col(head.name), head.indexes, segs.tail)
         else joins.find(_.contains(head.name)) match {
           case Some(j) => nested(col(j.prefix + head.name), head.indexes, segs.tail)
-          // fall through to plain resolution (computed/internal columns)
-          case None => nested(col(head.name), head.indexes, segs.tail)
+          case None => dynMapCol match {
+            // unknown name on a map-payload table → map lookup (null when
+            // absent, exactly the reference's missing-field behavior);
+            // "__"-prefixed names stay plain (engine-internal columns)
+            case Some(mc) if !head.name.startsWith("__") =>
+              nested(element_at(col(mc), lit(head.name)), head.indexes, segs.tail)
+            // fall through to plain resolution (computed/internal columns)
+            case _ => nested(col(head.name), head.indexes, segs.tail)
+          }
         }
     }
   }

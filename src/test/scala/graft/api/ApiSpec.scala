@@ -136,4 +136,26 @@ class ApiSpec extends AnyFunSuite {
     // row1: not started → null; row2: start, 2; row3: 5; row4: reset seg, -1; row5: 4
     assert(got.toSeq == Seq((1L, null), (2L, 2.0), (3L, 5.0), (4L, -1.0), (5L, 4.0)))
   }
+
+  test("map-payload tables resolve unknown identifiers as map keys") {
+    // schema-less ingestion escape hatch (reference accepts arbitrary map
+    // rows, types/row.go:27-31): identifiers that match no declared column
+    // read from the first map<string,_> column; missing keys are null
+    val df = Seq(
+      ("d1", Map("temperature" -> "21.5", "status" -> "on"), 1000L),
+      ("d2", Map("temperature" -> "9.0"), 2000L)
+    ).toDF("deviceId", "payload", "ts")
+    val out = graft.GraftEngine.sql(
+      "SELECT deviceId, cast(temperature, 'float64') AS t, status " +
+        "FROM stream WHERE cast(temperature, 'float64') > 10 ORDER BY ts", df)
+    val got = out.collect().map(r =>
+      (r.getString(0), r.getDouble(1), if (r.isNullAt(2)) null else r.getString(2)))
+    assert(got.toSeq == Seq(("d1", 21.5, "on")))
+    // declared columns always win over map keys; missing key → null row value
+    val out2 = graft.GraftEngine.sql(
+      "SELECT deviceId, status FROM stream ORDER BY ts", df)
+    assert(out2.collect().map(r =>
+      (r.getString(0), if (r.isNullAt(1)) null else r.getString(1))).toSeq ==
+      Seq(("d1", "on"), ("d2", null)))
+  }
 }
