@@ -21,7 +21,12 @@ import graft.sql._
   */
 object CepStream extends Serializable {
 
+  /** Consumed rows kept PREV/NEXT-visible (same tail the batch engine
+    * keeps — [[CepIncremental.ContextRows]]). */
+  private val ContextRows = CepIncremental.ContextRows
+
   final case class KeyState(
+      context: Vector[Map[String, Any]], // consumed tail kept for PREV/NEXT
       buffer: Vector[Map[String, Any]],
       matchCount: Long,
       horizonMs: Long) // rows with ts < horizon are already consumed/emitted
@@ -55,22 +60,25 @@ object CepStream extends Serializable {
         // IDLETIMEOUT (reference: window/watermark.go:108-124 — idle source
         // advances the watermark on processing time): finalize the whole
         // buffer, emit every match, advance the consumed horizon past it
-        val st = state.getOption.getOrElse(KeyState(Vector.empty, 0L, Long.MinValue))
-        val sorted = st.buffer
+        val st = state.getOption.getOrElse(
+          KeyState(Vector.empty, Vector.empty, 0L, Long.MinValue))
+        val sorted = st.context ++ st.buffer
+        val base = st.context.size
         val matches = Matcher.findMatches(sorted, mr,
-          i => tsOfRow(sorted(i)), defineTest(sorted))
+          i => tsOfRow(sorted(i)), defineTest(sorted), startFrom = base)
         val out = matches.iterator.zipWithIndex.flatMap { case (m, i) =>
           emitMatch(sorted, m, st.matchCount + i + 1)
         }.toVector
         val horizon =
-          if (sorted.isEmpty) st.horizonMs
-          else math.max(st.horizonMs, tsOfRow(sorted.last))
-        if (sorted.isEmpty && ttlMs > 0) {
+          if (st.buffer.isEmpty) st.horizonMs
+          else math.max(st.horizonMs, tsOfRow(st.buffer.last))
+        if (st.buffer.isEmpty && ttlMs > 0) {
           // two idle periods with nothing to flush and an explicit TTL —
           // reap the key (match numbering restarts, as after any eviction)
           state.remove()
         } else {
-          state.update(KeyState(Vector.empty, st.matchCount + matches.size, horizon))
+          state.update(KeyState(sorted.takeRight(ContextRows), Vector.empty,
+            st.matchCount + matches.size, horizon))
           // re-arm only toward an explicit TTL reap: arming the idle flush
           // again on a drained buffer would schedule timeout batches forever
           if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
@@ -80,12 +88,17 @@ object CepStream extends Serializable {
       } else {
       val incoming = it.map(r =>
         fieldNames.zipWithIndex.map { case (n, i) => n -> r.get(i) }.toMap).toVector
-      val st = state.getOption.getOrElse(KeyState(Vector.empty, 0L, Long.MinValue))
+      val st = state.getOption.getOrElse(
+        KeyState(Vector.empty, Vector.empty, 0L, Long.MinValue))
 
-      // drop late rows below the consumed horizon; append; bound the buffer
+      // drop late rows below the consumed horizon; append; bound the buffer.
+      // Context rows (already consumed, ts ≤ horizon) stay in front and are
+      // PREV/NEXT-visible but never match starts (`startFrom`).
       val merged = (st.buffer ++ incoming.filter(m => tsOfRow(m) >= st.horizonMs))
-      val sorted = sortRows(merged).toVector.takeRight(Matcher.MaxRunRows)
-      val maxTs = if (sorted.isEmpty) Long.MinValue else tsOfRow(sorted.last)
+      val active = sortRows(merged).toVector.takeRight(Matcher.MaxRunRows)
+      val sorted = st.context ++ active
+      val base = st.context.size
+      val maxTs = if (active.isEmpty) Long.MinValue else tsOfRow(active.last)
 
       // rows whose matches can no longer grow: ts + WITHIN < maxTs.
       // Run the matcher over the FULL buffer (a match starting at a safe row
@@ -93,14 +106,14 @@ object CepStream extends Serializable {
       // guaranteed present, since ext.ts ≤ ts(start)+WITHIN < maxTs), then
       // emit/consume only matches whose START falls in the safe prefix.
       val safeEnd = sorted.lastIndexWhere(m => tsOfRow(m) + mr.withinMs < maxTs) + 1
-      if (safeEnd <= 0) {
-        state.update(st.copy(buffer = sorted))
+      if (safeEnd <= base) {
+        state.update(st.copy(buffer = active))
         if (idleMs > 0) state.setTimeoutDuration(idleMs)
         else if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
         Iterator.empty
       } else {
         val all = Matcher.findMatches(sorted, mr,
-          i => tsOfRow(sorted(i)), defineTest(sorted))
+          i => tsOfRow(sorted(i)), defineTest(sorted), startFrom = base)
         // matches are ordered by start under every skip mode, so the
         // safe-start ones form a prefix of the list
         val matches = all.takeWhile(_.startIdx < safeEnd)
@@ -119,12 +132,14 @@ object CepStream extends Serializable {
             if (matches.isEmpty) safeEnd else math.max(safeEnd, matches.last.endIdx + 1)
           case false => safeEnd
         }
+        val keep = math.min(ContextRows, consumedUpTo)
+        val newContext = sorted.slice(consumedUpTo - keep, consumedUpTo)
         val remaining = sorted.drop(consumedUpTo)
         val newHorizon =
-          if (consumedUpTo == 0) st.horizonMs
+          if (consumedUpTo == base) st.horizonMs
           else tsOfRow(sorted(consumedUpTo - 1))
-        state.update(KeyState(remaining, st.matchCount + matches.size,
-          math.max(st.horizonMs, newHorizon)))
+        state.update(KeyState(newContext, remaining,
+          st.matchCount + matches.size, math.max(st.horizonMs, newHorizon)))
         if (idleMs > 0 && remaining.nonEmpty) state.setTimeoutDuration(idleMs)
         else if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
         out.iterator

@@ -366,6 +366,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.contains(("d1", 1L, 70.0)), s"expected flushed d1 match, got $got")
   }
 
+  test("CEP PREV sees rows consumed in earlier micro-batches (context tail)") {
+    // PATTERN (A) DEFINE A AS temperature > PREV(temperature): the match at
+    // ts=20s compares against the ts=2s row, which a prior batch already
+    // consumed — only the context tail keeps it PREV-visible (without it,
+    // PREV → null and the match is lost)
+    val rows = Seq(
+      Ev("d1", 10, 1000L, "a"), Ev("d1", 20, 2000L, "a"),
+      Ev("d1", 30, 20000L, "a"), Ev("d1", 35, 40000L, "a"))
+    val out = runStream(
+      "SELECT mn, pv FROM stream MATCH_RECOGNIZE ( PARTITION BY deviceId " +
+        "ORDER BY ts MEASURES MATCH_NUMBER() AS mn, " +
+        "LAST(A.temperature) AS pv ONE ROW PER MATCH PATTERN (A) " +
+        "WITHIN '5s' DEFINE A AS temperature > PREV(temperature) )",
+      rows, batches = 4)
+    // ts=40s row is still buffered (never passes its WITHIN horizon)
+    assert(out.collect().map(_.getDouble(1)).sorted.toSeq == Seq(20.0, 30.0))
+  }
+
   test("streaming stateful ops run on the RocksDB state store") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     graft.api.StreamSql(spark).useRocksDBStateStore()
