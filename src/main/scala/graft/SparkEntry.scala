@@ -987,6 +987,56 @@ object SparkEntry {
         FROM s a JOIN s b ON a.doc_id < b.doc_id
         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7""".stripMargin.trim)),
 
+    Q("q_dedup_components",
+      (s, dir) => {
+        val docs = Tables.load(s, dir)("documents")
+        val pairs = operators.Dedup.minHashPairs(docs, threshold = 0.7)
+        val cc = operators.Dedup.connectedComponents(pairs)
+        pairs.unpersist(false)
+        cc
+      },
+      // transitive closure over the exact-Jaccard pair set; comp = min
+      // reachable id (DuckDB recursive CTE — clusters are tiny at sf0.01)
+      Some("""
+        WITH RECURSIVE n AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM documents),
+        s AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) END AS sh FROM n),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
+        e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p),
+        reach(src, dst) AS (
+          SELECT src, dst FROM e
+          UNION
+          SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src WHERE e2.dst <> r.src)
+        SELECT src AS doc_id, least(src, min(dst)) AS comp FROM reach GROUP BY src""".stripMargin.trim)),
+
+    Q("q_dedup_keep",
+      (s, dir) => {
+        val docs = Tables.load(s, dir)("documents")
+        val pairs = operators.Dedup.minHashPairs(docs, threshold = 0.7)
+        val kept = operators.Dedup.keepCanonical(docs, pairs)
+          .select(org.apache.spark.sql.functions.col("doc_id"))
+        pairs.unpersist(false)
+        kept
+      },
+      Some("""
+        WITH RECURSIVE n AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM documents),
+        s AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) END AS sh FROM n),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
+        e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p),
+        reach(src, dst) AS (
+          SELECT src, dst FROM e
+          UNION
+          SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src WHERE e2.dst <> r.src)
+        SELECT d.doc_id FROM documents d
+        WHERE d.doc_id NOT IN (
+          SELECT src FROM (SELECT src, least(src, min(dst)) AS comp FROM reach GROUP BY src)
+          WHERE src <> comp)""".stripMargin.trim)),
+
     Q("q_dedup_ngram_blocked",
       (s, dir) => {
         val docs = Tables.load(s, dir)("documents")

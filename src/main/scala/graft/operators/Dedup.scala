@@ -114,6 +114,69 @@ object Dedup {
     m
   }
 
+  /** Connected components over a near-dup pair set → (doc_id, comp), where
+    * `comp` is the smallest id reachable from the node (canonical cluster
+    * label). This is the step a dedup pipeline needs AFTER pair generation:
+    * near-dup is transitive in intent (A≈B≈C is one cluster even when A,C
+    * were never a candidate pair).
+    *
+    * Min-label propagation: each round joins the undirected edge set with
+    * the current labels and folds `min` per node — one shuffle per round,
+    * map-side partial min, no driver-side graph. Rounds needed = cluster
+    * diameter; dup clusters are shallow (near-clique), so convergence in
+    * 2-4 rounds is typical. `maxIter` bounds adversarial chain graphs
+    * (large-star/small-star halves diameters if that ever matters; not
+    * worth the complexity for dup clusters). Convergence is detected by
+    * counting changed labels — one extra job per round on the (small)
+    * label set, not on the corpus. */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      maxIter: Int = 20): DataFrame = {
+    val e0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).persist()
+    labels.count()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.union(prop)
+        .groupBy("id").agg(min("comp").as("comp")).persist()
+      next.count()
+      converged = next.join(
+          labels.withColumnRenamed("comp", "__prev"), Seq("id"))
+        .filter(col("comp") =!= col("__prev")).isEmpty
+      labels.unpersist(false)
+      labels = next
+      iter += 1
+    }
+    edges.unpersist(false)
+    labels.withColumnRenamed("id", "doc_id")
+  }
+
+  /** Canonical keep/drop: drop every doc whose component label is not its
+    * own id (the min-id member of each near-dup cluster survives; docs in
+    * no pair are untouched). The anti-join is an equi-join on the id — at
+    * corpus scale it shuffles once on the id, no broadcast needed. */
+  def keepCanonical(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      aCol: String = "doc_a",
+      bCol: String = "doc_b"): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+    // materialize the (small) drop set, then release the label cache —
+    // the anti-join must not recompute the whole propagation
+    val drop = materializeAndRelease(
+      cc.filter(col("doc_id") =!= col("comp")).select(col("doc_id")), cc)
+    docs.join(drop, docs(idCol) === drop("doc_id"), "left_anti")
+  }
+
   /** SimHash near-dup pairs: 64-bit signatures, Hamming ≤ maxDist.
     * Pigeonhole banding: split the signature into maxDist+1 chunks — any
     * pair within maxDist agrees exactly on ≥1 chunk → join per chunk

@@ -97,6 +97,21 @@ class OperatorsSpec extends AnyFunSuite {
       s"planted pair missing: ${pairs.mkString(", ")}")
   }
 
+  test("connected components label chains and cliques with the min id") {
+    // chain 1-2-3-4 (diameter forces >1 propagation round), triangle
+    // 10-11-12, isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // canonical keep: min-id member of each cluster + untouched docs
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L, 99L).toDF("doc_id")
+    val kept = Dedup.keepCanonical(docs, pairs).collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 10L, 20L, 99L))
+  }
+
   test("simhash of identical normalized text matches; distance monotone") {
     val sigs = spark.createDataFrame(Seq(
       (1L, "The quick brown fox jumps"),
