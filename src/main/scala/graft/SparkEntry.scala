@@ -903,6 +903,64 @@ object SparkEntry {
                ELSE 'es' END AS lang_pred
         FROM h""".stripMargin.trim)),
 
+    Q("q_curate",
+      // full curation pipeline in one call: quality/lang/token filters →
+      // minhash near-dup pairs on the filtered set → canonical keep
+      (s, dir) => operators.Curation.curate(Tables.load(s, dir)("documents"))
+        .select("doc_id", "lang_pred", "quality", "token_count"),
+      Some("""
+        WITH RECURSIVE b AS (
+          SELECT doc_id, text,
+            CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS token_count,
+            length(text) AS n,
+            length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS npunct,
+            length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS nalpha,
+            ' ' || lower(text) || ' ' AS padded
+          FROM documents
+        ), h AS (
+          SELECT *,
+            len(regexp_extract_all(padded, ' (the|and|is|of|to|that|with) ')) AS en,
+            len(regexp_extract_all(padded, ' (der|die|das|und|ist|nicht|mit) ')) AS de,
+            len(regexp_extract_all(padded, ' (le|la|les|et|est|dans|pour) ')) AS fr,
+            len(regexp_extract_all(padded, ' (el|los|las|es|en|que|por) ')) AS es,
+            length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS zh
+          FROM b
+        ), a AS (
+          SELECT doc_id, text, token_count,
+            round((CASE WHEN n BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.3 END) * 0.4 +
+                  (CASE WHEN (CASE WHEN n = 0 THEN 0 ELSE npunct::DOUBLE / n END) < 0.2 THEN 1.0 ELSE 0.4 END) * 0.3 +
+                  (CASE WHEN (CASE WHEN n = 0 THEN 0 ELSE nalpha::DOUBLE / n END) > 0.5 THEN 1.0 ELSE 0.5 END) * 0.3, 4) AS quality,
+            CASE WHEN greatest(en, de, fr, es, zh) = 0 THEN 'und'
+                 WHEN zh = greatest(en, de, fr, es, zh) THEN 'zh'
+                 WHEN en = greatest(en, de, fr, es, zh) THEN 'en'
+                 WHEN de = greatest(en, de, fr, es, zh) THEN 'de'
+                 WHEN fr = greatest(en, de, fr, es, zh) THEN 'fr'
+                 ELSE 'es' END AS lang_pred
+          FROM h
+        ), f AS (
+          SELECT * FROM a WHERE lang_pred = 'en' AND quality >= 0.7
+            AND token_count BETWEEN 5 AND 100000
+        ), n2 AS (
+          SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM f
+        ), sh AS (
+          SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) END AS sh FROM n2
+        ), p AS (
+          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+          WHERE len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.7
+        ), e AS (
+          SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p
+        ), reach(src, dst) AS (
+          SELECT src, dst FROM e
+          UNION
+          SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src WHERE e2.dst <> r.src
+        )
+        SELECT f.doc_id, f.lang_pred, f.quality, f.token_count FROM f
+        WHERE f.doc_id NOT IN (
+          SELECT src FROM (SELECT src, least(src, min(dst)) AS comp FROM reach GROUP BY src)
+          WHERE src <> comp)""".stripMargin.trim)),
+
     // --- LLM-pipeline operators: deterministic sampling -------------------
     // (membership depends only on the row's key hash — reproducible across
     // reshards, exactly replayable by the DuckDB oracle via md5)

@@ -179,9 +179,14 @@ object CepExec extends Serializable {
     val distincted = if (q.distinct) projected.distinct() else projected
     val ordered =
       if (q.orderBy.isEmpty) distincted
-      else distincted.orderBy(q.orderBy.map(oi =>
-        if (oi.asc) col(oi.expr.asInstanceOf[Ident].raw).asc
-        else col(oi.expr.asInstanceOf[Ident].raw).desc): _*)
+      else distincted.orderBy(q.orderBy.map { oi =>
+        val c = oi.expr match {
+          case id: Ident => col(id.raw)
+          case other => throw new ParseException(
+            s"ORDER BY over MATCH_RECOGNIZE output must be a column, got $other")
+        }
+        if (oi.asc) c.asc else c.desc
+      }: _*)
     q.limit.map(ordered.limit).getOrElse(ordered)
   }
 

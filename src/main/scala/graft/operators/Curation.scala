@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One-call training-data curation — the pipeline a 100 TB corpus actually
+  * runs, composed from the verified parts:
+  *
+  *   scan-speed filters (language-ID, quality score, token bounds — all
+  *   codegen'd Column expressions, [[TextOps.analyze]])
+  *     → MinHash-LSH near-dup pairs ([[Dedup.minHashPairs]])
+  *     → connected components + canonical keep ([[Dedup.keepCanonical]])
+  *
+  * Shape at scale: one full scan for the filters, one shuffle for the
+  * banded LSH join on the (much smaller) filtered set, diameter-bounded
+  * label propagation on the (tiny) pair graph, and an anti-join on doc id.
+  * Nothing in the pipeline buffers a document set on the driver.
+  */
+object Curation {
+
+  /** Returns the curated documents: filtered rows (original columns plus
+    * the analysis columns) minus every non-canonical near-dup. */
+  def curate(
+      docs: DataFrame,
+      langs: Seq[String] = Seq("en"),
+      minQuality: Double = 0.7,
+      minTokens: Int = 5,
+      maxTokens: Int = 100000,
+      jaccardThreshold: Double = 0.7,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val filtered = TextOps.analyze(docs, textCol)
+      .filter(col("lang_pred").isin(langs: _*) &&
+        col("quality") >= minQuality &&
+        col("token_count").between(minTokens, maxTokens))
+      .persist() // pair generation + anti-join both read it
+
+    val pairs = Dedup.minHashPairs(filtered, textCol, idCol,
+      threshold = jaccardThreshold)
+    val kept = Dedup.keepCanonical(filtered, pairs, idCol)
+    pairs.unpersist(false)
+    filtered.unpersist(false) // final plan re-derives the (one-scan) filter
+    kept
+  }
+}
