@@ -147,10 +147,12 @@ object Dedup {
         .select(col("dst").as("id"), col("comp"))
       val next = labels.union(prop)
         .groupBy("id").agg(min("comp").as("comp")).persist()
-      next.count()
+      // one action per round: the convergence probe doubles as the cache
+      // materialization (count scans every partition — isEmpty would
+      // short-circuit and leave the persisted label set partially built)
       converged = next.join(
           labels.withColumnRenamed("comp", "__prev"), Seq("id"))
-        .filter(col("comp") =!= col("__prev")).isEmpty
+        .filter(col("comp") =!= col("__prev")).count() == 0
       labels.unpersist(false)
       labels = next
       iter += 1
