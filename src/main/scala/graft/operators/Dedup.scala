@@ -133,8 +133,46 @@ object Dedup {
       pairs: DataFrame,
       aCol: String = "doc_a",
       bCol: String = "doc_b",
-      maxIter: Int = 20): DataFrame = {
-    val e0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      maxIter: Int = 20,
+      localThreshold: Long = 1000000L): DataFrame = {
+    val e0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst")).persist()
+    // near-dup pair graphs are usually tiny relative to the corpus (only
+    // dup docs appear); below the threshold a driver union-find costs one
+    // collect instead of one Spark round per cluster diameter. Above it,
+    // the distributed propagation takes over — same min-id labels.
+    val nEdges = e0.count()
+    if (nEdges <= localThreshold) {
+      val spark = pairs.sparkSession
+      val dt = pairs.schema(aCol).dataType
+      val es = e0.collect().map(r => (r.get(0), r.get(1)))
+      e0.unpersist(false)
+      val parent = scala.collection.mutable.HashMap[Any, Any]()
+      def lt(a: Any, b: Any): Boolean = (a, b) match {
+        case (x: Number, y: Number) =>
+          x.longValue < y.longValue ||
+            (x.longValue == y.longValue && x.doubleValue < y.doubleValue)
+        case (x: String, y: String) => x.compareTo(y) < 0
+        case (x, y)                 => String.valueOf(x) < String.valueOf(y)
+      }
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
+      }
+      val rows = parent.keys.toSeq.map(id => org.apache.spark.sql.Row(id, find(id)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", dt),
+        org.apache.spark.sql.types.StructField("comp", dt)))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+    }
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
     var labels = edges.select(col("src").as("id")).distinct()
@@ -158,6 +196,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist(false)
+    e0.unpersist(false)
     labels.withColumnRenamed("id", "doc_id")
   }
 

@@ -102,10 +102,16 @@ class OperatorsSpec extends AnyFunSuite {
     // 10-11-12, isolated pair 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
       (10L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    // driver union-find path (small graphs)...
     val cc = Dedup.connectedComponents(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    assert(cc == expect)
+    // ...and the distributed label-propagation path agree exactly
+    val ccDist = Dedup.connectedComponents(pairs, localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ccDist == expect)
     // canonical keep: min-id member of each cluster + untouched docs
     val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L, 99L).toDF("doc_id")
     val kept = Dedup.keepCanonical(docs, pairs).collect().map(_.getLong(0)).sorted
