@@ -88,6 +88,16 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("canonical-keep anti-join broadcasts the materialized drop set") {
+    import org.apache.spark.sql.functions._
+    val docs = tables("documents")
+    val pairs = graft.operators.Dedup.minHashPairs(docs, threshold = 0.7)
+    val kept = graft.operators.Dedup.keepCanonical(docs, pairs)
+    val p = kept.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    pairs.unpersist()
+  }
+
   test("text-analysis kernel stays in whole-stage codegen with one scan") {
     val an = graft.operators.TextOps.analyze(tables("documents"))
     val p = an.queryExecution.executedPlan.toString
