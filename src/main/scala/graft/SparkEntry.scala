@@ -117,6 +117,15 @@ object SparkEntry {
         "AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3') AND p_name LIKE '%a%' " +
         "AND p_retailprice IS NOT NULL"),
 
+    gq("q_null_eq",
+      // `= nil` / `!= null` are null TESTS (reference Go-nil comparison,
+      // test/e2e/null_test.go:696-707); nulls derived via null_if since
+      // the fixtures carry none natively
+      "SELECT event_id, null_if(event_type, 'click') AS et FROM events " +
+        "WHERE null_if(event_type, 'click') = nil AND value > 400",
+      "SELECT event_id, nullif(event_type, 'click') AS et FROM events " +
+        "WHERE nullif(event_type, 'click') IS NULL AND value > 400"),
+
     // --- §2.4 aggregations -------------------------------------------------
     gq("q_agg_basic",
       "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, " +

@@ -79,6 +79,12 @@ object RowEval {
       case "or" =>
         val lv = truthy(eval(l, ctx)); if (lv) true else truthy(eval(r, ctx))
       case _ =>
+        // `x = null` / `x != nil` are null TESTS (reference Go-nil
+        // comparison, test/e2e/null_test.go:696-707)
+        if ((op == "=" || op == "!=") && (l == NullLit || r == NullLit)) {
+          val v = eval(if (l == NullLit) r else l, ctx)
+          return if (op == "=") v == null else v != null
+        }
         val (lv, rv) = (eval(l, ctx), eval(r, ctx))
         if (lv == null || rv == null) {
           op match {

@@ -127,6 +127,13 @@ object ExprBuilder {
     case BinOp(op, l, r) =>
       lazy val (lc, rc) = (build(l, ctx), build(r, ctx))
       op match {
+        // `x = null` / `x != nil` are null TESTS in the reference (Go nil
+        // comparison, test/e2e/null_test.go:696-707), not SQL three-valued
+        // equality — lower to isNull/isNotNull
+        case "=" if r == NullLit  => lc.isNull
+        case "=" if l == NullLit  => rc.isNull
+        case "!=" if r == NullLit => lc.isNotNull
+        case "!=" if l == NullLit => rc.isNotNull
         case "="   => lc === rc
         case "!="  => lc =!= rc
         case "<"   => lc < rc

@@ -500,7 +500,7 @@ final class Parser(tokens: Vector[Token]) {
         advance(); Star
       case IdentTok =>
         if (t.isKw("CASE")) parseCase()
-        else if (t.isKw("NULL")) { advance(); NullLit }
+        else if (t.isKw("NULL") || t.isKw("NIL")) { advance(); NullLit }
         else if (t.isKw("TRUE")) { advance(); BoolLit(true) }
         else if (t.isKw("FALSE")) { advance(); BoolLit(false) }
         else if (peek(1).is("(")) parseFuncCall()

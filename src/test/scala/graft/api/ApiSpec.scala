@@ -137,6 +137,27 @@ class ApiSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, null), (2L, 2.0), (3L, 5.0), (4L, -1.0), (5L, 4.0)))
   }
 
+  test("= nil / != null are null tests, not three-valued equality") {
+    // reference: test/e2e/null_test.go:696-707 — Go-nil comparison keeps
+    // rows whose field IS NULL (SQL equality would drop every row)
+    val df = Seq(("s1", Some(25.5)), ("s2", None), ("s3", Some(30.0)), ("s4", None))
+      .toDF("deviceId", "value")
+    def ids(sql: String): Seq[String] =
+      graft.GraftEngine.sql(sql, df).collect().map(_.getString(0)).sorted.toSeq
+    assert(ids("SELECT deviceId FROM stream WHERE value = nil") == Seq("s2", "s4"))
+    assert(ids("SELECT deviceId FROM stream WHERE value != nil") == Seq("s1", "s3"))
+    assert(ids("SELECT deviceId FROM stream WHERE value = null") == Seq("s2", "s4"))
+    assert(ids("SELECT deviceId FROM stream WHERE value != null AND value > 26") == Seq("s3"))
+    // CEP DEFINE path shares the semantics
+    val cep = graft.GraftEngine.sql(
+      "SELECT c FROM stream MATCH_RECOGNIZE ( ORDER BY ts " +
+        "MEASURES COUNT(*) AS c ONE ROW PER MATCH PATTERN (A+) WITHIN '1h' " +
+        "DEFINE A AS v = nil )",
+      Seq((1L, Some(1.0)), (2L, None), (3L, None), (4L, Some(2.0)))
+        .toDF("ts", "v"))
+    assert(cep.collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("map-payload tables resolve unknown identifiers as map keys") {
     // schema-less ingestion escape hatch (reference accepts arbitrary map
     // rows, types/row.go:27-31): identifiers that match no declared column
