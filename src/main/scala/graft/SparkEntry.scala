@@ -1033,6 +1033,163 @@ object SparkEntry {
         "floor(length(regexp_replace(text, '\\s+', '', 'g')) / 4) AS BIGINT) AS tok_bpe " +
         "FROM documents")),
 
+    Q("q_repetition",
+      // Gopher-style repetition signals (one-pass kernel)
+      (s, dir) => operators.TextOps.repetitionMetrics(Tables.load(s, dir)("documents"))
+        .select("doc_id", "dup_word_frac", "dup_bigram_frac", "dup_trigram_frac",
+          "top_word_frac", "dup_line_frac"),
+      Some("""
+        WITH n AS (
+          SELECT doc_id, text, length(trim(text)) = 0 AS empty,
+            string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w,
+            string_split(text, chr(10)) AS ln
+          FROM documents
+        ), g AS (
+          SELECT doc_id, empty, w, ln, text, len(w) AS words,
+            CASE WHEN len(w) >= 2 THEN [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))] ELSE [] END AS bg,
+            CASE WHEN len(w) >= 3 THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] ELSE [] END AS tg
+          FROM n
+        )
+        SELECT doc_id,
+          CASE WHEN empty THEN 0 ELSE round(1 - len(list_distinct(w))::DOUBLE / words, 6) END AS dup_word_frac,
+          CASE WHEN empty OR len(bg) = 0 THEN 0 ELSE round(1 - len(list_distinct(bg))::DOUBLE / len(bg), 6) END AS dup_bigram_frac,
+          CASE WHEN empty OR len(tg) = 0 THEN 0 ELSE round(1 - len(list_distinct(tg))::DOUBLE / len(tg), 6) END AS dup_trigram_frac,
+          CASE WHEN empty THEN 0 ELSE round(list_max(list_transform(list_distinct(w), x -> len(list_filter(w, y -> y = x))))::DOUBLE / words, 6) END AS top_word_frac,
+          CASE WHEN length(text) = 0 THEN 0 ELSE round(1 - len(list_distinct(ln))::DOUBLE / len(ln), 6) END AS dup_line_frac
+        FROM g""".stripMargin.trim)),
+
+    Q("q_gopher_quality",
+      // Gopher rule-set flags + keep conjunction
+      (s, dir) => operators.TextOps.gopherFlags(Tables.load(s, dir)("documents"))
+        .select("doc_id", "flag_word_count", "flag_mean_word_len",
+          "flag_symbol_ratio", "flag_stopwords", "flag_repetition", "gopher_keep"),
+      Some("""
+        WITH n AS (
+          SELECT doc_id, text, length(trim(text)) = 0 AS empty,
+            CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS words,
+            length(regexp_replace(text, '\s+', '', 'g')) AS nws,
+            len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|it)\b')) AS nstop,
+            len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS nsym,
+            string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+          FROM documents
+        ), g AS (
+          SELECT *,
+            CASE WHEN len(w) >= 3 THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] ELSE [] END AS tg
+          FROM n
+        ), f AS (
+          SELECT doc_id,
+            words BETWEEN 50 AND 100000 AS flag_word_count,
+            (CASE WHEN words = 0 THEN 0 ELSE nws::DOUBLE / words END) BETWEEN 3.0 AND 10.0 AS flag_mean_word_len,
+            (CASE WHEN words = 0 THEN 1.0 ELSE nsym::DOUBLE / words END) < 0.1 AS flag_symbol_ratio,
+            nstop >= 2 AS flag_stopwords,
+            (CASE WHEN empty THEN 0 ELSE 1 - len(list_distinct(w))::DOUBLE / len(w) END) < 0.9 AND
+            (CASE WHEN empty OR len(tg) = 0 THEN 0 ELSE 1 - len(list_distinct(tg))::DOUBLE / len(tg) END) < 0.9 AND
+            (CASE WHEN empty THEN 0 ELSE list_max(list_transform(list_distinct(w), x -> len(list_filter(w, y -> y = x))))::DOUBLE / len(w) END) < 0.3 AS flag_repetition
+          FROM g
+        )
+        SELECT *, flag_word_count AND flag_mean_word_len AND flag_symbol_ratio
+          AND flag_stopwords AND flag_repetition AS gopher_keep
+        FROM f""".stripMargin.trim)),
+
+    Q("q_redact",
+      // PII redaction; the synthetic corpus carries no PII, so the query
+      // plants deterministic email/phone/IP/SSN strings first — both
+      // engines build and redact the same bytes.
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = Tables.load(s, dir)("documents")
+        val synth = concat(col("text"),
+          lit(" reach user"), col("doc_id"), lit("@mail.example.com"),
+          lit(" or +1 (555) 01"), pmod(col("doc_id"), lit(100)),
+          lit(" ip 10.2."), pmod(col("doc_id"), lit(256)), lit(".9"),
+          lit(" id 123-45-6789"))
+        d.select(col("doc_id"), operators.TextOps.redact(synth).as("clean"))
+      },
+      Some("""
+        WITH s AS (
+          SELECT doc_id, concat(text, ' reach user', doc_id::VARCHAR, '@mail.example.com',
+            ' or +1 (555) 01', (doc_id % 100)::VARCHAR,
+            ' ip 10.2.', (doc_id % 256)::VARCHAR, '.9',
+            ' id 123-45-6789') AS t
+          FROM documents
+        )
+        SELECT doc_id,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<ID>', 'g'),
+              '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+            '\+?[0-9][0-9()./ -]{6,}[0-9]', '<PHONE>', 'g') AS clean
+        FROM s""".stripMargin.trim)),
+
+    Q("q_sample_mixture",
+      // temperature-flattened domain mixture (tau=0.5): rates from one
+      // partial-agg groupBy, broadcast back, deterministic hash keep
+      (s, dir) => operators.Sampling.temperatureMixture(
+          Tables.load(s, dir)("documents"), org.apache.spark.sql.functions.col("source"),
+          org.apache.spark.sql.functions.col("doc_id"), tau = 0.5)
+        .select("doc_id", "source", "mix_rate"),
+      Some("""
+        WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+        r AS (SELECT source, round(pow(cnt::DOUBLE / (SELECT min(cnt) FROM c), -0.5), 6) AS mix_rate FROM c)
+        SELECT d.doc_id, d.source, r.mix_rate
+        FROM documents d JOIN r USING (source)
+        WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 10000 < floor(r.mix_rate * 10000)""".stripMargin.trim)),
+
+    Q("q_pack_sequences",
+      // token-budget sequence packing: 16 parallel packing streams by id
+      // hash, window cumsum lays documents out contiguously
+      (s, dir) => operators.Packing.packSequences(
+          Tables.load(s, dir)("documents"), budget = 512, buckets = 16)
+        .select("doc_id", "pack_bucket", "token_count", "seq_id", "seq_offset"),
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+            ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 16 AS pack_bucket,
+            CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS token_count
+          FROM documents
+        ), s AS (
+          SELECT *, COALESCE(sum(token_count) OVER (
+            PARTITION BY pack_bucket ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+          FROM t
+        )
+        SELECT doc_id, pack_bucket, token_count,
+          pack_bucket * 1099511627776 + CAST(st AS BIGINT) // 512 AS seq_id,
+          CAST(st AS BIGINT) % 512 AS seq_offset
+        FROM s""".stripMargin.trim)),
+
+    Q("q_embed_quantize",
+      // L2-normalize + int8 scalar quantization, exploded per dimension
+      // (array columns explode to scalars for the hash compare)
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val emb = Tables.load(s, dir)("embeddings")
+        emb.select(col("vec_id"),
+            operators.Similarity.l2Normalize(col("embedding")).as("u"),
+            operators.Similarity.quantizeInt8(col("embedding")).as("q"))
+          .select(col("vec_id"), posexplode(col("u")).as(Seq("i", "u_val")), col("q"))
+          .select(col("vec_id"), col("i"),
+            col("u_val"), element_at(col("q"), col("i") + 1).as("q_val"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT vec_id, embedding,
+            sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+            list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
+          FROM embeddings
+        ), u AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CASE WHEN nrm = 0 THEN 0.0 ELSE round(x::DOUBLE / nrm, 6) END) AS un,
+            list_transform(embedding, x -> CASE WHEN mx = 0 THEN 0 ELSE CAST(round(x::DOUBLE * (127.0 / mx), 0) AS INTEGER) END) AS qn,
+            len(embedding) AS d
+          FROM b
+        )
+        SELECT vec_id, CAST(unnest(range(d)) AS INTEGER) AS i,
+          unnest(un) AS u_val, unnest(qn) AS q_val
+        FROM u""".stripMargin.trim)),
+
     // --- LLM-pipeline operators: deduplication ----------------------------
     Q("q_dedup_exact",
       (s, dir) => operators.Dedup.exact(Tables.load(s, dir)("documents")),

@@ -265,6 +265,89 @@ object TextKernels {
         Seq(ArrayType(StringType), IntegerType, IntegerType),
         returnNullable = false))
 
+  // ------------------------------------------------------ repetition stats
+
+  val repetitionStatsType: StructType = StructType(Seq(
+    StructField("words", IntegerType, nullable = false),
+    StructField("uniq_words", IntegerType, nullable = false),
+    StructField("max_word_freq", IntegerType, nullable = false),
+    StructField("bigrams", IntegerType, nullable = false),
+    StructField("uniq_bigrams", IntegerType, nullable = false),
+    StructField("trigrams", IntegerType, nullable = false),
+    StructField("uniq_trigrams", IntegerType, nullable = false),
+    StructField("lines", IntegerType, nullable = false),
+    StructField("uniq_lines", IntegerType, nullable = false)))
+
+  /** Every repetition counter (duplicate words / n-grams / lines, top-word
+    * frequency) in one pass — the Gopher-style repetition quality signals.
+    * Word universe is the whitespace/case-normalized text (same norm as
+    * [[TextOps.normalize]]); lines split the raw text on '\n'. */
+  def repetitionStatsCol(text: Column): Column = GraftColumnBridge.column(
+    StaticInvoke(
+      TextKernels.getClass, repetitionStatsType, "repetitionStats",
+      Seq(GraftColumnBridge.expression(text)), Seq(StringType),
+      returnNullable = false))
+
+  def repetitionStats(s: UTF8String): InternalRow = {
+    val str = s.toString
+    // normalized words: lowercase, whitespace-run-separated
+    val words = new java.util.ArrayList[String]()
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      while (i < len && isWs(str.charAt(i))) i += 1
+      if (i < len) {
+        val from = i
+        while (i < len && !isWs(str.charAt(i))) i += 1
+        words.add(str.substring(from, i).toLowerCase)
+      }
+    }
+    val nw = words.size()
+    val freq = new java.util.HashMap[String, Integer]()
+    var maxFreq = 0
+    i = 0
+    while (i < nw) {
+      val c = freq.merge(words.get(i), 1, (a, b) => a + b)
+      if (c > maxFreq) maxFreq = c
+      i += 1
+    }
+    def uniqNgrams(n: Int): Int = {
+      if (nw < n) return 0
+      val seen = new java.util.HashSet[String]()
+      val sb = new java.lang.StringBuilder()
+      var w = 0
+      while (w + n <= nw) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(words.get(w + j)); j += 1
+        }
+        seen.add(sb.toString)
+        w += 1
+      }
+      seen.size()
+    }
+    // lines of the raw text (blank lines count — they dedupe like any other)
+    var lines = 1
+    val uniqLines = new java.util.HashSet[String]()
+    var from = 0
+    i = 0
+    while (i < len) {
+      if (str.charAt(i) == '\n') {
+        uniqLines.add(str.substring(from, i)); from = i + 1; lines += 1
+      }
+      i += 1
+    }
+    uniqLines.add(str.substring(from, len))
+    if (len == 0) { lines = 0; uniqLines.clear() }
+    InternalRow(
+      nw, freq.size(), maxFreq,
+      math.max(nw - 1, 0), uniqNgrams(2),
+      math.max(nw - 2, 0), uniqNgrams(3),
+      lines, uniqLines.size())
+  }
+
   def minhashBuckets(shingles: ArrayData, bands: Int, rows: Int): ArrayData = {
     val k = bands * rows
     val mins = new Array[Long](k)

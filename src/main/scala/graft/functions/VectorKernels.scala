@@ -72,6 +72,62 @@ object VectorKernels {
     s
   }
 
+  // ----------------------------------------- normalization / quantization
+
+  /** L2-normalize a float vector → array<double> rounded to 6 digits (the
+    * repo-wide fp-parity convention with the DuckDB oracle — see
+    * `Dedup.minHashPairs` jaccard). Zero vectors pass through as zeros. */
+  def l2NormalizeCol(vec: Column): Column =
+    inv(doubleArr, "l2Normalize",
+      Seq(GraftColumnBridge.expression(vec)), Seq(floatArr))
+
+  def l2Normalize(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val x = a.getFloat(i).toDouble; ss += x * x; i += 1 }
+    val norm = math.sqrt(ss)
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      out(i) = if (norm == 0.0) 0.0
+        else java.math.BigDecimal.valueOf(x / norm)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Symmetric int8 scalar quantization: scale = 127 / max|xᵢ|, qᵢ =
+    * round(xᵢ·scale) half-away-from-zero (the rounding DuckDB's `round`
+    * uses, so the oracle replays it exactly). The all-zero vector
+    * quantizes to zeros. ~4× less shuffle/storage bytes per embedding —
+    * the cheap first step before IVF/LSH indexing at corpus scale. */
+  def quantizeInt8Col(vec: Column): Column =
+    inv(ArrayType(IntegerType, containsNull = false), "quantizeInt8",
+      Seq(GraftColumnBridge.expression(vec)), Seq(floatArr))
+
+  def quantizeInt8(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val x = math.abs(a.getFloat(i).toDouble)
+      if (x > maxAbs) maxAbs = x
+      i += 1
+    }
+    val scale = if (maxAbs == 0.0) 0.0 else 127.0 / maxAbs
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      val v = a.getFloat(i).toDouble * scale
+      out(i) = (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toInt
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   // ------------------------------------------- random-hyperplane LSH
 
   /** Sign-bit signature of `vec` against `planes` hyperplanes → long;

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training-data preparation: assign documents to
+  * fixed-token-budget training sequences ("concat-then-chunk" packing — a
+  * document belongs to the sequence its start offset falls in, documents
+  * are laid out contiguously in a deterministic order).
+  *
+  * Scale shape: documents are first scattered into `buckets` independent
+  * packing streams by id hash (so a 100 TB corpus packs with `buckets`-way
+  * parallelism instead of one global sequential scan), then one window
+  * cumulative sum per bucket assigns offsets. One shuffle on the bucket
+  * key; the per-bucket sort is Spark's spillable window sort. Bucket count
+  * trades parallelism against cross-bucket packing waste (< one sequence
+  * per bucket).
+  *
+  * Deterministic and engine-portable: bucket = md5-hash of the id, order =
+  * id — the DuckDB oracle replays the identical layout.
+  */
+object Packing {
+
+  /** Returns the input plus `pack_bucket`, `seq_id` (globally unique:
+    * bucket * 2^40 + index-within-bucket), `seq_offset` (token offset of
+    * the document's start inside its sequence) and `token_count`. */
+  def packSequences(
+      docs: DataFrame,
+      budget: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      buckets: Int = 256): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val bucket = pmod(TextOps.portableHash60(col(idCol).cast("string")), lit(buckets))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pack_bucket")).orderBy(col(idCol))
+    val tok = TextOps.tokenCount(col(textCol)).cast("long")
+    docs
+      .withColumn("pack_bucket", bucket)
+      .withColumn("token_count", tok)
+      .withColumn("__start",
+        coalesce(sum(col("token_count")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("seq_id",
+        col("pack_bucket").cast("long") * lit(1L << 40) +
+          floor(col("__start") / budget))
+      .withColumn("seq_offset", col("__start") % budget)
+      .drop("__start")
+  }
+}

@@ -58,4 +58,32 @@ object Sampling {
       .partitionBy(group).orderBy(TextOps.portableHash60(key.cast("string")), key)
     df.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k).drop("__rk")
   }
+
+  /** Temperature-based mixture resampling — the standard pretraining
+    * domain-rebalance (multilingual-T5-style, tau < 1 upweights tails):
+    * with p_g the group's natural share, the kept sample follows
+    * q_g ∝ p_g^tau, realized as the maximal subsample (no upsampling) by
+    * per-group keep rate r_g = (c_g / c_min)^(tau-1), capped at 1 for the
+    * smallest group.
+    *
+    * Plan at scale: one partial-agg groupBy over the corpus → a #groups-row
+    * rate table → broadcast back onto the scan → hash filter. Nothing ever
+    * materializes on the driver. The rate is rounded to 6 digits before the
+    * 10000-bucket threshold so the DuckDB oracle replays the same floor.
+    * Output carries `mix_rate` for auditability. */
+  def temperatureMixture(
+      df: DataFrame, group: Column, key: Column, tau: Double): DataFrame = {
+    val counts = df.groupBy(group.as("__g")).agg(count(lit(1)).as("__cnt"))
+    val w = org.apache.spark.sql.expressions.Window.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val rates = counts
+      .withColumn("__rate",
+        round(pow(col("__cnt").cast("double") / min("__cnt").over(w), tau - 1), 6))
+      .select(col("__g"), col("__rate"))
+    df.join(broadcast(rates), group === col("__g"))
+      .filter(hashBucket(key) < floor(col("__rate") * 10000))
+      .withColumn("mix_rate", col("__rate"))
+      .drop("__g", "__rate")
+  }
 }

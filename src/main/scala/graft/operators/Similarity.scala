@@ -28,6 +28,21 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorKernels.cosineCol(a, b)
 
+  /** L2-normalized copy of an `array<float>` embedding (array<double>,
+    * 6-digit rounding — the repo-wide oracle fp-parity convention).
+    * Normalize once at ingest and every cosine downstream becomes a plain
+    * dot — at 100 TB that halves the per-pair arithmetic of the
+    * verification joins. */
+  def l2Normalize(vec: Column): Column =
+    graft.functions.VectorKernels.l2NormalizeCol(vec)
+
+  /** Symmetric int8 scalar quantization of an `array<float>` embedding:
+    * scale = 127/max|x|, round half-away-from-zero — 4× smaller vectors
+    * for shuffle/storage-bound stages (candidate generation tolerates the
+    * ~0.5% sim error; exact re-rank reads the full vectors). */
+  def quantizeInt8(vec: Column): Column =
+    graft.functions.VectorKernels.quantizeInt8Col(vec)
+
   /** HOF fold dot for arbitrary numeric arrays (plane literals etc.) —
     * the general-purpose, non-kernel formulation. */
   def dotFold(a: Column, b: Column): Column =

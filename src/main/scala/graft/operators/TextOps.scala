@@ -115,6 +115,24 @@ object TextOps {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  // ------------------------------------------------------------- redaction
+
+  /** PII redaction at scan speed: emails, SSN-style ids, IPv4 addresses and
+    * phone-like digit runs replaced by type tags. Pure chained
+    * `regexp_replace` (codegen'd, replaces ALL occurrences); patterns stay
+    * inside the RE2-compatible subset (no backrefs/lookaround) so any
+    * engine — and the DuckDB oracle with the 'g' flag — replays them
+    * byte-identically. Order matters: SSN/IP before the generic digit-run
+    * phone pattern, or the earlier tags' digits would re-match. */
+  def redact(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ssn = regexp_replace(email, "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<ID>")
+    val ip = regexp_replace(ssn,
+      "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\+?[0-9][0-9()./ -]{6,}[0-9]", "<PHONE>")
+  }
+
   // ------------------------------------------------------ DataFrame-level ops
 
   /** Annotate a corpus with the full text-analysis column set.
@@ -152,6 +170,68 @@ object TextOps {
         round(lenScore * 0.4 + punctScore * 0.3 + alphaScore * 0.3, 4))
       .withColumn("lang_pred", lang)
       .withColumn("fingerprint", fingerprint(t))
+      .drop("__st")
+  }
+
+  /** Annotate a corpus with repetition metrics — the Gopher-style signals
+    * (Rae et al. 2021 §A1.1) that catch boilerplate/spam: duplicate word /
+    * bigram / trigram fractions, top-word mass, duplicate-line fraction.
+    * One [[graft.functions.TextKernels.repetitionStatsCol]] pass; ratios
+    * are plain arithmetic over the counters (oracle-pinned). */
+  def repetitionMetrics(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val d = docs.withColumn("__rs",
+      graft.functions.TextKernels.repetitionStatsCol(col(textCol)))
+    def f(name: String) = col("__rs").getField(name)
+    def frac(uniq: Column, total: Column): Column =
+      when(total === 0, lit(0.0))
+        .otherwise(round(lit(1.0) - uniq.cast("double") / total, 6))
+    d
+      .withColumn("dup_word_frac", frac(f("uniq_words"), f("words")))
+      .withColumn("dup_bigram_frac", frac(f("uniq_bigrams"), f("bigrams")))
+      .withColumn("dup_trigram_frac", frac(f("uniq_trigrams"), f("trigrams")))
+      .withColumn("top_word_frac",
+        when(f("words") === 0, lit(0.0))
+          .otherwise(round(f("max_word_freq").cast("double") / f("words"), 6)))
+      .withColumn("dup_line_frac", frac(f("uniq_lines"), f("lines")))
+      .drop("__rs")
+  }
+
+  /** Gopher-style quality rules (Rae et al. 2021 table A1) as boolean flag
+    * columns plus the conjunction `gopher_keep`: word-count window, mean
+    * word length window, alpha-word fraction, stopword evidence, symbol
+    * and ellipsis ceilings, repetition ceilings. All counters come from the
+    * [[graft.functions.TextKernels]] one-pass kernels + two cheap
+    * regexp_counts — still scan-speed, no shuffle. */
+  def gopherFlags(docs: DataFrame, textCol: String = "text",
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val d = repetitionMetrics(
+      docs.withColumn("__st", graft.functions.TextKernels.textStatsCol(t)),
+      textCol)
+    def s(name: String) = col("__st").getField(name)
+    val words = s("token_count")
+    val mwl = when(words === 0, lit(0.0))
+      .otherwise(s("nws").cast("double") / words)
+    val symbolRatio = when(words === 0, lit(1.0))
+      .otherwise((regexp_count(t, lit("#")) +
+        regexp_count(t, lit("\\.\\.\\."))).cast("double") / words)
+    val bulletRatio = when(size(split(t, "\n")) === 0, lit(0.0))
+      .otherwise(regexp_count(t, lit("(?m)^[-*•]")).cast("double") /
+        size(split(t, "\n")))
+    val flags = d
+      .withColumn("flag_word_count", words.between(minWords, maxWords))
+      .withColumn("flag_mean_word_len", mwl.between(3.0, 10.0))
+      .withColumn("flag_symbol_ratio", symbolRatio < 0.1)
+      .withColumn("flag_bullet_ratio", bulletRatio < 0.9)
+      .withColumn("flag_stopwords", s("nstop") >= 2)
+      .withColumn("flag_repetition",
+        col("dup_word_frac") < 0.9 && col("dup_trigram_frac") < 0.9 &&
+          col("top_word_frac") < 0.3)
+    flags
+      .withColumn("gopher_keep",
+        col("flag_word_count") && col("flag_mean_word_len") &&
+          col("flag_symbol_ratio") && col("flag_bullet_ratio") &&
+          col("flag_stopwords") && col("flag_repetition"))
       .drop("__st")
   }
 }

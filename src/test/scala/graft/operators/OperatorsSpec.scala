@@ -165,6 +165,117 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recallAt(16) == 1.0, "full probe must equal brute force")
   }
 
+  test("repetition metrics: boundary texts and known fractions") {
+    val d = Seq(
+      (1L, "a a a a"),              // 4 words, 1 uniq; 3 bigrams "a a" → all dup
+      (2L, "a b c d"),              // no repetition
+      (3L, ""),                     // empty → all metrics 0
+      (4L, "x"),                    // 1 word → no bigrams
+      (5L, "l1\nl2\nl1")            // duplicate line
+    ).toDF("doc_id", "text")
+    val m = TextOps.repetitionMetrics(d).collect().map(r =>
+      r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(1L).getAs[Double]("dup_word_frac") == 0.75)
+    assert(m(1L).getAs[Double]("dup_bigram_frac") == round6(1.0 - 1.0 / 3))
+    assert(m(1L).getAs[Double]("top_word_frac") == 1.0)
+    assert(m(2L).getAs[Double]("dup_word_frac") == 0.0)
+    assert(m(3L).getAs[Double]("dup_word_frac") == 0.0)
+    assert(m(3L).getAs[Double]("dup_line_frac") == 0.0)
+    assert(m(4L).getAs[Double]("dup_bigram_frac") == 0.0)
+    assert(m(5L).getAs[Double]("dup_line_frac") == round6(1.0 - 2.0 / 3))
+  }
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("redaction replaces every PII shape and leaves clean text alone") {
+    val d = Seq(
+      (1L, "mail bob.smith+x@sub.example.co.uk now"),
+      (2L, "call +1 (555) 123-4567 today"),
+      (3L, "host 192.168.0.1 port"),
+      (4L, "ssn 123-45-6789 leaked"),
+      (5L, "clean text with no pii at all")
+    ).toDF("doc_id", "text")
+    val r = d.select(col("doc_id"), TextOps.redact(col("text")).as("t"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) == "mail <EMAIL> now")
+    assert(r(2L) == "call <PHONE> today")
+    assert(r(3L) == "host <IP> port")
+    assert(r(4L) == "ssn <ID> leaked")
+    assert(r(5L) == "clean text with no pii at all")
+  }
+
+  test("temperature mixture: tau=1 keeps everything, tau<1 flattens toward small groups") {
+    // skewed synthetic groups: g0 has 400 rows, g1 has 100
+    val d = (0 until 500).map(i => (i.toLong, if (i < 400) "g0" else "g1"))
+      .toDF("doc_id", "source")
+    val n = d.count()
+    val all = Sampling.temperatureMixture(d, col("source"), col("doc_id"), tau = 1.0)
+    assert(all.count() == n, "tau=1 rate is 1 for every group")
+    val flat = Sampling.temperatureMixture(d, col("source"), col("doc_id"), tau = 0.5)
+    // the smallest group is never subsampled; the big one shrinks toward
+    // rate (400/100)^-0.5 = 0.5
+    assert(flat.filter(col("source") === "g1").count() == 100)
+    val keptBig = flat.filter(col("source") === "g0").count()
+    assert(keptBig < 400 && math.abs(keptBig - 200) < 60, s"kept $keptBig of 400")
+  }
+
+  test("sequence packing fills budgets contiguously per bucket") {
+    val budget = 100
+    val p = Packing.packSequences(docs, budget = budget, buckets = 4).cache()
+    assert(p.count() == docs.count())
+    // offsets are in range and sequences don't interleave buckets
+    assert(p.filter(col("seq_offset") < 0 || col("seq_offset") >= budget).count() == 0)
+    assert(p.groupBy("seq_id").agg(countDistinct("pack_bucket").as("b"))
+      .filter(col("b") > 1).count() == 0)
+    // within a bucket, offsets reconstruct the cumulative layout exactly
+    val rows = p.filter(col("pack_bucket") === 0)
+      .orderBy("doc_id").select("token_count", "seq_id", "seq_offset").collect()
+    var cum = 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("seq_offset") == cum % budget)
+      assert(r.getAs[Long]("seq_id") % (1L << 40) == cum / budget)
+      cum += r.getAs[Long]("token_count")
+    }
+    p.unpersist()
+  }
+
+  test("normalize and quantize handle zero and extreme vectors") {
+    val d = Seq(
+      (1L, Array(3.0f, 4.0f)),
+      (2L, Array(0.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val r = d.select(col("vec_id"),
+        Similarity.l2Normalize(col("embedding")).as("u"),
+        Similarity.quantizeInt8(col("embedding")).as("q"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    def seqOf[T](row: org.apache.spark.sql.Row, name: String): Seq[T] =
+      row.getSeq[T](row.fieldIndex(name)).toSeq
+    assert(seqOf[Double](r(1L), "u") == Seq(0.6, 0.8))
+    assert(seqOf[Int](r(1L), "q") == Seq(95, 127))
+    assert(seqOf[Double](r(2L), "u") == Seq(0.0, 0.0))
+    assert(seqOf[Int](r(2L), "q") == Seq(0, 0))
+    assert(seqOf[Int](r(3L), "q") == Seq(-127, 64)) // 63.5 rounds away from zero
+    // unit norm within rounding
+    val norms = d.filter(col("vec_id") =!= 2L)
+      .select(Similarity.dotFold(
+        Similarity.l2Normalize(col("embedding")),
+        Similarity.l2Normalize(col("embedding"))).as("n"))
+      .collect().map(_.getDouble(0))
+    norms.foreach(n => assert(math.abs(n - 1.0) < 1e-4))
+  }
+
+  test("gopher flags: conjunction equals AND of parts") {
+    val g = TextOps.gopherFlags(docs).cache()
+    assert(g.count() == docs.count())
+    val bad = g.filter(col("gopher_keep") =!=
+      (col("flag_word_count") && col("flag_mean_word_len") &&
+        col("flag_symbol_ratio") && col("flag_bullet_ratio") &&
+        col("flag_stopwords") && col("flag_repetition"))).count()
+    assert(bad == 0)
+    g.unpersist()
+  }
+
   test("multimodal feature extraction is deterministic and typed") {
     val f1 = Multimodal.featureTable(spark, docs).orderBy("media_id").collect()
     val f2 = Multimodal.featureTable(spark, docs).orderBy("media_id").collect()
