@@ -105,4 +105,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).size == 1, p)
     assert(!p.contains("Exchange"), p) // pure map-side — no shuffle
   }
+
+  test("repetition/gopher/redact/quantize are scan-speed: no shuffle, codegen") {
+    import org.apache.spark.sql.functions._
+    val checks = Seq(
+      graft.operators.TextOps.repetitionMetrics(tables("documents")),
+      graft.operators.TextOps.gopherFlags(tables("documents")),
+      tables("documents").select(graft.operators.TextOps.redact(col("text"))),
+      tables("embeddings").select(
+        graft.operators.Similarity.l2Normalize(col("embedding")),
+        graft.operators.Similarity.quantizeInt8(col("embedding"))))
+    checks.foreach { df =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), p)
+      assert(p.contains("*("), p)
+    }
+  }
+
+  test("sequence packing is one shuffle (bucket exchange), window sort only") {
+    val p = graft.operators.Packing.packSequences(
+        tables("documents"), budget = 512, buckets = 16)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("temperature mixture broadcasts the rate table onto the scan") {
+    import org.apache.spark.sql.functions._
+    val p = graft.operators.Sampling.temperatureMixture(
+        tables("documents"), col("source"), col("doc_id"), tau = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
