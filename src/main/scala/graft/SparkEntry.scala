@@ -505,6 +505,24 @@ object SparkEntry {
       "SELECT doc_id, unnest(split(text, ' ')) AS word FROM documents WHERE doc_id < 50",
       "SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents WHERE doc_id < 50"),
 
+    Q("q_nested_access",
+      // array subscripts (0-based, negative-from-end) and map-key lookup of
+      // the dialect (reference: docs/NESTED_FIELD_ACCESS.md) on a derived
+      // table with array/map columns
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val t = Tables.load(s, dir)("documents").select(col("doc_id"),
+          split(col("text"), " ").as("words"),
+          map(lit("chars"), col("n_chars")).as("meta"))
+        GraftEngine.sql(
+          "SELECT doc_id, words[0] AS w0, words[-1] AS wlast, " +
+            "meta['chars'] AS chars FROM t WHERE doc_id < 300",
+          Map("t" -> t))
+      },
+      Some("SELECT doc_id, string_split(text, ' ')[1] AS w0, " +
+        "string_split(text, ' ')[-1] AS wlast, n_chars AS chars " +
+        "FROM documents WHERE doc_id < 300")),
+
     // --- §2.9 windows (batch analog of streaming semantics) ---------------
     gq("q_window_tumbling",
       "SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sv, " +

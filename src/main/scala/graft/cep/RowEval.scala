@@ -351,10 +351,16 @@ object RowEval {
           try r.getAs[Any](s.name) catch { case _: Throwable => null }
         case _ => null
       }
-      s.indexes.foreach { i =>
-        cur = cur match {
-          case seq: Seq[_] => if (i < seq.size) seq(i) else null
-          case arr: Array[_] => if (i < arr.length) arr(i) else null
+      s.indexes.foreach { idx =>
+        cur = (cur, idx) match {
+          case (seq: Seq[_], graft.sql.Ident.IntIdx(i)) =>
+            val j = if (i < 0) seq.size + i else i
+            if (j >= 0 && j < seq.size) seq(j) else null
+          case (arr: Array[_], graft.sql.Ident.IntIdx(i)) =>
+            val j = if (i < 0) arr.length + i else i
+            if (j >= 0 && j < arr.length) arr(j) else null
+          case (m: Map[_, _], graft.sql.Ident.KeyIdx(k)) =>
+            m.asInstanceOf[Map[String, Any]].getOrElse(k, null)
           case _ => null
         }
       }

@@ -55,12 +55,20 @@ final class Resolver(
     }
   }
 
-  private def nested(root: Column, rootIdx: List[Int], rest: List[Ident.Seg]): Column = {
+  private def nested(root: Column, rootIdx: List[Ident.Idx], rest: List[Ident.Seg]): Column = {
+    def sub(c: Column, i: Ident.Idx): Column = i match {
+      // reference indexes 0-based with negative-from-end
+      // (docs/NESTED_FIELD_ACCESS.md); element_at is 1-based positive /
+      // negative-from-end, getItem is 0-based — pick per sign
+      case Ident.IntIdx(i) if i >= 0 => c.getItem(i)
+      case Ident.IntIdx(i)           => element_at(c, lit(i))
+      case Ident.KeyIdx(k)           => c.getItem(k)
+    }
     var c = root
-    rootIdx.foreach(i => c = c.getItem(i))
+    rootIdx.foreach(i => c = sub(c, i))
     rest.foreach { s =>
       c = c.getItem(s.name)
-      s.indexes.foreach(i => c = c.getItem(i))
+      s.indexes.foreach(i => c = sub(c, i))
     }
     c
   }

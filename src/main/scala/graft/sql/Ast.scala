@@ -33,17 +33,25 @@ object SqlExpr {
   }
 }
 
-/** Dotted field path with optional array indices, e.g. `device.info.name`,
-  * `sensors[0].value`, `m.location` (join-alias qualified).
-  * Each segment is (name, Seq(indices)). (reference: utils/fieldpath) */
+/** Dotted field path with optional array/map subscripts, e.g.
+  * `device.info.name`, `sensors[0].value`, `readings[-1]` (negative =
+  * from the end), `config['host']` (map key), `matrix[2][1]`, `m.location`
+  * (join-alias qualified). Each segment is (name, Seq(subscripts)).
+  * (reference: utils/fieldpath; docs/NESTED_FIELD_ACCESS.md) */
 final case class Ident(segments: List[Ident.Seg]) extends SqlExpr {
   def raw: String = segments
-    .map(s => s.name + s.indexes.map(i => s"[$i]").mkString)
+    .map(s => s.name + s.indexes.map {
+      case Ident.IntIdx(i) => s"[$i]"
+      case Ident.KeyIdx(k) => s"['$k']"
+    }.mkString)
     .mkString(".")
   def head: String = segments.head.name
 }
 object Ident {
-  final case class Seg(name: String, indexes: List[Int] = Nil)
+  sealed trait Idx
+  final case class IntIdx(i: Int) extends Idx
+  final case class KeyIdx(key: String) extends Idx
+  final case class Seg(name: String, indexes: List[Idx] = Nil)
   def simple(name: String): Ident = Ident(List(Seg(name)))
 }
 

@@ -48,6 +48,22 @@ object Lexer {
           } else { sb.append(ch); i += 1 }
         }
         out += Token(StringTok, sb.toString, start)
+      } else if (c == '"') {
+        // double-quoted string (reference accepts both quote styles for
+        // map keys, docs/NESTED_FIELD_ACCESS.md); "" escapes a quote
+        val sb = new StringBuilder
+        val start = i
+        i += 1
+        var done = false
+        while (!done) {
+          if (i >= n) throw new ParseException(s"unterminated string at $start")
+          val ch = sql(i)
+          if (ch == '"') {
+            if (i + 1 < n && sql(i + 1) == '"') { sb.append('"'); i += 2 }
+            else { done = true; i += 1 }
+          } else { sb.append(ch); i += 1 }
+        }
+        out += Token(StringTok, sb.toString, start)
       } else if (c == '`') {
         val start = i
         i += 1

@@ -560,16 +560,24 @@ final class Parser(tokens: Vector[Token]) {
     OverClause(partitionBy, orderBy, when)
   }
 
-  /** Dotted path with optional [idx] per segment. */
+  /** Dotted path with optional subscripts per segment: `a[0]`, `a[-1]`
+    * (from the end), `m['key']` / `m["key"]` (map lookup), `x[2][1]`
+    * (reference: docs/NESTED_FIELD_ACCESS.md). */
   private def parseIdentPath(): SqlExpr = {
     val segs = scala.collection.mutable.ListBuffer[Ident.Seg]()
     def seg(): Unit = {
       val name = parseIdentName()
-      val idx = scala.collection.mutable.ListBuffer[Int]()
+      val idx = scala.collection.mutable.ListBuffer[Ident.Idx]()
       while (cur.is("[")) {
         advance()
-        if (cur.kind != NumberTok) fail("expected array index")
-        idx += advance().text.toInt
+        val neg = cur.is("-") && { advance(); true }
+        cur.kind match {
+          case NumberTok =>
+            val n = advance().text.toInt
+            idx += Ident.IntIdx(if (neg) -n else n)
+          case StringTok if !neg => idx += Ident.KeyIdx(advance().text)
+          case _ => fail("expected array index or map key")
+        }
         expectPunct("]")
       }
       segs += Ident.Seg(name, idx.toList)

@@ -97,7 +97,17 @@ class ParserSpec extends AnyFunSuite {
   test("nested paths and array indexes") {
     val q = Parser.parse("SELECT device.info.name AS name, sensors[0].value AS v0 FROM stream")
     assert(q.items.head.expr == Ident(List(Ident.Seg("device"), Ident.Seg("info"), Ident.Seg("name"))))
-    assert(q.items(1).expr == Ident(List(Ident.Seg("sensors", List(0)), Ident.Seg("value"))))
+    assert(q.items(1).expr ==
+      Ident(List(Ident.Seg("sensors", List(Ident.IntIdx(0))), Ident.Seg("value"))))
+  }
+
+  test("negative indexes, map keys and chained subscripts") {
+    val q = Parser.parse(
+      "SELECT readings[-1] AS last, config['host'] AS h, m.grid[2][1] AS g FROM stream")
+    assert(q.items.head.expr == Ident(List(Ident.Seg("readings", List(Ident.IntIdx(-1))))))
+    assert(q.items(1).expr == Ident(List(Ident.Seg("config", List(Ident.KeyIdx("host"))))))
+    assert(q.items(2).expr == Ident(List(Ident.Seg("m"),
+      Ident.Seg("grid", List(Ident.IntIdx(2), Ident.IntIdx(1))))))
   }
 
   test("distinct and unnest") {
