@@ -191,8 +191,42 @@ object FunctionMap {
       case "is_object" => typeof(a0).startsWith("struct") || typeof(a0).startsWith("map")
 
       // ---- everything else: direct Spark registry passthrough ----
-      case other => call_function(other, args: _*)
+      case other =>
+        // plan-time existence check with a typo suggestion (reference:
+        // docs/FUNCTION_VALIDATION.md — ErrorTypeUnknownFunction): an
+        // unknown name would otherwise surface as a raw analysis error
+        // deep inside the first action. Session catalog covers builtins
+        // AND spark.udf-registered customs.
+        val exists = org.apache.spark.sql.SparkSession.getActiveSession
+          .forall(_.catalog.functionExists(other))
+        if (!exists) {
+          val hint = suggest(other).map(s => s" Did you mean '$s'?").getOrElse("")
+          throw new IllegalArgumentException(
+            s"Unknown function '$other'.$hint Register custom functions " +
+              "via StreamSql.registerFunction / registerAggregator / registerAnalytic.")
+        }
+        call_function(other, args: _*)
     }
+  }
+
+  /** Nearest known function name within edit distance 2, for the
+    * unknown-function error message. */
+  private def suggest(name: String): Option[String] = {
+    def dist(a: String, b: String): Int = {
+      if (math.abs(a.length - b.length) > 2) return 3
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val candidates = aggregateNames ++ analyticNames ++
+      org.apache.spark.sql.SparkSession.getActiveSession.toSeq
+        .flatMap(_.catalog.listFunctions().collect().map(_.name.toLowerCase).toSeq)
+    candidates.map(c => c -> dist(name, c)).filter(_._2 <= 2)
+      .minByOption(_._2).map(_._1)
   }
 
   /** `format(v, '0.00')`-style numeric formatting with a literal pattern

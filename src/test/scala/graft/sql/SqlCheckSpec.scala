@@ -85,6 +85,19 @@ class SqlCheckSpec extends AnyFunSuite {
       "GROUP BY deviceId, TumblingWindow('5parsecs') WITH (TIMESTAMP='ts')")
   }
 
+  test("unknown functions are rejected at plan time with a suggestion") {
+    val e = intercept[IllegalArgumentException] {
+      GraftEngine.sql("SELECT absx(temperature) AS a FROM stream",
+        Map("stream" -> stream))
+    }
+    assert(e.getMessage.contains("Unknown function 'absx'"), e.getMessage)
+    assert(e.getMessage.contains("Did you mean 'abs'?"), e.getMessage)
+    // a registered UDF immediately resolves through the same path
+    graft.api.StreamSql(spark).registerFunction("graft_check_fn", (x: Double) => x + 1)
+    assert(GraftEngine.sql("SELECT graft_check_fn(temperature) AS a FROM stream",
+      Map("stream" -> stream)).count() > 0)
+  }
+
   test("unsupported analytic names fail at plan time, not silently") {
     mustReject("SELECT no_such_analytic(temperature) " +
       "OVER (PARTITION BY deviceId) AS x FROM stream")
