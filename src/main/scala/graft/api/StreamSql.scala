@@ -65,6 +65,12 @@ final class StreamSql(val spark: SparkSession) {
     this
   }
 
+  /** Per-query runtime stats — the GetStats/GetDetailedStats analog
+    * (reference: stream/metrics.go): `metrics.getStats(query)` returns
+    * input/output/dropped row counts, batch count and process rate. */
+  def metrics: graft.streaming.StreamMetrics =
+    graft.streaming.StreamMetrics(spark)
+
   /** One-line scalar UDF, immediately callable in dialect SQL — unknown
     * function names resolve through Spark's registry
     * (reference RegisterCustomFunction, functions/registry.go:238-258). */

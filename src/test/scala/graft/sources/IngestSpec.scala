@@ -49,4 +49,29 @@ class IngestSpec extends AnyFunSuite {
     // "{}" parses to an all-null struct (valid JSON) — only "broken" drops
     assert(spark.table("ingestout").count() == 2)
   }
+
+  test("StreamMetrics accumulates input/output/dropped across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val metrics = graft.streaming.StreamMetrics(spark)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val out = Ingest.json(mem.toDF().toDF("payload"), "payload", schema)
+    val q = out.writeStream.format("memory").queryName("metricsout")
+      .outputMode("append").start()
+    mem.addData("""{"deviceId":"d1","temperature":1.0}""", "broken")
+    q.processAllAvailable()
+    mem.addData("""{"deviceId":"d2","temperature":2.0}""", "alsobroken", "nope")
+    q.processAllAvailable()
+    // listener events are async relative to processAllAvailable
+    val deadline = System.currentTimeMillis() + 10000
+    def st = metrics.stats(q)
+    while (st.inputCount < 5 && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    q.stop()
+    val s = st
+    assert(s.inputCount == 5, s)
+    assert(s.outputCount == 2, s)   // two valid rows reach the sink
+    assert(s.droppedCount == 3, s)  // three malformed payloads dropped
+    assert(s.batchCount >= 2, s)
+    assert(metrics.getStats(q)("input_count") == 5L)
+  }
 }
