@@ -78,14 +78,27 @@ object CepExec extends Serializable {
     val tsOfRow: Map[String, Any] => Long =
       m => RowEval.toMillis(pathValue(m, orderPaths.head._1))
 
+    // row-local DEFINEs (no PREV/NEXT/aggregates/cross-symbol refs — the
+    // common case) compile to a reusable zero-context predicate; each Spark
+    // task deserializes its own RowLocalTest copy, so the mutable row slot
+    // is task-confined
+    val fastTests: Map[String, RowEval.RowLocalTest] =
+      mrLocal.defines.flatMap { case (s, cond) =>
+        RowEval.rowLocalAst(cond, s, symbolsLocal, mrLocal.subsets)
+          .map(ast => s -> new RowEval.RowLocalTest(ast, s, mrLocal.subsets, symbolsLocal))
+      }
+
     def defineTestFor(sorted: IndexedSeq[Map[String, Any]])(
         sym: String, pos: Int, acc: IndexedSeq[(Int, String)]): Boolean =
-      mrLocal.defines.get(sym) match {
-        case None => true // undefined symbols always match (SURVEY §2.10)
-        case Some(cond) =>
-          val ctx = RowEval.Ctx(sorted, acc :+ (pos, sym), 0L,
-            Some(acc.length), mrLocal.subsets, symbolsLocal)
-          RowEval.truthy(RowEval.eval(cond, ctx))
+      fastTests.get(sym) match {
+        case Some(t) => t.test(sorted(pos))
+        case None => mrLocal.defines.get(sym) match {
+          case None => true // undefined symbols always match (SURVEY §2.10)
+          case Some(cond) =>
+            val ctx = RowEval.Ctx(sorted, acc :+ (pos, sym), 0L,
+              Some(acc.length), mrLocal.subsets, symbolsLocal)
+            RowEval.truthy(RowEval.eval(cond, ctx))
+        }
       }
 
     def emitMatch(sorted: IndexedSeq[Map[String, Any]], m: Matcher.Match,

@@ -56,6 +56,80 @@ object RowEval {
     }
   }
 
+  // --------------------------------------------- row-local DEFINE fast path
+
+  /** Functions whose evaluation navigates the match (not row-local). */
+  private val navFns = Set("prev", "next", "first", "last", "count", "sum",
+    "avg", "min", "max", "classifier", "match_number", "running", "final")
+
+  /** A DEFINE condition that references only the row under test — rewritten
+    * so `SYM.col` (the tested symbol) becomes plain `col` — or None when it
+    * navigates (PREV/NEXT/FIRST/LAST), aggregates over pattern variables,
+    * or reads another symbol's bindings. Row-local conditions are the
+    * common case (`A AS value > 50`) and evaluate without building a match
+    * context per probe — the hot-loop cost of dense batch CEP. */
+  def rowLocalAst(e: SqlExpr, sym: String, symbols: Set[String],
+      subsets: Map[String, List[String]]): Option[SqlExpr] = {
+    val qualifiers = symbols ++ subsets.keySet
+    def rw(x: SqlExpr): Option[SqlExpr] = x match {
+      case NumberLit(_) | StringLit(_) | BoolLit(_) | NullLit | Star => Some(x)
+      case Ident(segs) =>
+        if (segs.size >= 2 && qualifiers.contains(segs.head.name) &&
+            segs.head.indexes.isEmpty) {
+          if (segs.head.name == sym) Some(Ident(segs.tail)) else None
+        } else Some(x)
+      case fc: FuncCall =>
+        if (navFns.contains(fc.lname) || fc.over.isDefined) None
+        else traverseOpt(fc.args)(rw).map(as => fc.copy(args = as))
+      case BinOp(op, l, r) =>
+        for (l2 <- rw(l); r2 <- rw(r)) yield BinOp(op, l2, r2)
+      case UnaryOp(op, c) => rw(c).map(UnaryOp(op, _))
+      case CaseWhen(operand, branches, otherwise) =>
+        for {
+          op2 <- operand.map(rw).map(_.map(Some(_))).getOrElse(Some(None))
+          bs2 <- traverseOpt(branches)(b =>
+            for (c2 <- rw(b._1); v2 <- rw(b._2)) yield (c2, v2))
+          ow2 <- otherwise.map(rw).map(_.map(Some(_))).getOrElse(Some(None))
+        } yield CaseWhen(op2, bs2, ow2)
+      case IsNullExpr(c, n) => rw(c).map(IsNullExpr(_, n))
+      case LikeExpr(c, p, n) =>
+        for (c2 <- rw(c); p2 <- rw(p)) yield LikeExpr(c2, p2, n)
+      case InExpr(c, items, n) =>
+        for (c2 <- rw(c); is2 <- traverseOpt(items)(rw)) yield InExpr(c2, is2, n)
+      case BetweenExpr(c, lo, hi, n) =>
+        for (c2 <- rw(c); l2 <- rw(lo); h2 <- rw(hi))
+          yield BetweenExpr(c2, l2, h2, n)
+      case _ => None
+    }
+    rw(e)
+  }
+
+  private def traverseOpt[A, B](xs: List[A])(f: A => Option[B]): Option[List[B]] =
+    xs.foldRight(Option(List.empty[B])) { (a, acc) =>
+      for (b <- f(a); t <- acc) yield b :: t
+    }
+
+  private final class OneRowView extends IndexedSeq[Map[String, Any]]
+      with Serializable {
+    var row: Map[String, Any] = _
+    def length: Int = 1
+    def apply(i: Int): Map[String, Any] = row
+  }
+
+  /** Reusable zero-allocation evaluator for a row-local DEFINE condition.
+    * NOT thread-safe — Spark deserializes one instance per task, which is
+    * exactly that isolation. */
+  final class RowLocalTest(e: SqlExpr, sym: String,
+      subsets: Map[String, List[String]], symbols: Set[String])
+      extends Serializable {
+    private val view = new OneRowView
+    private val ctx = Ctx(view, IndexedSeq((0, sym)), 0L, Some(0), subsets, symbols)
+    def test(row: Map[String, Any]): Boolean = {
+      view.row = row
+      truthy(eval(e, ctx))
+    }
+  }
+
   def eval(e: SqlExpr, ctx: Ctx): Any = e match {
     case NumberLit(t) => if (!t.exists(c => c == '.' || c == 'e' || c == 'E')) t.toLong else t.toDouble
     case StringLit(s) => s

@@ -185,4 +185,26 @@ class CepSpec extends AnyFunSuite {
     assert(agg.getLong(0) == 1000L) // one A{2} pair per 1000 rows
     assert(agg.getLong(1) == 1000L) // match numbering stays continuous across flushes
   }
+
+  test("row-local DEFINE classification: fast path only when row-confined") {
+    import graft.sql._
+    val syms = Set("A", "B")
+    val subs = Map("U" -> List("A", "B"))
+    def ast(s: String) = Parser.parseExpression(s)
+    def local(s: String) = RowEval.rowLocalAst(ast(s), "A", syms, subs)
+    // row-local: plain columns, own-symbol qualification, scalars, CASE
+    assert(local("v > 50").isDefined)
+    assert(local("A.v > 50").contains(ast("v > 50"))) // rewritten unqualified
+    assert(local("abs(v) > 5 AND status IN ('a','b')").isDefined)
+    assert(local("CASE WHEN v > 0 THEN true ELSE false END").isDefined)
+    // not row-local: navigation, aggregates, other symbols' bindings
+    assert(local("v > prev(v)").isEmpty)
+    assert(local("sum(A.v) < 100").isEmpty)
+    assert(local("v > B.v").isEmpty)
+    assert(local("v > first(U.v)").isEmpty)
+    // the compiled test evaluates like the interpreter
+    val t = new RowEval.RowLocalTest(ast("v > 50"), "A", subs, syms)
+    assert(t.test(Map("v" -> 60.0)) && !t.test(Map("v" -> 10.0)))
+    assert(!t.test(Map.empty)) // null comparison → not truthy
+  }
 }
