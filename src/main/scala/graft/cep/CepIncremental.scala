@@ -33,13 +33,22 @@ final class CepIncremental(
   private var buffer = Vector.empty[Map[String, Any]]
   private var base = 0 // rows before `base` are PREV/NEXT context only
   private var matchCount = 0L
+  private var sinceFlush = 0
   private val pastLastRow = mr.afterMatch == AfterMatch.PastLastRow
 
   /** Feed the next row (must be in ORDER BY order); returns any rows whose
-    * matches became final. */
+    * matches became final.
+    *
+    * The flush cadence counts rows SINCE the last flush, not the buffer
+    * fill: when WITHIN spans more rows than [[Matcher.MaxRunRows]] nothing
+    * is consumable for a long stretch, the buffer stays pinned at the cap,
+    * and a fill-based trigger would re-run the matcher on EVERY offer —
+    * turning a dense hot key quadratic. */
   def offer(m: Map[String, Any]): Iterator[Row] = {
     buffer :+= m
-    if (buffer.size - base >= flushEvery) flush(fin = false) else Iterator.empty
+    sinceFlush += 1
+    if (sinceFlush >= flushEvery) { sinceFlush = 0; flush(fin = false) }
+    else Iterator.empty
   }
 
   /** Key exhausted: match and emit everything still buffered. */
@@ -52,13 +61,21 @@ final class CepIncremental(
     if (buffer.size <= base) return Iterator.empty
     val sorted = buffer
     val maxTs = tsOf(sorted.last)
-    // rows whose matches can no longer grow: ts + WITHIN < maxTs. Matches
-    // starting there may extend past safeEnd — those rows are present by
-    // the same bound — so run the matcher over the full buffer and emit
-    // only matches whose START is safe (identical rule to CepStream).
+    // rows whose matches can no longer grow, by either bound:
+    //  - time: ts + WITHIN < maxTs (identical rule to CepStream), or
+    //  - length: ≥ MaxRunRows rows already follow the start — the matcher
+    //    consumes consecutive rows and caps a run at MaxRunRows, so more
+    //    input cannot change the outcome at that start. Without the length
+    //    bound, a WITHIN wider than MaxRunRows rows pins the buffer at the
+    //    cap and the trim below would drop starts never examined.
+    // Matches starting in the safe prefix may extend past safeEnd — those
+    // rows are present by the same bounds — so run the matcher over the
+    // full buffer and emit only matches whose START is safe.
     val safeEnd =
       if (fin) sorted.length
-      else sorted.lastIndexWhere(m => tsOf(m) + mr.withinMs < maxTs) + 1
+      else math.max(
+        sorted.lastIndexWhere(m => tsOf(m) + mr.withinMs < maxTs) + 1,
+        sorted.length - Matcher.MaxRunRows)
     val out: Vector[Row] =
       if (safeEnd <= base) Vector.empty
       else {

@@ -91,21 +91,29 @@ object CepStream extends Serializable {
       val st = state.getOption.getOrElse(
         KeyState(Vector.empty, Vector.empty, 0L, Long.MinValue))
 
-      // drop late rows below the consumed horizon; append; bound the buffer.
-      // Context rows (already consumed, ts ≤ horizon) stay in front and are
+      // drop late rows below the consumed horizon; append. Context rows
+      // (already consumed, ts ≤ horizon) stay in front and are
       // PREV/NEXT-visible but never match starts (`startFrom`).
       val merged = (st.buffer ++ incoming.filter(m => tsOfRow(m) >= st.horizonMs))
-      val active = sortRows(merged).toVector.takeRight(Matcher.MaxRunRows)
+      val active = sortRows(merged).toVector
       val sorted = st.context ++ active
       val base = st.context.size
       val maxTs = if (active.isEmpty) Long.MinValue else tsOfRow(active.last)
 
-      // rows whose matches can no longer grow: ts + WITHIN < maxTs.
+      // rows whose matches can no longer grow, by either bound:
+      //  - time: ts + WITHIN < maxTs, or
+      //  - length: ≥ MaxRunRows rows already follow the start (runs are
+      //    capped, rows are consumed consecutively — more input cannot
+      //    change that start's outcome). The length bound also keeps the
+      //    carried state ≤ MaxRunRows without dropping unexamined starts
+      //    (a takeRight cap here would discard them silently).
       // Run the matcher over the FULL buffer (a match starting at a safe row
       // may extend into rows beyond safeEnd — those extension rows are
       // guaranteed present, since ext.ts ≤ ts(start)+WITHIN < maxTs), then
       // emit/consume only matches whose START falls in the safe prefix.
-      val safeEnd = sorted.lastIndexWhere(m => tsOfRow(m) + mr.withinMs < maxTs) + 1
+      val safeEnd = math.max(
+        sorted.lastIndexWhere(m => tsOfRow(m) + mr.withinMs < maxTs) + 1,
+        sorted.length - Matcher.MaxRunRows)
       if (safeEnd <= base) {
         state.update(st.copy(buffer = active))
         if (idleMs > 0) state.setTimeoutDuration(idleMs)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -42,6 +42,52 @@ object StatefulOps extends Serializable {
 
   private def rowToMap(names: Array[String], r: Row): Map[String, Any] =
     names.zipWithIndex.map { case (n, i) => n -> r.get(i) }.toMap
+
+  /** Secondary-sort batch runner (same shape as batch CEP,
+    * [[graft.cep.CepExec]]): repartition on the key columns, Spark's
+    * spillable external sort orders each partition by (keys, ord, tie),
+    * then each key's rows stream through a per-key processor — the
+    * operator holds only its own bounded state, never a whole key's rows,
+    * so a skewed key spills in the sort instead of materializing in one
+    * task's heap (the groupByKey.flatMapGroups formulation buffered and
+    * re-sorted the full key per task).
+    *
+    * `makeProc` returns (onRow, onKeyEnd) — fresh per key. */
+  private def perKeySortedBatch(
+      df: DataFrame, keyNames: List[String], ordName: String,
+      tieName: Option[String], outSchema: StructType)(
+      makeProc: () => (Map[String, Any] => Iterator[Row], () => Iterator[Row])): DataFrame = {
+    val schema = df.schema
+    val names = schema.fieldNames
+    val keyIdx = keyNames.map(schema.fieldIndex)
+    // no PARTITION BY → one global key: all rows to one sorted partition,
+    // the same degenerate shape groupByKey produced (flagged non-scalable)
+    val parts: Seq[Column] =
+      if (keyNames.isEmpty) Seq(lit(1)) else keyNames.map(col)
+    val sortCols: Seq[Column] =
+      keyNames.map(col(_).asc) ++ (col(ordName).asc +: tieName.map(col(_).asc).toSeq)
+    df.repartition(parts: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .mapPartitions { it =>
+        var curKey: String = null
+        var started = false
+        var onRow: Map[String, Any] => Iterator[Row] = null
+        var onEnd: () => Iterator[Row] = null
+        val body = it.flatMap { r =>
+          val key = keyIdx.map(i =>
+            if (r.isNullAt(i)) KEYNULL else String.valueOf(r.get(i))).mkString(KEYSEP)
+          val tail: Iterator[Row] =
+            if (!started || key != curKey) {
+              val t = if (started) onEnd() else Iterator.empty[Row]
+              curKey = key; started = true
+              val (f, g) = makeProc(); onRow = f; onEnd = g
+              t
+            } else Iterator.empty[Row]
+          tail ++ onRow(rowToMap(names, r))
+        }
+        body ++ (if (started) onEnd() else Iterator.empty[Row])
+      }(Encoders.row(outSchema))
+  }
 
   private def singleRowCtx(m: Map[String, Any]): RowEval.Ctx =
     RowEval.Ctx(IndexedSeq(m), IndexedSeq((0, "")), 0L, Some(0), Map.empty, Set.empty)
@@ -195,12 +241,20 @@ object StatefulOps extends Serializable {
       grouped.flatMapGroupsWithState(OutputMode.Append, timeout)(fn)(
         Encoders.kryo[CState], Encoders.row(outSchema))
     } else {
-      grouped.flatMapGroups { (_, it) =>
-        val rows = it.map(r => rowToMap(names, r)).toVector
-          .sortWith(ordLess(_, _, ordName, tieName))
+      perKeySortedBatch(df, keyNames, ordName, tieName, outSchema) { () =>
+        var buf = Vector.empty[Map[String, Any]]
         val states = scala.collection.mutable.Map[String, AnState]()
-        rows.grouped(n).filter(_.size == n).map(emit(_, states))
-      }(Encoders.row(outSchema))
+        val onRow = (m: Map[String, Any]) => {
+          buf :+= m
+          if (buf.size == n) {
+            val out = emit(buf, states); buf = Vector.empty
+            Iterator.single(out)
+          } else Iterator.empty[Row]
+        }
+        // trailing partial window is dropped (reference: counting windows
+        // fire only on full counts)
+        (onRow, () => Iterator.empty[Row])
+      }
     }
   }
 
@@ -289,11 +343,15 @@ object StatefulOps extends Serializable {
       grouped.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)(
         Encoders.kryo[GState], Encoders.row(outSchema))
     } else {
-      grouped.flatMapGroups { (_, it) =>
-        val rows = it.map(r => rowToMap(names, r)).toVector
-          .sortWith(ordLess(_, _, ordName, tieName))
-        process(None, rows)._1.iterator
-      }(Encoders.row(outSchema))
+      perKeySortedBatch(df, keyNames, ordName, tieName, outSchema) { () =>
+        var st: Option[GState] = None
+        val onRow = (m: Map[String, Any]) => {
+          val (out, st2) = process(st, Seq(m))
+          st = st2
+          out.iterator
+        }
+        (onRow, () => Iterator.empty[Row])
+      }
     }
   }
 

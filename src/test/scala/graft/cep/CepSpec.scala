@@ -186,6 +186,41 @@ class CepSpec extends AnyFunSuite {
     assert(agg.getLong(1) == 1000L) // match numbering stays continuous across flushes
   }
 
+  test("WITHIN wider than MaxRunRows: sparse matches still found, amortized flushes") {
+    // 200k rows one key, 1s apart, WITHIN '12h' spans 43200 rows — wider
+    // than MaxRunRows (10k), so time-based eviction stalls: the length
+    // bound must finalize starts and the flush cadence must stay amortized
+    // (a fill-based trigger re-ran the matcher on every offer here), and
+    // no match start may be trimmed unexamined.
+    import graft.sql._
+    val mr = Parser.parse(
+      "SELECT * FROM s MATCH_RECOGNIZE ( ORDER BY ts MEASURES COUNT(*) AS n " +
+        "ONE ROW PER MATCH PATTERN (A{3}) WITHIN '12h' DEFINE A AS v > 50 )")
+      .matchRecognize.get
+    def defineTest(sorted: IndexedSeq[Map[String, Any]])(
+        sym: String, pos: Int, acc: IndexedSeq[(Int, String)]): Boolean =
+      RowEval.truthy(RowEval.eval(mr.defines(sym),
+        RowEval.Ctx(sorted, acc :+ (pos, sym), 0L, Some(acc.length), Map.empty, Set("A"))))
+    val eng = new CepIncremental(mr, m => m("ts").asInstanceOf[Long], defineTest,
+      (sorted, m, mn) => Iterator.single(org.apache.spark.sql.Row(mn)))
+    var emitted = 0L
+    var maxBuf = 0
+    val t0 = System.nanoTime()
+    var i = 0L
+    while (i < 200000L) {
+      val v: Any = if (i % 1000 < 3) 60.0 else 10.0
+      emitted += eng.offer(Map("ts" -> i * 1000L, "v" -> v)).size
+      maxBuf = math.max(maxBuf, eng.bufferedRows)
+      i += 1
+    }
+    emitted += eng.finish().size
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(emitted == 200L, s"expected one A{3} match per 1000 rows, got $emitted")
+    assert(maxBuf <= Matcher.MaxRunRows + CepIncremental.FlushEvery +
+      CepIncremental.ContextRows, s"buffer grew to $maxBuf")
+    assert(sec < 60.0, s"200k rows took $sec s — flush cadence degraded")
+  }
+
   test("row-local DEFINE classification: fast path only when row-confined") {
     import graft.sql._
     val syms = Set("A", "B")
