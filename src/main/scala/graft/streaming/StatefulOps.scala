@@ -512,11 +512,11 @@ object StatefulOps extends Serializable {
       grouped.flatMapGroupsWithState(OutputMode.Append, timeout)(fn)(
         Encoders.kryo[Map[String, AnState]], Encoders.row(outSchema))
     } else {
-      grouped.flatMapGroups { (_, it) =>
-        val rows = it.map(r => rowToMap(names, r)).toVector
-          .sortWith(ordLess(_, _, ordName, tieName))
-        processRows(scala.collection.mutable.Map[String, AnState](), rows)
-      }(Encoders.row(outSchema))
+      perKeySortedBatch(df, partitionNames, ordName, tieName, outSchema) { () =>
+        val states = scala.collection.mutable.Map[String, AnState]()
+        ((m: Map[String, Any]) => processRows(states, Seq(m)),
+          () => Iterator.empty[Row])
+      }
     }
   }
 
@@ -754,10 +754,19 @@ object StatefulOps extends Serializable {
       grouped.flatMapGroupsWithState(OutputMode.Append, timeout)(fn)(
         Encoders.kryo[SessState], Encoders.row(outSchema))
     } else {
-      grouped.flatMapGroups { (_, it) =>
-        val rows = it.map(r => rowToMap(names, r)).toVector
-        process(None, rows, closeAll = true)._1.iterator
-      }(Encoders.row(outSchema))
+      // sorted input closes sessions incrementally in the same order the
+      // whole-key pass would (disjoint sessions close in s0 order; a
+      // closed session can never receive a later sorted row), so per-key
+      // heap holds only the open sessions, not the key's full history
+      perKeySortedBatch(df, keyNames, ordName, tieName, outSchema) { () =>
+        var st: Option[SessState] = None
+        val onRow = (m: Map[String, Any]) => {
+          val (out, st2) = process(st, Vector(m), closeAll = false)
+          st = Some(st2)
+          out.iterator
+        }
+        (onRow, () => process(st, Vector.empty, closeAll = true)._1.iterator)
+      }
     }
   }
 
@@ -916,10 +925,18 @@ object StatefulOps extends Serializable {
       grouped.flatMapGroupsWithState(OutputMode.Append, timeout)(fn)(
         Encoders.kryo[TwState], Encoders.row(outSchema))
     } else {
-      grouped.flatMapGroups { (_, it) =>
-        val rows = it.map(r => rowToMap(names, r)).toVector
-        process(None, rows, closeAll = true)._1.iterator
-      }(Encoders.row(outSchema))
+      // same incremental argument as sessionWindowAnalytics: sorted input
+      // finalizes windows in start order, a closed window can never
+      // receive a later sorted row — per-key heap = open windows only
+      perKeySortedBatch(df, keyNames, ordName, tieName, outSchema) { () =>
+        var st: Option[TwState] = None
+        val onRow = (m: Map[String, Any]) => {
+          val (out, st2) = process(st, Vector(m), closeAll = false)
+          st = Some(st2)
+          out.iterator
+        }
+        (onRow, () => process(st, Vector.empty, closeAll = true)._1.iterator)
+      }
     }
   }
 }
