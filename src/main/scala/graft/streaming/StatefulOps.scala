@@ -14,12 +14,15 @@ import graft.cep.RowEval
   * fire-and-purge), and streaming analytics
   * (reference: stream/analytic.go).
   *
-  * Both execution modes share the per-key logic: batch runs it via
-  * `flatMapGroups` over fully-materialized keys; streaming via
-  * `flatMapGroupsWithState` with the same state carried across
-  * micro-batches. Keys distribute across executors — per-key state is
-  * bounded (buffer ≤ window size; global windows O(1)), so the operator
-  * scales with the number of keys, exactly like the state-store model.
+  * Both execution modes share the per-key logic: batch runs it via the
+  * secondary-sort formulation ([[perKeySortedBatch]] — repartition on
+  * keys, spillable external sort, incremental per-key processing, the
+  * same shape as batch CEP); streaming via `flatMapGroupsWithState` with
+  * the same state carried across micro-batches. Keys distribute across
+  * executors — per-key state is bounded (buffer ≤ window size / open
+  * windows only; global windows O(1)), so the operator scales with the
+  * number of keys, and a skewed key spills in the sort instead of
+  * materializing its history in one task's heap.
   */
 object StatefulOps extends Serializable {
 
