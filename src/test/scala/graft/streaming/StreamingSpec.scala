@@ -511,6 +511,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(_.getDouble(1)).forall(_ == 3.0))
   }
 
+  test("analytics hold 100k independent key partitions under RocksDB (baseline capacity)") {
+    // the reference's published capacity figure: 100k+ device partitions
+    // in 128 MB (README.md:21,187). Functional parity at the full count:
+    // every key keeps its own lag chain across micro-batches, state lives
+    // in the RocksDB store
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    graft.api.StreamSql(spark).useRocksDBStateStore()
+    try {
+      val n = 100000
+      val rows = (0 until n).map(k => Ev(s"dev$k", k.toDouble, 1000L + k, "a")) ++
+        (0 until n).map(k => Ev(s"dev$k", k + 0.5, 200000L + k, "a"))
+      val out = runStream(
+        "SELECT deviceId, temperature, lag(temperature) " +
+          "OVER (PARTITION BY deviceId) AS prev FROM stream " +
+          "WITH (TIMESTAMP='ts', TIMEUNIT='ms')",
+        rows, batches = 2)
+      assert(out.count() == 2L * n)
+      // second round sees the first round's value per key — 100k live chains
+      val hits = out.filter("prev IS NOT NULL AND prev = temperature - 0.5").count()
+      assert(hits == n, s"expected $n cross-batch lag hits, got $hits")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("IDLETIMEOUT flush retains cross-window analytic state") {
     // idle flush closes open windows but is NOT a reap: the acc_sum chain
     // must continue across the idle gap (STATETTL is the reap opt-in)
