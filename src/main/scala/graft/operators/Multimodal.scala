@@ -42,6 +42,49 @@ object Multimodal {
     else (math.max(1, math.round(w.toDouble * maxSide / h).toInt), maxSide)
   }
 
+  /** Image format + dimensions from header bytes alone — REAL decoding (no
+    * codec library involved): PNG IHDR, JPEG SOFn marker scan, GIF logical
+    * screen descriptor, BMP info header. Dimension probing is the genuine
+    * first step of an image-curation pipeline — size/aspect filters run on
+    * headers so the corpus never pays a full pixel decode for rejects.
+    * Returns (format, width, height); None when the payload is not a
+    * recognizable image. */
+  def probeImage(b: Array[Byte]): Option[(String, Int, Int)] = {
+    @inline def u8(i: Int): Int = b(i) & 0xff
+    @inline def be32(i: Int): Int =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    @inline def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    @inline def le32(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    if (b.length >= 24 && be32(0) == 0x89504e47 && be32(4) == 0x0d0a1a0a)
+      Some(("png", be32(16), be32(20)))
+    else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      Some(("gif", le16(6), le16(8)))
+    else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+      Some(("bmp", le32(18), math.abs(le32(22)))) // negative height = top-down
+    else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // JPEG: walk marker segments to the first SOFn frame header
+      var i = 2
+      while (i + 9 < b.length) {
+        if (u8(i) != 0xff) return None // desynced — not a well-formed stream
+        val marker = u8(i + 1)
+        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
+          i += 2 // standalone markers carry no length
+        } else if ((marker >= 0xc0 && marker <= 0xcf) &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          return Some(("jpeg", be16(i + 7), be16(i + 5)))
+        } else {
+          val len = be16(i + 2)
+          if (len < 2) return None
+          i += 2 + len
+        }
+      }
+      None
+    } else None
+  }
+
   /** STUB decode: deterministic 8-dim "feature vector" derived from content
     * bytes. A real implementation would decode pixels/samples here; the
     * batch shape (Iterator per partition → amortized decoder init) is what a
@@ -76,7 +119,14 @@ object Multimodal {
     media.mapPartitions { rows =>
       // real impl: init decoder/codec once per partition here
       rows.map { r =>
-        val (rw, rh) = fitBox(r.width, r.height, resizeMaxSide)
+        // header-probed dimensions win over declared metadata when the
+        // payload carries a recognizable image header (probeImage is real
+        // byte inspection, not part of the decode stub)
+        val (w, h) = probeImage(r.bytes) match {
+          case Some((_, pw, ph)) if r.kind == "image" => (pw, ph)
+          case _ => (r.width, r.height)
+        }
+        val (rw, rh) = fitBox(w, h, resizeMaxSide)
         MediaFeatures(
           media_id = r.media_id,
           kind = r.kind,

@@ -276,6 +276,45 @@ class OperatorsSpec extends AnyFunSuite {
     g.unpersist()
   }
 
+  test("image header probe reads real PNG/GIF/BMP/JPEG dimensions") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val b = new Array[Byte](26)
+      val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      sig.zipWithIndex.foreach { case (v, i) => b(i) = v.toByte }
+      // length(4) + "IHDR"
+      b(11) = 13; b(12) = 'I'; b(13) = 'H'; b(14) = 'D'; b(15) = 'R'
+      for (i <- 0 until 4) { b(16 + i) = (w >>> (24 - 8 * i)).toByte
+                             b(20 + i) = (h >>> (24 - 8 * i)).toByte }
+      b
+    }
+    def gif(w: Int, h: Int): Array[Byte] =
+      "GIF89a".getBytes ++ Array((w & 0xff).toByte, (w >> 8).toByte,
+        (h & 0xff).toByte, (h >> 8).toByte)
+    def bmp(w: Int, h: Int): Array[Byte] = {
+      val b = new Array[Byte](26); b(0) = 'B'; b(1) = 'M'
+      for (i <- 0 until 4) { b(18 + i) = (w >>> (8 * i)).toByte
+                             b(22 + i) = (h >>> (8 * i)).toByte }
+      b
+    }
+    def jpeg(w: Int, h: Int): Array[Byte] =
+      Array(0xff, 0xd8,                        // SOI
+        0xff, 0xe0, 0x00, 0x04, 0x00, 0x00,    // APP0, len 4
+        0xff, 0xc0, 0x00, 0x11, 0x08,          // SOF0, len 17, precision
+        (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff,
+        0x03).map(_.toByte)
+    assert(Multimodal.probeImage(png(640, 480)).contains(("png", 640, 480)))
+    assert(Multimodal.probeImage(gif(320, 200)).contains(("gif", 320, 200)))
+    assert(Multimodal.probeImage(bmp(800, 600)).contains(("bmp", 800, 600)))
+    assert(Multimodal.probeImage(jpeg(1024, 768)).contains(("jpeg", 1024, 768)))
+    assert(Multimodal.probeImage("not an image".getBytes).isEmpty)
+    assert(Multimodal.probeImage(Array[Byte]()).isEmpty)
+    // probed dims flow into the resize arithmetic (fitBox 224)
+    val media = Seq(Multimodal.MediaRow(1L, "image", png(448, 224), 0, 0, "png"))
+    import spark.implicits._
+    val f = Multimodal.extractFeatures(media.toDS()).collect().head
+    assert(f.resized_w == 224 && f.resized_h == 112)
+  }
+
   test("multimodal feature extraction is deterministic and typed") {
     val f1 = Multimodal.featureTable(spark, docs).orderBy("media_id").collect()
     val f2 = Multimodal.featureTable(spark, docs).orderBy("media_id").collect()
