@@ -85,6 +85,34 @@ object Multimodal {
     } else None
   }
 
+  /** Audio header probe, the WAV twin of [[probeImage]] — RIFF/WAVE fmt
+    * chunk: (channels, sampleRate, durationMs estimated from the data
+    * chunk). Pure byte inspection; duration-based curation filters run
+    * without decoding samples. */
+  def probeWav(b: Array[Byte]): Option[(Int, Int, Long)] = {
+    @inline def u8(i: Int): Int = b(i) & 0xff
+    @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    @inline def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)).toLong & 0xffffffffL
+    if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+    var i = 12
+    var fmt: Option[(Int, Int, Long)] = None // channels, rate, byteRate
+    var dataLen = -1L
+    while (i + 8 <= b.length && (fmt.isEmpty || dataLen < 0)) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val len = le32(i + 4)
+      if (id == "fmt " && i + 8 + 16 <= b.length)
+        fmt = Some((le16(i + 10), le32(i + 12).toInt, le32(i + 16)))
+      else if (id == "data") dataLen = len
+      i += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+    }
+    fmt.map { case (ch, rate, byteRate) =>
+      val ms = if (dataLen >= 0 && byteRate > 0) dataLen * 1000L / byteRate else -1L
+      (ch, rate, ms)
+    }
+  }
+
   /** STUB decode: deterministic 8-dim "feature vector" derived from content
     * bytes. A real implementation would decode pixels/samples here; the
     * batch shape (Iterator per partition → amortized decoder init) is what a

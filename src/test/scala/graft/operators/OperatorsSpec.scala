@@ -313,6 +313,21 @@ class OperatorsSpec extends AnyFunSuite {
     import spark.implicits._
     val f = Multimodal.extractFeatures(media.toDS()).collect().head
     assert(f.resized_w == 224 && f.resized_h == 112)
+    // WAV probe: 2ch 44100Hz 16-bit, 1s of data
+    def wav(ch: Int, rate: Int, dataLen: Int): Array[Byte] = {
+      val byteRate = rate * ch * 2
+      val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes); b.putInt(36 + dataLen); b.put("WAVE".getBytes)
+      b.put("fmt ".getBytes); b.putInt(16); b.putShort(1)
+      b.putShort(ch.toShort); b.putInt(rate); b.putInt(byteRate)
+      b.putShort((ch * 2).toShort); b.putShort(16)
+      b.put("data".getBytes); b.putInt(dataLen)
+      b.array()
+    }
+    assert(Multimodal.probeWav(wav(2, 44100, 44100 * 4))
+      .contains((2, 44100, 1000L)))
+    assert(Multimodal.probeWav("RIFFxxxx not wave".getBytes).isEmpty)
   }
 
   test("multimodal feature extraction is deterministic and typed") {
