@@ -87,6 +87,35 @@ class TextKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("repetitionStats kernel matches a naive reimplementation on edges and random text") {
+    def naive(text: String): (Int, Int, Int, Int, Int, Int, Int, Int, Int) = {
+      val words = text.split("\\s+").filter(_.nonEmpty).map(_.toLowerCase).toSeq
+      def grams(n: Int): Seq[String] =
+        if (words.size < n) Nil else words.sliding(n).map(_.mkString(" ")).toSeq
+      val (bg, tg) = (grams(2), grams(3))
+      val lines = if (text.isEmpty) Nil else text.split("\n", -1).toSeq
+      (words.size, words.distinct.size,
+        if (words.isEmpty) 0 else words.groupBy(identity).values.map(_.size).max,
+        bg.size, bg.distinct.size, tg.size, tg.distinct.size,
+        lines.size, lines.distinct.size)
+    }
+    val rnd = new scala.util.Random(42)
+    val vocab = Seq("the", "fox", "a", "b", "run", "中文")
+    val random = (0 until 200).map { _ =>
+      (0 until rnd.nextInt(30)).map { _ =>
+        if (rnd.nextInt(5) == 0) "\n" else vocab(rnd.nextInt(vocab.size)) + " "
+      }.mkString
+    }
+    (edgeCases ++ random).foreach { text =>
+      val r = Seq(text).toDF("t")
+        .select(TextKernels.repetitionStatsCol(org.apache.spark.sql.functions.col("t")))
+        .head().getStruct(0)
+      val got = (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getInt(5), r.getInt(6), r.getInt(7), r.getInt(8))
+      assert(got == naive(text), s"text=${text.take(60).replace("\n", "\\n")}")
+    }
+  }
+
   test("winnow fingerprints on degenerate inputs") {
     val out = Seq("", "short", "exactly8", "a bit longer text")
       .toDF("text")
