@@ -1080,7 +1080,8 @@ object SparkEntry {
       // Gopher rule-set flags + keep conjunction
       (s, dir) => operators.TextOps.gopherFlags(Tables.load(s, dir)("documents"))
         .select("doc_id", "flag_word_count", "flag_mean_word_len",
-          "flag_symbol_ratio", "flag_stopwords", "flag_repetition", "gopher_keep"),
+          "flag_symbol_ratio", "flag_bullet_ratio", "flag_stopwords",
+          "flag_repetition", "gopher_keep"),
       Some("""
         WITH n AS (
           SELECT doc_id, text, length(trim(text)) = 0 AS empty,
@@ -1099,6 +1100,8 @@ object SparkEntry {
             words BETWEEN 50 AND 100000 AS flag_word_count,
             (CASE WHEN words = 0 THEN 0 ELSE nws::DOUBLE / words END) BETWEEN 3.0 AND 10.0 AS flag_mean_word_len,
             (CASE WHEN words = 0 THEN 1.0 ELSE nsym::DOUBLE / words END) < 0.1 AS flag_symbol_ratio,
+            (len(regexp_extract_all(text, '(?m)^[-*•]'))::DOUBLE
+              / len(string_split(text, chr(10)))) < 0.9 AS flag_bullet_ratio,
             nstop >= 2 AS flag_stopwords,
             (CASE WHEN empty THEN 0 ELSE 1 - len(list_distinct(w))::DOUBLE / len(w) END) < 0.9 AND
             (CASE WHEN empty OR len(tg) = 0 THEN 0 ELSE 1 - len(list_distinct(tg))::DOUBLE / len(tg) END) < 0.9 AND
@@ -1106,7 +1109,7 @@ object SparkEntry {
           FROM g
         )
         SELECT *, flag_word_count AND flag_mean_word_len AND flag_symbol_ratio
-          AND flag_stopwords AND flag_repetition AS gopher_keep
+          AND flag_bullet_ratio AND flag_stopwords AND flag_repetition AS gopher_keep
         FROM f""".stripMargin.trim)),
 
     Q("q_redact",

@@ -67,18 +67,24 @@ object Multimodal {
     else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
       // JPEG: walk marker segments to the first SOFn frame header
       var i = 2
-      while (i + 9 < b.length) {
+      while (i + 1 < b.length) {
         if (u8(i) != 0xff) return None // desynced — not a well-formed stream
-        val marker = u8(i + 1)
+        // consecutive 0xFF bytes are legal fill/padding between segments
+        var j = i + 1
+        while (j < b.length && u8(j) == 0xff) j += 1
+        if (j >= b.length) return None
+        val marker = u8(j)
+        if (marker == 0xd9 || marker == 0xda) return None // EOI / SOS: no SOFn seen
         if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
-          i += 2 // standalone markers carry no length
+          i = j + 1 // standalone markers carry no length
         } else if ((marker >= 0xc0 && marker <= 0xcf) &&
             marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
-          return Some(("jpeg", be16(i + 7), be16(i + 5)))
+          return if (j + 8 < b.length) Some(("jpeg", be16(j + 6), be16(j + 4))) else None
         } else {
-          val len = be16(i + 2)
+          if (j + 2 >= b.length) return None
+          val len = be16(j + 1)
           if (len < 2) return None
-          i += 2 + len
+          i = j + 1 + len
         }
       }
       None
@@ -105,7 +111,12 @@ object Multimodal {
       if (id == "fmt " && i + 8 + 16 <= b.length)
         fmt = Some((le16(i + 10), le32(i + 12).toInt, le32(i + 16)))
       else if (id == "data") dataLen = len
-      i += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+      // word-aligned advance; a declared length past the buffer end (common
+      // for truncated/streamed files, or corrupt) stops the walk — the
+      // unvalidated advance could otherwise cycle on crafted lengths
+      val adv = len + (len & 1L)
+      if (adv > b.length.toLong - i - 8) i = b.length
+      else i += 8 + adv.toInt
     }
     fmt.map { case (ch, rate, byteRate) =>
       val ms = if (dataLen >= 0 && byteRate > 0) dataLen * 1000L / byteRate else -1L

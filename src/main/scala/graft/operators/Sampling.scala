@@ -81,7 +81,7 @@ object Sampling {
       .withColumn("__rate",
         round(pow(col("__cnt").cast("double") / min("__cnt").over(w), tau - 1), 6))
       .select(col("__g"), col("__rate"))
-    df.join(broadcast(rates), group === col("__g"))
+    df.join(broadcast(rates), group <=> col("__g")) // null-safe: a NULL group is its own group
       .filter(hashBucket(key) < floor(col("__rate") * 10000))
       .withColumn("mix_rate", col("__rate"))
       .drop("__g", "__rate")

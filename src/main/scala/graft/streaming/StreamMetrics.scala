@@ -71,7 +71,12 @@ final class StreamMetrics private (spark: SparkSession) {
     totals.asScala.toMap
   }
 
-  def close(): Unit = spark.streams.removeListener(listener)
+  def close(): Unit = {
+    spark.streams.removeListener(listener)
+    // drop the cache entry too — otherwise a later StreamMetrics(spark)
+    // returns this dead instance (listener removed, never accumulates again)
+    StreamMetrics.perSession.remove(spark, this)
+  }
 }
 
 object StreamMetrics {
