@@ -1100,7 +1100,7 @@ object SparkEntry {
             words BETWEEN 50 AND 100000 AS flag_word_count,
             (CASE WHEN words = 0 THEN 0 ELSE nws::DOUBLE / words END) BETWEEN 3.0 AND 10.0 AS flag_mean_word_len,
             (CASE WHEN words = 0 THEN 1.0 ELSE nsym::DOUBLE / words END) < 0.1 AS flag_symbol_ratio,
-            (len(regexp_extract_all(text, '(?m)^[-*•]'))::DOUBLE
+            (len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '^[-*•]')))::DOUBLE
               / len(string_split(text, chr(10)))) < 0.9 AS flag_bullet_ratio,
             nstop >= 2 AS flag_stopwords,
             (CASE WHEN empty THEN 0 ELSE 1 - len(list_distinct(w))::DOUBLE / len(w) END) < 0.9 AND
@@ -1155,7 +1155,7 @@ object SparkEntry {
         WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
         r AS (SELECT source, round(pow(cnt::DOUBLE / (SELECT min(cnt) FROM c), -0.5), 6) AS mix_rate FROM c)
         SELECT d.doc_id, d.source, r.mix_rate
-        FROM documents d JOIN r USING (source)
+        FROM documents d JOIN r ON d.source IS NOT DISTINCT FROM r.source
         WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 10000 < floor(r.mix_rate * 10000)""".stripMargin.trim)),
 
     Q("q_pack_sequences",
@@ -1423,6 +1423,26 @@ object SparkEntry {
         "CAST(strlen(text) AS INTEGER) AS byte_len, sha256(text) AS sha, " +
         "CAST(CASE WHEN doc_id % 3 = 2 THEN " +
         "floor((greatest(1, floor(strlen(text) / 4096)) + 9) / 10) ELSE 1 END AS INTEGER) AS frames_sampled " +
+        "FROM documents")),
+
+    Q("q_multimodal_audio",
+      // audio twin of the image-dimension path: real RIFF/WAVE headers
+      // (synthetic but bit-genuine), probeWav wired through
+      // extractFeatures → header-only duration/channel/rate filters
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        operators.Multimodal
+          .extractFeatures(operators.Multimodal
+            .syntheticWavMedia(s, Tables.load(s, dir)("documents")))
+          .toDF()
+          .select(col("media_id"), col("channels"), col("sample_rate"),
+            col("duration_ms"), col("byte_len"))
+      },
+      Some("SELECT doc_id AS media_id, " +
+        "CAST(1 + doc_id % 2 AS INTEGER) AS channels, " +
+        "CAST(8000 * (1 + doc_id % 4) AS INTEGER) AS sample_rate, " +
+        "CAST((strlen(text) * 1000) // (8000 * (1 + doc_id % 4) * (1 + doc_id % 2) * 2) AS BIGINT) AS duration_ms, " +
+        "CAST(strlen(text) + 44 AS INTEGER) AS byte_len " +
         "FROM documents")),
 
     // --- conversion / encode / regexp (§2.8) ------------------------------

@@ -19,7 +19,12 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   /** Returns the curated documents: filtered rows (original columns plus
-    * the analysis columns) minus every non-canonical near-dup. */
+    * the analysis columns) minus every non-canonical near-dup.
+    *
+    * `ccMaxIter`/`ccLocalThreshold` reach [[Dedup.connectedComponents]]
+    * through [[Dedup.keepCanonical]]: `ccLocalThreshold = 0` forces the
+    * distributed label-propagation path (the 100 TB setting — never
+    * collect the pair graph on the driver). */
   def curate(
       docs: DataFrame,
       langs: Seq[String] = Seq("en"),
@@ -28,7 +33,9 @@ object Curation {
       maxTokens: Int = 100000,
       jaccardThreshold: Double = 0.7,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      ccMaxIter: Int = 20,
+      ccLocalThreshold: Long = 1000000L): DataFrame = {
     val filtered = TextOps.analyze(docs, textCol)
       .filter(col("lang_pred").isin(langs: _*) &&
         col("quality") >= minQuality &&
@@ -37,7 +44,8 @@ object Curation {
 
     val pairs = Dedup.minHashPairs(filtered, textCol, idCol,
       threshold = jaccardThreshold)
-    val kept = Dedup.keepCanonical(filtered, pairs, idCol)
+    val kept = Dedup.keepCanonical(filtered, pairs, idCol,
+      maxIter = ccMaxIter, localThreshold = ccLocalThreshold)
     pairs.unpersist(false)
     filtered.unpersist(false) // final plan re-derives the (one-scan) filter
     kept

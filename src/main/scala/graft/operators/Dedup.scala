@@ -203,14 +203,21 @@ object Dedup {
   /** Canonical keep/drop: drop every doc whose component label is not its
     * own id (the min-id member of each near-dup cluster survives; docs in
     * no pair are untouched). The anti-join is an equi-join on the id — at
-    * corpus scale it shuffles once on the id, no broadcast needed. */
+    * corpus scale it shuffles once on the id, no broadcast needed.
+    *
+    * `maxIter`/`localThreshold` pass through to [[connectedComponents]] so
+    * a pipeline caller can force the distributed propagation path
+    * (`localThreshold = 0`) or bound adversarial chain graphs without
+    * bypassing this API. */
   def keepCanonical(
       docs: DataFrame,
       pairs: DataFrame,
       idCol: String = "doc_id",
       aCol: String = "doc_a",
-      bCol: String = "doc_b"): DataFrame = {
-    val cc = connectedComponents(pairs, aCol, bCol)
+      bCol: String = "doc_b",
+      maxIter: Int = 20,
+      localThreshold: Long = 1000000L): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol, maxIter, localThreshold)
     // materialize the (small) drop set, then release the label cache —
     // the anti-join must not recompute the whole propagation
     val drop = materializeAndRelease(

@@ -31,7 +31,12 @@ object Multimodal {
       features: Array[Float],
       frames_sampled: Int,
       resized_w: Int,
-      resized_h: Int)
+      resized_h: Int,
+      // audio header metadata (probeWav — real byte inspection); None for
+      // non-audio rows and unrecognizable payloads
+      channels: Option[Int],
+      sample_rate: Option[Int],
+      duration_ms: Option[Long])
 
   /** Resize stub: target box fit preserving aspect ratio — the metadata
     * arithmetic is real; a codec-backed version would also rescale pixels. */
@@ -79,7 +84,9 @@ object Multimodal {
           i = j + 1 // standalone markers carry no length
         } else if ((marker >= 0xc0 && marker <= 0xcf) &&
             marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
-          return if (j + 8 < b.length) Some(("jpeg", be16(j + 6), be16(j + 4))) else None
+          // be16(j+6) reads through j+7, so j+8 <= length accepts a header
+          // truncated right after the width field
+          return if (j + 8 <= b.length) Some(("jpeg", be16(j + 6), be16(j + 4))) else None
         } else {
           if (j + 2 >= b.length) return None
           val len = be16(j + 1)
@@ -166,6 +173,9 @@ object Multimodal {
           case _ => (r.width, r.height)
         }
         val (rw, rh) = fitBox(w, h, resizeMaxSide)
+        // audio twin of the image probe: header-only channels/rate/duration
+        // so duration filters run without ever decoding samples
+        val wav = if (r.kind == "audio") probeWav(r.bytes) else None
         MediaFeatures(
           media_id = r.media_id,
           kind = r.kind,
@@ -176,7 +186,10 @@ object Multimodal {
           frames_sampled =
             if (r.kind == "video") sampleFrames(r.bytes, frameSize, everyNth) else 1,
           resized_w = rw,
-          resized_h = rh)
+          resized_h = rh,
+          channels = wav.map(_._1),
+          sample_rate = wav.map(_._2),
+          duration_ms = wav.collect { case (_, _, ms) if ms >= 0 => ms })
       }
     }
   }
@@ -192,6 +205,30 @@ object Multimodal {
       }
       MediaRow(id, kind, bytes, width = 64 + (id % 64).toInt,
         height = 64, format = if (kind == "image") "png" else "raw")
+    }
+  }
+
+  /** Deterministic WAV media from the documents fixture: each doc becomes a
+    * real RIFF/WAVE payload (44-byte canonical header + text bytes as PCM
+    * data) with channels = 1 + id%2 and sampleRate = 8000·(1 + id%4) — so
+    * [[probeWav]] runs against genuine headers and an external oracle can
+    * recompute channels/rate/duration from (doc_id, byte length) alone. */
+  def syntheticWavMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val data = text.getBytes("UTF-8")
+      val ch = 1 + (id % 2).toInt
+      val rate = 8000 * (1 + (id % 4).toInt)
+      val byteRate = rate * ch * 2
+      val b = java.nio.ByteBuffer.allocate(44 + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")); b.putInt(36 + data.length)
+      b.put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")); b.putInt(16); b.putShort(1) // PCM
+      b.putShort(ch.toShort); b.putInt(rate); b.putInt(byteRate)
+      b.putShort((ch * 2).toShort); b.putShort(16)
+      b.put("data".getBytes("US-ASCII")); b.putInt(data.length); b.put(data)
+      MediaRow(id, "audio", b.array(), width = 0, height = 0, format = "wav")
     }
   }
 

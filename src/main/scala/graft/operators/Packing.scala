@@ -23,14 +23,26 @@ object Packing {
 
   /** Returns the input plus `pack_bucket`, `seq_id` (globally unique:
     * bucket * 2^40 + index-within-bucket), `seq_offset` (token offset of
-    * the document's start inside its sequence) and `token_count`. */
+    * the document's start inside its sequence) and `token_count`.
+    *
+    * Sizing rule for `buckets`: parallelism equals `buckets` (each bucket
+    * is one window-sort task), while cross-bucket packing waste is bounded
+    * by < one sequence (`budget` tokens) per bucket — so choose the
+    * largest `buckets` for which `buckets · budget` is still negligible
+    * against total corpus tokens. At 100 TB (~25T tokens) even 10⁵ buckets
+    * with a 4k budget wastes < 4·10⁸ tokens (1.6·10⁻⁵ of the corpus); the
+    * binding constraint is task granularity, not waste. The default 4096
+    * keeps ~25 GB of text per task at 100 TB; raise it proportionally for
+    * larger corpora, lower it only below ~10⁸ tokens where per-bucket
+    * waste starts to matter. */
   def packSequences(
       docs: DataFrame,
       budget: Int,
       textCol: String = "text",
       idCol: String = "doc_id",
-      buckets: Int = 256): DataFrame = {
+      buckets: Int = 4096): DataFrame = {
     require(budget > 0, "token budget must be positive")
+    require(buckets > 0 && buckets <= (1 << 23), "buckets must fit the 2^40 seq_id split")
     val bucket = pmod(TextOps.portableHash60(col(idCol).cast("string")), lit(buckets))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("pack_bucket")).orderBy(col(idCol))

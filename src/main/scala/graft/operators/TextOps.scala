@@ -215,9 +215,14 @@ object TextOps {
     val symbolRatio = when(words === 0, lit(1.0))
       .otherwise((regexp_count(t, lit("#")) +
         regexp_count(t, lit("\\.\\.\\."))).cast("double") / words)
-    val bulletRatio = when(size(split(t, "\n")) === 0, lit(0.0))
-      .otherwise(regexp_count(t, lit("(?m)^[-*•]")).cast("double") /
-        size(split(t, "\n")))
+    // numerator and denominator share ONE line definition (split on \n):
+    // a (?m)^ regex over the raw text would additionally anchor after \r
+    // and Unicode line separators in Java but not in RE2-family engines,
+    // so lone-\r docs would over-count bullets vs the denominator
+    val lines = split(t, "\n")
+    val bulletRatio = when(size(lines) === 0, lit(0.0))
+      .otherwise(size(filter(lines, l => l.rlike("^[-*•]"))).cast("double") /
+        size(lines))
     val flags = d
       .withColumn("flag_word_count", words.between(minWords, maxWords))
       .withColumn("flag_mean_word_len", mwl.between(3.0, 10.0))

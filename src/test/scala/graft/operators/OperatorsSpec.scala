@@ -118,6 +118,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 10L, 20L, 99L))
   }
 
+  test("curate with forced-distributed CC (ccLocalThreshold=0) matches the driver path") {
+    // same corpus, same parameters — only the connected-components
+    // execution path differs; the kept id set must be identical
+    val base = Curation.curate(docs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val dist = Curation.curate(docs, ccLocalThreshold = 0L).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(base == dist)
+    assert(base.nonEmpty, "curation should keep at least one fixture doc")
+    // keepCanonical plumbs the same params
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val ids = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
+    val kept = Dedup.keepCanonical(ids, pairs, localThreshold = 0L)
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 9L))
+  }
+
   test("simhash of identical normalized text matches; distance monotone") {
     val sigs = spark.createDataFrame(Seq(
       (1L, "The quick brown fox jumps"),
@@ -328,6 +345,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.probeWav(wav(2, 44100, 44100 * 4))
       .contains((2, 44100, 1000L)))
     assert(Multimodal.probeWav("RIFFxxxx not wave".getBytes).isEmpty)
+  }
+
+  test("probeWav metadata flows into extractFeatures for audio rows") {
+    val media = Multimodal.syntheticWavMedia(spark, docs.filter(col("doc_id") < 8))
+    val f = Multimodal.extractFeatures(media).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(f.nonEmpty)
+    f.foreach { case (id, r) =>
+      assert(r.channels.contains(1 + (id % 2).toInt))
+      assert(r.sample_rate.contains(8000 * (1 + (id % 4).toInt)))
+      val dataLen = r.byte_len - 44
+      val byteRate = r.sample_rate.get * r.channels.get * 2
+      assert(r.duration_ms.contains(dataLen * 1000L / byteRate))
+    }
+    // non-audio payloads (plain text bytes) carry no audio metadata
+    val plain = Multimodal.extractFeatures(
+      Multimodal.syntheticMedia(spark, docs.filter(col("doc_id") < 8))).collect()
+    assert(plain.forall(r => r.channels.isEmpty && r.sample_rate.isEmpty
+      && r.duration_ms.isEmpty))
   }
 
   test("multimodal feature extraction is deterministic and typed") {
