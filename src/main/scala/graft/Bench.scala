@@ -104,6 +104,27 @@ object Bench {
         try timed(qmap(name)(spark, sfDir)) catch { case _: Throwable => -1.0 }
     }
 
+    // ANN quality gate: recall@10 of the approximate paths vs brute-force
+    // topK at tuned defaults on the sf embeddings (uniform random vectors —
+    // the worst case; clustered real embeddings land higher)
+    val annRecall = scala.collection.mutable.LinkedHashMap[String, Double]()
+    if (benchOnly.isEmpty) try {
+      import org.apache.spark.sql.functions.col
+      val emb = tables0("embeddings").cache()
+      val queries = emb.filter(col("vec_id") < 50).withColumnRenamed("vec_id", "query_id")
+      def pairs(df: DataFrame): Set[(Long, Long)] =
+        df.select("query_id", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = pairs(operators.Similarity.topK(emb, queries, k = 10))
+      def recall(df: DataFrame): Double =
+        (exact & pairs(df)).size.toDouble / exact.size
+      annRecall("bucketed_recall_at_10") =
+        recall(operators.Similarity.topKBucketed(emb, queries, k = 10))
+      annRecall("ivf_recall_at_10") =
+        recall(operators.Similarity.topKIvf(emb, queries, k = 10))
+      emb.unpersist()
+    } catch { case _: Throwable => () }
+
     // micro-batch latency for the rule shapes (BASELINE.md comparability
     // note: the reference reports per-row push latency of an embedded
     // engine; the Spark-comparable figure is per-micro-batch latency)
@@ -167,8 +188,10 @@ object Bench {
     // buffer blowups) that a single sf0.1-sized run can't see. ~Linear
     // scaling (ratio ≈ 10) is the pass condition.
     val scaleSmoke = scala.collection.mutable.LinkedHashMap[String, Double]()
-    if (benchOnly.isEmpty &&
-        sys.env.getOrElse("SPARK_GRAFT_SCALE_SMOKE", "1") == "1") {
+    // SPARK_GRAFT_SCALE_SMOKE=force runs the smoke block even under a
+    // BENCH_ONLY subset (local iteration on the smoke entries themselves)
+    val smokeFlag = sys.env.getOrElse("SPARK_GRAFT_SCALE_SMOKE", "1")
+    if ((benchOnly.isEmpty && smokeFlag == "1") || smokeFlag == "force") {
       val big10 = tables0("events")
         .crossJoin(spark.range(10L * replicate)
           .select(org.apache.spark.sql.functions.col("id").as("__rep")))
@@ -196,6 +219,58 @@ object Bench {
         } catch { case _: Throwable => scaleSmoke(s"${name}_2m_sec") = -1.0 }
       }
       big10.unpersist()
+
+      // ---- LLM-pipeline 100 TB proof points: force-distributed connected
+      // components, full curation, and sequence packing at 20M rows. One
+      // timed pass each (cold) — these entries exist to expose super-linear
+      // blowups via the 2M/20M ratio (≈10 = linear), not to be low-variance
+      // micro numbers. The CC graph is 20M chained nodes (diameter 4, ~16M
+      // edges) so the distributed label propagation runs real rounds; the
+      // curation corpus plants 10% exact dups so the pair graph is ~2M edges
+      // and curate's CC ALSO runs the distributed path (ccLocalThreshold=0).
+      {
+        import org.apache.spark.sql.functions._
+        val smokeRows =
+          sys.env.getOrElse("SPARK_GRAFT_PIPE_SMOKE_ROWS", "20000000").toLong
+        def timedEager(body: => Unit): Double = {
+          val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+        }
+        // chains of 5 nodes: clusters have diameter 4 → >1 propagation round
+        def chainEdges(n: Long) = spark.range(n)
+          .filter(col("id") % 5 =!= 4)
+          .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+        // synthetic corpus at scan speed: 40 vocab-5000 words per doc; the
+        // last 10% of ids reuse an early seed → exact-dup clusters of 2
+        def synthDocs(n: Long) = {
+          val seed = col("id") % lit(math.max(1L, n * 9 / 10))
+          spark.range(n).select(
+            col("id").as("doc_id"),
+            concat_ws(" ", transform(sequence(lit(1), lit(40)),
+              i => concat(lit("w"), pmod(hash(seed, i), lit(5000))))).as("text"),
+            lit("synthetic").as("source"))
+        }
+        for ((label, n) <- Seq("2m" -> smokeRows / 10, "20m" -> smokeRows)) {
+          scaleSmoke(s"cc_distributed_${label}_sec") =
+            try timedEager {
+              operators.Dedup.connectedComponents(chainEdges(n), localThreshold = 0L)
+                .write.format("noop").mode("overwrite").save()
+            } catch { case _: Throwable => -1.0 }
+          scaleSmoke(s"curate_${label}_sec") =
+            try timedEager {
+              // synthetic vocab words land in lang_pred='und'; disable the
+              // quality/token floors so the dedup stages see the full corpus
+              operators.Curation.curate(synthDocs(n), langs = Seq("und", "en"),
+                  minQuality = 0.0, minTokens = 1, ccLocalThreshold = 0L)
+                .write.format("noop").mode("overwrite").save()
+            } catch { case _: Throwable => -1.0 }
+          scaleSmoke(s"pack_${label}_sec") =
+            try timedEager {
+              operators.Packing.packSequences(synthDocs(n), budget = 2048,
+                  buckets = 2048)
+                .write.format("noop").mode("overwrite").save()
+            } catch { case _: Throwable => -1.0 }
+        }
+      }
     }
 
 
@@ -211,10 +286,12 @@ object Bench {
     val total = results.values.filter(_ > 0).sum
     val smoke = scaleSmoke.map { case (k, v) => s""""$k":${"%.4f".format(v)}""" }
       .mkString("{", ",", "}")
+    val ann = annRecall.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
+      .mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,""" +
         s""""rows_per_sec":$tput,"micro_batch_latency_ms_5k_rows":$lat,""" +
-        s""""scale_smoke":$smoke,"event_rows":$eventRows,"sf":"$sfDir"}""")
+        s""""ann_recall":$ann,"scale_smoke":$smoke,"event_rows":$eventRows,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

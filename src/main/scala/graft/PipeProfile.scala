@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev main: per-stage timing of the curation pipeline on the synthetic
+  * smoke corpus — where do the seconds go at N docs?
+  *
+  *   sbt "runMain graft.PipeProfile 2000000"
+  */
+object PipeProfile {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(2000000L)
+    val spark = SparkSession.builder()
+      .master("local[32]").appName("graft-pipe-profile")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def synthDocs(rows: Long): DataFrame = {
+      val seed = col("id") % lit(math.max(1L, rows * 9 / 10))
+      spark.range(rows).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1), lit(40)),
+          i => concat(lit("w"), pmod(hash(seed, i), lit(5000))))).as("text"),
+        lit("synthetic").as("source"))
+    }
+    def t(name: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+
+    val docs = synthDocs(n)
+    t("synth+count") { docs.write.format("noop").mode("overwrite").save() }
+    val filtered = operators.TextOps.analyze(docs)
+      .filter(col("lang_pred").isin("und", "en") &&
+        col("quality") >= 0.0 && col("token_count").between(1, 100000))
+      .persist()
+    t("analyze+filter+persist") { filtered.count() }
+    var pairs: DataFrame = null
+    t("minHashPairs") { pairs = operators.Dedup.minHashPairs(filtered) }
+    println(s"pairs=${pairs.count()}")
+    var cc: DataFrame = null
+    t("cc distributed") {
+      cc = operators.Dedup.connectedComponents(pairs, localThreshold = 0L)
+      cc.write.format("noop").mode("overwrite").save()
+    }
+    t("keepCanonical+materialize") {
+      operators.Dedup.keepCanonical(filtered, pairs, localThreshold = 0L)
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.stop()
+  }
+}

@@ -1381,7 +1381,10 @@ object SparkEntry {
         val emb = Tables.load(s, dir)("embeddings")
         val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
           .withColumnRenamed("vec_id", "query_id")
-        operators.Similarity.topKBucketed(emb, queries, k = 10, dims = 64)
+        // planesN/chunks pinned to the values the oracle inlines — the
+        // operator's tuned defaults are free to move
+        operators.Similarity.topKBucketed(emb, queries, k = 10,
+          planesN = 12, chunks = 4, dims = 64)
       }, Some(annLshOracleSql)),
 
     // IVF with deterministic centroids — oracle replays cell assignment,
@@ -1391,7 +1394,12 @@ object SparkEntry {
         val emb = Tables.load(s, dir)("embeddings")
         val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
           .withColumnRenamed("vec_id", "query_id")
-        operators.Similarity.topKIvf(emb, queries, k = 10, nlist = 16, nprobe = 4, dims = 64)
+        // kmeansIter=0: the oracle replays the seeded centroid DIRECTIONS —
+        // k-means refinement (float-sum order dependent) is not portably
+        // replayable in ANSI SQL; the refined path is covered by the
+        // recall-floor spec against brute-force topK instead
+        operators.Similarity.topKIvf(emb, queries, k = 10, nlist = 16, nprobe = 4,
+          dims = 64, kmeansIter = 0)
       }, Some(annIvfOracleSql)),
 
     Q("q_embed_centroids",

@@ -129,13 +129,58 @@ object Similarity {
     Dedup.materializeAndRelease(out, sigs)
   }
 
-  /** IVF top-k: quantize the corpus into `nlist` cells around deterministic
-    * seeded centroids (k-means would refine them; seeded directions are
-    * enough for a recall/latency trade-off and keep the operator
-    * reproducible), then search only the query's `nprobe` nearest cells.
-    * The inverted-list shape is the scale path when the corpus is huge and
-    * queries are many: the corpus shuffles ONCE on cell id, each query
-    * joins against nprobe cells instead of the full corpus.
+  /** Spherical k-means refinement of centroid directions (Lloyd): assign
+    * every corpus vector to its argmax-dot cell, recompute each centroid as
+    * the L2-normalized element-wise mean of its members, repeat. Runs as
+    * `iters` DataFrame aggregations — one narrow (cell, dim) shuffle per
+    * round, partial map-side sums; only the nlist×dims centroid matrix
+    * (model parameters, not data) ever reaches the driver. Empty cells keep
+    * their previous direction. At 100 TB train on a hash-sample of the
+    * corpus ([[Sampling.byHash]]) — centroid quality saturates long before
+    * millions of training vectors. */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      init: Array[Array[Double]],
+      iters: Int,
+      vecCol: String = "embedding"): Array[Array[Double]] = {
+    var cents = init
+    for (_ <- 0 until iters) {
+      val stats = corpus
+        .select(graft.functions.VectorKernels.argmaxCellCol(col(vecCol), cents).as("cell"),
+          posexplode(col(vecCol)))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("col").cast("double")).as("s"))
+        .collect()
+      val next = cents.map(_.clone())
+      val acc = Array.fill(cents.length)(new Array[Double](cents(0).length))
+      val seen = new Array[Boolean](cents.length)
+      stats.foreach { r =>
+        val c = r.getInt(0); acc(c)(r.getInt(1)) = r.getDouble(2); seen(c) = true
+      }
+      for (c <- cents.indices if seen(c)) {
+        val n = math.sqrt(acc(c).map(x => x * x).sum)
+        if (n > 0) next(c) = acc(c).map(_ / n)
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** IVF top-k: quantize the corpus into `nlist` cells around centroid
+    * directions (deterministic seeded init, refined by `kmeansIter` rounds
+    * of spherical k-means — set 0 for the raw seeded directions, which stay
+    * reproducible in ANSI SQL oracles), then search only the query's
+    * `nprobe` nearest cells. The inverted-list shape is the scale path when
+    * the corpus is huge and queries are many: the corpus shuffles ONCE on
+    * cell id, each query joins against nprobe cells instead of the full
+    * corpus.
+    *
+    * Defaults (nlist=16, nprobe=10, kmeansIter=2) measure recall@10 ≈ 0.86
+    * on the worst-case fixture (uniform random 64-dim vectors) — with no
+    * cluster structure, recall is bounded by the scanned fraction, so a
+    * high-recall default must probe most cells; clustered real embeddings
+    * concentrate neighbors in few cells and reach the same recall at much
+    * smaller nprobe/nlist. `graft.AnnTune` prints the measured grid.
     *
     * Output: (query_id, vec_id, sim, rank) — rank 1..k per query. */
   def topKIvf(
@@ -143,15 +188,17 @@ object Similarity {
       queries: DataFrame,
       k: Int,
       nlist: Int = 16,
-      nprobe: Int = 4,
+      nprobe: Int = 10,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       queryIdCol: String = "query_id",
       seed: Long = 42L,
-      dims: Int = -1): DataFrame = {
-    // deterministic centroid directions; cosine-based assignment only needs
-    // directions, not magnitudes
-    val cents = hyperplanes(nlist, dimsOf(corpus, vecCol, dims), seed)
+      dims: Int = -1,
+      kmeansIter: Int = 2): DataFrame = {
+    val cents0 = hyperplanes(nlist, dimsOf(corpus, vecCol, dims), seed)
+    val cents =
+      if (kmeansIter > 0) kmeansCentroids(corpus, cents0, kmeansIter, vecCol)
+      else cents0
 
     val assigned = corpus.select(col(idCol), col(vecCol).as("__cv"),
       graft.functions.VectorKernels.argmaxCellCol(col(vecCol), cents).as("__cell"))
@@ -192,7 +239,16 @@ object Similarity {
   /** IVF-style bucketed ANN top-k: assign corpus + queries to their nearest
     * LSH bucket family and search only matching buckets — the scale path
     * when queries are many (no broadcast of the whole corpus). Recall < 1
-    * by construction; rank semantics as in [[topK]]. */
+    * by construction; rank semantics as in [[topK]].
+    *
+    * Defaults (planesN=24, chunks=8) measure recall@10 ≈ 0.88 on the
+    * WORST-CASE fixture (uniform random 64-dim vectors, no cluster
+    * structure) at a ~0.66 random-pair candidate fraction — on real
+    * clustered embeddings the same banding reaches that recall at a far
+    * lower fraction, because near neighbors collide with much higher
+    * probability than random pairs while the random-collision rate stays
+    * fixed. Lower chunks (or raise planesN) for cheaper, lower-recall
+    * searches; `graft.AnnTune` prints the measured grid. */
   def topKBucketed(
       corpus: DataFrame,
       queries: DataFrame,
@@ -200,8 +256,8 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       queryIdCol: String = "query_id",
-      planesN: Int = 12,
-      chunks: Int = 4,
+      planesN: Int = 24,
+      chunks: Int = 8,
       seed: Long = 42L,
       dims: Int = -1): DataFrame = {
     val planes = hyperplanes(planesN, dimsOf(corpus, vecCol, dims), seed)

@@ -1,0 +1,142 @@
+package graft.api
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** Doc-example pinning suite — mirrors the reference's doc-cases e2e file
+  * (reference: test/e2e/doc_cases_test.go:11-14), which executes every SQL
+  * example from the public docs so documentation drift breaks CI before it
+  * reaches a user. Here: the README.md Usage example plus the five
+  * doc-collection cases the reference pins (filter/transform grading,
+  * stream-table enrichment, global-lag CDC, OVER-WHEN-limited lag, and the
+  * four window-SQL shapes). Any change that breaks one of these SQL
+  * strings breaks a published example.
+  */
+class DocCasesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("README usage example: enrichment join + tumbling window aggregate") {
+    val ss = StreamSql(spark)
+    // 3 readings for d1 inside one 5s window, 1 for d2; ts is epoch-ms
+    ss.registerTable("stream", Seq(
+      ("d1", 20.0, 1000L), ("d1", 22.0, 2000L), ("d1", 24.0, 3000L),
+      ("d2", 30.0, 2500L), ("d3", -5.0, 2600L) // d3 filtered by WHERE
+    ).toDF("deviceId", "temperature", "ts"))
+    ss.registerTable("meta", Seq(("d1", "plantA"), ("d2", "plantB"), ("d3", "plantC"))
+      .toDF("deviceId", "site"))
+    val out = ss.execute("""
+      SELECT deviceId, avg(temperature) AS t, window_start() AS ws
+      FROM stream JOIN meta m ON deviceId = m.deviceId
+      WHERE temperature > 0
+      GROUP BY deviceId, TumblingWindow('5s')
+      WITH (TIMESTAMP='ts', TIMEUNIT='ms', MAXOUTOFORDERNESS='2s')""")
+    val rows = out.collect().map(r =>
+      (r.getAs[String]("deviceId"), r.getAs[Double]("t"), r.getAs[Long]("ws"))).toSet
+    assert(rows == Set(("d1", 22.0, 0L), ("d2", 30.0, 0L)))
+  }
+
+  test("doc case: filter + unit conversion + CASE grading (EmitSync analog)") {
+    // reference doc_cases_test.go:16-52 — same SQL, same expectations;
+    // the out-of-range and null readings must be filtered, not errors
+    val ss = StreamSql(spark)
+    ss.registerTable("stream", Seq(
+      ("dev-01", Some(28.0)), ("dev-02", Some(32.0)), ("dev-03", Some(38.0)),
+      ("dev-04", Some(999.0)), ("dev-05", None)
+    ).toDF("deviceId", "temperature"))
+    val out = ss.execute("""
+      SELECT deviceId,
+             temperature,
+             temperature * 1.8 + 32 AS temp_f,
+             CASE WHEN temperature > 35 THEN 'CRITICAL'
+                  WHEN temperature > 30 THEN 'WARNING'
+                  ELSE 'OK' END AS level
+      FROM stream
+      WHERE temperature > 0 AND temperature < 100""")
+    val got = out.collect().map(r => r.getAs[String]("deviceId") ->
+      (r.getAs[Double]("temp_f"), r.getAs[String]("level"))).toMap
+    assert(got.keySet == Set("dev-01", "dev-02", "dev-03"))
+    assert(math.abs(got("dev-01")._1 - 82.4) < 0.01 && got("dev-01")._2 == "OK")
+    assert(math.abs(got("dev-02")._1 - 89.6) < 0.01 && got("dev-02")._2 == "WARNING")
+    assert(math.abs(got("dev-03")._1 - 100.4) < 0.01 && got("dev-03")._2 == "CRITICAL")
+  }
+
+  test("doc case: stream-table enrichment join drops unmatched devices") {
+    // reference doc_cases_test.go:55-82
+    val ss = StreamSql(spark)
+    ss.registerTable("stream", Seq(
+      ("d1", 31.0), ("d2", 27.5), ("d9", 40.0)).toDF("deviceId", "temperature"))
+    ss.registerTable("meta", Seq(
+      ("d1", "plantA", "TX-100"), ("d2", "plantB", "TX-200"))
+      .toDF("deviceId", "location", "model"))
+    val out = ss.execute(
+      "SELECT deviceId, m.location, m.model, temperature " +
+        "FROM stream JOIN meta m ON deviceId = m.deviceId")
+    val got = out.collect().map(r => r.getAs[String]("deviceId") ->
+      (r.getAs[String]("location"), r.getAs[String]("model"))).toMap
+    assert(got == Map("d1" -> ("plantA", "TX-100"), "d2" -> ("plantB", "TX-200")),
+      "d9 has no meta row and must be dropped by the INNER JOIN")
+  }
+
+  test("doc case: global lag detects threshold crossings (CDC scenario 1)") {
+    // reference doc_cases_test.go:84-110 — no PARTITION BY: one global
+    // state, rows in ts order; crossings at ts 2, 5, 7
+    val ss = StreamSql(spark)
+    ss.registerTable("stream", Seq(
+      (300, 1L), (400, 2L), (200, 3L), (200, 4L),
+      (500, 5L), (200, 6L), (400, 7L), (600, 8L)
+    ).toDF("current", "ts"))
+    val out = ss.execute(
+      "SELECT current, ts FROM stream WHERE current > 300 AND lag(current) <= 300 " +
+        "WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    val got = out.collect().map(r => (r.getAs[Int]("current"), r.getAs[Long]("ts")))
+      .sortBy(_._2)
+    assert(got.toSeq == Seq((400, 2L), (500, 5L), (400, 7L)))
+  }
+
+  test("doc case: OVER (WHEN ...) limits lag state to matching rows (CDC scenario 3)") {
+    // reference doc_cases_test.go:112-137 — the WHEN gate means device 2's
+    // readings never touch the lag state; only ts 5 crosses for device 1
+    val ss = StreamSql(spark)
+    ss.registerTable("stream", Seq(
+      (300, 1, 1L), (400, 2, 2L), (200, 1, 3L), (200, 2, 4L),
+      (500, 1, 5L), (200, 2, 6L), (400, 1, 7L), (600, 2, 8L)
+    ).toDF("current", "deviceId", "ts"))
+    val out = ss.execute(
+      "SELECT current, deviceId, ts FROM stream " +
+        "WHERE current > 300 AND deviceId = 1 AND lag(current) OVER (WHEN deviceId = 1) < 300 " +
+        "WITH (TIMESTAMP='ts', TIMEUNIT='ms')")
+    val got = out.collect().map(r =>
+      (r.getAs[Int]("current"), r.getAs[Int]("deviceId"), r.getAs[Long]("ts")))
+    assert(got.toSeq == Seq((500, 1, 5L)))
+  }
+
+  test("doc case: the four window-SQL shapes execute") {
+    // reference doc_cases_test.go:139-156 asserts the doc window SQLs still
+    // execute; here each also produces the documented output columns
+    val ss = StreamSql(spark)
+    ss.registerTable("stream", Seq(
+      ("d1", 20.0, 100, 1000L), ("d1", 60.0, 300, 2000L), ("d2", 55.0, 250, 9000L)
+    ).toDF("deviceId", "temperature", "concurrency", "ts"))
+    val cases = Map(
+      "session" -> ("SELECT deviceId, COUNT(*) AS msgs, MAX(ts) AS last_ts FROM stream " +
+        "GROUP BY deviceId, SessionWindow('5s') WITH (TIMESTAMP='ts', TIMEUNIT='ms')"),
+      "sliding" -> ("SELECT MIN(concurrency) AS mn, COUNT(*) AS c FROM stream " +
+        "GROUP BY SlidingWindow('10s','2s') HAVING mn > 200 WITH (TIMESTAMP='ts', TIMEUNIT='ms')"),
+      "tumbling" -> ("SELECT deviceId, COUNT(*) AS samples, AVG(temperature) AS a FROM stream " +
+        "GROUP BY deviceId, TumblingWindow('1m') WITH (TIMESTAMP='ts', TIMEUNIT='ms')"),
+      "global" -> ("SELECT deviceId, MAX(temperature) AS max_t, COUNT(*) AS samples FROM stream " +
+        "GROUP BY deviceId, GLOBAL WINDOW TRIGGER WHEN MAX(temperature) > 50 " +
+        "WITH (TIMESTAMP='ts', TIMEUNIT='ms')"))
+    val expectedCols = Map(
+      "session" -> Seq("deviceId", "msgs", "last_ts"),
+      "sliding" -> Seq("mn", "c"),
+      "tumbling" -> Seq("deviceId", "samples", "a"),
+      "global" -> Seq("deviceId", "max_t", "samples"))
+    cases.foreach { case (name, sql) =>
+      val out = ss.execute(sql)
+      assert(out.columns.toSeq == expectedCols(name), s"case $name columns")
+      out.collect() // must execute, not just plan
+    }
+  }
+}

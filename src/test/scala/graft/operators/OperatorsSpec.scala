@@ -158,28 +158,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
-  test("bucketed ANN recall@10 vs brute force is reasonable") {
-    val queries = emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
-    val exact = Similarity.topK(emb, queries, k = 10)
-      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = Similarity.topKBucketed(emb, queries, k = 10)
-      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  // recall floors run on the sf0.1 embeddings (2000 corpus vectors, 50
+  // queries) — uniform random 64-dim, the worst case for ANY ann index
+  // (no cluster structure to exploit); the tuned defaults must still
+  // reach recall@10 >= 0.8 vs brute force there (AnnTune grid: bucketed
+  // 0.878, ivf 0.858 — real clustered embeddings land higher)
+  private lazy val emb01 = Tables.load(spark, "/root/testdata/sf0.1")("embeddings").cache()
+  private def recallPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("bucketed ANN recall@10 >= 0.8 at tuned defaults (worst-case fixture)") {
+    val queries = emb01.filter(col("vec_id") < 50).withColumnRenamed("vec_id", "query_id")
+    val exact = recallPairs(Similarity.topK(emb01, queries, k = 10))
+    val approx = recallPairs(Similarity.topKBucketed(emb01, queries, k = 10))
     val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall > 0.3, s"ANN recall $recall") // 64-dim random vectors: weak but nonzero
+    assert(recall >= 0.8, s"ANN recall $recall at tuned defaults")
   }
 
-  test("IVF ANN recall@10 improves with nprobe and reaches brute force at full probe") {
-    val queries = emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
-    val exact = Similarity.topK(emb, queries, k = 10)
-      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    def recallAt(nprobe: Int): Double = {
-      val approx = Similarity.topKIvf(emb, queries, k = 10, nlist = 16, nprobe = nprobe)
-        .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  test("IVF ANN recall@10 >= 0.8 at tuned defaults; full probe equals brute force") {
+    val queries = emb01.filter(col("vec_id") < 50).withColumnRenamed("vec_id", "query_id")
+    val exact = recallPairs(Similarity.topK(emb01, queries, k = 10))
+    val rDefault = {
+      val approx = recallPairs(Similarity.topKIvf(emb01, queries, k = 10))
       (exact & approx).size.toDouble / exact.size
     }
-    val r4 = recallAt(4)
-    assert(r4 > 0.2, s"IVF recall@nprobe=4 $r4")
-    assert(recallAt(16) == 1.0, "full probe must equal brute force")
+    assert(rDefault >= 0.8, s"IVF recall $rDefault at tuned defaults")
+    // identity check stays on the small fixture: probing every cell must
+    // reproduce brute force exactly, independent of centroid quality
+    val q001 = emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+    val ex001 = recallPairs(Similarity.topK(emb, q001, k = 10))
+    val full = recallPairs(Similarity.topKIvf(emb, q001, k = 10, nlist = 16, nprobe = 16))
+    assert(full == ex001, "full probe must equal brute force")
   }
 
   test("repetition metrics: boundary texts and known fractions") {
