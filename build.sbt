@@ -30,5 +30,9 @@ scalacOptions ++= Seq("-deprecation")
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the 20M-row pipeline scale smoke (Bench) caches ~15 GB of synthetic
+  // corpus + shingle intermediates in one local JVM; 8g OOM-kills the
+  // whole bench run (Spark exits 52). The box has 128 GiB — a high max
+  // is safe (heap grows on demand) and still env-overridable.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

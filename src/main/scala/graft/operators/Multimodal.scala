@@ -69,7 +69,26 @@ object Multimodal {
       Some(("gif", le16(6), le16(8)))
     else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
       Some(("bmp", le32(18), math.abs(le32(22)))) // negative height = top-down
-    else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+    else if (b.length >= 30 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P') {
+      // WebP: one probe per variant — VP8 (lossy) reads the frame tag's
+      // start code + 14-bit dims, VP8L (lossless) unpacks the 28-bit
+      // dims-minus-one field, VP8X (extended) reads the 24-bit LE canvas
+      val tag = new String(b, 12, 4, "US-ASCII")
+      tag match {
+        case "VP8 " if b.length >= 30 &&
+            u8(23) == 0x9d && u8(24) == 0x01 && u8(25) == 0x2a =>
+          Some(("webp", le16(26) & 0x3fff, le16(28) & 0x3fff))
+        case "VP8L" if b.length >= 25 && u8(20) == 0x2f =>
+          val bits = le32(21)
+          Some(("webp", (bits & 0x3fff).toInt + 1, ((bits >> 14) & 0x3fff).toInt + 1))
+        case "VP8X" if b.length >= 30 =>
+          val w = u8(24) | (u8(25) << 8) | (u8(26) << 16)
+          val h = u8(27) | (u8(28) << 8) | (u8(29) << 16)
+          Some(("webp", w + 1, h + 1))
+        case _ => None
+      }
+    } else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
       // JPEG: walk marker segments to the first SOFn frame header
       var i = 2
       while (i + 1 < b.length) {
@@ -131,6 +150,73 @@ object Multimodal {
     }
   }
 
+  /** FLAC header probe: STREAMINFO metadata block → (channels, sampleRate,
+    * durationMs from the 36-bit total-sample count). Pure byte inspection —
+    * the audio twin of [[probeWav]] for the other common lossless
+    * container. */
+  def probeFlac(b: Array[Byte]): Option[(Int, Int, Long)] = {
+    @inline def u8(i: Int): Int = b(i) & 0xff
+    if (b.length < 42 || b(0) != 'f' || b(1) != 'L' || b(2) != 'a' || b(3) != 'C')
+      return None
+    // first metadata block must be STREAMINFO (type 0); 4-byte header
+    if ((u8(4) & 0x7f) != 0) return None
+    val len = (u8(5) << 16) | (u8(6) << 8) | u8(7)
+    if (len < 34 || 8 + 34 > b.length) return None
+    val o = 8 + 10 // skip min/max blocksize (4) + min/max framesize (6)
+    // 20 bits sample rate | 3 bits channels-1 | 5 bits bps-1 | 36 bits samples
+    val rate = (u8(o) << 12) | (u8(o + 1) << 4) | (u8(o + 2) >> 4)
+    val ch = ((u8(o + 2) >> 1) & 0x7) + 1
+    val samples = ((u8(o + 3) & 0x0fL) << 32) | (u8(o + 4).toLong << 24) |
+      (u8(o + 5).toLong << 16) | (u8(o + 6).toLong << 8) | u8(o + 7).toLong
+    if (rate <= 0) None
+    else Some((ch, rate, if (samples > 0) samples * 1000L / rate else -1L))
+  }
+
+  /** MP4/ISO-BMFF duration probe: walks top-level boxes to `moov`, then its
+    * children to `mvhd`, and returns duration in ms from the movie header's
+    * timescale/duration fields (v0 and v1 layouts). Header-only — a video
+    * length filter runs without touching a single codec frame. */
+  def probeMp4Duration(b: Array[Byte]): Option[Long] = {
+    @inline def u8(i: Int): Int = b(i) & 0xff
+    @inline def be32(i: Int): Long =
+      ((u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)).toLong & 0xffffffffL
+    @inline def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def boxes(lo: Int, hi: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] { // (type, payloadStart, payloadEnd)
+        private var i = lo
+        def hasNext: Boolean = i + 8 <= hi
+        def next(): (String, Int, Int) = {
+          val sz0 = be32(i)
+          val typ = new String(b, i + 4, 4, "US-ASCII")
+          val (payload, size) =
+            if (sz0 == 1L && i + 16 <= hi) (i + 16, be64(i + 8))
+            else (i + 8, if (sz0 == 0L) (hi - i).toLong else sz0)
+          val end = if (size < 8 || size > hi.toLong - i) hi else (i + size).toInt
+          val out = (typ, payload, end)
+          i = end
+          out
+        }
+      }
+    if (b.length < 12) return None
+    val top = boxes(0, b.length).toSeq
+    if (!top.headOption.exists(_._1 == "ftyp")) return None
+    top.collectFirst { case ("moov", s, e) => (s, e) }.flatMap { case (s, e) =>
+      boxes(s, e).collectFirst { case ("mvhd", ms, me) => (ms, me) }.flatMap {
+        case (ms, me) =>
+          if (ms >= me) None
+          else u8(ms) match { // version byte
+            case 0 if ms + 20 <= me =>
+              val timescale = be32(ms + 12); val dur = be32(ms + 16)
+              if (timescale > 0) Some(dur * 1000L / timescale) else None
+            case 1 if ms + 32 <= me =>
+              val timescale = be32(ms + 20); val dur = be64(ms + 24)
+              if (timescale > 0) Some(dur * 1000L / timescale) else None
+            case _ => None
+          }
+      }
+    }
+  }
+
   /** STUB decode: deterministic 8-dim "feature vector" derived from content
     * bytes. A real implementation would decode pixels/samples here; the
     * batch shape (Iterator per partition → amortized decoder init) is what a
@@ -174,8 +260,12 @@ object Multimodal {
         }
         val (rw, rh) = fitBox(w, h, resizeMaxSide)
         // audio twin of the image probe: header-only channels/rate/duration
-        // so duration filters run without ever decoding samples
-        val wav = if (r.kind == "audio") probeWav(r.bytes) else None
+        // so duration filters run without ever decoding samples (WAV first,
+        // FLAC STREAMINFO as the other codec-free container)
+        val wav =
+          if (r.kind == "audio") probeWav(r.bytes).orElse(probeFlac(r.bytes))
+          else None
+        val videoMs = if (r.kind == "video") probeMp4Duration(r.bytes) else None
         MediaFeatures(
           media_id = r.media_id,
           kind = r.kind,
@@ -189,7 +279,8 @@ object Multimodal {
           resized_h = rh,
           channels = wav.map(_._1),
           sample_rate = wav.map(_._2),
-          duration_ms = wav.collect { case (_, _, ms) if ms >= 0 => ms })
+          duration_ms = wav.collect { case (_, _, ms) if ms >= 0 => ms }
+            .orElse(videoMs))
       }
     }
   }

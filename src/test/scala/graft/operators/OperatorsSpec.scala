@@ -356,6 +356,76 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.probeWav("RIFFxxxx not wave".getBytes).isEmpty)
   }
 
+  test("WebP/FLAC/MP4 header probes read real container headers") {
+    // WebP lossy (VP8): RIFF..WEBP + 'VP8 ' chunk + frame tag + start code
+    def webpVp8(w: Int, h: Int): Array[Byte] = {
+      val b = new Array[Byte](30)
+      "RIFF".getBytes.copyToArray(b, 0); "WEBP".getBytes.copyToArray(b, 8)
+      "VP8 ".getBytes.copyToArray(b, 12)
+      b(23) = 0x9d.toByte; b(24) = 0x01; b(25) = 0x2a
+      b(26) = (w & 0xff).toByte; b(27) = ((w >> 8) & 0x3f).toByte
+      b(28) = (h & 0xff).toByte; b(29) = ((h >> 8) & 0x3f).toByte
+      b
+    }
+    // WebP lossless (VP8L): 0x2f + 14-bit (w-1) | 14-bit (h-1)
+    def webpVp8l(w: Int, h: Int): Array[Byte] = {
+      val b = new Array[Byte](30)
+      "RIFF".getBytes.copyToArray(b, 0); "WEBP".getBytes.copyToArray(b, 8)
+      "VP8L".getBytes.copyToArray(b, 12)
+      b(20) = 0x2f
+      val bits = (w - 1) | ((h - 1) << 14)
+      for (i <- 0 until 4) b(21 + i) = ((bits >> (8 * i)) & 0xff).toByte
+      b
+    }
+    // WebP extended (VP8X): 24-bit LE canvas minus-one at payload+4/+7
+    def webpVp8x(w: Int, h: Int): Array[Byte] = {
+      val b = new Array[Byte](30)
+      "RIFF".getBytes.copyToArray(b, 0); "WEBP".getBytes.copyToArray(b, 8)
+      "VP8X".getBytes.copyToArray(b, 12)
+      for (i <- 0 until 3) { b(24 + i) = (((w - 1) >> (8 * i)) & 0xff).toByte
+                             b(27 + i) = (((h - 1) >> (8 * i)) & 0xff).toByte }
+      b
+    }
+    assert(Multimodal.probeImage(webpVp8(320, 240)).contains(("webp", 320, 240)))
+    assert(Multimodal.probeImage(webpVp8l(1024, 768)).contains(("webp", 1024, 768)))
+    assert(Multimodal.probeImage(webpVp8x(4000, 3000)).contains(("webp", 4000, 3000)))
+
+    // FLAC STREAMINFO: 44100 Hz stereo, 441000 samples = 10s
+    def flac(rate: Int, ch: Int, samples: Long): Array[Byte] = {
+      val b = new Array[Byte](42)
+      "fLaC".getBytes.copyToArray(b, 0)
+      b(4) = 0; b(5) = 0; b(6) = 0; b(7) = 34 // STREAMINFO, len 34
+      val o = 18 // 8 + 10 (blocksize/framesize fields)
+      b(o) = ((rate >> 12) & 0xff).toByte
+      b(o + 1) = ((rate >> 4) & 0xff).toByte
+      b(o + 2) = (((rate & 0xf) << 4) | ((ch - 1) << 1)).toByte
+      b(o + 3) = ((samples >> 32) & 0xf).toByte
+      for (i <- 0 until 4) b(o + 4 + i) = ((samples >> (24 - 8 * i)) & 0xff).toByte
+      b
+    }
+    assert(Multimodal.probeFlac(flac(44100, 2, 441000L)).contains((2, 44100, 10000L)))
+    assert(Multimodal.probeFlac("not flac at all........".getBytes).isEmpty)
+
+    // minimal MP4: ftyp + moov>mvhd v0 (timescale 600, duration 9000 = 15s)
+    def mp4(timescale: Int, duration: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(16 + 8 + 8 + 100)
+      bb.putInt(16); bb.put("ftyp".getBytes); bb.put("isom".getBytes); bb.putInt(0)
+      bb.putInt(8 + 8 + 100); bb.put("moov".getBytes)
+      bb.putInt(8 + 100); bb.put("mvhd".getBytes)
+      bb.putInt(0) // version 0 + flags
+      bb.putInt(0); bb.putInt(0) // creation, modification
+      bb.putInt(timescale); bb.putInt(duration)
+      bb.array()
+    }
+    assert(Multimodal.probeMp4Duration(mp4(600, 9000)).contains(15000L))
+    assert(Multimodal.probeMp4Duration("RIFF not mp4".getBytes).isEmpty)
+    // duration flows into video features
+    val media = Seq(Multimodal.MediaRow(7L, "video", mp4(600, 9000), 0, 0, "mp4"))
+    import spark.implicits._
+    val f = Multimodal.extractFeatures(media.toDS()).collect().head
+    assert(f.duration_ms.contains(15000L))
+  }
+
   test("probeWav metadata flows into extractFeatures for audio rows") {
     val media = Multimodal.syntheticWavMedia(spark, docs.filter(col("doc_id") < 8))
     val f = Multimodal.extractFeatures(media).collect()
