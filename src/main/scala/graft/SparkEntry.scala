@@ -1282,6 +1282,57 @@ object SparkEntry {
           SELECT src FROM (SELECT src, least(src, min(dst)) AS comp FROM reach GROUP BY src)
           WHERE src <> comp)""".stripMargin.trim)),
 
+    Q("q_dedup_lines",
+      // corpus-frequency boilerplate line removal: the fixture has no
+      // newlines, so the query plants a per-doc id line + two shared
+      // footer lines; the footers exceed maxDf and must vanish from every
+      // doc while the order of surviving lines is preserved
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = Tables.load(s, dir)("documents")
+          .withColumn("text", concat(
+            lit("doc "), col("doc_id"), lit("\n"),
+            lit("Follow us on social media!\n"),
+            col("text"),
+            when(pmod(col("doc_id"), lit(2)) === 0, lit("\nCookie notice"))
+              .otherwise(lit(""))))
+        operators.Dedup.dropCommonLines(d, maxDf = 30)
+      },
+      Some("""
+        WITH src AS (
+          SELECT doc_id, concat('doc ', doc_id::VARCHAR, chr(10),
+            'Follow us on social media!', chr(10), text,
+            CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'Cookie notice' ELSE '' END) AS t
+          FROM documents
+        ), l AS (
+          SELECT doc_id, u.line, u.pos
+          FROM src, LATERAL (SELECT unnest(string_split(t, chr(10))) AS line,
+            generate_subscripts(string_split(t, chr(10)), 1) AS pos) u
+        ), hot AS (
+          SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) > 30
+        )
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        FROM l WHERE line NOT IN (SELECT line FROM hot)
+        GROUP BY doc_id""".stripMargin.trim)),
+
+    Q("q_decontaminate",
+      // benchmark decontamination: docs < 100 act as the eval set; any
+      // doc >= 100 sharing an 8-gram (near-dups planted in the fixture)
+      // is flagged with its distinct-overlap count
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val d = Tables.load(s, dir)("documents")
+        operators.Dedup.contamination(
+          d.filter(col("doc_id") >= 100), d.filter(col("doc_id") < 100), n = 8)
+      },
+      Some("""
+        WITH nw AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM documents),
+        s AS (SELECT doc_id, CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+              ELSE list_distinct([array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]) END AS g FROM nw),
+        b AS (SELECT DISTINCT unnest(g) AS g FROM s WHERE doc_id < 100),
+        d AS (SELECT doc_id, unnest(g) AS g FROM s WHERE doc_id >= 100)
+        SELECT d.doc_id, count(*) AS hits FROM d JOIN b USING (g) GROUP BY d.doc_id""".stripMargin.trim)),
+
     Q("q_dedup_ngram_blocked",
       (s, dir) => {
         val docs = Tables.load(s, dir)("documents")

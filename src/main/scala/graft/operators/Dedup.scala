@@ -331,6 +331,65 @@ object Dedup {
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"), col("jaccard"))
   }
 
+  /** Corpus-frequency boilerplate line removal (the RefinedWeb/Falcon
+    * line-dedup step): a line appearing in more than `maxDf` distinct
+    * documents is boilerplate (navigation, cookie banners, share footers)
+    * and is dropped from EVERY document; a document whose every line is
+    * boilerplate drops entirely. Returns (idCol, textCol) with the cleaned
+    * text, lines re-joined in original order.
+    *
+    * Shape at scale: one explode scan, a count-distinct aggregation keyed
+    * on the line (map-side partial), a broadcast anti-join of the hot-line
+    * list (tiny by construction: a line must recur across > maxDf docs to
+    * appear — bounded by totalLines/maxDf), and ONE shuffle on the doc id
+    * to reassemble. Nothing buffers a document set on the driver. */
+  def dropCommonLines(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxDf: Int = 30): DataFrame = {
+    val lines = docs.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val hot = lines.groupBy(col("__line"))
+      .agg(countDistinct(col("__id")).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select(col("__line"))
+    lines.join(broadcast(hot), Seq("__line"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          x => x.getField("__line"))).as("__clean"))
+      .select(col("__id").as(idCol), col("__clean").as(textCol))
+  }
+
+  /** Benchmark decontamination (the GPT-3/Llama eval-overlap step): flag
+    * corpus documents sharing at least one word n-gram with the benchmark
+    * set. Returns (idCol, hits) for contaminated docs only — `hits` is the
+    * number of distinct benchmark n-grams the document contains (per-doc
+    * shingle sets are distinct by construction, so a plain count is the
+    * distinct-overlap size).
+    *
+    * Shape at scale: both sides shingle at scan speed ([[TextOps.shingles]]
+    * one-pass kernel); the join keys on the n-gram with the benchmark side
+    * distinct-ed and broadcast (eval sets are tiny next to the corpus); one
+    * aggregation on the doc id. */
+  def contamination(
+      docs: DataFrame,
+      bench: DataFrame,
+      n: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      benchTextCol: String = "text"): DataFrame = {
+    val d = docs.select(col(idCol).as("__id"),
+      explode(TextOps.shingles(col(textCol), n)).as("__g"))
+    val b = bench.select(explode(TextOps.shingles(col(benchTextCol), n)).as("__g"))
+      .distinct()
+    d.join(broadcast(b), Seq("__g"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("hits"))
+      .select(col("__id").as(idCol), col("hits"))
+  }
+
   /** Embedding-cosine near-dup pairs via the Similarity LSH path. */
   def embeddingPairs(
       emb: DataFrame,

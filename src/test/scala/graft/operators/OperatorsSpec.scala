@@ -135,6 +135,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 9L))
   }
 
+  test("boilerplate line removal drops corpus-frequent lines, keeps order") {
+    val d = (0L until 10L).map { i =>
+      (i, s"unique head $i\nShared footer line\nunique tail $i" +
+        (if (i < 3) "\nRare footer" else ""))
+    }.toDF("doc_id", "text")
+    val cleaned = Dedup.dropCommonLines(d, maxDf = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned.size == 10)
+    // the 10-doc footer is gone everywhere; the 3-doc footer survives maxDf=5
+    (0L until 10L).foreach { i =>
+      val expect = s"unique head $i\nunique tail $i" +
+        (if (i < 3) "\nRare footer" else "")
+      assert(cleaned(i) == expect, s"doc $i: ${cleaned(i)}")
+    }
+    // a doc that is pure boilerplate disappears
+    val allBoiler = d.union(Seq((99L, "Shared footer line")).toDF("doc_id", "text"))
+    val c2 = Dedup.dropCommonLines(allBoiler, maxDf = 5)
+    assert(c2.filter(col("doc_id") === 99L).count() == 0)
+  }
+
+  test("contamination flags docs sharing n-grams with the benchmark set") {
+    val bench = Seq((1L, "the quick brown fox jumps over the lazy dog tonight")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "intro words then the quick brown fox jumps over the lazy dog tonight and more"),
+      (11L, "completely unrelated text about spark plans and shuffles here"),
+      (12L, "the quick brown fox jumps over the lazy dog tonight")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.contamination(corpus, bench, n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.contains(10L) && hits.contains(12L), s"got $hits")
+    assert(!hits.contains(11L))
+    // exact copy contains every benchmark 8-gram (10-word text -> 3 grams)
+    assert(hits(12L) == 3L)
+  }
+
   test("simhash of identical normalized text matches; distance monotone") {
     val sigs = spark.createDataFrame(Seq(
       (1L, "The quick brown fox jumps"),
