@@ -62,7 +62,8 @@ object Bench {
       "q_dedup_exact", "q_dedup_minhash", "q_embed_topk", "q_distinct",
       "q_rank_funcs", "q_rollup", "q_dedup_simhash", "q_embed_ivf",
       "q_sample_hash", "q_dedup_components", "q_curate",
-      "q_repetition", "q_gopher_quality", "q_pack_sequences", "q_embed_quantize")
+      "q_repetition", "q_gopher_quality", "q_pack_sequences", "q_embed_quantize",
+      "q_dedup_lines", "q_decontaminate")
     val headline = benchOnly match {
       case Some(ps) => headline0.filter(n => ps.exists(n.startsWith))
       case None     => headline0

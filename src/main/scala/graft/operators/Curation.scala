@@ -24,7 +24,10 @@ object Curation {
     * `ccMaxIter`/`ccLocalThreshold` reach [[Dedup.connectedComponents]]
     * through [[Dedup.keepCanonical]]: `ccLocalThreshold = 0` forces the
     * distributed label-propagation path (the 100 TB setting — never
-    * collect the pair graph on the driver). */
+    * collect the pair graph on the driver). `lineMaxDf > 0` prepends
+    * corpus-frequency boilerplate line removal
+    * ([[Dedup.dropCommonLines]]) so navigation/footer lines neither skew
+    * the quality filters nor glue unrelated docs into near-dup pairs. */
   def curate(
       docs: DataFrame,
       langs: Seq[String] = Seq("en"),
@@ -35,8 +38,13 @@ object Curation {
       textCol: String = "text",
       idCol: String = "doc_id",
       ccMaxIter: Int = 20,
-      ccLocalThreshold: Long = 1000000L): DataFrame = {
-    val filtered = TextOps.analyze(docs, textCol)
+      ccLocalThreshold: Long = 1000000L,
+      lineMaxDf: Int = 0): DataFrame = {
+    val pre =
+      if (lineMaxDf <= 0) docs
+      else docs.drop(textCol) // inner join drops all-boilerplate docs
+        .join(Dedup.dropCommonLines(docs, textCol, idCol, lineMaxDf), Seq(idCol))
+    val filtered = TextOps.analyze(pre, textCol)
       .filter(col("lang_pred").isin(langs: _*) &&
         col("quality") >= minQuality &&
         col("token_count").between(minTokens, maxTokens))

@@ -155,6 +155,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(c2.filter(col("doc_id") === 99L).count() == 0)
   }
 
+  test("curate with lineMaxDf strips boilerplate before filtering and dedup") {
+    val boilered = docs.withColumn("text",
+      concat(col("text"), lit("\nSubscribe to our newsletter!")))
+    val out = Curation.curate(boilered, lineMaxDf = 30).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("text").contains("Subscribe to our newsletter!")).count() == 0,
+      "boilerplate footer should be stripped from every curated doc")
+    out.unpersist()
+  }
+
   test("contamination flags docs sharing n-grams with the benchmark set") {
     val bench = Seq((1L, "the quick brown fox jumps over the lazy dog tonight")).toDF("doc_id", "text")
     val corpus = Seq(

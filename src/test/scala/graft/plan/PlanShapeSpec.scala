@@ -98,6 +98,23 @@ class PlanShapeSpec extends AnyFunSuite {
     pairs.unpersist()
   }
 
+  test("boilerplate line removal anti-joins a broadcast hot-line list") {
+    val p = graft.operators.Dedup.dropCommonLines(tables("documents"), maxDf = 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("contamination broadcasts the benchmark n-gram side") {
+    import org.apache.spark.sql.functions._
+    val docs = tables("documents")
+    val p = graft.operators.Dedup.contamination(
+        docs.filter(col("doc_id") >= 100), docs.filter(col("doc_id") < 100))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("text-analysis kernel stays in whole-stage codegen with one scan") {
     val an = graft.operators.TextOps.analyze(tables("documents"))
     val p = an.queryExecution.executedPlan.toString
