@@ -887,6 +887,56 @@ object SparkEntry {
       "SELECT lang, source, count(*) AS cnt, round(avg(n_chars), 4) AS avg_chars, " +
         "max(n_chars) AS mx FROM documents GROUP BY lang, source"),
 
+    gq("q_text_sql_funcs",
+      // the text-curation kernels exposed as dialect scalars: a filter rule
+      // in dialect SQL (lang/quality gates + redaction) — the SQL-first way
+      // to run the curation filters
+      "SELECT doc_id, lang_id(text) AS lang_pred, token_count(text) AS tc, " +
+        "token_count_bpe(text) AS bpe, quality_score(text) AS q, " +
+        "redact_pii(concat(text, ' id 123-45-6789 ip 10.2.3.9')) AS clean " +
+        "FROM documents WHERE quality_score(text) >= 0.5",
+      """
+        WITH b AS (
+          SELECT doc_id, text,
+            CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS INTEGER) AS tc0,
+            length(text) AS n,
+            length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS npunct,
+            length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS nalpha,
+            ' ' || lower(text) || ' ' AS padded
+          FROM documents
+        ), h AS (
+          SELECT *,
+            len(regexp_extract_all(padded, ' (the|and|is|of|to|that|with) ')) AS en,
+            len(regexp_extract_all(padded, ' (der|die|das|und|ist|nicht|mit) ')) AS de,
+            len(regexp_extract_all(padded, ' (le|la|les|et|est|dans|pour) ')) AS fr,
+            len(regexp_extract_all(padded, ' (el|los|las|es|en|que|por) ')) AS es,
+            length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS zh,
+            round((CASE WHEN n BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.3 END) * 0.4 +
+                  (CASE WHEN (CASE WHEN n = 0 THEN 0 ELSE npunct::DOUBLE / n END) < 0.2 THEN 1.0 ELSE 0.4 END) * 0.3 +
+                  (CASE WHEN (CASE WHEN n = 0 THEN 0 ELSE nalpha::DOUBLE / n END) > 0.5 THEN 1.0 ELSE 0.5 END) * 0.3, 4) AS qs
+          FROM b
+        )
+        SELECT doc_id,
+          CASE WHEN greatest(en, de, fr, es, zh) = 0 THEN 'und'
+               WHEN zh = greatest(en, de, fr, es, zh) THEN 'zh'
+               WHEN en = greatest(en, de, fr, es, zh) THEN 'en'
+               WHEN de = greatest(en, de, fr, es, zh) THEN 'de'
+               WHEN fr = greatest(en, de, fr, es, zh) THEN 'fr'
+               ELSE 'es' END AS lang_pred,
+          tc0 AS tc,
+          CAST(len(string_split_regex(trim(text), '\s+')) +
+            floor(length(regexp_replace(text, '\s+', '', 'g')) / 4) AS BIGINT) AS bpe,
+          qs AS q,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(concat(text, ' id 123-45-6789 ip 10.2.3.9'),
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<ID>', 'g'),
+              '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+            '\+?[0-9][0-9()./ -]{6,}[0-9]', '<PHONE>', 'g') AS clean
+        FROM h WHERE qs >= 0.5""".stripMargin.trim),
+
     Q("q_text_analysis",
       (s, dir) => {
         val t = Tables.load(s, dir)

@@ -181,6 +181,17 @@ object FunctionMap {
       case "sample_hash" =>
         graft.operators.Sampling.hashBucket(a0) < (a1 * lit(10000)).cast("int")
 
+      // ---- text curation kernels (LLM-pipeline extension): the TextOps
+      // Column operators as dialect scalars, so filter rules like
+      // `WHERE lang_id(text) = 'en' AND quality_score(text) > 0.7` run in
+      // dialect SQL at scan speed ----
+      case "lang_id" => graft.operators.TextOps.langId(a0)
+      case "token_count" => graft.operators.TextOps.tokenCount(a0)
+      case "token_count_bpe" => graft.operators.TextOps.tokenCountBpe(a0)
+      case "quality_score" => graft.operators.TextOps.qualityScore(a0)
+      case "redact_pii" => graft.operators.TextOps.redact(a0)
+      case "content_fingerprint" => graft.operators.TextOps.fingerprint(a0)
+
       // ---- type predicates (functions_type.go) ----
       case "is_null" => a0.isNull
       case "is_not_null" => a0.isNotNull
