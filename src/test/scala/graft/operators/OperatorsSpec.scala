@@ -135,6 +135,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 9L))
   }
 
+  test("bucketPairs matches a reference pair enumeration on random inputs") {
+    // differential pin for the one-shuffle candidate generation that
+    // replaced the banded self-join: same (key, id) multiset in -> same
+    // pair multiset out, across random bucket shapes, caps, and the
+    // dedup flag (including duplicate (key, id) rows, which must never
+    // produce self-pairs)
+    def expected(rows: Seq[(Int, Long)], max: Int, dedup: Boolean): Seq[(Long, Long)] = {
+      val all = rows.groupBy(_._1).valuesIterator.flatMap { g =>
+        val ids = g.map(_._2).sorted
+        if (ids.size < 2 || (max > 0 && ids.size > max)) Seq.empty
+        else for {
+          i <- ids.indices; j <- (i + 1) until ids.size
+          if ids(i) != ids(j)
+        } yield (ids(i), ids(j))
+      }.toSeq
+      if (dedup) all.distinct else all
+    }
+    val rnd = new scala.util.Random(7)
+    (0 until 12).foreach { case_i =>
+      val nRows = 1 + rnd.nextInt(60)
+      val nKeys = 1 + rnd.nextInt(6)
+      val nIds = 1 + rnd.nextInt(8)
+      val rows = Seq.fill(nRows)((rnd.nextInt(nKeys), rnd.nextInt(nIds).toLong))
+      val max = rnd.nextInt(3) match {
+        case 0 => 0 // cap disabled
+        case 1 => 2
+        case _ => 4
+      }
+      val dedup = rnd.nextBoolean()
+      val df = rows.toDF("k", "id")
+      val got = Dedup.bucketPairs(df, Seq("k"), "id", max, dedup)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val want = expected(rows, max, dedup)
+      assert(got.sorted == want.sorted,
+        s"case $case_i rows=$rows max=$max dedup=$dedup:\n got=$got\nwant=$want")
+    }
+  }
+
   test("boilerplate line removal drops corpus-frequent lines, keeps order") {
     val d = (0L until 10L).map { i =>
       (i, s"unique head $i\nShared footer line\nunique tail $i" +
