@@ -12,9 +12,11 @@ object PipeProfile {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(2000000L)
     val parts = args.drop(1).headOption.getOrElse("32")
+    val fallback = args.drop(2).headOption.getOrElse("128")
     val spark = SparkSession.builder()
       .master("local[32]").appName("graft-pipe-profile")
       .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.execution.objectHashAggregate.sortBased.fallbackThreshold", fallback)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

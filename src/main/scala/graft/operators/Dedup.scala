@@ -379,12 +379,18 @@ object Dedup {
       n: Int = 8,
       textCol: String = "text",
       idCol: String = "doc_id",
-      benchTextCol: String = "text"): DataFrame = {
+      benchTextCol: String = "text",
+      broadcastBench: Boolean = true): DataFrame = {
     val d = docs.select(col(idCol).as("__id"),
       explode(TextOps.shingles(col(textCol), n)).as("__g"))
     val b = bench.select(explode(TextOps.shingles(col(benchTextCol), n)).as("__g"))
       .distinct()
-    d.join(broadcast(b), Seq("__g"))
+    // eval sets are tiny next to the corpus — broadcast by default; pass
+    // broadcastBench=false when the benchmark side outgrows executor
+    // memory (the join falls back to a shuffle keyed on the n-gram, whose
+    // cardinality grows with the data — still scale-out)
+    val bb = if (broadcastBench) broadcast(b) else b
+    d.join(bb, Seq("__g"))
       .groupBy(col("__id"))
       .agg(count(lit(1)).as("hits"))
       .select(col("__id").as(idCol), col("hits"))
