@@ -188,24 +188,32 @@ object Dedup {
     }
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
+    var persisted = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).persist()
+    var labels = persisted
     labels.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("comp"))
-      val next = labels.union(prop)
-        .groupBy("id").agg(min("comp").as("comp")).persist()
-      // one action per round: the convergence probe doubles as the cache
-      // materialization (count scans every partition — isEmpty would
-      // short-circuit and leave the persisted label set partially built)
-      converged = next.join(
-          labels.withColumnRenamed("comp", "__prev"), Seq("id"))
-        .filter(col("comp") =!= col("__prev")).count() == 0
-      labels.unpersist(false)
-      labels = next
+        .select(col("dst").as("id"), col("comp"), lit(1).as("__o"))
+      // change detection folds into the min-label aggregation itself: the
+      // previous label is the min over origin-0 rows (labels side — every
+      // node has one), so `min(all) < min(origin-0)` marks a changed node.
+      // One count on the freshly persisted result then both materializes
+      // the cache AND decides convergence — the probe join of the naive
+      // formulation (labels ⋈ next per round, as large as the label set
+      // itself) disappears from every round.
+      val next = labels.select(col("id"), col("comp"), lit(0).as("__o"))
+        .union(prop)
+        .groupBy("id")
+        .agg(min("comp").as("comp"),
+          (min(col("comp")) < min(when(col("__o") === 0, col("comp")))).as("__chg"))
+        .persist()
+      converged = next.filter(col("__chg")).count() == 0
+      persisted.unpersist(false)
+      persisted = next
+      labels = next.drop("__chg")
       iter += 1
     }
     edges.unpersist(false)
