@@ -1332,6 +1332,54 @@ object SparkEntry {
           SELECT src FROM (SELECT src, least(src, min(dst)) AS comp FROM reach GROUP BY src)
           WHERE src <> comp)""".stripMargin.trim)),
 
+    Q("q_dedup_keep_best",
+      // quality-based canonical keep: each near-dup cluster keeps its
+      // longest member (n_chars as the quality score), ties to lowest id —
+      // what a production dedup actually does, vs keepCanonical's min-id
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val docs = Tables.load(s, dir)("documents")
+        val pairs = operators.Dedup.minHashPairs(docs, threshold = 0.7)
+        val kept = operators.Dedup.keepBest(docs, pairs, col("n_chars"))
+          .select(col("doc_id"))
+        pairs.unpersist(false)
+        kept
+      },
+      Some("""
+        WITH RECURSIVE n AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM documents),
+        s AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) END AS sh FROM n),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
+        e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p),
+        reach(src, dst) AS (
+          SELECT src, dst FROM e
+          UNION
+          SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src WHERE e2.dst <> r.src),
+        comps AS (SELECT src AS doc_id, least(src, min(dst)) AS comp FROM reach GROUP BY src),
+        scored AS (SELECT c.doc_id, c.comp, d.n_chars FROM comps c JOIN documents d USING (doc_id)),
+        winners AS (SELECT comp, (list(doc_id ORDER BY n_chars DESC, doc_id ASC))[1] AS keep
+                    FROM scored GROUP BY comp)
+        SELECT d.doc_id FROM documents d
+        WHERE d.doc_id NOT IN (
+          SELECT sc.doc_id FROM scored sc JOIN winners w USING (comp)
+          WHERE sc.doc_id <> w.keep)""".stripMargin.trim)),
+
+    Q("q_vocab",
+      // corpus vocabulary stats: top-50 tokens by occurrence count with
+      // document frequency — tokenizer-training prep
+      (s, dir) => operators.TextOps.vocab(
+        Tables.load(s, dir)("documents"), k = 50),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+          FROM documents
+        )
+        SELECT token, count(*) AS cnt, count(DISTINCT doc_id) AS df
+        FROM t WHERE length(token) > 0
+        GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin.trim)),
+
     Q("q_dedup_lines",
       // corpus-frequency boilerplate line removal: the fixture has no
       // newlines, so the query plants a per-doc id line + two shared

@@ -246,6 +246,41 @@ object Dedup {
     docs.join(drop, docs(idCol) === drop("doc_id"), "left_anti")
   }
 
+  /** Quality-based canonical keep: like [[keepCanonical]], but each
+    * near-dup cluster keeps its BEST member by `scoreCol` (ties broken by
+    * lowest id — deterministic) instead of the lowest id. This is what a
+    * production pipeline actually wants: of N near-identical crawls, keep
+    * the cleanest one. Docs in no pair are untouched.
+    *
+    * Shape: the same diameter-bounded CC as keepCanonical, a join of the
+    * (small) label set against the docs' (id, score) projection, one
+    * `max_by` aggregation per cluster, and a broadcast anti-join of the
+    * (small) drop set. */
+  def keepBest(
+      docs: DataFrame,
+      pairs: DataFrame,
+      scoreCol: Column,
+      idCol: String = "doc_id",
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      maxIter: Int = 20,
+      localThreshold: Long = 1000000L): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol, maxIter, localThreshold)
+    // winner per cluster: highest score, then lowest id (max_by on a
+    // (score, -id) struct is a single hash aggregation)
+    val scored = cc.join(
+      docs.select(col(idCol).as("doc_id"), scoreCol.as("__score")), "doc_id")
+    val winners = scored.groupBy(col("comp"))
+      .agg(max_by(col("doc_id"),
+        struct(col("__score"), (-col("doc_id")).as("__negid"))).as("__keep"))
+    val drop = materializeAndRelease(
+      scored.join(winners, Seq("comp"))
+        .filter(col("doc_id") =!= col("__keep"))
+        .select(col("doc_id")),
+      cc)
+    docs.join(drop, docs(idCol) === drop("doc_id"), "left_anti")
+  }
+
   /** SimHash near-dup pairs: 64-bit signatures, Hamming ≤ maxDist.
     * Pigeonhole banding: split the signature into maxDist+1 chunks — any
     * pair within maxDist agrees exactly on ≥1 chunk → join per chunk

@@ -80,6 +80,25 @@ object TextOps {
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Corpus vocabulary statistics (tokenizer-training prep): the top-k
+    * normalized whitespace tokens by total occurrence count, with document
+    * frequency. One explode scan, one aggregation keyed on the token
+    * (map-side partial combine collapses the heavy hitters before the
+    * shuffle), and a TakeOrdered top-k — no full sort. */
+  def vocab(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 1000): DataFrame = {
+    val toks = docs.select(col(idCol).as("__id"),
+        explode(split(normalize(col(textCol)), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("__id")).as("df"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+  }
+
   /** Word shingles (n-grams) of the normalized text, distinct.
     * Single-pass kernel — the transform/slice/array_join HOF formulation
     * evaluates an interpreted lambda per shingle. */

@@ -118,6 +118,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 10L, 20L, 99L))
   }
 
+  test("keepBest keeps the highest-score member per cluster, ties to lowest id") {
+    // cluster {1,2,3}: 2 has top score; cluster {10,11}: tie -> keep 10;
+    // 99 untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val d = Seq((1L, 5.0), (2L, 9.0), (3L, 7.0), (10L, 4.0), (11L, 4.0), (99L, 0.1))
+      .toDF("doc_id", "score")
+    val kept = Dedup.keepBest(d, pairs, col("score"))
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(2L, 10L, 99L))
+    // distributed CC path agrees
+    val keptDist = Dedup.keepBest(d, pairs, col("score"), localThreshold = 0L)
+      .collect().map(_.getLong(0)).sorted
+    assert(keptDist.toSeq == Seq(2L, 10L, 99L))
+  }
+
+  test("vocab returns top-k tokens by count with document frequency") {
+    val d = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "alpha  gamma"),
+      (3L, "Beta beta")
+    ).toDF("doc_id", "text")
+    val v = TextOps.vocab(d, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // alpha: cnt 3 df 2; beta: cnt 3 df 2 (case-normalized) — tie broken
+    // alphabetically, gamma (cnt 1) misses the top-2
+    assert(v.toSeq == Seq(("alpha", 3L, 2L), ("beta", 3L, 2L)))
+  }
+
   test("curate with forced-distributed CC (ccLocalThreshold=0) matches the driver path") {
     // same corpus, same parameters — only the connected-components
     // execution path differs; the kept id set must be identical
