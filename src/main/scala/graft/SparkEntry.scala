@@ -1380,6 +1380,46 @@ object SparkEntry {
         FROM t WHERE length(token) > 0
         GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin.trim)),
 
+    Q("q_lm_ce",
+      // CCNet-style unigram cross-entropy: LM trained on the corpus
+      // itself with a tight vocab (top-200) so the OOV floor path is
+      // exercised; per-doc mean negative log-prob
+      (s, dir) => {
+        val docs = Tables.load(s, dir)("documents")
+        operators.TextOps.crossEntropy(docs, docs, vocabK = 200)
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+          FROM documents
+        ), tt AS (SELECT * FROM t WHERE length(token) > 0),
+        n AS (SELECT count(*)::DOUBLE AS total FROM tt),
+        lm AS (
+          SELECT token, count(*) AS cnt FROM tt GROUP BY token
+          ORDER BY cnt DESC, token LIMIT 200
+        ), lp AS (SELECT token, ln((cnt + 1) / (total + 200 + 1)) AS logp FROM lm, n),
+        sc AS (
+          SELECT tt.doc_id, coalesce(lp.logp, ln(1 / (n.total + 200 + 1))) AS lp
+          FROM tt LEFT JOIN lp USING (token), n
+        )
+        SELECT doc_id, count(*) AS tokens, round(-avg(lp), 6) AS ce
+        FROM sc GROUP BY doc_id""".stripMargin.trim)),
+
+    Q("q_shard",
+      // deterministic training-shard assignment: 16 shards by id hash,
+      // dense hash-order position within each shard
+      (s, dir) => operators.Packing.shardForTraining(
+          Tables.load(s, dir)("documents"), shards = 16)
+        .select("doc_id", "shard", "shard_pos"),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+          FROM documents
+        )
+        SELECT doc_id, CAST(h % 16 AS INT) AS shard,
+          row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) - 1 AS shard_pos
+        FROM t""".stripMargin.trim)),
+
     Q("q_dedup_lines",
       // corpus-frequency boilerplate line removal: the fixture has no
       // newlines, so the query plants a per-doc id line + two shared

@@ -60,4 +60,34 @@ object Packing {
       .withColumn("seq_offset", col("__start") % budget)
       .drop("__start")
   }
+
+  /** Deterministic training-shard assignment — the "global shuffle then
+    * shard" step a training run needs so examples are decorrelated from
+    * crawl/source order while the layout stays reproducible run-over-run
+    * and across reshardings (membership and order depend only on the row
+    * id, never on input partitioning). Rows scatter into `shards` streams
+    * by id hash; within a shard rows are ranked in hash order (ties by
+    * id), which is the decorrelated read order.
+    *
+    * One shuffle on the shard key; the per-shard rank is Spark's
+    * spillable window sort. Parallelism equals `shards` — size it like
+    * `buckets` in [[packSequences]] (hundreds of MB to a few GB of
+    * examples per shard). Same portable md5 hash as packing, so any
+    * ANSI engine replays the identical layout.
+    *
+    * @return input + `shard` (int), `shard_pos` (long, dense 0..n-1
+    *   within each shard in hash order) */
+  def shardForTraining(
+      docs: DataFrame,
+      shards: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    docs
+      .withColumn("__h", TextOps.portableHash60(col(idCol).cast("string")))
+      .withColumn("shard", pmod(col("__h"), lit(shards)).cast("int"))
+      .withColumn("shard_pos", row_number().over(w).cast("long") - 1)
+      .drop("__h")
+  }
 }

@@ -99,6 +99,56 @@ object TextOps {
       .limit(k)
   }
 
+  /** CCNet-style unigram cross-entropy quality score (Wenzek et al. 2020,
+    * minus the KenLM binary): train an add-one-smoothed top-`vocabK`
+    * unigram LM on `ref`, then score every document by the mean negative
+    * log-probability of its tokens; out-of-vocabulary tokens get the
+    * smoothed floor `ln(1/(N + vocabK + 1))`. Lower `ce` = closer to the
+    * reference distribution — the classic wiki-vs-crawl signal used to
+    * rank crawl text by quality.
+    *
+    * Plan at scale: LM training is one explode scan + one aggregation +
+    * TakeOrdered over the reference slice (typically small next to the
+    * corpus; the LM itself is ≤ `vocabK` rows, always broadcastable);
+    * scoring is an explode scan + broadcast hash join on the token + ONE
+    * shuffle keyed on the doc id. Ties at the `vocabK` cut break by token
+    * so the LM is deterministic and the DuckDB oracle replays it.
+    *
+    * @return (idCol, tokens, ce) — `ce` rounded to 6 digits
+    *   (engine-portable float compare) */
+  def crossEntropy(
+      docs: DataFrame,
+      ref: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      refTextCol: String = "text",
+      vocabK: Int = 50000): DataFrame = {
+    val refToks = ref.select(
+        explode(split(normalize(col(refTextCol)), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    // 1-row total-token count, broadcast onto both the LM and the OOV
+    // floor (a scalar in the plan, never a driver-side collect)
+    val total = refToks.agg(count(lit(1)).cast("double").as("__total"))
+    val lm = refToks.groupBy(col("token"))
+      .agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("token"))
+      .limit(vocabK)
+      .crossJoin(broadcast(total))
+      .select(col("token"),
+        log((col("__cnt") + lit(1)) / (col("__total") + vocabK + 1)).as("__logp"))
+    docs.select(col(idCol).as("__id"),
+        explode(split(normalize(col(textCol)), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .join(broadcast(lm), Seq("token"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("__id"),
+        coalesce(col("__logp"),
+          log(lit(1.0) / (col("__total") + vocabK + 1))).as("__lp"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("tokens"), round(-avg(col("__lp")), 6).as("ce"))
+      .select(col("__id").as(idCol), col("tokens"), col("ce"))
+  }
+
   /** Word shingles (n-grams) of the normalized text, distinct.
     * Single-pass kernel — the transform/slice/array_join HOF formulation
     * evaluates an interpreted lambda per shingle. */

@@ -556,6 +556,46 @@ class OperatorsSpec extends AnyFunSuite {
       && r.duration_ms.isEmpty))
   }
 
+  test("unigram cross-entropy ranks natural text below gibberish; OOV hits the floor") {
+    val ref = Seq.tabulate(50)(i => (i.toLong, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val probe = Seq(
+      (100L, "the quick brown fox"),          // all in-vocab
+      (101L, "zxqv wkjh qpzm vbnx")           // all OOV
+    ).toDF("doc_id", "text")
+    val scored = TextOps.crossEntropy(probe, ref, vocabK = 200)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(scored(100L)._2 < scored(101L)._2)
+    assert(scored(100L)._1 == 4 && scored(101L)._1 == 4)
+    // the all-OOV doc sits exactly on the smoothed floor: N = 50*9 = 450
+    // ref tokens, floor = -ln(1/(450 + 200 + 1))
+    val floor = math.log(651.0)
+    assert(math.abs(scored(101L)._2 - floor) < 1e-4, s"${scored(101L)._2} vs $floor")
+    // scoring the corpus against itself is total and deterministic
+    val self = TextOps.crossEntropy(docs, docs, vocabK = 200).cache()
+    assert(self.count() == docs.count())
+    assert(self.filter(col("ce") <= 0).count() == 0)
+  }
+
+  test("shardForTraining is a deterministic dense permutation per shard") {
+    val n = docs.count()
+    val s1 = Packing.shardForTraining(docs, shards = 8).cache()
+    assert(s1.count() == n)                          // total, no dup/drop
+    assert(s1.select("doc_id").distinct().count() == n)
+    assert(s1.filter(col("shard") < 0 || col("shard") >= 8).count() == 0)
+    // shard_pos is dense 0..n_s-1 within each shard
+    val dense = s1.groupBy("shard").agg(
+      count(lit(1)).as("c"), min("shard_pos").as("lo"), max("shard_pos").as("hi"),
+      countDistinct("shard_pos").as("d"))
+    assert(dense.filter(col("lo") =!= 0 || col("hi") =!= col("c") - 1 ||
+      col("d") =!= col("c")).count() == 0)
+    // reproducible run-over-run and under a different input partitioning
+    val s2 = Packing.shardForTraining(docs.repartition(7), shards = 8)
+    assert(s1.select("doc_id", "shard", "shard_pos")
+      .exceptAll(s2.select("doc_id", "shard", "shard_pos")).count() == 0)
+    s1.unpersist()
+  }
+
   test("multimodal feature extraction is deterministic and typed") {
     val f1 = Multimodal.featureTable(spark, docs).orderBy("media_id").collect()
     val f2 = Multimodal.featureTable(spark, docs).orderBy("media_id").collect()

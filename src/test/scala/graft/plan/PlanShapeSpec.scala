@@ -155,4 +155,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("cross-entropy scoring broadcasts the LM; doc-side join never sort-merges") {
+    val docs = tables("documents")
+    val p = graft.operators.TextOps.crossEntropy(docs, docs, vocabK = 200)
+      .queryExecution.executedPlan.toString
+    // token join must be a broadcast hash join of the ≤vocabK-row LM
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // hash exchanges: LM token aggregation + per-doc aggregation only —
+    // the corpus itself is never reshuffled for the join
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+  }
+
+  test("training-shard assignment is one shuffle (shard exchange), window sort only") {
+    val p = graft.operators.Packing.shardForTraining(tables("documents"), shards = 16)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
