@@ -1306,6 +1306,32 @@ object SparkEntry {
           SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src WHERE e2.dst <> r.src)
         SELECT src AS doc_id, least(src, min(dst)) AS comp FROM reach GROUP BY src""".stripMargin.trim)),
 
+    Q("q_dedup_component_stats",
+      // cluster-size histogram of the near-dup components — the dedup
+      // audit a pipeline runs before committing a canonical keep
+      (s, dir) => {
+        val docs = Tables.load(s, dir)("documents")
+        val pairs = operators.Dedup.minHashPairs(docs, threshold = 0.7)
+        val st = operators.Dedup.componentStats(pairs)
+        pairs.unpersist(false)
+        st
+      },
+      Some("""
+        WITH RECURSIVE n AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM documents),
+        s AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) END AS sh FROM n),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
+        e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p),
+        reach(src, dst) AS (
+          SELECT src, dst FROM e
+          UNION
+          SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src WHERE e2.dst <> r.src),
+        comps AS (SELECT src AS doc_id, least(src, min(dst)) AS comp FROM reach GROUP BY src),
+        sizes AS (SELECT comp, count(*) AS csize FROM comps GROUP BY comp)
+        SELECT csize, count(*) AS n_clusters FROM sizes GROUP BY csize""".stripMargin.trim)),
+
     Q("q_dedup_keep",
       (s, dir) => {
         val docs = Tables.load(s, dir)("documents")

@@ -28,6 +28,29 @@ object Dedup {
       .select(cols.map(c => col(s"__r.$c")): _*)
   }
 
+  /** Streaming exact dedup across micro-batches: keep the FIRST arrival
+    * per content fingerprint; duplicates arriving within `delay` of the
+    * first are dropped, and per-fingerprint state expires once the
+    * watermark passes — bounded state, which is what the naive
+    * streaming-dedup formulation (unbounded distinct state) gets wrong at
+    * corpus scale. State lives in the state store partitioned by
+    * fingerprint, so it scales out with executors.
+    *
+    * @param tsCol event-time timestamp column (must be TimestampType)
+    * @param delay watermark delay, e.g. "10 minutes" — also the dedup
+    *   horizon: a duplicate arriving later than this after the first
+    *   copy is treated as new */
+  def exactStream(
+      docs: DataFrame,
+      tsCol: String,
+      delay: String,
+      textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("__fp", TextOps.fingerprint(col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** MinHash + LSH near-dup pairs: signature → b bands of r rows →
     * band-bucket join → exact Jaccard verify on shingle sets.
     *
@@ -220,6 +243,22 @@ object Dedup {
     e0.unpersist(false)
     labels.withColumnRenamed("id", "doc_id")
   }
+
+  /** Near-dup cluster audit: the size histogram of the connected
+    * components — (cluster size, number of clusters of that size). The
+    * first thing to check before committing a dedup run: a giant
+    * component means the threshold (or an uncapped hot bucket) glued
+    * unrelated documents together and a canonical keep would delete real
+    * content. Two small aggregations on the (tiny) label set. */
+  def componentStats(
+      pairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      maxIter: Int = 20,
+      localThreshold: Long = 1000000L): DataFrame =
+    connectedComponents(pairs, aCol, bCol, maxIter, localThreshold)
+      .groupBy(col("comp")).agg(count(lit(1)).as("csize"))
+      .groupBy(col("csize")).agg(count(lit(1)).as("n_clusters"))
 
   /** Canonical keep/drop: drop every doc whose component label is not its
     * own id (the min-id member of each near-dup cluster survives; docs in

@@ -556,6 +556,16 @@ class OperatorsSpec extends AnyFunSuite {
       && r.duration_ms.isEmpty))
   }
 
+  test("componentStats histograms cluster sizes; driver and distributed paths agree") {
+    // two clusters: {1,2,3} (chain 1-2, 2-3) and {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = asMap(Dedup.componentStats(pairs))
+    assert(local == Map(3L -> 1L, 2L -> 1L))
+    assert(local == asMap(Dedup.componentStats(pairs, localThreshold = 0)))
+  }
+
   test("unigram cross-entropy ranks natural text below gibberish; OOV hits the floor") {
     val ref = Seq.tabulate(50)(i => (i.toLong, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text")

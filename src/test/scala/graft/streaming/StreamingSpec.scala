@@ -665,4 +665,29 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     assert(seen.filter(_.nonEmpty).toSeq == Seq(Seq(9.0, 7.0), Seq(3.0, 1.0)))
   }
+
+  test("streaming exact dedup drops cross-batch dups; state expires with the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val src = mem.toDF().toDF("doc_id", "text", "tsm")
+      .withColumn("ts", timestamp_millis(col("tsm"))).drop("tsm")
+    val out = graft.operators.Dedup.exactStream(src, "ts", "10 seconds")
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    mem.addData((1L, "alpha", 1000L), (2L, "beta", 1000L))
+    q.processAllAvailable()
+    // same content, different batch, within the watermark horizon → dropped
+    mem.addData((3L, "alpha", 2000L))
+    q.processAllAvailable()
+    // advance the watermark past alpha's expiry (1000 + 10s)
+    mem.addData((4L, "gamma", 60000L))
+    q.processAllAvailable()
+    // alpha's state was reaped — a fresh copy is new again (bounded state)
+    mem.addData((5L, "alpha", 61000L))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_stream").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 4L, 5L))
+  }
 }
