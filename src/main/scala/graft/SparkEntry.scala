@@ -1306,6 +1306,26 @@ object SparkEntry {
           SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src WHERE e2.dst <> r.src)
         SELECT src AS doc_id, least(src, min(dst)) AS comp FROM reach GROUP BY src""".stripMargin.trim)),
 
+    Q("q_dedup_incremental",
+      // incremental (new-batch-vs-corpus) near-dup pairs: odd ids play
+      // the fresh crawl, even ids the existing corpus
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val docs = Tables.load(s, dir)("documents")
+        operators.Dedup.minHashPairsAgainst(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          threshold = 0.7)
+      },
+      Some("""
+        WITH n AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM documents),
+        s AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) END AS sh FROM n)
+        SELECT a.doc_id AS doc_new, b.doc_id AS doc_corpus,
+          round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        FROM s a JOIN s b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7""".stripMargin.trim)),
+
     Q("q_dedup_component_stats",
       // cluster-size histogram of the near-dup components — the dedup
       // audit a pipeline runs before committing a canonical keep

@@ -104,6 +104,63 @@ object Dedup {
     materializeAndRelease(out, withSh)
   }
 
+  /** Incremental MinHash near-dup pairs: a NEW batch against an existing
+    * corpus — the daily-ingest shape. When a day of crawl lands, the
+    * pipeline pairs it against what it already has WITHOUT re-pairing the
+    * corpus with itself: candidates come from a cross-side equi-join on
+    * the (band, bucket) key, so the corpus-side cost is one banding pass
+    * over signatures an ingestion pipeline keeps materialized anyway.
+    *
+    * Same banding parameters and hot-bucket discipline as
+    * [[minHashPairs]]; the cap applies to the corpus-side bucket
+    * population (the fanout driver — each new doc in a bucket meets every
+    * corpus member of that bucket). Rows whose ids collide across sides
+    * (a re-crawled id) are excluded as trivial self-pairs.
+    *
+    * @return (doc_new, doc_corpus, jaccard) with jaccard >= threshold */
+  def minHashPairsAgainst(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleN: Int = 3,
+      bands: Int = 16,
+      rows: Int = 4,
+      threshold: Double = 0.7,
+      maxBucket: Int = 100000): DataFrame = {
+    def shingled(df: DataFrame) = df
+      .select(col(idCol).as("id"), TextOps.shingles(col(textCol), shingleN).as("sh"))
+      .persist()
+    def banded(sh: DataFrame) = sh.select(
+        col("id"),
+        posexplode(graft.functions.TextKernels.minhashBucketsCol(col("sh"), bands, rows)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val shN = shingled(newDocs)
+    val shC = shingled(corpus)
+    // corpus side groups once per (band, bucket) — the cap folds into the
+    // same aggregation, so no separate hot-bucket count pass
+    val grouped = banded(shC)
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("id")).as("__ids"))
+    val kept = if (maxBucket <= 0) grouped
+      else grouped.filter(size(col("__ids")) <= maxBucket)
+    val cand = banded(shN)
+      .join(kept, Seq("band", "bucket"))
+      .select(col("id").as("doc_new"), explode(col("__ids")).as("doc_corpus"))
+      .filter(col("doc_new") =!= col("doc_corpus"))
+      .dropDuplicates("doc_new", "doc_corpus")
+    val out = cand
+      .join(shN.select(col("id").as("doc_new"), col("sh").as("sh_a")), "doc_new")
+      .join(shC.select(col("id").as("doc_corpus"), col("sh").as("sh_b")), "doc_corpus")
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_new", "doc_corpus", "jaccard")
+    materializeAndRelease(out, shN, shC)
+  }
+
   /** All intra-bucket candidate pairs (a < b) in ONE shuffle: group the
     * banded set by its bucket key(s), drop singleton buckets (no pair) and
     * over-populated buckets (> `max` members — a degenerate bucket of B

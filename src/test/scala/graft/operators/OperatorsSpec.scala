@@ -556,6 +556,24 @@ class OperatorsSpec extends AnyFunSuite {
       && r.duration_ms.isEmpty))
   }
 
+  test("incremental pairs never pair within a side and match the self-join across sides") {
+    val odd = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val even = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val inc = Dedup.minHashPairsAgainst(odd, even, threshold = 0.7).cache()
+    // both endpoints respect their side
+    assert(inc.filter(pmod(col("doc_new"), lit(2)) === 0).count() == 0)
+    assert(inc.filter(pmod(col("doc_corpus"), lit(2)) === 1).count() == 0)
+    // exactly the cross-parity subset of the full self-join pair set
+    val full = Dedup.minHashPairs(docs, threshold = 0.7)
+    val cross = full.filter(pmod(col("doc_a"), lit(2)) =!= pmod(col("doc_b"), lit(2)))
+      .select(
+        when(pmod(col("doc_a"), lit(2)) === 1, col("doc_a")).otherwise(col("doc_b")).as("doc_new"),
+        when(pmod(col("doc_a"), lit(2)) === 1, col("doc_b")).otherwise(col("doc_a")).as("doc_corpus"),
+        col("jaccard"))
+    assert(inc.exceptAll(cross).count() == 0 && cross.exceptAll(inc).count() == 0)
+    full.unpersist(); inc.unpersist()
+  }
+
   test("componentStats histograms cluster sizes; driver and distributed paths agree") {
     // two clusters: {1,2,3} (chain 1-2, 2-3) and {10,11}
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")

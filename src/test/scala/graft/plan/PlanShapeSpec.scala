@@ -156,6 +156,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("incremental (new-vs-corpus) LSH join is an equi hash join, never a cartesian") {
+    import org.apache.spark.sql.functions._
+    val docs = tables("documents")
+    val pairs = graft.operators.Dedup.minHashPairsAgainst(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), threshold = 0.7)
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    pairs.unpersist()
+  }
+
   test("cross-entropy scoring broadcasts the LM; doc-side join never sort-merges") {
     val docs = tables("documents")
     val p = graft.operators.TextOps.crossEntropy(docs, docs, vocabK = 200)
