@@ -51,6 +51,89 @@ object Dedup {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming near-dup detection at ingest: flag stream documents whose
+    * Jaccard similarity against a STATIC corpus reaches `threshold` —
+    * the online version of [[minHashPairsAgainst]], for rejecting
+    * near-dups before they ever land. Every join is a stream-static
+    * equi-join (stateless on the stream side — Spark re-reads only the
+    * static side per micro-batch, so CACHE the corpus); the only state
+    * is the within-watermark pair dedup, which expires with the
+    * watermark.
+    *
+    * @param tsCol stream event-time column (TimestampType)
+    * @param delay watermark delay bounding the pair-dedup state
+    * @return streaming (doc_new, doc_corpus, jaccard, `tsCol`) rows */
+  def nearDupStream(
+      stream: DataFrame,
+      corpus: DataFrame,
+      tsCol: String,
+      delay: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleN: Int = 3,
+      bands: Int = 16,
+      rows: Int = 4,
+      threshold: Double = 0.7,
+      maxBucket: Int = 100000): DataFrame = {
+    val shC = corpus.select(
+      col(idCol).as("__cid"), TextOps.shingles(col(textCol), shingleN).as("__csh"))
+    val grouped0 = shC.select(col("__cid"),
+        posexplode(graft.functions.TextKernels.minhashBucketsCol(col("__csh"), bands, rows)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("__cid")).as("__ids"))
+    val grouped = if (maxBucket <= 0) grouped0
+      else grouped0.filter(size(col("__ids")) <= maxBucket)
+    val banded = stream
+      .select(col(idCol).as("doc_new"), col(tsCol).as("__ts"),
+        TextOps.shingles(col(textCol), shingleN).as("__nsh"))
+      .select(col("doc_new"), col("__ts"), col("__nsh"),
+        posexplode(graft.functions.TextKernels.minhashBucketsCol(col("__nsh"), bands, rows)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    banded.join(grouped, Seq("band", "bucket"))
+      .select(col("doc_new"), col("__ts"), col("__nsh"),
+        explode(col("__ids")).as("doc_corpus"))
+      .filter(col("doc_new") =!= col("doc_corpus"))
+      .join(shC, col("doc_corpus") === col("__cid"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("__nsh"), col("__csh"))).cast("double") /
+          size(array_union(col("__nsh"), col("__csh"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_new"), col("doc_corpus"), col("jaccard"), col("__ts").as(tsCol))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("doc_new", "doc_corpus")
+  }
+
+  /** Streaming benchmark decontamination at ingest: flag stream documents
+    * sharing at least one word n-gram with a STATIC benchmark set — the
+    * online version of [[contamination]]. The benchmark n-gram side is
+    * distinct-ed and broadcast (eval sets are tiny); the only state is
+    * the within-watermark doc dedup (one flagged row per doc per
+    * watermark horizon, since per-doc hit counting would need a windowed
+    * aggregation).
+    *
+    * @return streaming (idCol, `tsCol`) rows — contaminated docs only */
+  def contaminationStream(
+      stream: DataFrame,
+      bench: DataFrame,
+      tsCol: String,
+      delay: String,
+      n: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      benchTextCol: String = "text"): DataFrame = {
+    val b = bench.select(explode(TextOps.shingles(col(benchTextCol), n)).as("__g"))
+      .distinct()
+    stream.select(col(idCol), col(tsCol),
+        explode(TextOps.shingles(col(textCol), n)).as("__g"))
+      .join(broadcast(b), Seq("__g"))
+      .select(col(idCol), col(tsCol))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(idCol)
+  }
+
   /** MinHash + LSH near-dup pairs: signature → b bands of r rows →
     * band-bucket join → exact Jaccard verify on shingle sets.
     *

@@ -690,4 +690,55 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(ids == Set(1L, 2L, 4L, 5L))
   }
+
+  test("streaming near-dup flags stream docs against a static corpus, pair-deduped") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon"),
+      (101L, "totally different corpus content here")).toDF("doc_id", "text").cache()
+    val mem = MemoryStream[(Long, String, Long)]
+    val src = mem.toDF().toDF("doc_id", "text", "tsm")
+      .withColumn("ts", timestamp_millis(col("tsm"))).drop("tsm")
+    val out = graft.operators.Dedup.nearDupStream(src, corpus, "ts", "10 seconds")
+    val q = out.writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    // batch 1: an exact copy of corpus doc 100 and an unrelated doc
+    mem.addData((1L, "alpha beta gamma delta epsilon", 1000L),
+      (2L, "nothing shared with anything zzz", 1000L))
+    q.processAllAvailable()
+    // batch 2: the same pair again within the watermark → suppressed
+    mem.addData((1L, "alpha beta gamma delta epsilon", 2000L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("neardup_stream")
+      .select("doc_new", "doc_corpus", "jaccard").collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == 1L && got(0).getLong(1) == 100L
+      && got(0).getDouble(2) == 1.0)
+    corpus.unpersist()
+  }
+
+  test("streaming decontamination flags docs sharing a benchmark n-gram, once per doc") {
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((1L, "the secret holdout answer key")).toDF("bid", "text").cache()
+    val mem = MemoryStream[(Long, String, Long)]
+    val src = mem.toDF().toDF("doc_id", "text", "tsm")
+      .withColumn("ts", timestamp_millis(col("tsm"))).drop("tsm")
+    val out = graft.operators.Dedup.contaminationStream(
+      src, bench, "ts", "10 seconds", n = 3)
+    val q = out.writeStream.format("memory").queryName("contam_stream")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, "leaked copy of the secret holdout answer key inside", 1000L),
+      (2L, "perfectly clean training document text", 1000L))
+    q.processAllAvailable()
+    // re-emission within the watermark: still one flagged row for doc 1
+    mem.addData((1L, "leaked copy of the secret holdout answer key inside", 2000L))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("contam_stream").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(1L))
+    bench.unpersist()
+  }
 }
