@@ -980,6 +980,47 @@ object SparkEntry {
                ELSE 'es' END AS lang_pred
         FROM h""".stripMargin.trim)),
 
+    Q("q_curation_report",
+      // per-language corpus audit: doc counts, mean quality, token
+      // percentiles — the before/after table of every curation run
+      (s, dir) => operators.TextOps.curationReport(
+        Tables.load(s, dir)("documents")),
+      Some("""
+        WITH b AS (
+          SELECT doc_id, text,
+            CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS token_count,
+            length(text) AS n,
+            length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS npunct,
+            length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS nalpha,
+            ' ' || lower(text) || ' ' AS padded
+          FROM documents
+        ), h AS (
+          SELECT *,
+            len(regexp_extract_all(padded, ' (the|and|is|of|to|that|with) ')) AS en,
+            len(regexp_extract_all(padded, ' (der|die|das|und|ist|nicht|mit) ')) AS de,
+            len(regexp_extract_all(padded, ' (le|la|les|et|est|dans|pour) ')) AS fr,
+            len(regexp_extract_all(padded, ' (el|los|las|es|en|que|por) ')) AS es,
+            length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS zh
+          FROM b
+        ), a AS (
+          SELECT token_count,
+            round((CASE WHEN n BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.3 END) * 0.4 +
+                  (CASE WHEN (CASE WHEN n = 0 THEN 0 ELSE npunct::DOUBLE / n END) < 0.2 THEN 1.0 ELSE 0.4 END) * 0.3 +
+                  (CASE WHEN (CASE WHEN n = 0 THEN 0 ELSE nalpha::DOUBLE / n END) > 0.5 THEN 1.0 ELSE 0.5 END) * 0.3, 4) AS quality,
+            CASE WHEN greatest(en, de, fr, es, zh) = 0 THEN 'und'
+                 WHEN zh = greatest(en, de, fr, es, zh) THEN 'zh'
+                 WHEN en = greatest(en, de, fr, es, zh) THEN 'en'
+                 WHEN de = greatest(en, de, fr, es, zh) THEN 'de'
+                 WHEN fr = greatest(en, de, fr, es, zh) THEN 'fr'
+                 ELSE 'es' END AS lang_pred
+          FROM h
+        )
+        SELECT lang_pred, count(*) AS n_docs, round(avg(quality), 6) AS avg_quality,
+          round(median(token_count), 4) AS med_tokens,
+          round(quantile_cont(token_count, 0.9), 4) AS p90_tokens,
+          CAST(sum(token_count) AS BIGINT) AS total_tokens
+        FROM a GROUP BY lang_pred""".stripMargin.trim)),
+
     Q("q_curate",
       // full curation pipeline in one call: quality/lang/token filters →
       // minhash near-dup pairs on the filtered set → canonical keep

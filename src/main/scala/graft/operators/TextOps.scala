@@ -242,6 +242,23 @@ object TextOps {
       .drop("__st")
   }
 
+  /** Per-language corpus audit — the summary table every curation run
+    * prints before/after filtering: document count, mean quality, median
+    * and p90 token counts, total tokens, grouped by predicted language.
+    * One [[analyze]] scan (codegen'd kernel) + ONE shuffle keyed on the
+    * language; medians/percentiles are Spark's exact interpolated
+    * `percentile`, computed per group over the (small, #langs-bounded)
+    * grouped sets. */
+  def curationReport(docs: DataFrame, textCol: String = "text"): DataFrame =
+    analyze(docs, textCol)
+      .groupBy(col("lang_pred"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("quality")), 6).as("avg_quality"),
+        round(median(col("token_count")), 4).as("med_tokens"),
+        round(percentile(col("token_count"), lit(0.9)), 4).as("p90_tokens"),
+        sum(col("token_count")).cast("long").as("total_tokens"))
+
   /** Annotate a corpus with repetition metrics — the Gopher-style signals
     * (Rae et al. 2021 §A1.1) that catch boilerplate/spam: duplicate word /
     * bigram / trigram fractions, top-word mass, duplicate-line fraction.

@@ -556,6 +556,15 @@ class OperatorsSpec extends AnyFunSuite {
       && r.duration_ms.isEmpty))
   }
 
+  test("curation report partitions the corpus and bounds its stats") {
+    val r = TextOps.curationReport(docs).cache()
+    assert(r.agg(sum("n_docs")).collect()(0).getLong(0) == docs.count())
+    assert(r.filter(!col("lang_pred").isin("en", "de", "fr", "es", "zh", "und")).count() == 0)
+    assert(r.filter(col("avg_quality") < 0 || col("avg_quality") > 1).count() == 0)
+    assert(r.filter(col("med_tokens") > col("p90_tokens")).count() == 0)
+    r.unpersist()
+  }
+
   test("incremental pairs never pair within a side and match the self-join across sides") {
     val odd = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
     val even = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
