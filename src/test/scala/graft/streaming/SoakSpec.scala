@@ -93,6 +93,35 @@ class SoakSpec extends AnyFunSuite {
     soak(None)
   }
 
+  test("soak: streaming dedup state drains once the watermark passes the horizon") {
+    // event-time watermark path (no processing-time timers), so
+    // processAllAvailable is safe here; the watermark commits at batch end
+    // and applies to the NEXT batch, hence the two advancing batches
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val src = mem.toDF().toDF("doc_id", "text", "tsm")
+      .withColumn("ts", timestamp_millis(col("tsm"))).drop("tsm")
+    val out = graft.operators.Dedup.exactStream(src, "ts", "5 seconds")
+    val q = out.writeStream.format("memory").queryName("soak_dedup")
+      .outputMode("append").start()
+    def stateRows: Long = Option(q.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    mem.addData((0 until 500).map(i => (i.toLong, s"unique doc text $i", 1000L + i)): _*)
+    q.processAllAvailable()
+    val peak = stateRows
+    assert(peak >= 500, s"burst fingerprints not resident: $peak")
+    // two batches far past the horizon: first advances the watermark,
+    // second evicts under it
+    mem.addData((1000L, "advance one", 60000L))
+    q.processAllAvailable()
+    mem.addData((1001L, "advance two", 61000L))
+    q.processAllAvailable()
+    val floor = stateRows
+    q.stop()
+    assert(floor <= 5, s"dedup state not drained: $floor of peak $peak")
+  }
+
   test("soak: state returns to a flat floor after idle-key reap (RocksDB provider)") {
     soak(Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
   }
