@@ -1367,6 +1367,28 @@ object SparkEntry {
         FROM s a JOIN s b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7""".stripMargin.trim)),
 
+    Q("q_dedup_keep_new",
+      // ingest decision: odd-id "fresh crawl" docs that near-dup nothing
+      // in the even-id "corpus" survive
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val docs = Tables.load(s, dir)("documents")
+        operators.Dedup.keepNewAgainst(
+            docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+            docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+            threshold = 0.7)
+          .select(col("doc_id"))
+      },
+      Some("""
+        WITH n AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM documents),
+        s AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) END AS sh FROM n)
+        SELECT d.doc_id FROM documents d
+        WHERE d.doc_id % 2 = 1 AND d.doc_id NOT IN (
+          SELECT a.doc_id
+          FROM s a JOIN s b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+          WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7)""".stripMargin.trim)),
+
     Q("q_dedup_component_stats",
       // cluster-size histogram of the near-dup components — the dedup
       // audit a pipeline runs before committing a canonical keep

@@ -244,6 +244,28 @@ object Dedup {
     materializeAndRelease(out, shN, shC)
   }
 
+  /** The ingest decision built on [[minHashPairsAgainst]]: keep only the
+    * new-batch documents that do NOT near-dup anything in the corpus.
+    * The drop set (new ids with at least one corpus pair) is tiny next to
+    * the batch, so the final filter is a broadcast anti-join — the same
+    * shape as [[keepCanonical]]. */
+  def keepNewAgainst(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleN: Int = 3,
+      bands: Int = 16,
+      rows: Int = 4,
+      threshold: Double = 0.7,
+      maxBucket: Int = 100000): DataFrame = {
+    val pairs = minHashPairsAgainst(newDocs, corpus, textCol, idCol,
+      shingleN, bands, rows, threshold, maxBucket)
+    val drop = materializeAndRelease(
+      pairs.select(col("doc_new")).distinct(), pairs)
+    newDocs.join(drop, newDocs(idCol) === drop("doc_new"), "left_anti")
+  }
+
   /** All intra-bucket candidate pairs (a < b) in ONE shuffle: group the
     * banded set by its bucket key(s), drop singleton buckets (no pair) and
     * over-populated buckets (> `max` members — a degenerate bucket of B

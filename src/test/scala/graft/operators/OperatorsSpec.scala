@@ -580,6 +580,10 @@ class OperatorsSpec extends AnyFunSuite {
         when(pmod(col("doc_a"), lit(2)) === 1, col("doc_b")).otherwise(col("doc_a")).as("doc_corpus"),
         col("jaccard"))
     assert(inc.exceptAll(cross).count() == 0 && cross.exceptAll(inc).count() == 0)
+    // the ingest keep = new side minus exactly the flagged doc_new ids
+    val kept = Dedup.keepNewAgainst(odd, even, threshold = 0.7)
+    val flagged = inc.select("doc_new").distinct().count()
+    assert(kept.count() == odd.count() - flagged)
     full.unpersist(); inc.unpersist()
   }
 
