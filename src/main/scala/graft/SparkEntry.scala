@@ -911,17 +911,27 @@ object SparkEntry {
             len(regexp_extract_all(padded, ' (le|la|les|et|est|dans|pour) ')) AS fr,
             len(regexp_extract_all(padded, ' (el|los|las|es|en|que|por) ')) AS es,
             length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS zh,
+            length(regexp_replace(text, '[^\x{0400}-\x{04ff}]', '', 'g')) AS ru,
+            length(regexp_replace(text, '[^\x{0600}-\x{06ff}]', '', 'g')) AS ar,
+            length(regexp_replace(text, '[^\x{ac00}-\x{d7af}]', '', 'g')) AS ko,
+            length(regexp_replace(text, '[^\x{3040}-\x{30ff}]', '', 'g')) AS ja,
+            length(regexp_replace(text, '[^\x{0900}-\x{097f}]', '', 'g')) AS hi,
             round((CASE WHEN n BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.3 END) * 0.4 +
                   (CASE WHEN (CASE WHEN n = 0 THEN 0 ELSE npunct::DOUBLE / n END) < 0.2 THEN 1.0 ELSE 0.4 END) * 0.3 +
                   (CASE WHEN (CASE WHEN n = 0 THEN 0 ELSE nalpha::DOUBLE / n END) > 0.5 THEN 1.0 ELSE 0.5 END) * 0.3, 4) AS qs
           FROM b
         )
         SELECT doc_id,
-          CASE WHEN greatest(en, de, fr, es, zh) = 0 THEN 'und'
-               WHEN zh = greatest(en, de, fr, es, zh) THEN 'zh'
-               WHEN en = greatest(en, de, fr, es, zh) THEN 'en'
-               WHEN de = greatest(en, de, fr, es, zh) THEN 'de'
-               WHEN fr = greatest(en, de, fr, es, zh) THEN 'fr'
+          CASE WHEN greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) = 0 THEN 'und'
+               WHEN ja = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'ja'
+               WHEN zh = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'zh'
+               WHEN ru = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'ru'
+               WHEN ar = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'ar'
+               WHEN ko = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'ko'
+               WHEN hi = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'hi'
+               WHEN en = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'en'
+               WHEN de = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'de'
+               WHEN fr = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'fr'
                ELSE 'es' END AS lang_pred,
           tc0 AS tc,
           CAST(len(string_split_regex(trim(text), '\s+')) +
@@ -961,7 +971,12 @@ object SparkEntry {
             len(regexp_extract_all(padded, ' (der|die|das|und|ist|nicht|mit) ')) AS de,
             len(regexp_extract_all(padded, ' (le|la|les|et|est|dans|pour) ')) AS fr,
             len(regexp_extract_all(padded, ' (el|los|las|es|en|que|por) ')) AS es,
-            length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS zh
+            length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS zh,
+            length(regexp_replace(text, '[^\x{0400}-\x{04ff}]', '', 'g')) AS ru,
+            length(regexp_replace(text, '[^\x{0600}-\x{06ff}]', '', 'g')) AS ar,
+            length(regexp_replace(text, '[^\x{ac00}-\x{d7af}]', '', 'g')) AS ko,
+            length(regexp_replace(text, '[^\x{3040}-\x{30ff}]', '', 'g')) AS ja,
+            length(regexp_replace(text, '[^\x{0900}-\x{097f}]', '', 'g')) AS hi
           FROM b
         )
         SELECT doc_id, token_count,
@@ -972,11 +987,16 @@ object SparkEntry {
           round((CASE WHEN n BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.3 END) * 0.4 +
                 (CASE WHEN (CASE WHEN n = 0 THEN 0 ELSE npunct::DOUBLE / n END) < 0.2 THEN 1.0 ELSE 0.4 END) * 0.3 +
                 (CASE WHEN (CASE WHEN n = 0 THEN 0 ELSE nalpha::DOUBLE / n END) > 0.5 THEN 1.0 ELSE 0.5 END) * 0.3, 4) AS quality,
-          CASE WHEN greatest(en, de, fr, es, zh) = 0 THEN 'und'
-               WHEN zh = greatest(en, de, fr, es, zh) THEN 'zh'
-               WHEN en = greatest(en, de, fr, es, zh) THEN 'en'
-               WHEN de = greatest(en, de, fr, es, zh) THEN 'de'
-               WHEN fr = greatest(en, de, fr, es, zh) THEN 'fr'
+          CASE WHEN greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) = 0 THEN 'und'
+               WHEN ja = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'ja'
+               WHEN zh = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'zh'
+               WHEN ru = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'ru'
+               WHEN ar = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'ar'
+               WHEN ko = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'ko'
+               WHEN hi = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'hi'
+               WHEN en = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'en'
+               WHEN de = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'de'
+               WHEN fr = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'fr'
                ELSE 'es' END AS lang_pred
         FROM h""".stripMargin.trim)),
 
@@ -1000,18 +1020,28 @@ object SparkEntry {
             len(regexp_extract_all(padded, ' (der|die|das|und|ist|nicht|mit) ')) AS de,
             len(regexp_extract_all(padded, ' (le|la|les|et|est|dans|pour) ')) AS fr,
             len(regexp_extract_all(padded, ' (el|los|las|es|en|que|por) ')) AS es,
-            length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS zh
+            length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS zh,
+            length(regexp_replace(text, '[^\x{0400}-\x{04ff}]', '', 'g')) AS ru,
+            length(regexp_replace(text, '[^\x{0600}-\x{06ff}]', '', 'g')) AS ar,
+            length(regexp_replace(text, '[^\x{ac00}-\x{d7af}]', '', 'g')) AS ko,
+            length(regexp_replace(text, '[^\x{3040}-\x{30ff}]', '', 'g')) AS ja,
+            length(regexp_replace(text, '[^\x{0900}-\x{097f}]', '', 'g')) AS hi
           FROM b
         ), a AS (
           SELECT token_count,
             round((CASE WHEN n BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.3 END) * 0.4 +
                   (CASE WHEN (CASE WHEN n = 0 THEN 0 ELSE npunct::DOUBLE / n END) < 0.2 THEN 1.0 ELSE 0.4 END) * 0.3 +
                   (CASE WHEN (CASE WHEN n = 0 THEN 0 ELSE nalpha::DOUBLE / n END) > 0.5 THEN 1.0 ELSE 0.5 END) * 0.3, 4) AS quality,
-            CASE WHEN greatest(en, de, fr, es, zh) = 0 THEN 'und'
-                 WHEN zh = greatest(en, de, fr, es, zh) THEN 'zh'
-                 WHEN en = greatest(en, de, fr, es, zh) THEN 'en'
-                 WHEN de = greatest(en, de, fr, es, zh) THEN 'de'
-                 WHEN fr = greatest(en, de, fr, es, zh) THEN 'fr'
+            CASE WHEN greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) = 0 THEN 'und'
+                 WHEN ja = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'ja'
+                 WHEN zh = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'zh'
+                 WHEN ru = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'ru'
+                 WHEN ar = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'ar'
+                 WHEN ko = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'ko'
+                 WHEN hi = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'hi'
+                 WHEN en = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'en'
+                 WHEN de = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'de'
+                 WHEN fr = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'fr'
                  ELSE 'es' END AS lang_pred
           FROM h
         )
@@ -1041,18 +1071,28 @@ object SparkEntry {
             len(regexp_extract_all(padded, ' (der|die|das|und|ist|nicht|mit) ')) AS de,
             len(regexp_extract_all(padded, ' (le|la|les|et|est|dans|pour) ')) AS fr,
             len(regexp_extract_all(padded, ' (el|los|las|es|en|que|por) ')) AS es,
-            length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS zh
+            length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS zh,
+            length(regexp_replace(text, '[^\x{0400}-\x{04ff}]', '', 'g')) AS ru,
+            length(regexp_replace(text, '[^\x{0600}-\x{06ff}]', '', 'g')) AS ar,
+            length(regexp_replace(text, '[^\x{ac00}-\x{d7af}]', '', 'g')) AS ko,
+            length(regexp_replace(text, '[^\x{3040}-\x{30ff}]', '', 'g')) AS ja,
+            length(regexp_replace(text, '[^\x{0900}-\x{097f}]', '', 'g')) AS hi
           FROM b
         ), a AS (
           SELECT doc_id, text, token_count,
             round((CASE WHEN n BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.3 END) * 0.4 +
                   (CASE WHEN (CASE WHEN n = 0 THEN 0 ELSE npunct::DOUBLE / n END) < 0.2 THEN 1.0 ELSE 0.4 END) * 0.3 +
                   (CASE WHEN (CASE WHEN n = 0 THEN 0 ELSE nalpha::DOUBLE / n END) > 0.5 THEN 1.0 ELSE 0.5 END) * 0.3, 4) AS quality,
-            CASE WHEN greatest(en, de, fr, es, zh) = 0 THEN 'und'
-                 WHEN zh = greatest(en, de, fr, es, zh) THEN 'zh'
-                 WHEN en = greatest(en, de, fr, es, zh) THEN 'en'
-                 WHEN de = greatest(en, de, fr, es, zh) THEN 'de'
-                 WHEN fr = greatest(en, de, fr, es, zh) THEN 'fr'
+            CASE WHEN greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) = 0 THEN 'und'
+                 WHEN ja = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'ja'
+                 WHEN zh = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'zh'
+                 WHEN ru = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'ru'
+                 WHEN ar = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'ar'
+                 WHEN ko = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'ko'
+                 WHEN hi = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'hi'
+                 WHEN en = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'en'
+                 WHEN de = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'de'
+                 WHEN fr = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'fr'
                  ELSE 'es' END AS lang_pred
           FROM h
         ), f AS (

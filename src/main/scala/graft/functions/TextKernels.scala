@@ -43,7 +43,12 @@ object TextKernels {
     StructField("de", IntegerType, nullable = false),
     StructField("fr", IntegerType, nullable = false),
     StructField("es", IntegerType, nullable = false),
-    StructField("zh", IntegerType, nullable = false)))
+    StructField("zh", IntegerType, nullable = false),
+    StructField("ru", IntegerType, nullable = false),
+    StructField("ar", IntegerType, nullable = false),
+    StructField("ko", IntegerType, nullable = false),
+    StructField("ja", IntegerType, nullable = false),
+    StructField("hi", IntegerType, nullable = false)))
 
   /** All q_text_analysis signals in one pass over the text. */
   def textStatsCol(text: Column): Column = GraftColumnBridge.column(
@@ -76,7 +81,7 @@ object TextKernels {
     var n = 0; var npunct = 0; var nalpha = 0; var nwsp = 0
     var tokens = 0; var inToken = false
     var nstop = 0; var wordStart = -1
-    var zh = 0
+    var zh = 0; var ru = 0; var ar = 0; var ko = 0; var ja = 0; var hi = 0
     var firstNonSpace = -1; var lastNonSpace = -1
     var i = 0
     while (i < len) {
@@ -89,6 +94,11 @@ object TextKernels {
         if (isPunct(c)) npunct += 1
         if (isAlpha(c)) nalpha += 1
         if (cp >= 0x4e00 && cp <= 0x9fff) zh += 1
+        else if (cp >= 0x0400 && cp <= 0x04ff) ru += 1 // Cyrillic
+        else if (cp >= 0x0600 && cp <= 0x06ff) ar += 1 // Arabic
+        else if (cp >= 0xac00 && cp <= 0xd7af) ko += 1 // Hangul syllables
+        else if (cp >= 0x3040 && cp <= 0x30ff) ja += 1 // Hiragana + Katakana
+        else if (cp >= 0x0900 && cp <= 0x097f) hi += 1 // Devanagari
       }
       // whitespace-delimited tokens (split(trim, "\s+"))
       if (!isWs(c)) { if (!inToken) { tokens += 1; inToken = true } }
@@ -122,7 +132,7 @@ object TextKernels {
 
     new GenericInternalRow(Array[Any](
       tokens, n, npunct, nalpha, n - nwsp, nstop,
-      lang(0), lang(1), lang(2), lang(3), zh))
+      lang(0), lang(1), lang(2), lang(3), zh, ru, ar, ko, ja, hi))
   }
 
   private def isStopword(str: String, from: Int, until: Int): Boolean = {

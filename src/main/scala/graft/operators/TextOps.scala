@@ -55,20 +55,33 @@ object TextOps {
     round((lenScore * 0.4 + punct * 0.3 + alpha * 0.3), 4)
   }
 
-  /** n-gram-heuristic language ID over {en,de,fr,es,zh}: per-language marker
-    * hits, argmax. Pure-SQL (portable to the DuckDB oracle). */
+  /** n-gram-heuristic language ID over {en,de,fr,es} (stopword markers)
+    * plus script detection for {zh,ru,ar,ko,ja,hi}: per-language signal
+    * counts, argmax with script signals winning ties (a script char is
+    * near-definitive; kana beats Han so Japanese text with kanji+kana
+    * resolves ja, pure-Han resolves zh). Pure-SQL (portable to the
+    * DuckDB oracle). */
   def langId(text: Column): Column = {
     val t = concat(lit(" "), lower(text), lit(" "))
     def hits(words: Seq[String]): Column =
       regexp_count(t, lit(s" (${words.mkString("|")}) "))
+    def script(range: String): Column =
+      length(regexp_replace(text, s"[^$range]", ""))
     val en = hits(Seq("the", "and", "is", "of", "to", "that", "with"))
     val de = hits(Seq("der", "die", "das", "und", "ist", "nicht", "mit"))
     val fr = hits(Seq("le", "la", "les", "et", "est", "dans", "pour"))
     val es = hits(Seq("el", "los", "las", "es", "en", "que", "por"))
-    val zh = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
-    val m = greatest(en, de, fr, es, zh)
+    val zh = script("\\x{4e00}-\\x{9fff}")
+    val ru = script("\\x{0400}-\\x{04ff}")
+    val ar = script("\\x{0600}-\\x{06ff}")
+    val ko = script("\\x{ac00}-\\x{d7af}")
+    val ja = script("\\x{3040}-\\x{30ff}")
+    val hi = script("\\x{0900}-\\x{097f}")
+    val m = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi)
     when(m === 0, lit("und"))
-      .when(zh === m, "zh").when(en === m, "en").when(de === m, "de")
+      .when(ja === m, "ja").when(zh === m, "zh").when(ru === m, "ru")
+      .when(ar === m, "ar").when(ko === m, "ko").when(hi === m, "hi")
+      .when(en === m, "en").when(de === m, "de")
       .when(fr === m, "fr").otherwise("es")
   }
 
@@ -225,9 +238,12 @@ object TextOps {
     val punctScore = when(punct < 0.2, 1.0).otherwise(0.4)
     val alphaScore = when(alpha > 0.5, 1.0).otherwise(0.5)
     val (en, de, fr, es, zh) = (f("en"), f("de"), f("fr"), f("es"), f("zh"))
-    val m = greatest(en, de, fr, es, zh)
+    val (ru, ar, ko, ja, hi) = (f("ru"), f("ar"), f("ko"), f("ja"), f("hi"))
+    val m = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi)
     val lang = when(m === 0, lit("und"))
-      .when(zh === m, "zh").when(en === m, "en").when(de === m, "de")
+      .when(ja === m, "ja").when(zh === m, "zh").when(ru === m, "ru")
+      .when(ar === m, "ar").when(ko === m, "ko").when(hi === m, "hi")
+      .when(en === m, "en").when(de === m, "de")
       .when(fr === m, "fr").otherwise("es")
     d
       .withColumn("token_count", words)

@@ -19,7 +19,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a.filter(col("token_count") <= 0).count() == 0)
     assert(a.filter(col("punct_ratio") < 0 || col("punct_ratio") > 1).count() == 0)
     assert(a.filter(col("quality") < 0 || col("quality") > 1).count() == 0)
-    assert(a.filter(!col("lang_pred").isin("en", "de", "fr", "es", "zh", "und")).count() == 0)
+    assert(a.filter(!col("lang_pred").isin("en", "de", "fr", "es", "zh", "ru", "ar", "ko", "ja", "hi", "und")).count() == 0)
   }
 
   test("LSH hot-bucket caps bound candidate fanout") {
@@ -65,6 +65,11 @@ class OperatorsSpec extends AnyFunSuite {
       ("le chat est dans la maison et les enfants pour toujours", "fr"),
       ("el perro es grande y los gatos en la casa que por ahora", "es"),
       ("今天天气很好我们一起去公园散步吧", "zh"),
+      ("сегодня хорошая погода и мы идем гулять в парк", "ru"),
+      ("الطقس جميل اليوم ونحن ذاهبون الى الحديقة", "ar"),
+      ("오늘 날씨가 좋아서 우리는 공원에 갑니다", "ko"),
+      ("今日はいい天気なのでこうえんへさんぽに行きましょう", "ja"), // kanji + kana → ja
+      ("आज मौसम अच्छा है और हम पार्क जा रहे हैं", "hi"),
       ("", "und")
     ).toDF("text", "expected")
     val bad = samples.withColumn("got", TextOps.langId(col("text")))
@@ -559,7 +564,7 @@ class OperatorsSpec extends AnyFunSuite {
   test("curation report partitions the corpus and bounds its stats") {
     val r = TextOps.curationReport(docs).cache()
     assert(r.agg(sum("n_docs")).collect()(0).getLong(0) == docs.count())
-    assert(r.filter(!col("lang_pred").isin("en", "de", "fr", "es", "zh", "und")).count() == 0)
+    assert(r.filter(!col("lang_pred").isin("en", "de", "fr", "es", "zh", "ru", "ar", "ko", "ja", "hi", "und")).count() == 0)
     assert(r.filter(col("avg_quality") < 0 || col("avg_quality") > 1).count() == 0)
     assert(r.filter(col("med_tokens") > col("p90_tokens")).count() == 0)
     r.unpersist()
