@@ -1529,6 +1529,23 @@ object SparkEntry {
         FROM t WHERE length(token) > 0
         GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin.trim)),
 
+    Q("q_vocab_bigrams",
+      // corpus bigram stats: top-50 word bigrams by occurrence with
+      // document frequency — phrase/bigram-LM prep (non-distinct counting)
+      (s, dir) => operators.TextOps.vocabNgrams(
+        Tables.load(s, dir)("documents"), n = 2, k = 50),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+          FROM documents
+        ), g AS (
+          SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS gram
+          FROM t WHERE len(w) >= 2
+        )
+        SELECT gram, count(*) AS cnt, count(DISTINCT doc_id) AS df
+        FROM g WHERE length(gram) > 0
+        GROUP BY gram ORDER BY cnt DESC, gram LIMIT 50""".stripMargin.trim)),
+
     Q("q_lm_ce",
       // CCNet-style unigram cross-entropy: LM trained on the corpus
       // itself with a tight vocab (top-200) so the OOV floor path is

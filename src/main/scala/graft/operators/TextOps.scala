@@ -112,6 +112,32 @@ object TextOps {
       .limit(k)
   }
 
+  /** Corpus n-gram frequency statistics: top-k word n-grams by total
+    * occurrence count with document frequency — phrase mining, bigram-LM
+    * and tokenizer-merge prep. Unlike [[shingles]] (distinct per doc,
+    * built for Jaccard), EVERY occurrence counts here. Same shape as
+    * [[vocab]]: one explode scan, one aggregation keyed on the n-gram
+    * (map-side partial combine), TakeOrdered top-k — no full sort. */
+  def vocabNgrams(
+      docs: DataFrame,
+      n: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 1000): DataFrame = {
+    require(n >= 1, "n must be positive")
+    val w = split(normalize(col(textCol)), " ")
+    val grams = when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => array_join(slice(w, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col(idCol).as("__id"), explode(grams).as("gram"))
+      .filter(length(col("gram")) > 0)
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("__id")).as("df"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(k)
+  }
+
   /** CCNet-style unigram cross-entropy quality score (Wenzek et al. 2020,
     * minus the KenLM binary): train an add-one-smoothed top-`vocabK`
     * unigram LM on `ref`, then score every document by the mean negative

@@ -151,6 +151,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(v.toSeq == Seq(("alpha", 3L, 2L), ("beta", 3L, 2L)))
   }
 
+  test("vocabNgrams counts every bigram occurrence with document frequency") {
+    val d = Seq(
+      (1L, "a b a b"),     // "a b" twice, "b a" once
+      (2L, "a b"),         // "a b" once
+      (3L, "solo")         // too short for a bigram
+    ).toDF("doc_id", "text")
+    val v = TextOps.vocabNgrams(d, n = 2, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(v.toSeq == Seq(("a b", 3L, 2L), ("b a", 1L, 1L)))
+    // n=1 degenerates to vocab's counting
+    val uni = TextOps.vocabNgrams(d, n = 1, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(uni == Map("a" -> 3L, "b" -> 3L, "solo" -> 1L))
+  }
+
   test("curate with forced-distributed CC (ccLocalThreshold=0) matches the driver path") {
     // same corpus, same parameters — only the connected-components
     // execution path differs; the kept id set must be identical
