@@ -1529,6 +1529,27 @@ object SparkEntry {
         FROM t WHERE length(token) > 0
         GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin.trim)),
 
+    Q("q_join_asof",
+      // as-of enrichment: every click carries the user's latest
+      // preceding purchase value (null when none) — union + one
+      // partitioned window, never a theta join
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val ev = Tables.load(s, dir)("events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts", "value")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+        operators.Joins.asof(clicks, purchases, Seq("user_id"),
+            valueCols = Seq("purchase_value"))
+          .select("event_id", "user_id", "value", "purchase_value")
+      },
+      Some("""
+        WITH l AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+        r AS (SELECT user_id, ts, value AS purchase_value FROM events WHERE event_type = 'purchase')
+        SELECT l.event_id, l.user_id, l.value, r.purchase_value
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin.trim)),
+
     Q("q_vocab_bigrams",
       // corpus bigram stats: top-50 word bigrams by occurrence with
       // document frequency — phrase/bigram-LM prep (non-distinct counting)

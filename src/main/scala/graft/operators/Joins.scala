@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark's relational layer lacks as primitives.
+  *
+  * The naive as-of formulation — a theta join `l.key = r.key AND
+  * l.ts >= r.ts` plus a per-pair rank — explodes into every (left, right)
+  * combination per key before pruning, which is quadratic in per-key row
+  * counts and unusable at event-log scale. The implementation here is the
+  * scale-correct one: tag both sides, union, and carry the latest right
+  * row forward with a running `last(ignoreNulls)` over one partitioned
+  * window — ONE shuffle on the key, Spark's spillable window sort, zero
+  * joins.
+  */
+object Joins {
+
+  /** As-of join: for every left row, attach `valueCols` from the LATEST
+    * right row of the same key with `right.tsCol <= left.tsCol` (nulls
+    * when no right row precedes) — the event-log enrichment primitive
+    * ("state as of this event": last price before the trade, last config
+    * before the request).
+    *
+    * At equal timestamps the right row is visible to the left row (the
+    * right side orders first inside the window), matching SQL
+    * `ASOF JOIN ... ON l.ts >= r.ts` semantics (the DuckDB oracle).
+    *
+    * @param on        equi-join key columns (present on both sides)
+    * @param valueCols right columns carried onto the left rows; must not
+    *                  collide with left column names — alias the right
+    *                  side first if they do
+    * @return the left rows (all columns, original values) + `valueCols` */
+  def asof(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTs: String = "ts",
+      rightTs: String = "ts",
+      valueCols: Seq[String] = Seq("value")): DataFrame = {
+    require(on.nonEmpty, "as-of join needs at least one equi key")
+    require(valueCols.nonEmpty, "no right columns to carry")
+    val collide = valueCols.filter(left.columns.contains)
+    require(collide.isEmpty,
+      s"right value columns collide with left columns: ${collide.mkString(", ")}")
+    val vstruct = struct(valueCols.map(col): _*)
+    val l2 = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+    val r2 = right
+      .select(on.map(col) :+ col(rightTs).as("__ts") :+ vstruct.as("__v"): _*)
+      .withColumn("__side", lit(0))
+    // right rows sort before left rows at equal __ts → equal-ts matches
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(on.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    l2.unionByName(r2, allowMissingColumns = true)
+      .withColumn("__m", last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        valueCols.map(c => col(s"__m.$c").as(c)): _*)
+  }
+}

@@ -151,6 +151,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(v.toSeq == Seq(("alpha", 3L, 2L), ("beta", 3L, 2L)))
   }
 
+  test("asof join carries the latest preceding right row per key") {
+    val l = Seq((1L, "k1", 10L), (2L, "k1", 20L), (3L, "k2", 10L))
+      .toDF("id", "k", "t")
+    val r = Seq(("k1", 5L, "a"), ("k1", 15L, "b"), ("k1", 20L, "c"), ("k2", 30L, "z"))
+      .toDF("k", "t", "v")
+    val out = Joins.asof(l, r, Seq("k"), "t", "t", Seq("v"))
+      .collect().map(x => x.getLong(0) -> Option(x.getString(3))).toMap
+    // 10 → "a" (5 ≤ 10 < 15); 20 → "c" (equal ts matches); k2 has no
+    // preceding right row → null
+    assert(out == Map(1L -> Some("a"), 2L -> Some("c"), 3L -> None))
+    // left rows and values pass through untouched
+    assert(Joins.asof(l, r, Seq("k"), "t", "t", Seq("v")).count() == l.count())
+    intercept[IllegalArgumentException] {
+      Joins.asof(l, r.withColumnRenamed("v", "t2"), Seq("k"), "t", "t", Seq("t"))
+    }
+  }
+
   test("vocabNgrams counts every bigram occurrence with document frequency") {
     val d = Seq(
       (1L, "a b a b"),     // "a b" twice, "b a" once

@@ -156,6 +156,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("as-of join is one union + one window shuffle — no join operator at all") {
+    import org.apache.spark.sql.functions._
+    val ev = tables("events")
+    val p = graft.operators.Joins.asof(
+        ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts", "value"),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value").as("pv")),
+        Seq("user_id"), valueCols = Seq("pv"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p) // the theta-join formulation never appears
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Window"), p)
+  }
+
   test("incremental (new-vs-corpus) LSH join is an equi hash join, never a cartesian") {
     import org.apache.spark.sql.functions._
     val docs = tables("documents")
