@@ -1550,6 +1550,29 @@ object SparkEntry {
         SELECT l.event_id, l.user_id, l.value, r.purchase_value
         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin.trim)),
 
+    Q("q_join_range",
+      // interval enrichment: clicks inside the hour after any purchase of
+      // the same user — bucketized equi-join, never a per-key nested loop
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val ev = Tables.load(s, dir)("events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), unix_micros(col("ts")).as("cts"),
+            col("event_id").as("click_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("pstart"),
+            (unix_micros(col("ts")) + lit(3600000000L)).as("pend"),
+            col("event_id").as("purchase_id"))
+        operators.Joins.range(clicks, purchases, Seq("user_id"),
+            "cts", "pstart", "pend", bucketWidth = 3600000000L)
+          .select("click_id", "purchase_id", "user_id")
+      },
+      Some("""
+        WITH l AS (SELECT user_id, epoch_us(ts) AS cts, event_id AS click_id FROM events WHERE event_type = 'click'),
+        r AS (SELECT user_id, epoch_us(ts) AS pstart, epoch_us(ts) + 3600000000 AS pend, event_id AS purchase_id FROM events WHERE event_type = 'purchase')
+        SELECT l.click_id, r.purchase_id, l.user_id
+        FROM l JOIN r ON l.user_id = r.user_id AND l.cts BETWEEN r.pstart AND r.pend""".stripMargin.trim)),
+
     Q("q_vocab_bigrams",
       // corpus bigram stats: top-50 word bigrams by occurrence with
       // document frequency — phrase/bigram-LM prep (non-distinct counting)

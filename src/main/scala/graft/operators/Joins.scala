@@ -61,4 +61,40 @@ object Joins {
       .select(left.columns.map(col) ++
         valueCols.map(c => col(s"__m.$c").as(c)): _*)
   }
+
+  /** Range (interval) join: left rows matched to right intervals
+    * `[startCol, endCol]` sharing the equi keys — point-in-interval
+    * enrichment (event within a campaign window, reading within a
+    * maintenance window). Spark's own plan for the theta predicate is a
+    * nested-loop per key; here both sides bucketize the time axis
+    * (`bucketWidth`, same units as the point/bound columns, which must be
+    * numeric — convert timestamps with `unix_micros` first): the right
+    * side explodes one row per covered bucket, the join is a plain
+    * equi-join on (keys, bucket), and the exact predicate filters inside.
+    * Each left row lives in exactly one bucket, so no pair dedup is
+    * needed.
+    *
+    * Fanout = interval span / bucketWidth per right row; pick bucketWidth
+    * near the TYPICAL interval length so most intervals explode to 1-2
+    * buckets while the per-bucket population stays bounded.
+    *
+    * @return inner-join rows: all left + all right columns (caller
+    *   disambiguates shared names beyond `on` by aliasing first) */
+  def range(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      pointCol: String,
+      startCol: String,
+      endCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val l2 = left.withColumn("__b", floor(col(pointCol) / bucketWidth))
+    val r2 = right.withColumn("__b",
+      explode(sequence(floor(col(startCol) / bucketWidth),
+        floor(col(endCol) / bucketWidth))))
+    l2.join(r2, on :+ "__b")
+      .filter(col(pointCol).between(col(startCol), col(endCol)))
+      .drop("__b")
+  }
 }

@@ -168,6 +168,18 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("range join matches points to intervals exactly once across buckets") {
+    val l = Seq((1L, "k", 5L), (2L, "k", 25L), (3L, "k", 99L), (4L, "q", 5L))
+      .toDF("id", "g", "p")
+    // interval [0, 30] spans four buckets at width 10 — row 1 and 2 must
+    // each match exactly once; [40, 50] matches nothing; q-side keyed off
+    val r = Seq(("k", 0L, 30L, "A"), ("k", 40L, 50L, "B"), ("q", 0L, 10L, "C"))
+      .toDF("g", "s", "e", "tag")
+    val out = Joins.range(l, r, Seq("g"), "p", "s", "e", bucketWidth = 10L)
+      .select("id", "tag").collect().map(x => (x.getLong(0), x.getString(1)))
+    assert(out.sorted.toSeq == Seq((1L, "A"), (2L, "A"), (4L, "C")))
+  }
+
   test("vocabNgrams counts every bigram occurrence with document frequency") {
     val d = Seq(
       (1L, "a b a b"),     // "a b" twice, "b a" once

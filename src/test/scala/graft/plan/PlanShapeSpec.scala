@@ -171,6 +171,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
   }
 
+  test("range join plans as an equi join on the bucket key, never a nested loop") {
+    import org.apache.spark.sql.functions._
+    val ev = tables("events")
+    val p = graft.operators.Joins.range(
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), unix_micros(col("ts")).as("cts")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("s"),
+            (unix_micros(col("ts")) + lit(3600000000L)).as("e")),
+        Seq("user_id"), "cts", "s", "e", bucketWidth = 3600000000L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("incremental (new-vs-corpus) LSH join is an equi hash join, never a cartesian") {
     import org.apache.spark.sql.functions._
     val docs = tables("documents")
