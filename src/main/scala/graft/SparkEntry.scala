@@ -1550,6 +1550,31 @@ object SparkEntry {
         SELECT l.event_id, l.user_id, l.value, r.purchase_value
         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin.trim)),
 
+    Q("q_sessionize",
+      // row-level gap sessionization: 30-minute gap per user, every event
+      // tagged with its session index
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val ev = Tables.load(s, dir)("events")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("t"))
+        operators.Events.sessionize(ev, Seq("user_id"), "t",
+            gap = 1800000000L, tiebreak = "event_id")
+          .select("event_id", "user_id", "session_seq")
+      },
+      Some("""
+        WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events),
+        s AS (
+          SELECT event_id, user_id, t,
+            CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS ns
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+        )
+        SELECT event_id, user_id,
+          CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        FROM s""".stripMargin.trim)),
+
     Q("q_join_range",
       // interval enrichment: clicks inside the hour after any purchase of
       // the same user — bucketized equi-join, never a per-key nested loop

@@ -168,6 +168,18 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionize tags events with gap-delimited session indexes per key") {
+    val e = Seq(
+      (1L, "u1", 100L), (2L, "u1", 150L),   // session 1 (gap 50 <= 100)
+      (3L, "u1", 400L),                     // session 2 (gap 250 > 100)
+      (4L, "u1", 450L),                     // still session 2
+      (5L, "u2", 100L)                      // separate key → session 1
+    ).toDF("event_id", "user", "t")
+    val got = Events.sessionize(e, Seq("user"), "t", gap = 100L, tiebreak = "event_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
+
   test("range join matches points to intervals exactly once across buckets") {
     val l = Seq((1L, "k", 5L), (2L, "k", 25L), (3L, "k", 99L), (4L, "q", 5L))
       .toDF("id", "g", "p")
