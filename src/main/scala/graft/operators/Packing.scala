@@ -90,4 +90,21 @@ object Packing {
       .withColumn("shard_pos", row_number().over(w).cast("long") - 1)
       .drop("__h")
   }
+
+  /** Materialize [[shardForTraining]]'s layout on disk: one
+    * `shard=N/` directory per shard, rows inside each file in
+    * `shard_pos` order (the decorrelated read order a data loader
+    * consumes sequentially). The repartition keys each shard to one
+    * task, so a shard is one ordered file; when shards collide on a
+    * task the within-partition sort still keeps each file ordered. */
+  def writeShards(
+      docs: DataFrame,
+      path: String,
+      shards: Int,
+      idCol: String = "doc_id",
+      format: String = "parquet"): Unit =
+    shardForTraining(docs, shards, idCol)
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("shard_pos"))
+      .write.partitionBy("shard").format(format).mode("overwrite").save(path)
 }

@@ -11,6 +11,23 @@ class ApiSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
   import spark.implicits._
 
+  test("Spark registry passthrough surfaces sketch aggregates in dialect SQL") {
+    // approx_count_distinct (HLL++) and the DataSketches HLL pair reach
+    // dialect SQL through the call_function fallthrough — the mergeable
+    // sketches a 100 TB cardinality report actually uses
+    val ss = StreamSql(spark)
+    ss.registerTable("stream",
+      (1 to 100).map(i => (i % 10, i.toLong)).toDF("g", "v"))
+    val approx = ss.execute(
+      "SELECT approx_count_distinct(v) AS c FROM stream")
+      .collect()(0).getLong(0)
+    assert(approx >= 95 && approx <= 105, s"approx=$approx") // 100 distinct
+    val hll = ss.execute(
+      "SELECT hll_sketch_estimate(hll_sketch_agg(v)) AS c FROM stream")
+      .collect()(0).getLong(0)
+    assert(hll >= 95 && hll <= 105, s"hll=$hll")
+  }
+
   test("execute over registered tables with lookup join") {
     val ss = StreamSql(spark)
     ss.registerTable("stream",

@@ -168,6 +168,26 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("writeShards lays out one ordered file per shard directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    try {
+      Packing.writeShards(docs, dir, shards = 4)
+      val back = spark.read.parquet(dir)
+      assert(back.count() == docs.count())
+      (0 until 4).foreach { s =>
+        val files = new java.io.File(s"$dir/shard=$s")
+          .listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(files.length == 1, s"shard $s has ${files.length} files")
+        // file order IS shard_pos order (dense from 0)
+        val pos = spark.read.parquet(files(0).getPath)
+          .select("shard_pos").collect().map(_.getLong(0))
+        assert(pos.toSeq == pos.indices.map(_.toLong))
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("sessionize tags events with gap-delimited session indexes per key") {
     val e = Seq(
       (1L, "u1", 100L), (2L, "u1", 150L),   // session 1 (gap 50 <= 100)
