@@ -63,7 +63,8 @@ object Bench {
       "q_rank_funcs", "q_rollup", "q_dedup_simhash", "q_embed_ivf",
       "q_sample_hash", "q_dedup_components", "q_curate",
       "q_repetition", "q_gopher_quality", "q_pack_sequences", "q_embed_quantize",
-      "q_dedup_lines", "q_decontaminate", "q_lm_ce", "q_shard")
+      "q_dedup_lines", "q_decontaminate", "q_lm_ce", "q_shard",
+      "q_join_asof", "q_sessionize", "q_dedup_incremental", "q_curation_report")
     val headline = benchOnly match {
       case Some(ps) => headline0.filter(n => ps.exists(n.startsWith))
       case None     => headline0
