@@ -90,6 +90,32 @@ object SparkEntry {
       SELECT query_id, vec_id, sim, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 10""".trim
   }
 
+  /** DuckDB replica of [[operators.Similarity.semanticPairs]] (nlist=16,
+    * seed=42, kmeansIter=0): centroid directions inlined, cell assignment
+    * replayed with the operator's (dot DESC, cell DESC) argmax tie order,
+    * then within-cell ordered pairs verified by exact cosine. */
+  private lazy val semanticPairsOracleSql: String = {
+    val cents = operators.Similarity.hyperplanes(16, 64, 42L)
+    val rows = cents.zipWithIndex
+      .map { case (c, i) => s"($i, [${c.mkString(", ")}]::DOUBLE[])" }
+      .mkString(",\n          ")
+    s"""
+      WITH cents(cell, w) AS (VALUES $rows),
+      a AS (SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_inner_product(e.embedding::DOUBLE[], c.w) DESC, c.cell DESC) AS rk
+          FROM embeddings e CROSS JOIN cents c) WHERE rk = 1),
+      p AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+            FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+      v AS (SELECT p.vec_a, p.vec_b,
+          round(list_inner_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
+            (sqrt(list_inner_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) *
+             sqrt(list_inner_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))), 6) AS sim
+        FROM p JOIN embeddings ea ON ea.vec_id = p.vec_a
+        JOIN embeddings eb ON eb.vec_id = p.vec_b)
+      SELECT vec_a, vec_b, sim FROM v WHERE sim >= 0.3""".trim
+  }
+
   // ----------------------------------------------------------------- queries
 
   private lazy val defs: List[Q] = List(
@@ -1844,6 +1870,30 @@ object SparkEntry {
         m AS (SELECT grp, pos, printf('%.6f', round(avg(v::DOUBLE), 6)) AS m FROM e GROUP BY grp, pos)
         SELECT grp, array_to_string(list(m ORDER BY pos), ',') AS centroid
         FROM m GROUP BY grp""".stripMargin.trim)),
+
+    // SemDeDup-shaped semantic near-dup: kmeansIter=0 so the oracle can
+    // replay the seeded cell directions (refined path covered by spec)
+    Q("q_semantic_pairs",
+      (s, dir) => operators.Similarity.semanticPairs(
+        Tables.load(s, dir)("embeddings"), threshold = 0.3,
+        nlist = 16, kmeansIter = 0, dims = 64),
+      Some(semanticPairsOracleSql)),
+
+    // per-language top-fraction quality gate (exact ranked path; the
+    // approx broadcast-threshold path is spec-verified against this one)
+    Q("q_quality_topfrac",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        operators.TextOps.keepTopQuality(
+          Tables.load(s, dir)("documents"),
+          col("n_chars"), 0.25, col("lang"), col("doc_id"))
+          .select("doc_id", "lang", "n_chars")
+      },
+      Some("""
+        WITH r AS (SELECT doc_id, lang, n_chars,
+          row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk,
+          count(*) OVER (PARTITION BY lang) AS cnt FROM documents)
+        SELECT doc_id, lang, n_chars FROM r WHERE rk <= ceil(0.25 * cnt)""".stripMargin.trim)),
 
     // --- LLM-pipeline operators: multimodal plumbing ----------------------
     Q("q_multimodal_features",

@@ -284,6 +284,57 @@ object Similarity {
     Dedup.materializeAndRelease(ranked, csigs, qsigs)
   }
 
+  /** SemDeDup-shaped semantic near-dup pairs: cluster the corpus into
+    * `nlist` spherical-kmeans cells (deterministic seeded directions,
+    * optionally refined by `kmeansIter` Lloyd rounds), then emit
+    * within-cell pairs with cosine ≥ `threshold`. Cross-cell near-dups are
+    * missed by construction — that is the published SemDeDup trade
+    * (arXiv:2303.09540): at corpus scale all-pairs cosine is quadratic, so
+    * pair search is confined to semantic clusters.
+    *
+    * Scale story: cell assignment is one scan (centroid matrix broadcast
+    * inside the kernel literal); pair generation is ONE shuffle of the
+    * slim (id, cell) projection via the shared intra-bucket pair kernel
+    * (sorted member array → ordered pairs, no self-join); vectors re-join
+    * only for candidate verification. Size `nlist` so cells stay bounded —
+    * `nlist ≈ N / targetCellSize` (SemDeDup uses tens of thousands of
+    * clusters at web scale; a cell of B members costs B²/2 candidates).
+    * `maxCell` skips degenerate cells outright (same discipline as the
+    * LSH hot-bucket cap). Train centroids on a hash-sample
+    * ([[Sampling.byHash]]) — quality saturates long before corpus size.
+    *
+    * Output: (vec_a, vec_b, sim) with vec_a < vec_b. */
+  def semanticPairs(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      threshold: Double = 0.95,
+      nlist: Int = 16,
+      kmeansIter: Int = 2,
+      maxCell: Int = 100000,
+      seed: Long = 42L,
+      dims: Int = -1): DataFrame = {
+    val cents0 = hyperplanes(nlist, dimsOf(emb, vecCol, dims), seed)
+    val cents =
+      if (kmeansIter > 0) kmeansCentroids(emb, cents0, kmeansIter, vecCol)
+      else cents0
+
+    val assigned = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      graft.functions.VectorKernels.argmaxCellCol(col(vecCol), cents).as("cell"))
+      .persist()
+
+    val pairs = Dedup.bucketPairs(
+      assigned.select(col("id"), col("cell")), Seq("cell"), "id", maxCell)
+    val out = pairs
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
+      .join(assigned.select(col("id").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(assigned.select(col("id").as("vec_b"), col("v").as("vb")), "vec_b")
+      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("sim") >= threshold)
+      .select("vec_a", "vec_b", "sim")
+    Dedup.materializeAndRelease(out, assigned)
+  }
+
   /** Slim banded corpus×query candidate pairs: the only columns that ride
     * the ×chunks explosion and its join exchange are (id, chunk, key).
     * Inputs must carry `__cid`/`__qid` + `sig`. */

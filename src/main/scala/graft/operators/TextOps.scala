@@ -367,4 +367,50 @@ object TextOps {
           col("flag_stopwords") && col("flag_repetition"))
       .drop("__st")
   }
+
+  /** Per-group quality gate (exact): keep the top `frac` of rows per group
+    * by `score` — the "keep the best p% per language" step after quality
+    * scoring. Exact semantics: rank = row_number over (group, score DESC,
+    * `tie` ASC), keep rank ≤ ⌈frac · group size⌉. Both window functions
+    * share one partitioning, so the plan is ONE shuffle with a spillable
+    * sort — correct at any group size, but the sort is paid. For 100 TB
+    * corpora prefer [[keepTopQualityApprox]], which replaces the global
+    * per-group sort with a broadcast threshold. */
+  def keepTopQuality(
+      docs: DataFrame,
+      score: Column,
+      frac: Double,
+      by: Column,
+      tie: Column): DataFrame = {
+    require(frac > 0 && frac <= 1, "frac must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(by)
+    val rk = row_number().over(w.orderBy(score.desc, tie.asc))
+    val cnt = count(lit(1)).over(w)
+    docs.withColumn("__rk", rk).withColumn("__cnt", cnt)
+      .filter(col("__rk") <= ceil(lit(frac) * col("__cnt")))
+      .drop("__rk", "__cnt")
+  }
+
+  /** Per-group quality gate (approximate, the scale path): compute each
+    * group's (1-frac) score quantile with `percentile_approx` (mergeable
+    * sketch, map-side partials — one small-output shuffle), broadcast the
+    * per-group thresholds, keep rows with score ≥ threshold. Two corpus
+    * scans, NO global sort, threshold table is |groups| rows. Boundary
+    * behavior differs from the exact gate by the sketch error (`accuracy`
+    * trades memory for tighter quantiles) and by ties at the threshold
+    * (all tied rows kept — no tie-break ranking). */
+  def keepTopQualityApprox(
+      docs: DataFrame,
+      score: Column,
+      frac: Double,
+      by: Column,
+      accuracy: Int = 10000): DataFrame = {
+    require(frac > 0 && frac <= 1, "frac must be in (0, 1]")
+    val thr = docs.groupBy(by.as("__grp"))
+      .agg(percentile_approx(score, lit(1.0 - frac), lit(accuracy)).as("__thr"))
+    docs.join(broadcast(thr), by <=> col("__grp"))
+      .filter(score >= col("__thr"))
+      .drop("__grp", "__thr")
+  }
 }

@@ -383,6 +383,77 @@ class OperatorsSpec extends AnyFunSuite {
     assert(full == ex001, "full probe must equal brute force")
   }
 
+  test("semanticPairs: true-pair subset, refined path verified, cell cap collapses output") {
+    // ground truth: every >= 0.3 cosine pair (brute force, 500 vectors)
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
+    val truth = a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("sim", round(Similarity.cosine(col("va"), col("vb")), 6))
+      .filter(col("sim") >= 0.3)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+
+    val sem = Similarity.semanticPairs(emb, threshold = 0.3,
+      nlist = 16, kmeansIter = 0, dims = 64)
+    val semPairs = sem.select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(semPairs.nonEmpty, "seeded cells must yield some within-cell pairs")
+    assert(semPairs.subsetOf(truth), "every emitted pair must pass exact cosine verify")
+    sem.unpersist()
+
+    // Lloyd-refined centroids change the cells but never the verify bar
+    val refined = Similarity.semanticPairs(emb, threshold = 0.3,
+      nlist = 16, kmeansIter = 2, dims = 64)
+    val refPairs = refined.select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(refPairs.nonEmpty && refPairs.subsetOf(truth))
+    refined.unpersist()
+
+    // hot-cell cap: nlist=2 puts ~250 vectors per cell, so maxCell=3 must
+    // drop both cells and the candidate set collapses to empty
+    val capped = Similarity.semanticPairs(emb, threshold = 0.3,
+      nlist = 2, kmeansIter = 0, maxCell = 3, dims = 64)
+    assert(capped.count() == 0)
+    capped.unpersist()
+  }
+
+  test("keepTopQuality: exact per-group fraction; approx path agrees at high accuracy") {
+    val kept = TextOps.keepTopQuality(docs, col("n_chars"), 0.25,
+      col("lang"), col("doc_id"))
+    val keptCnt = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val allCnt = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    allCnt.foreach { case (lang, n) =>
+      assert(keptCnt.getOrElse(lang, 0L) == math.ceil(0.25 * n).toLong,
+        s"group $lang kept ${keptCnt.getOrElse(lang, 0L)} of $n")
+    }
+    // the kept set is the TOP of each group: its per-group minimum score
+    // must be >= the per-group 75th-percentile of the full corpus
+    val minKept = kept.groupBy("lang")
+      .agg(min(col("n_chars")).cast("long").as("mn"))
+      .as[(String, Long)].collect().toMap
+    val thr = docs.groupBy("lang")
+      .agg(expr("percentile(n_chars, 0.75)").as("p75"))
+      .as[(String, Double)].collect().toMap
+    minKept.foreach { case (lang, mn) =>
+      assert(mn >= thr(lang) - 1, s"group $lang kept a below-threshold row") }
+
+    // approx gate: same threshold semantics modulo sketch error and ties —
+    // per-group counts within 10% of the exact gate, and every exact-kept
+    // score level is present (no top row lost)
+    val approx = TextOps.keepTopQualityApprox(docs, col("n_chars"), 0.25,
+      col("lang"), accuracy = 100000)
+    val apCnt = approx.groupBy("lang").count().as[(String, Long)].collect().toMap
+    allCnt.keys.foreach { lang =>
+      val e = keptCnt(lang).toDouble
+      val p = apCnt.getOrElse(lang, 0L).toDouble
+      assert(math.abs(p - e) <= math.max(2.0, 0.1 * e),
+        s"group $lang approx kept $p vs exact $e")
+    }
+    val topIds = docs.withColumn("__r", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("lang")
+        .orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("__r") === 1).select("doc_id").as[Long].collect().toSet
+    val apIds = approx.select("doc_id").as[Long].collect().toSet
+    assert(topIds.subsetOf(apIds), "approx gate must keep each group's best row")
+  }
+
   test("repetition metrics: boundary texts and known fractions") {
     val d = Seq(
       (1L, "a a a a"),              // 4 words, 1 uniq; 3 bigrams "a a" → all dup
@@ -697,6 +768,10 @@ class OperatorsSpec extends AnyFunSuite {
     val self = TextOps.crossEntropy(docs, docs, vocabK = 200).cache()
     assert(self.count() == docs.count())
     assert(self.filter(col("ce") <= 0).count() == 0)
+    // release: a lingering cached copy of this exact plan would be
+    // substituted into PlanShapeSpec's exchange-count pin (suite order
+    // dependent) via the shared session's cache manager
+    self.unpersist()
   }
 
   test("shardForTraining is a deterministic dense permutation per shard") {

@@ -88,6 +88,24 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("semantic-pair generation is equi-join only, never a cartesian") {
+    val pairs = graft.operators.Similarity.semanticPairs(tables("embeddings"),
+      threshold = 0.3, nlist = 16, kmeansIter = 0, dims = 64)
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    pairs.unpersist()
+  }
+
+  test("approx quality gate broadcasts the per-group threshold table") {
+    import org.apache.spark.sql.functions._
+    val p = graft.operators.TextOps.keepTopQualityApprox(tables("documents"),
+      col("n_chars"), 0.25, col("lang"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("canonical-keep anti-join broadcasts the materialized drop set") {
     import org.apache.spark.sql.functions._
     val docs = tables("documents")
