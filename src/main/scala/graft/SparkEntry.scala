@@ -1601,6 +1601,48 @@ object SparkEntry {
             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
         FROM s""".stripMargin.trim)),
 
+    Q("q_funnel",
+      // ordered conversion funnel view→click→purchase: earliest strictly
+      // increasing completion chain per user; oracle replays the min-after
+      // fixpoint as chained min-aggregations
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val ev = Tables.load(s, dir)("events")
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("t"))
+        operators.Events.funnel(ev, "user_id", "event_type", "t",
+          Seq("view", "click", "purchase"))
+      },
+      Some("""
+        WITH d AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+                   WHERE event_type IN ('view', 'click', 'purchase')),
+        k AS (SELECT DISTINCT user_id FROM d),
+        s1 AS (SELECT user_id, min(t) AS step_1 FROM d WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (SELECT d.user_id, min(d.t) AS step_2 FROM d JOIN s1 USING (user_id)
+               WHERE d.event_type = 'click' AND d.t > s1.step_1 GROUP BY d.user_id),
+        s3 AS (SELECT d.user_id, min(d.t) AS step_3 FROM d JOIN s2 USING (user_id)
+               WHERE d.event_type = 'purchase' AND d.t > s2.step_2 GROUP BY d.user_id)
+        SELECT k.user_id, s1.step_1, s2.step_2, s3.step_3,
+          CAST(CASE WHEN s1.user_id IS NULL THEN 0 WHEN s2.user_id IS NULL THEN 1
+               WHEN s3.user_id IS NULL THEN 2 ELSE 3 END AS INTEGER) AS steps_completed
+        FROM k LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id)""".stripMargin.trim)),
+
+    Q("q_retention",
+      // daily cohort retention: first-active day per user, distinct active
+      // users per (cohort day, day offset)
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val ev = Tables.load(s, dir)("events")
+          .select(col("user_id"), unix_micros(col("ts")).as("t"))
+        operators.Events.retention(ev, "user_id", "t", period = 86400000000L)
+      },
+      Some("""
+        WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS p FROM events),
+        f AS (SELECT user_id, min(p) AS cohort FROM d GROUP BY user_id)
+        SELECT f.cohort, d.p - f.cohort AS offset, count(DISTINCT d.user_id) AS active
+        FROM d JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin.trim)),
+
     Q("q_join_range",
       // interval enrichment: clicks inside the hour after any purchase of
       // the same user — bucketized equi-join, never a per-key nested loop

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Row-level event-log analytics. The dialect's SessionWindow aggregates
   * per session; these operators tag the individual rows instead — the
@@ -41,5 +42,94 @@ object Events {
           org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
           .cast("long"))
       .drop("__ns")
+  }
+
+  /** Ordered conversion funnel: one output row per key with the earliest
+    * completion time of each step, where step i counts only strictly after
+    * step i-1 completed (one event can never complete two steps). Greedy
+    * earliest-first is optimal for an unconstrained chain — taking the
+    * earliest step-1 time can only admit more step-2 candidates — so the
+    * result equals the min-after fixpoint `t_i = min{ts : type = step_i,
+    * ts > t_(i-1)}`, which an external SQL oracle can replay as chained
+    * min-aggregations.
+    *
+    * Scale shape: filter to funnel-type events, ONE shuffle on the key,
+    * Spark's spillable partition sort, then a per-partition streaming fold
+    * with O(#steps) state per key — no per-key buffering, no join per
+    * step, hot keys bounded by the external sort. Keys whose only events
+    * are later steps still emit (steps_completed = 0).
+    *
+    * @param tsCol numeric event time (convert timestamps with
+    *   `unix_micros` first, as in [[sessionize]])
+    * @return one row per key: key, step_1..step_N (numeric time of each
+    *   completion, null once the chain breaks), steps_completed */
+  def funnel(
+      events: DataFrame,
+      on: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val n = steps.length
+    val slim = events
+      .filter(col(typeCol).isin(steps: _*) && col(tsCol).isNotNull)
+      .select(col(on), col(typeCol).cast("string").as("__t"),
+        col(tsCol).cast("long").as("__ts"))
+      .repartition(col(on))
+      .sortWithinPartitions(col(on), col("__ts"))
+    val outSchema = StructType(
+      slim.schema.fields(0) +:
+        steps.indices.map(i => StructField(s"step_${i + 1}", LongType)) :+
+        StructField("steps_completed", IntegerType, nullable = false))
+    val stepsArr = steps.toArray
+    slim.mapPartitions { rows =>
+      val buf = rows.buffered
+      new scala.collection.AbstractIterator[Row] {
+        def hasNext: Boolean = buf.hasNext
+        def next(): Row = {
+          val key = buf.head.get(0)
+          val times = new Array[Any](n) // nulls where the chain broke
+          var c = 0
+          var last = Long.MinValue
+          while (buf.hasNext && java.util.Objects.equals(buf.head.get(0), key)) {
+            val r = buf.next()
+            if (c < n && r.getString(1) == stepsArr(c)) {
+              val ts = r.getLong(2)
+              if (c == 0 || ts > last) { times(c) = ts; last = ts; c += 1 }
+            }
+          }
+          Row.fromSeq(key +: times.toIndexedSeq :+ c)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Cohort retention: bucket event times into periods (`period` in the
+    * same units as the numeric `tsCol` — e.g. 86,400,000,000 for daily
+    * cohorts over `unix_micros`), cohort each key by its first active
+    * period, and count distinct active keys per (cohort, offset).
+    *
+    * The cohort label comes from an unordered `min` window over the key —
+    * one shuffle, no self-join of the event log against a first-activity
+    * table; the final (cohort, offset) aggregation uses Spark's two-phase
+    * distinct expansion (map-side partials, no per-group buffering).
+    *
+    * @return (cohort, offset, active): period index of the cohort, periods
+    *   since the cohort period, distinct keys active at that offset */
+  def retention(
+      events: DataFrame,
+      on: String,
+      tsCol: String,
+      period: Long): DataFrame = {
+    require(period > 0, "period must be positive")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(on))
+    events
+      .filter(col(tsCol).isNotNull)
+      .select(col(on), floor(col(tsCol) / period).cast("long").as("__p"))
+      .withColumn("__cohort", min(col("__p")).over(w))
+      .groupBy(col("__cohort").as("cohort"),
+        (col("__p") - col("__cohort")).as("offset"))
+      .agg(countDistinct(col(on)).as("active"))
   }
 }

@@ -454,6 +454,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(topIds.subsetOf(apIds), "approx gate must keep each group's best row")
   }
 
+  test("funnel: strict ordering, chain breaks, later-step-only keys") {
+    val ev = Seq(
+      (1L, "view", 1L), (1L, "click", 1L), (1L, "purchase", 5L), // click not > t1
+      (2L, "view", 1L), (2L, "click", 2L), (2L, "purchase", 3L), // full chain
+      (3L, "click", 1L),                                         // never entered
+      (4L, "view", 4L), (4L, "view", 2L), (4L, "click", 3L)      // min view wins
+    ).toDF("user_id", "event_type", "t")
+    val f = Events.funnel(ev, "user_id", "event_type", "t",
+      Seq("view", "click", "purchase"))
+    val m = f.collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[Int]("steps_completed") == 1 && m(1L).isNullAt(2))
+    assert(m(2L).getAs[Int]("steps_completed") == 3 && m(2L).getLong(3) == 3L)
+    assert(m(3L).getAs[Int]("steps_completed") == 0 && m(3L).isNullAt(1))
+    assert(m(4L).getAs[Int]("steps_completed") == 2 &&
+      m(4L).getLong(1) == 2L && m(4L).getLong(2) == 3L)
+  }
+
+  test("retention: cohort is first active period, offsets count distinct keys") {
+    val ev = Seq(
+      (1L, 0L), (1L, 10L), (1L, 25L), // periods 0,1,2 → cohort 0
+      (2L, 12L), (2L, 33L),           // periods 1,3 → cohort 1, offsets 0,2
+      (3L, 5L)                        // period 0 → cohort 0, offset 0
+    ).toDF("user_id", "t")
+    val r = Events.retention(ev, "user_id", "t", period = 10L)
+    val m = r.collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(m == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 2L) -> 1L))
+  }
+
   test("repetition metrics: boundary texts and known fractions") {
     val d = Seq(
       (1L, "a a a a"),              // 4 words, 1 uniq; 3 bigrams "a a" → all dup

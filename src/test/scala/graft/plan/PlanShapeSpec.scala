@@ -106,6 +106,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("funnel is one key shuffle then a per-partition fold, no per-step join") {
+    import org.apache.spark.sql.functions._
+    val ev = tables("events").select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("t"))
+    val p = graft.operators.Events.funnel(ev, "user_id", "event_type", "t",
+      Seq("view", "click", "purchase"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("canonical-keep anti-join broadcasts the materialized drop set") {
     import org.apache.spark.sql.functions._
     val docs = tables("documents")
