@@ -1301,6 +1301,23 @@ object SparkEntry {
             '\+?[0-9][0-9()./ -]{6,}[0-9]', '<PHONE>', 'g') AS clean
         FROM s""".stripMargin.trim)),
 
+    Q("q_sample_quantile",
+      // quantile bucketing by score (perplexity-band sampling prep):
+      // exact percentile path so the oracle can replay thresholds via
+      // quantile_cont (same p·(n-1) linear interpolation)
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        operators.Sampling.scoreBuckets(
+          Tables.load(s, dir)("documents"), col("n_chars"),
+          Seq(0.25, 0.5, 0.75), exact = true)
+          .select("doc_id", "n_chars", "score_bucket")
+      },
+      Some("""
+        WITH thr AS (SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS q FROM documents)
+        SELECT d.doc_id, d.n_chars,
+          CAST(1 + len(list_filter(thr.q, t -> t < d.n_chars)) AS INTEGER) AS score_bucket
+        FROM documents d CROSS JOIN thr""".stripMargin.trim)),
+
     Q("q_sample_mixture",
       // temperature-flattened domain mixture (tau=0.5): rates from one
       // partial-agg groupBy, broadcast back, deterministic hash keep
@@ -1337,6 +1354,32 @@ object SparkEntry {
           pack_bucket * 1099511627776 + CAST(st AS BIGINT) // 512 AS seq_id,
           CAST(st AS BIGINT) % 512 AS seq_offset
         FROM s""".stripMargin.trim)),
+
+    Q("q_pack_greedy",
+      // whole-document greedy packing: no doc ever splits across sequences;
+      // oracle replays the per-bucket greedy fold as a linear recursion
+      (s, dir) => operators.Packing.packGreedy(
+          Tables.load(s, dir)("documents"), budget = 512, buckets = 16)
+        .select("doc_id", "pack_bucket", "token_count", "seq_id"),
+      Some("""
+        WITH RECURSIVE t AS (
+          SELECT doc_id,
+            ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 16 AS pack_bucket,
+            CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS token_count,
+            row_number() OVER (PARTITION BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 16 ORDER BY doc_id) AS rn
+          FROM documents
+        ), r AS (
+          SELECT doc_id, pack_bucket, token_count, rn, 0::BIGINT AS bin, token_count AS fill
+          FROM t WHERE rn = 1
+          UNION ALL
+          SELECT t.doc_id, t.pack_bucket, t.token_count, t.rn,
+            CASE WHEN r.fill + t.token_count > 512 THEN r.bin + 1 ELSE r.bin END,
+            CASE WHEN r.fill + t.token_count > 512 THEN t.token_count ELSE r.fill + t.token_count END
+          FROM r JOIN t ON t.pack_bucket = r.pack_bucket AND t.rn = r.rn + 1
+        )
+        SELECT doc_id, pack_bucket, token_count,
+          pack_bucket * 1099511627776 + bin AS seq_id
+        FROM r""".stripMargin.trim)),
 
     Q("q_embed_quantize",
       // L2-normalize + int8 scalar quantization, exploded per dimension

@@ -61,6 +61,61 @@ object Packing {
       .drop("__start")
   }
 
+  /** Whole-document greedy packing: unlike [[packSequences]] (which may
+    * split a document across a sequence boundary) every document lands
+    * entirely in ONE training sequence; the open sequence closes as soon
+    * as the next document does not fit, and an over-budget document gets a
+    * singleton sequence. Same deterministic layout contract as
+    * [[packSequences]]: bucket = portable md5 id hash, order = id — an
+    * ANSI engine replays the exact layout with a linear recursion over
+    * each bucket.
+    *
+    * Scale shape: one shuffle on the bucket key, spillable partition sort,
+    * then a per-partition streaming fold with O(1) state (the open
+    * sequence's fill) — no window, no per-bucket buffering. Greedy-no-split
+    * waste is < budget per closed sequence in the worst case; keeping id
+    * order (rather than first-fit-decreasing) is what makes the layout
+    * stable run-over-run and oracle-replayable — callers wanting tighter
+    * packing can pre-sort by length and re-id.
+    *
+    * @return (idCol, token_count, pack_bucket, seq_id) — seq_id globally
+    *   unique as bucket * 2^40 + sequence-index-within-bucket */
+  def packGreedy(
+      docs: DataFrame,
+      budget: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      buckets: Int = 4096): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    require(buckets > 0 && buckets <= (1 << 23), "buckets must fit the 2^40 seq_id split")
+    val bucket = pmod(TextOps.portableHash60(col(idCol).cast("string")), lit(buckets))
+    val slim = docs
+      .select(col(idCol), TextOps.tokenCount(col(textCol)).cast("long").as("token_count"),
+        bucket.as("pack_bucket"))
+      .repartition(col("pack_bucket"))
+      .sortWithinPartitions(col("pack_bucket"), col(idCol))
+    val outSchema = org.apache.spark.sql.types.StructType(slim.schema.fields :+
+      org.apache.spark.sql.types.StructField("seq_id",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val b = budget.toLong
+    slim.mapPartitions { rows =>
+      var curBucket: Any = null
+      var bin = 0L
+      var fill = 0L
+      rows.map { r =>
+        val bkt = r.get(2)
+        if (!java.util.Objects.equals(bkt, curBucket)) {
+          curBucket = bkt; bin = -1L; fill = Long.MaxValue
+        }
+        val len = r.getLong(1)
+        // overflow-safe fill + len > budget (fill can be Long.MaxValue)
+        if (fill > b - len) { bin += 1; fill = len } else fill += len
+        org.apache.spark.sql.Row(r.get(0), len, r.getLong(2),
+          r.getLong(2) * (1L << 40) + bin)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Deterministic training-shard assignment — the "global shuffle then
     * shard" step a training run needs so examples are decorrelated from
     * crawl/source order while the layout stays reproducible run-over-run

@@ -86,4 +86,35 @@ object Sampling {
       .withColumn("mix_rate", col("__rate"))
       .drop("__g", "__rate")
   }
+
+  /** Quantile bucketing by a score column (perplexity-bucket sampling
+    * prep): rows gain `score_bucket` = 1..probs.size+1, the interval of
+    * the score between consecutive quantile thresholds (bucket i wins when
+    * thr_(i-1) < score ≤ thr_i). Compose with [[stratified]] or
+    * [[temperatureMixture]] on the bucket label to resample by quality
+    * band.
+    *
+    * `exact = true` uses Catalyst's exact `percentile` (replayable by an
+    * ANSI oracle via quantile_cont — both linearly interpolate at
+    * p·(n-1)); the default approximate path uses the mergeable
+    * `percentile_approx` sketch, whose partial aggregation is the 100 TB
+    * shape (exact percentile buffers per-partition value multisets). Either
+    * way the threshold vector is ONE tiny row broadcast back onto the scan
+    * (a 1-row nested-loop join is a scalar subquery, not a scale risk). */
+  def scoreBuckets(
+      df: DataFrame, score: Column, probs: Seq[Double],
+      exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1),
+      "probs must be quantiles strictly inside (0, 1)")
+    require(probs == probs.sorted, "probs must be ascending")
+    val parr = array(probs.map(lit): _*)
+    val thrAgg =
+      if (exact) percentile(score, parr)
+      else percentile_approx(score, parr, lit(accuracy))
+    val thr = df.agg(thrAgg.cast("array<double>").as("__thr"))
+    df.crossJoin(broadcast(thr))
+      .withColumn("score_bucket",
+        (lit(1) + size(filter(col("__thr"), t => t < score))).cast("int"))
+      .drop("__thr")
+  }
 }

@@ -454,6 +454,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(topIds.subsetOf(apIds), "approx gate must keep each group's best row")
   }
 
+  test("packGreedy: whole docs, budget respected except oversize singletons") {
+    val p = Packing.packGreedy(docs, budget = 512, buckets = 16).cache()
+    assert(p.count() == docs.count())                        // every doc exactly once
+    assert(p.select("doc_id").distinct().count() == docs.count())
+    val seqs = p.groupBy("seq_id").agg(
+      sum("token_count").as("fill"), count(lit(1)).as("n"),
+      max("token_count").as("mx")).cache()
+    // a sequence over budget must be a single oversize document
+    assert(seqs.filter(col("fill") > 512 && (col("n") > 1 || col("mx") <= 512))
+      .count() == 0)
+    // greedy invariant: a multi-doc sequence closed because the next doc
+    // didn't fit, so no doc's tokens vanish: fill of any sequence is the
+    // exact sum of member token counts (checked by construction above) and
+    // bins are dense per bucket
+    val dense = p.select((col("seq_id") / lit(1L << 40)).cast("long").as("b"),
+        pmod(col("seq_id"), lit(1L << 40)).as("bin"))
+      .groupBy("b").agg(min("bin").as("lo"), max("bin").as("hi"),
+        countDistinct("bin").as("d"))
+    assert(dense.filter(col("lo") =!= 0 || col("d") =!= col("hi") + 1).count() == 0)
+    p.unpersist(); seqs.unpersist()
+  }
+
+  test("scoreBuckets: quartiles partition the corpus; approx path matches at high accuracy") {
+    val b = Sampling.scoreBuckets(docs, col("n_chars"), Seq(0.25, 0.5, 0.75),
+      exact = true).cache()
+    assert(b.filter(col("score_bucket") < 1 || col("score_bucket") > 4).count() == 0)
+    val n = docs.count().toDouble
+    val byB = b.groupBy("score_bucket").count().as[(Int, Long)].collect().toMap
+    (1 to 4).foreach { i =>
+      assert(math.abs(byB.getOrElse(i, 0L) / n - 0.25) < 0.05,
+        s"bucket $i share ${byB.getOrElse(i, 0L) / n}") }
+    // buckets are ordered score bands: max of band i <= min of band i+1
+    val bounds = b.groupBy("score_bucket").agg(
+      min("n_chars").cast("long").as("lo"), max("n_chars").cast("long").as("hi"))
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    bounds.sliding(2).foreach {
+      case Array((_, _, hi1), (_, lo2, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+    // sketch path at high accuracy reproduces the exact assignment
+    val approx = Sampling.scoreBuckets(docs, col("n_chars"), Seq(0.25, 0.5, 0.75),
+      accuracy = 100000)
+    val ex = b.select("doc_id", "score_bucket").as[(Long, Int)].collect().toMap
+    val ap = approx.select("doc_id", "score_bucket").as[(Long, Int)].collect().toMap
+    val agree = ex.count { case (k, v) => ap(k) == v }.toDouble / ex.size
+    assert(agree > 0.99, s"approx/exact agreement $agree")
+    b.unpersist()
+  }
+
   test("funnel: strict ordering, chain breaks, later-step-only keys") {
     val ev = Seq(
       (1L, "view", 1L), (1L, "click", 1L), (1L, "purchase", 5L), // click not > t1
