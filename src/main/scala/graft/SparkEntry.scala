@@ -116,6 +116,44 @@ object SparkEntry {
       SELECT vec_a, vec_b, sim FROM v WHERE sim >= 0.3""".trim
   }
 
+  /** DuckDB replica of [[operators.Curation.curateSemantic]]: the
+    * semantic-pair CTEs from [[semanticPairsOracleSql]] feed a
+    * recursive-CTE transitive closure; each cluster keeps the max-label
+    * member (ties to lowest id). */
+  private lazy val semanticKeepOracleSql: String = {
+    val cents = operators.Similarity.hyperplanes(16, 64, 42L)
+    val rows = cents.zipWithIndex
+      .map { case (c, i) => s"($i, [${c.mkString(", ")}]::DOUBLE[])" }
+      .mkString(",\n          ")
+    s"""
+      WITH RECURSIVE cents(cell, w) AS (VALUES $rows),
+      a AS (SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_inner_product(e.embedding::DOUBLE[], c.w) DESC, c.cell DESC) AS rk
+          FROM embeddings e CROSS JOIN cents c) WHERE rk = 1),
+      p AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+            FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+            JOIN embeddings ea ON ea.vec_id = x.vec_id
+            JOIN embeddings eb ON eb.vec_id = y.vec_id
+            WHERE round(list_inner_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
+              (sqrt(list_inner_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) *
+               sqrt(list_inner_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))), 6) >= 0.3),
+      e AS (SELECT vec_a AS src, vec_b AS dst FROM p UNION SELECT vec_b, vec_a FROM p),
+      reach(src, dst) AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src WHERE e2.dst <> r.src),
+      comps AS (SELECT src AS vec_id, least(src, min(dst)) AS comp FROM reach GROUP BY src),
+      scored AS (SELECT c.vec_id, c.comp, em.label FROM comps c
+                 JOIN embeddings em USING (vec_id)),
+      winners AS (SELECT comp, (list(vec_id ORDER BY label DESC, vec_id ASC))[1] AS keep
+                  FROM scored GROUP BY comp)
+      SELECT em.vec_id FROM embeddings em
+      WHERE em.vec_id NOT IN (
+        SELECT s.vec_id FROM scored s JOIN winners w USING (comp)
+        WHERE s.vec_id <> w.keep)""".trim
+  }
+
   // ----------------------------------------------------------------- queries
 
   private lazy val defs: List[Q] = List(
@@ -1963,6 +2001,18 @@ object SparkEntry {
         Tables.load(s, dir)("embeddings"), threshold = 0.3,
         nlist = 16, kmeansIter = 0, dims = 64),
       Some(semanticPairsOracleSql)),
+
+    // SemDeDup end-to-end: semantic clusters each keep their best-scoring
+    // member (label as the quality proxy, ties to lowest id)
+    Q("q_curate_semantic",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        operators.Curation.curateSemantic(
+          Tables.load(s, dir)("embeddings"), col("label"),
+          threshold = 0.3, nlist = 16, kmeansIter = 0, dims = 64)
+          .select("vec_id")
+      },
+      Some(semanticKeepOracleSql)),
 
     // per-language top-fraction quality gate (exact ranked path; the
     // approx broadcast-threshold path is spec-verified against this one)

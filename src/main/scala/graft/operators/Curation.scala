@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** One-call training-data curation — the pipeline a 100 TB corpus actually
@@ -56,6 +56,40 @@ object Curation {
       maxIter = ccMaxIter, localThreshold = ccLocalThreshold)
     pairs.unpersist(false)
     filtered.unpersist(false) // final plan re-derives the (one-scan) filter
+    kept
+  }
+
+  /** Embedding-level (SemDeDup) curation: semantic near-dup pairs within
+    * spherical-kmeans cells ([[Similarity.semanticPairs]]) → diameter-bounded
+    * connected components → each semantic cluster keeps its best member by
+    * `scoreCol` ([[Dedup.keepBest]], ties to lowest id). The text-level
+    * [[curate]] removes lexical near-copies; this removes *semantic*
+    * duplicates lexical hashing can't see (translations, paraphrases,
+    * templated rewrites).
+    *
+    * Scale: one scan for cell assignment, one slim (id, cell) shuffle for
+    * pair generation, candidate-only cosine verification, label propagation
+    * on the (tiny) pair graph, broadcast anti-join of the drop set.
+    * `ccLocalThreshold = 0` forces the distributed CC path (the 100 TB
+    * setting). */
+  def curateSemantic(
+      rows: DataFrame,
+      scoreCol: Column,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      threshold: Double = 0.95,
+      nlist: Int = 16,
+      kmeansIter: Int = 2,
+      maxCell: Int = 100000,
+      seed: Long = 42L,
+      dims: Int = -1,
+      ccMaxIter: Int = 20,
+      ccLocalThreshold: Long = 1000000L): DataFrame = {
+    val pairs = Similarity.semanticPairs(rows, idCol, vecCol, threshold,
+      nlist, kmeansIter, maxCell, seed, dims)
+    val kept = Dedup.keepBest(rows, pairs, scoreCol, idCol, "vec_a", "vec_b",
+      ccMaxIter, ccLocalThreshold)
+    pairs.unpersist(false)
     kept
   }
 }

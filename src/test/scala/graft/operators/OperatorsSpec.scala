@@ -414,6 +414,24 @@ class OperatorsSpec extends AnyFunSuite {
     capped.unpersist()
   }
 
+  test("curateSemantic composes pairs→CC→keepBest; distributed CC path agrees") {
+    val ids = Curation.curateSemantic(emb, col("label"), threshold = 0.3,
+      nlist = 16, kmeansIter = 0, dims = 64)
+      .select("vec_id").as[Long].collect().toSet
+    val pairs = Similarity.semanticPairs(emb, threshold = 0.3,
+      nlist = 16, kmeansIter = 0, dims = 64)
+    val direct = Dedup.keepBest(emb, pairs, col("label"), "vec_id", "vec_a", "vec_b")
+      .select("vec_id").as[Long].collect().toSet
+    pairs.unpersist()
+    assert(ids == direct, "composition must equal its parts")
+    assert(ids.size < emb.count(), "some semantic dup must actually drop")
+    // forcing the distributed label-propagation path changes nothing
+    val dist = Curation.curateSemantic(emb, col("label"), threshold = 0.3,
+      nlist = 16, kmeansIter = 0, dims = 64, ccLocalThreshold = 0L)
+      .select("vec_id").as[Long].collect().toSet
+    assert(dist == ids)
+  }
+
   test("keepTopQuality: exact per-group fraction; approx path agrees at high accuracy") {
     val kept = TextOps.keepTopQuality(docs, col("n_chars"), 0.25,
       col("lang"), col("doc_id"))
