@@ -243,6 +243,20 @@ object TextOps {
 
   // ------------------------------------------------------ DataFrame-level ops
 
+  /** Attach the expensive struct kernel `c` as column `name` behind a
+    * predicate-pushdown barrier. A plain `withColumn` projection is
+    * transparent to `PushPredicateThroughNonJoin`: any filter over the
+    * derived columns gets alias-substituted below the projection, cloning
+    * the kernel into every conjunct reference — measured 121 kernel
+    * invocations per row (13× wall-clock) for the curate filter, since
+    * `FilterExec` does no subexpression elimination. A one-element explode
+    * is a `Generate` node, and predicates on generator output cannot move
+    * below it, so the kernel runs exactly once per row (still inside
+    * whole-stage codegen — `GenerateExec` participates). Predicates on
+    * pass-through columns still push below the Generate to the scan. */
+  private def withKernelColumn(df: DataFrame, name: String, c: Column): DataFrame =
+    df.select(col("*"), explode(array(c)).as(name))
+
   /** Annotate a corpus with the full text-analysis column set.
     *
     * One [[graft.functions.TextKernels.textStatsCol]] pass computes every
@@ -252,7 +266,7 @@ object TextOps {
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val st = graft.functions.TextKernels.textStatsCol(t)
-    val d = docs.withColumn("__st", st)
+    val d = withKernelColumn(docs, "__st", st)
     def f(name: String) = col("__st").getField(name)
     val words = f("token_count")
     val n = f("n")
@@ -307,7 +321,7 @@ object TextOps {
     * One [[graft.functions.TextKernels.repetitionStatsCol]] pass; ratios
     * are plain arithmetic over the counters (oracle-pinned). */
   def repetitionMetrics(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val d = docs.withColumn("__rs",
+    val d = withKernelColumn(docs, "__rs",
       graft.functions.TextKernels.repetitionStatsCol(col(textCol)))
     def f(name: String) = col("__rs").getField(name)
     def frac(uniq: Column, total: Column): Column =
@@ -334,7 +348,7 @@ object TextOps {
       minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
     val t = col(textCol)
     val d = repetitionMetrics(
-      docs.withColumn("__st", graft.functions.TextKernels.textStatsCol(t)),
+      withKernelColumn(docs, "__st", graft.functions.TextKernels.textStatsCol(t)),
       textCol)
     def s(name: String) = col("__st").getField(name)
     val words = s("token_count")

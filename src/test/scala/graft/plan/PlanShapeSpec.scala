@@ -152,6 +152,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p) // pure map-side — no shuffle
   }
 
+  test("filters over derived kernel columns invoke the kernel exactly once per row") {
+    // PushPredicateThroughNonJoin substitutes projection aliases into every
+    // filter conjunct it pushes, and FilterExec does no subexpression
+    // elimination — without the Generate barrier in TextOps.withKernelColumn
+    // the curate-shaped filter below cloned the textStats kernel 121× per
+    // row (13× wall-clock). Pin: exactly ONE kernel invocation in the
+    // filtered physical plan, and still zero shuffles.
+    import org.apache.spark.sql.functions._
+    val filtered = graft.operators.TextOps.analyze(tables("documents"))
+      .filter(col("lang_pred").isin("en") &&
+        col("quality") >= 0.7 && col("token_count").between(5, 100000))
+    val p = filtered.queryExecution.executedPlan.toString
+    assert("textStats".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Exchange"), p)
+    // same barrier guards the deflate kernel
+    val cp = graft.operators.TextOps.compressionMetrics(tables("documents"))
+      .filter(col("flag_compression") && col("deflate_ratio") > 0.2)
+      .queryExecution.executedPlan.toString
+    assert("compressionStats".r.findAllIn(cp).size == 1, cp)
+    assert(!cp.contains("Exchange"), cp)
+  }
+
   test("repetition/gopher/redact/quantize are scan-speed: no shuffle, codegen") {
     import org.apache.spark.sql.functions._
     val checks = Seq(
