@@ -371,12 +371,25 @@ object Dedup {
       return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), schema)
     }
+    // Each round references the previous labels TWICE (propagation join +
+    // union), so a persist()-based loop — which caches data but keeps the
+    // full logical plan — doubles the plan tree per round: 2^k copies of
+    // the upstream pair-generation plan by round k, and Catalyst analysis
+    // plus the per-action plan stringification go combinatorial long
+    // before maxIter. localCheckpoint truncates the lineage to the
+    // materialized partitions each round, keeping every round's plan O(1).
+    // (Local checkpoints live in executor storage — on a deployment that
+    // must survive executor loss mid-CC, swap for reliable checkpoint()
+    // with a checkpoint dir; the loop structure is unchanged. Old rounds'
+    // blocks are reaped by the ContextCleaner once unreferenced; the label
+    // set only holds docs that appear in a dup pair, so it is small
+    // relative to the corpus.)
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .persist()
-    var persisted = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).persist()
-    var labels = persisted
+      .localCheckpoint(false)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint(false)
     labels.count()
+    e0.unpersist(false)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -385,8 +398,8 @@ object Dedup {
       // change detection folds into the min-label aggregation itself: the
       // previous label is the min over origin-0 rows (labels side — every
       // node has one), so `min(all) < min(origin-0)` marks a changed node.
-      // One count on the freshly persisted result then both materializes
-      // the cache AND decides convergence — the probe join of the naive
+      // One count on the freshly checkpointed result then both materializes
+      // it AND decides convergence — the probe join of the naive
       // formulation (labels ⋈ next per round, as large as the label set
       // itself) disappears from every round.
       val next = labels.select(col("id"), col("comp"), lit(0).as("__o"))
@@ -394,15 +407,11 @@ object Dedup {
         .groupBy("id")
         .agg(min("comp").as("comp"),
           (min(col("comp")) < min(when(col("__o") === 0, col("comp")))).as("__chg"))
-        .persist()
+        .localCheckpoint(false)
       converged = next.filter(col("__chg")).count() == 0
-      persisted.unpersist(false)
-      persisted = next
       labels = next.drop("__chg")
       iter += 1
     }
-    edges.unpersist(false)
-    e0.unpersist(false)
     labels.withColumnRenamed("id", "doc_id")
   }
 
