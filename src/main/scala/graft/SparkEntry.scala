@@ -2030,6 +2030,33 @@ object SparkEntry {
           count(*) OVER (PARTITION BY lang) AS cnt FROM documents)
         SELECT doc_id, lang, n_chars FROM r WHERE rk <= ceil(0.25 * cnt)""".stripMargin.trim)),
 
+    // per-group count cap: "at most K docs per domain" curation step
+    Q("q_cap_per_group",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        operators.TextOps.capPerGroup(
+          Tables.load(s, dir)("documents"),
+          col("n_chars"), 7, col("lang"), col("doc_id"))
+          .select("doc_id", "lang", "n_chars")
+      },
+      Some("""
+        WITH r AS (SELECT doc_id, lang, n_chars,
+          row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk
+          FROM documents)
+        SELECT doc_id, lang, n_chars FROM r WHERE rk <= 7""".stripMargin.trim)),
+
+    // deflate-compressibility quality window — no DuckDB deflate analog, so
+    // no SQL oracle (rows-only gate); bit-level parity with the JVM zlib is
+    // pinned by TextKernelsSpec's differential test
+    Q("q_compression_window",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        operators.TextOps.compressionMetrics(
+          Tables.load(s, dir)("documents"))
+          .select("doc_id", "raw_bytes", "deflate_bytes", "flag_compression")
+      },
+      None),
+
     // --- LLM-pipeline operators: multimodal plumbing ----------------------
     Q("q_multimodal_features",
       (s, dir) => operators.Multimodal

@@ -358,6 +358,45 @@ object TextKernels {
       lines, uniqLines.size())
   }
 
+  // ---------------------------------------------------- compression ratio
+
+  val compressionStatsType: StructType = StructType(Seq(
+    StructField("raw_bytes", IntegerType, nullable = false),
+    StructField("deflate_bytes", IntegerType, nullable = false)))
+
+  /** DEFLATE-compressibility counters: (UTF-8 byte length, deflated byte
+    * length at level 6, raw stream — no zlib/gzip header). The ratio
+    * deflate/raw is the classic corpus-quality signal the token-level
+    * heuristics miss: near-zero on machine-repeated filler (which can
+    * still pass stopword/punctuation gates) and ~1.0 on random bytes /
+    * encoded blobs (which can still look "word-like"). Not reproducible in
+    * ANSI SQL — verified by a differential ScalaTest spec against the same
+    * JVM Deflater instead of a DuckDB oracle. */
+  def compressionStatsCol(text: Column): Column = GraftColumnBridge.column(
+    StaticInvoke(
+      TextKernels.getClass, compressionStatsType, "compressionStats",
+      Seq(GraftColumnBridge.expression(text)), Seq(StringType),
+      returnNullable = false))
+
+  // Deflater wraps native zlib state — construction is the expensive part,
+  // so reuse one per task thread and reset() between rows.
+  private val deflaters = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6, true)
+  }
+
+  def compressionStats(s: UTF8String): InternalRow = {
+    val bytes = s.getBytes
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var out = 0
+    while (!d.finished()) out += d.deflate(buf)
+    InternalRow(bytes.length, out)
+  }
+
   def minhashBuckets(shingles: ArrayData, bands: Int, rows: Int): ArrayData = {
     val k = bands * rows
     val mins = new Array[Long](k)

@@ -406,6 +406,56 @@ object TextOps {
       .drop("__rk", "__cnt")
   }
 
+  /** Per-group count cap (exact): keep the best `k` rows per group by
+    * `score` (ties broken by `tie` ASC — deterministic), the "at most K
+    * documents per domain" step of C4/RefinedWeb-style curation. Same
+    * ONE-shuffle spillable-sort shape as [[keepTopQuality]]; for corpora
+    * where a full per-group sort is too hot, pre-thin with
+    * [[keepTopQualityApprox]] (broadcast threshold, no sort) and cap the
+    * survivors. */
+  def capPerGroup(
+      docs: DataFrame,
+      score: Column,
+      k: Int,
+      by: Column,
+      tie: Column): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val rk = row_number().over(Window.partitionBy(by).orderBy(score.desc, tie.asc))
+    docs.withColumn("__rk", rk).filter(col("__rk") <= k).drop("__rk")
+  }
+
+  /** Compression-ratio quality metrics: deflate the UTF-8 text (level 6,
+    * [[graft.functions.TextKernels.compressionStatsCol]] one-pass kernel)
+    * and keep documents inside a compressibility window. Too compressible
+    * (ratio below `minRatio`) means machine-repeated filler; incompressible
+    * (above `maxRatio`) means random/encoded content — both slip past
+    * token-level heuristics. Defaults are calibrated to raw-DEFLATE level-6
+    * behavior: repeated filler lands < 0.01, varied prose 0.3–0.75 (the
+    * ~40-byte overhead inflates SHORT docs toward the top of that range —
+    * pair with a length floor when tightening `maxRatio`), base64/random
+    * alphanumeric 0.75–0.83, random 7-bit text ~0.88. Adds `raw_bytes`,
+    * `deflate_bytes`, `deflate_ratio`, `flag_compression`. Scan-speed, zero
+    * shuffle; the kernel sits behind the same Generate barrier as
+    * [[analyze]] so filters over the derived columns never clone the
+    * deflate call. */
+  def compressionMetrics(
+      docs: DataFrame,
+      textCol: String = "text",
+      minRatio: Double = 0.10,
+      maxRatio: Double = 0.85): DataFrame = {
+    val d = withKernelColumn(docs, "__cs",
+      graft.functions.TextKernels.compressionStatsCol(col(textCol)))
+    d.withColumn("raw_bytes", col("__cs").getField("raw_bytes"))
+      .withColumn("deflate_bytes", col("__cs").getField("deflate_bytes"))
+      .withColumn("deflate_ratio",
+        when(col("raw_bytes") === 0, lit(1.0))
+          .otherwise(col("deflate_bytes").cast("double") / col("raw_bytes")))
+      .withColumn("flag_compression",
+        col("deflate_ratio").between(minRatio, maxRatio))
+      .drop("__cs")
+  }
+
   /** Per-group quality gate (approximate, the scale path): compute each
     * group's (1-frac) score quantile with `percentile_approx` (mergeable
     * sketch, map-side partials — one small-output shuffle), broadcast the

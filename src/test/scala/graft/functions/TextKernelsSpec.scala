@@ -127,6 +127,35 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(out("a bit longer text") >= 1)
   }
 
+  test("compressionStats matches a direct Deflater run on edge and random text") {
+    // no DuckDB analog for deflate sizes — the oracle for this kernel is
+    // the same JVM zlib the kernel wraps, run independently driver-side
+    val rnd = new scala.util.Random(7)
+    val cases = edgeCases ++ Seq(
+      "ab" * 5000,                                   // machine filler → tiny ratio
+      rnd.alphanumeric.take(10000).mkString,          // high-entropy → ratio near 1
+      Seq.fill(500)(rnd.nextInt(20)).mkString(" "))   // mid-entropy numerals
+    def deflateLen(s: String): Int = {
+      val d = new java.util.zip.Deflater(6, true)
+      try {
+        val in = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        d.setInput(in); d.finish()
+        val buf = new Array[Byte](8192)
+        var out = 0
+        while (!d.finished()) out += d.deflate(buf)
+        out
+      } finally d.end()
+    }
+    val got = cases.toDF("text")
+      .select(col("text"), TextKernels.compressionStatsCol(col("text")).as("cs"))
+      .select(col("text"), col("cs.raw_bytes"), col("cs.deflate_bytes"))
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+    cases.foreach { s =>
+      val utf8 = s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+      assert(got(s) == ((utf8, deflateLen(s))), s"mismatch on ${s.take(40)}")
+    }
+  }
+
   test("url_encode/url_decode round-trip through the dialect registry") {
     val out = graft.GraftEngine.sql(
       "SELECT url_decode(url_encode(s)) AS rt, url_encode(s) AS enc FROM stream",

@@ -472,6 +472,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(topIds.subsetOf(apIds), "approx gate must keep each group's best row")
   }
 
+  test("capPerGroup keeps exactly min(k, group size) best rows per group") {
+    val capped = TextOps.capPerGroup(docs, col("n_chars"), k = 7,
+      col("lang"), col("doc_id"))
+    val capCnt = capped.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val allCnt = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    allCnt.foreach { case (lang, n) =>
+      assert(capCnt.getOrElse(lang, 0L) == math.min(7L, n),
+        s"group $lang capped to ${capCnt.getOrElse(lang, 0L)} of $n")
+    }
+    // survivors are exactly the window-function top-k (deterministic ties)
+    val expected = docs.withColumn("__r", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("lang")
+        .orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("__r") <= 7).select("doc_id").as[Long].collect().toSet
+    assert(capped.select("doc_id").as[Long].collect().toSet == expected)
+  }
+
+  test("compressionMetrics flags filler and high-entropy text, keeps prose") {
+    val rnd = new scala.util.Random(3)
+    val fixture = Seq(
+      (1L, "spam " * 2000),                                 // filler → ratio ~0.004
+      (2L, Seq.fill(8000)((1 + rnd.nextInt(127)).toChar).mkString), // 7-bit noise → ~0.88
+      (3L, "The quick brown fox jumps over the lazy dog. " +
+        "Weather stayed mild through October, and the harvest came in early this year. " +
+        "Local markets reported steady demand for apples and late-season corn."),
+      (4L, "")                                               // empty → ratio 1.0, above window
+    ).toDF("doc_id", "text")
+    val m = TextOps.compressionMetrics(fixture)
+      .select("doc_id", "raw_bytes", "deflate_ratio", "flag_compression")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(m(1)._2 < 0.05 && !m(1)._3, s"filler ratio ${m(1)._2} should flag low")
+    assert(m(2)._2 > 0.85 && !m(2)._3, s"entropy ratio ${m(2)._2} should flag high")
+    assert(m(3)._3, s"prose ratio ${m(3)._2} should pass the window")
+    assert(m(4)._1 == 0 && !m(4)._3 && m(4)._2 == 1.0)
+    // corpus-wide: row count preserved, ratios in [0, ~1.1]
+    val c = TextOps.compressionMetrics(docs)
+    assert(c.count() == docs.count())
+    assert(c.filter(col("deflate_ratio") < 0 || col("deflate_ratio") > 1.2).count() == 0)
+  }
+
   test("packGreedy: whole docs, budget respected except oversize singletons") {
     val p = Packing.packGreedy(docs, budget = 512, buckets = 16).cache()
     assert(p.count() == docs.count())                        // every doc exactly once
