@@ -1837,6 +1837,61 @@ object SparkEntry {
         FROM l WHERE line NOT IN (SELECT line FROM hot)
         GROUP BY doc_id""".stripMargin.trim)),
 
+    Q("q_dedup_lines_within",
+      // intra-doc repeated-line removal: the fixture has no newlines, so
+      // the query plants a repeated header, blank separators, and a
+      // duplicated body-prefix line; the repeats vanish, first
+      // occurrences and blanks survive in order
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = Tables.load(s, dir)("documents")
+          .withColumn("text", concat(
+            lit("header\n\n"), col("text"), lit("\nheader\n\n"),
+            substring(col("text"), 1, 30), lit("\n"),
+            substring(col("text"), 1, 30)))
+        operators.Dedup.dropRepeatedLines(d).select("doc_id", "text")
+      },
+      Some("""
+        WITH src AS (
+          SELECT doc_id, 'header' || chr(10) || chr(10) || text || chr(10) ||
+            'header' || chr(10) || chr(10) || substr(text, 1, 30) || chr(10) ||
+            substr(text, 1, 30) AS t
+          FROM documents
+        ), l AS (
+          SELECT doc_id, u.line, u.pos
+          FROM src, LATERAL (SELECT unnest(string_split(t, chr(10))) AS line,
+            generate_subscripts(string_split(t, chr(10)), 1) AS pos) u
+        ), f AS (
+          SELECT doc_id, line, pos,
+            min(pos) OVER (PARTITION BY doc_id, line) AS fp
+          FROM l
+        )
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        FROM f WHERE len(line) < 1 OR pos = fp
+        GROUP BY doc_id""".stripMargin.trim)),
+
+    Q("q_chunk",
+      // fixed-token-budget chunking with overlap (20-word windows, 4-word
+      // overlap → ~4 chunks per ~54-word fixture doc); chunk_id dense per
+      // doc, trailing chunk carries the short remainder
+      (s, dir) => operators.TextOps.chunkDocs(
+        Tables.load(s, dir)("documents"), maxTokens = 20, overlap = 4),
+      Some("""
+        WITH w AS (
+          SELECT doc_id,
+            string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
+          FROM documents
+        ), c AS (
+          SELECT doc_id, ws, len(ws) AS n,
+            CASE WHEN len(ws) <= 20 THEN 1
+                 ELSE CAST(ceil((len(ws) - 4) / 16.0) AS INT) END AS nc
+          FROM w
+        )
+        SELECT doc_id, CAST(u.i AS INT) AS chunk_id,
+          array_to_string(ws[(u.i*16+1):(u.i*16+20)], ' ') AS chunk,
+          CAST(least(20, n - u.i*16) AS INT) AS n_tokens
+        FROM c, LATERAL (SELECT unnest(range(0, nc)) AS i) u""".stripMargin.trim)),
+
     Q("q_decontaminate",
       // benchmark decontamination: docs < 100 act as the eval set; any
       // doc >= 100 sharing an 8-gram (near-dups planted in the fixture)

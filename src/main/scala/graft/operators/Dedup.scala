@@ -615,6 +615,28 @@ object Dedup {
       .select(col("__id").as(idCol), col("__clean").as(textCol))
   }
 
+  /** Intra-document repeated-line removal — the within-doc half of line
+    * dedup ([[dropCommonLines]] is the cross-corpus half): later exact
+    * repeats of a line inside one document are dropped, the FIRST
+    * occurrence survives, and line order is otherwise preserved. Lines
+    * shorter than `minChars` are always kept (blank separators and short
+    * markup repeat legitimately; the default keeps empty lines only).
+    *
+    * Pure per-row array expressions — no shuffle, no UDF. The
+    * first-occurrence probe is an `array_position` per line (O(L²) in a
+    * document's line count, bounded for real documents), so the corpus
+    * streams at scan speed and the op composes with the cross-corpus
+    * pass without adding a stage. */
+  def dropRepeatedLines(
+      docs: DataFrame,
+      textCol: String = "text",
+      minChars: Int = 1): DataFrame = {
+    val ls = split(col(textCol), "\n")
+    val kept = filter(ls, (x, i) =>
+      length(x) < minChars || array_position(ls, x) === i + 1)
+    docs.withColumn(textCol, array_join(kept, "\n"))
+  }
+
   /** Benchmark decontamination (the GPT-3/Llama eval-overlap step): flag
     * corpus documents sharing at least one word n-gram with the benchmark
     * set. Returns (idCol, hits) for contaminated docs only — `hits` is the

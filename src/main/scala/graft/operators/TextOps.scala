@@ -456,6 +456,47 @@ object TextOps {
       .drop("__cs")
   }
 
+  /** Fixed-token-budget document chunking with overlap — the splitter an
+    * embedding or pretraining pipeline runs before tokenization: the
+    * whitespace-normalized word sequence is windowed into chunks of
+    * `maxTokens` words advancing by `maxTokens - overlap`, so consecutive
+    * chunks share `overlap` words of context and every word is covered.
+    * A document at or under the budget yields exactly one chunk; a final
+    * window that would be fully contained in its predecessor is not
+    * emitted. Output: (idCol, chunk_id, chunk, n_tokens) with chunk_id
+    * dense per document.
+    *
+    * Pure Column expressions (one split, array slices, no UDF, no
+    * shuffle) — a 100 TB corpus chunks at scan speed and the row
+    * explosion stays inside the scan stage, so the op composes with a
+    * downstream embedding or packing shuffle without adding one. */
+  def chunkDocs(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxTokens: Int = 512,
+      overlap: Int = 64): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      "need 0 <= overlap < maxTokens")
+    val step = maxTokens - overlap
+    val words = split(trim(regexp_replace(col(textCol), "\\s+", " ")), " ")
+    docs
+      .select(col(idCol), words.as("__w"), size(words).as("__n"))
+      .select(col(idCol), col("__w"), col("__n"),
+        when(col("__n") <= maxTokens, lit(1))
+          .otherwise(ceil((col("__n") - lit(overlap)).cast("double") / step)
+            .cast("int")).as("__nc"))
+      .select(col(idCol),
+        explode(transform(sequence(lit(0), col("__nc") - 1), i =>
+          struct(i.cast("int").as("chunk_id"),
+            array_join(slice(col("__w"), i * step + 1, lit(maxTokens)), " ")
+              .as("chunk"),
+            least(lit(maxTokens), col("__n") - i * step).cast("int")
+              .as("n_tokens")))).as("__c"))
+      .select(col(idCol), col("__c.chunk_id"), col("__c.chunk"),
+        col("__c.n_tokens"))
+  }
+
   /** Per-group quality gate (approximate, the scale path): compute each
     * group's (1-frac) score quantile with `percentile_approx` (mergeable
     * sketch, map-side partials — one small-output shuffle), broadcast the

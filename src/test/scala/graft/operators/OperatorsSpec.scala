@@ -938,4 +938,41 @@ class OperatorsSpec extends AnyFunSuite {
     val kinds = f1.map(_.getAs[String]("kind")).toSet
     assert(kinds == Set("image", "audio", "video"))
   }
+
+  test("chunkDocs windows words with overlap; short docs yield one chunk") {
+    val df = Seq(
+      (1L, (1 to 50).map(i => s"w$i").mkString(" ")),
+      (2L, "a  b \n c")).toDF("doc_id", "text")
+    val out = TextOps.chunkDocs(df, maxTokens = 20, overlap = 4)
+      .orderBy("doc_id", "chunk_id").collect()
+    // doc1: n=50, step=16 → chunks at 0/16/32 with 20,20,18 tokens
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getInt(1)).toSeq == Seq(0, 1, 2))
+    assert(d1.map(_.getInt(3)).toSeq == Seq(20, 20, 18))
+    assert(d1(0).getString(2).startsWith("w1 ") && d1(2).getString(2).endsWith(" w50"))
+    // consecutive chunks share exactly the 4-word overlap
+    val c0 = d1(0).getString(2).split(" "); val c1 = d1(1).getString(2).split(" ")
+    assert(c0.takeRight(4).sameElements(c1.take(4)))
+    // every word covered exactly once modulo overlaps
+    assert((c0 ++ c1.drop(4) ++ d1(2).getString(2).split(" ").drop(4)).toSeq ==
+      (1 to 50).map(i => s"w$i"))
+    // doc2: whitespace (incl. newline) normalized, one chunk
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2(0).getString(2) == "a b c" && d2(0).getInt(3) == 3)
+  }
+
+  test("dropRepeatedLines keeps first occurrences and blank separators") {
+    val df = Seq(
+      (1L, "a\n\nbb\na\n\nbb\ncc"),
+      (2L, "x\ny\nz")).toDF("doc_id", "text")
+    val out = Dedup.dropRepeatedLines(df).orderBy("doc_id")
+      .collect().map(_.getString(1))
+    assert(out(0) == "a\n\nbb\n\ncc") // repeats drop, blanks + order survive
+    assert(out(1) == "x\ny\nz")       // no repeats → unchanged
+    // minChars guard: short lines repeat legitimately
+    val kept = Dedup.dropRepeatedLines(
+      Seq((1L, "-\nlong line here\n-\nlong line here")).toDF("doc_id", "text"),
+      minChars = 2).collect()(0).getString(1)
+    assert(kept == "-\nlong line here\n-")
+  }
 }
