@@ -1892,6 +1892,40 @@ object SparkEntry {
           CAST(least(20, n - u.i*16) AS INT) AS n_tokens
         FROM c, LATERAL (SELECT unnest(range(0, nc)) AS i) u""".stripMargin.trim)),
 
+    Q("q_clf_score",
+      // trained-LR quality classifier applied at scan speed: logistic over
+      // analyze()'s (rounded) feature columns with fixed example weights;
+      // the oracle replays feature extraction + the same ordered weighted
+      // sum, so fp addition order matches
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        operators.TextOps.scoreLinear(
+          operators.TextOps.analyze(Tables.load(s, dir)("documents")),
+          Seq(col("token_count") -> 0.02,
+            col("alpha_ratio") -> 3.0,
+            col("punct_ratio") -> -4.0),
+          bias = -1.5)
+          .select("doc_id", "clf_score")
+      },
+      Some("""
+        WITH b AS (
+          SELECT doc_id,
+            CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS token_count,
+            length(text) AS n,
+            length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS npunct,
+            length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS nalpha
+          FROM documents
+        ), r AS (
+          SELECT doc_id, token_count,
+            round(CASE WHEN n = 0 THEN 0 ELSE npunct::DOUBLE / n END, 6) AS punct_ratio,
+            round(CASE WHEN n = 0 THEN 0 ELSE nalpha::DOUBLE / n END, 6) AS alpha_ratio
+          FROM b
+        )
+        SELECT doc_id,
+          round(1.0 / (1.0 + exp(-(((-1.5 + token_count * 0.02) + alpha_ratio * 3.0)
+            + punct_ratio * -4.0))), 6) AS clf_score
+        FROM r""".stripMargin.trim)),
+
     Q("q_decontaminate",
       // benchmark decontamination: docs < 100 act as the eval set; any
       // doc >= 100 sharing an 8-gram (near-dups planted in the fixture)

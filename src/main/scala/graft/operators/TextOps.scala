@@ -456,6 +456,31 @@ object TextOps {
       .drop("__cs")
   }
 
+  /** Trained-classifier quality scoring at scan speed: logistic regression
+    * over caller-chosen numeric feature columns — `sigmoid(bias + Σ wᵢ·fᵢ)`
+    * as one codegen'd Column expression. This is the deployment shape of a
+    * fasttext/LR quality classifier at corpus scale: train offline on a
+    * labeled slice, ship ONLY the weights, score 100 TB in the scan with
+    * zero shuffle and no model-serving hop. Compose with [[analyze]] (or
+    * [[repetitionMetrics]], [[compressionMetrics]]) for the features; the
+    * weighted sum is evaluated in the given feature order (fp addition is
+    * not associative — a fixed order keeps scores reproducible).
+    *
+    * @param features (feature column, trained weight) pairs
+    * @param bias     trained intercept
+    * @return input plus `outCol` = sigmoid score in (0,1), rounded to 6dp */
+  def scoreLinear(
+      docs: DataFrame,
+      features: Seq[(Column, Double)],
+      bias: Double = 0.0,
+      outCol: String = "clf_score"): DataFrame = {
+    require(features.nonEmpty, "need at least one (feature, weight)")
+    val z = features.foldLeft(lit(bias): Column) {
+      case (acc, (c, w)) => acc + c * w
+    }
+    docs.withColumn(outCol, round(lit(1.0) / (lit(1.0) + exp(-z)), 6))
+  }
+
   /** Fixed-token-budget document chunking with overlap — the splitter an
     * embedding or pretraining pipeline runs before tokenization: the
     * whitespace-normalized word sequence is windowed into chunks of

@@ -961,6 +961,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(d2.length == 1 && d2(0).getString(2) == "a b c" && d2(0).getInt(3) == 3)
   }
 
+  test("scoreLinear is a calibrated monotone sigmoid over its features") {
+    val df = Seq((1L, 0.0), (2L, 1.0), (3L, 2.0)).toDF("id", "f")
+    // zero weights → exactly 0.5 everywhere
+    val flat = TextOps.scoreLinear(df, Seq(col("f") -> 0.0))
+      .select("clf_score").collect().map(_.getDouble(0))
+    assert(flat.forall(_ == 0.5))
+    // positive weight → strictly increasing in the feature; bias shifts
+    val s = TextOps.scoreLinear(df, Seq(col("f") -> 2.0), bias = -2.0)
+      .orderBy("id").select("clf_score").collect().map(_.getDouble(0))
+    assert(s(0) < s(1) && s(1) < s(2))
+    assert(math.abs(s(0) - 1.0 / (1.0 + math.exp(2.0))) < 1e-6)
+    assert(math.abs(s(1) - 0.5) < 1e-6) // -2 + 1*2 = 0
+  }
+
   test("dropRepeatedLines keeps first occurrences and blank separators") {
     val df = Seq(
       (1L, "a\n\nbb\na\n\nbb\ncc"),

@@ -190,6 +190,20 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("chunking and intra-doc line dedup are scan-speed: zero shuffle") {
+    // chunkDocs explodes inside the scan stage; dropRepeatedLines is pure
+    // per-row array exprs — neither may introduce an Exchange, so both
+    // compose with a downstream shuffle (embedding, packing) for free
+    val ch = graft.operators.TextOps.chunkDocs(
+        tables("documents"), maxTokens = 20, overlap = 4)
+      .queryExecution.executedPlan.toString
+    assert(!ch.contains("Exchange"), ch)
+    assert("Scan parquet".r.findAllIn(ch).size == 1, ch)
+    val dl = graft.operators.Dedup.dropRepeatedLines(tables("documents"))
+      .queryExecution.executedPlan.toString
+    assert(!dl.contains("Exchange"), dl)
+  }
+
   test("sequence packing is one shuffle (bucket exchange), window sort only") {
     val p = graft.operators.Packing.packSequences(
         tables("documents"), budget = 512, buckets = 16)
