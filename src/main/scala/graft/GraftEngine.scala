@@ -103,6 +103,14 @@ object Tables {
       var df = spark.read.parquet(s"$sfDir/$n.parquet")
       if (n == "events" && df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
         df = df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // naive (isAdjustedToUTC=false) parquet timestamps infer as
+      // TIMESTAMP_NTZ in Spark 4; the engine (and the DuckDB oracle's
+      // epoch_us) works in plain TIMESTAMP — under the UTC session the
+      // cast reinterprets the same stored micros, so epoch values are
+      // unchanged
+      for (f <- df.schema.fields
+           if f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+        df = df.withColumn(f.name, col(f.name).cast("timestamp"))
       n -> df
     }.toMap
     m + ("stream" -> m("events"))

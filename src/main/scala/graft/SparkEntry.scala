@@ -2178,6 +2178,74 @@ object SparkEntry {
         "CAST(strlen(text) + 44 AS INTEGER) AS byte_len " +
         "FROM documents")),
 
+    Q("q_dup_spans",
+      // cross-doc exact-substring duplication: fraction of each doc's
+      // distinct 8-word windows shared with another document (Lee et al.
+      // 2022 signal); windows shuffle as 60-bit hashes, the oracle
+      // groups the raw gram strings — hash-collision-freedom included
+      // in the check
+      (s, dir) => operators.TextOps.dupSpans(
+        Tables.load(s, dir)("documents"), n = 8),
+      Some("""
+        WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+        w AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
+        i AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 7, 1) + 1)) AS i FROM w),
+        g AS (SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 7), ' ') AS gram FROM i),
+        h AS (SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS docs FROM g WHERE length(gram) > 0)
+        SELECT doc_id, count(*) AS spans, CAST(sum(CASE WHEN docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+          round(sum(CASE WHEN docs > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS dup_frac
+        FROM h GROUP BY doc_id""".stripMargin.trim)),
+
+    Q("q_bm25",
+      // Okapi BM25 top-10 per query over the corpus — targeted-crawl /
+      // decontamination search; query side broadcast, one corpus
+      // postings shuffle, exact df restricted to query terms
+      (s, dir) => {
+        import s.implicits._
+        val queries = Seq(
+          ("q1", "spark window join"),
+          ("q2", "hash table scan"),
+          ("q3", "customer query value")).toDF("query_id", "qtext")
+        operators.TextOps.bm25(
+          Tables.load(s, dir)("documents"), queries, topK = 10)
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+        b AS (SELECT doc_id, CASE WHEN length(t) = 0 THEN 0 ELSE len(string_split(t, ' ')) END AS dl, t FROM d),
+        c AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM b),
+        p AS (SELECT doc_id, dl, token, count(*) AS tf FROM (
+                SELECT doc_id, dl, unnest(string_split(t, ' ')) AS token FROM b)
+              WHERE length(token) > 0 GROUP BY doc_id, dl, token),
+        q AS (SELECT DISTINCT query_id, token FROM (
+                SELECT query_id, unnest(string_split(qtext, ' ')) AS token
+                FROM (VALUES ('q1', 'spark window join'), ('q2', 'hash table scan'), ('q3', 'customer query value')) AS v(query_id, qtext))
+              WHERE length(token) > 0),
+        f AS (SELECT p.token, count(*) AS df FROM p JOIN (SELECT DISTINCT token FROM q) qt ON p.token = qt.token GROUP BY p.token),
+        s AS (SELECT q.query_id, p.doc_id,
+                round(sum(ln(1 + (c.n - f.df + 0.5) / (f.df + 0.5)) *
+                  p.tf * (1.2 + 1) / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / c.avgdl))), 6) AS score
+              FROM p JOIN q ON p.token = q.token JOIN f ON p.token = f.token CROSS JOIN c
+              GROUP BY q.query_id, p.doc_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM s)
+        SELECT query_id, doc_id, score, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 10""".stripMargin.trim)),
+
+    Q("q_keywords_tfidf",
+      // per-doc top-3 keywords by smoothed tf·idf — cheap doc-topic
+      // signal; one postings shuffle + vocab-sized df agg + per-doc
+      // top-N window
+      (s, dir) => operators.TextOps.keywordsTfidf(
+        Tables.load(s, dir)("documents"), topN = 3),
+      Some("""
+        WITH p AS (SELECT doc_id, token, count(*) AS tf FROM (
+                SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token FROM documents)
+              WHERE length(token) > 0 GROUP BY doc_id, token),
+        f AS (SELECT token, count(*) AS df FROM p GROUP BY token),
+        n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        s AS (SELECT p.doc_id, p.token, round(p.tf * (ln((n.n + 1) / (f.df + 1)) + 1), 6) AS tfidf
+              FROM p JOIN f USING (token) CROSS JOIN n),
+        r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank FROM s)
+        SELECT doc_id, token, tfidf, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 3""".stripMargin.trim)),
+
     // --- conversion / encode / regexp (§2.8) ------------------------------
     gq("q_conversion_funcs",
       "SELECT p_partkey, encode(p_brand, 'base64') AS b64, " +

@@ -522,6 +522,164 @@ object TextOps {
         col("__c.n_tokens"))
   }
 
+  /** Cross-document exact-substring duplication detector (the signal
+    * behind "Deduplicating Training Data Makes Language Models Better",
+    * Lee et al. 2022 — minus the suffix array): every distinct `n`-word
+    * window of each document is hashed, windows shared by 2+ documents are
+    * flagged, and each document reports what fraction of its windows is
+    * duplicated elsewhere. Complements MinHash/SimHash (whole-doc
+    * near-dup): a doc that embeds one boilerplate paragraph inside unique
+    * text scores low on Jaccard but high here.
+    *
+    * Plan at scale: one scan exploding distinct windows (the shingle
+    * kernel, no HOF lambdas), windows travel as 60-bit hashes — the
+    * shuffle carries (id, hash) pairs only, never 50-token strings — ONE
+    * shuffle keyed on the hash for the sharing count (window frame, no
+    * join), one shuffle keyed on the doc id for the rollup. 60-bit
+    * hashing makes a false shared-window ~2⁻⁶⁰ per pair — noise next to
+    * the decision thresholds this feeds (e.g. drop at dup_frac > 0.5).
+    *
+    * @param n window length in words (Lee et al. use 50; small corpora
+    *          want less)
+    * @return (idCol, spans, dup_spans, dup_frac) — `spans` counts the
+    *         doc's DISTINCT n-word windows */
+  def dupSpans(
+      docs: DataFrame,
+      n: Int = 50,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, "n must be positive")
+    val grams = docs.select(col(idCol).as("__id"),
+        explode(graft.functions.TextKernels.shinglesCol(
+          normalize(col(textCol)), n)).as("__gram"))
+      .filter(length(col("__gram")) > 0)
+      .select(col("__id"), portableHash60(col("__gram")).as("__h"))
+    // shingles are distinct per doc, so the per-hash row count IS the
+    // number of documents sharing the window
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
+    grams.withColumn("__docs", count(lit(1)).over(byHash))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("spans"),
+        sum(when(col("__docs") > 1, 1L).otherwise(0L)).as("dup_spans"))
+      .select(col("__id").as(idCol), col("spans"), col("dup_spans"),
+        round(col("dup_spans") / col("spans"), 6).as("dup_frac"))
+  }
+
+  /** Okapi BM25 retrieval over the corpus: score every document against
+    * every query (Lucene's idf variant, `ln(1 + (N-df+0.5)/(df+0.5))`),
+    * keep the top `topK` docs per query. The workhorse for targeted-crawl
+    * selection and decontamination search ("find training docs that look
+    * like this benchmark prompt") where embedding ANN is overkill.
+    *
+    * Plan at scale: the corpus side is ONE explode scan + one shuffle
+    * keyed on (doc, token) for term frequencies; the query side (tiny) is
+    * broadcast TWICE — once to restrict postings to query terms, once to
+    * attach per-term document frequencies (computed exactly, but only for
+    * query terms, so the df table stays broadcastable no matter the
+    * vocabulary size). Scoring is then one shuffle keyed on (query, doc)
+    * and a per-query top-k window over |queries|·topK-bounded output.
+    * N and avgdl ride along as a broadcast 1-row aggregate, never a
+    * driver-side collect.
+    *
+    * Scores are rounded to 6dp BEFORE ranking so the ranking is
+    * reproducible across engines (fp sums are order-sensitive); ties
+    * break by doc id.
+    *
+    * @return (queryIdCol, idCol, score, rank), rank 1-based per query */
+  def bm25(
+      docs: DataFrame,
+      queries: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      queryIdCol: String = "query_id",
+      queryTextCol: String = "qtext",
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 10): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    val w = split(normalize(col(textCol)), " ")
+    val base = docs.select(col(idCol).as("__id"),
+      when(length(normalize(col(textCol))) === 0, lit(0))
+        .otherwise(size(w)).as("__dl"),
+      w.as("__w"))
+    val corpus = base.agg(count(lit(1)).cast("double").as("__n"),
+      avg(col("__dl")).as("__avgdl"))
+    val postings = base
+      .select(col("__id"), col("__dl"), explode(col("__w")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("__id"), col("__dl"), col("token"))
+      .agg(count(lit(1)).as("__tf"))
+    val qterms = queries.select(col(queryIdCol).as("__qid"),
+        explode(split(normalize(col(queryTextCol)), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .distinct()
+    // exact per-term df, computed only for query terms (always small)
+    val dfq = postings
+      .join(broadcast(qterms.select(col("token")).distinct()), Seq("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("__df"))
+    val tfNorm = col("__tf") * (k1 + 1) /
+      (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl")))
+    val idf = log(lit(1.0) +
+      (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5))
+    val ranked = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qid"))
+      .orderBy(col("score").desc, col("__id"))
+    postings
+      .join(broadcast(qterms), Seq("token"))
+      .join(broadcast(dfq), Seq("token"))
+      .crossJoin(broadcast(corpus))
+      .groupBy(col("__qid"), col("__id"))
+      .agg(round(sum(idf * tfNorm), 6).as("score"))
+      .withColumn("rank", row_number().over(ranked))
+      .filter(col("rank") <= topK)
+      .select(col("__qid").as(queryIdCol), col("__id").as(idCol),
+        col("score"), col("rank"))
+  }
+
+  /** Per-document keyword extraction by smoothed tf·idf
+    * (`tf · (ln((N+1)/(df+1)) + 1)`, the sklearn smoothing — never
+    * negative, defined even for corpus-universal terms): the top `topN`
+    * terms per document, the classic cheap doc-topic signal for corpus
+    * exploration and cluster labeling.
+    *
+    * Plan at scale: postings = one explode scan + one (doc, token)
+    * shuffle; document frequencies = one token-keyed aggregation whose
+    * output is vocabulary-sized (AQE broadcasts it when small, shuffles
+    * when not — no forced broadcast since a web-scale vocab can reach
+    * 10⁸ terms); then one per-doc window for the top-N. Scores rounded
+    * to 6dp before ranking; ties break by token so output is
+    * deterministic.
+    *
+    * @return (idCol, token, tfidf, rank), rank 1-based per document */
+  def keywordsTfidf(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      topN: Int = 5): DataFrame = {
+    require(topN >= 1, "topN must be positive")
+    val postings = docs.select(col(idCol).as("__id"),
+        explode(split(normalize(col(textCol)), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("__id"), col("token"))
+      .agg(count(lit(1)).as("__tf"))
+    val df = postings.groupBy(col("token"))
+      .agg(count(lit(1)).as("__df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("__n"))
+    val ranked = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id"))
+      .orderBy(col("tfidf").desc, col("token"))
+    postings
+      .join(df, Seq("token"))
+      .crossJoin(broadcast(n))
+      .select(col("__id"), col("token"),
+        round(col("__tf") * (log((col("__n") + 1) / (col("__df") + 1)) + 1), 6)
+          .as("tfidf"))
+      .withColumn("rank", row_number().over(ranked))
+      .filter(col("rank") <= topN)
+      .select(col("__id").as(idCol), col("token"), col("tfidf"), col("rank"))
+  }
+
   /** Per-group quality gate (approximate, the scale path): compute each
     * group's (1-frac) score quantile with `percentile_approx` (mergeable
     * sketch, map-side partials — one small-output shuffle), broadcast the

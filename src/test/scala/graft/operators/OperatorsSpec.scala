@@ -989,4 +989,55 @@ class OperatorsSpec extends AnyFunSuite {
       minChars = 2).collect()(0).getString(1)
     assert(kept == "-\nlong line here\n-")
   }
+
+  test("dupSpans flags shared windows, not unique text") {
+    // doc 1 and 2 share one exact 4-word span inside otherwise-unique
+    // text; doc 3 is a full copy of doc 1; doc 4 shares nothing
+    val df = Seq(
+      (1L, "aa bb cc dd unique1 unique2 unique3"),
+      (2L, "other0 aa bb cc dd other1 other2"),
+      (3L, "aa bb cc dd unique1 unique2 unique3"),
+      (4L, "zz yy xx ww vv uu tt")).toDF("doc_id", "text")
+    val r = TextOps.dupSpans(df, n = 4)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(1L) == (4L, 4L)) // full copy of doc 3 → every window shared
+    assert(r(3L) == (4L, 4L))
+    assert(r(2L) == (4L, 1L)) // exactly the embedded span
+    assert(r(4L) == (4L, 0L))
+    // short doc: whole text is the single window
+    val s = TextOps.dupSpans(
+      Seq((1L, "one two"), (2L, "one two")).toDF("doc_id", "text"), n = 50)
+      .collect().map(x => (x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(s.forall(_ == (1L, 1L, 1.0)))
+  }
+
+  test("bm25 ranks term-bearing docs and respects topK") {
+    val df = Seq(
+      (1L, "spark spark spark window"),
+      (2L, "spark table"),
+      (3L, "filler words only here none match"),
+      (4L, "window window table")).toDF("doc_id", "text")
+    val q = Seq(("q1", "spark"), ("q2", "window table")).toDF("query_id", "qtext")
+    val r = TextOps.bm25(df, q, topK = 2).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getInt(3)))
+    // q1: only docs 1,2 contain 'spark'; tf saturation still ranks doc 1 first
+    assert(r.filter(_._1 == "q1").sortBy(_._3).map(_._2).toSeq == Seq(1L, 2L))
+    // q2: doc 4 matches both terms → rank 1; doc 3 matches nothing → absent
+    assert(r.filter(_._1 == "q2").minBy(_._3)._2 == 4L)
+    assert(!r.exists(_._2 == 3L))
+    assert(r.groupBy(_._1).forall(_._2.length <= 2))
+  }
+
+  test("keywordsTfidf surfaces rare terms over corpus-universal ones") {
+    val df = Seq(
+      (1L, "common common rare1 rare1 rare1"),
+      (2L, "common rare2"),
+      (3L, "common filler")).toDF("doc_id", "text")
+    val r = TextOps.keywordsTfidf(df, topN = 2).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getInt(3)))
+    // 'rare1' (df=1, tf=3) beats 'common' (df=3) in doc 1
+    assert(r.find(x => x._1 == 1L && x._3 == 1).get._2 == "rare1")
+    assert(r.find(x => x._1 == 2L && x._3 == 1).get._2 == "rare2")
+    assert(r.count(_._1 == 1L) == 2)
+  }
 }

@@ -280,4 +280,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("dup-span detection is two shuffles (hash window + doc rollup), no join") {
+    val p = graft.operators.TextOps.dupSpans(tables("documents"), n = 8)
+      .queryExecution.executedPlan.toString
+    // sharing count is a window frame over the hash, never a self-join
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("bm25 broadcasts the query side; the corpus is never nested-loop joined") {
+    val spark2 = spark
+    import spark2.implicits._
+    val q = Seq(("q1", "spark window join")).toDF("query_id", "qtext")
+    val p = graft.operators.TextOps.bm25(tables("documents"), q)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only nested-loop allowed is the 1-row broadcast (N, avgdl) attach
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
