@@ -2246,6 +2246,35 @@ object SparkEntry {
         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank FROM s)
         SELECT doc_id, token, tfidf, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 3""".stripMargin.trim)),
 
+    Q("q_lm_ce2",
+      // stupid-backoff bigram cross-entropy (order-2 CCNet signal):
+      // unigram+bigram LMs trained on the corpus itself with small
+      // deterministic top-K cuts so truncation + backoff are exercised
+      (s, dir) => {
+        val docs = Tables.load(s, dir)("documents")
+        operators.TextOps.crossEntropyBigram(docs, docs,
+          vocabK = 200, bigramK = 500)
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+        w AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
+        toks AS (SELECT unnest(w) AS token FROM w),
+        ftoks AS (SELECT token FROM toks WHERE length(token) > 0),
+        tot AS (SELECT count(*)::DOUBLE AS total FROM ftoks),
+        uni AS (SELECT token, count(*) AS cnt FROM ftoks GROUP BY token ORDER BY cnt DESC, token LIMIT 200),
+        bp0 AS (SELECT w[i] AS w1, w[i+1] AS w2 FROM (SELECT w, unnest(range(1, len(w))) AS i FROM w)),
+        bp AS (SELECT w1, w2 FROM bp0 WHERE length(w1) > 0 AND length(w2) > 0),
+        bi0 AS (SELECT w1, w2, count(*) AS bcnt FROM bp GROUP BY w1, w2 ORDER BY bcnt DESC, w1, w2 LIMIT 500),
+        bi AS (SELECT b.w1, b.w2, ln(b.bcnt::DOUBLE / u.cnt) AS blogp FROM bi0 b JOIN uni u ON b.w1 = u.token),
+        sm AS (SELECT token AS w2, ln((cnt + 1) / (total + 201)) AS ulogp FROM uni CROSS JOIN tot),
+        dp0 AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM w)),
+        dp AS (SELECT doc_id, w1, w2 FROM dp0 WHERE length(w1) > 0 AND length(w2) > 0),
+        sc AS (SELECT dp.doc_id,
+                coalesce(bi.blogp, ln(0.4) + coalesce(sm.ulogp, ln(1.0 / (tot.total + 201)))) AS lp
+               FROM dp LEFT JOIN bi ON dp.w1 = bi.w1 AND dp.w2 = bi.w2
+               LEFT JOIN sm ON dp.w2 = sm.w2 CROSS JOIN tot)
+        SELECT doc_id, count(*) AS pairs, round(-avg(lp), 6) AS ce2 FROM sc GROUP BY doc_id""".stripMargin.trim)),
+
     // --- conversion / encode / regexp (§2.8) ------------------------------
     gq("q_conversion_funcs",
       "SELECT p_partkey, encode(p_brand, 'base64') AS b64, " +

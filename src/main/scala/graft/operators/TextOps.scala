@@ -188,6 +188,78 @@ object TextOps {
       .select(col("__id").as(idCol), col("tokens"), col("ce"))
   }
 
+  /** Bigram cross-entropy with stupid backoff (Brants et al. 2007) — the
+    * order-2 upgrade of [[crossEntropy]]: train unigram + bigram counts on
+    * `ref`, then score each document by the mean negative log-score of its
+    * adjacent token pairs, where
+    * `S(w2|w1) = cnt(w1 w2)/cnt(w1)` when the bigram AND its left token
+    * are in the trained tables, else `alpha · S(w2)` with `S(w2)` the
+    * add-one-smoothed unigram probability ([[crossEntropy]]'s floor for
+    * OOV). Captures local word order that a unigram LM is blind to —
+    * shuffled-word salad scores near its unigram ce, natural text drops.
+    * Documents with fewer than 2 tokens produce no row (no pair to score).
+    *
+    * Plan at scale: two aggregations over the reference slice (unigram +
+    * bigram counts, both top-K-truncated with ties broken by gram so the
+    * cut is deterministic and oracle-replayable), both broadcast; the
+    * corpus side is one scan exploding adjacent pairs, two broadcast hash
+    * joins, and ONE shuffle keyed on the doc id. No sort, no self-join.
+    *
+    * @return (idCol, pairs, ce2) — `ce2` rounded to 6 digits */
+  def crossEntropyBigram(
+      docs: DataFrame,
+      ref: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      refTextCol: String = "text",
+      vocabK: Int = 50000,
+      bigramK: Int = 200000,
+      alpha: Double = 0.4): DataFrame = {
+    def words(c: Column) = split(normalize(c), " ")
+    def pairsOf(c: Column): Column = {
+      val w = words(c)
+      when(size(w) >= 2,
+        transform(sequence(lit(1), size(w) - 1), i =>
+          struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    }
+    val refToks = ref.select(explode(words(col(refTextCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val total = refToks.agg(count(lit(1)).cast("double").as("__total"))
+    val uni = refToks.groupBy(col("token"))
+      .agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("token"))
+      .limit(vocabK)
+    val bi = ref.select(explode(pairsOf(col(refTextCol))).as("__p"))
+      .select(col("__p.w1"), col("__p.w2"))
+      .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__bcnt"))
+      .orderBy(col("__bcnt").desc, col("w1"), col("w2"))
+      .limit(bigramK)
+      // attach cnt(w1); inner join — a bigram whose left token missed the
+      // unigram cut backs off (documented contract)
+      .join(uni.select(col("token").as("w1"), col("__cnt").as("__w1cnt")),
+        Seq("w1"))
+      .select(col("w1"), col("w2"),
+        log(col("__bcnt").cast("double") / col("__w1cnt")).as("__blogp"))
+    val smoothed = uni.crossJoin(broadcast(total))
+      .select(col("token").as("w2"),
+        log((col("__cnt") + lit(1)) / (col("__total") + vocabK + 1)).as("__ulogp"))
+    docs.select(col(idCol).as("__id"), explode(pairsOf(col(textCol))).as("__p"))
+      .select(col("__id"), col("__p.w1"), col("__p.w2"))
+      .join(broadcast(bi), Seq("w1", "w2"), "left")
+      .join(broadcast(smoothed), Seq("w2"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("__id"),
+        coalesce(col("__blogp"),
+          lit(math.log(alpha)) + coalesce(col("__ulogp"),
+            log(lit(1.0) / (col("__total") + vocabK + 1)))).as("__lp"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("pairs"), round(-avg(col("__lp")), 6).as("ce2"))
+      .select(col("__id").as(idCol), col("pairs"), col("ce2"))
+  }
+
   /** Word shingles (n-grams) of the normalized text, distinct.
     * Single-pass kernel — the transform/slice/array_join HOF formulation
     * evaluates an interpreted lambda per shingle. */

@@ -1028,6 +1028,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.groupBy(_._1).forall(_._2.length <= 2))
   }
 
+  test("bigram cross-entropy rewards word order the unigram LM ignores") {
+    // same unigram distribution, different order: the in-order doc must
+    // score strictly below the shuffled doc under the bigram LM
+    val phrase = "the cat sat on the mat and the dog ran to the cat"
+    val ref = Seq.tabulate(20)(i => (i.toLong, phrase)).toDF("doc_id", "text")
+    val test = Seq(
+      (100L, phrase),
+      (101L, "mat the on cat sat the the to dog and ran cat the the"),
+      (102L, "solo")).toDF("doc_id", "text")
+    val r = TextOps.crossEntropyBigram(test, ref, vocabK = 50, bigramK = 100)
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(100L) < r(101L))
+    assert(!r.contains(102L)) // <2 tokens → no pair to score
+    // backoff monotonicity: smaller alpha penalizes unseen bigrams more
+    val strict = TextOps.crossEntropyBigram(test, ref,
+      vocabK = 50, bigramK = 100, alpha = 0.1)
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(strict(101L) > r(101L))
+  }
+
   test("keywordsTfidf surfaces rare terms over corpus-universal ones") {
     val df = Seq(
       (1L, "common common rare1 rare1 rare1"),
