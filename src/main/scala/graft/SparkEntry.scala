@@ -1926,6 +1926,140 @@ object SparkEntry {
             + punct_ratio * -4.0))), 6) AS clf_score
         FROM r""".stripMargin.trim)),
 
+    Q("q_fit_linear",
+      // the TRAINING half of the classifier story: one-pass distributed
+      // normal-equations OLS (token_count ~ text length + vowel count);
+      // the oracle solves the identical 3×3 system by Cramer's rule over
+      // the same DuckDB-computed moments — both engines see the system in
+      // exact real arithmetic, so 4dp rounding absorbs fp summation order
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, length, regexp_replace}
+        val d = Tables.load(s, dir)("documents")
+        operators.Fit.fitLinearDf(d,
+          Seq(length(col("text")),
+            length(regexp_replace(col("text"), "[^aeiou]", ""))),
+          operators.TextOps.tokenCount(col("text")))
+      },
+      Some("""
+        WITH f AS (
+          SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS y,
+            CAST(length(text) AS DOUBLE) AS x1,
+            CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE) AS x2
+          FROM documents
+        ), m AS (
+          SELECT count(*)::DOUBLE AS n, sum(x1) AS s1, sum(x2) AS s2,
+            sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22,
+            sum(y) AS sy, sum(x1*y) AS s1y, sum(x2*y) AS s2y
+          FROM f)
+        SELECT
+          round((sy*(s11*s22-s12*s12) - s1*(s1y*s22-s12*s2y) + s2*(s1y*s12-s11*s2y)) /
+                ( n*(s11*s22-s12*s12) - s1*(s1 *s22-s12*s2 ) + s2*(s1 *s12-s11*s2 )), 4) AS bias,
+          round(( n*(s1y*s22-s2y*s12) - sy*(s1*s22-s12*s2) + s2*(s1*s2y-s1y*s2)) /
+                ( n*(s11*s22-s12*s12) - s1*(s1*s22-s12*s2) + s2*(s1*s12-s11*s2)), 4) AS w_1,
+          round(( n*(s11*s2y-s12*s1y) - s1*(s1*s2y-s2*s1y) + sy*(s1*s12-s11*s2)) /
+                ( n*(s11*s22-s12*s12) - s1*(s1*s22-s12*s2) + s2*(s1*s12-s11*s2)), 4) AS w_2
+        FROM m""".stripMargin.trim)),
+
+    // --- LLM-pipeline operators: URL / domain hygiene ---------------------
+    // (documents carry no URL column; a deterministic one is synthesized
+    // from (source, doc_id) identically on both sides. The oracle derives
+    // the expected parts directly from the construction CASEs — an
+    // independent derivation, not a replay of the regex parser.)
+    Q("q_url_parts",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = Tables.load(s, dir)("documents").withColumn("url",
+          concat(lit("https://"),
+            when(pmod(col("doc_id"), lit(5)) === 0, lit("www.")).otherwise(lit("")),
+            col("source"),
+            when(pmod(col("doc_id"), lit(4)) === 0, lit(".co.uk")).otherwise(lit(".com")),
+            lit("/a/b/"), col("doc_id").cast("string"),
+            when(pmod(col("doc_id"), lit(3)) === 0, lit("?ref=1")).otherwise(lit(""))))
+        operators.WebOps.urlParts(d)
+          .select("doc_id", "host", "registered_domain", "tld", "path_depth",
+            "has_query")
+      },
+      Some("""
+        SELECT doc_id,
+          (CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END) || source ||
+            (CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END) AS host,
+          source || (CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END)
+            AS registered_domain,
+          CASE WHEN doc_id % 4 = 0 THEN 'uk' ELSE 'com' END AS tld,
+          CAST(3 AS INTEGER) AS path_depth,
+          doc_id % 3 = 0 AS has_query
+        FROM documents""".stripMargin.trim)),
+
+    Q("q_domain_block",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        import s.implicits._
+        val d = Tables.load(s, dir)("documents").withColumn("url",
+          concat(lit("https://"),
+            when(pmod(col("doc_id"), lit(5)) === 0, lit("www.")).otherwise(lit("")),
+            col("source"),
+            when(pmod(col("doc_id"), lit(4)) === 0, lit(".co.uk")).otherwise(lit(".com")),
+            lit("/a/b/"), col("doc_id").cast("string")))
+        val blocked = Seq("src3.com", "src7.co.uk", "src11.com").toDF("domain")
+        operators.WebOps.filterBlockedDomains(d, blocked).select("doc_id")
+      },
+      Some("SELECT doc_id FROM documents WHERE source || " +
+        "(CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END) " +
+        "NOT IN ('src3.com', 'src7.co.uk', 'src11.com')")),
+
+    Q("q_domain_stats",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = Tables.load(s, dir)("documents").withColumn("url",
+          concat(lit("https://"),
+            when(pmod(col("doc_id"), lit(5)) === 0, lit("www.")).otherwise(lit("")),
+            col("source"), lit(".com/a/"), col("doc_id").cast("string")))
+        operators.WebOps.domainStats(d)
+      },
+      Some("""
+        SELECT source || '.com' AS registered_domain, count(*) AS n_docs,
+          CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+            AS total_tokens,
+          round(count(*)::DOUBLE / sum(count(*)) OVER (), 6) AS doc_share
+        FROM documents GROUP BY 1""".stripMargin.trim)),
+
+    Q("q_encoding_flags",
+      // mojibake / lossy-decode detection: artifacts are injected
+      // deterministically (the fixture corpus is clean), same injection
+      // CASE on both sides; counters and flag must agree exactly
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = Tables.load(s, dir)("documents").withColumn("text2",
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" cafÃ© â€™x")))
+            .when(pmod(col("doc_id"), lit(11)) === 0,
+              concat(col("text"), lit("� ok �")))
+            .otherwise(col("text")))
+        operators.TextOps.encodingFlags(d, "text2")
+          .select("doc_id", "n_replacement", "n_control", "n_mojibake",
+            "flag_encoding")
+      },
+      Some(("""
+        WITH d AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 7 = 0 THEN text || ' cafÃ© â€™x'
+                 WHEN doc_id % 11 = 0 THEN text || '� ok �'
+                 ELSE text END AS t
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(t, '�')) AS INTEGER) AS n_replacement,
+          CAST(len(regexp_extract_all(t, '[\x00-\x08\x0b\x0c\x0e-\x1f]')) AS INTEGER)
+            AS n_control,
+          CAST(len(regexp_extract_all(t,
+            'Ã[-¿]|â€|â|Â[ -¿]')) AS INTEGER)
+            AS n_mojibake,
+          len(regexp_extract_all(t, '�')) = 0 AND
+            len(regexp_extract_all(t, '[\x00-\x08\x0b\x0c\x0e-\x1f]')) = 0 AND
+            len(regexp_extract_all(t,
+              'Ã[-¿]|â€|â|Â[ -¿]')) = 0
+            AS flag_encoding
+        FROM d""").stripMargin.trim)),
+
     Q("q_decontaminate",
       // benchmark decontamination: docs < 100 act as the eval set; any
       // doc >= 100 sharing an 8-gram (near-dups planted in the fixture)

@@ -313,6 +313,45 @@ object TextOps {
     regexp_replace(ip, "\\+?[0-9][0-9()./ -]{6,}[0-9]", "<PHONE>")
   }
 
+  // ----------------------------------------------------- encoding hygiene
+
+  /** Encoding-artifact counters and keep flag — the "was this document
+    * decoded with the wrong charset" check web corpora need before any
+    * token-level filter (mojibake inflates token counts and poisons
+    * n-gram stats). Adds, at scan speed (portable regex counters, zero
+    * shuffle):
+    *
+    *   - `n_replacement` — U+FFFD replacement characters (lossy decode)
+    *   - `n_control`     — C0 control chars other than \t \n \r (binary
+    *     junk pasted into text)
+    *   - `n_mojibake`    — signature byte pairs of UTF-8 read as
+    *     Latin-1/cp1252 ("Ã©" for é, "â€™" for ', "Â " for NBSP)
+    *   - `flag_encoding` — true when all three counters are ≤ the
+    *     per-10k-chars tolerance `per10k` (0 = strict)
+    */
+  def encodingFlags(
+      docs: DataFrame,
+      textCol: String = "text",
+      per10k: Double = 0.0): DataFrame = {
+    val t = col(textCol)
+    val budget = lit(per10k) * (length(t).cast("double") / 10000.0)
+    docs
+      .withColumn("n_replacement", regexp_count(t, lit("\uFFFD")))
+      .withColumn("n_control",
+        regexp_count(t, lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]")))
+      .withColumn("n_mojibake",
+        // UTF-8 continuation bytes surfaced by a Latin-1 decode land in
+        // U+0080..U+00BF; a cp1252 decode maps 0x80/0x99-class bytes to
+        // EURO/TM-class glyphs. U+00E2 + U+20AC ("a-circumflex, euro") is
+        // the visible signature of mis-decoded 3-byte punctuation;
+        // U+00C3/U+00C2 + continuation of 2-byte letters.
+        regexp_count(t, lit(
+          "\u00c3[\u0080-\u00bf]|\u00e2\u20ac|\u00e2\u0080|\u00c2[\u00a0-\u00bf]")))
+      .withColumn("flag_encoding",
+        col("n_replacement") <= budget && col("n_control") <= budget &&
+          col("n_mojibake") <= budget)
+  }
+
   // ------------------------------------------------------ DataFrame-level ops
 
   /** Attach the expensive struct kernel `c` as column `name` behind a

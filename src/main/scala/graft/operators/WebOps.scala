@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL/domain curation — the host-level steps of C4/RefinedWeb-style web
+  * pipelines (reference scope: per-document curation; URL hygiene is the
+  * missing first mile for web corpora): parse URLs at scan speed, filter
+  * against domain blocklists, and audit the per-domain mix.
+  *
+  * All parsing is portable regex/array Column expressions (codegen'd, zero
+  * shuffle, replayable in ANSI SQL oracles) — deliberately NOT
+  * `parse_url`, whose semantics (exceptions on malformed input, Hive
+  * quirks) differ across engines.
+  */
+object WebOps {
+
+  /** Lowercased host of a URL; NULL when the value does not look like an
+    * absolute scheme://host URL. Userinfo and port are stripped. */
+  def host(url: Column): Column = {
+    val h = regexp_extract(lower(url),
+      "^[a-z][a-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1)
+    when(h === "", lit(null)).otherwise(h)
+  }
+
+  /** URL scheme (lowercased), NULL if absent. */
+  def scheme(url: Column): Column = {
+    val s = regexp_extract(lower(url), "^([a-z][a-z0-9+.-]*)://", 1)
+    when(s === "", lit(null)).otherwise(s)
+  }
+
+  /** Path component ("" → "/"). */
+  def path(url: Column): Column = {
+    val p = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    when(host(url).isNull, lit(null))
+      .otherwise(when(p === "", lit("/")).otherwise(p))
+  }
+
+  /** Number of non-empty path segments. */
+  def pathDepth(url: Column): Column =
+    when(host(url).isNull, lit(null))
+      .otherwise(size(filter(split(path(url), "/"), s => s =!= "")))
+
+  // multi-label public suffixes a 2-label cut would get wrong (co.uk,
+  // com.au, ...). A full Public Suffix List lookup is a broadcast join
+  // against a caller-provided table; this builtin covers the common
+  // country-code second-level registrations.
+  private val secondLevelSuffixes =
+    Seq("co", "com", "net", "org", "gov", "ac", "edu")
+
+  /** Registered (pay-level) domain: the last two host labels, or three when
+    * the second-to-last label is a common second-level public suffix
+    * (`example.co.uk` → `example.co.uk`, `a.b.example.com` →
+    * `example.com`). IPs and single-label hosts pass through unchanged. */
+  def registeredDomain(url: Column): Column = {
+    val h = host(url)
+    val labels = split(h, "\\.")
+    val n = size(labels)
+    val isIp = h.rlike("^[0-9.]+$")
+    val sld = element_at(labels, n - 1) // second-to-last label
+    val take = when(n >= lit(3) && sld.isin(secondLevelSuffixes: _*), lit(3))
+      .otherwise(lit(2))
+    when(h.isNull || isIp || n < 2, h)
+      .otherwise(concat_ws(".", slice(labels, n - take + 1, take)))
+  }
+
+  /** Top-level domain (last host label), NULL for IPs/single labels. */
+  def tld(url: Column): Column = {
+    val h = host(url)
+    when(h.isNull || h.rlike("^[0-9.]+$") || !h.contains("."), lit(null))
+      .otherwise(element_at(split(h, "\\."), -1))
+  }
+
+  /** Adds `host`, `registered_domain`, `tld`, `path_depth`, `has_query`
+    * next to `urlCol` — one scan, zero shuffle. */
+  def urlParts(df: DataFrame, urlCol: String = "url"): DataFrame = {
+    val u = col(urlCol)
+    df.withColumn("host", host(u))
+      .withColumn("registered_domain", registeredDomain(u))
+      .withColumn("tld", tld(u))
+      .withColumn("path_depth", pathDepth(u))
+      .withColumn("has_query", u.contains("?"))
+  }
+
+  /** Drop documents whose registered domain appears in `blocked` (one
+    * `domain` column) — broadcast anti-join: blocklists are tiny next to
+    * the corpus, so no corpus shuffle. Domains compare lowercased. */
+  def filterBlockedDomains(
+      df: DataFrame,
+      blocked: DataFrame,
+      urlCol: String = "url"): DataFrame = {
+    val b = blocked.select(lower(col("domain")).as("__blocked_domain")).distinct()
+    df.join(broadcast(b),
+      registeredDomain(col(urlCol)) === col("__blocked_domain"), "left_anti")
+  }
+
+  /** Per-domain corpus audit: document count, token total, and corpus
+    * share per registered domain, largest first — the "is one domain
+    * dominating the mix" check before training. One partial-agg shuffle
+    * on the domain key. */
+  def domainStats(
+      df: DataFrame,
+      urlCol: String = "url",
+      textCol: String = "text"): DataFrame = {
+    val agg = df
+      .groupBy(registeredDomain(col(urlCol)).as("registered_domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col(textCol))).as("total_tokens"))
+    // corpus share via a broadcast 1-row total — an unpartitioned window
+    // would coalesce the (web-scale: millions of) domains to one partition
+    val total = agg.agg(sum(col("n_docs")).as("__total"))
+    agg.crossJoin(broadcast(total))
+      .withColumn("doc_share", round(col("n_docs") / col("__total"), 6))
+      .drop("__total")
+      .orderBy(col("n_docs").desc, col("registered_domain"))
+  }
+}

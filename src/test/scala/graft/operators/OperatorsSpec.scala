@@ -1060,4 +1060,122 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.find(x => x._1 == 2L && x._3 == 1).get._2 == "rare2")
     assert(r.count(_._1 == 1L) == 2)
   }
+
+  test("urlParts handles suffixes, IPs, ports, userinfo, and junk") {
+    val df = Seq(
+      (1L, "https://www.example.com/a/b?q=1"),
+      (2L, "http://sub.shop.example.co.uk/x"),
+      (3L, "https://user:pw@example.org:8443/p/"),
+      (4L, "http://192.168.0.1/admin"),
+      (5L, "ftp://localhost/f"),
+      (6L, "not a url"),
+      (7L, "HTTPS://MIXED.Example.COM")).toDF("doc_id", "url")
+    val r = WebOps.urlParts(df)
+      .select("doc_id", "host", "registered_domain", "tld", "path_depth",
+        "has_query")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getString(1) == "www.example.com")
+    assert(r(1L).getString(2) == "example.com")
+    assert(r(1L).getString(3) == "com")
+    assert(r(1L).getInt(4) == 2 && r(1L).getBoolean(5))
+    assert(r(2L).getString(2) == "example.co.uk" && r(2L).getString(3) == "uk")
+    assert(r(3L).getString(1) == "example.org") // userinfo + port stripped
+    assert(r(4L).getString(2) == "192.168.0.1") // IP passes through
+    assert(r(4L).getString(3) == null)
+    assert(r(5L).getString(2) == "localhost")
+    assert(r(6L).getString(1) == null && r(6L).isNullAt(4))
+    assert(r(7L).getString(1) == "mixed.example.com") // lowercased
+  }
+
+  test("filterBlockedDomains drops by registered domain, keeps unparseable") {
+    val docs = Seq(
+      (1L, "https://a.bad.com/x"), (2L, "https://good.com/x"),
+      (3L, "https://bad.com.good.com/x"), (4L, "junk")).toDF("doc_id", "url")
+    val blocked = Seq("BAD.com").toDF("domain") // case-insensitive
+    val kept = WebOps.filterBlockedDomains(docs, blocked)
+      .select("doc_id").as[Long].collect().toSet
+    // 3's registered domain is good.com (suffix match ≠ substring match)
+    assert(kept == Set(2L, 3L, 4L))
+  }
+
+  test("encodingFlags counts artifacts and the tolerance budget scales") {
+    val df = Seq(
+      (1L, "clean text"),
+      (2L, "lossy � here �"),
+      (3L, "cafÃ© and â€™quotedâ€"),
+      (4L, "ctrl\u0001chars\u0007"),
+      (5L, "tabs\tand\nnewlines are fine")).toDF("doc_id", "text")
+    val r = TextOps.encodingFlags(df)
+      .select("doc_id", "n_replacement", "n_control", "n_mojibake",
+        "flag_encoding")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getBoolean(4) && r(5L).getBoolean(4))
+    assert(r(2L).getInt(1) == 2 && !r(2L).getBoolean(4))
+    assert(r(3L).getInt(3) >= 2 && !r(3L).getBoolean(4))
+    assert(r(4L).getInt(2) == 2 && !r(4L).getBoolean(4))
+    // generous tolerance: short doc with one artifact per <10k chars passes
+    val tol = TextOps.encodingFlags(
+      Seq((1L, ("x" * 10000) + "�")).toDF("doc_id", "text"), per10k = 2.0)
+    assert(tol.select("flag_encoding").head().getBoolean(0))
+  }
+
+  // deterministic pseudo-uniforms in [0,1) / [-1,1) from the row id — the
+  // Fit specs need reproducible synthetic regressors without Math.random
+  private def u01(salt: Int) =
+    pmod(hash(col("id"), lit(salt)), lit(1000000)).cast("double") / 1e6
+  private def u11(salt: Int) = u01(salt) * 2.0 - 1.0
+
+  test("fitLinear recovers exact coefficients on noiseless linear data") {
+    val df = spark.range(5000).select(col("id"),
+      u11(1).as("x1"), u11(2).as("x2"))
+      .withColumn("y", lit(3.0) + col("x1") * 2.0 - col("x2") * 0.5)
+    val beta = Fit.fitLinear(df, Seq(col("x1"), col("x2")), col("y"))
+    assert(math.abs(beta(0) - 3.0) < 1e-8, s"bias ${beta(0)}")
+    assert(math.abs(beta(1) - 2.0) < 1e-8, s"w1 ${beta(1)}")
+    assert(math.abs(beta(2) + 0.5) < 1e-8, s"w2 ${beta(2)}")
+    // ridge shrinks the slope magnitudes, never flips signs here
+    val shrunk = Fit.fitLinear(df, Seq(col("x1"), col("x2")), col("y"),
+      ridge = 100.0)
+    assert(shrunk(1) > 0 && shrunk(1) < beta(1))
+    assert(shrunk(2) < 0 && shrunk(2) > beta(2))
+    // collinear features must fail loudly, not return garbage
+    intercept[IllegalArgumentException] {
+      Fit.fitLinear(df, Seq(col("x1"), col("x1") * 2.0), col("y"))
+    }
+  }
+
+  test("fitLogistic recovers the generating weights within sampling error") {
+    // labels drawn from the model: y = 1 iff sigmoid(1 + 2·x1 − x2) > u,
+    // with u an independent per-row uniform — Bernoulli by construction,
+    // fully deterministic across runs
+    val df = spark.range(20000).select(col("id"),
+      u11(1).as("x1"), u11(2).as("x2"), u01(99).as("u"))
+      .withColumn("eta", lit(1.0) + col("x1") * 2.0 - col("x2"))
+      .withColumn("y",
+        when(lit(1.0) / (lit(1.0) + exp(-col("eta"))) > col("u"), 1.0)
+          .otherwise(0.0))
+    val beta = Fit.fitLogistic(df, Seq(col("x1"), col("x2")), col("y"))
+    assert(math.abs(beta(0) - 1.0) < 0.15, s"bias ${beta(0)}")
+    assert(math.abs(beta(1) - 2.0) < 0.2, s"w1 ${beta(1)}")
+    assert(math.abs(beta(2) + 1.0) < 0.2, s"w2 ${beta(2)}")
+    // deployment loop: the fitted weights score through scoreLinear with
+    // better-than-chance separation
+    val scored = TextOps.scoreLinear(df,
+      Seq(col("x1") -> beta(1), col("x2") -> beta(2)), bias = beta(0))
+    val acc = scored.filter(
+      (col("clf_score") >= 0.5) === (col("y") === 1.0)).count() / 20000.0
+    assert(acc > 0.75, s"train accuracy $acc")
+  }
+
+  test("fitLogistic stays finite on separable data (ridge regularized)") {
+    val df = spark.range(2000).select(col("id"), u11(7).as("x1"))
+      .withColumn("y", when(col("x1") > 0, 1.0).otherwise(0.0))
+    val beta = Fit.fitLogistic(df, Seq(col("x1")), col("y"),
+      iters = 25, ridge = 1e-3)
+    assert(beta.forall(b => !b.isNaN && !b.isInfinite))
+    val acc = TextOps.scoreLinear(df, Seq(col("x1") -> beta(1)), beta(0))
+      .filter((col("clf_score") >= 0.5) === (col("y") === 1.0))
+      .count() / 2000.0
+    assert(acc > 0.99, s"separable accuracy $acc")
+  }
 }

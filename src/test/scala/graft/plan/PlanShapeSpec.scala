@@ -299,4 +299,45 @@ class PlanShapeSpec extends AnyFunSuite {
     // the only nested-loop allowed is the 1-row broadcast (N, avgdl) attach
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("urlParts and encodingFlags are scan-speed: one scan, no shuffle") {
+    import org.apache.spark.sql.functions._
+    val withUrl = tables("documents")
+      .withColumn("url", concat(lit("https://"), col("source"), lit(".com/a")))
+    for (df <- Seq(graft.operators.WebOps.urlParts(withUrl),
+        graft.operators.TextOps.encodingFlags(tables("documents")))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("*("), p)
+      assert("Scan parquet".r.findAllIn(p).size == 1, p)
+      assert(!p.contains("Exchange"), p)
+    }
+  }
+
+  test("domain blocklist filter broadcasts the blocklist, never shuffles the corpus") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    val withUrl = tables("documents")
+      .withColumn("url", concat(lit("https://"), col("source"), lit(".com/a")))
+    val p = graft.operators.WebOps.filterBlockedDomains(
+        withUrl, Seq("src1.com").toDF("domain"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("fitLinear's moment pass is one scan with partial aggregation, no row shuffle") {
+    import org.apache.spark.sql.functions._
+    // pin the plan of the aggregation fitLinear executes: the moments are
+    // reduced map-side; the exchange moves ONE row per partition
+    val d = tables("documents")
+    val xs = Seq(lit(1.0), length(col("text")).cast("double"))
+    val moments = (for (i <- xs.indices; j <- i until xs.size)
+      yield sum(xs(i) * xs(j))) :+ sum(xs(1) * xs(1))
+    val p = d.agg(moments.head, moments.tail: _*)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
 }
