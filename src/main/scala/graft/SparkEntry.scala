@@ -1370,6 +1370,59 @@ object SparkEntry {
         FROM documents d JOIN r ON d.source IS NOT DISTINCT FROM r.source
         WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 10000 < floor(r.mix_rate * 10000)""".stripMargin.trim)),
 
+    Q("q_sample_budget",
+      // token-budget data mix: per-group keep rates min(1, frac·budget/T_g)
+      // from one groupBy, broadcast hash keep; src1 saturates (rate 1),
+      // src2/src3 downsample — the oracle recomputes rates from its own
+      // token totals
+      (s, dir) => operators.Sampling.toTokenBudget(
+          Tables.load(s, dir)("documents"),
+          org.apache.spark.sql.functions.col("source"),
+          org.apache.spark.sql.functions.col("doc_id"),
+          Map("src1" -> 0.5, "src2" -> 0.3, "src3" -> 0.2),
+          totalTokens = 4000)
+        .select("doc_id", "source", "mix_rate"),
+      Some("""
+        WITH t AS (
+          SELECT source,
+            sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END) AS toks
+          FROM documents GROUP BY source),
+        r AS (
+          SELECT source, round(least(1.0,
+            (CASE source WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.3
+                         WHEN 'src3' THEN 0.2 ELSE 0 END * 4000) / toks), 6)
+            AS mix_rate
+          FROM t)
+        SELECT d.doc_id, d.source, r.mix_rate
+        FROM documents d JOIN r ON d.source IS NOT DISTINCT FROM r.source
+        WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 10000 < floor(r.mix_rate * 10000)""".stripMargin.trim)),
+
+    Q("q_corpus_diff",
+      // snapshot diff between two deterministic slices of the corpus:
+      // prev = ids not divisible by 3, next = ids not divisible by 5 with
+      // every 7th text modified; the oracle derives statuses straight from
+      // the modular construction, never touching fingerprints
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = Tables.load(s, dir)("documents")
+        val prev = d.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+        val next = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(7)) === 0,
+              concat(col("text"), lit(" xmod"))).otherwise(col("text")))
+        operators.Dedup.corpusDiff(prev, next)
+      },
+      Some("""
+        SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN 'added'
+               WHEN doc_id % 5 = 0 THEN 'removed'
+               ELSE 'changed' END AS status
+        FROM documents
+        WHERE (doc_id % 3 = 0 AND doc_id % 5 <> 0)
+           OR (doc_id % 3 <> 0 AND doc_id % 5 = 0)
+           OR (doc_id % 3 <> 0 AND doc_id % 5 <> 0 AND doc_id % 7 = 0)""".stripMargin.trim)),
+
     Q("q_pack_sequences",
       // token-budget sequence packing: 16 parallel packing streams by id
       // hash, window cumsum lays documents out contiguously

@@ -671,6 +671,35 @@ object Dedup {
       .select(col("__id").as(idCol), col("hits"))
   }
 
+  /** Corpus snapshot diff — what changed between two crawls/exports of
+    * the same id space: `(doc_id, status)` with status `added` (only in
+    * `next`), `removed` (only in `prev`), or `changed` (both, content
+    * fingerprint differs). Unchanged docs are omitted. The incremental
+    * bookkeeping an ingestion pipeline runs before deciding what to
+    * re-process ([[minHashPairsAgainst]] pairs the `added`+`changed` slice
+    * against the standing corpus).
+    *
+    * Shape at scale: both sides reduce to (id, 64-bit fingerprint) at scan
+    * speed, then ONE equi-shuffle full-outer join on the id — no content
+    * ever moves, only ids and hashes. */
+  def corpusDiff(
+      prev: DataFrame,
+      next: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val o = prev.select(col(idCol).as("doc_id"),
+      TextOps.fingerprint(col(textCol)).as("__fp_prev"))
+    val n = next.select(col(idCol).as("doc_id"),
+      TextOps.fingerprint(col(textCol)).as("__fp_next"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("__fp_prev").isNull, "added")
+          .when(col("__fp_next").isNull, "removed")
+          .when(col("__fp_prev") =!= col("__fp_next"), "changed"))
+      .filter(col("status").isNotNull)
+      .select("doc_id", "status")
+  }
+
   /** Embedding-cosine near-dup pairs via the Similarity LSH path. */
   def embeddingPairs(
       emb: DataFrame,

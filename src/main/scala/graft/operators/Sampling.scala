@@ -87,6 +87,41 @@ object Sampling {
       .drop("__g", "__rate")
   }
 
+  /** Token-budget mixture — the "hit the data-mix spec" sampler: given
+    * target token fractions per group (a Llama/GPT-style mix table) and a
+    * total token budget, downsample each group to its share. Group g with
+    * corpus tokens T_g and target share f_g keeps rate
+    * r_g = min(1, f_g·budget / T_g) — in expectation the kept tokens match
+    * the spec (no upsampling: a group smaller than its target contributes
+    * everything it has — check `mix_rate` = 1 rows to find starved
+    * groups). Groups absent from `fracs` are dropped.
+    *
+    * Same 100 TB shape as [[temperatureMixture]]: one partial-agg groupBy
+    * for the per-group token totals → tiny rate table → broadcast hash
+    * filter on the scan; deterministic by `key`. */
+  def toTokenBudget(
+      df: DataFrame,
+      group: Column,
+      key: Column,
+      fracs: Map[String, Double],
+      totalTokens: Long,
+      textCol: String = "text"): DataFrame = {
+    require(totalTokens > 0 && fracs.values.forall(_ >= 0), "bad budget/fracs")
+    val toks = TextOps.tokenCount(col(textCol))
+    val totals = df.groupBy(group.as("__g")).agg(sum(toks).as("__toks"))
+    val target = fracs.foldLeft(lit(0.0)) { case (acc, (g, f)) =>
+      when(col("__g") === g, lit(f * totalTokens)).otherwise(acc)
+    }
+    val rates = totals
+      .withColumn("__rate",
+        round(least(lit(1.0), target / col("__toks")), 6))
+      .select(col("__g"), col("__rate"))
+    df.join(broadcast(rates), group <=> col("__g")) // null-safe: NULL group is its own group
+      .filter(hashBucket(key) < floor(col("__rate") * 10000))
+      .withColumn("mix_rate", col("__rate"))
+      .drop("__g", "__rate")
+  }
+
   /** Quantile bucketing by a score column (perplexity-bucket sampling
     * prep): rows gain `score_bucket` = 1..probs.size+1, the interval of
     * the score between consecutive quantile thresholds (bucket i wins when

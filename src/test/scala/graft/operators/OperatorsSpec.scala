@@ -1119,6 +1119,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(tol.select("flag_encoding").head().getBoolean(0))
   }
 
+  test("toTokenBudget saturates small groups, downsamples big ones, drops unlisted") {
+    val n = docs.count()
+    val r = Sampling.toTokenBudget(docs, col("source"), col("doc_id"),
+      Map("src0" -> 0.9, "src1" -> 0.05), totalTokens = 2000).cache()
+    // only listed groups survive
+    assert(r.select("source").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("src0", "src1")))
+    // src0's target (1800 tokens) exceeds its corpus total → rate 1, all kept
+    val src0 = r.filter(col("source") === "src0")
+    assert(src0.agg(min("mix_rate")).head().getDouble(0) == 1.0)
+    assert(src0.count() == docs.filter(col("source") === "src0").count())
+    // src1's target (100 tokens) is far below its total → strict downsample
+    val src1 = r.filter(col("source") === "src1")
+    assert(src1.agg(max("mix_rate")).head().getDouble(0) < 0.5)
+    assert(src1.count() < docs.filter(col("source") === "src1").count())
+    // kept token mass lands near the target in expectation (loose bound:
+    // small fixture, hash variance)
+    val kept = TextOps.analyze(src1).agg(sum("token_count")).head().getLong(0)
+    assert(kept < 400, s"src1 kept $kept tokens for a 100-token target")
+    r.unpersist()
+  }
+
+  test("corpusDiff labels added/removed/changed and omits unchanged") {
+    val prev = Seq(
+      (1L, "same text"), (2L, "old text"), (3L, "gone")).toDF("doc_id", "text")
+    val next = Seq(
+      (1L, "same  TEXT"), // fingerprint-equal modulo case/whitespace
+      (2L, "new text"), (4L, "fresh")).toDF("doc_id", "text")
+    val r = Dedup.corpusDiff(prev, next).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
   // deterministic pseudo-uniforms in [0,1) / [-1,1) from the row id — the
   // Fit specs need reproducible synthetic regressors without Math.random
   private def u01(salt: Int) =

@@ -326,6 +326,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("token-budget mix broadcasts its rate table; snapshot diff never cartesians") {
+    import org.apache.spark.sql.functions._
+    val docs = tables("documents")
+    val mix = graft.operators.Sampling.toTokenBudget(docs, col("source"),
+      col("doc_id"), Map("src0" -> 0.5), totalTokens = 1000)
+    val pm = mix.queryExecution.executedPlan.toString
+    assert(pm.contains("BroadcastHashJoin"), pm)
+    assert(!pm.contains("SortMergeJoin") && !pm.contains("CartesianProduct"), pm)
+    val diff = graft.operators.Dedup.corpusDiff(
+      docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 3 === 0))
+    val pd = diff.queryExecution.executedPlan.toString
+    assert(!pd.contains("CartesianProduct") && !pd.contains("BroadcastNestedLoopJoin"), pd)
+  }
+
   test("fitLinear's moment pass is one scan with partial aggregation, no row shuffle") {
     import org.apache.spark.sql.functions._
     // pin the plan of the aggregation fitLinear executes: the moments are
