@@ -2324,6 +2324,15 @@ object SparkEntry {
     // deflate-compressibility quality window — no DuckDB deflate analog, so
     // no SQL oracle (rows-only gate); bit-level parity with the JVM zlib is
     // pinned by TextKernelsSpec's differential test
+    Q("q_bpe_merges",
+      // distributed BPE tokenizer training: the merge table learned from
+      // the corpus word-frequency dict. Iterative (no SQL analog — the
+      // canonical merge sequence is differentially pinned in
+      // OperatorsSpec); rows-only driver check
+      (s, dir) => operators.Bpe.mergesDf(
+        Tables.load(s, dir)("documents"), numMerges = 30),
+      None),
+
     Q("q_compression_window",
       (s, dir) => {
         import org.apache.spark.sql.functions.col

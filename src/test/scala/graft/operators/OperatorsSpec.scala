@@ -1141,6 +1141,31 @@ class OperatorsSpec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("BPE trainer reproduces the canonical merge sequence and round-trips") {
+    // Sennrich et al.'s worked example: {low:5, lower:2, newest:6, widest:3}
+    val corpus = Seq((1L,
+      (("low " * 5) + ("lower " * 2) + ("newest " * 6) + ("widest " * 3)).trim))
+      .toDF("doc_id", "text")
+    val m = Bpe.trainMerges(corpus, 5)
+    assert(m == Seq("e" -> "s", "es" -> "t", "est" -> "</w>",
+      "l" -> "o", "lo" -> "w"))
+    // tokenization applies the merges greedily in rank order
+    val pieces = Bpe.tokenize(corpus, m)
+      .select("bpe_pieces").head().getSeq[String](0)
+    assert(pieces.contains("est</w>")) // newest → n e w est</w>
+    assert(pieces.contains("low"))     // low → low </w>
+    // lossless: concatenating pieces and mapping the sentinel back to a
+    // space reconstructs the normalized text
+    val rebuilt = pieces.mkString("").replace(Bpe.EndOfWord, " ").trim
+    assert(rebuilt == ("low " * 5 + "lower " * 2 + "newest " * 6 +
+      "widest " * 3).trim.toLowerCase)
+    // early stop: once no pair reaches minCount the trainer halts
+    val all = Bpe.trainMerges(corpus, 100)
+    assert(all.size < 100)
+    // determinism: retraining yields the identical table
+    assert(Bpe.trainMerges(corpus, 5) == m)
+  }
+
   test("corpusDiff labels added/removed/changed and omits unchanged") {
     val prev = Seq(
       (1L, "same text"), (2L, "old text"), (3L, "gone")).toDF("doc_id", "text")
