@@ -1689,6 +1689,58 @@ object SparkEntry {
         FROM t WHERE length(token) > 0
         GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin.trim)),
 
+    Q("q_heavy_hitters",
+      // bounded-memory Space-Saving top-k over the token stream: with
+      // capacity >= the fixture's key space the sketch is EXACT (err = 0),
+      // so the plain GROUP BY oracle pins the whole aggregator path
+      // (per-partition summaries, mergeable-summaries combine, final sort)
+      (s, dir) => {
+        val docs = Tables.load(s, dir)("documents")
+        val toks = docs.select(org.apache.spark.sql.functions.explode(
+            org.apache.spark.sql.functions.split(
+              operators.TextOps.normalize(org.apache.spark.sql.functions.col("text")), " ")).as("token"))
+          .filter(org.apache.spark.sql.functions.length(
+            org.apache.spark.sql.functions.col("token")) > 0)
+        operators.Sketches.heavyHitters(toks, org.apache.spark.sql.functions.col("token"),
+          k = 30, capacity = 100000)
+      },
+      Some("""
+        WITH t AS (
+          SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+          FROM documents
+        )
+        SELECT token AS key, count(*) AS est, CAST(0 AS BIGINT) AS err
+        FROM t WHERE length(token) > 0
+        GROUP BY token ORDER BY est DESC, key LIMIT 30""".stripMargin.trim)),
+
+    Q("q_distinct_by_group",
+      // one-pass per-source distinct-token cardinalities plus the merged
+      // whole-corpus roll-up (hll_union_agg over the per-group sketches —
+      // never a second scan). At fixture cardinality the DataSketches HLL
+      // is still in exact coupon mode, so the exact-COUNT(DISTINCT) oracle
+      // pins the sketch path end-to-end
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val docs = Tables.load(s, dir)("documents")
+        val toks = docs.select(col("source"),
+            explode(split(operators.TextOps.normalize(col("text")), " ")).as("token"))
+          .filter(length(col("token")) > 0)
+        operators.Sketches.distinctByGroup(toks, col("source"), col("token"))
+          .withColumnRenamed("group", "source")
+      },
+      Some("""
+        WITH t AS (
+          SELECT source, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+          FROM documents
+        ), g AS (
+          SELECT source, count(DISTINCT token) AS n_distinct
+          FROM t WHERE length(token) > 0 GROUP BY source
+        )
+        SELECT * FROM g
+        UNION ALL
+        SELECT '__total__' AS source, count(DISTINCT token) AS n_distinct
+        FROM t WHERE length(token) > 0""".stripMargin.trim)),
+
     Q("q_join_asof",
       // as-of enrichment: every click carries the user's latest
       // preceding purchase value (null when none) — union + one

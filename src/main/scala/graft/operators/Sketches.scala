@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Encoder, Encoders}
+
+/** Bounded-memory sketch aggregations — the corpus-profiling tools that
+  * survive unbounded key spaces. [[TextOps.vocab]]-style exact groupBy
+  * aggregation is right when the key space is a (bounded) vocabulary; over
+  * URLs, hostnames, high-order n-grams or user ids the distinct-key set
+  * grows with the corpus and an exact groupBy shuffles ALL of it. These
+  * operators cap state at a fixed budget per aggregation:
+  *
+  *  - [[heavyHitters]]: Space-Saving (Metwally et al. 2005) as a typed
+  *    Spark `Aggregator` — O(capacity) state per partition, mergeable
+  *    partial summaries (Agarwal et al., "Mergeable Summaries", PODS'12),
+  *    deterministic tie-breaking. Exact when the key space fits the
+  *    capacity; guaranteed over-estimates with a per-key error bound when
+  *    it doesn't.
+  *  - [[distinctByGroup]]: per-group HLL distinct-count sketches via
+  *    Spark's built-in DataSketches functions (`hll_sketch_agg`), with the
+  *    global count derived by MERGING the per-group sketches
+  *    (`hll_union_agg`) instead of re-scanning the corpus — the pattern a
+  *    100 TB profile job uses to get per-source and whole-corpus
+  *    cardinalities from one pass.
+  */
+object Sketches {
+
+  /** One Space-Saving counter: estimated count `est` over-estimates the
+    * true count by at most `err` (true ∈ [est - err, est]). */
+  private[operators] final case class SSEntry(key: String, est: Long, err: Long)
+
+  /** Space-Saving summary with an indexed min-heap over counts so the
+    * eviction path is O(log capacity) per row (the naive min scan makes
+    * all-distinct streams quadratic in capacity). Plain JVM object inside
+    * the aggregation; kryo-serialized only across the partial/merge
+    * shuffle boundary. */
+  private[operators] final class SSBuf(val capacity: Int) extends Serializable {
+    // heap of (key, est, err) ordered by est asc; idx maps key -> heap slot
+    val keys = new Array[String](capacity)
+    val ests = new Array[Long](capacity)
+    val errs = new Array[Long](capacity)
+    var size = 0
+    val idx = new java.util.HashMap[String, Integer]()
+
+    private def swap(a: Int, b: Int): Unit = {
+      val k = keys(a); keys(a) = keys(b); keys(b) = k
+      val e = ests(a); ests(a) = ests(b); ests(b) = e
+      val r = errs(a); errs(a) = errs(b); errs(b) = r
+      idx.put(keys(a), a); idx.put(keys(b), b)
+    }
+    private def siftDown(i0: Int): Unit = {
+      var i = i0
+      var go = true
+      while (go) {
+        val l = 2 * i + 1; val r = l + 1
+        var m = i
+        if (l < size && ests(l) < ests(m)) m = l
+        if (r < size && ests(r) < ests(m)) m = r
+        if (m == i) go = false else { swap(i, m); i = m }
+      }
+    }
+    private def siftUp(i0: Int): Unit = {
+      var i = i0
+      while (i > 0 && ests((i - 1) / 2) > ests(i)) { swap(i, (i - 1) / 2); i = (i - 1) / 2 }
+    }
+    /** Min estimated count in the summary (0 when not full — an absent key
+      * then truly has count 0). */
+    def minEst: Long = if (size < capacity) 0L else ests(0)
+
+    def update(key: String, w: Long): Unit = {
+      val at = idx.get(key)
+      if (at != null) { ests(at) += w; siftDown(at) }
+      else if (size < capacity) {
+        keys(size) = key; ests(size) = w; errs(size) = 0L
+        idx.put(key, size); size += 1; siftUp(size - 1)
+      } else {
+        // evict the min-count entry; the newcomer inherits its count as
+        // both baseline and error bound (the Space-Saving invariant)
+        idx.remove(keys(0))
+        val base = ests(0)
+        keys(0) = key; ests(0) = base + w; errs(0) = base
+        idx.put(key, 0); siftDown(0)
+      }
+    }
+    /** Insert with an explicit error term (merge path). */
+    def updateWithErr(key: String, est: Long, err: Long): Unit = {
+      val at = idx.get(key)
+      if (at != null) { ests(at) += est; errs(at) += err; siftDown(at) }
+      else if (size < capacity) {
+        keys(size) = key; ests(size) = est; errs(size) = err
+        idx.put(key, size); size += 1; siftUp(size - 1)
+      } else if (est > ests(0)) {
+        idx.remove(keys(0))
+        keys(0) = key; ests(0) = est; errs(0) = err
+        idx.put(key, 0); siftDown(0)
+      }
+    }
+    def entries: Seq[SSEntry] =
+      (0 until size).map(i => SSEntry(keys(i), ests(i), errs(i)))
+  }
+
+  /** Typed Space-Saving aggregator over (key, weight) rows. The merge
+    * follows Mergeable Summaries: a key absent from one side could have
+    * hidden under that side's minimum counter, so its count/error gain the
+    * other side's `minEst` — estimates stay upper bounds and the
+    * `est - err ≤ true ≤ est` invariant is preserved through arbitrary
+    * partition/tree merges. */
+  private final class SpaceSaving(capacity: Int)
+      extends Aggregator[(String, Long), SSBuf, Seq[SSEntry]] {
+    def zero: SSBuf = new SSBuf(capacity)
+    def reduce(b: SSBuf, in: (String, Long)): SSBuf = {
+      if (in._1 != null && in._2 > 0) b.update(in._1, in._2)
+      b
+    }
+    def merge(a: SSBuf, b: SSBuf): SSBuf = {
+      val minA = a.minEst; val minB = b.minEst
+      val out = new SSBuf(capacity)
+      // shared keys: sum counts and errors; one-sided keys: the other
+      // side's min counter is both the max mass it could have hidden there
+      // and the error that possibility adds
+      (0 until a.size).foreach { i =>
+        val k = a.keys(i)
+        val at = b.idx.get(k)
+        if (at != null)
+          out.updateWithErr(k, a.ests(i) + b.ests(at), a.errs(i) + b.errs(at))
+        else out.updateWithErr(k, a.ests(i) + minB, a.errs(i) + minB)
+      }
+      (0 until b.size).foreach { i =>
+        val k = b.keys(i)
+        if (a.idx.get(k) == null)
+          out.updateWithErr(k, b.ests(i) + minA, b.errs(i) + minA)
+      }
+      out
+    }
+    def finish(b: SSBuf): Seq[SSEntry] =
+      b.entries.sortBy(e => (-e.est, e.key))
+    def bufferEncoder: Encoder[SSBuf] = Encoders.kryo[SSBuf]
+    def outputEncoder: Encoder[Seq[SSEntry]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[SSEntry]]()
+  }
+
+  /** Top-k heavy hitters of `keyCol` (optionally `weight`-weighted) with a
+    * state budget of `capacity` counters per aggregation buffer — NOT a
+    * per-key shuffle: partial summaries are built map-side and merged, so
+    * the only thing that ever moves is O(capacity) counters per partition,
+    * regardless of how many distinct keys the corpus holds.
+    *
+    * Exact (err = 0) whenever distinct keys ≤ capacity. Otherwise each
+    * returned row guarantees `est - err ≤ true_count ≤ est`, and every key
+    * with true count > total/capacity is guaranteed present (the
+    * Space-Saving frequent-items guarantee).
+    *
+    * @return (key, est, err) — est desc, key asc, k rows */
+  def heavyHitters(
+      df: DataFrame,
+      keyCol: Column,
+      k: Int = 100,
+      capacity: Int = 10000,
+      weight: Column = lit(1L)): DataFrame = {
+    require(k > 0 && capacity >= k, "need capacity >= k > 0")
+    val agg = udaf(new SpaceSaving(capacity))
+    df.select(keyCol.cast("string").as("__k"), weight.cast("long").as("__w"))
+      .agg(agg(col("__k"), col("__w")).as("__hh"))
+      .select(explode(col("__hh")).as("__e"))
+      .select(col("__e.key").as("key"), col("__e.est").as("est"),
+        col("__e.err").as("err"))
+      .orderBy(col("est").desc, col("key"))
+      .limit(k)
+  }
+
+  /** Per-group heavy hitters with the same bounded-state contract: one
+    * Space-Saving summary per group (e.g. top URLs per language). */
+  def heavyHittersPerGroup(
+      df: DataFrame,
+      groupCols: Seq[Column],
+      keyCol: Column,
+      k: Int = 100,
+      capacity: Int = 10000,
+      weight: Column = lit(1L)): DataFrame = {
+    require(k > 0 && capacity >= k, "need capacity >= k > 0")
+    val agg = udaf(new SpaceSaving(capacity))
+    val grouped = df
+      .select((groupCols :+ keyCol.cast("string").as("__k") :+
+        weight.cast("long").as("__w")): _*)
+      .groupBy(groupCols: _*)
+      .agg(agg(col("__k"), col("__w")).as("__hh"))
+    val grpNames = grouped.columns.dropRight(1)
+    // per-summary top-k needs no window shuffle: finish() returns each
+    // group's summary sorted (est desc, key asc), so slicing the array is
+    // the whole top-k
+    grouped
+      .select(grpNames.toIndexedSeq.map(col) :+
+        explode(slice(col("__hh"), 1, k)).as("__e"): _*)
+      .select(grpNames.toIndexedSeq.map(col) :+ col("__e.key").as("key") :+
+        col("__e.est").as("est") :+ col("__e.err").as("err"): _*)
+  }
+
+  /** Per-group distinct-value cardinalities from ONE corpus pass, plus the
+    * whole-corpus cardinality obtained by MERGING the per-group sketches —
+    * never by re-scanning: the group rows carry their HLL sketch binaries,
+    * and the `__total__` row is `hll_union_agg` over exactly those
+    * sketches. At 100 TB this is the difference between one profile pass
+    * and one per roll-up level.
+    *
+    * @param lgK DataSketches log2(K) accuracy knob (12 → ~2.5% rel. err)
+    * @return (group, n_distinct) with one extra row group='__total__' */
+  def distinctByGroup(
+      df: DataFrame,
+      groupCol: Column,
+      valueCol: Column,
+      lgK: Int = 12): DataFrame = {
+    val perGroup = df
+      .groupBy(groupCol.cast("string").as("group"))
+      .agg(hll_sketch_agg(valueCol.cast("string"), lit(lgK)).as("__sk"))
+      .persist() // two readers: the per-group rows and the union roll-up
+    val out = perGroup
+      .select(col("group"), hll_sketch_estimate(col("__sk")).as("n_distinct"))
+      .unionAll(perGroup.agg(
+        hll_sketch_estimate(hll_union_agg(col("__sk"), lit(false)))
+          .as("n_distinct"))
+        .select(lit("__total__").as("group"), col("n_distinct")))
+    Dedup.materializeAndRelease(out, perGroup)
+  }
+}

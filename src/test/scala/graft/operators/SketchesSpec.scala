@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{SparkTestBase, Tables}
+
+/** Bounded-memory sketch semantics: Space-Saving heavy hitters and HLL
+  * per-group distinct counts on the sf0.001 fixtures plus adversarial
+  * synthetic streams. */
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  lazy val docs = Tables.load(spark, "/root/testdata/sf0.001")("documents")
+
+  private def tokens = docs
+    .select(explode(split(TextOps.normalize(col("text")), " ")).as("token"))
+    .filter(length(col("token")) > 0)
+
+  test("heavy hitters are exact (err=0) when capacity covers the key space") {
+    val exact = tokens.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val hh = Sketches.heavyHitters(tokens.toDF(), col("token"), k = 20,
+        capacity = 100000)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(hh.map(e => (e._1, e._2)).toSeq == exact.toSeq)
+    assert(hh.forall(_._3 == 0L), "no evictions -> zero error")
+  }
+
+  test("heavy hitters under eviction keep the frequency guarantees") {
+    // 10 heavy keys (1000 occurrences each) + 5000 singleton keys, shuffled
+    // across partitions; capacity 64 << 5010 distinct keys
+    val heavy = (0 until 10).flatMap(h => Seq.fill(1000)(s"hot_$h"))
+    val noise = (0 until 5000).map(i => s"cold_$i")
+    val data = scala.util.Random.shuffle(heavy ++ noise)
+    val df = spark.sparkContext.parallelize(data, 8).toDF("k")
+    val truth = data.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val n = data.size.toLong
+
+    val got = Sketches.heavyHitters(df, col("k"), k = 20, capacity = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // per-entry bound: est - err <= true <= est
+    got.foreach { case (k, est, err) =>
+      val t = truth(k)
+      assert(t <= est, s"$k: true $t > est $est")
+      assert(est - err <= t, s"$k: est-err ${est - err} > true $t")
+    }
+    // frequent-items guarantee: every key with true count > n/capacity of
+    // any single summary is present; after merges the bound loosens, but
+    // the 1000-count hot keys tower over n/64 ≈ 234 and must all surface
+    val keys = got.map(_._1).toSet
+    (0 until 10).foreach(h => assert(keys.contains(s"hot_$h"), s"hot_$h missing"))
+  }
+
+  test("weighted heavy hitters rank by total weight, not row count") {
+    val df = Seq(("a", 1L), ("a", 1L), ("b", 100L), ("c", 5L))
+      .toDF("k", "w")
+    val got = Sketches.heavyHitters(df, col("k"), k = 3, capacity = 16,
+        weight = col("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("b", 100L), ("c", 5L), ("a", 2L)))
+  }
+
+  test("per-group heavy hitters are exact per group at sufficient capacity") {
+    val df = Seq(
+      ("en", "x"), ("en", "x"), ("en", "y"),
+      ("de", "y"), ("de", "z"), ("de", "z"), ("de", "z")).toDF("lang", "tok")
+    val got = Sketches.heavyHittersPerGroup(df, Seq(col("lang")), col("tok"),
+        k = 1, capacity = 16)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSet == Set(("en", "x", 2L), ("de", "z", 3L)))
+  }
+
+  test("per-group HLL distinct counts land within 5% and the total merges sketches") {
+    val df = (0 until 3000).map(i => (s"src${i % 3}", s"v${i % 701}"))
+      .toDF("source", "v")
+    val got = Sketches.distinctByGroup(df, col("source"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    // each source sees all 701 distinct values; so does the union
+    (0 until 3).foreach { s =>
+      val est = got(s"src$s")
+      assert(math.abs(est - 701.0) / 701.0 < 0.05, s"src$s: $est")
+    }
+    val total = got("__total__")
+    assert(math.abs(total - 701.0) / 701.0 < 0.05, s"total: $total")
+    got.values // 4 rows: 3 groups + total
+    assert(got.size == 4)
+  }
+}

@@ -354,4 +354,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).size == 1, p)
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
+
+  test("heavy-hitter sketch never shuffles raw keys — one summary per partition moves") {
+    import org.apache.spark.sql.functions._
+    // Space-Saving partials reduce map-side (ObjectHashAggregate over the
+    // typed buffer); the only exchange is the SinglePartition gather of
+    // O(capacity) counters per partition — an Exchange hashpartitioning on
+    // the key column would be the unbounded-key-space scale killer
+    val d = tables("documents")
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+    val p = graft.operators.Sketches.heavyHitters(d, col("token"), k = 10, capacity = 1000)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+    assert(!p.contains("Exchange hashpartitioning(token"), p)
+    assert(p.contains("Exchange SinglePartition"), p)
+  }
 }
