@@ -172,6 +172,63 @@ object Multimodal {
     else Some((ch, rate, if (samples > 0) samples * 1000L / rate else -1L))
   }
 
+  /** MP3 frame-header probe: skips a leading ID3v2 tag, finds the first
+    * valid frame sync within the next 64 KiB, and reads (channels,
+    * sampleRate, durationMs) from the header fields alone — duration is
+    * the constant-bitrate estimate `audioBytes * 8 / kbps` (VBR files
+    * yield the first-frame-rate estimate; exact VBR length needs a Xing
+    * header or full frame walk, deliberately out of header-probe scope).
+    * Completes the codec-free audio chain: WAV (RIFF), FLAC (STREAMINFO),
+    * MP3 (frame header). */
+  def probeMp3(b: Array[Byte]): Option[(Int, Int, Long)] = {
+    @inline def u8(i: Int): Int = b(i) & 0xff
+    if (b.length < 4) return None
+    var off = 0
+    // ID3v2: "ID3" + version(2) + flags(1) + 4-byte syncsafe size
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val size = ((u8(6) & 0x7f) << 21) | ((u8(7) & 0x7f) << 14) |
+        ((u8(8) & 0x7f) << 7) | (u8(9) & 0x7f)
+      off = 10 + size
+      if (off >= b.length - 4) return None
+    }
+    // bitrate (kbps) tables indexed by the 4-bit header field; 0 = "free"
+    // and 15 = invalid are both rejected below
+    val v1l1 = Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448, 0)
+    val v1l2 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384, 0)
+    val v1l3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+    val v2l1 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256, 0)
+    val v2l23 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+    val limit = math.min(b.length - 4, off + 65536)
+    var i = off
+    while (i <= limit && i + 3 < b.length) {
+      if (u8(i) == 0xff && (u8(i + 1) & 0xe0) == 0xe0) {
+        val ver = (u8(i + 1) >> 3) & 3 // 0=MPEG2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+        val layer = (u8(i + 1) >> 1) & 3 // 1=III, 2=II, 3=I
+        val brIdx = (u8(i + 2) >> 4) & 0xf
+        val srIdx = (u8(i + 2) >> 2) & 3
+        if (ver != 1 && layer != 0 && brIdx != 0 && brIdx != 15 && srIdx != 3) {
+          val rate = (ver match {
+            case 3 => Array(44100, 48000, 32000)
+            case 2 => Array(22050, 24000, 16000)
+            case _ => Array(11025, 12000, 8000)
+          })(srIdx)
+          val kbps = (ver, layer) match {
+            case (3, 3) => v1l1(brIdx)
+            case (3, 2) => v1l2(brIdx)
+            case (3, 1) => v1l3(brIdx)
+            case (_, 3) => v2l1(brIdx)
+            case _      => v2l23(brIdx)
+          }
+          val ch = if (((u8(i + 3) >> 6) & 3) == 3) 1 else 2
+          // ms = bytes*8 bits / (kbps*1000 bits/s) * 1000 = bytes*8/kbps
+          return Some((ch, rate, (b.length - i).toLong * 8L / kbps))
+        }
+      }
+      i += 1
+    }
+    None
+  }
+
   /** MP4/ISO-BMFF duration probe: walks top-level boxes to `moov`, then its
     * children to `mvhd`, and returns duration in ms from the movie header's
     * timescale/duration fields (v0 and v1 layouts). Header-only — a video
@@ -263,7 +320,8 @@ object Multimodal {
         // so duration filters run without ever decoding samples (WAV first,
         // FLAC STREAMINFO as the other codec-free container)
         val wav =
-          if (r.kind == "audio") probeWav(r.bytes).orElse(probeFlac(r.bytes))
+          if (r.kind == "audio")
+            probeWav(r.bytes).orElse(probeFlac(r.bytes)).orElse(probeMp3(r.bytes))
           else None
         val videoMs = if (r.kind == "video") probeMp4Duration(r.bytes) else None
         MediaFeatures(

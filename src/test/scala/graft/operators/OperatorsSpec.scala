@@ -826,6 +826,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(f.duration_ms.contains(15000L))
   }
 
+  test("MP3 frame-header probe reads channels/rate and estimates CBR duration") {
+    // V1 Layer III 128 kbps 44100 Hz stereo: FF FB 90 00; 16000 data bytes
+    // -> (16004 bytes * 8) / 128 kbps = 1000 ms
+    def mp3(hdr1: Int, hdr2: Int, hdr3: Int, dataLen: Int, id3Len: Int = -1): Array[Byte] = {
+      val pre = if (id3Len >= 0) 10 + id3Len else 0
+      val b = new Array[Byte](pre + 4 + dataLen)
+      if (id3Len >= 0) {
+        "ID3".getBytes.copyToArray(b, 0)
+        b(6) = ((id3Len >> 21) & 0x7f).toByte; b(7) = ((id3Len >> 14) & 0x7f).toByte
+        b(8) = ((id3Len >> 7) & 0x7f).toByte; b(9) = (id3Len & 0x7f).toByte
+      }
+      b(pre) = 0xff.toByte; b(pre + 1) = hdr1.toByte
+      b(pre + 2) = hdr2.toByte; b(pre + 3) = hdr3.toByte
+      b
+    }
+    assert(Multimodal.probeMp3(mp3(0xfb, 0x90, 0x00, 16000))
+      .contains((2, 44100, 1000L)))
+    // same frame behind a 100-byte ID3v2 tag: tag bytes excluded from the
+    // CBR estimate ((16004)*8/128 = 1000 ms still)
+    assert(Multimodal.probeMp3(mp3(0xfb, 0x90, 0x00, 16000, id3Len = 100))
+      .contains((2, 44100, 1000L)))
+    // MPEG2 Layer III (0xf3), bitrate idx 5 = 40 kbps, sr idx 1 = 24000,
+    // mono (0xc0): (5004 bytes * 8) / 40 = 1000 ms
+    assert(Multimodal.probeMp3(mp3(0xf3, 0x54, 0xc0, 5000))
+      .contains((1, 24000, 1000L)))
+    // free-format (bitrate idx 0) and bad sync are rejected
+    assert(Multimodal.probeMp3(mp3(0xfb, 0x00, 0x00, 100)).isEmpty)
+    assert(Multimodal.probeMp3("plain text, no sync anywhere".getBytes).isEmpty)
+    // flows into extractFeatures via the audio probe chain (wav->flac->mp3)
+    import spark.implicits._
+    val media = Seq(Multimodal.MediaRow(9L, "audio", mp3(0xfb, 0x90, 0x00, 16000), 0, 0, "mp3"))
+    val f = Multimodal.extractFeatures(media.toDS()).collect().head
+    assert(f.channels.contains(2) && f.sample_rate.contains(44100) &&
+      f.duration_ms.contains(1000L))
+  }
+
   test("probeWav metadata flows into extractFeatures for audio rows") {
     val media = Multimodal.syntheticWavMedia(spark, docs.filter(col("doc_id") < 8))
     val f = Multimodal.extractFeatures(media).collect()
