@@ -1547,6 +1547,20 @@ object SparkEntry {
           SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src WHERE e2.dst <> r.src)
         SELECT src AS doc_id, least(src, min(dst)) AS comp FROM reach GROUP BY src""".stripMargin.trim)),
 
+    Q("q_dedup_sig_pairs",
+      // stored-sketch near-dup pairs: signatures materialized once, then
+      // banding AND Jaccard-estimate verification run on sketches only —
+      // zero text access, the daily-ingest shape at 100 TB. xxhash64-based
+      // sketches have no ANSI-SQL analog, so this is a rows-only driver
+      // check; SketchesSpec pins the differential equality of the
+      // candidate set with the text-side path and the estimator accuracy
+      (s, dir) => {
+        val docs = Tables.load(s, dir)("documents")
+        val sigs = operators.Dedup.minHashSignatures(docs)
+        operators.Dedup.minHashPairsFromSignatures(sigs, threshold = 0.7)
+      },
+      None),
+
     Q("q_dedup_incremental",
       // incremental (new-batch-vs-corpus) near-dup pairs: odd ids play
       // the fresh crawl, even ids the existing corpus

@@ -275,6 +275,26 @@ object TextKernels {
         Seq(ArrayType(StringType), IntegerType, IntegerType),
         returnNullable = false))
 
+  /** Raw k-position MinHash signature (storable; see [[minhashSignature]]). */
+  def minhashSignatureCol(shingles: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      StaticInvoke(
+        TextKernels.getClass, ArrayType(LongType, containsNull = false),
+        "minhashSignature",
+        Seq(GraftColumnBridge.expression(shingles), Literal(k)),
+        Seq(ArrayType(StringType), IntegerType),
+        returnNullable = false))
+
+  /** Band buckets from a stored signature (see [[sigBuckets]]). */
+  def sigBucketsCol(sig: Column, bands: Int, rows: Int): Column =
+    GraftColumnBridge.column(
+      StaticInvoke(
+        TextKernels.getClass, ArrayType(LongType, containsNull = false),
+        "sigBuckets",
+        Seq(GraftColumnBridge.expression(sig), Literal(bands), Literal(rows)),
+        Seq(ArrayType(LongType), IntegerType, IntegerType),
+        returnNullable = false))
+
   // ------------------------------------------------------ repetition stats
 
   val repetitionStatsType: StructType = StructType(Seq(
@@ -398,7 +418,30 @@ object TextKernels {
   }
 
   def minhashBuckets(shingles: ArrayData, bands: Int, rows: Int): ArrayData = {
+    val buckets = foldBands(signatureMins(shingles, bands * rows), bands, rows)
+    new GenericArrayData(buckets)
+  }
+
+  /** The raw k-position MinHash signature (per-position minima) — the
+    * STORED form of a document sketch: band buckets for any (bands, rows)
+    * split derive from it via [[sigBuckets]] without re-reading text, and
+    * the matching-position fraction of two signatures is the standard
+    * unbiased Jaccard estimator. */
+  def minhashSignature(shingles: ArrayData, k: Int): ArrayData =
+    new GenericArrayData(signatureMins(shingles, k))
+
+  /** Band-bucket keys from a stored signature — bit-identical to
+    * [[minhashBuckets]] computed from text (the differential property the
+    * spec pins), so signature-join candidates equal text-join candidates. */
+  def sigBuckets(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
     val k = bands * rows
+    val mins = new Array[Long](k)
+    var i = 0
+    while (i < k) { mins(i) = sig.getLong(i); i += 1 }
+    new GenericArrayData(foldBands(mins, bands, rows))
+  }
+
+  private def signatureMins(shingles: ArrayData, k: Int): Array[Long] = {
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
     val n = shingles.numElements()
@@ -414,6 +457,10 @@ object TextKernels {
       }
       i += 1
     }
+    mins
+  }
+
+  private def foldBands(mins: Array[Long], bands: Int, rows: Int): Array[Long] = {
     val buckets = new Array[Long](bands)
     var b = 0
     while (b < bands) {
@@ -423,6 +470,6 @@ object TextKernels {
       buckets(b) = h
       b += 1
     }
-    new GenericArrayData(buckets)
+    buckets
   }
 }

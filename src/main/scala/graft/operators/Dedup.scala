@@ -244,6 +244,107 @@ object Dedup {
     materializeAndRelease(out, shN, shC)
   }
 
+  /** The stored-sketch half of the MinHash pipeline: the raw k-position
+    * signature per document, materializable as a (doc_id, sig) table. An
+    * ingestion pipeline computes this ONCE per document and never touches
+    * the text again for dedup: band buckets for any (bands, rows) split
+    * derive from the signature ([[minHashPairsFromSignatures]]), and the
+    * matching-position fraction of two signatures is the standard unbiased
+    * Jaccard estimator — so both candidate generation and verification run
+    * on sketches. At 100 TB the difference is reading a ~1 KB signature row
+    * instead of re-shingling documents every run. */
+  def minHashSignatures(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleN: Int = 3,
+      bands: Int = 16,
+      rows: Int = 4): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      graft.functions.TextKernels.minhashSignatureCol(
+        TextOps.shingles(col(textCol), shingleN), bands * rows).as("sig"))
+
+  /** Signature-only matching-position Jaccard estimate (unbiased; std err
+    * ~ sqrt(J(1-J)/k)). */
+  private def sigJaccard(a: Column, b: Column): Column =
+    round(size(filter(zip_with(a, b, (x, y) => x === y), m => m))
+      .cast("double") / size(a), 6)
+
+  /** Near-dup pairs from STORED signatures — no text access anywhere:
+    * banding keys fold from the signature (bit-identical to the text-side
+    * kernel, so the candidate set equals [[minHashPairs]]'s), and
+    * verification is the signature Jaccard estimate. Same one-shuffle
+    * candidate generation and hot-bucket discipline as [[minHashPairs]].
+    *
+    * @param threshold minimum ESTIMATED Jaccard (estimator std err with the
+    *   default k=64 positions is ~0.06 near 0.5 — set the threshold with
+    *   that band in mind, or re-verify survivors against text)
+    * @return (doc_a, doc_b, jaccard_est) with doc_a < doc_b */
+  def minHashPairsFromSignatures(
+      sigs: DataFrame,
+      idCol: String = "doc_id",
+      sigCol: String = "sig",
+      bands: Int = 16,
+      rows: Int = 4,
+      threshold: Double = 0.7,
+      maxBucket: Int = 100000): DataFrame = {
+    val s = sigs.select(col(idCol).as("id"), col(sigCol).as("sig")).persist()
+    val banded = s.select(col("id"),
+        posexplode(graft.functions.TextKernels.sigBucketsCol(col("sig"), bands, rows)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val cand = bucketPairs(banded, Seq("band", "bucket"), "id", maxBucket)
+    val out = cand
+      .join(s.select(col("id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(s.select(col("id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("jaccard_est", sigJaccard(col("sig_a"), col("sig_b")))
+      .filter(col("jaccard_est") >= threshold)
+      .select("doc_a", "doc_b", "jaccard_est")
+    materializeAndRelease(out, s)
+  }
+
+  /** Daily-ingest pairing over stored sketches: a NEW batch's signatures
+    * against the standing corpus signature table — the signature twin of
+    * [[minHashPairsAgainst]], with zero text access on either side. The
+    * corpus side groups once per (band, bucket) with the hot-bucket cap
+    * folded in; verification is the signature estimate on candidate pairs
+    * only.
+    *
+    * @return (doc_new, doc_corpus, jaccard_est) */
+  def minHashPairsAgainstSignatures(
+      newSigs: DataFrame,
+      corpusSigs: DataFrame,
+      idCol: String = "doc_id",
+      sigCol: String = "sig",
+      bands: Int = 16,
+      rows: Int = 4,
+      threshold: Double = 0.7,
+      maxBucket: Int = 100000): DataFrame = {
+    def slim(df: DataFrame) = df.select(col(idCol).as("id"), col(sigCol).as("sig"))
+    def banded(df: DataFrame) = df.select(col("id"),
+        posexplode(graft.functions.TextKernels.sigBucketsCol(col("sig"), bands, rows)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val sN = slim(newSigs).persist()
+    val sC = slim(corpusSigs).persist()
+    val grouped = banded(sC)
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("id")).as("__ids"))
+    val kept = if (maxBucket <= 0) grouped
+      else grouped.filter(size(col("__ids")) <= maxBucket)
+    val out = banded(sN)
+      .join(kept, Seq("band", "bucket"))
+      .select(col("id").as("doc_new"), explode(col("__ids")).as("doc_corpus"))
+      .filter(col("doc_new") =!= col("doc_corpus"))
+      .dropDuplicates("doc_new", "doc_corpus")
+      .join(sN.select(col("id").as("doc_new"), col("sig").as("sig_a")), "doc_new")
+      .join(sC.select(col("id").as("doc_corpus"), col("sig").as("sig_b")), "doc_corpus")
+      .withColumn("jaccard_est", sigJaccard(col("sig_a"), col("sig_b")))
+      .filter(col("jaccard_est") >= threshold)
+      .select("doc_new", "doc_corpus", "jaccard_est")
+    materializeAndRelease(out, sN, sC)
+  }
+
   /** The ingest decision built on [[minHashPairsAgainst]]: keep only the
     * new-batch documents that do NOT near-dup anything in the corpus.
     * The drop set (new ids with at least one corpus pair) is tiny next to

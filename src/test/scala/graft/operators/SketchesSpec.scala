@@ -72,6 +72,53 @@ class SketchesSpec extends AnyFunSuite {
     assert(got.toSet == Set(("en", "x", 2L), ("de", "z", 3L)))
   }
 
+  test("signature band buckets are bit-identical to text-side banding") {
+    // the property that makes stored sketches trustworthy: candidates from
+    // a (doc_id, sig) table EQUAL candidates from re-shingled text
+    val fromText = docs.select(col("doc_id"),
+        graft.functions.TextKernels.minhashBucketsCol(
+          TextOps.shingles(col("text"), 3), 16, 4).as("b"))
+    val fromSig = Dedup.minHashSignatures(docs)
+      .select(col("doc_id"),
+        graft.functions.TextKernels.sigBucketsCol(col("sig"), 16, 4).as("b"))
+    val joined = fromText.alias("t").join(fromSig.alias("s"), "doc_id")
+      .filter(col("t.b") =!= col("s.b"))
+    assert(joined.count() == 0)
+  }
+
+  test("signature pairs match text pairs at threshold 0 and estimate Jaccard closely") {
+    // threshold 0 -> both outputs are exactly the candidate set (identical
+    // banding), so the pair id sets must be equal; on those pairs the
+    // signature estimate must track exact Jaccard within estimator noise
+    val exact = Dedup.minHashPairs(docs, threshold = 0.0)
+    val sigs = Dedup.minHashSignatures(docs)
+    val est = Dedup.minHashPairsFromSignatures(sigs, threshold = 0.0)
+    val e = exact.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val s = est.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(e.keySet == s.keySet, s"pair sets differ: ${e.keySet.size} vs ${s.keySet.size}")
+    // k=64 positions -> std err ~0.06; 0.3 is a catastrophic-only guard on
+    // every pair, and planted near-dups (exact J >= 0.7) must estimate high
+    e.foreach { case (k, j) =>
+      assert(math.abs(j - s(k)) < 0.3, s"$k: exact $j vs est ${s(k)}")
+    }
+    val hi = e.filter(_._2 >= 0.9).keys
+    hi.foreach(k => assert(s(k) >= 0.6, s"$k: high-J pair estimated ${s(k)}"))
+    exact.unpersist(); est.unpersist()
+  }
+
+  test("incremental signature pairing finds planted cross-side near-dups without text") {
+    // corpus = originals, new batch = the same docs re-idded (exact dups):
+    // every new doc must pair with its original at estimate 1.0
+    val corpus = Dedup.minHashSignatures(docs)
+    val newBatch = Dedup.minHashSignatures(
+      docs.withColumn("doc_id", col("doc_id") + 1000000L))
+    val pairs = Dedup.minHashPairsAgainstSignatures(newBatch, corpus, threshold = 0.9)
+      .collect().map(r => (r.getLong(0) - 1000000L, r.getLong(1), r.getDouble(2)))
+    val selfPairs = pairs.filter(p => p._1 == p._2)
+    assert(selfPairs.length == docs.count(), "every doc must match its re-idded copy")
+    assert(selfPairs.forall(_._3 == 1.0))
+  }
+
   test("per-group HLL distinct counts land within 5% and the total merges sketches") {
     val df = (0 until 3000).map(i => (s"src${i % 3}", s"v${i % 701}"))
       .toDF("source", "v")
