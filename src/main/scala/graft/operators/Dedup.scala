@@ -635,6 +635,102 @@ object Dedup {
     materializeAndRelease(out, sigs)
   }
 
+  /** Stored SimHash sketches: one 64-bit signature per document,
+    * materializable as a (doc_id, sig) table — the SimHash twin of
+    * [[minHashSignatures]] for pipelines that sketch once at ingest. */
+  def simHashSignatures(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      portableHash: Boolean = false): DataFrame = {
+    val tokenHash: Column => Column =
+      if (portableHash) TextOps.portableHash60 else (t => xxhash64(t))
+    docs.select(col(idCol).as("doc_id"),
+      TextOps.simHash(col(textCol), tokenHash).as("sig"))
+  }
+
+  /** SimHash near-dup pairs from STORED signatures — the pigeonhole
+    * banding and Hamming verification of [[simHashPairs]] run directly on
+    * a (doc_id, sig) table; text is never touched. Exact (full-recall)
+    * over the signatures, like the text-side path. */
+  def simHashPairsFromSignatures(
+      sigs: DataFrame,
+      idCol: String = "doc_id",
+      sigCol: String = "sig",
+      maxDist: Int = 3,
+      maxBucket: Int = 100000): DataFrame = {
+    val chunks = maxDist + 1
+    val bitsPer = 64 / chunks
+    val s = sigs.select(col(idCol).as("id"), col(sigCol).as("sig")).persist()
+    val banded = s.select(col("id"),
+      explode(transform(sequence(lit(0), lit(chunks - 1)),
+        c => struct(c.as("chunk"),
+          call_function("shiftright", col("sig"), c * bitsPer)
+            .bitwiseAND(lit((1L << bitsPer) - 1)).as("key"))))
+        .as("ck"))
+      .select(col("id"), col("ck.chunk"), col("ck.key"))
+    val out = bucketPairs(banded, Seq("chunk", "key"), "id", maxBucket)
+      .join(s.select(col("id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(s.select(col("id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("dist", TextOps.hamming(col("sig_a"), col("sig_b")))
+      .filter(col("dist") <= maxDist)
+      .select("doc_a", "doc_b", "dist")
+    materializeAndRelease(out, s)
+  }
+
+  /** Streaming near-dup detection against STORED corpus signatures — the
+    * sketch-table version of [[nearDupStream]]: incoming documents are
+    * MinHash-signed by the kernel, banded, and equi-joined against the
+    * (static, grouped-once) corpus banding; verification is the
+    * signature Jaccard estimate on candidates. The corpus side carries
+    * ~1 KB per doc instead of shingle arrays, and the static side should
+    * be cached by the caller — per micro-batch cost is then one kernel
+    * pass over the batch plus a slim equi-join.
+    *
+    * @return streaming (doc_new, doc_corpus, jaccard_est, `tsCol`) */
+  def nearDupStreamFromSignatures(
+      stream: DataFrame,
+      corpusSigs: DataFrame,
+      tsCol: String,
+      delay: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      sigCol: String = "sig",
+      shingleN: Int = 3,
+      bands: Int = 16,
+      rows: Int = 4,
+      threshold: Double = 0.7,
+      maxBucket: Int = 100000): DataFrame = {
+    val sC = corpusSigs.select(col(idCol).as("__cid"), col(sigCol).as("__csig"))
+    val grouped0 = sC.select(col("__cid"),
+        posexplode(graft.functions.TextKernels.sigBucketsCol(col("__csig"), bands, rows)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("__cid")).as("__ids"))
+    val grouped = if (maxBucket <= 0) grouped0
+      else grouped0.filter(size(col("__ids")) <= maxBucket)
+    val banded = stream
+      .select(col(idCol).as("doc_new"), col(tsCol).as("__ts"),
+        graft.functions.TextKernels.minhashSignatureCol(
+          TextOps.shingles(col(textCol), shingleN), bands * rows).as("__nsig"))
+      .select(col("doc_new"), col("__ts"), col("__nsig"),
+        posexplode(graft.functions.TextKernels.sigBucketsCol(col("__nsig"), bands, rows)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    banded.join(grouped, Seq("band", "bucket"))
+      .select(col("doc_new"), col("__ts"), col("__nsig"),
+        explode(col("__ids")).as("doc_corpus"))
+      .filter(col("doc_new") =!= col("doc_corpus"))
+      .join(sC, col("doc_corpus") === col("__cid"))
+      .withColumn("jaccard_est", sigJaccard(col("__nsig"), col("__csig")))
+      .filter(col("jaccard_est") >= threshold)
+      .select(col("doc_new"), col("doc_corpus"), col("jaccard_est"),
+        col("__ts").as(tsCol))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("doc_new", "doc_corpus")
+  }
+
   /** Winnowed-fingerprint near-dup pairs (MOSS-style local similarity):
     * per-doc winnowed k-gram fingerprint sets (one kernel pass, no
     * shuffle), exploded and equi-joined on the fingerprint value — the

@@ -119,6 +119,15 @@ class SketchesSpec extends AnyFunSuite {
     assert(selfPairs.forall(_._3 == 1.0))
   }
 
+  test("SimHash pairs from stored signatures equal the text-side pairs") {
+    val fromText = Dedup.simHashPairs(docs, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sigs = Dedup.simHashSignatures(docs)
+    val fromSig = Dedup.simHashPairsFromSignatures(sigs, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fromText == fromSig)
+  }
+
   test("per-group HLL distinct counts land within 5% and the total merges sketches") {
     val df = (0 until 3000).map(i => (s"src${i % 3}", s"v${i % 701}"))
       .toDF("source", "v")

@@ -718,6 +718,34 @@ class StreamingSpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("streaming near-dup over stored corpus signatures flags copies without corpus text") {
+    implicit val sqlCtx = spark.sqlContext
+    // the corpus side is ONLY the (doc_id, sig) sketch table — no text
+    val corpusSigs = graft.operators.Dedup.minHashSignatures(Seq(
+      (100L, "alpha beta gamma delta epsilon"),
+      (101L, "totally different corpus content here")).toDF("doc_id", "text")).cache()
+    val mem = MemoryStream[(Long, String, Long)]
+    val src = mem.toDF().toDF("doc_id", "text", "tsm")
+      .withColumn("ts", timestamp_millis(col("tsm"))).drop("tsm")
+    val out = graft.operators.Dedup.nearDupStreamFromSignatures(
+      src, corpusSigs, "ts", "10 seconds")
+    val q = out.writeStream.format("memory").queryName("neardup_sig_stream")
+      .outputMode("append").start()
+    mem.addData((1L, "alpha beta gamma delta epsilon", 1000L),
+      (2L, "nothing shared with anything zzz", 1000L))
+    q.processAllAvailable()
+    // repeat within the watermark → pair-dedup suppresses the re-emit
+    mem.addData((1L, "alpha beta gamma delta epsilon", 2000L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("neardup_sig_stream")
+      .select("doc_new", "doc_corpus", "jaccard_est").collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == 1L && got(0).getLong(1) == 100L
+      && got(0).getDouble(2) == 1.0)
+    corpusSigs.unpersist()
+  }
+
   test("streaming decontamination flags docs sharing a benchmark n-gram, once per doc") {
     implicit val sqlCtx = spark.sqlContext
     val bench = Seq((1L, "the secret holdout answer key")).toDF("bid", "text").cache()
