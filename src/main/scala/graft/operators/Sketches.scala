@@ -107,7 +107,7 @@ object Sketches {
     * other side's `minEst` — estimates stay upper bounds and the
     * `est - err ≤ true ≤ est` invariant is preserved through arbitrary
     * partition/tree merges. */
-  private final class SpaceSaving(capacity: Int)
+  private[operators] final class SpaceSaving(capacity: Int)
       extends Aggregator[(String, Long), SSBuf, Seq[SSEntry]] {
     def zero: SSBuf = new SSBuf(capacity)
     def reduce(b: SSBuf, in: (String, Long)): SSBuf = {
