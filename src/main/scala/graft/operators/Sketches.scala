@@ -141,6 +141,14 @@ object Sketches {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[SSEntry]]()
   }
 
+  /** The Space-Saving aggregator as a reusable UDF — for callers that
+    * need the summary inside their own aggregation (streaming complete
+    * mode, grouped rollups, SQL registration): apply as
+    * `agg(keyCol, weightCol)` → array of (key, est, err) structs sorted
+    * est desc. Streaming state per group is ONE O(capacity) summary. */
+  def heavyHittersAgg(capacity: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new SpaceSaving(capacity))
+
   /** Top-k heavy hitters of `keyCol` (optionally `weight`-weighted) with a
     * state budget of `capacity` counters per aggregation buffer — NOT a
     * per-key shuffle: partial summaries are built map-side and merged, so

@@ -128,6 +128,28 @@ class SketchesSpec extends AnyFunSuite {
     assert(fromText == fromSig)
   }
 
+  test("heavy hitters aggregate across streaming micro-batches (complete mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val agg = Sketches.heavyHittersAgg(capacity = 64)
+    val out = mem.toDF().toDF("k")
+      .agg(agg(col("k"), lit(1L)).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.key"), col("e.est"))
+    val q = out.writeStream.format("memory").queryName("hh_stream")
+      .outputMode("complete").start()
+    mem.addData(Seq.fill(5)("a") ++ Seq("b"): _*)
+    q.processAllAvailable()
+    mem.addData(Seq.fill(3)("a") ++ Seq.fill(4)("c"): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("hh_stream").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // counts accumulate across both micro-batches
+    assert(got == Map("a" -> 8L, "c" -> 4L, "b" -> 1L))
+  }
+
   test("per-group HLL distinct counts land within 5% and the total merges sketches") {
     val df = (0 until 3000).map(i => (s"src${i % 3}", s"v${i % 701}"))
       .toDF("source", "v")
