@@ -2142,6 +2142,147 @@ object SparkEntry {
           round(count(*)::DOUBLE / sum(count(*)) OVER (), 6) AS doc_share
         FROM documents GROUP BY 1""".stripMargin.trim)),
 
+    Q("q_html_extract",
+      // HTML → text extraction: markup is synthesized deterministically
+      // around the fixture text (same construction on both sides — title,
+      // style block, comment, conditional script, entity-bearing footer,
+      // anchor), then HtmlOps.htmlStats extracts visible text, title, tag
+      // and anchor counts, and link density. The oracle replays the
+      // documented RE2-portable chain in DuckDB (precedent: the ANN LSH
+      // oracle replays the operator's construction).
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = Tables.load(s, dir)("documents").withColumn("html",
+          concat(
+            lit("<html><head><title> Doc "), col("doc_id").cast("string"),
+            lit(" &amp; Co </title><style>p { color: red }</style></head>"),
+            lit("<body><!-- nav\nbar --><p>"), col("text"), lit("</p>"),
+            when(pmod(col("doc_id"), lit(3)) === 0,
+              lit("<script type=\"text/javascript\">var x = \"<p>not text</p>\";</script>"))
+              .otherwise(lit("")),
+            lit("<div class=\"f\">Footer &lt;nav&gt;</div><p><a href=\"/x\">click "),
+            col("doc_id").cast("string"),
+            lit("</a>&nbsp;<b>more</b></p></body></html>")))
+        operators.HtmlOps.htmlStats(d)
+          .select("doc_id", "text_extracted", "title", "n_tags", "n_anchors",
+            "link_density")
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id,
+            '<html><head><title> Doc ' || doc_id || ' &amp; Co </title>' ||
+            '<style>p { color: red }</style></head>' ||
+            '<body><!-- nav' || chr(10) || 'bar --><p>' || text || '</p>' ||
+            (CASE WHEN doc_id % 3 = 0
+              THEN '<script type="text/javascript">var x = "<p>not text</p>";</script>'
+              ELSE '' END) ||
+            '<div class="f">Footer &lt;nav&gt;</div><p><a href="/x">click ' ||
+            doc_id || '</a>&nbsp;<b>more</b></p></body></html>' AS html
+          FROM documents),
+        t AS (
+          SELECT doc_id, html,
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+              '(?s)<!--.*?-->', ' ', 'g'),
+              '(?is)<script.*?</script>', ' ', 'g'),
+              '(?is)<style.*?</style>', ' ', 'g'),
+              '(?is)<(?:script|style).*', ' ', 'g'),
+              '(?i)</?(?:p|div|h[1-6]|li|ul|ol|tr|table|blockquote|pre|section|article|header|footer|title|head|body|html)[^>]*>', chr(10), 'g'),
+              '(?i)<br[^>]*>', chr(10), 'g') AS s1
+          FROM h),
+        u AS (
+          SELECT doc_id, html,
+            replace(replace(replace(replace(replace(replace(replace(
+              regexp_replace(s1, '(?s)<[^>]*>', '', 'g'),
+              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+              '&#39;', chr(39)), '&apos;', chr(39)), '&nbsp;', ' '),
+              '&amp;', '&') AS s2
+          FROM t),
+        v AS (
+          SELECT doc_id, html,
+            trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(s2,
+              '[ \t\r\f]+', ' ', 'g'),
+              ' ?\n ?', chr(10), 'g'),
+              '\n+', chr(10), 'g'),
+              '^\n+|\n+$', '', 'g')) AS text_extracted
+          FROM u)
+        SELECT v.doc_id, v.text_extracted,
+          trim(regexp_replace(
+            replace(replace(replace(replace(replace(replace(replace(
+              regexp_extract(v.html, '(?is)<title[^>]*>(.*?)</title>', 1),
+              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+              '&#39;', chr(39)), '&apos;', chr(39)), '&nbsp;', ' '),
+              '&amp;', '&'),
+            '[ \t\n\r\f]+', ' ', 'g')) AS title,
+          CAST(len(regexp_extract_all(v.html, '(?s)</?[a-zA-Z][^>]*>')) AS INTEGER)
+            AS n_tags,
+          CAST(len(regexp_extract_all(v.html, '(?is)<a[^>]*>(.*?)</a>', 1)) AS INTEGER)
+            AS n_anchors,
+          round(CAST(coalesce(list_sum(list_transform(
+              regexp_extract_all(v.html, '(?is)<a[^>]*>(.*?)</a>', 1),
+              x -> length(trim(regexp_replace(
+                replace(replace(replace(replace(replace(replace(replace(
+                  regexp_replace(x, '(?s)<[^>]*>', '', 'g'),
+                  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                  '&#39;', chr(39)), '&apos;', chr(39)), '&nbsp;', ' '),
+                  '&amp;', '&'),
+                '[ \t\n\r\f]+', ' ', 'g'))))), 0) AS DOUBLE)
+            / nullif(length(v.text_extracted), 0), 6) AS link_density
+        FROM v""".stripMargin.trim)),
+
+    Q("q_blocklist_filter",
+      // C4 "bad words" page filter: distinct-blocklist-hit count with the
+      // C4 word definition ([a-z0-9'] runs), threshold keep. "slow"/"dup"
+      // occur naturally in the fixture corpus, so both branches are
+      // exercised without injection.
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = Tables.load(s, dir)("documents")
+        operators.TextOps.filterBlockedWords(d, Seq("slow", "dup"), maxHits = 1)
+          .withColumn("n_blocked",
+            operators.TextOps.blocklistHits(col("text"), Seq("slow", "dup")))
+          .select("doc_id", "n_blocked")
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id,
+            CAST(len(list_intersect(
+              string_split_regex(lower(text), '[^a-z0-9'']+'),
+              ['slow', 'dup'])) AS INTEGER) AS n_blocked
+          FROM documents)
+        SELECT doc_id, n_blocked FROM h WHERE n_blocked <= 1""".stripMargin.trim)),
+
+    Q("q_url_canonical",
+      // crawl-dedup canonical key: decorated URLs (case noise, userinfo,
+      // default and non-default ports, trailing slash, utm params,
+      // fragment) are synthesized identically on both sides; the oracle
+      // derives the expected canonical form from the construction CASEs —
+      // an independent derivation, not a replay of the operator.
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = Tables.load(s, dir)("documents").withColumn("url",
+          concat(lit("HTTP://"),
+            when(pmod(col("doc_id"), lit(5)) === 0, lit("u@")).otherwise(lit("")),
+            upper(col("source")), lit(".COM"),
+            when(pmod(col("doc_id"), lit(7)) === 0, lit(":80"))
+              .when(pmod(col("doc_id"), lit(11)) === 0, lit(":8080"))
+              .otherwise(lit("")),
+            lit("/Docs/"), col("doc_id").cast("string"),
+            when(pmod(col("doc_id"), lit(2)) === 0, lit("/")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(3)) === 0, lit("?utm_campaign=c&z=1&a=2"))
+              .otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(4)) === 0, lit("#frag")).otherwise(lit(""))))
+        d.select(col("doc_id"),
+          operators.WebOps.canonicalUrl(col("url")).as("canonical_url"))
+      },
+      Some("""
+        SELECT doc_id,
+          'http://' || lower(source) || '.com' ||
+          (CASE WHEN doc_id % 7 = 0 THEN ''
+                WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END) ||
+          '/Docs/' || doc_id ||
+          (CASE WHEN doc_id % 3 = 0 THEN '?a=2&z=1' ELSE '' END) AS canonical_url
+        FROM documents""".stripMargin.trim)),
+
     Q("q_encoding_flags",
       // mojibake / lossy-decode detection: artifacts are injected
       // deterministically (the fixture corpus is clean), same injection

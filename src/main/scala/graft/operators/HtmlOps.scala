@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HTML → text extraction — the first transform of every web-corpus
+  * pipeline (C4, RefinedWeb, Gopher all start from crawled markup;
+  * reference scope is per-document curation of already-extracted text, so
+  * this is the missing step upstream of [[TextOps]]).
+  *
+  * Everything is a chain of portable regex/array Column expressions:
+  * codegen'd, one scan, zero shuffle, and replayable verbatim in an ANSI
+  * SQL oracle (RE2-compatible patterns only — no backreferences or
+  * lookaround, inline `(?is)` flags, lazy quantifiers). This is
+  * deliberately a fast scan-speed extractor, not a DOM parser: malformed
+  * markup degrades to extra whitespace, never to an error.
+  *
+  * Known simplifications (documented contract, shared by the oracle):
+  *   - numeric character references (`&#8217;`) are not decoded (a
+  *     per-match computed replacement is not expressible as a static
+  *     expression); the six common named entities are;
+  *   - CDATA sections are treated as text;
+  *   - `<script`/`<style` match by prefix, so an unclosed block swallows
+  *     the rest of the document — same failure mode as the streaming
+  *     extractors used in production pipelines.
+  */
+object HtmlOps {
+
+  /** Decode the six named entities that dominate real markup; `&amp;`
+    * last so double-encoded text decodes exactly one level. */
+  def decodeEntities(c: Column): Column = {
+    val named = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ")
+    val d = named.foldLeft(c) { case (acc, (k, v)) =>
+      replace(acc, lit(k), lit(v))
+    }
+    replace(d, lit("&amp;"), lit("&"))
+  }
+
+  // tags whose open/close is a paragraph-ish boundary → newline, so block
+  // structure survives as line structure for TextOps line-based metrics
+  private val blockTags =
+    "p|div|h[1-6]|li|ul|ol|tr|table|blockquote|pre|section|article|" +
+      "header|footer|title|head|body|html"
+
+  /** Collapse whitespace: runs of spaces/tabs/CR → one space, spaces
+    * hugging a newline dropped, newline runs → one newline, outer
+    * whitespace trimmed. Line structure (one line per block element) is
+    * preserved. */
+  def normalizeWs(c: Column): Column = {
+    val sp = regexp_replace(c, "[ \\t\\r\\f]+", " ")
+    val hug = regexp_replace(sp, " ?\\n ?", "\n")
+    val nl = regexp_replace(hug, "\\n+", "\n")
+    trim(regexp_replace(nl, "^\\n+|\\n+$", ""))
+  }
+
+  /** Visible text of an HTML document: comments, script and style blocks
+    * dropped; block-tag boundaries become newlines; inline tags are
+    * removed; entities decoded; whitespace normalized. Plain text (no
+    * tags) passes through with only whitespace normalization. */
+  def extractText(html: Column): Column = {
+    val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComment, "(?is)<script.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style.*?</style>", " ")
+    // the lazy pair-patterns above skip an UNCLOSED block entirely; a
+    // second open-to-end sweep drops it (the documented swallow-the-tail
+    // contract — leaking raw JS/CSS into text would be worse)
+    val noOpen = regexp_replace(noStyle, "(?is)<(?:script|style).*", " ")
+    val blocks = regexp_replace(noOpen, s"(?i)</?(?:$blockTags)[^>]*>", "\n")
+    val br = regexp_replace(blocks, "(?i)<br[^>]*>", "\n")
+    val noTags = regexp_replace(br, "(?s)<[^>]*>", "")
+    normalizeWs(decodeEntities(noTags))
+  }
+
+  /** `<title>` text (entity-decoded, whitespace-collapsed); "" when the
+    * document has none — callers can `nullif` if they prefer NULL. */
+  def title(html: Column): Column =
+    trim(regexp_replace(
+      decodeEntities(regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1)),
+      // explicit class, not \s: Java \s includes \x0B, RE2's does not —
+      // the oracle must see the identical character set
+      "[ \\t\\n\\r\\f]+", " "))
+
+  /** Visible character count inside `<a>` elements (inner tags stripped,
+    * entities decoded, whitespace collapsed) — the numerator of
+    * link-density boilerplate scoring. */
+  def anchorTextLen(html: Column): Column = {
+    val anchors = regexp_extract_all(html, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1))
+    val lens = transform(anchors, a =>
+      length(trim(regexp_replace(
+        decodeEntities(regexp_replace(a, "(?s)<[^>]*>", "")),
+        "[ \\t\\n\\r\\f]+", " "))))
+    coalesce(aggregate(lens, lit(0), (acc, x) => acc + x), lit(0))
+  }
+
+  /** Adds `text_extracted`, `title`, `n_tags`, `n_anchors`,
+    * `link_density` next to `htmlCol` — one scan, zero shuffle.
+    * `link_density` = anchor text chars / extracted text chars (NULL when
+    * nothing was extracted); pages above ~0.5 are navigation/boilerplate
+    * in C4-style filtering. */
+  def htmlStats(df: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val h = col(htmlCol)
+    val text = extractText(h)
+    df.withColumn("text_extracted", text)
+      .withColumn("title", title(h))
+      .withColumn("n_tags",
+        size(regexp_extract_all(h, lit("(?s)</?[a-zA-Z][^>]*>"), lit(0))))
+      .withColumn("n_anchors",
+        size(regexp_extract_all(h, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1))))
+      .withColumn("link_density",
+        round(anchorTextLen(h) / nullif(length(col("text_extracted")), lit(0)), 6))
+  }
+}

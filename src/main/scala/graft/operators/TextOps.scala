@@ -812,4 +812,28 @@ object TextOps {
       .filter(score >= col("__thr"))
       .drop("__grp", "__thr")
   }
+
+  /** Number of DISTINCT blocklist words occurring in `text` (C4's "bad
+    * words" page filter counts a page dirty on any hit, so distinct-set
+    * semantics suffice and match `array_intersect`/`list_intersect` in
+    * both engines). Tokens are lowercased runs of `[a-z0-9']` — the same
+    * word definition C4 uses, so "Slow!" hits a blocklist entry "slow"
+    * but "slowly" does not. Scan-speed codegen expression, zero shuffle;
+    * blocklists are word lists (hundreds of entries), inlined as a
+    * literal array rather than broadcast-joined. */
+  def blocklistHits(text: Column, words: Seq[String]): Column = {
+    require(words.nonEmpty, "blocklist must not be empty")
+    val toks = split(regexp_replace(lower(text), "[^a-z0-9']+", " "), " ")
+    val list = array(words.map(w => lit(w.toLowerCase)): _*)
+    size(array_intersect(toks, list))
+  }
+
+  /** Drop documents containing more than `maxHits` distinct blocklist
+    * words (default 0 — the C4 rule: any hit drops the page). */
+  def filterBlockedWords(
+      df: DataFrame,
+      words: Seq[String],
+      textCol: String = "text",
+      maxHits: Int = 0): DataFrame =
+    df.filter(blocklistHits(col(textCol), words) <= maxHits)
 }

@@ -94,6 +94,46 @@ object WebOps {
       registeredDomain(col(urlCol)) === col("__blocked_domain"), "left_anti")
   }
 
+  // tracking parameters that vary per click without changing content —
+  // the standard strip set for crawl canonicalization
+  private val trackingParams =
+    Seq("gclid", "fbclid", "msclkid", "ref", "referrer", "source")
+
+  /** Canonical form of a URL — the dedup key for crawls, where the same
+    * page is fetched under per-click tracking decorations: scheme and
+    * host lowercased, userinfo and default ports (`:80` http / `:443`
+    * https) stripped, fragment dropped, `utm_*` and click-id query
+    * params removed, surviving params sorted by name, trailing path
+    * slash trimmed (root stays `/`). Path case is preserved (paths are
+    * case-sensitive; hosts are not). Non-URL input returns NULL so a
+    * canonical-key dedup never unifies junk rows. Pure regex/array
+    * Column chain — codegen'd, zero shuffle, ANSI-replayable. */
+  def canonicalUrl(url: Column): Column = {
+    val h = host(url) // lowercased, userinfo/port already stripped
+    val sch = scheme(url)
+    // host() drops every port; a dedup key must keep NON-default ports
+    // (http://x:8080 is a different origin than http://x)
+    val port = regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?[^/:?#]+:([0-9]+)", 1)
+    val portSuffix = when(
+      port === "" ||
+        (sch === "http" && port === "80") ||
+        (sch === "https" && port === "443"),
+      lit("")).otherwise(concat(lit(":"), port))
+    val p0 = path(url)
+    val p = when(p0 === "/", p0)
+      .otherwise(regexp_replace(p0, "/+$", ""))
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val params = filter(split(query, "&"), kv =>
+      kv =!= "" &&
+        !kv.rlike("^(?i)utm_[a-z0-9_]*=") &&
+        !lower(regexp_extract(kv, "^([^=]*)", 1)).isin(trackingParams: _*))
+    val qs = array_join(array_sort(params), "&")
+    when(h.isNull, lit(null))
+      .otherwise(concat(sch, lit("://"), h, portSuffix, p,
+        when(qs === "", lit("")).otherwise(concat(lit("?"), qs))))
+  }
+
   /** Per-domain corpus audit: document count, token total, and corpus
     * share per registered domain, largest first — the "is one domain
     * dominating the mix" check before training. One partial-agg shuffle

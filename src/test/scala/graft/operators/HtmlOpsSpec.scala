@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** HTML → text extraction semantics on hand-built markup. */
+class HtmlOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def extract(html: String): String =
+    Seq(html).toDF("html")
+      .select(HtmlOps.extractText(col("html")).as("t"))
+      .head().getString(0)
+
+  test("script, style and comments are dropped; block tags become lines") {
+    val html =
+      """<html><head><title>T</title><style>p { color: red }</style></head>
+        |<body><!-- nav --><script>var x = "<p>hidden</p>";</script>
+        |<h1>Head</h1><p>First para.</p><p>Second  para.</p>
+        |<ul><li>one</li><li>two</li></ul></body></html>""".stripMargin
+    val t = extract(html)
+    assert(!t.contains("hidden") && !t.contains("color") && !t.contains("nav"))
+    assert(t.split("\n").toSeq == Seq("T", "Head", "First para.", "Second para.", "one", "two"))
+  }
+
+  test("inline tags are removed without splitting words; entities decode once") {
+    val t = extract("<p>don'<i>t</i> &amp;amp; <b>bold</b> &lt;tag&gt; &nbsp;x</p>")
+    assert(t == "don't &amp; bold <tag> x")
+  }
+
+  test("br breaks lines; plain text passes through with ws normalization") {
+    assert(extract("a<br>b<br/>c") == "a\nb\nc")
+    assert(extract("  plain\t\ttext \n\n here ") == "plain text\nhere")
+  }
+
+  test("htmlStats computes title, counts, and link density") {
+    val html = "<html><head><title> My  Page </title></head><body>" +
+      "<p>Some visible text here</p>" +
+      "<p><a href=\"/a\">click</a> and <a href=\"/b\"><b>more</b></a></p></body></html>"
+    val r = HtmlOps.htmlStats(Seq(html).toDF("html"))
+      .select("text_extracted", "title", "n_tags", "n_anchors", "link_density")
+      .head()
+    assert(r.getString(1) == "My Page")
+    assert(r.getInt(3) == 2)
+    val text = r.getString(0)
+    // anchor text "click" (5) + "more" (4) over the extracted length
+    assert(math.abs(r.getDouble(4) - 9.0 / text.length) < 1e-6)
+    assert(r.getInt(2) > 8)
+  }
+
+  test("empty extraction yields null link density, not a divide error") {
+    val r = HtmlOps.htmlStats(Seq("<style>a{}</style>").toDF("html"))
+      .select("text_extracted", "link_density").head()
+    assert(r.getString(0) == "")
+    assert(r.isNullAt(1))
+  }
+
+  test("unclosed script swallows the tail (documented contract)") {
+    assert(extract("<p>ok</p><script>var x;") == "ok")
+  }
+}

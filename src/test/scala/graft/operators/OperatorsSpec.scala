@@ -1134,6 +1134,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept == Set(2L, 3L, 4L))
   }
 
+  test("canonicalUrl strips tracking noise but keeps page identity") {
+    def c(u: String): String = Seq(u).toDF("u")
+      .select(WebOps.canonicalUrl(col("u")).as("c")).head().getAs[String]("c")
+    assert(c("HTTPS://User@Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag")
+      == "https://example.com/a/b?a=1&b=2")
+    assert(c("http://x.com:8080/p/") == "http://x.com:8080/p") // non-default port kept
+    assert(c("http://x.com:80/p") == "http://x.com/p")
+    assert(c("http://X.com/CaseS") == "http://x.com/CaseS")    // path case preserved
+    assert(c("http://x.com/?gclid=1&fbclid=2") == "http://x.com/")
+    assert(c("http://x.com") == "http://x.com/")
+    assert(c("junk") == null)
+  }
+
+  test("filterBlockedWords uses whole-word distinct-hit C4 semantics") {
+    val df = Seq(
+      (1L, "a Clean page"),
+      (2L, "Slow! day"),          // case/punct-insensitive whole word
+      (3L, "slowly flowing"),     // substring is NOT a hit
+      (4L, "slow dup slow dup"),  // 2 distinct hits, repeats don't add
+      (5L, "don't stop")          // apostrophe stays inside the token
+    ).toDF("doc_id", "text")
+    val words = Seq("slow", "dup", "don't")
+    val hits = df.select(col("doc_id"),
+        TextOps.blocklistHits(col("text"), words).as("h"))
+      .as[(Long, Int)].collect().toMap
+    assert(hits == Map(1L -> 0, 2L -> 1, 3L -> 0, 4L -> 2, 5L -> 1))
+    assert(TextOps.filterBlockedWords(df, words)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    assert(TextOps.filterBlockedWords(df, words, maxHits = 1)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L, 5L))
+  }
+
   test("encodingFlags counts artifacts and the tolerance budget scales") {
     val df = Seq(
       (1L, "clean text"),
