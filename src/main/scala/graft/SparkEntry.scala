@@ -2283,6 +2283,35 @@ object SparkEntry {
           (CASE WHEN doc_id % 3 = 0 THEN '?a=2&z=1' ELSE '' END) AS canonical_url
         FROM documents""".stripMargin.trim)),
 
+    Q("q_profile",
+      // one-pass table audit (exact-distinct mode so the oracle can match
+      // bit-for-bit; the approx default is the 100 TB path and is spec- and
+      // plan-covered): per column null count, cardinality, native-typed
+      // min/max rendered as strings, numeric means.
+      (s, dir) => {
+        val d = Tables.load(s, dir)("documents")
+        operators.Profile.profile(d, exactDistinct = true)
+      },
+      Some("""
+        SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+          count(*) - count(doc_id) AS n_nulls,
+          count(DISTINCT doc_id) AS n_distinct,
+          CAST(min(doc_id) AS VARCHAR) AS min, CAST(max(doc_id) AS VARCHAR) AS max,
+          round(avg(doc_id), 6) AS mean FROM documents
+        UNION ALL
+        SELECT 'text', count(*), count(*) - count(text), count(DISTINCT text),
+          min(text), max(text), CAST(NULL AS DOUBLE) FROM documents
+        UNION ALL
+        SELECT 'lang', count(*), count(*) - count(lang), count(DISTINCT lang),
+          min(lang), max(lang), CAST(NULL AS DOUBLE) FROM documents
+        UNION ALL
+        SELECT 'source', count(*), count(*) - count(source), count(DISTINCT source),
+          min(source), max(source), CAST(NULL AS DOUBLE) FROM documents
+        UNION ALL
+        SELECT 'n_chars', count(*), count(*) - count(n_chars), count(DISTINCT n_chars),
+          CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR),
+          round(avg(n_chars), 6) FROM documents""".stripMargin.trim)),
+
     Q("q_encoding_flags",
       // mojibake / lossy-decode detection: artifacts are injected
       // deterministically (the fixture corpus is clean), same injection

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
+
+/** Table audit — the "what did we actually ingest" report run before any
+  * curation decision (row counts, null rates, cardinalities, ranges, one
+  * row per column). The reference's scope starts at clean rows; at corpus
+  * scale the profile IS the first query, so it is built as one
+  * whole-table aggregation pass: every statistic for every column is
+  * computed in a single `agg` (map-side partial combine, one tiny global
+  * reduce), then the 1×(5k+1) result row is unpivoted to k rows with a
+  * zero-cost explode. No per-column scans, no collect.
+  *
+  * `exactDistinct = false` (default, the 100 TB path) uses
+  * `approx_count_distinct` (HLL++, mergeable, single-pass for ALL columns
+  * together). `true` switches to exact `count(DISTINCT)` — Catalyst plans
+  * the multi-distinct agg via Expand, ~one pass per distinct column, so
+  * reserve it for small tables and oracles. */
+object Profile {
+
+  /** One row per profiled column: `col_name`, `n_rows`, `n_nulls`,
+    * `n_distinct`, `min`, `max` (rendered as strings — min/max are
+    * computed on the native type, THEN cast, so numeric columns do not
+    * get lexicographic bounds), and `mean` (numeric columns only). */
+  def profile(
+      df: DataFrame,
+      cols: Seq[String] = Nil,
+      exactDistinct: Boolean = false): DataFrame = {
+    val targets = if (cols.nonEmpty) cols else df.columns.toSeq
+    require(targets.nonEmpty, "nothing to profile")
+    val aggs: Seq[Column] = targets.flatMap { c =>
+      val x = col(c)
+      val isNum = df.schema(c).dataType.isInstanceOf[NumericType]
+      Seq(
+        count(x).as(s"__cnt_$c"),
+        (if (exactDistinct) count_distinct(x) else approx_count_distinct(x))
+          .cast("long").as(s"__dist_$c"),
+        min(x).cast("string").as(s"__min_$c"),
+        max(x).cast("string").as(s"__max_$c"),
+        (if (isNum) round(avg(x.cast("double")), 6)
+         else lit(null).cast("double")).as(s"__avg_$c"))
+    } :+ count(lit(1)).as("__rows")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val pieces = targets.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col("__rows").as("n_rows"),
+        (col("__rows") - col(s"__cnt_$c")).as("n_nulls"),
+        col(s"__dist_$c").as("n_distinct"),
+        col(s"__min_$c").as("min"),
+        col(s"__max_$c").as("max"),
+        col(s"__avg_$c").as("mean"))
+    }
+    row.select(explode(array(pieces: _*)).as("p")).select("p.*")
+  }
+}

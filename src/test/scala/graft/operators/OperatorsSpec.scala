@@ -1134,6 +1134,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept == Set(2L, 3L, 4L))
   }
 
+  test("profile audits nulls, cardinality, typed bounds, numeric means in one pass") {
+    val df = Seq(
+      (1L, Some(10), "b"), (2L, None, "a"), (3L, Some(2), "a"), (4L, Some(9), null)
+    ).toDF("id", "v", "s")
+    val p = Profile.profile(df, exactDistinct = true)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(p.keySet == Set("id", "v", "s"))
+    val v = p("v")
+    assert(v.getLong(1) == 4 && v.getLong(2) == 1 && v.getLong(3) == 3)
+    // native-typed bounds: min is "2", not lexicographic "10"
+    assert(v.getString(4) == "2" && v.getString(5) == "10")
+    assert(math.abs(v.getDouble(6) - 7.0) < 1e-9)
+    val s = p("s")
+    assert(s.getLong(2) == 1 && s.getLong(3) == 2 && s.isNullAt(6))
+    // approx mode stays a single non-Expand pass and is near-exact here
+    val a = Profile.profile(df).collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(a("id") == 4 && a("s") == 2)
+  }
+
   test("canonicalUrl strips tracking noise but keeps page identity") {
     def c(u: String): String = Seq(u).toDF("u")
       .select(WebOps.canonicalUrl(col("u")).as("c")).head().getAs[String]("c")
