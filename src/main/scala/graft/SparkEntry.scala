@@ -2312,6 +2312,28 @@ object SparkEntry {
           CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR),
           round(avg(n_chars), 6) FROM documents""".stripMargin.trim)),
 
+    Q("q_redact_cards",
+      // Luhn-validated card redaction: one valid and one checksum-broken
+      // card are appended by construction; the oracle derives the expected
+      // output from the CASEs (the valid number redacts, the look-alike
+      // survives) — independent of the operator's fold.
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = Tables.load(s, dir)("documents").withColumn("text2",
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(4)) === 0, lit(" card 4111 1111 1111 1111 ok"))
+              .when(pmod(col("doc_id"), lit(4)) === 1, lit(" card 4111 1111 1111 1112 ok"))
+              .otherwise(lit(""))))
+        d.select(col("doc_id"),
+          operators.TextOps.redactCards(col("text2")).as("redacted"))
+      },
+      Some("""
+        SELECT doc_id, text ||
+          (CASE WHEN doc_id % 4 = 0 THEN ' card <CARD> ok'
+                WHEN doc_id % 4 = 1 THEN ' card 4111 1111 1111 1112 ok'
+                ELSE '' END) AS redacted
+        FROM documents""".stripMargin.trim)),
+
     Q("q_encoding_flags",
       // mojibake / lossy-decode detection: artifacts are injected
       // deterministically (the fixture corpus is clean), same injection

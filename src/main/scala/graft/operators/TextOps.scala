@@ -813,6 +813,36 @@ object TextOps {
       .drop("__grp", "__thr")
   }
 
+  /** Luhn checksum over the digits of `numText` (separators ignored):
+    * from the rightmost digit, every second digit doubles (minus 9 when
+    * >9), and the sum must divide by 10. Pure array-Column arithmetic —
+    * reverse → indexed transform → aggregate — no UDF, stays in codegen. */
+  def luhnValid(numText: Column): Column = {
+    val digits = filter(split(numText, ""), ch => ch.rlike("^[0-9]$"))
+    val rev = reverse(digits)
+    val sum = aggregate(
+      transform(rev, (d, i) => {
+        val v = d.cast("int")
+        val dbl = v * 2
+        when(i % 2 === 1, when(dbl > 9, dbl - 9).otherwise(dbl)).otherwise(v)
+      }),
+      lit(0), (acc, x) => acc + x)
+    size(digits).between(13, 19) && sum % 10 === 0
+  }
+
+  /** Redact payment-card numbers: 13-19 digit runs (single space/dash
+    * separators allowed) that PASS the Luhn check become `<CARD>`;
+    * look-alike digit runs that fail the checksum are left alone — the
+    * validated-replacement step plain regex redaction cannot do. The
+    * fold applies `replace` per validated candidate (candidate lists are
+    * tiny), so the whole operator is still a scan-speed expression. */
+  def redactCards(text: Column): Column = {
+    val cands = regexp_extract_all(text,
+      lit("\\b[0-9](?:[ -]?[0-9]){12,18}\\b"), lit(0))
+    val valid = filter(cands, c => luhnValid(c))
+    aggregate(valid, text, (acc, c) => replace(acc, c, lit("<CARD>")))
+  }
+
   /** Number of DISTINCT blocklist words occurring in `text` (C4's "bad
     * words" page filter counts a page dirty on any hit, so distinct-set
     * semantics suffice and match `array_intersect`/`list_intersect` in

@@ -1153,6 +1153,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a("id") == 4 && a("s") == 2)
   }
 
+  test("redactCards replaces only Luhn-valid card numbers") {
+    val df = Seq(
+      (1L, "pay 4111111111111111 now"),
+      (2L, "pay 4111111111111112 now"),                            // checksum fails
+      (3L, "card 5500 0000 0000 0004 and 4111-1111-1111-1111 x"),  // both valid
+      (4L, "short 123456789012 run")                               // 12 digits: too short
+    ).toDF("id", "text")
+    val r = df.select(col("id"), TextOps.redactCards(col("text")).as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(r(1L) == "pay <CARD> now")
+    assert(r(2L) == "pay 4111111111111112 now")
+    assert(r(3L) == "card <CARD> and <CARD> x")
+    assert(r(4L) == "short 123456789012 run")
+  }
+
   test("canonicalUrl strips tracking noise but keeps page identity") {
     def c(u: String): String = Seq(u).toDF("u")
       .select(WebOps.canonicalUrl(col("u")).as("c")).head().getAs[String]("c")
