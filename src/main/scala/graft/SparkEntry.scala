@@ -2334,6 +2334,75 @@ object SparkEntry {
                 ELSE '' END) AS redacted
         FROM documents""".stripMargin.trim)),
 
+    Q("q_html_links",
+      // link-graph extraction: three anchors per doc by construction
+      // (absolute / root-relative / fragment); the oracle derives each
+      // (pos, href, abs_url, anchor_text) row from the construction, not
+      // from the operator's regex chain.
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = Tables.load(s, dir)("documents")
+          .withColumn("url", concat(lit("https://"), col("source"), lit(".com/page")))
+          .withColumn("html", concat(
+            lit("<p><a href=\"https://ext.example/p\">Ext "), col("doc_id").cast("string"),
+            lit("</a> mid <a href=\"/local/"), col("doc_id").cast("string"),
+            lit("\"><b>go</b>  now</a><a href=\"#top\">top</a></p>")))
+        operators.HtmlOps.extractLinks(d)
+          .select("doc_id", "link_pos", "href", "abs_url", "anchor_text")
+      },
+      Some("""
+        SELECT doc_id, CAST(0 AS INTEGER) AS link_pos,
+          'https://ext.example/p' AS href,
+          'https://ext.example/p' AS abs_url,
+          'Ext ' || doc_id AS anchor_text FROM documents
+        UNION ALL
+        SELECT doc_id, CAST(1 AS INTEGER), '/local/' || doc_id,
+          'https://' || source || '.com/local/' || doc_id, 'go now' FROM documents
+        UNION ALL
+        SELECT doc_id, CAST(2 AS INTEGER), '#top', CAST(NULL AS VARCHAR), 'top'
+        FROM documents""".stripMargin.trim)),
+
+    Q("q_pagerank",
+      // power-iteration PageRank on a host graph synthesized from the
+      // corpus (h(doc_id%13) -> h(doc_id%17), deduped; h13..h16 are
+      // dangling). iters=2 so the oracle can unroll the exact fixpoint
+      // as CTEs; the operator's default 10 rounds is spec-covered against
+      // an in-memory reference implementation.
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val e = Tables.load(s, dir)("documents").select(
+          concat(lit("h"), pmod(col("doc_id"), lit(13)).cast("string")).as("src"),
+          concat(lit("h"), pmod(col("doc_id"), lit(17)).cast("string")).as("dst"))
+          .distinct()
+        operators.Graphs.pageRank(e, iters = 2)
+          .select(col("node"), round(col("rank"), 6).as("rank"))
+      },
+      Some("""
+        WITH e AS (SELECT DISTINCT 'h' || (doc_id % 13) AS src,
+                     'h' || (doc_id % 17) AS dst FROM documents),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT count(*)::DOUBLE AS c FROM nodes),
+        deg AS (SELECT src, count(*)::DOUBLE AS d FROM e GROUP BY src),
+        r0 AS (SELECT node, 1.0 / nn.c AS r FROM nodes CROSS JOIN nn),
+        d0 AS (SELECT coalesce(sum(r), 0) AS dm FROM r0
+               WHERE node NOT IN (SELECT src FROM e)),
+        c0 AS (SELECT e.dst AS node, sum(r0.r / deg.d) AS m FROM e
+               JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+               GROUP BY e.dst),
+        r1 AS (SELECT nodes.node,
+                 0.15 / nn.c + 0.85 * (coalesce(c0.m, 0) + d0.dm / nn.c) AS r
+               FROM nodes CROSS JOIN nn CROSS JOIN d0
+               LEFT JOIN c0 ON nodes.node = c0.node),
+        d1 AS (SELECT coalesce(sum(r), 0) AS dm FROM r1
+               WHERE node NOT IN (SELECT src FROM e)),
+        c1 AS (SELECT e.dst AS node, sum(r1.r / deg.d) AS m FROM e
+               JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+               GROUP BY e.dst)
+        SELECT nodes.node,
+          round(0.15 / nn.c + 0.85 * (coalesce(c1.m, 0) + d1.dm / nn.c), 6) AS rank
+        FROM nodes CROSS JOIN nn CROSS JOIN d1
+        LEFT JOIN c1 ON nodes.node = c1.node""".stripMargin.trim)),
+
     Q("q_encoding_flags",
       // mojibake / lossy-decode detection: artifacts are injected
       // deterministically (the fixture corpus is clean), same injection

@@ -94,6 +94,46 @@ object HtmlOps {
     coalesce(aggregate(lens, lit(0), (acc, x) => acc + x), lit(0))
   }
 
+  // one regex, two capture groups; extracting each group with the SAME
+  // pattern yields index-aligned arrays, so zip is exact — no per-match
+  // struct support needed
+  private val hrefPat = "(?is)<a[^>]*href=\"([^\"]*)\"[^>]*>(.*?)</a>"
+
+  /** One row per `<a href="...">` link: `href` as written, `abs_url`
+    * resolved against `baseUrlCol` (absolute hrefs pass through,
+    * root-relative `/p` joins scheme://host, anything else — protocol-
+    * relative, path-relative, `javascript:` — is NULL rather than
+    * guessed), and the cleaned visible `anchor_text`. The link graph +
+    * anchor-text corpus extractor: posexplode of two aligned
+    * regexp_extract_all arrays, zero shuffle, link order preserved via
+    * `link_pos`. */
+  def extractLinks(
+      df: DataFrame,
+      htmlCol: String = "html",
+      baseUrlCol: String = "url"): DataFrame = {
+    val h = col(htmlCol)
+    val hrefs = regexp_extract_all(h, lit(hrefPat), lit(1))
+    val texts = regexp_extract_all(h, lit(hrefPat), lit(2))
+    val zipped = df.withColumn("__lnk", arrays_zip(hrefs.as("href"), texts.as("txt")))
+      .select(col("*"), posexplode(col("__lnk")).as(Seq("link_pos", "__l")))
+      .drop("__lnk")
+    val href = col("__l.href")
+    val base = col(baseUrlCol)
+    val origin = concat(WebOps.scheme(base), lit("://"), WebOps.host(base))
+    zipped
+      .withColumn("href", href)
+      .withColumn("abs_url",
+        when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), href)
+          .when(href.startsWith("//") || WebOps.host(base).isNull, lit(null))
+          .when(href.startsWith("/"), concat(origin, href))
+          .otherwise(lit(null)))
+      .withColumn("anchor_text",
+        trim(regexp_replace(
+          decodeEntities(regexp_replace(col("__l.txt"), "(?s)<[^>]*>", "")),
+          "[ \\t\\n\\r\\f]+", " ")))
+      .drop("__l")
+  }
+
   /** Adds `text_extracted`, `title`, `n_tags`, `n_anchors`,
     * `link_density` next to `htmlCol` — one scan, zero shuffle.
     * `link_density` = anchor text chars / extracted text chars (NULL when

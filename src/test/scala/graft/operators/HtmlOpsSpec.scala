@@ -60,4 +60,24 @@ class HtmlOpsSpec extends AnyFunSuite {
   test("unclosed script swallows the tail (documented contract)") {
     assert(extract("<p>ok</p><script>var x;") == "ok")
   }
+
+  test("extractLinks aligns href/text, resolves roots, cleans anchors") {
+    val html = "<a href=\"https://ext.com/p\">Ext &amp; co</a>" +
+      "<a class=\"x\" href=\"/local/1\"><b>go</b>  now</a>" +
+      "<a href=\"#top\">top</a><a href=\"//proto.rel/x\">pr</a>"
+    val r = HtmlOps.extractLinks(
+        Seq(("https://base.org/page", html)).toDF("url", "html"))
+      .select("link_pos", "href", "abs_url", "anchor_text")
+      .collect().map(x => (x.getInt(0), x.getString(1), x.getString(2), x.getString(3)))
+    assert(r.toSeq == Seq(
+      (0, "https://ext.com/p", "https://ext.com/p", "Ext & co"),
+      (1, "/local/1", "https://base.org/local/1", "go now"),
+      (2, "#top", null, "top"),
+      (3, "//proto.rel/x", null, "pr")))
+  }
+
+  test("extractLinks yields no rows for anchor-free pages") {
+    assert(HtmlOps.extractLinks(
+      Seq(("https://b.org", "<p>plain</p>")).toDF("url", "html")).count() == 0)
+  }
 }

@@ -1153,6 +1153,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a("id") == 4 && a("s") == 2)
   }
 
+  test("pageRank matches a reference power iteration, dangling mass included") {
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("b", "d"))
+    val iters = 7
+    val d = 0.85
+    // reference: same fixpoint computed directly over in-memory maps
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val deg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    var r = nodes.map(_ -> 1.0 / nodes.size).toMap
+    for (_ <- 0 until iters) {
+      val dangling = nodes.filterNot(deg.contains).map(r).sum
+      val contrib = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / deg(s) }.sum).toMap
+      r = nodes.map(v => v -> ((1 - d) / nodes.size +
+        d * (contrib.getOrElse(v, 0.0) + dangling / nodes.size))).toMap
+    }
+    val got = Graphs.pageRank(edges.toDF("src", "dst"), iters = iters)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(got.keySet == nodes.toSet)
+    nodes.foreach(v => assert(math.abs(got(v) - r(v)) < 1e-12, s"node $v"))
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
   test("redactCards replaces only Luhn-valid card numbers") {
     val df = Seq(
       (1L, "pay 4111111111111111 now"),
