@@ -1231,6 +1231,19 @@ object SparkEntry {
         "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT, doc_id) AS rk " +
         "FROM documents) WHERE rk <= 10")),
 
+    Q("q_sample_pergroup_agg",
+      // sort-free variant: mergeable min-k-by-hash summaries + broadcast
+      // semi-join must select the same rows as the ranked window (keys
+      // are unique per group here), so it shares the window oracle.
+      (s, dir) => operators.Sampling.perGroupAgg(
+          Tables.load(s, dir)("documents"), org.apache.spark.sql.functions.col("source"),
+          org.apache.spark.sql.functions.col("doc_id"), 10)
+        .select("doc_id", "source"),
+      Some("SELECT doc_id, source FROM (SELECT doc_id, source, " +
+        "row_number() OVER (PARTITION BY source ORDER BY " +
+        "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT, doc_id) AS rk " +
+        "FROM documents) WHERE rk <= 10")),
+
     Q("q_tokens_bpe",
       (s, dir) => {
         import org.apache.spark.sql.functions.col

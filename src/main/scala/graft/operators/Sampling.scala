@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Encoder, Encoders}
 
 /** Deterministic sampling operators for large-scale training-data pipelines.
   *
@@ -57,6 +59,88 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(group).orderBy(TextOps.portableHash60(key.cast("string")), key)
     df.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k).drop("__rk")
+  }
+
+  /** Bounded max-heap of the k smallest (hash, key) pairs, deduped by
+    * key (a key's rows can reach several partials). Same shape as
+    * [[Sketches.SSBuf]]: plain JVM object inside the aggregation, kryo
+    * across the partial/merge boundary. */
+  private[operators] final class MinKBuf(val k: Int) extends Serializable {
+    val hs = new Array[Long](k)
+    val ks = new Array[String](k)
+    var size = 0
+    val idx = new java.util.HashMap[String, Integer]()
+    private def lt(h1: Long, k1: String, h2: Long, k2: String): Boolean =
+      h1 < h2 || (h1 == h2 && k1 < k2)
+    private def swap(a: Int, b: Int): Unit = {
+      val h = hs(a); hs(a) = hs(b); hs(b) = h
+      val s = ks(a); ks(a) = ks(b); ks(b) = s
+      idx.put(ks(a), a); idx.put(ks(b), b)
+    }
+    private def siftDown(i0: Int): Unit = {
+      var i = i0; var go = true
+      while (go) {
+        val l = 2 * i + 1; val r = l + 1; var m = i
+        if (l < size && lt(hs(m), ks(m), hs(l), ks(l))) m = l
+        if (r < size && lt(hs(m), ks(m), hs(r), ks(r))) m = r
+        if (m == i) go = false else { swap(i, m); i = m }
+      }
+    }
+    private def siftUp(i0: Int): Unit = {
+      var i = i0
+      while (i > 0 && lt(hs((i - 1) / 2), ks((i - 1) / 2), hs(i), ks(i))) {
+        swap(i, (i - 1) / 2); i = (i - 1) / 2
+      }
+    }
+    def offer(h: Long, key: String): Unit = {
+      if (key == null || idx.containsKey(key)) return
+      if (size < k) {
+        hs(size) = h; ks(size) = key; idx.put(key, size)
+        size += 1; siftUp(size - 1)
+      } else if (lt(h, key, hs(0), ks(0))) {
+        idx.remove(ks(0))
+        hs(0) = h; ks(0) = key; idx.put(key, 0); siftDown(0)
+      }
+    }
+    def entries: Seq[String] =
+      (0 until size).sortBy(i => (hs(i), ks(i))).map(ks)
+  }
+
+  /** Typed min-k-by-hash aggregator over (hash, key) pairs — the
+    * mergeable-summary form of a deterministic k-reservoir. */
+  private[operators] final class MinKByHash(k: Int)
+      extends Aggregator[(Long, String), MinKBuf, Seq[String]] {
+    def zero: MinKBuf = new MinKBuf(k)
+    def reduce(b: MinKBuf, in: (Long, String)): MinKBuf = { b.offer(in._1, in._2); b }
+    def merge(a: MinKBuf, b: MinKBuf): MinKBuf = {
+      (0 until b.size).foreach(i => a.offer(b.hs(i), b.ks(i)))
+      a
+    }
+    def finish(b: MinKBuf): Seq[String] = b.entries
+    def bufferEncoder: Encoder[MinKBuf] = Encoders.kryo[MinKBuf]
+    def outputEncoder: Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+  }
+
+  /** [[perGroup]] without the sort: the window variant ranks by sorting
+    * every group's rows (a full sort shuffle — the skewed-group killer at
+    * corpus scale); this one folds each partition into an O(k) mergeable
+    * min-k-by-hash summary (map-side partials, only k keys per group ever
+    * shuffle), then keeps the sampled keys via a broadcast semi-join
+    * (#groups × k keys — tiny next to the corpus). Identical output to
+    * [[perGroup]] when `key` is unique within its group (the id-sampling
+    * case; differential-tested); with duplicate keys this keeps every row
+    * of a sampled key whereas the window keeps exactly k rows. */
+  def perGroupAgg(df: DataFrame, group: Column, key: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val pick = udaf(new MinKByHash(k))
+    val keyStr = key.cast("string")
+    val picked = df
+      .groupBy(group.as("__g"))
+      .agg(pick(TextOps.portableHash60(keyStr), keyStr).as("__ks"))
+      .select(col("__g"), explode(col("__ks")).as("__key"))
+    df.join(broadcast(picked),
+      group <=> col("__g") && keyStr === col("__key"), "left_semi")
   }
 
   /** Temperature-based mixture resampling — the standard pretraining

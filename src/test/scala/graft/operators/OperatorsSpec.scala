@@ -1153,6 +1153,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a("id") == 4 && a("s") == 2)
   }
 
+  test("perGroupAgg samples the same rows as the sort-based perGroup") {
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id")).as[Long].collect().toSet
+    val byWindow = ids(Sampling.perGroup(docs, col("source"), col("doc_id"), 5))
+    // many partitions → the merge path actually runs
+    val byAgg = ids(Sampling.perGroupAgg(
+      docs.repartition(13), col("source"), col("doc_id"), 5))
+    assert(byAgg == byWindow && byAgg.nonEmpty)
+    // k larger than any group: everything survives
+    assert(ids(Sampling.perGroupAgg(docs, col("source"), col("doc_id"), 100000))
+      == ids(docs))
+  }
+
   test("pageRank matches a reference power iteration, dangling mass included") {
     val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("b", "d"))
     val iters = 7
