@@ -67,7 +67,9 @@ object Bench {
       "q_join_asof", "q_sessionize", "q_dedup_incremental", "q_curation_report",
       "q_semantic_pairs", "q_quality_topfrac", "q_funnel", "q_retention",
       "q_pack_greedy", "q_sample_quantile", "q_curate_semantic",
-      "q_dup_spans", "q_bm25", "q_keywords_tfidf")
+      "q_dup_spans", "q_bm25", "q_keywords_tfidf",
+      "q_html_extract", "q_pagerank", "q_profile", "q_blocklist_filter",
+      "q_sample_pergroup_agg", "q_redact_cards")
     val headline = benchOnly match {
       case Some(ps) => headline0.filter(n => ps.exists(n.startsWith))
       case None     => headline0

@@ -2264,6 +2264,45 @@ object SparkEntry {
           FROM documents)
         SELECT doc_id, n_blocked FROM h WHERE n_blocked <= 1""".stripMargin.trim)),
 
+    Q("q_blocklist_phrases",
+      // multi-word phrase blocklist: whitespace-normalized lowercase
+      // containment; "batch batch" and "slow small" occur naturally in
+      // the fixture corpus.
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = Tables.load(s, dir)("documents")
+        d.select(col("doc_id"),
+          operators.TextOps.blocklistPhraseHits(col("text"),
+            Seq("batch batch", "slow small")).as("n_phrases"))
+      },
+      Some("""
+        SELECT doc_id,
+          CAST(len(list_filter(['batch batch', 'slow small'],
+            p -> contains(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g'), p)))
+            AS INTEGER) AS n_phrases
+        FROM documents""".stripMargin.trim)),
+
+    Q("q_graph_degrees",
+      // same synthesized host graph as q_pagerank; out/in degree audit
+      // with sources and sinks visible via the outer join.
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val e = Tables.load(s, dir)("documents").select(
+          concat(lit("h"), pmod(col("doc_id"), lit(13)).cast("string")).as("src"),
+          concat(lit("h"), pmod(col("doc_id"), lit(17)).cast("string")).as("dst"))
+          .distinct()
+        operators.Graphs.degreeStats(e)
+      },
+      Some("""
+        WITH e AS (SELECT DISTINCT 'h' || (doc_id % 13) AS src,
+                     'h' || (doc_id % 17) AS dst FROM documents),
+        o AS (SELECT src AS node, count(*) AS out_deg FROM e GROUP BY src),
+        i AS (SELECT dst AS node, count(*) AS in_deg FROM e GROUP BY dst)
+        SELECT coalesce(o.node, i.node) AS node,
+          coalesce(o.out_deg, 0) AS out_deg,
+          coalesce(i.in_deg, 0) AS in_deg
+        FROM o FULL OUTER JOIN i ON o.node = i.node""".stripMargin.trim)),
+
     Q("q_url_canonical",
       // crawl-dedup canonical key: decorated URLs (case noise, userinfo,
       // default and non-default ports, trailing slash, utm params,

@@ -61,4 +61,22 @@ object Graphs {
     }
     ranks
   }
+
+  /** Per-node degree audit over the union of endpoints: `out_deg`,
+    * `in_deg` (0 for absent sides — sources and sinks stay visible,
+    * which is the point of the audit). Two partial-agg shuffles and an
+    * outer join on the node key; parallel edges count per edge. */
+  def degreeStats(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val out = edges.groupBy(col(srcCol).as("node"))
+      .agg(count(lit(1)).as("out_deg"))
+    val in = edges.groupBy(col(dstCol).as("node"))
+      .agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
 }

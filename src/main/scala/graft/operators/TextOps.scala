@@ -866,4 +866,28 @@ object TextOps {
       textCol: String = "text",
       maxHits: Int = 0): DataFrame =
     df.filter(blocklistHits(col(textCol), words) <= maxHits)
+
+  /** Number of DISTINCT blocklist PHRASES occurring in `text` —
+    * multi-word entries ("click here to", "terms of service") that the
+    * word filter cannot express. Whitespace inside text and phrase is
+    * normalized to single spaces so line wrapping does not hide a hit;
+    * matching is lowercased substring containment (a phrase list is
+    * curated, so word-boundary anchoring is the phrase author's job).
+    * Literal-array filter + contains: scan-speed, zero shuffle. */
+  def blocklistPhraseHits(text: Column, phrases: Seq[String]): Column = {
+    require(phrases.nonEmpty, "phrase list must not be empty")
+    val norm = regexp_replace(lower(text), "[ \\t\\n\\r\\f]+", " ")
+    val list = array(phrases.map(p =>
+      lit(p.toLowerCase.trim.replaceAll("\\s+", " "))): _*)
+    size(filter(list, p => norm.contains(p)))
+  }
+
+  /** Drop documents containing more than `maxHits` distinct blocklist
+    * phrases (default 0: any phrase drops the page). */
+  def filterBlockedPhrases(
+      df: DataFrame,
+      phrases: Seq[String],
+      textCol: String = "text",
+      maxHits: Int = 0): DataFrame =
+    df.filter(blocklistPhraseHits(col(textCol), phrases) <= maxHits)
 }

@@ -1166,6 +1166,23 @@ class OperatorsSpec extends AnyFunSuite {
       == ids(docs))
   }
 
+  test("blocklistPhraseHits sees through line wrapping; degreeStats keeps sources/sinks") {
+    val df = Seq(
+      (1L, "please Click\n  Here to win"), (2L, "click nowhere"), (3L, "CLICK HERE TO x")
+    ).toDF("id", "text")
+    val hits = df.select(col("id"),
+        TextOps.blocklistPhraseHits(col("text"), Seq("Click  Here To")).as("h"))
+      .as[(Long, Int)].collect().toMap
+    assert(hits == Map(1L -> 1, 2L -> 0, 3L -> 1))
+    assert(TextOps.filterBlockedPhrases(df, Seq("click here to"))
+      .select("id").as[Long].collect().toSet == Set(2L))
+
+    val deg = Graphs.degreeStats(Seq(("a", "b"), ("a", "b"), ("b", "c")).toDF("src", "dst"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // parallel edges count; "a" is a pure source, "c" a pure sink
+    assert(deg == Map("a" -> (2L, 0L), "b" -> (1L, 2L), "c" -> (0L, 1L)))
+  }
+
   test("pageRank matches a reference power iteration, dangling mass included") {
     val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("b", "d"))
     val iters = 7
