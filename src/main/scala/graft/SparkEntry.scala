@@ -2303,6 +2303,31 @@ object SparkEntry {
           coalesce(i.in_deg, 0) AS in_deg
         FROM o FULL OUTER JOIN i ON o.node = i.node""".stripMargin.trim)),
 
+    Q("q_split_sentences",
+      // sentence segmentation: terminators injected by construction (the
+      // fixture text has none); the oracle replays the normalize → extract
+      // → trim → filter chain with DuckDB's positionally-zipped unnests.
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = Tables.load(s, dir)("documents").withColumn("text2",
+          concat(lit("Intro. "), col("text"), lit(" End! Fin? Tail")))
+        operators.TextOps.splitSentences(d, "text2")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+            list_filter(list_transform(
+              regexp_extract_all(
+                regexp_replace('Intro. ' || text || ' End! Fin? Tail',
+                  '[ \t\n\r\f]+', ' ', 'g'),
+                '[^.!?]+[.!?]*'),
+              x -> trim(x)), x -> x <> '') AS ss
+          FROM documents)
+        SELECT doc_id,
+          CAST(unnest(range(len(ss))) AS INTEGER) AS sent_pos,
+          unnest(ss) AS sentence
+        FROM t""".stripMargin.trim)),
+
     Q("q_url_canonical",
       // crawl-dedup canonical key: decorated URLs (case noise, userinfo,
       // default and non-default ports, trailing slash, utm params,

@@ -882,6 +882,25 @@ object TextOps {
     size(filter(list, p => norm.contains(p)))
   }
 
+  /** One row per sentence: (`idCol`, `sent_pos`, `sentence`). Sentences
+    * are maximal runs up to a terminator group `[.!?]+` (the terminator
+    * stays attached); whitespace is normalized first so wrapped lines
+    * re-join. Deliberately rule-light and RE2-portable — no abbreviation
+    * dictionary ("Dr." splits), no lookbehind; the fast splitter feeding
+    * chunking/windowed dedup, not a linguistics pass. posexplode keeps
+    * document order; zero shuffle. */
+  def splitSentences(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val norm = regexp_replace(col(textCol), "[ \\t\\n\\r\\f]+", " ")
+    val sents = filter(
+      transform(regexp_extract_all(norm, lit("[^.!?]+[.!?]*"), lit(0)),
+        s => trim(s)),
+      s => s =!= "")
+    docs.select(col(idCol), posexplode(sents).as(Seq("sent_pos", "sentence")))
+  }
+
   /** Drop documents containing more than `maxHits` distinct blocklist
     * phrases (default 0: any phrase drops the page). */
   def filterBlockedPhrases(

@@ -1166,6 +1166,15 @@ class OperatorsSpec extends AnyFunSuite {
       == ids(docs))
   }
 
+  test("splitSentences keeps terminators, rejoins wraps, skips empties") {
+    val df = Seq((1L, "One two.  Three!?Four\nfive? trailing"), (2L, "...")).toDF("doc_id", "text")
+    val r = TextOps.splitSentences(df)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getString(2)))
+    assert(r.toSeq == Seq(
+      (1L, 0, "One two."), (1L, 1, "Three!?"), (1L, 2, "Four five?"),
+      (1L, 3, "trailing")))
+  }
+
   test("blocklistPhraseHits sees through line wrapping; degreeStats keeps sources/sinks") {
     val df = Seq(
       (1L, "please Click\n  Here to win"), (2L, "click nowhere"), (3L, "CLICK HERE TO x")
