@@ -76,6 +76,32 @@ class HtmlOpsSpec extends AnyFunSuite {
       (3, "//proto.rel/x", null, "pr")))
   }
 
+  test("fuzz: escape -> extract round-trips to whitespace-normalized text") {
+    // html-escaping arbitrary text and extracting must give back the
+    // original up to the documented whitespace normalization — one Spark
+    // job over 400 seeded-random samples (batched table-driven property)
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab z.!?-&<>\"'\n\t&lt;&amp;"
+    def sample(): String =
+      (0 until rnd.nextInt(80)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    def escape(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    def normRef(s: String): String = {
+      val a = s.replaceAll("[ \t\r\f]+", " ")
+        .replaceAll(" ?\n ?", "\n").replaceAll("\n+", "\n")
+        .replaceAll("^\n+|\n+$", "")
+      // spark trim() strips spaces only — strip manually, not String.trim
+      a.replaceAll("^ +| +$", "")
+    }
+    val texts = Seq.fill(400)(sample())
+    val got = texts.map(escape).toDF("html")
+      .select(HtmlOps.extractText(col("html")).as("t"))
+      .collect().map(_.getString(0))
+    texts.zip(got).foreach { case (orig, g) =>
+      assert(g == normRef(orig), s"original: ${orig.replace("\n", "\\n")}")
+    }
+  }
+
   test("extractLinks yields no rows for anchor-free pages") {
     assert(HtmlOps.extractLinks(
       Seq(("https://b.org", "<p>plain</p>")).toDF("url", "html")).count() == 0)

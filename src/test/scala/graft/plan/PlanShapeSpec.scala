@@ -369,4 +369,42 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning(token"), p)
     assert(p.contains("Exchange SinglePartition"), p)
   }
+
+  test("html extraction, blocklists, card redaction are scan-speed: no shuffle") {
+    import org.apache.spark.sql.functions._
+    val d = tables("documents")
+      .withColumn("html", concat(lit("<p>"), col("text"), lit("</p>")))
+    val kernels = Seq(
+      graft.operators.HtmlOps.htmlStats(d),
+      graft.operators.TextOps.filterBlockedWords(d, Seq("slow", "dup")),
+      d.select(graft.operators.TextOps.blocklistPhraseHits(col("text"), Seq("a b")).as("x")),
+      d.select(graft.operators.TextOps.redactCards(col("text")).as("x")),
+      graft.operators.TextOps.splitSentences(d))
+    kernels.foreach { k =>
+      val p = k.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), p)
+      assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    }
+  }
+
+  test("sort-free per-group sample: summary agg + broadcast semi-join, no sort, no row shuffle") {
+    import org.apache.spark.sql.functions._
+    val p = graft.operators.Sampling.perGroupAgg(
+        tables("documents"), col("source"), col("doc_id"), 5)
+      .queryExecution.executedPlan.toString
+    // the corpus side must not sort (that's the window variant's cost)
+    assert(!p.contains("WindowExec") && !p.contains("Window "), p)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    // exchanges move only the O(#groups·k) summary side, never corpus rows:
+    // group-key partial agg + the broadcast itself
+    assert(!p.contains("Exchange hashpartitioning(doc_id"), p)
+  }
+
+  test("pageRank rounds never cartesian; contributions aggregate partially") {
+    val e = tables("documents").selectExpr(
+      "concat('h', doc_id % 13) AS src", "concat('h', doc_id % 17) AS dst").distinct()
+    val p = graft.operators.Graphs.pageRank(e, iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
