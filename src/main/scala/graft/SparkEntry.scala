@@ -2328,6 +2328,34 @@ object SparkEntry {
           unnest(ss) AS sentence
         FROM t""".stripMargin.trim)),
 
+    Q("q_hashed_features",
+      // fastText-style hashed bigram bag (dim=16): the oracle recomputes
+      // every gram's md5 bucket and the per-bucket counts in SQL — the
+      // same vocabulary-free featurization both engines must agree on for
+      // fit-time and scoring-time parity.
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = Tables.load(s, dir)("documents")
+        d.select(col("doc_id"),
+          operators.TextOps.hashedNgramFeatures(col("text"), dim = 16).as("features"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+            string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+            CASE WHEN len(w) >= 2
+              THEN [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
+              ELSE [] END AS grams
+          FROM t)
+        SELECT doc_id,
+          list_transform(range(0, 16), b -> CAST(len(list_filter(grams,
+            x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 16 = b)) AS INTEGER))
+            AS features
+        FROM g""".stripMargin.trim)),
+
     Q("q_url_canonical",
       // crawl-dedup canonical key: decorated URLs (case noise, userinfo,
       // default and non-default ports, trailing slash, utm params,

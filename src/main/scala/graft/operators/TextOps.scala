@@ -882,6 +882,28 @@ object TextOps {
     size(filter(list, p => norm.contains(p)))
   }
 
+  /** fastText-style hashed word-n-gram bag: an array of `dim` bucket
+    * counts, where each normalized word n-gram lands in bucket
+    * `portableHash60(gram) % dim`. With [[graft.operators.Fit.fitLogistic]]
+    * over the bucket columns and [[scoreLinear]] to deploy, this closes
+    * the train-a-quality-classifier-in-engine loop without any vocabulary
+    * state — the hash IS the vocabulary, so featurization is identical at
+    * fit and at 100 TB scoring time. One md5 per gram, then O(dim·grams)
+    * integer compares; zero shuffle. */
+  def hashedNgramFeatures(text: Column, dim: Int = 32, n: Int = 2): Column = {
+    require(dim >= 2 && dim <= 1024, "dim must be in [2, 1024]")
+    require(n >= 1 && n <= 5, "n must be in [1, 5]")
+    val w = split(normalize(text), " ")
+    val grams =
+      if (n == 1) w
+      else when(size(w) >= n,
+        transform(sequence(lit(1), size(w) - (n - 1)), i =>
+          concat_ws(" ", slice(w, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    val buckets = transform(grams, g => pmod(portableHash60(g), lit(dim)).cast("int"))
+    transform(sequence(lit(0), lit(dim - 1)), b => size(filter(buckets, x => x === b)))
+  }
+
   /** One row per sentence: (`idCol`, `sent_pos`, `sentence`). Sentences
     * are maximal runs up to a terminator group `[.!?]+` (the terminator
     * stays attached); whitespace is normalized first so wrapped lines

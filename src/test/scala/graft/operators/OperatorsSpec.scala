@@ -1166,6 +1166,33 @@ class OperatorsSpec extends AnyFunSuite {
       == ids(docs))
   }
 
+  test("hashed-ngram features train an in-engine classifier that separates spam") {
+    val rnd = new scala.util.Random(7)
+    val hamWords = Seq("clear", "useful", "prose", "about", "topics", "today")
+    val spamWords = Seq("buy", "now", "click", "here", "free", "winner")
+    def doc(words: Seq[String]) =
+      Seq.fill(30)(words(rnd.nextInt(words.size))).mkString(" ")
+    val train = (1 to 120).map { i =>
+      val spam = i % 2 == 0
+      (i.toLong, doc(if (spam) spamWords else hamWords), if (spam) 1.0 else 0.0)
+    }
+    val df = train.toDF("id", "text", "label")
+    val dim = 16
+    val feat = df.withColumn("f", TextOps.hashedNgramFeatures(col("text"), dim))
+    val cols = (0 until dim).map(i => element_at(col("f"), i + 1).cast("double"))
+    val wts = Fit.fitLogistic(feat, cols, col("label"))
+    // deploy on unseen docs via scoreLinear over the same featurization
+    val test = Seq((1L, doc(hamWords), 0.0), (2L, doc(spamWords), 1.0),
+      (3L, doc(hamWords), 0.0), (4L, doc(spamWords), 1.0)).toDF("id", "text", "label")
+    val scored = TextOps.scoreLinear(
+        test.withColumn("f", TextOps.hashedNgramFeatures(col("text"), dim)),
+        cols.zipWithIndex.map { case (c, i) => c -> wts(i + 1) }, bias = wts(0))
+      .select(col("label"), col("clf_score")).as[(Double, Double)].collect()
+    scored.foreach { case (label, score) =>
+      assert(if (label > 0.5) score > 0.9 else score < 0.1, s"label $label score $score")
+    }
+  }
+
   test("splitSentences keeps terminators, rejoins wraps, skips empties") {
     val df = Seq((1L, "One two.  Three!?Four\nfive? trailing"), (2L, "...")).toDF("doc_id", "text")
     val r = TextOps.splitSentences(df)
