@@ -540,6 +540,25 @@ object SparkEntry {
         "['the', 'and', 'of']))), '|'), '') AS its " +
         "FROM documents WHERE doc_id < 120"),
 
+    gq("q_pipeline_funcs2",
+      // round-7 pipeline kernels on the dialect surface: html extraction,
+      // Luhn validation, canonical-URL normalization — all through the
+      // parser, oracle derives expectations from the constructions
+      "SELECT doc_id, " +
+        "html_text(concat('<p>', text, '</p><script>var x;</script>')) AS ht, " +
+        "html_title(concat('<title> T ', cast(doc_id, 'string'), ' </title>')) AS t, " +
+        "luhn_valid('4111111111111111') AS lv1, " +
+        "luhn_valid('4111111111111112') AS lv2, " +
+        "canonical_url(concat('HTTP://', source, '.COM:80/A/b/?utm_q=1&b=2#f')) AS cu " +
+        "FROM documents",
+      "SELECT doc_id, " +
+        "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, " +
+        "'[ \t\r\f]+', ' ', 'g'), ' ?\n ?', chr(10), 'g'), '\n+', chr(10), 'g'), " +
+        "'^\n+|\n+$', '', 'g')) AS ht, " +
+        "'T ' || doc_id AS t, true AS lv1, false AS lv2, " +
+        "'http://' || source || '.com/A/b?b=2' AS cu " +
+        "FROM documents"),
+
     gq("q_misc_funcs",
       // dialect log is base-10 (functions_math.go:419-436); bit ops on keys
       "SELECT l_orderkey, l_linenumber, round(log(l_quantity), 6) AS lg10, " +

@@ -191,6 +191,14 @@ object FunctionMap {
       case "quality_score" => graft.operators.TextOps.qualityScore(a0)
       case "redact_pii" => graft.operators.TextOps.redact(a0)
       case "content_fingerprint" => graft.operators.TextOps.fingerprint(a0)
+      case "redact_cards" => graft.operators.TextOps.redactCards(a0)
+      case "luhn_valid" => graft.operators.TextOps.luhnValid(a0)
+      case "html_text" => graft.operators.HtmlOps.extractText(a0)
+      case "html_title" => graft.operators.HtmlOps.title(a0)
+      case "link_density" =>
+        round(graft.operators.HtmlOps.anchorTextLen(a0) /
+          nullif(length(graft.operators.HtmlOps.extractText(a0)), lit(0)), 6)
+      case "canonical_url" => graft.operators.WebOps.canonicalUrl(a0)
 
       // ---- type predicates (functions_type.go) ----
       case "is_null" => a0.isNull

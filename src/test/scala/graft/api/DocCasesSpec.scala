@@ -36,6 +36,33 @@ class DocCasesSpec extends AnyFunSuite {
     assert(rows == Set(("d1", 22.0, 0L), ("d2", 30.0, 0L)))
   }
 
+  test("README web-curation example: html → text → link gate → curate") {
+    import graft.operators._
+    import org.apache.spark.sql.functions.col
+    val a = "the quick analysis shows that the data is clear and the " +
+      "method works with care and the outcome is strong "
+    val b = "the long report says that the work is done and the result " +
+      "is final with notes and the summary is short "
+    def page(i: Long, body: String) =
+      (i, s"<html><head><title>p$i</title></head><body><p>$body</p></body></html>")
+    val crawl = Seq(
+      page(1L, a * 2 + "unique one extra tail words here"),
+      page(2L, a * 2 + "unique one extra tail words here"), // near-dup of 1
+      page(3L, b * 2 + "completely different closing thoughts"),
+      (4L, "<html><body><p>nav</p><a href=\"/a\">home</a> " +
+        "<a href=\"/b\">about</a> <a href=\"/c\">contact</a></body></html>")
+    ).toDF("doc_id", "html")
+    // the README example, verbatim
+    val pages = HtmlOps.htmlStats(crawl)
+    val docs = pages
+      .filter(col("link_density") < 0.5)
+      .select(col("doc_id"), col("text_extracted").as("text"))
+    val kept = Curation.curate(docs).select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(4L), "link-density gate must drop the nav page")
+    assert(kept.intersect(Set(1L, 2L)).size == 1, s"near-dups must collapse: $kept")
+    assert(kept.contains(3L), s"distinct doc must survive: $kept")
+  }
+
   test("doc case: filter + unit conversion + CASE grading (EmitSync analog)") {
     // reference doc_cases_test.go:16-52 — same SQL, same expectations;
     // the out-of-range and null readings must be filtered, not errors
