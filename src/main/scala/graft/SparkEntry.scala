@@ -2375,6 +2375,57 @@ object SparkEntry {
             AS features
         FROM g""".stripMargin.trim)),
 
+    Q("q_line_flags",
+      // FineWeb line-shape signals: a 4-line document is built around the
+      // fixture text (prose line with terminal punct / the raw text / a
+      // short listing line / another punct line); the oracle replays the
+      // strip → filter → fraction chain.
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = Tables.load(s, dir)("documents").withColumn("text2",
+          concat_ws("\n", lit("Good sentence one."), col("text"),
+            lit("  short \r"), lit("Another fine line!")))
+        operators.TextOps.lineFlags(d, "text2")
+          .select("doc_id", "punct_line_frac", "short_line_frac",
+            "flag_line_punct", "flag_short_lines")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+            list_filter(list_transform(
+              string_split('Good sentence one.' || chr(10) || text || chr(10) ||
+                '  short ' || chr(13) || chr(10) || 'Another fine line!', chr(10)),
+              l -> regexp_replace(l, '^[ \t\r]+|[ \t\r]+$', '', 'g')),
+              l -> l <> '') AS lines
+          FROM documents),
+        f AS (
+          SELECT doc_id, len(lines) AS n,
+            len(list_filter(lines, l -> regexp_matches(l, '[.!?"'']$'))) AS np,
+            len(list_filter(lines, l -> length(l) < 30)) AS ns
+          FROM t)
+        SELECT doc_id,
+          round(CASE WHEN n = 0 THEN 0 ELSE np::DOUBLE / n END, 6) AS punct_line_frac,
+          round(CASE WHEN n = 0 THEN 1 ELSE ns::DOUBLE / n END, 6) AS short_line_frac,
+          (CASE WHEN n = 0 THEN 0 ELSE np::DOUBLE / n END) >= 0.12 AS flag_line_punct,
+          (CASE WHEN n = 0 THEN 1 ELSE ns::DOUBLE / n END) <= 0.67 AS flag_short_lines
+        FROM f""".stripMargin.trim)),
+
+    Q("q_join_salted",
+      // skew-salted join must be result-identical to the plain equi-join
+      // (the salt only places rows); the oracle IS the plain join.
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = Tables.load(s, dir)("documents")
+        val dim = d.groupBy("source").agg(count(lit(1)).as("n_docs_src"))
+        operators.Joins.saltedJoin(d, dim, Seq("source"), salts = 8)
+          .select("doc_id", "source", "n_docs_src")
+      },
+      Some("""
+        SELECT d.doc_id, d.source, c.n_docs_src
+        FROM documents d
+        JOIN (SELECT source, count(*) AS n_docs_src FROM documents GROUP BY source) c
+          ON d.source = c.source""".stripMargin.trim)),
+
     Q("q_url_canonical",
       // crawl-dedup canonical key: decorated URLs (case noise, userinfo,
       // default and non-default ports, trailing slash, utm params,

@@ -97,4 +97,34 @@ object Joins {
       .filter(col(pointCol).between(col(startCol), col(endCol)))
       .drop("__b")
   }
+
+  /** Skew-salted equi-join — the explicit lever when one join key
+    * dominates beyond what AQE's partition splitting fixes (corpus-scale
+    * reality: a boilerplate fingerprint, an empty-string host, a default
+    * tenant id carrying 10% of all rows lands on ONE reducer in a plain
+    * shuffle join). The left (large, skewed) side gets a salt in
+    * `[0, salts)`; the right side is exploded `salts`-fold; the join key
+    * becomes (key, salt), so each hot key spreads over `salts` reducers.
+    * The salt derives from `monotonically_increasing_id` — it varies with
+    * partitioning, which is safe because the salt only places rows, it
+    * never changes the join result (differentially pinned vs the plain
+    * join). Right-side fanout × `salts` is the price: use for a small-ish
+    * right side (lookup/metadata tables too big or too hot to broadcast).
+    * Inner and left joins only — the shapes where every left row must
+    * appear exactly as in the unsalted join. */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      salts: Int = 16,
+      joinType: String = "inner"): DataFrame = {
+    require(salts >= 2 && salts <= 4096, "salts must be in [2, 4096]")
+    require(Set("inner", "left", "left_outer").contains(joinType),
+      "saltedJoin supports inner and left joins")
+    val l2 = left.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
+    val r2 = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    l2.join(r2, on :+ "__salt", joinType).drop("__salt")
+  }
 }

@@ -882,6 +882,36 @@ object TextOps {
     size(filter(list, p => norm.contains(p)))
   }
 
+  /** FineWeb/C4-style line-shape quality flags — the signals the word and
+    * n-gram metrics miss because they see a bag, not lines: listing/menu
+    * pages are many short lines, prose is lines that end in terminal
+    * punctuation. Adds `punct_line_frac` (non-empty lines ending in
+    * `.!?"'`), `short_line_frac` (non-empty lines under `shortLineChars`
+    * visible chars), and threshold flags. Lines are stripped of
+    * `[ \t\r]` edges first — Java's `$` would otherwise anchor before a
+    * trailing `\r` while RE2's does not, and a CRLF corpus would diverge
+    * from the oracle. Pure array Column exprs, zero shuffle. */
+  def lineFlags(
+      docs: DataFrame,
+      textCol: String = "text",
+      minPunctLineFrac: Double = 0.12,
+      maxShortLineFrac: Double = 0.67,
+      shortLineChars: Int = 30): DataFrame = {
+    val stripped = transform(split(col(textCol), "\n"),
+      l => regexp_replace(l, "^[ \\t\\r]+|[ \\t\\r]+$", ""))
+    val lines = filter(stripped, l => l =!= "")
+    val n = size(lines)
+    val punctFrac = when(n === 0, lit(0.0))
+      .otherwise(size(filter(lines, l => l.rlike("[.!?\"']$"))).cast("double") / n)
+    val shortFrac = when(n === 0, lit(1.0))
+      .otherwise(size(filter(lines, l => length(l) < shortLineChars)).cast("double") / n)
+    docs
+      .withColumn("punct_line_frac", round(punctFrac, 6))
+      .withColumn("short_line_frac", round(shortFrac, 6))
+      .withColumn("flag_line_punct", punctFrac >= minPunctLineFrac)
+      .withColumn("flag_short_lines", shortFrac <= maxShortLineFrac)
+  }
+
   /** fastText-style hashed word-n-gram bag: an array of `dim` bucket
     * counts, where each normalized word n-gram lands in bucket
     * `portableHash60(gram) % dim`. With [[graft.operators.Fit.fitLogistic]]

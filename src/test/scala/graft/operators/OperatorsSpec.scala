@@ -1166,6 +1166,30 @@ class OperatorsSpec extends AnyFunSuite {
       == ids(docs))
   }
 
+  test("saltedJoin is result-identical to the plain join, inner and left") {
+    val left = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "zz")).toDF("id", "k")
+    val right = Seq(("a", 10), ("b", 20), ("c", 30)).toDF("k", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "k", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1 else r.getInt(2)))
+        .sortBy(x => (x._1, x._3)).toSeq
+    assert(rows(Joins.saltedJoin(left, right, Seq("k"), salts = 4))
+      == rows(left.join(right, Seq("k"))))
+    assert(rows(Joins.saltedJoin(left, right, Seq("k"), salts = 4, joinType = "left"))
+      == rows(left.join(right, Seq("k"), "left")))
+  }
+
+  test("lineFlags separates prose from listing shapes") {
+    val prose = "This is a line.\nAnd a longer following sentence right here!\nMore prose follows today."
+    val menu = "home\nabout\ncontact\nlogin\nsearch"
+    val r = Seq((1L, prose), (2L, menu), (3L, "")).toDF("id", "text")
+    val got = TextOps.lineFlags(r).select("id", "flag_line_punct", "flag_short_lines")
+      .collect().map(x => x.getLong(0) -> (x.getBoolean(1), x.getBoolean(2))).toMap
+    assert(got(1L) == (true, true))
+    assert(got(2L) == (false, false)) // no punct lines, all short
+    assert(got(3L) == (false, false)) // empty doc: punct 0.0, short 1.0 — both fail
+  }
+
   test("hashed-ngram features train an in-engine classifier that separates spam") {
     val rnd = new scala.util.Random(7)
     val hamWords = Seq("clear", "useful", "prose", "about", "topics", "today")
