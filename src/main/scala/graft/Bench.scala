@@ -276,6 +276,19 @@ object Bench {
                   buckets = 2048)
                 .write.format("noop").mode("overwrite").save()
             } catch { case _: Throwable => -1.0 }
+          // link-graph authority at scale: n/4 edges over n/40 nodes
+          // (avg degree 10), 3 power-iteration rounds = 6 shuffles + 3
+          // scalar dangling aggregates — the ratio between labels exposes
+          // any super-linear round cost
+          scaleSmoke(s"pagerank_${label}_sec") =
+            try timedEager {
+              val nodes = math.max(1L, n / 40)
+              val e = spark.range(n / 4).select(
+                (col("id") % nodes).as("src"),
+                ((col("id") * 31 + 7) % nodes).as("dst"))
+              operators.Graphs.pageRank(e, iters = 3)
+                .write.format("noop").mode("overwrite").save()
+            } catch { case _: Throwable => -1.0 }
         }
       }
     }

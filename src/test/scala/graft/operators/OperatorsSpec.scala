@@ -1293,6 +1293,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(c("junk") == null)
   }
 
+  test("fuzz: canonicalUrl is idempotent over messy URL soup") {
+    // canonical(canonical(u)) == canonical(u) — one batched Spark job
+    // over seeded-random URLs assembled from hostile parts
+    val rnd = new scala.util.Random(11)
+    val schemes = Seq("http", "HTTPS", "ftp")
+    val hosts = Seq("A.b.com", "x.CO.uk", "127.0.0.1", "single")
+    val ports = Seq("", ":80", ":443", ":8080", ":0")
+    val paths = Seq("", "/", "/A/b/", "/x//y///", "/p")
+    val queries = Seq("", "?", "?a=1&utm_x=2&b=2", "?gclid=9", "?z&a=%20&a=1")
+    val frags = Seq("", "#f", "#a?b=1")
+    val urls = Seq.fill(300) {
+      val u = rnd.nextInt(4)
+      if (u == 0) "junk" + rnd.nextInt(10)
+      else schemes(rnd.nextInt(3)) + "://" +
+        (if (rnd.nextBoolean()) "user@" else "") +
+        hosts(rnd.nextInt(4)) + ports(rnd.nextInt(5)) + paths(rnd.nextInt(5)) +
+        queries(rnd.nextInt(5)) + frags(rnd.nextInt(3))
+    }
+    val once = urls.toDF("u")
+      .select(col("u"), WebOps.canonicalUrl(col("u")).as("c1"))
+      .select(col("u"), col("c1"), WebOps.canonicalUrl(col("c1")).as("c2"))
+      .collect()
+    once.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"not idempotent for ${r.getString(0)}: ${r.getString(1)} -> ${r.getString(2)}")
+    }
+  }
+
   test("filterBlockedWords uses whole-word distinct-hit C4 semantics") {
     val df = Seq(
       (1L, "a Clean page"),
