@@ -2426,6 +2426,37 @@ object SparkEntry {
         JOIN (SELECT source, count(*) AS n_docs_src FROM documents GROUP BY source) c
           ON d.source = c.source""".stripMargin.trim)),
 
+    Q("q_rate_anomalies",
+      // windowed rate anomaly: hourly per-type buckets scored against the
+      // 8 trailing observed buckets; z stays NULL (and never flags) until
+      // >= 2 history buckets with variance exist.
+      (s, dir) => {
+        val e = Tables.load(s, dir)("events")
+        operators.Events.rateAnomalies(e, Seq("event_type"),
+          bucketSec = 3600L, trailing = 8, threshold = 3.0)
+      },
+      Some("""
+        WITH c AS (
+          SELECT event_type,
+            (floor(epoch(ts))::BIGINT // 3600) * 3600 AS bucket_start,
+            count(*) AS n_events
+          FROM events GROUP BY 1, 2),
+        zc AS (
+          SELECT event_type, bucket_start, n_events,
+            avg(n_events) OVER w AS mu,
+            stddev_samp(n_events) OVER w AS sd,
+            count(n_events) OVER w AS cw
+          FROM c
+          WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start
+            ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
+        SELECT event_type, bucket_start, n_events,
+          CASE WHEN cw >= 2
+            THEN round((n_events - mu) / greatest(sd, 1.0), 6) END AS z,
+          coalesce((CASE WHEN cw >= 2
+            THEN round((n_events - mu) / greatest(sd, 1.0), 6) END) >= 3.0, false)
+            AS anomaly
+        FROM zc""".stripMargin.trim)),
+
     Q("q_url_canonical",
       // crawl-dedup canonical key: decorated URLs (case noise, userinfo,
       // default and non-default ports, trailing slash, utm params,

@@ -10,6 +10,45 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   */
 object Events {
 
+  /** Windowed rate-anomaly detection: bucket events into `bucketSec`
+    * tumbling windows per key, then score each bucket's count against the
+    * `trailing` preceding buckets of the SAME key (z-score over their
+    * mean/sample-stddev, with the stddev floored at 1.0 so a perfectly
+    * steady history — the classic pre-burst shape, sd = 0 — still scores
+    * the burst instead of dividing by zero). `z` is NULL until at least
+    * 2 trailing buckets exist — a NULL never flags, so cold keys don't
+    * alarm. One partial-agg shuffle to the (key, bucket)
+    * counts, then one windowed pass over the (tiny) bucket series per
+    * key: the raw event log is never window-sorted. Empty buckets are
+    * NOT materialized: the trailing window is over observed buckets, the
+    * idle-gap-then-burst case flags via the count jump itself. */
+  def rateAnomalies(
+      events: DataFrame,
+      on: Seq[String],
+      tsCol: String = "ts",
+      bucketSec: Long = 3600L,
+      trailing: Int = 8,
+      threshold: Double = 3.0): DataFrame = {
+    require(on.nonEmpty, "rateAnomalies needs at least one key column")
+    require(bucketSec > 0 && trailing >= 2, "bucketSec > 0, trailing >= 2")
+    val bucket = floor(unix_timestamp(col(tsCol)) / bucketSec).cast("long") * bucketSec
+    val counts = events
+      .groupBy(on.map(col) :+ bucket.as("bucket_start"): _*)
+      .agg(count(lit(1)).as("n_events"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(on.map(col): _*)
+      .orderBy(col("bucket_start"))
+      .rowsBetween(-trailing, -1)
+    val mu = avg(col("n_events")).over(w)
+    val sd = stddev_samp(col("n_events")).over(w)
+    val cnt = count(col("n_events")).over(w)
+    val z = when(cnt >= 2,
+      round((col("n_events") - mu) / greatest(sd, lit(1.0)), 6))
+    counts
+      .withColumn("z", z)
+      .withColumn("anomaly", coalesce(col("z") >= threshold, lit(false)))
+  }
+
   /** Gap-based sessionization: every event gains `session_seq` — the
     * 1-based index of its session within its key — where a new session
     * starts when the gap to the previous event exceeds `gap` (same units

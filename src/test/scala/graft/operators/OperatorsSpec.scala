@@ -1166,6 +1166,24 @@ class OperatorsSpec extends AnyFunSuite {
       == ids(docs))
   }
 
+  test("rateAnomalies flags the burst bucket, stays quiet on steady rates and cold keys") {
+    import java.sql.Timestamp
+    // key "steady": 10 events/bucket for 10 buckets, then a 100-event burst;
+    // key "cold": 2 buckets only (never enough history to flag)
+    val rows = (for {
+      b <- 0 until 11
+      i <- 0 until (if (b == 10) 100 else 10)
+    } yield (new Timestamp(b * 3600_000L), "steady", i)) ++
+      Seq((new Timestamp(0L), "cold", 0), (new Timestamp(3600_000L), "cold", 1))
+    val df = rows.toDF("ts", "event_type", "i")
+    val r = Events.rateAnomalies(df, Seq("event_type"), bucketSec = 3600L)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getBoolean(4))).toSeq
+    val flagged = r.filter(_._3)
+    assert(flagged.map(x => (x._1, x._2)) == Seq(("steady", 36000L)))
+    // steady buckets have zero variance -> z NULL -> never flagged
+    assert(r.count(_._1 == "cold") == 2 && r.filter(_._1 == "cold").forall(!_._3))
+  }
+
   test("saltedJoin is result-identical to the plain join, inner and left") {
     val left = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "zz")).toDF("id", "k")
     val right = Seq(("a", 10), ("b", 20), ("c", 30)).toDF("k", "v")
