@@ -2426,6 +2426,55 @@ object SparkEntry {
         JOIN (SELECT source, count(*) AS n_docs_src FROM documents GROUP BY source) c
           ON d.source = c.source""".stripMargin.trim)),
 
+    Q("q_crawl_rank",
+      // end-to-end web composition: synthesized page HTML → extractLinks →
+      // host-graph edges (absolute link + root-relative self link) →
+      // 2-round PageRank. The oracle derives the edge list from the
+      // construction and unrolls the same fixpoint as q_pagerank.
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = Tables.load(s, dir)("documents")
+          .withColumn("url", concat(lit("https://"), col("source"), lit(".com/page")))
+          .withColumn("html", concat(
+            lit("<p><a href=\"https://h"), pmod(col("doc_id"), lit(7)).cast("string"),
+            lit(".example/x\">ext</a><a href=\"/self\">self</a></p>")))
+        val edges = operators.HtmlOps.extractLinks(d)
+          .filter(col("abs_url").isNotNull)
+          .select(operators.WebOps.host(col("url")).as("src"),
+            operators.WebOps.host(col("abs_url")).as("dst"))
+          .distinct()
+        operators.Graphs.pageRank(edges, iters = 2)
+          .select(col("node"), round(col("rank"), 6).as("rank"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT DISTINCT source || '.com' AS src,
+            'h' || (doc_id % 7) || '.example' AS dst FROM documents
+          UNION
+          SELECT DISTINCT source || '.com', source || '.com' FROM documents),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT count(*)::DOUBLE AS c FROM nodes),
+        deg AS (SELECT src, count(*)::DOUBLE AS d FROM e GROUP BY src),
+        r0 AS (SELECT node, 1.0 / nn.c AS r FROM nodes CROSS JOIN nn),
+        d0 AS (SELECT coalesce(sum(r), 0) AS dm FROM r0
+               WHERE node NOT IN (SELECT src FROM e)),
+        c0 AS (SELECT e.dst AS node, sum(r0.r / deg.d) AS m FROM e
+               JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+               GROUP BY e.dst),
+        r1 AS (SELECT nodes.node,
+                 0.15 / nn.c + 0.85 * (coalesce(c0.m, 0) + d0.dm / nn.c) AS r
+               FROM nodes CROSS JOIN nn CROSS JOIN d0
+               LEFT JOIN c0 ON nodes.node = c0.node),
+        d1 AS (SELECT coalesce(sum(r), 0) AS dm FROM r1
+               WHERE node NOT IN (SELECT src FROM e)),
+        c1 AS (SELECT e.dst AS node, sum(r1.r / deg.d) AS m FROM e
+               JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+               GROUP BY e.dst)
+        SELECT nodes.node,
+          round(0.15 / nn.c + 0.85 * (coalesce(c1.m, 0) + d1.dm / nn.c), 6) AS rank
+        FROM nodes CROSS JOIN nn CROSS JOIN d1
+        LEFT JOIN c1 ON nodes.node = c1.node""".stripMargin.trim)),
+
     Q("q_rate_anomalies",
       // windowed rate anomaly: hourly per-type buckets scored against the
       // 8 trailing observed buckets; z stays NULL (and never flags) until
