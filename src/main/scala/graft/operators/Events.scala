@@ -49,6 +49,83 @@ object Events {
       .withColumn("anomaly", coalesce(col("z") >= threshold, lit(false)))
   }
 
+  /** Per-key state for [[rateAnomaliesStream]]: open bucket counts, the
+    * ring of the last `trailing` CLOSED buckets, the key's max event
+    * time, and the highest closed bucket (late events below it drop). */
+  final case class RateState(
+      pending: Map[Long, Long],
+      ring: Vector[(Long, Long)],
+      maxTs: Long,
+      closedHorizon: Long)
+
+  /** One scored bucket. `z` is None until 2 closed history buckets
+    * exist; a None never flags. */
+  final case class RateAnomaly(
+      key: String, bucket_start: Long, n_events: Long,
+      z: Option[Double], anomaly: Boolean)
+
+  /** Streaming twin of [[rateAnomalies]]: cross-micro-batch bucket
+    * accumulation with O(trailing + open-buckets) state per key. A bucket
+    * closes when the key's observed watermark (max event time − `oooMs`)
+    * passes its end — the same per-key closing rule the stateful window
+    * operators use — then scores against the ring of previously closed
+    * buckets exactly like the batch version (sd floored at 1, round 6).
+    * Events arriving for a bucket at or below the closed horizon drop
+    * (the late-data contract). Append-mode output. */
+  def rateAnomaliesStream(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String = "ts",
+      bucketSec: Long = 3600L,
+      trailing: Int = 8,
+      threshold: Double = 3.0,
+      oooMs: Long = 0L): org.apache.spark.sql.Dataset[RateAnomaly] = {
+    require(bucketSec > 0 && trailing >= 2, "bucketSec > 0, trailing >= 2")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val typed = events
+      .select(col(keyCol).cast("string").as("_1"),
+        floor(unix_micros(col(tsCol)) / 1000L).cast("long").as("_2"))
+      .as[(String, Long)]
+    typed.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (key: String, it: Iterator[(String, Long)], state: GroupState[RateState]) =>
+        val st = state.getOption.getOrElse(
+          RateState(Map.empty, Vector.empty, Long.MinValue, Long.MinValue))
+        var pending = st.pending
+        var maxTs = st.maxTs
+        it.foreach { case (_, tsMs) =>
+          maxTs = math.max(maxTs, tsMs)
+          val b = math.floorDiv(math.floorDiv(tsMs, 1000L), bucketSec) * bucketSec
+          if (b > st.closedHorizon) pending += b -> (pending.getOrElse(b, 0L) + 1L)
+        }
+        val wmSec = math.floorDiv(maxTs - oooMs, 1000L)
+        var ring = st.ring
+        var horizon = st.closedHorizon
+        val out = Vector.newBuilder[RateAnomaly]
+        pending.keys.toSeq.sorted.foreach { b =>
+          if (b + bucketSec <= wmSec) {
+            val n = pending(b)
+            val hist = ring.takeRight(trailing).map(_._2)
+            val z = if (hist.size >= 2) {
+              val mu = hist.sum.toDouble / hist.size
+              val sd = math.sqrt(
+                hist.map(x => (x - mu) * (x - mu)).sum / (hist.size - 1))
+              Some(BigDecimal((n - mu) / math.max(sd, 1.0))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            } else None
+            out += RateAnomaly(key, b, n, z, z.exists(_ >= threshold))
+            ring = (ring :+ (b, n)).takeRight(trailing)
+            horizon = math.max(horizon, b)
+            pending -= b
+          }
+        }
+        state.update(RateState(pending, ring, maxTs, horizon))
+        out.result().iterator
+    }
+  }
+
   /** Gap-based sessionization: every event gains `session_seq` — the
     * 1-based index of its session within its key — where a new session
     * starts when the gap to the previous event exceeds `gap` (same units

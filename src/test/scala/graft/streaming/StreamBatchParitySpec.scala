@@ -204,4 +204,50 @@ class StreamBatchParitySpec extends AnyFunSuite {
         "ONE ROW PER MATCH PATTERN (A{3}) WITHIN '60d' DEFINE A AS value > 50 ) " +
         s"$opts")
   }
+
+  test("parity: windowed rate anomalies (batch window vs stateful stream)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Events
+    // per-type far-future sentinels close every real bucket on the
+    // stream side; their own (still-open / filtered) buckets are cut by
+    // the bucket_start <= realMax bound on both sides
+    val sent = realRows.map(_.event_type).distinct.sorted.zipWithIndex.map {
+      case (t, j) => PEv(20_000_000L + j, 0L, t, 0.0, realMaxTs + 200 * Day)
+    }
+    val all = realRows ++ sent
+    val maxBucket = realMaxTs / 1000
+    def shape(df: DataFrame): Map[(String, Long), (Long, Option[Double], Boolean)] =
+      df.filter(col("bucket_start") <= maxBucket).collect().map { r =>
+        (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+            r.getBoolean(4)))
+      }.toMap
+    val batch = shape(Events.rateAnomalies(
+      all.toDF().select(col("event_type"), timestamp_millis(col("ts")).as("ts")),
+      Seq("event_type"), bucketSec = 3600L))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[PEv]
+    val out = Events.rateAnomaliesStream(
+      mem.toDF().select(col("event_type"), timestamp_millis(col("ts")).as("ts")),
+      "event_type", bucketSec = 3600L)
+    val name = s"rateparity${System.nanoTime()}"
+    val q = out.toDF().writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    all.grouped(math.max(1, all.size / 3)).foreach { chunk =>
+      mem.addData(chunk: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val stream = shape(spark.table(name))
+    assert(batch.keySet == stream.keySet && batch.nonEmpty,
+      s"bucket sets differ: ${(batch.keySet diff stream.keySet).take(3)} / " +
+        s"${(stream.keySet diff batch.keySet).take(3)}")
+    batch.foreach { case (k, (n, z, flag)) =>
+      val (sn, sz, sflag) = stream(k)
+      assert(n == sn && flag == sflag, s"$k: ($n,$z,$flag) vs ($sn,$sz,$sflag)")
+      (z, sz) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 2e-6, s"$k: z $a vs $b")
+        case (a, b) => assert(a == b, s"$k: z $a vs $b")
+      }
+    }
+  }
 }
