@@ -2567,6 +2567,24 @@ object SparkEntry {
           CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR),
           round(avg(n_chars), 6) FROM documents""".stripMargin.trim)),
 
+    Q("q_profile_by",
+      // per-group audit slice: same one-aggregation shape keyed on source
+      (s, dir) => {
+        val d = Tables.load(s, dir)("documents")
+        operators.Profile.profileBy(d, Seq("source"),
+          cols = Seq("doc_id", "lang"), exactDistinct = true)
+      },
+      Some("""
+        SELECT source, 'doc_id' AS col_name, count(*) AS n_rows,
+          count(*) - count(doc_id) AS n_nulls,
+          count(DISTINCT doc_id) AS n_distinct,
+          CAST(min(doc_id) AS VARCHAR) AS min, CAST(max(doc_id) AS VARCHAR) AS max,
+          round(avg(doc_id), 6) AS mean FROM documents GROUP BY source
+        UNION ALL
+        SELECT source, 'lang', count(*), count(*) - count(lang),
+          count(DISTINCT lang), min(lang), max(lang), CAST(NULL AS DOUBLE)
+        FROM documents GROUP BY source""".stripMargin.trim)),
+
     Q("q_redact_cards",
       // Luhn-validated card redaction: one valid and one checksum-broken
       // card are appended by construction; the oracle derives the expected

@@ -27,8 +27,20 @@ object Profile {
   def profile(
       df: DataFrame,
       cols: Seq[String] = Nil,
+      exactDistinct: Boolean = false): DataFrame =
+    profileBy(df, Nil, cols, exactDistinct)
+
+  /** [[profile]] per group: one row per (group, column) — the per-source /
+    * per-language corpus-health slice. Same single-aggregation shape,
+    * keyed on `by` (one partial-agg shuffle on the group columns; the
+    * group cardinality, not the corpus, bounds the result). */
+  def profileBy(
+      df: DataFrame,
+      by: Seq[String],
+      cols: Seq[String] = Nil,
       exactDistinct: Boolean = false): DataFrame = {
-    val targets = if (cols.nonEmpty) cols else df.columns.toSeq
+    val targets =
+      if (cols.nonEmpty) cols else df.columns.toSeq.filterNot(by.contains)
     require(targets.nonEmpty, "nothing to profile")
     val aggs: Seq[Column] = targets.flatMap { c =>
       val x = col(c)
@@ -42,7 +54,9 @@ object Profile {
         (if (isNum) round(avg(x.cast("double")), 6)
          else lit(null).cast("double")).as(s"__avg_$c"))
     } :+ count(lit(1)).as("__rows")
-    val row = df.agg(aggs.head, aggs.tail: _*)
+    val row =
+      if (by.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(by.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val pieces = targets.map { c =>
       struct(
         lit(c).as("col_name"),
@@ -53,6 +67,7 @@ object Profile {
         col(s"__max_$c").as("max"),
         col(s"__avg_$c").as("mean"))
     }
-    row.select(explode(array(pieces: _*)).as("p")).select("p.*")
+    row.select(by.map(col) :+ explode(array(pieces: _*)).as("p"): _*)
+      .select(by.map(col) :+ col("p.*"): _*)
   }
 }

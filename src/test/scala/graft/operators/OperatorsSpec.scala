@@ -1151,6 +1151,12 @@ class OperatorsSpec extends AnyFunSuite {
     // approx mode stays a single non-Expand pass and is near-exact here
     val a = Profile.profile(df).collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(a("id") == 4 && a("s") == 2)
+    // grouped slice: one row per (group, column), group columns excluded
+    val g = Profile.profileBy(df, Seq("s"), exactDistinct = true)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(g.keySet == Set("a", "b", null).flatMap(s =>
+      Set((s, "id"), (s, "v"))))
+    assert(g(("a", "id")) == 2 && g((null, "id")) == 1)
   }
 
   test("perGroupAgg samples the same rows as the sort-based perGroup") {
