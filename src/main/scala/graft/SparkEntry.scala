@@ -2585,6 +2585,43 @@ object SparkEntry {
           count(DISTINCT lang), min(lang), max(lang), CAST(NULL AS DOUBLE)
         FROM documents GROUP BY source""".stripMargin.trim)),
 
+    Q("q_histogram",
+      // explicit-range equi-width histogram with clamping and zero-filled
+      // empty bins (plot-ready shape, one pass over the data)
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = Tables.load(s, dir)("documents")
+        operators.Profile.histogram(d, col("n_chars"), bins = 10, lo = 0.0, hi = 2000.0)
+      },
+      Some("""
+        WITH b AS (SELECT unnest(range(10)) AS bin),
+        c AS (
+          SELECT least(greatest(CAST(floor(n_chars / 200.0) AS INTEGER), 0), 9) AS bin,
+            count(*) AS n
+          FROM documents WHERE n_chars IS NOT NULL GROUP BY 1)
+        SELECT CAST(b.bin AS INTEGER) AS bin,
+          round(b.bin * 200.0, 6) AS bin_lo,
+          round((b.bin + 1) * 200.0, 6) AS bin_hi,
+          coalesce(c.n, 0) AS n
+        FROM b LEFT JOIN c ON b.bin = c.bin""".stripMargin.trim)),
+
+    Q("q_corr_matrix",
+      // one-pass pairwise Pearson over numeric columns (order pairs i<j)
+      (s, dir) => {
+        val d = Tables.load(s, dir)("lineitem")
+        operators.Profile.corrMatrix(d,
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+      },
+      Some("""
+        SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+          round(corr(l_quantity, l_extendedprice), 6) AS pearson FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity', 'l_discount',
+          round(corr(l_quantity, l_discount), 6) FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', 'l_discount',
+          round(corr(l_extendedprice, l_discount), 6) FROM lineitem""".stripMargin.trim)),
+
     Q("q_redact_cards",
       // Luhn-validated card redaction: one valid and one checksum-broken
       // card are appended by construction; the oracle derives the expected

@@ -70,4 +70,56 @@ object Profile {
     row.select(by.map(col) :+ explode(array(pieces: _*)).as("p"): _*)
       .select(by.map(col) :+ col("p.*"): _*)
   }
+
+  /** Equi-width histogram of a numeric column over an EXPLICIT [lo, hi)
+    * range — bounds are caller-supplied so the histogram is one pass (a
+    * min/max pre-pass at 100 TB is a second full scan; take bounds from
+    * [[profile]], which already computed them). Values below `lo` clamp
+    * into bin 0, `hi` and above into the last bin, NULLs drop. Returns
+    * (bin, bin_lo, bin_hi, n) with empty bins present (count 0) so the
+    * shape is plot-ready. One partial-agg shuffle of at most `bins`
+    * groups, then a broadcast join onto the static bin table. */
+  def histogram(
+      df: DataFrame,
+      column: Column,
+      bins: Int,
+      lo: Double,
+      hi: Double): DataFrame = {
+    require(bins >= 1 && bins <= 100000, "bins must be in [1, 100000]")
+    require(lo < hi, "need lo < hi")
+    val w = (hi - lo) / bins
+    val bin = least(greatest(
+      floor((column.cast("double") - lo) / w).cast("int"), lit(0)), lit(bins - 1))
+    val counts = df.filter(column.isNotNull)
+      .groupBy(bin.as("bin")).agg(count(lit(1)).as("n"))
+    val spark = df.sparkSession
+    val all = spark.range(bins).select(
+      col("id").cast("int").as("bin"),
+      round(lit(lo) + col("id") * w, 6).as("bin_lo"),
+      round(lit(lo) + (col("id") + 1) * w, 6).as("bin_hi"))
+    all.join(counts, Seq("bin"), "left")
+      .select(col("bin"), col("bin_lo"), col("bin_hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Pairwise Pearson correlation of numeric columns in ONE aggregation
+    * pass (d·(d-1)/2 `corr` aggregates, map-side partials — the moment
+    * trick [[Fit]] uses, via Spark's built-in corr). One row per ordered
+    * pair (i < j). NULL when a column is constant. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 64, "need 2..64 columns")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      round(corr(col(a).cast("double"), col(b).cast("double")), 6)
+        .as(s"__c_${a}_$b")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val pieces = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"__c_${a}_$b").as("pearson"))
+    }
+    row.select(explode(array(pieces: _*)).as("p")).select("p.*")
+  }
 }

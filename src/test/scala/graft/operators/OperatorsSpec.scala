@@ -1159,6 +1159,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(g(("a", "id")) == 2 && g((null, "id")) == 1)
   }
 
+  test("histogram clamps out-of-range, fills empty bins; corrMatrix signs correlations") {
+    val df = Seq(-5.0, 0.0, 1.0, 2.5, 4.9, 99.0, Double.NaN)
+      .map(Tuple1(_)).toDF("x").filter(!isnan(col("x")))
+    val h = Profile.histogram(df, col("x"), bins = 5, lo = 0.0, hi = 5.0)
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    // -5 clamps into bin 0 (with 0.0); 99 clamps into bin 4 (with 4.9)
+    assert(h == Map(0 -> 2L, 1 -> 1L, 2 -> 1L, 3 -> 0L, 4 -> 2L))
+
+    val c = Seq((1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0), (4.0, 8.5, -4.0))
+      .toDF("a", "b", "c")
+    val m = Profile.corrMatrix(c, Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(m(("a", "b")) > 0.99 && m(("a", "c")) == -1.0 && m(("b", "c")) < -0.99)
+  }
+
   test("perGroupAgg samples the same rows as the sort-based perGroup") {
     def ids(df: org.apache.spark.sql.DataFrame) =
       df.select(col("doc_id")).as[Long].collect().toSet
