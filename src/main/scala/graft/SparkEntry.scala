@@ -2585,6 +2585,27 @@ object SparkEntry {
           count(DISTINCT lang), min(lang), max(lang), CAST(NULL AS DOUBLE)
         FROM documents GROUP BY source""".stripMargin.trim)),
 
+    Q("q_dedup_url",
+      // crawl dedup on the canonical key: 5 decorated fetches of each of
+      // 100 pages collapse to the min-id row; junk rows pass through
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = Tables.load(s, dir)("documents").withColumn("url",
+          when(pmod(col("doc_id"), lit(25)) === 24, lit("junk"))
+            .otherwise(concat(lit("HTTP://Host"),
+              pmod(col("doc_id"), lit(100)).cast("string"), lit(".com/p"),
+              when(pmod(col("doc_id"), lit(2)) === 0, lit("?utm_a=1&gclid=2"))
+                .otherwise(lit("#frag")))))
+        operators.Dedup.exactBy(d, operators.WebOps.canonicalUrl(col("url")))
+          .select("doc_id")
+      },
+      Some("""
+        SELECT doc_id FROM documents
+        WHERE doc_id % 25 = 24
+           OR doc_id = (SELECT min(d2.doc_id) FROM documents d2
+                        WHERE d2.doc_id % 100 = documents.doc_id % 100
+                          AND d2.doc_id % 25 <> 24)""".stripMargin.trim)),
+
     Q("q_histogram",
       // explicit-range equi-width histogram with clamping and zero-filled
       // empty bins (plot-ready shape, one pass over the data)

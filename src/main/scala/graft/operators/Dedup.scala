@@ -28,6 +28,22 @@ object Dedup {
       .select(cols.map(c => col(s"__r.$c")): _*)
   }
 
+  /** [[exact]] on an arbitrary key expression — the crawl-dedup shape
+    * when the key is [[WebOps.canonicalUrl]] (same page fetched under
+    * per-click URL decorations collapses to one row). Keeps the min-id
+    * row per key via the same no-sort `min_by` hash aggregation. Rows
+    * whose key is NULL (junk URLs) pass through UNdeduplicated — an
+    * unparseable URL must never unify distinct rows. */
+  def exactBy(docs: DataFrame, key: Column, idCol: String = "doc_id"): DataFrame = {
+    val cols = docs.columns.toIndexedSeq
+    val withK = docs.withColumn("__k", key)
+    val deduped = withK.filter(col("__k").isNotNull)
+      .groupBy(col("__k"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__r"))
+      .select(cols.map(c => col(s"__r.$c")): _*)
+    deduped.unionByName(withK.filter(col("__k").isNull).drop("__k"))
+  }
+
   /** Streaming exact dedup across micro-batches: keep the FIRST arrival
     * per content fingerprint; duplicates arriving within `delay` of the
     * first are dropped, and per-fingerprint state expires once the

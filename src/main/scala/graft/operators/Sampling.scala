@@ -40,7 +40,14 @@ object Sampling {
 
   /** Disjoint train/validation/test-style splits by cumulative weight.
     * Returns the frame with a `split` label column; weights need not sum
-    * to 1 (the remainder is labeled null and can be filtered). */
+    * to 1 (the remainder is labeled null and can be filtered).
+    *
+    * Leakage note: the bucket derives from `key`, and every row with the
+    * same key lands in the same split — so pass the GROUP identity when
+    * rows are correlated (the near-dup cluster label from
+    * [[Dedup.connectedComponents]], a conversation/session id, a
+    * registered domain), not the row id: a cluster straddling train and
+    * test is train→test leakage a per-row split cannot prevent. */
   def split(df: DataFrame, key: Column, weights: Seq[(String, Double)],
       labelCol: String = "split"): DataFrame = {
     val b = hashBucket(key)
