@@ -69,7 +69,8 @@ object Bench {
       "q_pack_greedy", "q_sample_quantile", "q_curate_semantic",
       "q_dup_spans", "q_bm25", "q_keywords_tfidf",
       "q_html_extract", "q_pagerank", "q_profile", "q_blocklist_filter",
-      "q_sample_pergroup_agg", "q_redact_cards")
+      "q_sample_pergroup_agg", "q_redact_cards", "q_rate_anomalies",
+      "q_split_sentences", "q_hashed_features", "q_line_flags", "q_dedup_url")
     val headline = benchOnly match {
       case Some(ps) => headline0.filter(n => ps.exists(n.startsWith))
       case None     => headline0

@@ -1332,6 +1332,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(c("junk") == null)
   }
 
+  test("exactBy dedups on the key, min-id wins, null keys pass through") {
+    val df = Seq(
+      (3L, "u1"), (1L, "u1"), (2L, "u2"), (4L, null), (5L, null)
+    ).toDF("doc_id", "k")
+    val kept = Dedup.exactBy(df, col("k"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 4L, 5L))
+  }
+
   test("fuzz: canonicalUrl is idempotent over messy URL soup") {
     // canonical(canonical(u)) == canonical(u) — one batched Spark job
     // over seeded-random URLs assembled from hostile parts
