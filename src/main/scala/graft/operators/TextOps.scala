@@ -879,7 +879,16 @@ object TextOps {
     val norm = regexp_replace(lower(text), "[ \\t\\n\\r\\f]+", " ")
     val list = array(phrases.map(p =>
       lit(p.toLowerCase.trim.replaceAll("\\s+", " "))): _*)
-    size(filter(list, p => norm.contains(p)))
+    // fold with the normalized text riding in the accumulator: a plain
+    // filter(list, p => norm.contains(p)) re-normalizes the whole text
+    // once PER PHRASE (no CSE across lambda elements); here norm is
+    // evaluated once as the fold's init
+    aggregate(list,
+      struct(norm.as("t"), lit(0).as("c")),
+      (acc, p) => struct(acc.getField("t").as("t"),
+        (acc.getField("c") +
+          when(acc.getField("t").contains(p), 1).otherwise(0)).as("c")),
+      acc => acc.getField("c"))
   }
 
   /** FineWeb/C4-style line-shape quality flags — the signals the word and
@@ -899,17 +908,23 @@ object TextOps {
       shortLineChars: Int = 30): DataFrame = {
     val stripped = transform(split(col(textCol), "\n"),
       l => regexp_replace(l, "^[ \\t\\r]+|[ \\t\\r]+$", ""))
-    val lines = filter(stripped, l => l =!= "")
+    // materialize the line array once: each output column referencing the
+    // raw chain would re-run split+strip per column (no CSE across
+    // expressions — the hashedNgramFeatures lesson); a non-cheap alias
+    // used 4x is kept by CollapseProject, so this is one evaluation
+    val lines = col("__lf_lines")
     val n = size(lines)
     val punctFrac = when(n === 0, lit(0.0))
       .otherwise(size(filter(lines, l => l.rlike("[.!?\"']$"))).cast("double") / n)
     val shortFrac = when(n === 0, lit(1.0))
       .otherwise(size(filter(lines, l => length(l) < shortLineChars)).cast("double") / n)
     docs
+      .withColumn("__lf_lines", filter(stripped, l => l =!= ""))
       .withColumn("punct_line_frac", round(punctFrac, 6))
       .withColumn("short_line_frac", round(shortFrac, 6))
       .withColumn("flag_line_punct", punctFrac >= minPunctLineFrac)
       .withColumn("flag_short_lines", shortFrac <= maxShortLineFrac)
+      .drop("__lf_lines")
   }
 
   /** fastText-style hashed word-n-gram bag: an array of `dim` bucket
