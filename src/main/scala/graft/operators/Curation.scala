@@ -59,6 +59,40 @@ object Curation {
     kept
   }
 
+  /** [[curate]] from raw crawl HTML — the README front door as one call:
+    * [[HtmlOps.htmlStats]] extraction, the link-density boilerplate gate,
+    * optional canonical-URL exact dedup (when `urlCol` is present — the
+    * cheap first-mile dedup that removes per-click refetches before any
+    * text shingling), then the full text-curation pipeline on the
+    * extracted text. Adds `title` and `link_density` to the survivors.
+    * All parameters pass through to [[curate]]. */
+  def curateWeb(
+      crawl: DataFrame,
+      htmlCol: String = "html",
+      urlCol: String = "url",
+      maxLinkDensity: Double = 0.5,
+      langs: Seq[String] = Seq("en"),
+      minQuality: Double = 0.7,
+      minTokens: Int = 5,
+      maxTokens: Int = 100000,
+      jaccardThreshold: Double = 0.7,
+      idCol: String = "doc_id",
+      ccMaxIter: Int = 20,
+      ccLocalThreshold: Long = 1000000L,
+      lineMaxDf: Int = 0): DataFrame = {
+    val pages = HtmlOps.htmlStats(crawl, htmlCol)
+      .filter(coalesce(col("link_density") < maxLinkDensity, lit(true)))
+    val urlDeduped =
+      if (crawl.columns.contains(urlCol))
+        Dedup.exactBy(pages, WebOps.canonicalUrl(col(urlCol)), idCol)
+      else pages
+    val docs = urlDeduped
+      .drop(htmlCol, "n_tags", "n_anchors", "text") // extracted text wins
+      .withColumnRenamed("text_extracted", "text")
+    curate(docs, langs, minQuality, minTokens, maxTokens, jaccardThreshold,
+      "text", idCol, ccMaxIter, ccLocalThreshold, lineMaxDf)
+  }
+
   /** Embedding-level (SemDeDup) curation: semantic near-dup pairs within
     * spherical-kmeans cells ([[Similarity.semanticPairs]]) → diameter-bounded
     * connected components → each semantic cluster keeps its best member by

@@ -38,7 +38,7 @@ class DocCasesSpec extends AnyFunSuite {
 
   test("README web-curation example: html → text → link gate → curate") {
     import graft.operators._
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, concat, lit}
     val a = "the quick analysis shows that the data is clear and the " +
       "method works with care and the outcome is strong "
     val b = "the long report says that the work is done and the result " +
@@ -61,6 +61,17 @@ class DocCasesSpec extends AnyFunSuite {
     assert(!kept.contains(4L), "link-density gate must drop the nav page")
     assert(kept.intersect(Set(1L, 2L)).size == 1, s"near-dups must collapse: $kept")
     assert(kept.contains(3L), s"distinct doc must survive: $kept")
+    // the one-call front door must agree with the hand-composed pipeline,
+    // and a canonical-URL refetch (same page, tracking param) must
+    // collapse BEFORE text dedup when a url column is present
+    val crawl2 = crawl
+      .withColumn("url", concat(lit("https://s.com/p"), col("doc_id")))
+      .union(Seq((5L, crawl.filter(col("doc_id") === 3L).head().getString(1)))
+        .toDF("doc_id", "html")
+        .withColumn("url", lit("https://s.com/p3?utm_source=x")))
+    val keptWeb = Curation.curateWeb(crawl2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptWeb == kept, s"curateWeb $keptWeb vs composed $kept")
   }
 
   test("doc case: filter + unit conversion + CASE grading (EmitSync analog)") {
