@@ -1,4 +1,4 @@
-package graft
+package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Dev main: per-stage timing of the curation pipeline on the synthetic
   * smoke corpus — where do the seconds go at N docs?
   *
-  *   sbt "runMain graft.PipeProfile 2000000"
+  *   sbt "runMain graft.operators.PipeProfile 2000000"
   */
 object PipeProfile {
   def main(args: Array[String]): Unit = {
@@ -38,21 +38,45 @@ object PipeProfile {
 
     val docs = synthDocs(n)
     t("synth+count") { docs.write.format("noop").mode("overwrite").save() }
-    val filtered = operators.TextOps.analyze(docs)
+    val filtered = TextOps.analyze(docs)
       .filter(col("lang_pred").isin("und", "en") &&
         col("quality") >= 0.0 && col("token_count").between(1, 100000))
       .persist()
     t("analyze+filter+persist") { filtered.count() }
+    // sub-stage breakdown of the minHashPairs plan (mirrors Dedup internals)
+    locally {
+      val withSh = filtered
+        .select(col("doc_id").as("id"),
+          TextOps.shingles(col("text"), 3).as("sh"))
+        .persist()
+      t("  mh: shingle+persist") { withSh.count() }
+      val banded = withSh.select(col("id"),
+        posexplode(graft.functions.TextKernels.minhashBucketsCol(col("sh"), 16, 4)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      t("  mh: band kernel") { banded.write.format("noop").mode("overwrite").save() }
+      val cand = Dedup.bucketPairs(banded, Seq("band", "bucket"), "id", 100000)
+      t("  mh: bucket pairs") { cand.write.format("noop").mode("overwrite").save() }
+      val out = cand
+        .join(withSh.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(withSh.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .withColumn("jaccard",
+          round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))), 6))
+        .filter(col("jaccard") >= 0.7)
+        .select("doc_a", "doc_b", "jaccard")
+      t("  mh: verify join") { out.write.format("noop").mode("overwrite").save() }
+      withSh.unpersist()
+    }
     var pairs: DataFrame = null
-    t("minHashPairs") { pairs = operators.Dedup.minHashPairs(filtered) }
+    t("minHashPairs") { pairs = Dedup.minHashPairs(filtered) }
     println(s"pairs=${pairs.count()}")
     var cc: DataFrame = null
     t("cc distributed") {
-      cc = operators.Dedup.connectedComponents(pairs, localThreshold = 0L)
+      cc = Dedup.connectedComponents(pairs, localThreshold = 0L)
       cc.write.format("noop").mode("overwrite").save()
     }
     t("keepCanonical+materialize") {
-      operators.Dedup.keepCanonical(filtered, pairs, localThreshold = 0L)
+      Dedup.keepCanonical(filtered, pairs, localThreshold = 0L)
         .write.format("noop").mode("overwrite").save()
     }
     spark.stop()
