@@ -176,6 +176,39 @@ object TextKernels {
       Seq(StringType, IntegerType),
       returnNullable = false))
 
+  /** Non-distinct word n-grams of single-space-normalized text, in
+    * document order — the counting twin of [[shinglesCol]] (vocab stats,
+    * LM pair streams, hashed featurization all need every occurrence).
+    * One pass over the string; fewer than n words → empty array. The HOF
+    * formulation (`transform(sequence, i => slice(w, i, n))`) re-evaluates
+    * the split PER GRAM when CollapseProject inlines it — O(words²). */
+  def ngramsCol(normText: Column, n: Int): Column = GraftColumnBridge.column(
+    StaticInvoke(
+      TextKernels.getClass, ArrayType(StringType, containsNull = false),
+      "ngrams",
+      Seq(GraftColumnBridge.expression(normText), Literal(n)),
+      Seq(StringType, IntegerType),
+      returnNullable = false))
+
+  def ngrams(norm: UTF8String, n: Int): ArrayData = {
+    val str = norm.toString
+    val starts = new java.util.ArrayList[Integer]()
+    starts.add(0)
+    var i = str.indexOf(' ')
+    while (i >= 0) { starts.add(i + 1); i = str.indexOf(' ', i + 1) }
+    val words = starts.size()
+    if (words < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](words - n + 1)
+    var w = 0
+    while (w + n <= words) {
+      val from = starts.get(w)
+      val until = if (w + n == words) str.length else starts.get(w + n) - 1
+      out(w) = UTF8String.fromString(str.substring(from, until))
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def shingles(norm: UTF8String, n: Int): ArrayData = {
     val str = norm.toString
     // word start offsets in the single-space-normalized string

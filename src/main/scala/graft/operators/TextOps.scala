@@ -125,11 +125,9 @@ object TextOps {
       idCol: String = "doc_id",
       k: Int = 1000): DataFrame = {
     require(n >= 1, "n must be positive")
-    val w = split(normalize(col(textCol)), " ")
-    val grams = when(size(w) >= n,
-      transform(sequence(lit(1), size(w) - (n - 1)),
-        i => array_join(slice(w, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+    // single-pass kernel: the transform/slice HOF formulation re-splits
+    // the text per gram once CollapseProject inlines the split (O(words²))
+    val grams = graft.functions.TextKernels.ngramsCol(normalize(col(textCol)), n)
     docs.select(col(idCol).as("__id"), explode(grams).as("gram"))
       .filter(length(col("gram")) > 0)
       .groupBy(col("gram"))
@@ -217,11 +215,13 @@ object TextOps {
       alpha: Double = 0.4): DataFrame = {
     def words(c: Column) = split(normalize(c), " ")
     def pairsOf(c: Column): Column = {
-      val w = words(c)
-      when(size(w) >= 2,
-        transform(sequence(lit(1), size(w) - 1), i =>
-          struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2"))))
-        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+      // bigram strings from the single-pass kernel (the element_at HOF
+      // form re-splits the text per pair), split once per (small) gram
+      val grams = graft.functions.TextKernels.ngramsCol(normalize(c), 2)
+      transform(grams, g => {
+        val parts = split(g, " ")
+        struct(element_at(parts, 1).as("w1"), element_at(parts, 2).as("w2"))
+      })
     }
     val refToks = ref.select(explode(words(col(refTextCol))).as("token"))
       .filter(length(col("token")) > 0)
@@ -940,13 +940,9 @@ object TextOps {
       portable: Boolean = true): Column = {
     require(dim >= 2 && dim <= 1024, "dim must be in [2, 1024]")
     require(n >= 1 && n <= 5, "n must be in [1, 5]")
-    val w = split(normalize(text), " ")
-    val grams =
-      if (n == 1) w
-      else when(size(w) >= n,
-        transform(sequence(lit(1), size(w) - (n - 1)), i =>
-          concat_ws(" ", slice(w, i, lit(n)))))
-        .otherwise(array().cast("array<string>"))
+    // single-pass kernel (the slice-per-gram HOF form re-splits the text
+    // per gram — O(words²) once CollapseProject inlines the split)
+    val grams = graft.functions.TextKernels.ngramsCol(normalize(text), n)
     // portable=true buckets by md5 (ANSI-replayable, the oracle path);
     // false buckets by xxhash64 — ~10x cheaper per gram, same
     // fit/score-time consistency, for production fits that need no
