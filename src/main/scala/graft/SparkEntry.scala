@@ -588,6 +588,16 @@ object SparkEntry {
       "SELECT doc_id, unnest(split(text, ' ')) AS word FROM documents WHERE doc_id < 50",
       "SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents WHERE doc_id < 50"),
 
+    gq("q_sentence_unnest",
+      // sentence_split composes with the dialect's unnest — one row per
+      // sentence straight from SQL (terminators injected by construction)
+      "SELECT doc_id, unnest(sentence_split(concat('Alpha. ', text, ' Omega!'))) " +
+        "AS sentence FROM documents WHERE doc_id < 50",
+      "SELECT doc_id, unnest(list_filter(list_transform(regexp_extract_all(" +
+        "regexp_replace('Alpha. ' || text || ' Omega!', '[ \t\n\r\f]+', ' ', 'g'), " +
+        "'[^.!?]+[.!?]*'), x -> trim(x)), x -> x <> '')) AS sentence " +
+        "FROM documents WHERE doc_id < 50"),
+
     Q("q_nested_access",
       // array subscripts (0-based, negative-from-end) and map-key lookup of
       // the dialect (reference: docs/NESTED_FIELD_ACCESS.md) on a derived

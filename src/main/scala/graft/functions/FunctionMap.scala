@@ -199,6 +199,7 @@ object FunctionMap {
         round(graft.operators.HtmlOps.anchorTextLen(a0) /
           nullif(length(graft.operators.HtmlOps.extractText(a0)), lit(0)), 6)
       case "canonical_url" => graft.operators.WebOps.canonicalUrl(a0)
+      case "sentence_split" => graft.operators.TextOps.sentencesArray(a0)
 
       // ---- type predicates (functions_type.go) ----
       case "is_null" => a0.isNull

@@ -966,17 +966,22 @@ object TextOps {
     * dictionary ("Dr." splits), no lookbehind; the fast splitter feeding
     * chunking/windowed dedup, not a linguistics pass. posexplode keeps
     * document order; zero shuffle. */
-  def splitSentences(
-      docs: DataFrame,
-      textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val norm = regexp_replace(col(textCol), "[ \\t\\n\\r\\f]+", " ")
-    val sents = filter(
+  /** The sentence array of one text value (the Column form behind
+    * [[splitSentences]]; also the dialect's `sentence_split`). */
+  def sentencesArray(text: Column): Column = {
+    val norm = regexp_replace(text, "[ \\t\\n\\r\\f]+", " ")
+    filter(
       transform(regexp_extract_all(norm, lit("[^.!?]+[.!?]*"), lit(0)),
         s => trim(s)),
       s => s =!= "")
-    docs.select(col(idCol), posexplode(sents).as(Seq("sent_pos", "sentence")))
   }
+
+  def splitSentences(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+      posexplode(sentencesArray(col(textCol))).as(Seq("sent_pos", "sentence")))
 
   /** Drop documents containing more than `maxHits` distinct blocklist
     * phrases (default 0: any phrase drops the page). */
