@@ -1332,6 +1332,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(c("junk") == null)
   }
 
+  test("media near-dup: duplicate payloads pair through the embedding path") {
+    // the media-dedup story end-to-end on the real plumbing: decode(-stub)
+    // features from extractFeatures feed the generic embedding near-dup —
+    // identical payloads under different ids must pair at cosine ~1
+    val media = Multimodal.syntheticMedia(spark, docs.limit(20))
+    val feats = Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"), col("features"))
+    val dup = feats.withColumn("media_id", col("media_id") + 1000L)
+    val emb = feats.unionByName(dup)
+      .withColumnRenamed("media_id", "vec_id")
+      .withColumnRenamed("features", "embedding")
+    val pairs = Similarity.nearDupPairs(emb, threshold = 0.999)
+      .collect().map(r => (r.getLong(0) min r.getLong(1), r.getLong(0) max r.getLong(1)))
+      .toSet
+    assert((0L until 20L).forall(i => pairs.contains((i, i + 1000L))),
+      s"every payload must pair with its duplicate: ${pairs.take(5)}")
+  }
+
   test("exactBy dedups on the key, min-id wins, null keys pass through") {
     val df = Seq(
       (3L, "u1"), (1L, "u1"), (2L, "u2"), (4L, null), (5L, null)
