@@ -2636,6 +2636,22 @@ object SparkEntry {
           coalesce(c.n, 0) AS n
         FROM b LEFT JOIN c ON b.bin = c.bin""".stripMargin.trim)),
 
+    Q("q_quantiles_by",
+      // per-source quantile slice (exact mode for the oracle; the approx
+      // sketch is the default scale path) — Spark's exact percentile and
+      // DuckDB's quantile_cont share the interpolated-rank definition
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val d = Tables.load(s, dir)("documents")
+        operators.Profile.quantilesBy(d, Seq("source"), col("n_chars"), exact = true)
+      },
+      Some("""
+        SELECT source,
+          unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS p,
+          round(unnest(quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.9, 0.99])), 6)
+            AS value
+        FROM documents GROUP BY source""".stripMargin.trim)),
+
     Q("q_corr_matrix",
       // one-pass pairwise Pearson over numeric columns (order pairs i<j)
       (s, dir) => {

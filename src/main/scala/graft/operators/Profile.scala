@@ -102,6 +102,32 @@ object Profile {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Per-group quantile report of a numeric column: one row per
+    * (group, p) with the interpolated quantile — the latency/length/score
+    * distribution slice next to [[profileBy]]. Default is the mergeable
+    * `percentile_approx` sketch (one pass, map-side partials — the
+    * 100 TB path); `exact = true` switches to the exact interpolated
+    * percentile for small tables and the oracle. */
+  def quantilesBy(
+      df: DataFrame,
+      by: Seq[String],
+      column: Column,
+      ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99),
+      exact: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), "ps in [0,1]")
+    val arr = array(ps.map(lit): _*)
+    val agg = (if (exact) percentile(column, arr)
+               else percentile_approx(column, arr, lit(accuracy))).as("__q")
+    val g =
+      if (by.isEmpty) df.agg(agg)
+      else df.groupBy(by.map(col): _*).agg(agg)
+    g.select(by.map(col) :+ posexplode(col("__q")).as(Seq("__i", "value")): _*)
+      .select(by.map(col) ++ Seq(
+        element_at(arr, col("__i") + 1).as("p"),
+        round(col("value"), 6).as("value")): _*)
+  }
+
   /** Pairwise Pearson correlation of numeric columns in ONE aggregation
     * pass (d·(d-1)/2 `corr` aggregates, map-side partials — the moment
     * trick [[Fit]] uses, via Spark's built-in corr). One row per ordered

@@ -1159,6 +1159,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(g(("a", "id")) == 2 && g((null, "id")) == 1)
   }
 
+  test("quantilesBy: exact interpolation, approx tracks exact, monotone in p") {
+    val df = (1 to 101).map(i => ("g", i.toDouble)).toDF("g", "x")
+    val exact = Profile.quantilesBy(df, Seq("g"), col("x"), exact = true)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    // 101 evenly spaced values: the p-quantile is exactly 1 + 100p
+    Seq(0.25, 0.5, 0.75, 0.9, 0.99).foreach(p =>
+      assert(math.abs(exact(p) - (1 + 100 * p)) < 1e-9, s"p=$p got ${exact(p)}"))
+    val approx = Profile.quantilesBy(df, Seq("g"), col("x"))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    Seq(0.25, 0.5, 0.75, 0.9, 0.99).foreach(p =>
+      assert(math.abs(approx(p) - exact(p)) <= 1.0, s"approx far at p=$p"))
+  }
+
   test("histogram clamps out-of-range, fills empty bins; corrMatrix signs correlations") {
     val df = Seq(-5.0, 0.0, 1.0, 2.5, 4.9, 99.0, Double.NaN)
       .map(Tuple1(_)).toDF("x").filter(!isnan(col("x")))
