@@ -77,7 +77,8 @@ object Bench {
       "q_dup_spans", "q_bm25", "q_keywords_tfidf",
       "q_html_extract", "q_pagerank", "q_profile", "q_blocklist_filter",
       "q_sample_pergroup_agg", "q_redact_cards", "q_rate_anomalies",
-      "q_split_sentences", "q_hashed_features", "q_line_flags", "q_dedup_url")
+      "q_split_sentences", "q_hashed_features", "q_line_flags", "q_dedup_url",
+      "q_histogram", "q_corr_matrix", "q_quantiles_by", "q_crawl_rank")
     val headline = benchOnly match {
       case Some(ps) => headline0.filter(n => ps.exists(n.startsWith))
       case None     => headline0
