@@ -588,6 +588,16 @@ object SparkEntry {
       "SELECT doc_id, unnest(split(text, ' ')) AS word FROM documents WHERE doc_id < 50",
       "SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents WHERE doc_id < 50"),
 
+    gq("q_word_ngrams",
+      // kernel n-grams from dialect SQL (n is a plan-time literal)
+      "SELECT doc_id, unnest(word_ngrams(text, 2)) AS gram FROM documents " +
+        "WHERE doc_id < 30",
+      "SELECT doc_id, unnest(CASE WHEN len(w) >= 2 THEN " +
+        "[array_to_string(w[i:i+1], ' ') for i in range(1, len(w))] " +
+        "ELSE [] END) AS gram FROM (SELECT doc_id, " +
+        "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w " +
+        "FROM documents WHERE doc_id < 30)"),
+
     gq("q_sentence_unnest",
       // sentence_split composes with the dialect's unnest — one row per
       // sentence straight from SQL (terminators injected by construction)

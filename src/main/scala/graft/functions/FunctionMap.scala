@@ -49,7 +49,7 @@ object FunctionMap {
     * semantic literal (type name, format, unit, pattern). */
   val literalArgNames: Set[String] = Set(
     "cast", "encode", "decode", "date_add", "date_sub", "date_diff", "extract",
-    "format", "expr")
+    "format", "expr", "word_ngrams")
 
   /** User-registered aggregate names — the analog of registering a custom
     * function under TypeAggregation (reference: functions/registry.go:12-29

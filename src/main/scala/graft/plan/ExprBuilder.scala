@@ -194,6 +194,11 @@ object ExprBuilder {
       case other => throw new IllegalArgumentException(
         s"${fc.name}: argument ${i + 1} must be a literal, got $other")
     }
+    def litInt(i: Int): Int = fc.args(i) match {
+      case NumberLit(t) => t.toDouble.toInt
+      case other => throw new IllegalArgumentException(
+        s"${fc.name}: argument ${i + 1} must be an integer literal, got $other")
+    }
     fc.lname match {
       case "expr" =>
         fc.args.head match {
@@ -220,6 +225,11 @@ object ExprBuilder {
         else FunctionMap.dateDiffLiteral(arg(0), arg(1), "second")
       case "extract" => FunctionMap.extractLiteral(litStr(0), arg(1))
       case "json_extract" => get_json_object(arg(0), litStr(1))
+      // n-gram array of the normalized text (kernel, non-distinct, in
+      // order) — n is plan-time structural (sets the kernel literal)
+      case "word_ngrams" =>
+        graft.functions.TextKernels.ngramsCol(
+          graft.operators.TextOps.normalize(arg(0)), litInt(1))
       case "format" =>
         if (fc.args.size == 1) arg(0).cast("string")
         else FunctionMap.formatWithPattern(arg(0), litStr(1))
