@@ -2825,6 +2825,34 @@ object SparkEntry {
         d AS (SELECT doc_id, unnest(g) AS g FROM s WHERE doc_id >= 100)
         SELECT d.doc_id, count(*) AS hits FROM d JOIN b USING (g) GROUP BY d.doc_id""".stripMargin.trim)),
 
+    Q("q_contamination_report",
+      // per-benchmark-set contamination audit: eval docs (< 100) labeled
+      // into 3 sets by id, corpus = docs >= 100; report rows carry doc
+      // counts, corpus share, and breadth of gram overlap per set
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = Tables.load(s, dir)("documents")
+        val bench = d.filter(col("doc_id") < 100).withColumn("benchmark",
+          concat(lit("set"), pmod(col("doc_id"), lit(3)).cast("string")))
+        operators.Dedup.contaminationReport(
+          d.filter(col("doc_id") >= 100), bench, n = 8)
+      },
+      Some("""
+        WITH nw AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM documents),
+        s AS (SELECT doc_id, CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+              ELSE list_distinct([array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]) END AS g FROM nw),
+        b AS (SELECT DISTINCT 'set' || (doc_id % 3) AS benchmark, unnest(g) AS g
+              FROM s WHERE doc_id < 100),
+        d AS (SELECT doc_id, unnest(g) AS g FROM s WHERE doc_id >= 100),
+        t AS (SELECT count(*) AS total FROM documents WHERE doc_id >= 100),
+        j AS (SELECT b.benchmark,
+                count(DISTINCT d.doc_id) AS n_docs_contaminated,
+                count(DISTINCT d.g) AS n_grams_matched
+              FROM d JOIN b USING (g) GROUP BY 1)
+        SELECT benchmark, n_docs_contaminated, n_grams_matched,
+          round(n_docs_contaminated::DOUBLE / t.total, 6) AS doc_share
+        FROM j CROSS JOIN t""".stripMargin.trim)),
+
     Q("q_dedup_ngram_blocked",
       (s, dir) => {
         val docs = Tables.load(s, dir)("documents")

@@ -884,6 +884,37 @@ object Dedup {
       .select(col("__id").as(idCol), col("hits"))
   }
 
+  /** Per-benchmark contamination audit — the report read BEFORE deciding
+    * what to drop: for each benchmark set (`benchSetCol` labels which
+    * eval suite a benchmark row belongs to), the number of corpus docs
+    * sharing at least one n-gram, the corpus share, and how many
+    * distinct benchmark grams matched (1 hot boilerplate gram vs broad
+    * overlap read very differently). Same broadcast-gram shape as
+    * [[contamination]]; the report is |benchmark sets| rows. */
+  def contaminationReport(
+      docs: DataFrame,
+      bench: DataFrame,
+      n: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      benchTextCol: String = "text",
+      benchSetCol: String = "benchmark"): DataFrame = {
+    val d = docs.select(col(idCol).as("__id"),
+      explode(TextOps.shingles(col(textCol), n)).as("__g"))
+    val b = bench.select(col(benchSetCol).as("benchmark"),
+        explode(TextOps.shingles(col(benchTextCol), n)).as("__g"))
+      .distinct()
+    val hits = d.join(broadcast(b), Seq("__g"))
+      .groupBy(col("benchmark"))
+      .agg(countDistinct(col("__id")).as("n_docs_contaminated"),
+        countDistinct(col("__g")).as("n_grams_matched"))
+    val total = docs.agg(count(lit(1)).as("__total"))
+    hits.crossJoin(broadcast(total))
+      .withColumn("doc_share",
+        round(col("n_docs_contaminated") / col("__total"), 6))
+      .drop("__total")
+  }
+
   /** Corpus snapshot diff — what changed between two crawls/exports of
     * the same id space: `(doc_id, status)` with status `added` (only in
     * `next`), `removed` (only in `prev`), or `changed` (both, content
