@@ -1345,6 +1345,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(c("junk") == null)
   }
 
+  test("contaminationReport is consistent with the flat contamination flags") {
+    val corpus = docs.filter(col("doc_id") >= 100)
+    val benchDocs = docs.filter(col("doc_id") < 100)
+    val bench = benchDocs.withColumn("benchmark",
+      concat(lit("set"), pmod(col("doc_id"), lit(3)).cast("string")))
+    val rep = Dedup.contaminationReport(corpus, bench).collect()
+    val flat = Dedup.contamination(corpus, benchDocs).count()
+    assert(rep.nonEmpty && flat > 0)
+    // a doc can hit several sets, so per-set counts sum to >= the flat
+    // distinct-doc count; each set alone can never exceed it
+    val perSet = rep.map(_.getLong(1))
+    assert(perSet.sum >= flat && perSet.forall(_ <= flat))
+    rep.foreach { r =>
+      assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.0)
+      assert(r.getLong(2) >= 1) // at least one matched gram per reported set
+    }
+  }
+
   test("media near-dup: duplicate payloads pair through the embedding path") {
     // the media-dedup story end-to-end on the real plumbing: decode(-stub)
     // features from extractFeatures feed the generic embedding near-dup —
