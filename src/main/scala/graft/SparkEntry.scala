@@ -2371,12 +2371,16 @@ object SparkEntry {
       // fastText-style hashed bigram bag (dim=16): the oracle recomputes
       // every gram's md5 bucket and the per-bucket counts in SQL — the
       // same vocabulary-free featurization both engines must agree on for
-      // fit-time and scoring-time parity.
+      // fit-time and scoring-time parity. Output is posexploded to scalar
+      // (doc_id, bucket, cnt) rows so the driver's pandas canonicalization
+      // can lexsort it (array-valued columns crash its hasher, r7 red row).
       (s, dir) => {
         import org.apache.spark.sql.functions._
         val d = Tables.load(s, dir)("documents")
         d.select(col("doc_id"),
           operators.TextOps.hashedNgramFeatures(col("text"), dim = 16).as("features"))
+          .select(col("doc_id"),
+            posexplode(col("features")).as(Seq("bucket", "cnt")))
       },
       Some("""
         WITH t AS (
@@ -2390,9 +2394,10 @@ object SparkEntry {
               ELSE [] END AS grams
           FROM t)
         SELECT doc_id,
-          list_transform(range(0, 16), b -> CAST(len(list_filter(grams,
-            x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 16 = b)) AS INTEGER))
-            AS features
+          CAST(unnest(range(0, 16)) AS INTEGER) AS bucket,
+          unnest(list_transform(range(0, 16), b -> CAST(len(list_filter(grams,
+            x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 16 = b)) AS INTEGER)))
+            AS cnt
         FROM g""".stripMargin.trim)),
 
     Q("q_line_flags",
@@ -2845,13 +2850,17 @@ object SparkEntry {
               FROM s WHERE doc_id < 100),
         d AS (SELECT doc_id, unnest(g) AS g FROM s WHERE doc_id >= 100),
         t AS (SELECT count(*) AS total FROM documents WHERE doc_id >= 100),
+        sets AS (SELECT DISTINCT 'set' || (doc_id % 3) AS benchmark
+                 FROM documents WHERE doc_id < 100),
         j AS (SELECT b.benchmark,
                 count(DISTINCT d.doc_id) AS n_docs_contaminated,
                 count(DISTINCT d.g) AS n_grams_matched
               FROM d JOIN b USING (g) GROUP BY 1)
-        SELECT benchmark, n_docs_contaminated, n_grams_matched,
-          round(n_docs_contaminated::DOUBLE / t.total, 6) AS doc_share
-        FROM j CROSS JOIN t""".stripMargin.trim)),
+        SELECT sets.benchmark,
+          coalesce(j.n_docs_contaminated, 0) AS n_docs_contaminated,
+          coalesce(j.n_grams_matched, 0) AS n_grams_matched,
+          round(coalesce(j.n_docs_contaminated, 0)::DOUBLE / t.total, 6) AS doc_share
+        FROM sets LEFT JOIN j USING (benchmark) CROSS JOIN t""".stripMargin.trim)),
 
     Q("q_dedup_ngram_blocked",
       (s, dir) => {

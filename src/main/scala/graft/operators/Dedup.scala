@@ -890,7 +890,9 @@ object Dedup {
     * sharing at least one n-gram, the corpus share, and how many
     * distinct benchmark grams matched (1 hot boilerplate gram vs broad
     * overlap read very differently). Same broadcast-gram shape as
-    * [[contamination]]; the report is |benchmark sets| rows. */
+    * [[contamination]]; the report is |benchmark sets| rows — sets with
+    * ZERO overlap appear with explicit 0 counts (a missing row would
+    * read as "not audited" rather than "clean"). */
   def contaminationReport(
       docs: DataFrame,
       bench: DataFrame,
@@ -908,8 +910,13 @@ object Dedup {
       .groupBy(col("benchmark"))
       .agg(countDistinct(col("__id")).as("n_docs_contaminated"),
         countDistinct(col("__g")).as("n_grams_matched"))
+    val sets = bench.select(col(benchSetCol).as("benchmark")).distinct()
+    val full = sets.join(hits, Seq("benchmark"), "left")
+      .select(col("benchmark"),
+        coalesce(col("n_docs_contaminated"), lit(0L)).as("n_docs_contaminated"),
+        coalesce(col("n_grams_matched"), lit(0L)).as("n_grams_matched"))
     val total = docs.agg(count(lit(1)).as("__total"))
-    hits.crossJoin(broadcast(total))
+    full.crossJoin(broadcast(total))
       .withColumn("doc_share",
         round(col("n_docs_contaminated") / col("__total"), 6))
       .drop("__total")

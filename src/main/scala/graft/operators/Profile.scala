@@ -136,15 +136,18 @@ object Profile {
     require(cols.size >= 2 && cols.size <= 64, "need 2..64 columns")
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.size
-    } yield (cols(i), cols(j))
-    val aggs = pairs.map { case (a, b) =>
-      round(corr(col(a).cast("double"), col(b).cast("double")), 6)
-        .as(s"__c_${a}_$b")
+    } yield (i, j)
+    // alias by PAIR INDEX, not by name: name-based aliases collide when
+    // column names contain underscores ((a, b_c) and (a_b, c) would both
+    // alias to __c_a_b_c → ambiguous-column AnalysisException)
+    val aggs = pairs.map { case (i, j) =>
+      round(corr(col(cols(i)).cast("double"), col(cols(j)).cast("double")), 6)
+        .as(s"__c_${i}_$j")
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
-    val pieces = pairs.map { case (a, b) =>
-      struct(lit(a).as("col_a"), lit(b).as("col_b"),
-        col(s"__c_${a}_$b").as("pearson"))
+    val pieces = pairs.map { case (i, j) =>
+      struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+        col(s"__c_${i}_$j").as("pearson"))
     }
     row.select(explode(array(pieces: _*)).as("p")).select("p.*")
   }

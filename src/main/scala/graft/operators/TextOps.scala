@@ -834,13 +834,19 @@ object TextOps {
     * separators allowed) that PASS the Luhn check become `<CARD>`;
     * look-alike digit runs that fail the checksum are left alone — the
     * validated-replacement step plain regex redaction cannot do. The
-    * fold applies `replace` per validated candidate (candidate lists are
-    * tiny), so the whole operator is still a scan-speed expression. */
+    * fold applies a boundary-anchored `regexp_replace` per validated
+    * candidate (candidate lists are tiny), so the whole operator is still
+    * a scan-speed expression. The `\b` anchors matter: a plain substring
+    * replace would also rewrite a Luhn-valid 16-digit window INSIDE a
+    * longer digit run elsewhere in the text (e.g. a 17-digit ID),
+    * corrupting a non-card number. Candidates contain only `[0-9 -]` —
+    * no regex metacharacters — so the candidate embeds verbatim. */
   def redactCards(text: Column): Column = {
     val cands = regexp_extract_all(text,
       lit("\\b[0-9](?:[ -]?[0-9]){12,18}\\b"), lit(0))
     val valid = filter(cands, c => luhnValid(c))
-    aggregate(valid, text, (acc, c) => replace(acc, c, lit("<CARD>")))
+    aggregate(valid, text, (acc, c) =>
+      regexp_replace(acc, concat(lit("\\b"), c, lit("\\b")), lit("<CARD>")))
   }
 
   /** Number of DISTINCT blocklist words occurring in `text` (C4's "bad

@@ -123,7 +123,10 @@ object WebOps {
     val p0 = path(url)
     val p = when(p0 === "/", p0)
       .otherwise(regexp_replace(p0, "/+$", ""))
-    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    // anchor to the PRE-fragment part: a '?' inside the fragment (hash-
+    // routing URLs like /p#/route?tab=1) must not leak params into the
+    // canonical key — the fragment is dropped wholesale
+    val query = regexp_extract(url, "^[^#]*\\?([^#]*)", 1)
     val params = filter(split(query, "&"), kv =>
       kv =!= "" &&
         !kv.rlike("^(?i)utm_[a-z0-9_]*=") &&

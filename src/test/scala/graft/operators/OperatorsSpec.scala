@@ -1185,6 +1185,15 @@ class OperatorsSpec extends AnyFunSuite {
     val m = Profile.corrMatrix(c, Seq("a", "b", "c"))
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
     assert(m(("a", "b")) > 0.99 && m(("a", "c")) == -1.0 && m(("b", "c")) < -0.99)
+
+    // underscore-bearing names whose pair aliases would collide under
+    // name-based aliasing ((a, b_c) vs (a_b, c) → same __c_a_b_c):
+    // index-based aliases keep all 6 pairs distinct
+    val u = Seq((1.0, 2.0, 3.0, 4.0), (2.0, 4.0, 5.0, 9.0), (3.0, 5.0, 8.0, 15.0))
+      .toDF("a", "b_c", "a_b", "c")
+    val mu = Profile.corrMatrix(u, Seq("a", "b_c", "a_b", "c")).collect()
+    assert(mu.length == 6)
+    assert(mu.map(r => (r.getString(0), r.getString(1))).distinct.length == 6)
   }
 
   test("perGroupAgg samples the same rows as the sort-based perGroup") {
@@ -1322,7 +1331,11 @@ class OperatorsSpec extends AnyFunSuite {
       (1L, "pay 4111111111111111 now"),
       (2L, "pay 4111111111111112 now"),                            // checksum fails
       (3L, "card 5500 0000 0000 0004 and 4111-1111-1111-1111 x"),  // both valid
-      (4L, "short 123456789012 run")                               // 12 digits: too short
+      (4L, "short 123456789012 run"),                              // 12 digits: too short
+      // a 17-digit NON-card id that CONTAINS a valid 16-digit card as a
+      // substring: the standalone card redacts, the id must stay intact
+      // (a substring replace would corrupt it from the inside)
+      (5L, "id 41111111111111112 and card 4111111111111111 end")
     ).toDF("id", "text")
     val r = df.select(col("id"), TextOps.redactCards(col("text")).as("t"))
       .as[(Long, String)].collect().toMap
@@ -1330,6 +1343,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(2L) == "pay 4111111111111112 now")
     assert(r(3L) == "card <CARD> and <CARD> x")
     assert(r(4L) == "short 123456789012 run")
+    assert(r(5L) == "id 41111111111111112 and card <CARD> end")
   }
 
   test("canonicalUrl strips tracking noise but keeps page identity") {
@@ -1342,6 +1356,10 @@ class OperatorsSpec extends AnyFunSuite {
     assert(c("http://X.com/CaseS") == "http://x.com/CaseS")    // path case preserved
     assert(c("http://x.com/?gclid=1&fbclid=2") == "http://x.com/")
     assert(c("http://x.com") == "http://x.com/")
+    // a '?' INSIDE the fragment (hash-routing) is not a query — the
+    // fragment drops wholesale, params must not leak into the key
+    assert(c("http://x.com/p#/route?tab=1") == "http://x.com/p")
+    assert(c("http://x.com/p?a=1#?b=2") == "http://x.com/p?a=1")
     assert(c("junk") == null)
   }
 
@@ -1361,6 +1379,16 @@ class OperatorsSpec extends AnyFunSuite {
       assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.0)
       assert(r.getLong(2) >= 1) // at least one matched gram per reported set
     }
+    // a benchmark set with ZERO corpus overlap still gets its report row
+    // (explicit 0s — "clean", not "missing/unaudited")
+    val benchPlus = bench.select(col("doc_id"), col("text"), col("benchmark"))
+      .unionByName(Seq((100000L, "zq xv qj wk vx jq kz xq vj wq", "set_clean"))
+        .toDF("doc_id", "text", "benchmark"))
+    val repPlus = Dedup.contaminationReport(corpus, benchPlus)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(repPlus("set_clean") == ((0L, 0L, 0.0)))
+    assert(repPlus.size == rep.length + 1)
   }
 
   test("media near-dup: duplicate payloads pair through the embedding path") {
