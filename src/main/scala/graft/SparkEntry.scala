@@ -1603,15 +1603,36 @@ object SparkEntry {
       // stored-sketch near-dup pairs: signatures materialized once, then
       // banding AND Jaccard-estimate verification run on sketches only —
       // zero text access, the daily-ingest shape at 100 TB. xxhash64-based
-      // sketches have no ANSI-SQL analog, so this is a rows-only driver
-      // check; SketchesSpec pins the differential equality of the
-      // candidate set with the text-side path and the estimator accuracy
+      // sketches have no ANSI-SQL analog, so the sig-path pairs cannot be
+      // oracle-replayed DIRECTLY — instead the entry emits the sig-path
+      // pair set full-outer-diffed against the in-engine text path
+      // (q_dedup_minhash's operator, same fixture + threshold) with a
+      // status column, and the oracle asserts every pair is 'both' and
+      // equals the exact all-pairs Jaccard set. A sig/text divergence OR
+      // a sig-path wrong pair now goes RED in the driver gate (was a bare
+      // rows-only check through r7); SketchesSpec additionally pins
+      // bit-identical banding and estimator accuracy.
       (s, dir) => {
+        import org.apache.spark.sql.functions._
         val docs = Tables.load(s, dir)("documents")
         val sigs = operators.Dedup.minHashSignatures(docs)
-        operators.Dedup.minHashPairsFromSignatures(sigs, threshold = 0.7)
+        val sig = operators.Dedup.minHashPairsFromSignatures(sigs, threshold = 0.7)
+          .select(col("doc_a"), col("doc_b"), lit(true).as("in_sig"))
+        val text = operators.Dedup.minHashPairs(docs, threshold = 0.7)
+          .select(col("doc_a"), col("doc_b"), lit(true).as("in_text"))
+        sig.join(text, Seq("doc_a", "doc_b"), "full_outer")
+          .select(col("doc_a"), col("doc_b"),
+            when(col("in_sig") && col("in_text"), "both")
+              .when(col("in_sig"), "sig_only")
+              .otherwise("text_only").as("status"))
       },
-      None),
+      Some("""
+        WITH n AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM documents),
+        s AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) END AS sh FROM n)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 'both' AS status
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7""".stripMargin.trim)),
 
     Q("q_dedup_incremental",
       // incremental (new-batch-vs-corpus) near-dup pairs: odd ids play
@@ -3052,19 +3073,38 @@ object SparkEntry {
           FROM documents)
         SELECT doc_id, lang, n_chars FROM r WHERE rk <= 7""".stripMargin.trim)),
 
-    // deflate-compressibility quality window — no DuckDB deflate analog, so
-    // no SQL oracle (rows-only gate); bit-level parity with the JVM zlib is
-    // pinned by TextKernelsSpec's differential test
     Q("q_bpe_merges",
       // distributed BPE tokenizer training: the merge table learned from
-      // the corpus word-frequency dict. Iterative (no SQL analog — the
-      // canonical merge sequence is differentially pinned in
-      // OperatorsSpec); rows-only driver check
-      (s, dir) => operators.Bpe.mergesDf(
-        Tables.load(s, dir)("documents"), numMerges = 30),
+      // the corpus word-frequency dict. Iterative — a DuckDB replay would
+      // need one full re-aggregation of the evolving dict per merge round,
+      // which a recursive CTE cannot express over array-rewriting steps,
+      // so no SQL oracle is possible (the canonical merge sequence is
+      // instead differentially pinned in OperatorsSpec). The rows-only
+      // check is strengthened in-entry: the trainer runs TWICE, the second
+      // time on a differently-partitioned input, and each row carries
+      // `stable` = the two runs agreed at that rank — the documented
+      // determinism claim (count-then-lexicographic tie-break) made
+      // visible in the dumped artifact instead of only in a spec.
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val docs = Tables.load(s, dir)("documents")
+        val m1 = operators.Bpe.mergesDf(docs, numMerges = 30)
+        val m2 = operators.Bpe.mergesDf(docs.repartition(7), numMerges = 30)
+          .withColumnsRenamed(Map("left" -> "left2", "right" -> "right2"))
+        m1.join(m2, Seq("rank"), "full_outer")
+          .select(col("rank"), col("left"), col("right"),
+            (col("left") === col("left2") && col("right") === col("right2"))
+              .as("stable"))
+      },
       None),
 
     Q("q_compression_window",
+      // DEFLATE compressibility flags: DuckDB exposes no deflate/zlib
+      // function, so no SQL oracle is possible for this query in
+      // principle; the kernel is instead differentially pinned against
+      // java.util.zip.Deflater in OperatorsSpec (bit-exact byte counts),
+      // which is the stronger check anyway — same codec family the
+      // production pipeline would use.
       (s, dir) => {
         import org.apache.spark.sql.functions.col
         operators.TextOps.compressionMetrics(
