@@ -143,7 +143,7 @@ class SketchesSpec extends AnyFunSuite {
     q.processAllAvailable()
     mem.addData(Seq.fill(3)("a") ++ Seq.fill(4)("c"): _*)
     q.processAllAvailable()
-    q.stop()
+    SparkTestBase.stopQuietly(q)
     val got = spark.table("hh_stream").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     // counts accumulate across both micro-batches

@@ -45,7 +45,7 @@ class IngestSpec extends AnyFunSuite {
       .outputMode("append").start()
     mem.addData("""{"deviceId":"d1","temperature":1.0}""", "broken", "{}")
     q.processAllAvailable()
-    q.stop()
+    SparkTestBase.stopQuietly(q)
     // "{}" parses to an all-null struct (valid JSON) — only "broken" drops
     assert(spark.table("ingestout").count() == 2)
   }
@@ -66,7 +66,7 @@ class IngestSpec extends AnyFunSuite {
     def st = metrics.stats(q)
     while (st.inputCount < 5 && System.currentTimeMillis() < deadline)
       Thread.sleep(50)
-    q.stop()
+    SparkTestBase.stopQuietly(q)
     val s = st
     assert(s.inputCount == 5, s)
     assert(s.outputCount == 2, s)   // two valid rows reach the sink

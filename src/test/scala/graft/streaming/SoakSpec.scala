@@ -78,7 +78,7 @@ class SoakSpec extends AnyFunSuite {
       val trace = (0 until 8).map { _ =>
         Thread.sleep(400); stateRows
       }
-      q.stop()
+      SparkTestBase.stopQuietly(q)
       assert(trace.max <= 2, s"state floor not flat: $trace (peak $peak)")
       assert(trace.max < peak / 100, s"floor ${trace.max} not << burst peak $peak")
     } finally {
@@ -118,7 +118,7 @@ class SoakSpec extends AnyFunSuite {
     mem.addData((1001L, "advance two", 61000L))
     q.processAllAvailable()
     val floor = stateRows
-    q.stop()
+    SparkTestBase.stopQuietly(q)
     assert(floor <= 5, s"dedup state not drained: $floor of peak $peak")
   }
 

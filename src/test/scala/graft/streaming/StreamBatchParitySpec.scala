@@ -62,7 +62,7 @@ class StreamBatchParitySpec extends AnyFunSuite {
       mem.addData(chunk: _*)
       q.processAllAvailable()
     }
-    q.stop()
+    SparkTestBase.stopQuietly(q)
     spark.table(name)
   }
 
@@ -236,7 +236,7 @@ class StreamBatchParitySpec extends AnyFunSuite {
     all.grouped(math.max(1, all.size / 3)).foreach { chunk =>
       mem.addData(chunk: _*); q.processAllAvailable()
     }
-    q.stop()
+    SparkTestBase.stopQuietly(q)
     val stream = shape(spark.table(name))
     assert(batch.keySet == stream.keySet && batch.nonEmpty,
       s"bucket sets differ: ${(batch.keySet diff stream.keySet).take(3)} / " +

@@ -36,7 +36,7 @@ class StreamingSpec extends AnyFunSuite {
       mem.addData(chunk: _*)
       query.processAllAvailable()
     }
-    query.stop()
+    SparkTestBase.stopQuietly(query)
     spark.table(name)
   }
 
@@ -269,7 +269,7 @@ class StreamingSpec extends AnyFunSuite {
       got = spark.table("idlewin").collect()
         .map(r => (r.getLong(1), r.getLong(2))).toSeq
     }
-    q.stop()
+    SparkTestBase.stopQuietly(q)
     assert(got == Seq((2L, 1L)), s"expected idle-flushed window, got $got")
   }
 
@@ -312,7 +312,7 @@ class StreamingSpec extends AnyFunSuite {
       got = spark.table("idleplain").collect()
         .map(r => (r.getDouble(1), r.getLong(2))).toSeq
     }
-    q.stop()
+    SparkTestBase.stopQuietly(q)
     assert(got == Seq((4.0, 0L)), s"expected idle-flushed window, got $got")
   }
 
@@ -362,7 +362,7 @@ class StreamingSpec extends AnyFunSuite {
       got = spark.table("idleout").collect()
         .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
     }
-    query.stop()
+    SparkTestBase.stopQuietly(query)
     assert(got.contains(("d1", 1L, 70.0)), s"expected flushed d1 match, got $got")
   }
 
@@ -483,7 +483,7 @@ class StreamingSpec extends AnyFunSuite {
         got = spark.table("twsttl").collect()
           .map(r => (r.getDouble(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toSeq
       }
-      query.stop()
+      SparkTestBase.stopQuietly(query)
       assert(got.toSet == Set((10.0, None), (20.0, Some(10.0))), s"got $got")
     } finally {
       prev match {
@@ -569,7 +569,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(first.contains((7.0, 7.0)), s"first flush: $first")
     mem.addData(Ev("d1", 10, 5000, "a")) // window [4s,6s)
     val second = poll(2) // second idle flush: run continues 7 + 10 = 17
-    q.stop()
+    SparkTestBase.stopQuietly(q)
     assert(second.toSet == Set((7.0, 7.0), (10.0, 17.0)), s"got $second")
   }
 
@@ -662,7 +662,7 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable()
     mem.addData(Ev("d1", 1, 4, "a"), Ev("d1", 3, 5, "a"))
     q.processAllAvailable()
-    q.stop()
+    SparkTestBase.stopQuietly(q)
     assert(seen.filter(_.nonEmpty).toSeq == Seq(Seq(9.0, 7.0), Seq(3.0, 1.0)))
   }
 
@@ -685,7 +685,7 @@ class StreamingSpec extends AnyFunSuite {
     // alpha's state was reaped — a fresh copy is new again (bounded state)
     mem.addData((5L, "alpha", 61000L))
     q.processAllAvailable()
-    q.stop()
+    SparkTestBase.stopQuietly(q)
     val ids = spark.table("dedup_stream").select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(ids == Set(1L, 2L, 4L, 5L))
@@ -709,7 +709,7 @@ class StreamingSpec extends AnyFunSuite {
     // batch 2: the same pair again within the watermark → suppressed
     mem.addData((1L, "alpha beta gamma delta epsilon", 2000L))
     q.processAllAvailable()
-    q.stop()
+    SparkTestBase.stopQuietly(q)
     val got = spark.table("neardup_stream")
       .select("doc_new", "doc_corpus", "jaccard").collect()
     assert(got.length == 1)
@@ -737,7 +737,7 @@ class StreamingSpec extends AnyFunSuite {
     // repeat within the watermark → pair-dedup suppresses the re-emit
     mem.addData((1L, "alpha beta gamma delta epsilon", 2000L))
     q.processAllAvailable()
-    q.stop()
+    SparkTestBase.stopQuietly(q)
     val got = spark.table("neardup_sig_stream")
       .select("doc_new", "doc_corpus", "jaccard_est").collect()
     assert(got.length == 1)
@@ -763,7 +763,7 @@ class StreamingSpec extends AnyFunSuite {
     // re-emission within the watermark: still one flagged row for doc 1
     mem.addData((1L, "leaked copy of the secret holdout answer key inside", 2000L))
     q.processAllAvailable()
-    q.stop()
+    SparkTestBase.stopQuietly(q)
     val ids = spark.table("contam_stream").select("doc_id")
       .collect().map(_.getLong(0)).toSeq
     assert(ids == Seq(1L))
