@@ -346,6 +346,33 @@ object Bench {
                 .write.format("noop").mode("overwrite").save()
             } catch { case _: Throwable => -1.0 }
         }
+        // BPE training smokes: the corpus pass sees 2M docs (80M tokens)
+        // but the merge loop runs on the VOCAB-bounded dict (5000
+        // synthetic words) — these entries prove a thousand merge rounds
+        // complete in seconds-to-minutes, i.e. the loop cost is
+        // corpus-size-independent (r7's full re-aggregation trainer was
+        // O(vocab·wordLen) per round and capped practical training at
+        // tens of merges). bpe_1k_merges_sec exercises the DEFAULT path
+        // (vocab fits → driver-local incremental trainer; the cluster
+        // does only the corpus pass); bpe_dist_100_merges_sec forces the
+        // distributed incremental loop (localThreshold=0) to track its
+        // per-round cost for the giant-vocab regime.
+        val bpeMerges =
+          sys.env.getOrElse("SPARK_GRAFT_BPE_SMOKE_MERGES", "1000").toInt
+        if (bpeMerges > 0) {
+          scaleSmoke("bpe_1k_merges_sec") =
+            try timedEager {
+              val m = operators.Bpe.trainMerges(
+                synthDocs(smokeRows / 10), numMerges = bpeMerges)
+              scaleSmoke("bpe_merges_learned") = m.size.toDouble
+            } catch { case _: Throwable => -1.0 }
+          scaleSmoke("bpe_dist_100_merges_sec") =
+            try timedEager {
+              operators.Bpe.trainMerges(synthDocs(smokeRows / 10),
+                numMerges = math.min(100, bpeMerges), localThreshold = 0L)
+            } catch { case _: Throwable => -1.0 }
+        }
+
         // memory-heavy stages: interleaved passes, per-label median
         val heavy: Seq[(String, Long => Unit)] = Seq(
           "curate" -> { n: Long =>

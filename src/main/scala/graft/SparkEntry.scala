@@ -3080,16 +3080,18 @@ object SparkEntry {
       // which a recursive CTE cannot express over array-rewriting steps,
       // so no SQL oracle is possible (the canonical merge sequence is
       // instead differentially pinned in OperatorsSpec). The rows-only
-      // check is strengthened in-entry: the trainer runs TWICE, the second
-      // time on a differently-partitioned input, and each row carries
-      // `stable` = the two runs agreed at that rank — the documented
-      // determinism claim (count-then-lexicographic tie-break) made
-      // visible in the dumped artifact instead of only in a spec.
+      // check is strengthened in-entry: the trainer runs TWICE — once on
+      // the default driver-local path, once FORCING the distributed
+      // incremental loop (localThreshold=0) on a differently-partitioned
+      // input — and each row carries `stable` = both implementations
+      // agreed at that rank, making the determinism claim AND the
+      // local/distributed equivalence visible in the dumped artifact.
       (s, dir) => {
         import org.apache.spark.sql.functions._
         val docs = Tables.load(s, dir)("documents")
         val m1 = operators.Bpe.mergesDf(docs, numMerges = 30)
-        val m2 = operators.Bpe.mergesDf(docs.repartition(7), numMerges = 30)
+        val m2 = operators.Bpe.mergesDf(docs.repartition(7), numMerges = 30,
+            localThreshold = 0L)
           .withColumnsRenamed(Map("left" -> "left2", "right" -> "right2"))
         m1.join(m2, Seq("rank"), "full_outer")
           .select(col("rank"), col("left"), col("right"),

@@ -505,4 +505,122 @@ object TextKernels {
     }
     buckets
   }
+
+  // ------------------------------------------------------------ BPE apply
+
+  /** Apply a learned BPE merge table to single-space-normalized text —
+    * the scan-speed deployment half of `graft.operators.Bpe`: per word,
+    * repeatedly merge the LOWEST-RANK adjacent pair present (provably
+    * identical to replaying the table in rank order — a merged symbol
+    * can only participate in later-rank pairs — but O(wordLen²) per word
+    * instead of O(ranks·wordLen), and crucially ONE expression node: the
+    * plan-time fold unrolling of `Bpe.segmentCol` nests one `aggregate`
+    * HOF per rank and stops being compilable around a few dozen ranks,
+    * while a production table has thousands). The merge table rides in
+    * as two literal string arrays; each executor thread parses it into a
+    * rank map once (identity-cached). */
+  def bpeSegmentCol(
+      normText: Column, lefts: Seq[String], rights: Seq[String],
+      sentinel: String): Column = GraftColumnBridge.column(
+    StaticInvoke(
+      TextKernels.getClass, ArrayType(StringType, containsNull = false),
+      "bpeSegment",
+      Seq(GraftColumnBridge.expression(normText),
+        Literal.create(lefts, ArrayType(StringType, containsNull = false)),
+        Literal.create(rights, ArrayType(StringType, containsNull = false)),
+        Literal(sentinel)),
+      Seq(StringType, ArrayType(StringType, containsNull = false),
+        ArrayType(StringType, containsNull = false), StringType),
+      returnNullable = false))
+
+  /** Per-thread parse cache for the merge table: (identity of the lefts
+    * literal, rank map "l r" → rank, lefts, rights). The literal
+    * ArrayData instance is shared across rows of a partition, so each
+    * thread parses once per table. */
+  private val bpeTableCache =
+    new ThreadLocal[(AnyRef, java.util.HashMap[String, Integer],
+      Array[String], Array[String])]
+
+  private def bpeTable(lefts: ArrayData, rights: ArrayData)
+      : (java.util.HashMap[String, Integer], Array[String], Array[String]) = {
+    val cached = bpeTableCache.get()
+    if (cached != null && (cached._1 eq lefts)) (cached._2, cached._3, cached._4)
+    else {
+      val n = lefts.numElements()
+      val ls = new Array[String](n)
+      val rs = new Array[String](n)
+      val ranks = new java.util.HashMap[String, Integer](n * 2)
+      var i = 0
+      while (i < n) {
+        ls(i) = lefts.getUTF8String(i).toString
+        rs(i) = rights.getUTF8String(i).toString
+        // first (lowest) rank wins if a pair repeats
+        ranks.putIfAbsent(ls(i) + " " + rs(i), Integer.valueOf(i))
+        i += 1
+      }
+      bpeTableCache.set((lefts, ranks, ls, rs))
+      (ranks, ls, rs)
+    }
+  }
+
+  def bpeSegment(
+      norm: UTF8String, lefts: ArrayData, rights: ArrayData,
+      sentinel: UTF8String): ArrayData = {
+    val (ranks, ls, rs) = bpeTable(lefts, rights)
+    val sent = sentinel.toString
+    val str = norm.toString
+    val out = new java.util.ArrayList[Any]()
+    var start = 0
+    while (start <= str.length) {
+      val sp = str.indexOf(' ', start)
+      val end = if (sp < 0) str.length else sp
+      if (end > start) segmentWord(str.substring(start, end), sent, ranks, ls, rs, out)
+      start = end + 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  private def segmentWord(
+      word: String, sentinel: String,
+      ranks: java.util.HashMap[String, Integer],
+      ls: Array[String], rs: Array[String],
+      out: java.util.ArrayList[Any]): Unit = {
+    // initial symbols: code points (matches split(word, "")) + sentinel
+    val syms = new java.util.ArrayList[String](word.length + 1)
+    var i = 0
+    while (i < word.length) {
+      val cc = Character.charCount(word.codePointAt(i))
+      syms.add(word.substring(i, i + cc))
+      i += cc
+    }
+    syms.add(sentinel)
+    var continue = true
+    while (continue && syms.size > 1) {
+      // lowest-rank adjacent pair present
+      var best = Int.MaxValue
+      var j = 0
+      while (j < syms.size - 1) {
+        val r = ranks.get(syms.get(j) + " " + syms.get(j + 1))
+        if (r != null && r.intValue() < best) best = r.intValue()
+        j += 1
+      }
+      if (best == Int.MaxValue) continue = false
+      else {
+        // one greedy left-to-right pass of that pair (same as mergeOnce)
+        val l = ls(best); val r = rs(best)
+        val merged = new java.util.ArrayList[String](syms.size)
+        var k = 0
+        while (k < syms.size) {
+          val x = syms.get(k)
+          if (!merged.isEmpty && merged.get(merged.size - 1) == l && x == r)
+            merged.set(merged.size - 1, l + r)
+          else merged.add(x)
+          k += 1
+        }
+        syms.clear(); syms.addAll(merged)
+      }
+    }
+    var t = 0
+    while (t < syms.size) { out.add(UTF8String.fromString(syms.get(t))); t += 1 }
+  }
 }

@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Distributed byte-pair-encoding merge training (Sennrich et al. 2016) —
   * the tokenizer-training step of an LLM data pipeline, run where the data
@@ -11,11 +13,22 @@ import org.apache.spark.sql.functions._
   * table — the only job whose cost grows with corpus size; BPE statistics
   * are a function of that table alone, and its row count is the corpus
   * VOCABULARY (bounded, near-constant once the corpus is large), so every
-  * merge round runs on a tiny distributed table: pair-count aggregation
-  * (partial combine), a 1-row top-pair collect (the model parameter being
-  * learned — inherently driver-side), and a scan-speed greedy re-merge of
-  * the segmentations. Lineage is truncated per round (localCheckpoint,
-  * same discipline as [[Dedup.connectedComponents]]) so plans stay O(1).
+  * merge round runs on tiny distributed tables.
+  *
+  * The merge loop maintains the (l, r, n) pair-count table INCREMENTALLY
+  * (the classic single-node trainer optimization, distributed): a merge
+  * only changes counts of pairs adjacent to an (l, r) occurrence, so each
+  * round touches the affected words alone — old adjacencies are debited,
+  * new adjacencies around the merged symbol credited, and the standing
+  * pair table is patched with the exact integer deltas instead of
+  * re-exploding and re-aggregating the whole dict (which made the r7
+  * trainer O(vocab · avgWordLen) PER ROUND and capped practical training
+  * at tens of merges; thousands are now routine — see the bench 1k-merge
+  * smoke). Per round: one 1-row top-pair collect (the model parameter
+  * being learned — inherently driver-side) and two small materializations.
+  * Both working tables are pinned as explicitly-persisted RDDs and the
+  * previous round's are freed, so neither plan depth nor cached-block
+  * count grows with the merge count.
   */
 object Bpe {
 
@@ -28,43 +41,191 @@ object Bpe {
     *
     * @param minCount stop early when the best pair occurs fewer times
     * @return merges in rank order, e.g. `("e","s") :: ("es","t") :: …` */
+  /** Adjacent symbol pairs of a segmentation, in order, with
+    * multiplicity — the unit of BPE statistics. */
+  private def adjPairs(syms: Column): Column =
+    zip_with(
+      slice(syms, lit(1), size(syms) - 1),
+      slice(syms, lit(2), size(syms) - 1),
+      (a, b) => struct(a.as("l"), b.as("r")))
+
+  /** Pin a small working table as an explicitly-persisted RDD (so the
+    * previous round's copy can be FREED — localCheckpoint blocks cannot
+    * be) and rebuild a DataFrame over it, truncating lineage. The tables
+    * are vocab-bounded (thousands to a few million rows), so they are
+    * coalesced to `parts` partitions — running each merge round's jobs
+    * as 32-way task storms over a 5k-row dict is pure launch overhead
+    * (measured 2.3 s/round at 32 partitions vs 0.3 at 1). */
+  private def pin(df: DataFrame, parts: Int): (DataFrame, RDD[Row]) = {
+    val rdd = df.coalesce(parts).rdd
+    rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    // persist alone does NOT truncate lineage — without this the task
+    // binary regrows every round until deserialization stack-overflows
+    // (~round 50); localCheckpoint cuts the dependency chain at the
+    // cached blocks while the RDD handle stays free-able
+    rdd.localCheckpoint()
+    rdd.count()
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+  }
+
+  /** Partition count for a vocab-bounded working table: ~1 per 100k rows,
+    * capped — keeps small dicts single-task and million-word dicts
+    * parallel. */
+  private def partsFor(rows: Long): Int =
+    math.max(1L, math.min(64L, rows / 100000L)).toInt
+
   def trainMerges(
       docs: DataFrame,
       numMerges: Int,
       textCol: String = "text",
-      minCount: Long = 2L): Seq[(String, String)] = {
+      minCount: Long = 2L,
+      localThreshold: Long = 2000000L): Seq[(String, String)] = {
     require(numMerges > 0, "numMerges must be positive")
     // the one corpus-sized job: normalized word frequencies
     val words = docs
       .select(explode(split(TextOps.normalize(col(textCol)), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("cnt"))
+    // the dict row count is the corpus VOCABULARY — a model-sized table,
+    // not a data-sized one (the same adjudication as k-means centroids
+    // and Dedup.connectedComponents' localThreshold union-find): when it
+    // fits comfortably on the driver, the merge loop runs there against
+    // in-memory pair indexes — thousands of merges in seconds — and the
+    // cluster is only used for the corpus-sized counting pass (and for
+    // scan-speed tokenize afterwards). The distributed incremental loop
+    // below is the giant-vocab / forced (localThreshold=0) path.
+    val vocab = words.count()
+    if (vocab <= localThreshold && vocab > 0) {
+      val w = words.collect().map(r => (r.getString(0), r.getLong(1)))
+      return trainMergesLocal(w, numMerges, minCount)
+    }
+    val dictParts = partsFor(vocab)
     // initial segmentation: characters + the end-of-word sentinel
-    var dict = words
+    var (dict, dictRdd) = pin(words
       .select(concat(split(col("w"), ""), array(lit(EndOfWord))).as("syms"),
-        col("cnt"))
-      .localCheckpoint(false)
+        col("cnt")), dictParts)
+    // standing pair counts — built ONCE by full aggregation, then patched
+    // with per-merge deltas
+    var (pairs, pairsRdd) = pin(dict
+      .select(explode(adjPairs(col("syms"))).as("p"), col("cnt"))
+      .select(col("p.l").as("l"), col("p.r").as("r"), col("cnt"))
+      .groupBy("l", "r").agg(sum(col("cnt")).as("n")), dictParts)
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var round = 0
     var done = false
     while (round < numMerges && !done) {
-      val best = dict
-        .select(col("cnt"), explode(zip_with(
-          slice(col("syms"), lit(1), size(col("syms")) - 1),
-          slice(col("syms"), lit(2), size(col("syms")) - 1),
-          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
-        .groupBy(col("p.l"), col("p.r"))
-        .agg(sum(col("cnt")).as("n"))
-        .orderBy(col("n").desc, col("l"), col("r"))
+      // deterministic top pair: count, then lexicographic (l, r)
+      val best = pairs.orderBy(col("n").desc, col("l"), col("r"))
         .limit(1).collect()
       if (best.isEmpty || best(0).getLong(2) < minCount) done = true
       else {
         val (l, r) = (best(0).getString(0), best(0).getString(1))
         merges += ((l, r))
-        dict = dict
-          .withColumn("syms", mergeOnce(col("syms"), l, r))
-          .localCheckpoint(false)
+        val hasP = exists(adjPairs(col("syms")),
+          p => p("l") === lit(l) && p("r") === lit(r))
+        // exact count deltas from the affected words alone: debit every
+        // old adjacency, credit every new one (multiplicities included —
+        // transform keeps duplicates, the groupBy sums them)
+        val deltas = dict.filter(hasP)
+          .withColumn("__new", mergeOnce(col("syms"), l, r))
+          .select(explode(concat(
+            transform(adjPairs(col("syms")),
+              p => struct(p("l").as("l"), p("r").as("r"), (-col("cnt")).as("dn"))),
+            transform(adjPairs(col("__new")),
+              p => struct(p("l").as("l"), p("r").as("r"), col("cnt").as("dn"))))).as("d"))
+          .select(col("d.l").as("l"), col("d.r").as("r"), col("d.dn").as("dn"))
+          .groupBy("l", "r").agg(sum(col("dn")).as("dn"))
+        val (newPairs, newPairsRdd) = pin(pairs
+          .join(deltas, Seq("l", "r"), "full_outer")
+          .select(col("l"), col("r"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"))
+          .filter(col("n") > 0), dictParts)
+        val (newDict, newDictRdd) = pin(dict.select(
+          when(hasP, mergeOnce(col("syms"), l, r)).otherwise(col("syms")).as("syms"),
+          col("cnt")), dictParts)
+        pairsRdd.unpersist(false); dictRdd.unpersist(false)
+        pairs = newPairs; pairsRdd = newPairsRdd
+        dict = newDict; dictRdd = newDictRdd
         round += 1
+      }
+    }
+    pairsRdd.unpersist(false); dictRdd.unpersist(false)
+    merges.toSeq
+  }
+
+  /** Driver-local incremental trainer over the collected vocab — the
+    * fast path when the dict fits on the driver (it is model-sized:
+    * corpus vocabulary, not corpus rows). Same algorithm as the
+    * distributed loop: standing pair counts patched with exact per-merge
+    * deltas from affected words only, best pair by (count desc, then
+    * lexicographic (l, r)). An occurrence index (pair → word ids) makes
+    * each round O(affected words · word length) plus one O(#pairs) scan
+    * for the arg-max; thousands of merges run in seconds. Tie-break uses
+    * Java string order — identical to the distributed path's UTF8String
+    * binary order except for supplementary-plane characters tied at
+    * equal counts (UTF-16 vs UTF-8 code-unit order), a divergence no
+    * realistic corpus hits. */
+  private[operators] def trainMergesLocal(
+      words: Array[(String, Long)],
+      numMerges: Int,
+      minCount: Long): Seq[(String, String)] = {
+    import scala.collection.mutable
+    val syms = words.map { case (w, _) =>
+      val b = mutable.ArrayBuffer[String]()
+      w.foreach(c => b += c.toString)
+      b += EndOfWord
+      b
+    }
+    val cnts = words.map(_._2)
+    val counts = mutable.HashMap[(String, String), Long]()
+    val occurs = mutable.HashMap[(String, String), mutable.HashSet[Int]]()
+    def wordPairs(s: mutable.ArrayBuffer[String]): Seq[(String, String)] = {
+      val out = new mutable.ArrayBuffer[(String, String)](s.length)
+      var j = 0
+      while (j < s.length - 1) { out += ((s(j), s(j + 1))); j += 1 }
+      out.toSeq
+    }
+    def credit(p: (String, String), d: Long): Unit = {
+      val nv = counts.getOrElse(p, 0L) + d
+      if (nv == 0L) counts.remove(p) else counts(p) = nv
+    }
+    for (i <- syms.indices; p <- wordPairs(syms(i))) {
+      credit(p, cnts(i))
+      occurs.getOrElseUpdate(p, mutable.HashSet[Int]()) += i
+    }
+    def mergeInPlace(i: Int, l: String, r: String): Unit = {
+      val s = syms(i)
+      val out = new mutable.ArrayBuffer[String](s.length)
+      s.foreach { x =>
+        if (out.nonEmpty && out.last == l && x == r)
+          out(out.length - 1) = l + r
+        else out += x
+      }
+      syms(i) = out
+    }
+    val merges = mutable.ArrayBuffer[(String, String)]()
+    var done = false
+    while (merges.size < numMerges && !done) {
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), n) = counts.minBy { case ((a, b), m) => (-m, a, b) }
+        if (n < minCount) done = true
+        else {
+          merges += ((l, r))
+          val affected = occurs.getOrElse((l, r), mutable.HashSet[Int]()).toArray
+          for (i <- affected) {
+            val old = wordPairs(syms(i))
+            old.foreach(credit(_, -cnts(i)))
+            old.distinct.foreach { p =>
+              occurs.get(p).foreach { s => s -= i; if (s.isEmpty) occurs.remove(p) }
+            }
+            mergeInPlace(i, l, r)
+            val now = wordPairs(syms(i))
+            now.foreach(credit(_, cnts(i)))
+            now.distinct.foreach(p =>
+              occurs.getOrElseUpdate(p, mutable.HashSet[Int]()) += i)
+          }
+        }
       }
     }
     merges.toSeq
@@ -84,9 +245,11 @@ object Bpe {
 
   /** Segment one word (no whitespace) with a learned merge table: char
     * split + sentinel, then the merges replayed in rank order. The merge
-    * loop unrolls at plan-build time — fine for the tens-of-merges tests
-    * run in-engine; export the merge table to a real tokenizer for
-    * 50k-vocab production use. */
+    * loop unrolls at plan-build time — fine for tens of merges (and kept
+    * as the pure-Catalyst reference the kernel path is pinned against);
+    * [[tokenize]] switches to the single-expression
+    * `TextKernels.bpeSegmentCol` kernel beyond that, which applies
+    * thousand-rank production tables at scan speed. */
   def segmentCol(word: Column, merges: Seq[(String, String)]): Column =
     merges.foldLeft(concat(split(word, ""), array(lit(EndOfWord)))) {
       case (syms, (l, r)) => mergeOnce(syms, l, r)
@@ -94,16 +257,28 @@ object Bpe {
 
   /** Tokenize a corpus with a learned merge table: adds `outCol` =
     * flattened BPE pieces of the normalized text. Scan-speed (per-row
-    * expressions only), one scan, no shuffle. */
+    * expressions only), one scan, no shuffle.
+    *
+    * Small tables (≤16 ranks) stay on the pure-Catalyst fold unrolling;
+    * larger tables — now trainable in the thousands — switch to the
+    * [[graft.functions.TextKernels.bpeSegmentCol]] single-pass kernel
+    * (min-rank greedy apply, provably identical output), because one
+    * nested `aggregate` HOF per rank stops being analyzable/compilable
+    * around a few dozen ranks. The spec suite pins both paths equal. */
   def tokenize(
       docs: DataFrame,
       merges: Seq[(String, String)],
       textCol: String = "text",
       outCol: String = "bpe_pieces"): DataFrame =
-    docs.withColumn(outCol,
-      flatten(transform(
-        filter(split(TextOps.normalize(col(textCol)), " "), w => w =!= ""),
-        w => segmentCol(w, merges))))
+    if (merges.size <= 16)
+      docs.withColumn(outCol,
+        flatten(transform(
+          filter(split(TextOps.normalize(col(textCol)), " "), w => w =!= ""),
+          w => segmentCol(w, merges))))
+    else
+      docs.withColumn(outCol, graft.functions.TextKernels.bpeSegmentCol(
+        TextOps.normalize(col(textCol)),
+        merges.map(_._1), merges.map(_._2), EndOfWord))
 
   /** The learned merge table as a DataFrame (rank, left, right) — the
     * exportable artifact, and the Verify surface for the trainer. */
@@ -111,8 +286,9 @@ object Bpe {
       docs: DataFrame,
       numMerges: Int,
       textCol: String = "text",
-      minCount: Long = 2L): DataFrame = {
-    val m = trainMerges(docs, numMerges, textCol, minCount)
+      minCount: Long = 2L,
+      localThreshold: Long = 2000000L): DataFrame = {
+    val m = trainMerges(docs, numMerges, textCol, minCount, localThreshold)
     val spark = docs.sparkSession
     import spark.implicits._
     m.zipWithIndex

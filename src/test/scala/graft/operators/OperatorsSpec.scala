@@ -1533,6 +1533,73 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Bpe.trainMerges(corpus, 5) == m)
   }
 
+  test("incremental BPE trainer matches a naive full-recount reference on random corpora") {
+    // the distributed trainer patches its pair-count table with per-merge
+    // deltas; this differential replays the textbook algorithm — full pair
+    // recount every round, same (count desc, then lexicographic) tie-break
+    // — in driver-side Scala and demands the identical merge sequence
+    def mergeOnceLocal(syms: Vector[String], l: String, r: String): Vector[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+        else acc :+ x
+      }
+    def naive(words: Map[String, Long], numMerges: Int, minCount: Long)
+        : Seq[(String, String)] = {
+      var dict = words.toVector.map { case (w, c) =>
+        (w.map(_.toString).toVector :+ Bpe.EndOfWord, c) }
+      val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      var done = false
+      while (out.size < numMerges && !done) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+          .withDefaultValue(0L)
+        for ((syms, c) <- dict; i <- 0 until syms.size - 1)
+          counts((syms(i), syms(i + 1))) += c
+        if (counts.isEmpty) done = true
+        else {
+          val (p, n) = counts.minBy { case ((l, r), n) => (-n, l, r) }
+          if (n < minCount) done = true
+          else {
+            out += p
+            dict = dict.map { case (s, c) => (mergeOnceLocal(s, p._1, p._2), c) }
+          }
+        }
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      // random vocabulary over a tiny alphabet → dense pair collisions,
+      // the regime where delta bookkeeping mistakes would surface
+      val vocab = Seq.fill(30 + trial * 10)(
+        Seq.fill(2 + rnd.nextInt(6))("abcd" (rnd.nextInt(4))).mkString)
+      val counts = vocab.groupBy(identity).view
+        .mapValues(v => (v.size * (1 + rnd.nextInt(5))).toLong).toMap
+      val text = counts.toSeq.flatMap { case (w, c) =>
+        Seq.fill(c.toInt)(w) }.mkString(" ")
+      val docs = Seq((1L, text)).toDF("doc_id", "text")
+      val expect = naive(counts, numMerges = 25, minCount = 2L)
+      // default path (vocab fits → driver-local incremental trainer)
+      val got = Bpe.trainMerges(docs, numMerges = 25)
+      assert(got == expect, s"trial $trial (local): $got vs $expect")
+      // forced distributed incremental loop — must agree exactly
+      val gotDist = Bpe.trainMerges(docs, numMerges = 25, localThreshold = 0L)
+      assert(gotDist == expect, s"trial $trial (distributed): $gotDist vs $expect")
+
+      // tokenize: the >16-rank kernel path (min-rank greedy apply) must
+      // produce the same pieces as the rank-order fold unrolling
+      val kernelPieces = Bpe.tokenize(docs, got)
+        .select("bpe_pieces").head().getSeq[String](0)
+      val foldPieces = docs.withColumn("bpe_pieces",
+          flatten(transform(
+            filter(split(col("text"), " "), w => w =!= ""),
+            w => Bpe.segmentCol(w, got))))
+        .select("bpe_pieces").head().getSeq[String](0)
+      assert(kernelPieces == foldPieces, s"trial $trial: kernel vs fold pieces")
+      // lossless round-trip through the kernel path
+      assert(kernelPieces.mkString("").replace(Bpe.EndOfWord, " ").trim == text)
+    }
+  }
+
   test("corpusDiff labels added/removed/changed and omits unchanged") {
     val prev = Seq(
       (1L, "same text"), (2L, "old text"), (3L, "gone")).toDF("doc_id", "text")
