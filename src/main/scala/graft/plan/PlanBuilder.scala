@@ -59,10 +59,15 @@ final class PlanBuilder(tables: Map[String, DataFrame]) {
         f.name
     }
 
-    q.joins.foreach { jc =>
+    q.joins.zipWithIndex.foreach { case (jc, idx) =>
       val alias = jc.alias.getOrElse(jc.table)
       val right0 = table(jc.table)
-      val prefix = s"__j_${alias}_"
+      // prefix by JOIN POSITION, not alias: alias-derived prefixes collide
+      // when aliases contain underscores (aliases "a"/"a_b" with columns
+      // "b_c"/"c" would both rename to __j_a_b_c — same defect class as
+      // the corrMatrix pair aliases); the prefix is opaque to the
+      // Resolver, which looks identifiers up by (alias, column)
+      val prefix = s"__j${idx}_"
       val right = right0.columns.foldLeft(right0)((d, c) => d.withColumnRenamed(c, prefix + c))
       val info = Resolver.JoinInfo(alias, right0.columns.toList, prefix)
       val resolver = new Resolver(base.columns.toList, streamAliases,

@@ -152,6 +152,21 @@ class PlanBatchSpec extends AnyFunSuite {
     assert(left.count() == 2) // d2 rows
   }
 
+  test("join aliases with underscores cannot collide internal column names") {
+    // aliases "a" (column b_c) and "a_b" (column c): alias-derived
+    // prefixes would rename both payloads to __j_a_b_c — the internal
+    // names are prefixed by join POSITION instead
+    val t1 = Seq(("d1", "X")).toDF("deviceId", "b_c")
+    val t2 = Seq(("d1", "Y")).toDF("deviceId", "c")
+    val out = GraftEngine.sql(
+      "SELECT deviceId, a.b_c, a_b.c FROM stream " +
+        "JOIN meta a ON deviceId = a.deviceId " +
+        "JOIN meta2 a_b ON deviceId = a_b.deviceId",
+      Map("stream" -> events, "meta" -> t1, "meta2" -> t2))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(out.nonEmpty && out.forall(_ == ("X", "Y")))
+  }
+
   test("join + aggregation") {
     val meta = Seq(("d1", "plantA"), ("d2", "plantB")).toDF("deviceId", "location")
     val out = GraftEngine.sql(
