@@ -407,4 +407,16 @@ class PlanShapeSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("large-table BPE tokenize is ONE scan-stage kernel expression, no shuffle") {
+    // a 1000-rank merge table must neither add an Exchange nor unroll
+    // into nested aggregate() HOFs (the fold path stops being
+    // analyzable/compilable at a few dozen ranks)
+    val merges = (1 to 1000).map(i => (s"a$i", s"b$i"))
+    val df = graft.operators.Bpe.tokenize(tables("documents"), merges)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("bpeSegment"), p)
+  }
 }
