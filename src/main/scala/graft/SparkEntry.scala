@@ -2917,6 +2917,40 @@ object SparkEntry {
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.sig, b.sig)) <= 10""".stripMargin.trim)),
 
+    Q("q_dedup_sig_pairs_simhash",
+      // SimHash twin of q_dedup_sig_pairs: stored 64-bit signatures →
+      // pigeonhole banding + Hamming verification with ZERO text access,
+      // full-outer-diffed in-entry against the text-side simHashPairs on
+      // the same fixture; with portableHash=true (md5-derived token
+      // hashes, bit-identical in DuckDB) and full-recall pigeonhole
+      // banding, the oracle is the exact ≤-maxDist pair set, every row
+      // 'both' — a sig/text divergence or a wrong pair goes red.
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val docs = Tables.load(s, dir)("documents")
+        val sigs = operators.Dedup.simHashSignatures(docs, portableHash = true)
+        val sig = operators.Dedup.simHashPairsFromSignatures(sigs, maxDist = 10)
+          .select(col("doc_a"), col("doc_b"), lit(true).as("in_sig"))
+        val text = operators.Dedup.simHashPairs(docs, maxDist = 10, portableHash = true)
+          .select(col("doc_a"), col("doc_b"), lit(true).as("in_text"))
+        sig.join(text, Seq("doc_a", "doc_b"), "full_outer")
+          .select(col("doc_a"), col("doc_b"),
+            when(col("in_sig") && col("in_text"), "both")
+              .when(col("in_sig"), "sig_only")
+              .otherwise("text_only").as("status"))
+      },
+      Some("""
+        WITH nrm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+        tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS t FROM nrm),
+        h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv FROM tok),
+        bitc AS (SELECT doc_id, i, sum(CASE WHEN ((hv >> i) & 1) = 1 THEN 1 ELSE -1 END) AS c
+                 FROM h CROSS JOIN range(0, 64) r(i) GROUP BY doc_id, i),
+        sig AS (SELECT doc_id, sum(CASE WHEN c >= 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)::BIGINT AS sig
+                FROM bitc GROUP BY doc_id)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 'both' AS status
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 10""".stripMargin.trim)),
+
     // winnowed k-gram fingerprints (MOSS): md5-derived hashes → window
     // minima → shared-count join; the oracle replays the same scheme in SQL
     Q("q_winnow_pairs",
