@@ -3134,6 +3134,28 @@ object SparkEntry {
       },
       None),
 
+    Q("q_bpe_vocab",
+      // exportable tokenizer vocabulary (token_id, token): <unk>=0, the
+      // corpus base alphabet in lexicographic order, the end-of-word
+      // sentinel, then merge products in rank order. The merge table is a
+      // fixed literal here so the oracle can replay the alphabet
+      // extraction and id assignment exactly (trained tables are covered
+      // by q_bpe_merges + specs).
+      (s, dir) => operators.Bpe.vocabDf(
+        Tables.load(s, dir)("documents"),
+        Seq("t" -> "h", "th" -> "e", "e" -> "</w>")),
+      Some("""
+        WITH n AS (SELECT replace(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ', '') AS s FROM documents),
+        a AS (SELECT DISTINCT unnest(string_split(s, '')) AS ch FROM n),
+        alpha AS (SELECT ch, CAST(row_number() OVER (ORDER BY ch) AS INTEGER) AS rn FROM a WHERE ch <> ''),
+        k AS (SELECT max(rn) AS mx FROM alpha)
+        SELECT CAST(0 AS INTEGER) AS token_id, '<unk>' AS token
+        UNION ALL SELECT rn AS token_id, ch AS token FROM alpha
+        UNION ALL SELECT CAST(mx + 1 AS INTEGER), '</w>' FROM k
+        UNION ALL SELECT CAST(mx + 2 AS INTEGER), 'th' FROM k
+        UNION ALL SELECT CAST(mx + 3 AS INTEGER), 'the' FROM k
+        UNION ALL SELECT CAST(mx + 4 AS INTEGER), 'e</w>' FROM k""".stripMargin.trim)),
+
     Q("q_compression_window",
       // DEFLATE compressibility flags: DuckDB exposes no deflate/zlib
       // function, so no SQL oracle is possible for this query in

@@ -295,4 +295,60 @@ object Bpe {
       .map { case ((l, r), i) => (i + 1, l, r) }
       .toDF("rank", "left", "right")
   }
+
+  /** The tokenizer vocabulary implied by a corpus + merge table: every
+    * symbol [[tokenize]] can emit — id 0 = `<unk>`, then the corpus's
+    * base alphabet (distinct initial symbols incl. the end-of-word
+    * sentinel, in lexicographic order), then merge products in rank
+    * order. This is the (token_id, token) table exported next to the
+    * merge table so downstream training consumes integer ids; ids are
+    * stable for a fixed (corpus alphabet, merges) pair. The alphabet
+    * job is one distinct over exploded characters — corpus-scan-sized,
+    * vocabulary-sized output. */
+  def vocab(
+      docs: DataFrame,
+      merges: Seq[(String, String)],
+      textCol: String = "text"): Seq[String] = {
+    val alphabet = docs
+      .select(explode(split(regexp_replace(
+        TextOps.normalize(col(textCol)), " ", ""), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .distinct()
+      .orderBy("ch")
+      .collect().map(_.getString(0)).toSeq
+    ("<unk>" +: alphabet :+ EndOfWord) ++ merges.map { case (l, r) => l + r }
+  }
+
+  /** [[vocab]] as a DataFrame (token_id, token). */
+  def vocabDf(
+      docs: DataFrame,
+      merges: Seq[(String, String)],
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    vocab(docs, merges, textCol).zipWithIndex
+      .map { case (t, i) => (i, t) }
+      .toDF("token_id", "token")
+  }
+
+  /** Tokenize straight to integer ids — the form training-data prep
+    * actually ships: [[tokenize]]'s pieces mapped through the vocab as a
+    * single map-literal lookup inside the same scan (no join, no
+    * shuffle; the vocab is model-sized and rides in the plan). Symbols
+    * outside the vocab (characters unseen at vocab-build time) map to
+    * id 0 = `<unk>`. */
+  def tokenizeIds(
+      docs: DataFrame,
+      merges: Seq[(String, String)],
+      vocab: Seq[String],
+      textCol: String = "text",
+      outCol: String = "token_ids"): DataFrame = {
+    require(vocab.nonEmpty && vocab.head == "<unk>",
+      "vocab must start with the <unk> token (build it with Bpe.vocab)")
+    val lookup = typedLit(vocab.zipWithIndex.toMap)
+    tokenize(docs, merges, textCol, "__pieces")
+      .withColumn(outCol,
+        transform(col("__pieces"), p => coalesce(element_at(lookup, p), lit(0))))
+      .drop("__pieces")
+  }
 }

@@ -1531,6 +1531,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(all.size < 100)
     // determinism: retraining yields the identical table
     assert(Bpe.trainMerges(corpus, 5) == m)
+
+    // vocab: <unk> first, then the corpus alphabet + sentinel, then merge
+    // products in rank order — and it covers every emitted piece
+    val v = Bpe.vocab(corpus, m)
+    assert(v.head == "<unk>" && v.contains(Bpe.EndOfWord))
+    assert(v.takeRight(5) == Seq("es", "est", "est</w>", "lo", "low"))
+    assert(pieces.forall(v.contains), s"uncovered piece in $pieces")
+    // tokenizeIds round-trips through the vocab inside one scan
+    val ids = Bpe.tokenizeIds(corpus, m, v)
+      .select("token_ids").head().getSeq[Int](0)
+    assert(ids.map(v(_)) == pieces)
+    assert(ids.forall(_ > 0)) // nothing fell to <unk> on the training corpus
+    // a character unseen at vocab-build time maps to <unk>=0
+    val oov = Bpe.tokenizeIds(Seq((1L, "löw")).toDF("doc_id", "text"), m, v)
+      .select("token_ids").head().getSeq[Int](0)
+    assert(oov.contains(0))
   }
 
   test("incremental BPE trainer matches a naive full-recount reference on random corpora") {
