@@ -1524,6 +1524,51 @@ object SparkEntry {
           pack_bucket * 1099511627776 + bin AS seq_id
         FROM r""".stripMargin.trim)),
 
+    Q("q_pack_emit",
+      // materialized packed training sequences: token ids are a
+      // SQL-replayable word-hash mapping (the BPE-id path is pinned by
+      // specs; what this oracle checks is the EMISSION — greedy
+      // assignment, id-ordered concatenation, right-padding), posexploded
+      // to scalar rows for the driver's canonicalization
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = Tables.load(s, dir)("documents")
+        val ids = d.select(col("doc_id"),
+          transform(
+            filter(split(operators.TextOps.normalize(col("text")), " "), w => w =!= ""),
+            w => (pmod(operators.TextOps.portableHash60(w), lit(97)) + 1).cast("int"))
+            .as("token_ids"))
+        operators.Packing.emitPackedIds(ids, budget = 128, buckets = 8)
+          .select(col("seq_id"), col("n_docs"), col("n_tokens"),
+            posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+      },
+      Some("""
+        WITH RECURSIVE t AS (
+          SELECT doc_id,
+            list_transform(list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), w -> w <> ''),
+              w -> CAST(('0x' || substr(md5(w), 1, 15))::BIGINT % 97 + 1 AS INTEGER)) AS ids,
+            ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS pack_bucket
+          FROM documents),
+        t2 AS (SELECT doc_id, ids, pack_bucket, len(ids)::BIGINT AS n,
+               row_number() OVER (PARTITION BY pack_bucket ORDER BY doc_id) AS rn FROM t),
+        r AS (
+          SELECT doc_id, ids, pack_bucket, n, rn, 0::BIGINT AS bin, n AS fill FROM t2 WHERE rn = 1
+          UNION ALL
+          SELECT t2.doc_id, t2.ids, t2.pack_bucket, t2.n, t2.rn,
+            CASE WHEN r.fill + t2.n > 128 THEN r.bin + 1 ELSE r.bin END,
+            CASE WHEN r.fill + t2.n > 128 THEN t2.n ELSE r.fill + t2.n END
+          FROM r JOIN t2 ON t2.pack_bucket = r.pack_bucket AND t2.rn = r.rn + 1),
+        agg AS (SELECT pack_bucket * 1099511627776 + bin AS seq_id,
+                  count(*) AS n_docs, flatten(list(ids ORDER BY doc_id)) AS cat
+                FROM r GROUP BY 1),
+        p AS (SELECT seq_id, n_docs, CAST(len(cat) AS INTEGER) AS n_tokens,
+                list_concat(cat, [0 for i in range(greatest(0, 128 - len(cat)))]) AS tid
+              FROM agg)
+        SELECT seq_id, n_docs, n_tokens,
+          CAST(unnest(range(len(tid))) AS INTEGER) AS pos,
+          unnest(tid) AS token_id
+        FROM p""".stripMargin.trim)),
+
     Q("q_embed_quantize",
       // L2-normalize + int8 scalar quantization, exploded per dimension
       // (array columns explode to scalars for the hash compare)

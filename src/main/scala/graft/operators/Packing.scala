@@ -85,12 +85,16 @@ object Packing {
       budget: Int,
       textCol: String = "text",
       idCol: String = "doc_id",
-      buckets: Int = 4096): DataFrame = {
+      buckets: Int = 4096,
+      tokens: Option[Column] = None): DataFrame = {
     require(budget > 0, "token budget must be positive")
     require(buckets > 0 && buckets <= (1 << 23), "buckets must fit the 2^40 seq_id split")
     val bucket = pmod(TextOps.portableHash60(col(idCol).cast("string")), lit(buckets))
+    // `tokens` overrides the whitespace token count — e.g. size(token_ids)
+    // when packing an already-tokenized corpus (emitPackedIds)
+    val tokCol = tokens.getOrElse(TextOps.tokenCount(col(textCol)).cast("long"))
     val slim = docs
-      .select(col(idCol), TextOps.tokenCount(col(textCol)).cast("long").as("token_count"),
+      .select(col(idCol), tokCol.cast("long").as("token_count"),
         bucket.as("pack_bucket"))
       .repartition(col("pack_bucket"))
       .sortWithinPartitions(col("pack_bucket"), col(idCol))
@@ -114,6 +118,47 @@ object Packing {
           r.getLong(2) * (1L << 40) + bin)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Materialize whole-document packed TRAINING SEQUENCES — the artifact
+    * a trainer actually reads: one row per sequence with the member
+    * documents' token ids concatenated in id order and right-padded to
+    * `budget` with `padId` (an over-budget document keeps its singleton
+    * sequence unpadded-overlong — the caller decides truncation policy).
+    * Layout is [[packGreedy]]'s (deterministic, oracle-replayable).
+    *
+    * Scale shape: sequence ASSIGNMENT stays payload-free (packGreedy's
+    * slim fold moves only ids+counts); the token payload then moves
+    * exactly twice — the id-keyed join that attaches seq_id, and the
+    * seq_id-keyed aggregation that concatenates. Both are equi-shuffles
+    * whose keys grow with the corpus, so the materialization scales out
+    * with executors.
+    *
+    * @param idsCol array<int> column of BPE token ids ([[graft.operators.Bpe.tokenizeIds]])
+    * @return (seq_id, n_docs, n_tokens, token_ids) */
+  def emitPackedIds(
+      docs: DataFrame,
+      budget: Int,
+      idsCol: String = "token_ids",
+      idCol: String = "doc_id",
+      buckets: Int = 4096,
+      padId: Int = 0): DataFrame = {
+    val ids = docs.select(col(idCol), col(idsCol))
+    val assigned = packGreedy(ids, budget, idCol = idCol, buckets = buckets,
+        tokens = Some(size(col(idsCol)).cast("long")))
+      .select(col(idCol), col("seq_id"))
+    assigned.join(ids, Seq(idCol))
+      .groupBy("seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        flatten(transform(
+          array_sort(collect_list(struct(col(idCol).as("i"), col(idsCol).as("v")))),
+          e => e("v"))).as("__ids"))
+      .withColumn("n_tokens", size(col("__ids")))
+      .withColumn("token_ids",
+        concat(col("__ids"), array_repeat(lit(padId),
+          greatest(lit(0), lit(budget) - size(col("__ids"))))))
+      .select("seq_id", "n_docs", "n_tokens", "token_ids")
   }
 
   /** Deterministic training-shard assignment — the "global shuffle then

@@ -1616,6 +1616,28 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("emitPackedIds materializes padded whole-doc sequences in id order") {
+    val docs = Seq(
+      (1L, Seq(1, 2, 3)),
+      (2L, Seq(4, 5)),
+      (3L, Seq(6, 7, 8, 9, 10, 11, 12, 13, 14)), // over budget: singleton
+      (4L, Seq(15))
+    ).toDF("doc_id", "token_ids")
+    // buckets=1 → one packing stream in id order; budget 8:
+    // [1,2] (5 tokens) | [3] (9, overlong singleton) | [4] (1)
+    val out = Packing.emitPackedIds(docs, budget = 8, buckets = 1)
+      .orderBy("seq_id")
+      .collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getSeq[Int](3)))
+    assert(out.length == 3)
+    assert(out(0) == ((2L, 5, Seq(1, 2, 3, 4, 5, 0, 0, 0))))
+    assert(out(1) == ((1L, 9, Seq(6, 7, 8, 9, 10, 11, 12, 13, 14))))
+    assert(out(2) == ((1L, 1, Seq(15, 0, 0, 0, 0, 0, 0, 0))))
+    // conservation: every input id appears exactly once across sequences
+    val emitted = out.flatMap(_._3).filter(_ != 0).sorted.toSeq
+    assert(emitted == (1 to 15))
+  }
+
   test("corpusDiff labels added/removed/changed and omits unchanged") {
     val prev = Seq(
       (1L, "same text"), (2L, "old text"), (3L, "gone")).toDF("doc_id", "text")
