@@ -191,7 +191,9 @@ object Bench {
       "q_html_extract", "q_pagerank", "q_profile", "q_blocklist_filter",
       "q_sample_pergroup_agg", "q_redact_cards", "q_rate_anomalies",
       "q_split_sentences", "q_hashed_features", "q_line_flags", "q_dedup_url",
-      "q_histogram", "q_corr_matrix", "q_quantiles_by", "q_crawl_rank")
+      "q_histogram", "q_corr_matrix", "q_quantiles_by", "q_crawl_rank",
+      "q_dedup_sig_pairs", "q_dedup_sig_pairs_simhash", "q_bpe_vocab",
+      "q_pack_emit")
     val headline = benchOnly match {
       case Some(ps) => headline0.filter(n => ps.exists(n.startsWith))
       case None     => headline0
@@ -347,6 +349,18 @@ object Bench {
           scaleSmoke(s"dup_spans_${label}_sec") =
             try timedEager {
               operators.TextOps.dupSpans(synthDocs(n), n = 8)
+                .write.format("noop").mode("overwrite").save()
+            } catch { case _: Throwable => -1.0 }
+          // packed-sequence MATERIALIZATION — the one stage whose payload
+          // (the token ids themselves) rides the shuffles: assignment is
+          // payload-free, then the ids move twice (seq_id join + ordered
+          // concat). 40 ids/doc → 800M ints at the 20M label.
+          scaleSmoke(s"pack_emit_${label}_sec") =
+            try timedEager {
+              val ids = synthDocs(n).select(col("doc_id"),
+                transform(split(col("text"), " "),
+                  w => pmod(hash(w), lit(30000)).cast("int")).as("token_ids"))
+              operators.Packing.emitPackedIds(ids, budget = 2048, buckets = 2048)
                 .write.format("noop").mode("overwrite").save()
             } catch { case _: Throwable => -1.0 }
           // link-graph authority at scale: n/4 edges over n/40 nodes
