@@ -449,7 +449,12 @@ object Bench {
       "are interleaved per-label medians of 3; iterative pipe stages " +
       "(cc/dup_spans/pagerank) get an untimed 2M warm-up — their cold " +
       "cost swings 2-4x with JVM state (CcTune A/B at 20M: 153-200s cold " +
-      "vs 40s warm, identical plan), so compare ratios within one run"
+      "vs 40s warm, identical plan), so compare ratios within one run; " +
+      "dup_spans@20M (660M hashed windows, ~10GB shuffle) is external-" +
+      "sort-bound at 32 static partitions and swings 203-476s across " +
+      "identical runs (DupSpansTune) — partition count sized to data " +
+      "volume is the cluster-side lever (128 parts measured 125s = " +
+      "linear 10x), local[32]'s fixed 32 is the floor of this box"
     val full =
       s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,""" +
         s""""rows_per_sec":$tput,"micro_batch_latency_ms_5k_rows":$lat,""" +
