@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Benchmark main — prints a compact headline JSON as the FINAL stdout
   * line (driver contract: the driver tail-captures ~2 kB, so the
   * per-query map must NOT ride on that line) and writes the full
-  * per-query map to `bench_full_r8.json` in the repo for cross-round
+  * per-query map to `bench_full_r9.json` in the repo for cross-round
   * diffing. Rule-shape rows/s compares against the reference's three
   * published shapes (BASELINE.md: filter / transform / analytic+
   * partition, reference: test/e2e/stress_test.go:162-176).
@@ -193,7 +193,7 @@ object Bench {
       "q_split_sentences", "q_hashed_features", "q_line_flags", "q_dedup_url",
       "q_histogram", "q_corr_matrix", "q_quantiles_by", "q_crawl_rank",
       "q_dedup_sig_pairs", "q_dedup_sig_pairs_simhash", "q_bpe_vocab",
-      "q_pack_emit")
+      "q_pack_emit", "q_pack_emit_bounds", "q_train_pipeline")
     val headline = benchOnly match {
       case Some(ps) => headline0.filter(n => ps.exists(n.startsWith))
       case None     => headline0
@@ -305,7 +305,15 @@ object Bench {
         val smokePasses =
           sys.env.getOrElse("SPARK_GRAFT_SMOKE_PASSES", "3").toInt.max(1)
         def timedEager(body: => Unit): Double = {
-          val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+          val t0 = System.nanoTime(); body; val s = (System.nanoTime() - t0) / 1e9
+          // driver GC kicks Spark's ContextCleaner between passes: the
+          // previous pass's shuffle files are reference-held until a GC
+          // notices them, and with a large quiet heap they pile up across
+          // the smoke passes (PackTune A/B at 20M: 27 s pass 1 → 122 s
+          // pass 2 without this; 23/26/35 s with). Cleanup time is NOT
+          // part of the measured pass.
+          System.gc(); Thread.sleep(1000)
+          s
         }
         def medianOf(xs: Seq[Double]): Double = {
           val ok = xs.filter(_ >= 0).sorted
@@ -337,6 +345,25 @@ object Bench {
           operators.TextOps.dupSpans(synthDocs(smokeRows / 10), n = 8)
             .write.format("noop").mode("overwrite").save()
         } catch { case _: Throwable => () }
+        // BPE smokes FIRST among the pipe stages (r8 ran them after the
+        // 20M smokes and measured 1.9 s/round for the distributed loop in
+        // a GC-pressured heap vs 0.45 s/round quiet-JVM — SURVEY cites
+        // this position's number)
+        val bpeMerges =
+          sys.env.getOrElse("SPARK_GRAFT_BPE_SMOKE_MERGES", "1000").toInt
+        if (bpeMerges > 0) {
+          scaleSmoke("bpe_1k_merges_sec") =
+            try timedEager {
+              val m = operators.Bpe.trainMerges(
+                synthDocs(smokeRows / 10), numMerges = bpeMerges)
+              scaleSmoke("bpe_merges_learned") = m.size.toDouble
+            } catch { case _: Throwable => -1.0 }
+          scaleSmoke("bpe_dist_100_merges_sec") =
+            try timedEager {
+              operators.Bpe.trainMerges(synthDocs(smokeRows / 10),
+                numMerges = math.min(100, bpeMerges), localThreshold = 0L)
+            } catch { case _: Throwable => -1.0 }
+        }
         for ((label, n) <- labels) {
           scaleSmoke(s"cc_distributed_${label}_sec") =
             try timedEager {
@@ -377,32 +404,11 @@ object Bench {
                 .write.format("noop").mode("overwrite").save()
             } catch { case _: Throwable => -1.0 }
         }
-        // BPE training smokes: the corpus pass sees 2M docs (80M tokens)
-        // but the merge loop runs on the VOCAB-bounded dict (5000
-        // synthetic words) — these entries prove a thousand merge rounds
-        // complete in seconds-to-minutes, i.e. the loop cost is
-        // corpus-size-independent (r7's full re-aggregation trainer was
-        // O(vocab·wordLen) per round and capped practical training at
-        // tens of merges). bpe_1k_merges_sec exercises the DEFAULT path
-        // (vocab fits → driver-local incremental trainer; the cluster
-        // does only the corpus pass); bpe_dist_100_merges_sec forces the
-        // distributed incremental loop (localThreshold=0) to track its
-        // per-round cost for the giant-vocab regime.
-        val bpeMerges =
-          sys.env.getOrElse("SPARK_GRAFT_BPE_SMOKE_MERGES", "1000").toInt
-        if (bpeMerges > 0) {
-          scaleSmoke("bpe_1k_merges_sec") =
-            try timedEager {
-              val m = operators.Bpe.trainMerges(
-                synthDocs(smokeRows / 10), numMerges = bpeMerges)
-              scaleSmoke("bpe_merges_learned") = m.size.toDouble
-            } catch { case _: Throwable => -1.0 }
-          scaleSmoke("bpe_dist_100_merges_sec") =
-            try timedEager {
-              operators.Bpe.trainMerges(synthDocs(smokeRows / 10),
-                numMerges = math.min(100, bpeMerges), localThreshold = 0L)
-            } catch { case _: Throwable => -1.0 }
-        }
+        // (BPE training smokes — the corpus pass sees 2M docs / 80M
+        // tokens but the merge loop runs on the VOCAB-bounded dict of
+        // 5000 synthetic words; a thousand merge rounds complete in
+        // seconds, i.e. loop cost is corpus-size-independent. They run
+        // BEFORE this loop — see above.)
 
         // memory-heavy stages: interleaved passes, per-label median
         val heavy: Seq[(String, Long => Unit)] = Seq(
@@ -442,19 +448,19 @@ object Bench {
     val total = results.values.filter(_ > 0).sum
     val smoke = jmap(scaleSmoke, "%.4f")
     val ann = jmap(annRecall, "%.3f")
-    val notes = "latency section now runs FIRST (r7 measured it in a " +
-      "GC-pressured JVM after the 20M smokes: rule_analytic 251->996ms on " +
-      "unchanged code) and its partitions=8/RocksDB confs are restored " +
-      "after (r7 leaked them into the smoke stages); curate/pack smokes " +
-      "are interleaved per-label medians of 3; iterative pipe stages " +
-      "(cc/dup_spans/pagerank) get an untimed 2M warm-up — their cold " +
-      "cost swings 2-4x with JVM state (CcTune A/B at 20M: 153-200s cold " +
-      "vs 40s warm, identical plan), so compare ratios within one run; " +
-      "dup_spans@20M (660M hashed windows, ~10GB shuffle) is external-" +
-      "sort-bound at 32 static partitions and swings 203-476s across " +
-      "identical runs (DupSpansTune) — partition count sized to data " +
-      "volume is the cluster-side lever (128 parts measured 125s = " +
-      "linear 10x), local[32]'s fixed 32 is the floor of this box"
+    val notes = "latency section runs FIRST (fresh JVM) with its " +
+      "partitions=8/RocksDB confs restored after; curate/pack smokes are " +
+      "interleaved per-label medians of 3; r9 protocol: a driver GC runs " +
+      "between smoke passes (untimed) so stale shuffle files do not pile " +
+      "up across passes (PackTune A/B at 20M: 27s pass1 -> 122s pass2 " +
+      "without, 23/26/35s with); bpe smokes moved BEFORE the 20M stages " +
+      "(r8 measured the distributed loop 4x slower in the post-smoke " +
+      "GC-pressured heap); r9 operators size corpus-global shuffle " +
+      "partitions to input volume from plan stats (TextOps.volumeParts: " +
+      "dupSpans window, packSequences/emitPackedIds join-back), and " +
+      "packSequences now windows a slim projection and hash-joins " +
+      "offsets back so the payload is never sorted (was 37x at 10x " +
+      "data in r8, now ~7x = linear)"
     val full =
       s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,""" +
         s""""rows_per_sec":$tput,"micro_batch_latency_ms_5k_rows":$lat,""" +
@@ -462,7 +468,7 @@ object Bench {
         s""""notes":"$notes","sf":"$sfDir"}"""
     // full per-query artifact for cross-round diffing (BENCH_r07 lost half
     // its map to the driver's 2 kB tail capture); path env-overridable
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full_r8.json")
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full_r9.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), full + "\n")
     catch { case _: Throwable => () }
     // rule-shape seconds stay on the headline (the baseline comparison the

@@ -1569,6 +1569,150 @@ object SparkEntry {
           unnest(tid) AS token_id
         FROM p""".stripMargin.trim)),
 
+    Q("q_pack_emit_bounds",
+      // doc-boundary metadata on packed sequences: doc_lens / doc_starts
+      // (member-id order) are what a trainer consumes to reset attention
+      // masks at document boundaries; the oracle replays the greedy
+      // recursion and derives each member's offset as the running sum of
+      // its predecessors' lengths within the sequence
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = Tables.load(s, dir)("documents")
+        val ids = d.select(col("doc_id"),
+          transform(
+            filter(split(operators.TextOps.normalize(col("text")), " "), w => w =!= ""),
+            w => (pmod(operators.TextOps.portableHash60(w), lit(97)) + 1).cast("int"))
+            .as("token_ids"))
+        operators.Packing.emitPackedIds(ids, budget = 128, buckets = 8)
+          .select(col("seq_id"),
+            posexplode(arrays_zip(col("doc_lens"), col("doc_starts"))))
+          .select(col("seq_id"), col("pos").cast("int").as("di"),
+            col("col.doc_lens").as("doc_len"), col("col.doc_starts").as("doc_start"))
+      },
+      Some("""
+        WITH RECURSIVE t AS (
+          SELECT doc_id,
+            list_transform(list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), w -> w <> ''),
+              w -> CAST(('0x' || substr(md5(w), 1, 15))::BIGINT % 97 + 1 AS INTEGER)) AS ids,
+            ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS pack_bucket
+          FROM documents),
+        t2 AS (SELECT doc_id, ids, pack_bucket, len(ids)::BIGINT AS n,
+               row_number() OVER (PARTITION BY pack_bucket ORDER BY doc_id) AS rn FROM t),
+        r AS (
+          SELECT doc_id, ids, pack_bucket, n, rn, 0::BIGINT AS bin, n AS fill FROM t2 WHERE rn = 1
+          UNION ALL
+          SELECT t2.doc_id, t2.ids, t2.pack_bucket, t2.n, t2.rn,
+            CASE WHEN r.fill + t2.n > 128 THEN r.bin + 1 ELSE r.bin END,
+            CASE WHEN r.fill + t2.n > 128 THEN t2.n ELSE r.fill + t2.n END
+          FROM r JOIN t2 ON t2.pack_bucket = r.pack_bucket AND t2.rn = r.rn + 1)
+        SELECT pack_bucket * 1099511627776 + bin AS seq_id,
+          CAST(row_number() OVER (PARTITION BY pack_bucket, bin ORDER BY doc_id) - 1 AS INTEGER) AS di,
+          CAST(n AS INTEGER) AS doc_len,
+          CAST(COALESCE(sum(n) OVER (PARTITION BY pack_bucket, bin ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INTEGER) AS doc_start
+        FROM r""".stripMargin.trim)),
+
+    Q("q_train_pipeline",
+      // END-TO-END tokenizer-side composition — the artifact a trainer
+      // actually consumes, pinned in one gate: trainMerges → vocab →
+      // tokenizeIds → emitPackedIds → shardForTraining. The oracle
+      // replays the 8-merge table the trainer deterministically learns on
+      // this fixture — (e,r)(e,</w>)(n,</w>)(er,</w>)(o,w)(ow,</w>)(o,r)
+      // (s,t) — as CLOSED-FORM string surgery: each internal merge is a
+      // left-to-right non-overlapping pair replace (equivalent to the
+      // rank-order greedy fold because no merge here is self-adjacent and
+      // consumed symbols are marker-substituted before later ranks), the
+      // four end-of-word merges each claim a distinct terminal symbol.
+      // The in-entry require() pins the trained table, so fixture drift
+      // fails loudly with instructions instead of a silent hash mismatch.
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val docs = Tables.load(s, dir)("documents")
+        val merges = operators.Bpe.trainMerges(docs, 8)
+        val expect = Seq("e" -> "r", "e" -> "</w>", "n" -> "</w>",
+          "er" -> "</w>", "o" -> "w", "ow" -> "</w>", "o" -> "r", "s" -> "t")
+        require(merges == expect, s"fixture drift: trained merges $merges " +
+          s"!= oracle-pinned $expect — re-derive q_train_pipeline's oracle")
+        val v = operators.Bpe.vocab(docs, merges)
+        val ids = operators.Bpe.tokenizeIds(docs, merges, v)
+          .select(col("doc_id"), col("token_ids"))
+        val packed = operators.Packing.emitPackedIds(ids, budget = 256, buckets = 8)
+        operators.Packing.shardForTraining(packed, shards = 4, idCol = "seq_id")
+          .select(col("seq_id"), col("shard"), col("shard_pos"),
+            col("n_docs"), col("n_tokens"),
+            posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+      },
+      Some("""
+        WITH RECURSIVE norm AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s FROM documents),
+        alpha AS (
+          SELECT ch, CAST(row_number() OVER (ORDER BY ch) AS INTEGER) AS token_id
+          FROM (SELECT DISTINCT unnest(string_split(replace(s, ' ', ''), '')) AS ch FROM norm)
+          WHERE ch <> ''),
+        k AS (SELECT max(token_id) AS mx FROM alpha),
+        vocab AS (
+          SELECT CAST(0 AS INTEGER) AS token_id, '<unk>' AS token
+          UNION ALL SELECT token_id, ch FROM alpha
+          UNION ALL SELECT mx + 1, '</w>' FROM k
+          UNION ALL SELECT mx + 2, 'er' FROM k
+          UNION ALL SELECT mx + 3, 'e</w>' FROM k
+          UNION ALL SELECT mx + 4, 'n</w>' FROM k
+          UNION ALL SELECT mx + 5, 'er</w>' FROM k
+          UNION ALL SELECT mx + 6, 'ow' FROM k
+          UNION ALL SELECT mx + 7, 'ow</w>' FROM k
+          UNION ALL SELECT mx + 8, 'or' FROM k
+          UNION ALL SELECT mx + 9, 'st' FROM k),
+        words AS (
+          SELECT doc_id, CAST(unnest(range(len(wl))) AS INTEGER) AS wi, unnest(wl) AS w
+          FROM (SELECT doc_id, list_filter(string_split(s, ' '), x -> x <> '') AS wl FROM norm)),
+        seg AS (
+          SELECT doc_id, wi,
+            replace(replace(replace(replace(w, 'er', chr(1)), 'ow', chr(2)), 'or', chr(3)), 'st', chr(4)) AS m
+          FROM words),
+        pieces AS (
+          SELECT doc_id, wi,
+            list_concat(list_transform(
+              list_filter(string_split(CASE WHEN substr(m, length(m), 1) IN ('e', 'n', chr(1), chr(2))
+                THEN substr(m, 1, length(m) - 1) ELSE m END, ''), c -> c <> ''),
+              c -> CASE c WHEN chr(1) THEN 'er' WHEN chr(2) THEN 'ow'
+                          WHEN chr(3) THEN 'or' WHEN chr(4) THEN 'st' ELSE c END),
+            [CASE substr(m, length(m), 1) WHEN 'e' THEN 'e</w>' WHEN 'n' THEN 'n</w>'
+                  WHEN chr(1) THEN 'er</w>' WHEN chr(2) THEN 'ow</w>' ELSE '</w>' END]) AS pl
+          FROM seg),
+        tok AS (
+          SELECT doc_id, wi, CAST(unnest(range(len(pl))) AS INTEGER) AS pi, unnest(pl) AS p
+          FROM pieces),
+        ids0 AS (
+          SELECT t.doc_id, list(v.token_id ORDER BY t.wi, t.pi) AS ids
+          FROM tok t JOIN vocab v ON v.token = t.p GROUP BY t.doc_id),
+        t AS (
+          SELECT n.doc_id, COALESCE(i.ids, []) AS ids,
+            ('0x' || substr(md5(n.doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS pack_bucket
+          FROM norm n LEFT JOIN ids0 i ON i.doc_id = n.doc_id),
+        t2 AS (SELECT doc_id, ids, pack_bucket, len(ids)::BIGINT AS n,
+               row_number() OVER (PARTITION BY pack_bucket ORDER BY doc_id) AS rn FROM t),
+        r AS (
+          SELECT doc_id, ids, pack_bucket, n, rn, 0::BIGINT AS bin, n AS fill FROM t2 WHERE rn = 1
+          UNION ALL
+          SELECT t2.doc_id, t2.ids, t2.pack_bucket, t2.n, t2.rn,
+            CASE WHEN r.fill + t2.n > 256 THEN r.bin + 1 ELSE r.bin END,
+            CASE WHEN r.fill + t2.n > 256 THEN t2.n ELSE r.fill + t2.n END
+          FROM r JOIN t2 ON t2.pack_bucket = r.pack_bucket AND t2.rn = r.rn + 1),
+        agg AS (SELECT pack_bucket * 1099511627776 + bin AS seq_id,
+                  count(*) AS n_docs, flatten(list(ids ORDER BY doc_id)) AS cat
+                FROM r GROUP BY 1),
+        p AS (SELECT seq_id, n_docs, CAST(len(cat) AS INTEGER) AS n_tokens,
+                list_concat(cat, [0 for i in range(greatest(0, 256 - len(cat)))]) AS tid,
+                ('0x' || substr(md5(seq_id::VARCHAR), 1, 15))::BIGINT AS h
+              FROM agg),
+        sh AS (SELECT *, CAST(h % 4 AS INTEGER) AS shard,
+                 CAST(row_number() OVER (PARTITION BY h % 4 ORDER BY h, seq_id) - 1 AS BIGINT) AS shard_pos
+               FROM p)
+        SELECT seq_id, shard, shard_pos, n_docs, n_tokens,
+          CAST(unnest(range(len(tid))) AS INTEGER) AS pos,
+          unnest(tid) AS token_id
+        FROM sh""".stripMargin.trim)),
+
     Q("q_embed_quantize",
       // L2-normalize + int8 scalar quantization, exploded per dimension
       // (array columns explode to scalars for the hash compare)
@@ -1652,20 +1796,34 @@ object SparkEntry {
       // oracle-replayed DIRECTLY — instead the entry emits the sig-path
       // pair set full-outer-diffed against the in-engine text path
       // (q_dedup_minhash's operator, same fixture + threshold) with a
-      // status column, and the oracle asserts every pair is 'both' and
-      // equals the exact all-pairs Jaccard set. A sig/text divergence OR
-      // a sig-path wrong pair now goes RED in the driver gate (was a bare
-      // rows-only check through r7); SketchesSpec additionally pins
-      // bit-identical banding and estimator accuracy.
+      // status column, and the oracle asserts every emitted pair is
+      // 'both' and equals the exact all-pairs Jaccard set at >= 0.85.
+      // GUARD BAND (r9): the sig path verifies by the k=64 signature
+      // ESTIMATE (std err ~0.057 near the 0.7 threshold), so est-vs-exact
+      // can legitimately disagree on borderline pairs; pairs whose EXACT
+      // Jaccard falls in [0.55, 0.85) are therefore excluded from the
+      // diff on BOTH sides (their >= 0.7 coverage stays gated by
+      // q_dedup_minhash's text path). A sig-only pair with exact J
+      // < 0.55 (>4 sigma from the estimate threshold) or a missing pair
+      // with exact J >= 0.85 still goes RED; SketchesSpec additionally
+      // pins bit-identical banding and estimator accuracy.
       (s, dir) => {
         import org.apache.spark.sql.functions._
         val docs = Tables.load(s, dir)("documents")
         val sigs = operators.Dedup.minHashSignatures(docs)
         val sig = operators.Dedup.minHashPairsFromSignatures(sigs, threshold = 0.7)
           .select(col("doc_a"), col("doc_b"), lit(true).as("in_sig"))
-        val text = operators.Dedup.minHashPairs(docs, threshold = 0.7)
+        // exact Jaccard for EVERY banding candidate (threshold 0 keeps
+        // them all): the >= 0.7 slice is the text-path comparison set,
+        // the rest feeds the guard-band filter
+        val exact = operators.Dedup.minHashPairs(docs, threshold = 0.0)
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        val text = exact.filter(col("jaccard") >= 0.7)
           .select(col("doc_a"), col("doc_b"), lit(true).as("in_text"))
         sig.join(text, Seq("doc_a", "doc_b"), "full_outer")
+          .join(exact, Seq("doc_a", "doc_b"), "left")
+          .filter(col("jaccard").isNull ||
+            col("jaccard") < 0.55 || col("jaccard") >= 0.85)
           .select(col("doc_a"), col("doc_b"),
             when(col("in_sig") && col("in_text"), "both")
               .when(col("in_sig"), "sig_only")
@@ -1677,7 +1835,7 @@ object SparkEntry {
               ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) END AS sh FROM n)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 'both' AS status
         FROM s a JOIN s b ON a.doc_id < b.doc_id
-        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7""".stripMargin.trim)),
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.85""".stripMargin.trim)),
 
     Q("q_dedup_incremental",
       // incremental (new-batch-vs-corpus) near-dup pairs: odd ids play
@@ -3172,10 +3330,14 @@ object SparkEntry {
         val m2 = operators.Bpe.mergesDf(docs.repartition(7), numMerges = 30,
             localThreshold = 0L)
           .withColumnsRenamed(Map("left" -> "left2", "right" -> "right2"))
-        m1.join(m2, Seq("rank"), "full_outer")
+        val diff = m1.join(m2, Seq("rank"), "full_outer")
           .select(col("rank"), col("left"), col("right"),
-            (col("left") === col("left2") && col("right") === col("right2"))
-              .as("stable"))
+            coalesce(col("left") === col("left2") && col("right") === col("right2"),
+              lit(false)).as("stable"))
+        // self-ENFORCING, not just self-checking: any divergent rank is
+        // emitted twice, so a local/distributed disagreement shifts the
+        // driver's rows-only count red without relying on the spec suite
+        diff.union(diff.filter(not(col("stable"))))
       },
       None),
 

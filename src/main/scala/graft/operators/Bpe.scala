@@ -172,7 +172,17 @@ object Bpe {
     import scala.collection.mutable
     val syms = words.map { case (w, _) =>
       val b = mutable.ArrayBuffer[String]()
-      w.foreach(c => b += c.toString)
+      // CODE POINTS, not UTF-16 units — the distributed path's
+      // `split(w, "")` and the apply kernel's `codePointAt` walk are both
+      // code-point based; per-char iteration here would learn merges
+      // containing lone surrogate halves for supplementary-plane
+      // characters (emoji, rare CJK) that segmentation can never match
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        b += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
       b += EndOfWord
       b
     }
@@ -262,9 +272,18 @@ object Bpe {
     * Small tables (≤16 ranks) stay on the pure-Catalyst fold unrolling;
     * larger tables — now trainable in the thousands — switch to the
     * [[graft.functions.TextKernels.bpeSegmentCol]] single-pass kernel
-    * (min-rank greedy apply, provably identical output), because one
-    * nested `aggregate` HOF per rank stops being analyzable/compilable
-    * around a few dozen ranks. The spec suite pins both paths equal. */
+    * (min-rank greedy apply), because one nested `aggregate` HOF per rank
+    * stops being analyzable/compilable around a few dozen ranks. The spec
+    * suite pins both paths equal.
+    *
+    * The two algorithms are equivalent only for WELL-FORMED tables — ones
+    * where each merge's symbols are derivable from earlier ranks, which
+    * is what [[trainMerges]] produces by construction. A hand-crafted
+    * table whose later-rank product participates in an earlier-rank pair
+    * (e.g. rank 1 = ("bc","d") with "bc" only produced by rank 2) can
+    * segment differently under min-rank apply vs rank-order replay, so
+    * the ≤16 size switch would then change results: pass trained tables
+    * only. */
   def tokenize(
       docs: DataFrame,
       merges: Seq[(String, String)],
@@ -316,7 +335,11 @@ object Bpe {
       .distinct()
       .orderBy("ch")
       .collect().map(_.getString(0)).toSeq
-    ("<unk>" +: alphabet :+ EndOfWord) ++ merges.map { case (l, r) => l + r }
+    // dedupe: two merges can concatenate to the same product (("a","bc")
+    // and ("ab","c") both yield "abc") — keep the first occurrence so
+    // (token_id, token) stays a bijection and ids round-trip 1:1
+    (("<unk>" +: alphabet :+ EndOfWord) ++
+      merges.map { case (l, r) => l + r }).distinct
   }
 
   /** [[vocab]] as a DataFrame (token_id, token). */
@@ -346,9 +369,13 @@ object Bpe {
     require(vocab.nonEmpty && vocab.head == "<unk>",
       "vocab must start with the <unk> token (build it with Bpe.vocab)")
     val lookup = typedLit(vocab.zipWithIndex.toMap)
-    tokenize(docs, merges, textCol, "__pieces")
+    // collision-free staging column: an input that already carries the
+    // staging name must survive the round trip untouched
+    val tmp = Iterator.iterate("__pieces")(_ + "_")
+      .dropWhile(docs.columns.contains).next()
+    tokenize(docs, merges, textCol, tmp)
       .withColumn(outCol,
-        transform(col("__pieces"), p => coalesce(element_at(lookup, p), lit(0))))
-      .drop("__pieces")
+        transform(col(tmp), p => coalesce(element_at(lookup, p), lit(0))))
+      .drop(tmp)
   }
 }

@@ -47,9 +47,15 @@ object Packing {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("pack_bucket")).orderBy(col(idCol))
     val tok = TextOps.tokenCount(col(textCol)).cast("long")
-    docs
-      .withColumn("pack_bucket", bucket)
-      .withColumn("token_count", tok)
+    // offsets come from a window over the SLIM (id, count, bucket)
+    // projection — the document payload must never ride the per-bucket
+    // window sort (at 20M docs that sort goes external and the operator
+    // turned 37× for 10× data; packGreedy's slim fold was always linear).
+    // The payload instead takes ONE volume-sized hash shuffle into a
+    // shuffled-hash join against the slim assignment (build side is
+    // ~24 B/row), so it is never sorted anywhere in the plan.
+    val assigned = docs
+      .select(col(idCol), bucket.as("pack_bucket"), tok.as("token_count"))
       .withColumn("__start",
         coalesce(sum(col("token_count")).over(
           w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
@@ -59,6 +65,11 @@ object Packing {
           floor(col("__start") / budget))
       .withColumn("seq_offset", col("__start") % budget)
       .drop("__start")
+    val parts = TextOps.volumeParts(docs)
+    docs.repartition(parts, col(idCol))
+      .join(assigned.repartition(parts, col(idCol)).hint("shuffle_hash"), Seq(idCol))
+      .select(docs.columns.map(col) ++
+        Seq(col("pack_bucket"), col("token_count"), col("seq_id"), col("seq_offset")): _*)
   }
 
   /** Whole-document greedy packing: unlike [[packSequences]] (which may
@@ -134,8 +145,14 @@ object Packing {
     * whose keys grow with the corpus, so the materialization scales out
     * with executors.
     *
+    * `doc_lens` / `doc_starts` (both in member-id order) are the
+    * doc-boundary metadata a trainer consumes to reset attention masks at
+    * document boundaries: `doc_starts(i)` is the token offset where the
+    * i-th member document begins inside the sequence, `doc_lens(i)` its
+    * token count (so boundaries are also recoverable from either alone).
+    *
     * @param idsCol array<int> column of BPE token ids ([[graft.operators.Bpe.tokenizeIds]])
-    * @return (seq_id, n_docs, n_tokens, token_ids) */
+    * @return (seq_id, n_docs, n_tokens, doc_lens, doc_starts, token_ids) */
   def emitPackedIds(
       docs: DataFrame,
       budget: Int,
@@ -147,18 +164,27 @@ object Packing {
     val assigned = packGreedy(ids, budget, idCol = idCol, buckets = buckets,
         tokens = Some(size(col(idsCol)).cast("long")))
       .select(col(idCol), col("seq_id"))
-    assigned.join(ids, Seq(idCol))
+    // volume-sized id shuffle for the one payload-carrying join; the
+    // assignment side stays the slim (id, seq_id) build side
+    val parts = TextOps.volumeParts(docs)
+    ids.repartition(parts, col(idCol))
+      .join(assigned.repartition(parts, col(idCol)).hint("shuffle_hash"), Seq(idCol))
       .groupBy("seq_id")
       .agg(
         count(lit(1)).as("n_docs"),
-        flatten(transform(
-          array_sort(collect_list(struct(col(idCol).as("i"), col(idsCol).as("v")))),
-          e => e("v"))).as("__ids"))
+        array_sort(collect_list(struct(col(idCol).as("i"), col(idsCol).as("v"))))
+          .as("__m"))
+      .withColumn("__ids", flatten(transform(col("__m"), e => e("v"))))
+      .withColumn("doc_lens", transform(col("__m"), e => size(e("v"))))
+      .withColumn("doc_starts",
+        slice(aggregate(col("doc_lens"), array(lit(0)),
+          (acc, x) => concat(acc, array(element_at(acc, -1) + x))),
+          lit(1), size(col("doc_lens"))))
       .withColumn("n_tokens", size(col("__ids")))
       .withColumn("token_ids",
         concat(col("__ids"), array_repeat(lit(padId),
           greatest(lit(0), lit(budget) - size(col("__ids"))))))
-      .select("seq_id", "n_docs", "n_tokens", "token_ids")
+      .select("seq_id", "n_docs", "n_tokens", "doc_lens", "doc_starts", "token_ids")
   }
 
   /** Deterministic training-shard assignment — the "global shuffle then

@@ -273,6 +273,34 @@ object TextOps {
   def portableHash60(t: Column): Column =
     conv(substring(md5(t), 1, 15), 16, 10).cast("long")
 
+  /** Shuffle partition count sized to input VOLUME, from Catalyst's plan
+    * statistics (file bytes for scans, width·rows estimates for in-memory
+    * relations) — the "partitions follow the data" lever a real cluster
+    * config applies globally, baked into the corpus-global shuffle
+    * operators here because a fixed session partition count turns their
+    * per-partition window sorts external once the corpus outgrows it
+    * (DupSpansTune at the 20M smoke: 32 static partitions → 203–476 s,
+    * 128 → 125 s ≈ linear). One partition per `targetBytes` of estimated
+    * input, never below the session's `spark.sql.shuffle.partitions`
+    * (small inputs keep the session setting — no behavior change at test
+    * scale), capped at 4096 (task-launch overhead bound; a 100 TB input
+    * saturates the cap and a real deployment raises the session setting
+    * instead). The default 8 MB target is deliberately smaller than a
+    * shuffle-file target: plan stats undercount generated/decompressed
+    * text ~5×, and the guarded shuffles fan out rows (hashed windows,
+    * exploded ids) beyond the input estimate. */
+  private[graft] def volumeParts(
+      df: DataFrame,
+      targetBytes: Long = 8L << 20): Int = {
+    val session = df.sparkSession
+    val default = session.sessionState.conf.numShufflePartitions
+    val bytes =
+      try BigInt(df.queryExecution.optimizedPlan.stats.sizeInBytes.toString)
+      catch { case _: Throwable => BigInt(0) }
+    val need = (bytes / targetBytes).min(BigInt(4096)).toLong
+    math.max(default.toLong, need).toInt
+  }
+
   /** 64-bit SimHash over tokens — one pass, no shuffle: per-row fold of
     * token hashes into 64 signed bit-counts, then sign bits.
     * (Charikar's scheme; bit i set iff Σ ±1 over tokens ≥ 0.) */
@@ -668,7 +696,14 @@ object TextOps {
     // shingles are distinct per doc, so the per-hash row count IS the
     // number of documents sharing the window
     val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
-    grams.withColumn("__docs", count(lit(1)).over(byHash))
+    // the hash window is the corpus-global shuffle (one (id, hash) row per
+    // distinct window — ~n× the input row count): size its partition count
+    // to input volume so the per-partition window sort stays in memory at
+    // any corpus size (the explicit repartition satisfies the window's
+    // clustering requirement, so this is still the SAME single shuffle,
+    // just volume-sized; AQE never splits partitions upward on its own)
+    grams.repartition(volumeParts(docs), col("__h"))
+      .withColumn("__docs", count(lit(1)).over(byHash))
       .groupBy(col("__id"))
       .agg(count(lit(1)).as("spans"),
         sum(when(col("__docs") > 1, 1L).otherwise(0L)).as("dup_spans"))

@@ -74,6 +74,61 @@ class DocCasesSpec extends AnyFunSuite {
     assert(keptWeb == kept, s"curateWeb $keptWeb vs composed $kept")
   }
 
+  test("training-side pipeline end-to-end: train → vocab → ids → pack → shard") {
+    // the tokenizer-side curateWeb analog: the full chain a trainer
+    // consumes, pinned against a hand-computed layout on Sennrich et
+    // al.'s worked corpus split across four documents
+    import graft.operators.{Bpe, Packing}
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, ("low " * 5).trim),
+      (2L, ("lower " * 2).trim),
+      (3L, ("newest " * 6).trim),
+      (4L, ("widest " * 3).trim)
+    ).toDF("doc_id", "text")
+    val m = Bpe.trainMerges(docs, 5)
+    assert(m == Seq("e" -> "s", "es" -> "t", "est" -> "</w>",
+      "l" -> "o", "lo" -> "w"))
+    val v = Bpe.vocab(docs, m)
+    // <unk>, alphabet d e i l n o r s t w (1..10), </w>=11, then products
+    assert(v == Seq("<unk>", "d", "e", "i", "l", "n", "o", "r", "s", "t", "w",
+      "</w>", "es", "est", "est</w>", "lo", "low"))
+    val ids = Bpe.tokenizeIds(docs, m, v).select(col("doc_id"), col("token_ids"))
+    val byDoc = ids.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val low = Seq(16, 11); val lower = Seq(16, 2, 7, 11)
+    val newest = Seq(5, 2, 10, 14); val widest = Seq(10, 3, 1, 14)
+    assert(byDoc(1L) == Seq.fill(5)(low).flatten)
+    assert(byDoc(2L) == Seq.fill(2)(lower).flatten)
+    assert(byDoc(3L) == Seq.fill(6)(newest).flatten)
+    assert(byDoc(4L) == Seq.fill(3)(widest).flatten)
+    // pack at budget 20, one stream: [d1(10) d2(8)] | [d3(24) overlong] |
+    // [d4(12)]; then shard the sequences 2 ways by the portable id hash
+    val packed = Packing.emitPackedIds(ids, budget = 20, buckets = 1)
+    val sharded = Packing.shardForTraining(packed, shards = 2, idCol = "seq_id")
+      .orderBy("seq_id").collect()
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString.take(15), 16)
+    val expShard = Seq(0L, 1L, 2L).map(i => i -> (h60(i.toString) % 2).toInt).toMap
+    val expPos = Seq(0L, 1L, 2L).groupBy(expShard)
+      .flatMap { case (_, seqs) =>
+        seqs.sortBy(i => (h60(i.toString), i)).zipWithIndex }
+    assert(sharded.length == 3)
+    val rows = sharded.map(r => (r.getLong(r.fieldIndex("seq_id")),
+      r.getLong(r.fieldIndex("n_docs")), r.getInt(r.fieldIndex("n_tokens")),
+      r.getSeq[Int](r.fieldIndex("doc_lens")), r.getSeq[Int](r.fieldIndex("doc_starts")),
+      r.getSeq[Int](r.fieldIndex("token_ids")),
+      r.getInt(r.fieldIndex("shard")), r.getLong(r.fieldIndex("shard_pos"))))
+    assert(rows(0) == ((0L, 2L, 18, Seq(10, 8), Seq(0, 10),
+      Seq.fill(5)(low).flatten ++ Seq.fill(2)(lower).flatten ++ Seq(0, 0),
+      expShard(0L), expPos(0L).toLong)))
+    assert(rows(1) == ((1L, 1L, 24, Seq(24), Seq(0),
+      Seq.fill(6)(newest).flatten, expShard(1L), expPos(1L).toLong)))
+    assert(rows(2) == ((2L, 1L, 12, Seq(12), Seq(0),
+      Seq.fill(3)(widest).flatten ++ Seq.fill(8)(0),
+      expShard(2L), expPos(2L).toLong)))
+  }
+
   test("doc case: filter + unit conversion + CASE grading (EmitSync analog)") {
     // reference doc_cases_test.go:16-52 — same SQL, same expectations;
     // the out-of-range and null readings must be filtered, not errors

@@ -1616,6 +1616,39 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE: supplementary-plane symbols, duplicate products, staging collisions") {
+    // code points, not UTF-16 units: on an emoji corpus the local and
+    // distributed trainers must learn the identical table, and no learned
+    // symbol may be a lone surrogate half (which segmentation could never
+    // match against the code-point-based apply kernel)
+    val emoji = Seq((1L, ("😀a " * 4).trim)).toDF("doc_id", "text")
+    val local = Bpe.trainMerges(emoji, 3, minCount = 1L)
+    val dist = Bpe.trainMerges(emoji, 3, minCount = 1L, localThreshold = 0L)
+    assert(local == dist, s"local $local vs distributed $dist")
+    assert(local.nonEmpty)
+    assert(local.flatMap(p => Seq(p._1, p._2)).forall(s =>
+      !(s.length == 1 && Character.isSurrogate(s.charAt(0)))), local)
+    // and the learned merges actually apply: lossless round trip
+    val ep = Bpe.tokenize(emoji, local).select("bpe_pieces").head().getSeq[String](0)
+    assert(ep.mkString("").replace(Bpe.EndOfWord, " ").trim ==
+      ("😀a " * 4).trim)
+
+    // duplicate merge products collapse to one vocab entry (first
+    // occurrence), so (token_id, token) stays a bijection
+    val abc = Seq((1L, "abc")).toDF("doc_id", "text")
+    val v = Bpe.vocab(abc, Seq("a" -> "bc", "ab" -> "c"))
+    assert(v.distinct == v, s"vocab has duplicate tokens: $v")
+    assert(v.count(_ == "abc") == 1)
+
+    // an input column named like the staging column survives tokenizeIds
+    val clash = Seq((1L, "aba", "keep")).toDF("doc_id", "text", "__pieces")
+    val vc = Bpe.vocab(clash, Seq("a" -> "b"))
+    val out = Bpe.tokenizeIds(clash, Seq("a" -> "b"), vc)
+    assert(out.columns.count(_ == "__pieces") == 1)
+    assert(out.select("__pieces").head().getString(0) == "keep")
+    assert(out.select("token_ids").head().getSeq[Int](0).forall(_ > 0))
+  }
+
   test("emitPackedIds materializes padded whole-doc sequences in id order") {
     val docs = Seq(
       (1L, Seq(1, 2, 3)),
@@ -1628,13 +1661,21 @@ class OperatorsSpec extends AnyFunSuite {
     val out = Packing.emitPackedIds(docs, budget = 8, buckets = 1)
       .orderBy("seq_id")
       .collect()
-      .map(r => (r.getLong(1), r.getInt(2), r.getSeq[Int](3)))
+      .map(r => (r.getLong(1), r.getInt(2), r.getSeq[Int](3), r.getSeq[Int](4),
+        r.getSeq[Int](5)))
     assert(out.length == 3)
-    assert(out(0) == ((2L, 5, Seq(1, 2, 3, 4, 5, 0, 0, 0))))
-    assert(out(1) == ((1L, 9, Seq(6, 7, 8, 9, 10, 11, 12, 13, 14))))
-    assert(out(2) == ((1L, 1, Seq(15, 0, 0, 0, 0, 0, 0, 0))))
+    assert(out(0) == ((2L, 5, Seq(3, 2), Seq(0, 3), Seq(1, 2, 3, 4, 5, 0, 0, 0))))
+    assert(out(1) == ((1L, 9, Seq(9), Seq(0), Seq(6, 7, 8, 9, 10, 11, 12, 13, 14))))
+    assert(out(2) == ((1L, 1, Seq(1), Seq(0), Seq(15, 0, 0, 0, 0, 0, 0, 0))))
+    // doc boundaries are mutually consistent: starts are the exclusive
+    // prefix sums of lens, and the last start + len is the payload length
+    out.foreach { case (nd, nt, lens, starts, _) =>
+      assert(lens.size == nd && starts.size == nd)
+      assert(starts == lens.scanLeft(0)(_ + _).dropRight(1))
+      assert(starts.last + lens.last == nt)
+    }
     // conservation: every input id appears exactly once across sequences
-    val emitted = out.flatMap(_._3).filter(_ != 0).sorted.toSeq
+    val emitted = out.flatMap(_._5).filter(_ != 0).sorted.toSeq
     assert(emitted == (1 to 15))
   }
 

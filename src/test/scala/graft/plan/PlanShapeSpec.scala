@@ -204,12 +204,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!dl.contains("Exchange"), dl)
   }
 
-  test("sequence packing is one shuffle (bucket exchange), window sort only") {
+  test("sequence packing never sorts the payload: slim window + hash join-back") {
     val p = graft.operators.Packing.packSequences(
         tables("documents"), budget = 512, buckets = 16)
       .queryExecution.executedPlan.toString
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
-    assert(!p.contains("CartesianProduct"), p)
+    // the ONLY sort in the plan is the slim (id, count, bucket) window
+    // sort; the document payload takes one hash shuffle into a
+    // shuffled-hash join (never SortMergeJoin, never a payload sort)
+    assert("Sort \\[".r.findAllIn(p).size == 1, p)
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
   test("temperature mixture broadcasts the rate table onto the scan") {
