@@ -3,9 +3,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev main: A/B the corpus-global dup-span window at 20M docs across
-  * shuffle-partition settings — the per-partition external sort is the
-  * suspected spill bottleneck on local[32]. */
+/** Dev main: scale-ratio check for the corpus-global dup-span window.
+  * r9: the operator sizes its hash-window shuffle partitions to input
+  * volume itself (TextOps.volumeParts — ~170 parts at the 20M label), so
+  * this main measures the 2M/20M ratio under the Bench protocol (driver
+  * GC between passes so stale shuffle files don't pile up) instead of
+  * A/B-ing AQE initialPartitionNum. */
 object DupSpansTune {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 20000000L
@@ -23,15 +26,25 @@ object DupSpansTune {
         concat_ws(" ", transform(sequence(lit(1), lit(40)),
           i => concat(lit("w"), pmod(hash(seed, i), lit(5000))))).as("text"))
     }
-    // warm-up
-    operators.TextOps.dupSpans(synthDocs(n / 10), n = 8)
-      .write.format("noop").mode("overwrite").save()
-    for (init <- Seq("512", "32")) {
-      spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", init)
-      val t0 = System.nanoTime()
-      operators.TextOps.dupSpans(synthDocs(n), n = 8)
+    def run(m: Long, parts: Int): Unit =
+      operators.TextOps.dupSpans(synthDocs(m), n = 8, parts = parts)
         .write.format("noop").mode("overwrite").save()
-      println(f"initParts $init%4s: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    run(n / 10, 0) // warm-up
+    System.gc(); Thread.sleep(1000)
+    // within-JVM A/B across window partition counts at 20M (0 = the
+    // volume-sized default), interleaved twice so box noise can't pick
+    // the winner; plus the 2M reference for the scale ratio
+    for (pass <- 1 to 2; p <- Seq(32, 0, 512)) {
+      val t0 = System.nanoTime()
+      run(n, p)
+      println(f"dup_spans $n%9d parts=$p%4d pass $pass: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      System.gc(); Thread.sleep(1000)
+    }
+    for (pass <- 1 to 2) {
+      val t0 = System.nanoTime()
+      run(n / 10, 0)
+      println(f"dup_spans ${n / 10}%9d parts=auto pass $pass: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      System.gc(); Thread.sleep(1000)
     }
     spark.stop()
   }

@@ -686,8 +686,10 @@ object TextOps {
       docs: DataFrame,
       n: Int = 50,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      parts: Int = 0): DataFrame = {
     require(n >= 1, "n must be positive")
+    require(parts >= 0, "parts must be non-negative (0 = size to input volume)")
     val grams = docs.select(col(idCol).as("__id"),
         explode(graft.functions.TextKernels.shinglesCol(
           normalize(col(textCol)), n)).as("__gram"))
@@ -697,12 +699,20 @@ object TextOps {
     // number of documents sharing the window
     val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
     // the hash window is the corpus-global shuffle (one (id, hash) row per
-    // distinct window — ~n× the input row count): size its partition count
-    // to input volume so the per-partition window sort stays in memory at
-    // any corpus size (the explicit repartition satisfies the window's
-    // clustering requirement, so this is still the SAME single shuffle,
-    // just volume-sized; AQE never splits partitions upward on its own)
-    grams.repartition(volumeParts(docs), col("__h"))
+    // distinct window — ~wordCount× the input ROW count, i.e. far beyond
+    // the input byte estimate): size its partition count to input volume
+    // so the per-partition window sort stays in memory at any corpus size.
+    // The 512 KB target (vs volumeParts' 8 MB default) absorbs the window
+    // fan-out — at the 20M-doc smoke it resolves ~700 partitions, ~20 MB
+    // of hashed-window rows each, always in-memory sorts (DupSpansTune
+    // within-JVM A/B: 512 parts ran 112-285 s vs 236-450 s at 32; the
+    // residual swing is shared-box contention, not the plan). The
+    // explicit repartition satisfies the window's clustering requirement,
+    // so this is still the SAME single shuffle, just volume-sized; AQE
+    // never splits partitions upward on its own.
+    val windowParts =
+      if (parts > 0) parts else volumeParts(docs, targetBytes = 512L << 10)
+    grams.repartition(windowParts, col("__h"))
       .withColumn("__docs", count(lit(1)).over(byHash))
       .groupBy(col("__id"))
       .agg(count(lit(1)).as("spans"),
