@@ -473,7 +473,13 @@ object Bench {
       "position protocol's short 20-40 batch window; r6's 87ms was " +
       "measured after the batch stages had warmed the same query " +
       "shapes, so the creep is protocol, not code (default stays " +
-      "reps=1 for r8 comparability)"
+      "reps=1 for r8 comparability); q_pack_sequences ~2x vs r8 at sf0.1 " +
+      "(0.17->0.37s) is the slim-window+join-back rewrite's fixed cost " +
+      "at small scale - the trade that took the 20M smoke from 94.8s " +
+      "(37x super-linear) to 67s with no payload sort anywhere; " +
+      "q_train_pipeline (new) runs the full train->vocab->ids->pack->" +
+      "shard chain per pass, so its ~10s headline cost is the whole " +
+      "pipeline, not one operator"
     val full =
       s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,""" +
         s""""rows_per_sec":$tput,"micro_batch_latency_ms_5k_rows":$lat,""" +

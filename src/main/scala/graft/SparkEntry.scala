@@ -1631,8 +1631,14 @@ object SparkEntry {
         val merges = operators.Bpe.trainMerges(docs, 8)
         val expect = Seq("e" -> "r", "e" -> "</w>", "n" -> "</w>",
           "er" -> "</w>", "o" -> "w", "ow" -> "</w>", "o" -> "r", "s" -> "t")
-        require(merges == expect, s"fixture drift: trained merges $merges " +
-          s"!= oracle-pinned $expect — re-derive q_train_pipeline's oracle")
+        // the oracle replays the sf0.01 fixture's learned table; on that
+        // fixture, drift must fail loudly with instructions instead of a
+        // confusing hash mismatch. Other SFs (the bench runs this chain at
+        // sf0.1) train and run whatever their corpus yields — no oracle
+        // is evaluated there.
+        if (dir.contains("sf0.01"))
+          require(merges == expect, s"fixture drift: trained merges $merges " +
+            s"!= oracle-pinned $expect — re-derive q_train_pipeline's oracle")
         val v = operators.Bpe.vocab(docs, merges)
         val ids = operators.Bpe.tokenizeIds(docs, merges, v)
           .select(col("doc_id"), col("token_ids"))

@@ -65,9 +65,16 @@ object Packing {
           floor(col("__start") / budget))
       .withColumn("seq_offset", col("__start") % budget)
       .drop("__start")
+    // size the payload join to input volume, but only force a partition
+    // count when it exceeds the session setting (an explicit repartition
+    // disables AQE's downward coalescing — pure overhead at small scale)
     val parts = TextOps.volumeParts(docs)
-    docs.repartition(parts, col(idCol))
-      .join(assigned.repartition(parts, col(idCol)).hint("shuffle_hash"), Seq(idCol))
+    val sessionParts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val (lhs, rhs) =
+      if (parts > sessionParts)
+        (docs.repartition(parts, col(idCol)), assigned.repartition(parts, col(idCol)))
+      else (docs, assigned)
+    lhs.join(rhs.hint("shuffle_hash"), Seq(idCol))
       .select(docs.columns.map(col) ++
         Seq(col("pack_bucket"), col("token_count"), col("seq_id"), col("seq_offset")): _*)
   }
@@ -164,11 +171,16 @@ object Packing {
     val assigned = packGreedy(ids, budget, idCol = idCol, buckets = buckets,
         tokens = Some(size(col(idsCol)).cast("long")))
       .select(col(idCol), col("seq_id"))
-    // volume-sized id shuffle for the one payload-carrying join; the
-    // assignment side stays the slim (id, seq_id) build side
+    // volume-sized id shuffle for the one payload-carrying join (only
+    // forced when sizing past the session setting — see packSequences);
+    // the assignment side stays the slim (id, seq_id) build side
     val parts = TextOps.volumeParts(docs)
-    ids.repartition(parts, col(idCol))
-      .join(assigned.repartition(parts, col(idCol)).hint("shuffle_hash"), Seq(idCol))
+    val sessionParts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val (lhs, rhs) =
+      if (parts > sessionParts)
+        (ids.repartition(parts, col(idCol)), assigned.repartition(parts, col(idCol)))
+      else (ids, assigned)
+    lhs.join(rhs.hint("shuffle_hash"), Seq(idCol))
       .groupBy("seq_id")
       .agg(
         count(lit(1)).as("n_docs"),

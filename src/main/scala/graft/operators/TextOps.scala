@@ -710,10 +710,17 @@ object TextOps {
     // explicit repartition satisfies the window's clustering requirement,
     // so this is still the SAME single shuffle, just volume-sized; AQE
     // never splits partitions upward on its own.
+    // only repartition when sizing UP past the session setting: an
+    // explicit numPartitions also disables AQE's downward coalescing, so
+    // forcing it at small scale costs task-launch overhead for nothing
+    // (r9 bench: q_dup_spans 1.6× slower at sf0.1 with a forced 32)
     val windowParts =
       if (parts > 0) parts else volumeParts(docs, targetBytes = 512L << 10)
-    grams.repartition(windowParts, col("__h"))
-      .withColumn("__docs", count(lit(1)).over(byHash))
+    val sized =
+      if (windowParts > docs.sparkSession.sessionState.conf.numShufflePartitions)
+        grams.repartition(windowParts, col("__h"))
+      else grams
+    sized.withColumn("__docs", count(lit(1)).over(byHash))
       .groupBy(col("__id"))
       .agg(count(lit(1)).as("spans"),
         sum(when(col("__docs") > 1, 1L).otherwise(0L)).as("dup_spans"))
