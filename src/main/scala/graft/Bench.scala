@@ -199,7 +199,7 @@ object Bench {
       "q_split_sentences", "q_hashed_features", "q_line_flags", "q_dedup_url",
       "q_histogram", "q_corr_matrix", "q_quantiles_by", "q_crawl_rank",
       "q_dedup_sig_pairs", "q_dedup_sig_pairs_simhash", "q_bpe_vocab",
-      "q_pack_emit", "q_pack_emit_bounds", "q_train_pipeline")
+      "q_pack_emit", "q_pack_emit_bounds", "q_pack_chunks", "q_train_pipeline")
     val headline = benchOnly match {
       case Some(ps) => headline0.filter(n => ps.exists(n.startsWith))
       case None     => headline0
@@ -394,6 +394,16 @@ object Bench {
                 transform(split(col("text"), " "),
                   w => pmod(hash(w), lit(30000)).cast("int")).as("token_ids"))
               operators.Packing.emitPackedIds(ids, budget = 2048, buckets = 2048)
+                .write.format("noop").mode("overwrite").save()
+            } catch { case _: Throwable => -1.0 }
+          // the concat-then-chunk twin: same payload-moves-twice shape
+          // plus the per-doc segment fan-out and slicing
+          scaleSmoke(s"pack_chunks_${label}_sec") =
+            try timedEager {
+              val ids = synthDocs(n).select(col("doc_id"),
+                transform(split(col("text"), " "),
+                  w => pmod(hash(w), lit(30000)).cast("int")).as("token_ids"))
+              operators.Packing.emitPackedChunks(ids, budget = 2048, buckets = 2048)
                 .write.format("noop").mode("overwrite").save()
             } catch { case _: Throwable => -1.0 }
           // link-graph authority at scale: n/4 edges over n/40 nodes

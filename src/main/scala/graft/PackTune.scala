@@ -25,9 +25,23 @@ object PackTune {
         concat_ws(" ", transform(sequence(lit(1), lit(40)),
           i => concat(lit("w"), pmod(hash(seed, i), lit(5000))))).as("text"))
     }
-    def pack(m: Long): Unit =
-      operators.Packing.packSequences(synthDocs(m), budget = 2048, buckets = 2048)
-        .write.format("noop").mode("overwrite").save()
+    // arg 2 picks the operator: "seq" (default) = packSequences,
+    // "chunks" = emitPackedChunks, "emit" = emitPackedIds
+    val mode = if (args.length > 1) args(1) else "seq"
+    def pack(m: Long): Unit = mode match {
+      case "seq" =>
+        operators.Packing.packSequences(synthDocs(m), budget = 2048, buckets = 2048)
+          .write.format("noop").mode("overwrite").save()
+      case other =>
+        val ids = synthDocs(m).select(col("doc_id"),
+          transform(split(col("text"), " "),
+            w => pmod(hash(w), lit(30000)).cast("int")).as("token_ids"))
+        val out =
+          if (other == "chunks")
+            operators.Packing.emitPackedChunks(ids, budget = 2048, buckets = 2048)
+          else operators.Packing.emitPackedIds(ids, budget = 2048, buckets = 2048)
+        out.write.format("noop").mode("overwrite").save()
+    }
     for (m <- Seq(n / 10, n))
       println(s"volumeParts(synthDocs($m)) = " +
         operators.TextOps.volumeParts(synthDocs(m)))

@@ -1612,6 +1612,93 @@ object SparkEntry {
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INTEGER) AS doc_start
         FROM r""".stripMargin.trim)),
 
+    Q("q_pack_chunks",
+      // concat-then-chunk materialization (GPT-style: docs SPLIT across
+      // fixed-budget sequences, zero waste except each bucket's padded
+      // tail) — token ids are the same SQL-replayable word-hash mapping
+      // as q_pack_emit; the oracle replays the offset cumsum, the per-doc
+      // chunk fan-out, the list slicing, and the padded concat — no
+      // recursion needed (chunk layout is a closed form of the offsets)
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = Tables.load(s, dir)("documents")
+        val ids = d.select(col("doc_id"),
+          transform(
+            filter(split(operators.TextOps.normalize(col("text")), " "), w => w =!= ""),
+            w => (pmod(operators.TextOps.portableHash60(w), lit(97)) + 1).cast("int"))
+            .as("token_ids"))
+        operators.Packing.emitPackedChunks(ids, budget = 128, buckets = 8)
+          .select(col("seq_id"), col("n_docs"), col("n_tokens"),
+            posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+            list_transform(list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), w -> w <> ''),
+              w -> CAST(('0x' || substr(md5(w), 1, 15))::BIGINT % 97 + 1 AS INTEGER)) AS ids,
+            ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS pack_bucket
+          FROM documents),
+        s AS (SELECT doc_id, ids, pack_bucket, len(ids)::BIGINT AS n,
+               COALESCE(sum(len(ids)::BIGINT) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+              FROM t),
+        seg AS (SELECT doc_id, ids, pack_bucket, n, st,
+                 unnest(range(CAST(st // 128 AS BIGINT), CAST((st + n - 1) // 128 + 1 AS BIGINT))) AS k
+                FROM s WHERE n > 0),
+        seg2 AS (SELECT pack_bucket * 1099511627776 + k AS seq_id,
+                  CAST(greatest(0, st - k * 128) AS INTEGER) AS at,
+                  ids[CAST(greatest(0, k * 128 - st) + 1 AS INTEGER) : CAST(least(n, (k + 1) * 128 - st) AS INTEGER)] AS seg
+                 FROM seg),
+        agg AS (SELECT seq_id, count(*) AS n_docs,
+                  flatten(list(seg ORDER BY at)) AS cat
+                FROM seg2 GROUP BY seq_id),
+        p AS (SELECT seq_id, n_docs, CAST(len(cat) AS INTEGER) AS n_tokens,
+                list_concat(cat, [0 for i in range(greatest(0, 128 - len(cat)))]) AS tid
+              FROM agg)
+        SELECT seq_id, n_docs, n_tokens,
+          CAST(unnest(range(len(tid))) AS INTEGER) AS pos,
+          unnest(tid) AS token_id
+        FROM p""".stripMargin.trim)),
+
+    Q("q_pack_chunks_bounds",
+      // segment-boundary metadata on chunked sequences: where each doc
+      // SEGMENT (a split doc contributes one per sequence touched) starts
+      // and how long it is — the attention-mask reset points
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = Tables.load(s, dir)("documents")
+        val ids = d.select(col("doc_id"),
+          transform(
+            filter(split(operators.TextOps.normalize(col("text")), " "), w => w =!= ""),
+            w => (pmod(operators.TextOps.portableHash60(w), lit(97)) + 1).cast("int"))
+            .as("token_ids"))
+        operators.Packing.emitPackedChunks(ids, budget = 128, buckets = 8)
+          .select(col("seq_id"),
+            posexplode(arrays_zip(col("doc_lens"), col("doc_starts"))))
+          .select(col("seq_id"), col("pos").cast("int").as("di"),
+            col("col.doc_lens").as("doc_len"), col("col.doc_starts").as("doc_start"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+            list_transform(list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), w -> w <> ''),
+              w -> CAST(('0x' || substr(md5(w), 1, 15))::BIGINT % 97 + 1 AS INTEGER)) AS ids,
+            ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS pack_bucket
+          FROM documents),
+        s AS (SELECT doc_id, pack_bucket, len(ids)::BIGINT AS n,
+               COALESCE(sum(len(ids)::BIGINT) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+              FROM t),
+        seg AS (SELECT pack_bucket, n, st,
+                 unnest(range(CAST(st // 128 AS BIGINT), CAST((st + n - 1) // 128 + 1 AS BIGINT))) AS k
+                FROM s WHERE n > 0)
+        SELECT pack_bucket * 1099511627776 + k AS seq_id,
+          CAST(row_number() OVER (PARTITION BY pack_bucket, k
+            ORDER BY greatest(0, st - k * 128)) - 1 AS INTEGER) AS di,
+          CAST(least(n, (k + 1) * 128 - st) - greatest(0, k * 128 - st) AS INTEGER) AS doc_len,
+          CAST(greatest(0, st - k * 128) AS INTEGER) AS doc_start
+        FROM seg""".stripMargin.trim)),
+
     Q("q_train_pipeline",
       // END-TO-END tokenizer-side composition — the artifact a trainer
       // actually consumes, pinned in one gate: trainMerges → vocab →

@@ -199,6 +199,87 @@ object Packing {
       .select("seq_id", "n_docs", "n_tokens", "doc_lens", "doc_starts", "token_ids")
   }
 
+  /** Materialize CONCAT-THEN-CHUNK packed training sequences — the
+    * GPT-style packing where the per-bucket token stream is chunked into
+    * fixed `budget`-token sequences and documents SPLIT across sequence
+    * boundaries (zero waste except each bucket's padded tail), vs
+    * [[emitPackedIds]]'s whole-document greedy layout. Layout is
+    * [[packSequences]]'s (deterministic: bucket = portable md5 id hash,
+    * docs laid contiguously in id order), so every sequence holds exactly
+    * `budget` tokens except the last of each bucket (right-padded with
+    * `padId`).
+    *
+    * `doc_lens` / `doc_starts` describe the document SEGMENTS present in
+    * the sequence, in id order (a split document contributes a segment to
+    * each sequence it touches): `doc_starts(i)` is the token offset where
+    * segment i begins, `doc_lens(i)` its length — the attention-mask
+    * reset points.
+    *
+    * Scale shape: the offset assignment is the slim window (payload-free);
+    * each doc then fans out into its ⌈span/budget⌉ segment rows on the
+    * SLIM side, the payload joins once by id (volume-sized shuffled-hash
+    * join, never sorted), segments are sliced per row, and one seq_id
+    * aggregation concatenates — the payload moves exactly twice, with
+    * ~(1 + tokens/budget per doc) duplication bounded by the chunk count.
+    *
+    * @param idsCol array<int> column of BPE token ids
+    * @return (seq_id, n_docs, n_tokens, doc_lens, doc_starts, token_ids) */
+  def emitPackedChunks(
+      docs: DataFrame,
+      budget: Int,
+      idsCol: String = "token_ids",
+      idCol: String = "doc_id",
+      buckets: Int = 4096,
+      padId: Int = 0): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    require(buckets > 0 && buckets <= (1 << 23), "buckets must fit the 2^40 seq_id split")
+    val ids = docs.select(col(idCol), col(idsCol))
+    val bucket = pmod(TextOps.portableHash60(col(idCol).cast("string")), lit(buckets))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pack_bucket")).orderBy(col(idCol))
+    val b = budget.toLong
+    // slim offset assignment, then per-doc fan-out into the sequences the
+    // doc's token span touches — all on (id, n, start) rows only
+    val segs = ids
+      .select(col(idCol), size(col(idsCol)).cast("long").as("__n"),
+        bucket.as("pack_bucket"))
+      .withColumn("__start",
+        coalesce(sum(col("__n")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__n"), col("__start"), col("pack_bucket"),
+        explode(sequence(floor(col("__start") / b),
+          floor((col("__start") + col("__n") - 1) / b))).as("__k"))
+      .select(col(idCol),
+        (col("pack_bucket") * lit(1L << 40) + col("__k")).as("seq_id"),
+        greatest(lit(0L), col("__k") * b - col("__start")).cast("int").as("__from"),
+        least(col("__n"), (col("__k") + 1) * b - col("__start")).cast("int").as("__to"),
+        greatest(lit(0L), col("__start") - col("__k") * b).cast("int").as("__at"))
+    val parts = TextOps.volumeParts(docs)
+    val sessionParts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val (lhs, rhs) =
+      if (parts > sessionParts)
+        (ids.repartition(parts, col(idCol)), segs.repartition(parts, col(idCol)))
+      else (ids, segs)
+    lhs.join(rhs.hint("shuffle_hash"), Seq(idCol))
+      .select(col("seq_id"), col("__at"),
+        slice(col(idsCol), col("__from") + 1, col("__to") - col("__from")).as("__seg"))
+      .groupBy("seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        array_sort(collect_list(struct(col("__at").as("a"), col("__seg").as("v"))))
+          .as("__m"))
+      .withColumn("__ids", flatten(transform(col("__m"), e => e("v"))))
+      .withColumn("doc_lens", transform(col("__m"), e => size(e("v"))))
+      .withColumn("doc_starts", transform(col("__m"), e => e("a")))
+      .withColumn("n_tokens", size(col("__ids")))
+      .withColumn("token_ids",
+        concat(col("__ids"), array_repeat(lit(padId),
+          greatest(lit(0), lit(budget) - size(col("__ids"))))))
+      .select("seq_id", "n_docs", "n_tokens", "doc_lens", "doc_starts", "token_ids")
+  }
+
   /** Deterministic training-shard assignment — the "global shuffle then
     * shard" step a training run needs so examples are decorrelated from
     * crawl/source order while the layout stays reproducible run-over-run

@@ -1679,6 +1679,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(emitted == (1 to 15))
   }
 
+  test("emitPackedChunks splits docs across fixed-budget sequences, zero waste") {
+    val docs = Seq(
+      (1L, Seq(1, 2, 3)),
+      (2L, Seq(4, 5)),
+      (3L, Seq(6, 7, 8, 9, 10, 11, 12, 13, 14)), // spans the chunk boundary
+      (4L, Seq(15)),
+      (5L, Seq.empty[Int]) // empty doc contributes nothing
+    ).toDF("doc_id", "token_ids")
+    // buckets=1, budget 8: stream [1..5 | 6..8][9..14 | 15]; doc 3 splits
+    val out = Packing.emitPackedChunks(docs, budget = 8, buckets = 1)
+      .orderBy("seq_id")
+      .collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getSeq[Int](3), r.getSeq[Int](4),
+        r.getSeq[Int](5)))
+    assert(out.length == 2)
+    assert(out(0) == ((3L, 8, Seq(3, 2, 3), Seq(0, 3, 5),
+      Seq(1, 2, 3, 4, 5, 6, 7, 8))))
+    assert(out(1) == ((2L, 7, Seq(6, 1), Seq(0, 6),
+      Seq(9, 10, 11, 12, 13, 14, 15, 0))))
+    // every sequence is exactly budget tokens except the bucket tail, and
+    // every input id appears exactly once (zero waste, no duplication)
+    assert(out.init.forall(_._2 == 8))
+    assert(out.flatMap(_._5).filter(_ != 0).sorted.toSeq == (1 to 15))
+    // segment starts are consistent with lens (contiguous within the seq)
+    out.foreach { case (nd, nt, lens, starts, _) =>
+      assert(lens.size == nd && starts.size == nd)
+      assert(starts == lens.scanLeft(0)(_ + _).dropRight(1))
+      assert(starts.last + lens.last == nt)
+    }
+  }
+
   test("corpusDiff labels added/removed/changed and omits unchanged") {
     val prev = Seq(
       (1L, "same text"), (2L, "old text"), (3L, "gone")).toDF("doc_id", "text")
