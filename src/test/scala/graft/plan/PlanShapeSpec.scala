@@ -216,6 +216,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("chunked materialization never sorts the payload either") {
+    import org.apache.spark.sql.functions._
+    val ids = tables("documents").select(col("doc_id"),
+      transform(split(col("text"), " "), w => hash(w)).as("token_ids"))
+    val p = graft.operators.Packing.emitPackedChunks(ids, budget = 512, buckets = 16)
+      .queryExecution.executedPlan.toString
+    // slim window sort only; payload joins via shuffled-hash and
+    // concatenates under an object-hash aggregate (array_sort is an
+    // expression, not a Sort node)
+    assert("Sort \\[".r.findAllIn(p).size == 1, p)
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("temperature mixture broadcasts the rate table onto the scan") {
     import org.apache.spark.sql.functions._
     val p = graft.operators.Sampling.temperatureMixture(
