@@ -302,8 +302,9 @@ object Bench {
       // numbers were non-monotonic under run-to-run heap variance — run
       // their (2m, 20m) pair INTERLEAVED for `smokePasses` rounds and
       // report the per-label median, so a GC spike in one round cannot
-      // invert the ratio. cc/pagerank/dup_spans stay single-cold-pass
-      // (their r7 ratios were already clean ~linear).
+      // invert the ratio. r9: the pipe stages (cc/dup_spans/pack_emit/
+      // pack_chunks/pagerank) report interleaved MIN-of-2 — see the
+      // pipeStages comment.
       {
         import org.apache.spark.sql.functions._
         val smokeRows =
@@ -370,55 +371,66 @@ object Bench {
                 numMerges = math.min(100, bpeMerges), localThreshold = 0L)
             } catch { case _: Throwable => -1.0 }
         }
-        for ((label, n) <- labels) {
-          scaleSmoke(s"cc_distributed_${label}_sec") =
-            try timedEager {
-              operators.Dedup.connectedComponents(chainEdges(n), localThreshold = 0L)
-                .write.format("noop").mode("overwrite").save()
-            } catch { case _: Throwable => -1.0 }
-          // the heaviest round-7 text shuffle shape: corpus-global
-          // hash-keyed span-sharing window (two shuffles, no join);
-          // 8-word windows over 40-word docs → 33 hashed windows per doc
-          scaleSmoke(s"dup_spans_${label}_sec") =
-            try timedEager {
-              operators.TextOps.dupSpans(synthDocs(n), n = 8)
-                .write.format("noop").mode("overwrite").save()
-            } catch { case _: Throwable => -1.0 }
-          // packed-sequence MATERIALIZATION — the one stage whose payload
-          // (the token ids themselves) rides the shuffles: assignment is
-          // payload-free, then the ids move twice (seq_id join + ordered
-          // concat). 40 ids/doc → 800M ints at the 20M label.
-          scaleSmoke(s"pack_emit_${label}_sec") =
-            try timedEager {
-              val ids = synthDocs(n).select(col("doc_id"),
-                transform(split(col("text"), " "),
-                  w => pmod(hash(w), lit(30000)).cast("int")).as("token_ids"))
-              operators.Packing.emitPackedIds(ids, budget = 2048, buckets = 2048)
-                .write.format("noop").mode("overwrite").save()
-            } catch { case _: Throwable => -1.0 }
+        // pipe stages, interleaved MIN-of-k (default 2, env-dialable):
+        // shared-box contention is one-sided noise — a spike can only ADD
+        // time — so the minimum over interleaved passes is the capability
+        // estimator for the 2M/20M linearity ratio (r9 observed identical-
+        // config single passes of pack_emit@2M at 6s and 134s in the same
+        // evening; the median-of-1 protocol made such spikes the reported
+        // number)
+        val pipePasses =
+          sys.env.getOrElse("SPARK_GRAFT_PIPE_PASSES", "2").toInt.max(1)
+        val pipeStages: Seq[(String, Long => Unit)] = Seq(
+          "cc_distributed" -> { n: Long =>
+            operators.Dedup.connectedComponents(chainEdges(n), localThreshold = 0L)
+              .write.format("noop").mode("overwrite").save()
+          },
+          // the heaviest text shuffle shape: corpus-global hash-keyed
+          // span-sharing window (two shuffles, no join); 8-word windows
+          // over 40-word docs → 33 hashed windows per doc
+          "dup_spans" -> { n: Long =>
+            operators.TextOps.dupSpans(synthDocs(n), n = 8)
+              .write.format("noop").mode("overwrite").save()
+          },
+          // packed-sequence MATERIALIZATION — the payload (token ids)
+          // rides the shuffles: assignment is payload-free, then the ids
+          // move twice (seq_id join + ordered concat). 40 ids/doc → 800M
+          // ints at the 20M label.
+          "pack_emit" -> { n: Long =>
+            val ids = synthDocs(n).select(col("doc_id"),
+              transform(split(col("text"), " "),
+                w => pmod(hash(w), lit(30000)).cast("int")).as("token_ids"))
+            operators.Packing.emitPackedIds(ids, budget = 2048, buckets = 2048)
+              .write.format("noop").mode("overwrite").save()
+          },
           // the concat-then-chunk twin: same payload-moves-twice shape
           // plus the per-doc segment fan-out and slicing
-          scaleSmoke(s"pack_chunks_${label}_sec") =
-            try timedEager {
-              val ids = synthDocs(n).select(col("doc_id"),
-                transform(split(col("text"), " "),
-                  w => pmod(hash(w), lit(30000)).cast("int")).as("token_ids"))
-              operators.Packing.emitPackedChunks(ids, budget = 2048, buckets = 2048)
-                .write.format("noop").mode("overwrite").save()
-            } catch { case _: Throwable => -1.0 }
+          "pack_chunks" -> { n: Long =>
+            val ids = synthDocs(n).select(col("doc_id"),
+              transform(split(col("text"), " "),
+                w => pmod(hash(w), lit(30000)).cast("int")).as("token_ids"))
+            operators.Packing.emitPackedChunks(ids, budget = 2048, buckets = 2048)
+              .write.format("noop").mode("overwrite").save()
+          },
           // link-graph authority at scale: n/4 edges over n/40 nodes
           // (avg degree 10), 3 power-iteration rounds = 6 shuffles + 3
-          // scalar dangling aggregates — the ratio between labels exposes
-          // any super-linear round cost
-          scaleSmoke(s"pagerank_${label}_sec") =
-            try timedEager {
-              val nodes = math.max(1L, n / 40)
-              val e = spark.range(n / 4).select(
-                (col("id") % nodes).as("src"),
-                ((col("id") * 31 + 7) % nodes).as("dst"))
-              operators.Graphs.pageRank(e, iters = 3)
-                .write.format("noop").mode("overwrite").save()
-            } catch { case _: Throwable => -1.0 }
+          // scalar dangling aggregates
+          "pagerank" -> { n: Long =>
+            val nodes = math.max(1L, n / 40)
+            val e = spark.range(n / 4).select(
+              (col("id") % nodes).as("src"),
+              ((col("id") * 31 + 7) % nodes).as("dst"))
+            operators.Graphs.pageRank(e, iters = 3)
+              .write.format("noop").mode("overwrite").save()
+          })
+        val pipeObs = scala.collection.mutable.Map[String, List[Double]]()
+          .withDefaultValue(Nil)
+        for (_ <- 1 to pipePasses; (label, n) <- labels; (stage, run) <- pipeStages)
+          pipeObs(s"${stage}_${label}_sec") = pipeObs(s"${stage}_${label}_sec") :+
+            (try timedEager(run(n)) catch { case _: Throwable => -1.0 })
+        for ((stage, _) <- pipeStages; (label, _) <- labels) {
+          val ok = pipeObs(s"${stage}_${label}_sec").filter(_ >= 0)
+          scaleSmoke(s"${stage}_${label}_sec") = if (ok.isEmpty) -1.0 else ok.min
         }
         // (BPE training smokes — the corpus pass sees 2M docs / 80M
         // tokens but the merge loop runs on the VOCAB-bounded dict of
@@ -489,7 +501,11 @@ object Bench {
       "(37x super-linear) to 67s with no payload sort anywhere; " +
       "q_train_pipeline (new) runs the full train->vocab->ids->pack->" +
       "shard chain per pass, so its ~10s headline cost is the whole " +
-      "pipeline, not one operator"
+      "pipeline, not one operator; pipe smokes (cc/dup_spans/pack_emit/" +
+      "pack_chunks/pagerank) now report interleaved MIN-of-2 - box " +
+      "contention is one-sided noise (identical-config pack_emit@2M " +
+      "single passes measured 6s and 134s the same evening), so min is " +
+      "the capability estimator for the linearity ratio"
     val full =
       s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,""" +
         s""""rows_per_sec":$tput,"micro_batch_latency_ms_5k_rows":$lat,""" +
