@@ -199,7 +199,9 @@ object Bench {
       "q_split_sentences", "q_hashed_features", "q_line_flags", "q_dedup_url",
       "q_histogram", "q_corr_matrix", "q_quantiles_by", "q_crawl_rank",
       "q_dedup_sig_pairs", "q_dedup_sig_pairs_simhash", "q_bpe_vocab",
-      "q_pack_emit", "q_pack_emit_bounds", "q_pack_chunks", "q_train_pipeline")
+      "q_pack_emit", "q_pack_emit_bounds", "q_pack_chunks", "q_train_pipeline",
+      "q_remove_dup_spans", "q_shard_manifest", "q_hybrid_topk",
+      "q_dedup_sig_pairs_simhash_incr")
     val headline = benchOnly match {
       case Some(ps) => headline0.filter(n => ps.exists(n.startsWith))
       case None     => headline0
@@ -390,6 +392,13 @@ object Bench {
           // over 40-word docs → 33 hashed windows per doc
           "dup_spans" -> { n: Long =>
             operators.TextOps.dupSpans(synthDocs(n), n = 8)
+              .write.format("noop").mode("overwrite").save()
+          },
+          // the acting twin (r10): same corpus-global hash window carrying
+          // (id, pos, hash), plus first-occurrence election, per-doc
+          // removal rollup, and the payload-attaching rebuild join
+          "remove_spans" -> { n: Long =>
+            operators.TextOps.removeDupSpans(synthDocs(n), n = 8)
               .write.format("noop").mode("overwrite").save()
           },
           // packed-sequence MATERIALIZATION — the payload (token ids)

@@ -2292,6 +2292,23 @@ object SparkEntry {
           row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) - 1 AS shard_pos
         FROM t""".stripMargin.trim)),
 
+    Q("q_shard_manifest",
+      // per-shard audit manifest: doc/token/char totals, id range and an
+      // order-insensitive membership checksum per training shard
+      (s, dir) => operators.Packing.shardManifest(
+        Tables.load(s, dir)("documents"), shards = 16),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, text, ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+          FROM documents
+        )
+        SELECT CAST(h % 16 AS INT) AS shard, count(*) AS n_docs,
+          CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tokens,
+          CAST(sum(length(text)) AS BIGINT) AS n_chars,
+          min(doc_id) AS min_id, max(doc_id) AS max_id,
+          CAST(sum(h % 1000003) AS BIGINT) AS fingerprint
+        FROM t GROUP BY 1""".stripMargin.trim)),
+
     Q("q_dedup_lines",
       // corpus-frequency boilerplate line removal: the fixture has no
       // newlines, so the query plants a per-doc id line + two shared
@@ -3247,6 +3264,44 @@ object SparkEntry {
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.sig, b.sig)) <= 10""".stripMargin.trim)),
 
+    Q("q_dedup_sig_pairs_simhash_incr",
+      // the at-ingest SimHash shape: new-batch signatures (doc_id >= 400)
+      // against the stored corpus sketch table (doc_id < 400), zero text
+      // access on either side. In-entry full-outer diff against the
+      // within-corpus path restricted to cross pairs (full-recall
+      // pigeonhole banding ⇒ both compute the exact ≤-maxDist set); the
+      // oracle replays that exact cross-side pair set, every row 'both'.
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val docs = Tables.load(s, dir)("documents")
+        val sigs = operators.Dedup.simHashSignatures(docs, portableHash = true)
+        val corpus = sigs.filter(col("doc_id") < 400)
+        val batch = sigs.filter(col("doc_id") >= 400)
+        val cross = operators.Dedup
+          .simHashPairsAgainstSignatures(batch, corpus, maxDist = 10)
+          .select(col("doc_new"), col("doc_corpus"), lit(true).as("in_cross"))
+        val full = operators.Dedup.simHashPairsFromSignatures(sigs, maxDist = 10)
+          .filter(col("doc_a") < 400 && col("doc_b") >= 400)
+          .select(col("doc_b").as("doc_new"), col("doc_a").as("doc_corpus"),
+            lit(true).as("in_full"))
+        cross.join(full, Seq("doc_new", "doc_corpus"), "full_outer")
+          .select(col("doc_new"), col("doc_corpus"),
+            when(col("in_cross") && col("in_full"), "both")
+              .when(col("in_cross"), "cross_only")
+              .otherwise("full_only").as("status"))
+      },
+      Some("""
+        WITH nrm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+        tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS t FROM nrm),
+        h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv FROM tok),
+        bitc AS (SELECT doc_id, i, sum(CASE WHEN ((hv >> i) & 1) = 1 THEN 1 ELSE -1 END) AS c
+                 FROM h CROSS JOIN range(0, 64) r(i) GROUP BY doc_id, i),
+        sig AS (SELECT doc_id, sum(CASE WHEN c >= 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)::BIGINT AS sig
+                FROM bitc GROUP BY doc_id)
+        SELECT b.doc_id AS doc_new, c.doc_id AS doc_corpus, 'both' AS status
+        FROM sig b JOIN sig c ON b.doc_id >= 400 AND c.doc_id < 400
+        WHERE bit_count(xor(b.sig, c.sig)) <= 10""".stripMargin.trim)),
+
     // winnowed k-gram fingerprints (MOSS): md5-derived hashes → window
     // minima → shared-count join; the oracle replays the same scheme in SQL
     Q("q_winnow_pairs",
@@ -3282,6 +3337,57 @@ object SparkEntry {
           FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
         r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank FROM p)
         SELECT query_id, vec_id, sim, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 10""".stripMargin.trim)),
+
+    Q("q_hybrid_topk",
+      // hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+      // ranking and the embedding-cosine ranking (doc_id/vec_id aligned in
+      // the fixture); query ids offset by 10000 so neither pool
+      // self-excludes. Both modality rankings are 6dp-rounded with id
+      // tiebreaks, so the oracle replays lex pool, sem pool, RRF and the
+      // final top-10 exactly.
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val t = Tables.load(s, dir)
+        val queries = t("documents")
+          .join(t("embeddings"), col("doc_id") === col("vec_id"))
+          .filter(col("doc_id") < 5)
+          .select((col("doc_id") + 10000L).as("query_id"),
+            col("text").as("qtext"), col("embedding"))
+        operators.Similarity.hybridTopK(
+          t("documents"), t("embeddings"), queries, k = 10, poolK = 20)
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+        b AS (SELECT doc_id, CASE WHEN length(t) = 0 THEN 0 ELSE len(string_split(t, ' ')) END AS dl, t FROM d),
+        c AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM b),
+        p AS (SELECT doc_id, dl, token, count(*) AS tf FROM (
+                SELECT doc_id, dl, unnest(string_split(t, ' ')) AS token FROM b)
+              WHERE length(token) > 0 GROUP BY doc_id, dl, token),
+        q AS (SELECT DISTINCT query_id, token FROM (
+                SELECT doc_id + 10000 AS query_id, unnest(string_split(t, ' ')) AS token FROM d WHERE doc_id < 5)
+              WHERE length(token) > 0),
+        f AS (SELECT p.token, count(*) AS df FROM p JOIN (SELECT DISTINCT token FROM q) qt ON p.token = qt.token GROUP BY p.token),
+        s AS (SELECT q.query_id, p.doc_id,
+                round(sum(ln(1 + (c.n - f.df + 0.5) / (f.df + 0.5)) *
+                  p.tf * (1.2 + 1) / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / c.avgdl))), 6) AS score
+              FROM p JOIN q ON p.token = q.token JOIN f ON p.token = f.token CROSS JOIN c
+              GROUP BY q.query_id, p.doc_id),
+        lex0 AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS lex_rank FROM s),
+        lex AS (SELECT query_id, doc_id, CAST(lex_rank AS INTEGER) AS lex_rank FROM lex0 WHERE lex_rank <= 20),
+        qv AS (SELECT vec_id + 10000 AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+        pv AS (SELECT qv.query_id, e.vec_id AS doc_id,
+                round(list_inner_product(e.embedding::DOUBLE[], qv.embedding::DOUBLE[]) /
+                  (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                   sqrt(list_inner_product(qv.embedding::DOUBLE[], qv.embedding::DOUBLE[]))), 6) AS sim
+               FROM embeddings e CROSS JOIN qv),
+        sem0 AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS sem_rank FROM pv),
+        sem AS (SELECT query_id, doc_id, CAST(sem_rank AS INTEGER) AS sem_rank FROM sem0 WHERE sem_rank <= 20),
+        fused AS (SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
+                coalesce(lex.doc_id, sem.doc_id) AS doc_id, lex.lex_rank, sem.sem_rank,
+                round(coalesce(1.0 / (60 + lex.lex_rank), 0) + coalesce(1.0 / (60 + sem.sem_rank), 0), 6) AS rrf
+              FROM lex FULL OUTER JOIN sem ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank FROM fused)
+        SELECT query_id, doc_id, lex_rank, sem_rank, rrf, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 10""".stripMargin.trim)),
 
     Q("q_embed_neardup",
       (s, dir) => {
@@ -3520,6 +3626,37 @@ object SparkEntry {
         SELECT doc_id, count(*) AS spans, CAST(sum(CASE WHEN docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
           round(sum(CASE WHEN docs > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS dup_frac
         FROM h GROUP BY doc_id""".stripMargin.trim)),
+
+    Q("q_remove_dup_spans",
+      // the acting half of q_dup_spans: every duplicated 8-word window
+      // keeps only its first (doc, pos) occurrence; covered words are
+      // deleted. Oracle replays the full keep/delete layout — window
+      // census, first-occurrence election, coverage union, per-doc
+      // rebuild — on the raw gram strings (the Spark side shuffles
+      // 60-bit hashes, so collision-freedom is part of the check)
+      (s, dir) => operators.TextOps.removeDupSpans(
+        Tables.load(s, dir)("documents"), n = 8),
+      Some("""
+        WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+        w AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
+        o AS (SELECT doc_id, w, unnest(range(0, greatest(len(w) - 7, 0))) AS p FROM w),
+        g AS (SELECT doc_id, p, array_to_string(list_slice(w, p + 1, p + 8), ' ') AS gram FROM o),
+        m AS (SELECT doc_id, p, count(*) OVER (PARTITION BY gram) AS occ,
+                first_value(doc_id) OVER (PARTITION BY gram ORDER BY doc_id, p) AS fdoc,
+                first_value(p) OVER (PARTITION BY gram ORDER BY doc_id, p) AS fp
+              FROM g),
+        r AS (SELECT doc_id, p FROM m WHERE occ > 1 AND NOT (doc_id = fdoc AND p = fp)),
+        cov AS (SELECT DISTINCT doc_id, unnest(range(p, p + 8)) AS pos FROM r),
+        pos AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) - 1 AS pos FROM w),
+        keep AS (SELECT pos.doc_id, pos.word, pos.pos FROM pos
+                 LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.pos = cov.pos
+                 WHERE cov.pos IS NULL),
+        agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text,
+                  count(*) AS kept FROM keep GROUP BY doc_id)
+        SELECT w.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+          CAST(len(w.w) AS BIGINT) AS n_words,
+          CAST(len(w.w) - coalesce(agg.kept, 0) AS BIGINT) AS n_removed
+        FROM w LEFT JOIN agg USING (doc_id)""".stripMargin.trim)),
 
     Q("q_bm25",
       // Okapi BM25 top-10 per query over the corpus — targeted-crawl /

@@ -694,6 +694,54 @@ object Dedup {
     materializeAndRelease(out, s)
   }
 
+  /** Incremental SimHash pairs from STORED signatures — new-batch ids
+    * against a corpus sketch table, the Hamming twin of
+    * [[minHashPairsAgainstSignatures]] (completing the at-ingest surface:
+    * both sketch families now cover within-corpus AND batch-vs-corpus
+    * from signatures alone). Pigeonhole banding on `maxDist + 1` bit
+    * chunks keeps full recall at ≤ `maxDist`; the corpus banding is
+    * grouped ONCE (hot buckets capped) so the cross join is a slim
+    * equi-join on (chunk, key); verification is one Hamming popcount per
+    * candidate. Text is never touched on either side.
+    *
+    * @return (doc_new, doc_corpus, dist) */
+  def simHashPairsAgainstSignatures(
+      newSigs: DataFrame,
+      corpusSigs: DataFrame,
+      idCol: String = "doc_id",
+      sigCol: String = "sig",
+      maxDist: Int = 3,
+      maxBucket: Int = 100000): DataFrame = {
+    val chunks = maxDist + 1
+    val bitsPer = 64 / chunks
+    def slim(df: DataFrame) = df.select(col(idCol).as("id"), col(sigCol).as("sig"))
+    def banded(df: DataFrame) = df.select(col("id"),
+      explode(transform(sequence(lit(0), lit(chunks - 1)),
+        c => struct(c.as("chunk"),
+          call_function("shiftright", col("sig"), c * bitsPer)
+            .bitwiseAND(lit((1L << bitsPer) - 1)).as("key"))))
+        .as("ck"))
+      .select(col("id"), col("ck.chunk"), col("ck.key"))
+    val sN = slim(newSigs).persist()
+    val sC = slim(corpusSigs).persist()
+    val grouped = banded(sC)
+      .groupBy(col("chunk"), col("key"))
+      .agg(collect_list(col("id")).as("__ids"))
+    val kept = if (maxBucket <= 0) grouped
+      else grouped.filter(size(col("__ids")) <= maxBucket)
+    val out = banded(sN)
+      .join(kept, Seq("chunk", "key"))
+      .select(col("id").as("doc_new"), explode(col("__ids")).as("doc_corpus"))
+      .filter(col("doc_new") =!= col("doc_corpus"))
+      .dropDuplicates("doc_new", "doc_corpus")
+      .join(sN.select(col("id").as("doc_new"), col("sig").as("sig_a")), "doc_new")
+      .join(sC.select(col("id").as("doc_corpus"), col("sig").as("sig_b")), "doc_corpus")
+      .withColumn("dist", TextOps.hamming(col("sig_a"), col("sig_b")))
+      .filter(col("dist") <= maxDist)
+      .select("doc_new", "doc_corpus", "dist")
+    materializeAndRelease(out, sN, sC)
+  }
+
   /** Streaming near-dup detection against STORED corpus signatures — the
     * sketch-table version of [[nearDupStream]]: incoming documents are
     * MinHash-signed by the kernel, banded, and equi-joined against the

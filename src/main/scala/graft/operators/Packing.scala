@@ -310,6 +310,40 @@ object Packing {
       .drop("__h")
   }
 
+  /** Per-shard audit manifest of [[shardForTraining]]'s layout — the
+    * sidecar a training job validates before reading (did every shard
+    * land, with the doc/token counts and membership the writer intended):
+    * doc count, token and char totals, id range, and an order-insensitive
+    * membership checksum (sum of each member's portable id hash mod
+    * 1000003 — any added/dropped/substituted doc shifts it; mod keeps the
+    * running sum overflow-free to ~9·10¹² docs per shard and the figure
+    * replayable by any ANSI engine).
+    *
+    * One aggregation keyed on the shard id (map-side partial combine —
+    * the shuffle carries `shards` rows per partition); the window sort in
+    * shardForTraining is not needed for totals, so the manifest derives
+    * the shard key directly from the hash.
+    *
+    * @return (shard, n_docs, n_tokens, n_chars, min_id, max_id,
+    *         fingerprint) */
+  def shardManifest(
+      docs: DataFrame,
+      shards: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val h = TextOps.portableHash60(col(idCol).cast("string"))
+    docs
+      .groupBy(pmod(h, lit(shards)).cast("int").as("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"),
+        min(col(idCol)).as("min_id"),
+        max(col(idCol)).as("max_id"),
+        sum(h % lit(1000003L)).as("fingerprint"))
+  }
+
   /** Materialize [[shardForTraining]]'s layout on disk: one
     * `shard=N/` directory per shard, rows inside each file in
     * `shard_pos` order (the decorrelated read order a data loader

@@ -68,6 +68,64 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
   }
 
+  /** Hybrid retrieval — reciprocal-rank fusion of BM25 lexical ranks and
+    * embedding-cosine ranks (RRF, Cormack et al. 2009:
+    * `score(d) = Σ_modalities 1/(k0 + rank_m(d))`, absent modality
+    * contributes 0). The robust default for "find training docs like this
+    * prompt": lexical rescues exact-term matches embeddings smear,
+    * embeddings rescue paraphrases BM25 misses, and rank fusion needs no
+    * score calibration between the two.
+    *
+    * Both input rankings are deterministic (6dp-rounded scores, id
+    * tiebreak — [[TextOps.bm25]] / [[topK]]), so the fused ranking is
+    * reproducible and oracle-replayable. Ids must align between `docs`
+    * and `embs` (same corpus, two columns of it).
+    *
+    * Plan at scale: each modality retrieves its own `poolK` pool (BM25's
+    * postings shuffle / brute-force or ANN cosine), the pools — both
+    * bounded by |queries|·poolK — full-outer join on (query, doc), and a
+    * per-query top-k window runs over ≤ 2·poolK rows per query. Swap the
+    * brute-force cosine for [[topKIvf]]/[[topKBucketed]] at corpus scale;
+    * the fusion stage is modality-agnostic.
+    *
+    * @return (queryIdCol, docIdCol, lex_rank, sem_rank, rrf, rank) —
+    *         modality ranks null when the doc is outside that pool */
+  def hybridTopK(
+      docs: DataFrame,
+      embs: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      k0: Int = 60,
+      poolK: Int = 100,
+      textCol: String = "text",
+      docIdCol: String = "doc_id",
+      vecIdCol: String = "vec_id",
+      vecCol: String = "embedding",
+      queryIdCol: String = "query_id",
+      queryTextCol: String = "qtext"): DataFrame = {
+    require(k >= 1 && k0 >= 1 && poolK >= k, "need k >= 1, k0 >= 1, poolK >= k")
+    val lex = TextOps.bm25(docs,
+        queries.select(col(queryIdCol), col(queryTextCol)),
+        textCol = textCol, idCol = docIdCol, queryIdCol = queryIdCol,
+        queryTextCol = queryTextCol, topK = poolK)
+      .select(col(queryIdCol), col(docIdCol).as("__id"),
+        col("rank").as("lex_rank"))
+    val sem = topK(embs, queries.select(col(queryIdCol), col(vecCol)),
+        k = poolK, idCol = vecIdCol, vecCol = vecCol, queryIdCol = queryIdCol)
+      .select(col(queryIdCol), col(vecIdCol).as("__id"),
+        col("rank").as("sem_rank"))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("rrf").desc, col("__id"))
+    lex.join(sem, Seq(queryIdCol, "__id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(k0) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k0) + col("sem_rank")), lit(0.0)), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("__id").as(docIdCol),
+        col("lex_rank"), col("sem_rank"), col("rrf"), col("rank"))
+  }
+
   /** Embedding dimensionality: caller-supplied when known (avoids a driver
     * job per operator call); otherwise inferred with a one-row limit scan. */
   private def dimsOf(df: DataFrame, vecCol: String, dims: Int): Int =

@@ -728,6 +728,70 @@ object TextOps {
         round(col("dup_spans") / col("spans"), 6).as("dup_frac"))
   }
 
+  /** Cross-document duplicated-span REMOVAL — the acting half of
+    * [[dupSpans]] (Lee et al. 2022 remove the repeated substrings, not the
+    * documents): every `n`-word window occurring 2+ times in the corpus
+    * (across documents or within one) keeps its FIRST occurrence — minimal
+    * (doc id, position) — and every word covered by a non-first occurrence
+    * of any duplicated window is deleted from its document; the survivors
+    * re-join with single spaces. Deterministic: which copy survives depends
+    * only on ids/positions, never on partitioning. Documents shorter than
+    * `n` words have no windows and pass through untouched; a document can
+    * empty out entirely (boilerplate mirrors) — `n_removed = n_words` finds
+    * those for dropping.
+    *
+    * Plan at scale: positional windows leave the scan as (id, pos, 60-bit
+    * hash) rows — the payload never rides the corpus-global shuffle. ONE
+    * volume-sized hash-keyed shuffle computes each window's occurrence
+    * count and first occurrence (window frame, no join, same sizing lever
+    * as [[dupSpans]]), removal positions roll up per doc (id shuffle), and
+    * one id-keyed join attaches them back to the text for a per-row array
+    * rebuild (O(words · removed spans), scan-stage). Three shuffles total,
+    * all key-growing.
+    *
+    * @return (idCol, clean_text, n_words, n_removed) — counts in words of
+    *         the single-space-normalized text */
+  def removeDupSpans(
+      docs: DataFrame,
+      n: Int = 50,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      parts: Int = 0): DataFrame = {
+    require(n >= 1, "n must be positive")
+    require(parts >= 0, "parts must be non-negative (0 = size to input volume)")
+    val occ = docs.select(col(idCol).as("__id"),
+        posexplode(graft.functions.TextKernels.ngramsCol(
+          normalize(col(textCol)), n)).as(Seq("__p", "__gram")))
+      .select(col("__id"), col("__p"),
+        portableHash60(col("__gram")).as("__h"))
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
+    // same corpus-global shuffle shape (and volume sizing rationale) as
+    // dupSpans: ~wordCount× the input row count rides this window
+    val windowParts =
+      if (parts > 0) parts else volumeParts(docs, targetBytes = 512L << 10)
+    val sized =
+      if (windowParts > docs.sparkSession.sessionState.conf.numShufflePartitions)
+        occ.repartition(windowParts, col("__h"))
+      else occ
+    val removals = sized
+      .withColumn("__occ", count(lit(1)).over(byHash))
+      .withColumn("__first", min(struct(col("__id"), col("__p"))).over(byHash))
+      .filter(col("__occ") > 1 &&
+        !(col("__first")("__id") === col("__id") &&
+          col("__first")("__p") === col("__p")))
+      .groupBy(col("__id"))
+      .agg(collect_list(col("__p")).as("__starts"))
+      .withColumnRenamed("__id", idCol)
+    val words = split(normalize(col(textCol)), " ")
+    val starts = coalesce(col("__starts"), array().cast("array<int>"))
+    val kept = filter(words, (_, i) =>
+      !exists(starts, s => s <= i && i < s + n))
+    docs.join(removals, Seq(idCol), "left")
+      .select(col(idCol), concat_ws(" ", kept).as("clean_text"),
+        size(words).cast("long").as("n_words"),
+        (size(words) - size(kept)).cast("long").as("n_removed"))
+  }
+
   /** Okapi BM25 retrieval over the corpus: score every document against
     * every query (Lucene's idf variant, `ln(1 + (N-df+0.5)/(df+0.5))`),
     * keep the top `topK` docs per query. The workhorse for targeted-crawl

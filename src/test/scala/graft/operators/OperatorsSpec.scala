@@ -966,6 +966,30 @@ class OperatorsSpec extends AnyFunSuite {
     s1.unpersist()
   }
 
+  test("shardManifest conserves corpus totals and detects membership drift") {
+    val m = Packing.shardManifest(docs, shards = 8).cache()
+    assert(m.count() <= 8)
+    // totals across shards = corpus totals
+    val tot = m.agg(sum("n_docs"), sum("n_tokens"), sum("n_chars"))
+      .collect()(0)
+    assert(tot.getLong(0) == docs.count())
+    val corpusToks = docs
+      .agg(sum(TextOps.tokenCount(col("text")).cast("long"))).collect()(0).getLong(0)
+    assert(tot.getLong(1) == corpusToks)
+    // shard keys agree with shardForTraining's assignment
+    val byAssign = Packing.shardForTraining(docs, shards = 8)
+      .groupBy("shard").agg(count(lit(1)).as("c"))
+    assert(m.select(col("shard"), col("n_docs").as("c"))
+      .exceptAll(byAssign.select("shard", "c")).count() == 0)
+    // dropping one doc shifts exactly that shard's fingerprint
+    val dropped = Packing.shardManifest(
+      docs.filter(col("doc_id") =!= 3L), shards = 8)
+    val diff = m.select("shard", "fingerprint")
+      .exceptAll(dropped.select("shard", "fingerprint")).collect()
+    assert(diff.length == 1)
+    m.unpersist()
+  }
+
   test("multimodal feature extraction is deterministic and typed") {
     val f1 = Multimodal.featureTable(spark, docs).orderBy("media_id").collect()
     val f2 = Multimodal.featureTable(spark, docs).orderBy("media_id").collect()
@@ -1045,6 +1069,59 @@ class OperatorsSpec extends AnyFunSuite {
       Seq((1L, "one two"), (2L, "one two")).toDF("doc_id", "text"), n = 50)
       .collect().map(x => (x.getLong(1), x.getLong(2), x.getDouble(3)))
     assert(s.forall(_ == (1L, 1L, 1.0)))
+  }
+
+  test("hybridTopK fuses lexical and semantic ranks with RRF") {
+    // doc 1 is the lexical match (shares every query term, orthogonal
+    // embedding); doc 2 is the semantic match (identical vector, disjoint
+    // text); doc 3 matches neither modality's top spot
+    val d = Seq(
+      (1L, "quick brown fox jumps"),
+      (2L, "totally different words here"),
+      (3L, "unrelated filler text")).toDF("doc_id", "text")
+    val e = Seq(
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, -1.0f))).toDF("vec_id", "embedding")
+    val q = Seq((100L, "quick brown fox jumps", Array(1.0f, 0.0f)))
+      .toDF("query_id", "qtext", "embedding")
+    val r = Similarity.hybridTopK(d, e, q, k = 3, poolK = 3).collect()
+      .map(x => x.getLong(1) -> x).toMap
+    assert(r(1L).getInt(2) == 1)      // lexical winner
+    assert(r(2L).getInt(3) == 1)      // semantic winner
+    assert(r(2L).isNullAt(2))         // no shared term → outside the lex pool
+    // both-modality doc fuses ahead of either single-modality doc
+    assert(r(1L).getInt(5) == 1 && r(2L).getInt(5) == 2 && r(3L).getInt(5) == 3)
+    // rrf arithmetic: doc1 = 1/61 + 1/62, doc2 = 1/61 (missing → 0)
+    assert(r(1L).getDouble(4) == 0.032522)
+    assert(r(2L).getDouble(4) == 0.016393)
+  }
+
+  test("removeDupSpans deletes non-first occurrences of shared windows") {
+    // doc 3 is a full copy of doc 1 → empties out; doc 2 embeds one
+    // shared 4-word span inside unique text → loses exactly that span
+    val df = Seq(
+      (1L, "aa bb cc dd unique1 unique2 unique3"),
+      (2L, "other0 aa bb cc dd other1 other2"),
+      (3L, "aa bb cc dd unique1 unique2 unique3"),
+      (4L, "zz yy xx ww vv uu tt")).toDF("doc_id", "text")
+    val r = TextOps.removeDupSpans(df, n = 4).collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(r(1L) == (("aa bb cc dd unique1 unique2 unique3", 7L, 0L))) // first copy survives whole
+    assert(r(3L) == (("", 7L, 7L)))                    // second copy empties out
+    assert(r(2L) == (("other0 other1 other2", 7L, 4L))) // exactly the embedded span
+    assert(r(4L) == (("zz yy xx ww vv uu tt", 7L, 0L)))
+    // intra-document repetition dedups against the doc's own first copy
+    val intra = TextOps.removeDupSpans(
+      Seq((1L, "x y x y x y x y")).toDF("doc_id", "text"), n = 2)
+      .collect()(0)
+    assert(intra.getString(1) == "x y" && intra.getLong(3) == 6L)
+    // shorter than n words → no windows → untouched
+    val short = TextOps.removeDupSpans(
+      Seq((1L, "one two"), (2L, "one two")).toDF("doc_id", "text"), n = 50)
+      .collect().map(_.getString(1))
+    assert(short.forall(_ == "one two"))
   }
 
   test("bm25 ranks term-bearing docs and respects topK") {

@@ -128,6 +128,22 @@ class SketchesSpec extends AnyFunSuite {
     assert(fromText == fromSig)
   }
 
+  test("SimHash cross-side pairs from signatures match brute-force Hamming") {
+    val all = Dedup.simHashSignatures(docs).cache()
+    val corpus = all.filter(col("doc_id") < 250)
+    val batch = all.filter(col("doc_id") >= 250)
+    val got = Dedup.simHashPairsAgainstSignatures(batch, corpus, maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sigs = all.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exp = (for {
+      (b, sb) <- sigs; if b >= 250
+      (c, sc) <- sigs; if c < 250
+      d = java.lang.Long.bitCount(sb ^ sc); if d <= 10
+    } yield (b, c, d)).toSet
+    assert(got == exp) // pigeonhole banding is full-recall; no false pairs
+    all.unpersist()
+  }
+
   test("heavy hitters aggregate across streaming micro-batches (complete mode)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
