@@ -1450,6 +1450,61 @@ object SparkEntry {
         FROM documents d JOIN r ON d.source IS NOT DISTINCT FROM r.source
         WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 10000 < floor(r.mix_rate * 10000)""".stripMargin.trim)),
 
+    Q("q_mixture_plan",
+      // data-recipe audit: per-domain avail/target/rate/planned tokens;
+      // src1 hits the 2.5-epoch cap (starved), src2/src3 upsample
+      // fractionally, src4 downsamples, unlisted sources plan at rate 0
+      (s, dir) => operators.Sampling.mixturePlan(
+        Tables.load(s, dir)("documents"),
+        org.apache.spark.sql.functions.col("source"),
+        Map("src1" -> 0.5, "src2" -> 0.3, "src3" -> 0.15, "src4" -> 0.05),
+        totalTokens = 10000, maxEpochs = 2.5),
+      Some("""
+        WITH t AS (
+          SELECT source AS grp, count(*) AS n_docs,
+            CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS avail_tokens
+          FROM documents GROUP BY source)
+        SELECT grp, n_docs, avail_tokens,
+          (CASE grp WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.3
+                    WHEN 'src3' THEN 0.15 WHEN 'src4' THEN 0.05 ELSE 0.0 END)::DOUBLE AS frac,
+          CAST(round(frac * 10000) AS BIGINT) AS target_tokens,
+          round(least(2.5::DOUBLE, frac * 10000 / avail_tokens), 6) AS rate,
+          CAST(round(rate * avail_tokens) AS BIGINT) AS planned_tokens
+        FROM t""".stripMargin.trim)),
+
+    Q("q_mixture_epochs",
+      // epoch-aware mixture materialization: rate-2+ domains emit full
+      // epoch copies plus a deterministic hash-subset partial epoch;
+      // rate<1 degrades to plain hash downsampling; the oracle replays
+      // copies = floor(rate) + fractional-bucket test, fanned out by range
+      (s, dir) => operators.Sampling.epochMixture(
+          Tables.load(s, dir)("documents"),
+          org.apache.spark.sql.functions.col("source"),
+          org.apache.spark.sql.functions.col("doc_id"),
+          Map("src1" -> 0.5, "src2" -> 0.3, "src3" -> 0.15, "src4" -> 0.05),
+          totalTokens = 10000, maxEpochs = 2.5)
+        .select("doc_id", "source", "epoch", "mix_rate"),
+      Some("""
+        WITH t AS (
+          SELECT source,
+            sum(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END) AS toks
+          FROM documents GROUP BY source),
+        r AS (SELECT source, round(least(2.5::DOUBLE,
+            (CASE source WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.3
+                         WHEN 'src3' THEN 0.15 WHEN 'src4' THEN 0.05
+                         ELSE 0.0 END)::DOUBLE * 10000 / toks), 6) AS mix_rate
+          FROM t),
+        c AS (SELECT d.doc_id, d.source, r.mix_rate,
+            CAST(floor(r.mix_rate) AS INT) +
+            CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 10000
+                      < floor((r.mix_rate - floor(r.mix_rate)) * 10000)
+                 THEN 1 ELSE 0 END AS copies
+          FROM documents d JOIN r ON d.source IS NOT DISTINCT FROM r.source)
+        SELECT doc_id, source, CAST(unnest(range(0, copies)) AS INT) AS epoch, mix_rate
+        FROM c WHERE copies > 0""".stripMargin.trim)),
+
     Q("q_corpus_diff",
       // snapshot diff between two deterministic slices of the corpus:
       // prev = ids not divisible by 3, next = ids not divisible by 5 with

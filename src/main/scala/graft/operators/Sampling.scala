@@ -213,6 +213,92 @@ object Sampling {
       .drop("__g", "__rate")
   }
 
+  /** Per-domain mixture PLAN — the audit table a data-recipe review reads
+    * before materializing anything: each group's corpus doc/token totals,
+    * the target token count its `fracs` share of `budget` implies, and the
+    * sampling rate `min(maxEpochs, target / avail)` the materializer will
+    * apply. Rate > 1 means the domain repeats across epochs (the
+    * scarce-high-quality-corpus upsampling every published LLM mix uses);
+    * a domain pinned at `rate = maxEpochs` is visibly starved — its
+    * `planned_tokens` (expected realized tokens, `round(rate·avail)`)
+    * falls short of `target_tokens` and the recipe needs more source data
+    * or a rebalance. Groups absent from `fracs` plan at rate 0.
+    *
+    * One partial-agg groupBy → #groups rows; nothing scales with corpus
+    * size.
+    *
+    * @return (grp, n_docs, avail_tokens, frac, target_tokens, rate,
+    *         planned_tokens) */
+  def mixturePlan(
+      df: DataFrame,
+      group: Column,
+      fracs: Map[String, Double],
+      totalTokens: Long,
+      maxEpochs: Double = 10.0,
+      textCol: String = "text"): DataFrame = {
+    require(totalTokens > 0 && maxEpochs > 0 && fracs.values.forall(_ >= 0),
+      "bad budget/maxEpochs/fracs")
+    val frac = fracs.foldLeft(lit(0.0)) { case (acc, (g, f)) =>
+      when(col("grp") === g, lit(f)).otherwise(acc)
+    }
+    df.groupBy(group.as("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col(textCol)).cast("long")).as("avail_tokens"))
+      .withColumn("frac", frac)
+      .withColumn("target_tokens",
+        round(col("frac") * totalTokens).cast("long"))
+      .withColumn("rate", round(least(lit(maxEpochs),
+        col("frac") * totalTokens / col("avail_tokens")), 6))
+      .withColumn("planned_tokens",
+        round(col("rate") * col("avail_tokens")).cast("long"))
+  }
+
+  /** Epoch-aware mixture MATERIALIZATION — the upsampling complement of
+    * [[toTokenBudget]]: group g with corpus tokens T_g and target share
+    * f_g replicates at rate r_g = min(maxEpochs, f_g·budget / T_g). Every
+    * row emits copies for epochs 0..floor(r)-1, plus the partial epoch
+    * floor(r) when its hash bucket falls under the fractional remainder —
+    * so a rate-2.3 domain materializes two full passes and a fixed,
+    * deterministic 30% subset as the third. Rates < 1 degrade to exactly
+    * [[toTokenBudget]]'s downsampling (epoch 0, hash-kept). Output carries
+    * `epoch` and `mix_rate` for auditability; groups absent from `fracs`
+    * drop.
+    *
+    * Plan at scale: one partial-agg token-total groupBy → tiny rate table
+    * broadcast onto the scan → per-row bounded `sequence` explode
+    * (fanout ≤ ceil(maxEpochs)). No shuffle, no driver state; membership
+    * of the partial epoch depends only on the row's key, never on
+    * partitioning. */
+  def epochMixture(
+      df: DataFrame,
+      group: Column,
+      key: Column,
+      fracs: Map[String, Double],
+      totalTokens: Long,
+      maxEpochs: Double = 10.0,
+      textCol: String = "text"): DataFrame = {
+    require(totalTokens > 0 && maxEpochs > 0 && fracs.values.forall(_ >= 0),
+      "bad budget/maxEpochs/fracs")
+    val toks = TextOps.tokenCount(col(textCol))
+    val totals = df.groupBy(group.as("__g")).agg(sum(toks).as("__toks"))
+    val target = fracs.foldLeft(lit(0.0)) { case (acc, (g, f)) =>
+      when(col("__g") === g, lit(f * totalTokens)).otherwise(acc)
+    }
+    val rates = totals
+      .withColumn("__rate",
+        round(least(lit(maxEpochs), target / col("__toks")), 6))
+      .select(col("__g"), col("__rate"))
+    val full = floor(col("__rate")).cast("int")
+    val part = when(
+      hashBucket(key) < floor((col("__rate") - full) * 10000), 1).otherwise(0)
+    val copies = (full + part).cast("int")
+    df.join(broadcast(rates), group <=> col("__g")) // null-safe: NULL group is its own group
+      .withColumn("epoch", explode(when(copies > 0,
+        sequence(lit(0), copies - 1)).otherwise(array().cast("array<int>"))))
+      .withColumn("mix_rate", col("__rate"))
+      .drop("__g", "__rate")
+  }
+
   /** Quantile bucketing by a score column (perplexity-bucket sampling
     * prep): rows gain `score_bucket` = 1..probs.size+1, the interval of
     * the score between consecutive quantile thresholds (bucket i wins when

@@ -1585,6 +1585,55 @@ class OperatorsSpec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("mixturePlan reports targets, caps starved domains, zeroes unlisted") {
+    // a: 10 tokens, b: 10 tokens, c: 10 tokens (5 docs x 2 tokens each)
+    val d = (1 to 15).map(i =>
+      (i.toLong, s"w$i x$i", "abc" (((i - 1) / 5)).toString)).toDF("doc_id", "text", "source")
+    val p = Sampling.mixturePlan(d, col("source"),
+        Map("a" -> 0.6, "b" -> 0.3), totalTokens = 100, maxEpochs = 4.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // a: target 60 over 10 avail → rate capped at 4.0, planned 40 < 60
+    assert(p("a").getLong(4) == 60L && p("a").getDouble(5) == 4.0)
+    assert(p("a").getLong(6) == 40L)
+    // b: target 30 → rate 3.0 exactly, planned 30
+    assert(p("b").getDouble(5) == 3.0 && p("b").getLong(6) == 30L)
+    // c unlisted → rate 0, planned 0
+    assert(p("c").getDouble(5) == 0.0 && p("c").getLong(6) == 0L)
+  }
+
+  test("epochMixture replicates full epochs plus a deterministic partial") {
+    val d = (1 to 15).map(i =>
+      (i.toLong, s"w$i x$i", "abc" (((i - 1) / 5)).toString)).toDF("doc_id", "text", "source")
+    val r = Sampling.epochMixture(d, col("source"), col("doc_id"),
+      Map("a" -> 0.6, "b" -> 0.25, "c" -> 0.01), totalTokens = 100,
+      maxEpochs = 4.0).cache()
+    // a: rate 4.0 (capped, integer) → every doc exactly 4 copies, epochs 0..3
+    val a = r.filter(col("source") === "a")
+    assert(a.count() == 20)
+    assert(a.groupBy("doc_id").count().collect().forall(_.getLong(1) == 4L))
+    assert(a.select("epoch").distinct().collect().map(_.getInt(0)).sorted
+      .sameElements(Array(0, 1, 2, 3)))
+    // b: rate 2.5 → 2 full epochs for all 5 docs + hash-subset third epoch
+    val b = r.filter(col("source") === "b")
+    val bCounts = b.groupBy("doc_id").count().collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(bCounts.values.forall(c => c == 2L || c == 3L))
+    assert(b.filter(col("epoch") < 2).count() == 10) // full epochs complete
+    // the partial-epoch subset is exactly the hash test the docs replay
+    val expectPartial = d.filter(col("source") === "b")
+      .filter(Sampling.hashBucket(col("doc_id")) < 5000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bCounts.filter(_._2 == 3L).keySet == expectPartial)
+    // c: rate 0.1 → plain downsample, all epoch 0, strict subset
+    val c = r.filter(col("source") === "c")
+    assert(c.count() < 5 && c.select("epoch").collect().forall(_.getInt(0) == 0))
+    // determinism: same plan twice is row-identical
+    val again = Sampling.epochMixture(d, col("source"), col("doc_id"),
+      Map("a" -> 0.6, "b" -> 0.25, "c" -> 0.01), totalTokens = 100, maxEpochs = 4.0)
+    assert(r.exceptAll(again).count() == 0 && again.exceptAll(r).count() == 0)
+    r.unpersist()
+  }
+
   test("BPE trainer reproduces the canonical merge sequence and round-trips") {
     // Sennrich et al.'s worked example: {low:5, lower:2, newest:6, widest:3}
     val corpus = Seq((1L,
