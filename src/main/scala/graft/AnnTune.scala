@@ -48,6 +48,15 @@ object AnnTune {
         nlist = nl, nprobe = np, dims = 64, kmeansIter = km))
       println(f"nlist=$nl%2d nprobe=$np%2d km=$km recall=${(exact & approx).size.toDouble / exact.size}%.3f scanFrac~${np.toDouble / nl}%.3f")
     }
+    println("== topKPq (m, ksub, iters, rerank) -> recall ==")
+    for ((m, ks, it, rr) <- Seq(
+        (8, 16, 2, 4), (8, 16, 2, 10), (8, 16, 2, 20), (8, 64, 2, 10),
+        (8, 256, 2, 4), (8, 256, 2, 10), (16, 16, 2, 4), (16, 16, 2, 10),
+        (16, 256, 2, 4), (8, 256, 0, 10), (8, 256, 4, 10), (16, 64, 2, 10))) {
+      val approx = pairs(Similarity.topKPq(emb, queries, k = 10,
+        m = m, ksub = ks, iters = it, rerank = rr, dims = 64))
+      println(f"m=$m%2d ksub=$ks%3d iters=$it rerank=$rr%2d recall=${(exact & approx).size.toDouble / exact.size}%.3f")
+    }
     spark.stop()
   }
 }

@@ -201,7 +201,7 @@ object Bench {
       "q_dedup_sig_pairs", "q_dedup_sig_pairs_simhash", "q_bpe_vocab",
       "q_pack_emit", "q_pack_emit_bounds", "q_pack_chunks", "q_train_pipeline",
       "q_remove_dup_spans", "q_shard_manifest", "q_hybrid_topk",
-      "q_dedup_sig_pairs_simhash_incr")
+      "q_dedup_sig_pairs_simhash_incr", "q_embed_pq", "q_mixture_epochs")
     val headline = benchOnly match {
       case Some(ps) => headline0.filter(n => ps.exists(n.startsWith))
       case None     => headline0
@@ -245,6 +245,8 @@ object Bench {
         recall(operators.Similarity.topKBucketed(emb, queries, k = 10))
       annRecall("ivf_recall_at_10") =
         recall(operators.Similarity.topKIvf(emb, queries, k = 10))
+      annRecall("pq_recall_at_10") =
+        recall(operators.Similarity.topKPq(emb, queries, k = 10))
       emb.unpersist()
     } catch { case _: Throwable => () }
 

@@ -90,6 +90,50 @@ object SparkEntry {
       SELECT query_id, vec_id, sim, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 10""".trim
   }
 
+  /** DuckDB replica of [[operators.Similarity.topKPq]] (m=8, ksub=16,
+    * rerank=2, iters=0, seed=42): sub-codebooks inlined as literals; code
+    * assignment replays the kernel's strict-< argmin (dist ASC, code ASC),
+    * the ADC lookup table replays the fixed-point `floor(dot·1e6 + 0.5)`
+    * (≡ JVM Math.round), the integer shortlist sum is order-independent,
+    * and the final ranking is the exact-cosine rerank. */
+  private lazy val annPqOracleSql: String = {
+    val books = operators.Similarity.pqSeedBooks(
+      m = 8, ksub = 16, subdim = 8, seed = 42L)
+    val rows = (for {
+      s <- books.indices; c <- books(s).indices
+    } yield s"($s, $c, [${books(s)(c).mkString(", ")}]::DOUBLE[])")
+      .mkString(",\n          ")
+    s"""
+      WITH cb(sub, code, w) AS (VALUES $rows),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      codes AS (SELECT vec_id, sub, code FROM (
+          SELECT e.vec_id, cb.sub, cb.code, row_number() OVER (
+            PARTITION BY e.vec_id, cb.sub
+            ORDER BY list_distance(list_slice(e.v, cb.sub * 8 + 1, cb.sub * 8 + 8), cb.w) ASC,
+              cb.code ASC) AS rk
+          FROM e CROSS JOIN cb) WHERE rk = 1),
+      lut AS (SELECT q.vec_id AS query_id, cb.sub, cb.code,
+          CAST(floor(list_inner_product(
+            list_slice(q.v, cb.sub * 8 + 1, cb.sub * 8 + 8), cb.w) * 1000000 + 0.5) AS BIGINT) AS fx
+        FROM e q CROSS JOIN cb WHERE q.vec_id < 5),
+      adc AS (SELECT l.query_id, c.vec_id, sum(l.fx) AS score
+        FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+        WHERE c.vec_id <> l.query_id
+        GROUP BY l.query_id, c.vec_id),
+      short AS (SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, vec_id) AS rk FROM adc)
+        WHERE rk <= 20),
+      cand AS (SELECT s.query_id, s.vec_id,
+          round(list_inner_product(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+            (sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) *
+             sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6) AS sim
+        FROM short s JOIN embeddings c ON c.vec_id = s.vec_id
+        JOIN embeddings q ON q.vec_id = s.query_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank FROM cand)
+      SELECT query_id, vec_id, sim, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 10""".trim
+  }
+
   /** DuckDB replica of [[operators.Similarity.semanticPairs]] (nlist=16,
     * seed=42, kmeansIter=0): centroid directions inlined, cell assignment
     * replayed with the operator's (dot DESC, cell DESC) argmax tie order,
@@ -3493,6 +3537,20 @@ object SparkEntry {
         operators.Similarity.topKIvf(emb, queries, k = 10, nlist = 16, nprobe = 4,
           dims = 64, kmeansIter = 0)
       }, Some(annIvfOracleSql)),
+
+    // PQ ADC scan with seeded codebooks — oracle replays code assignment,
+    // the fixed-point lookup table, the integer shortlist, and the exact
+    // cosine rerank from inlined literals (iters=0: refined books are
+    // float-sum order dependent; that path is covered by the bench recall
+    // gate, as with IVF)
+    Q("q_embed_pq",
+      (s, dir) => {
+        val emb = Tables.load(s, dir)("embeddings")
+        val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+          .withColumnRenamed("vec_id", "query_id")
+        operators.Similarity.topKPq(emb, queries, k = 10, m = 8, ksub = 16,
+          rerank = 2, dims = 64, iters = 0)
+      }, Some(annPqOracleSql)),
 
     Q("q_embed_centroids",
       (s, dir) => {

@@ -219,4 +219,94 @@ object VectorKernels {
     }
     new GenericArrayData(out)
   }
+
+  // ------------------------------------------------- product quantization
+
+  private def booksLit(books: Array[Array[Array[Double]]]): Literal =
+    Literal.create(new GenericArrayData(books.flatten.flatten), doubleArr)
+
+  /** PQ codes: the vector splits into `books.length` equal subspaces and
+    * each sub-vector takes the index of its nearest (squared-L2)
+    * sub-centroid — ties to the LOWER code (strict `<`, matching an
+    * oracle's `ORDER BY dist ASC, code ASC` replay). Codebooks are baked
+    * flat at plan time: [sub][code][subdim]. */
+  def pqEncodeCol(vec: Column, books: Array[Array[Array[Double]]]): Column =
+    inv(ArrayType(IntegerType, containsNull = false), "pqEncode",
+      Seq(GraftColumnBridge.expression(vec), booksLit(books),
+        Literal(books.length), Literal(books(0).length)),
+      Seq(floatArr, doubleArr, IntegerType, IntegerType))
+
+  def pqEncode(vec: ArrayData, flat: ArrayData, m: Int, ksub: Int): ArrayData = {
+    val subdim = vec.numElements() / m
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var bestD = Double.PositiveInfinity
+      var bestC = -1
+      var c = 0
+      while (c < ksub) {
+        val off = (s * ksub + c) * subdim
+        var d = 0.0
+        var i = 0
+        while (i < subdim) {
+          val diff = vec.getFloat(s * subdim + i).toDouble - flat.getDouble(off + i)
+          d += diff * diff; i += 1
+        }
+        if (d < bestD) { bestD = d; bestC = c }
+        c += 1
+      }
+      out(s) = bestC; s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-query ADC lookup table: fixed-point micro-units
+    * `floor(dot(q_sub, c[sub][code]) · 1e6 + 0.5)` for every (sub, code) —
+    * computed ONCE per query row, so scoring a candidate is m integer
+    * lookups instead of a dims-wide float dot. Integer entries make the
+    * downstream sum order-independent and exactly replayable by any ANSI
+    * engine (`floor(x·1e6 + 0.5)` ≡ JVM `Math.round`). */
+  def pqLutCol(qvec: Column, books: Array[Array[Array[Double]]]): Column =
+    inv(ArrayType(LongType, containsNull = false), "pqLut",
+      Seq(GraftColumnBridge.expression(qvec), booksLit(books),
+        Literal(books.length), Literal(books(0).length)),
+      Seq(floatArr, doubleArr, IntegerType, IntegerType))
+
+  def pqLut(q: ArrayData, flat: ArrayData, m: Int, ksub: Int): ArrayData = {
+    val subdim = q.numElements() / m
+    val out = new Array[Long](m * ksub)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < ksub) {
+        val off = (s * ksub + c) * subdim
+        var d = 0.0
+        var i = 0
+        while (i < subdim) {
+          d += q.getFloat(s * subdim + i).toDouble * flat.getDouble(off + i)
+          i += 1
+        }
+        out(s * ksub + c) = math.round(d * 1e6)
+        c += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ADC score of one candidate: Σ_sub lut[sub·ksub + code_sub] — the
+    * m-lookup inner loop of a PQ scan. */
+  def pqLookupCol(lut: Column, codes: Column, ksub: Int): Column =
+    inv(LongType, "pqLookup",
+      Seq(GraftColumnBridge.expression(lut), GraftColumnBridge.expression(codes),
+        Literal(ksub)),
+      Seq(ArrayType(LongType), ArrayType(IntegerType), IntegerType))
+
+  def pqLookup(lut: ArrayData, codes: ArrayData, ksub: Int): Long = {
+    var acc = 0L
+    var s = 0
+    val m = codes.numElements()
+    while (s < m) { acc += lut.getLong(s * ksub + codes.getInt(s)); s += 1 }
+    acc
+  }
 }

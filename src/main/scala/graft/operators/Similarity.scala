@@ -275,6 +275,116 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
   }
 
+  /** The deterministic seeded PQ codebook init (per-subspace
+    * [[hyperplanes]] directions) — public so an external oracle can inline
+    * the exact literals [[pqCodebooks]] starts from. */
+  def pqSeedBooks(m: Int, ksub: Int, subdim: Int,
+      seed: Long): Array[Array[Array[Double]]] =
+    Array.tabulate(m)(s => hyperplanes(ksub, subdim, seed + s))
+
+  /** Product-quantization codebooks: the vector space splits into `m`
+    * equal subspaces and each gets `ksub` sub-centroids — deterministic
+    * seeded init (per-subspace [[hyperplanes]] directions), refined by
+    * `iters` rounds of plain per-subspace k-means (mean update; empty
+    * cells keep their previous centroid). `iters = 0` returns the raw
+    * seeded books, which stay reproducible in ANSI SQL oracles.
+    *
+    * The model is vocabulary-sized (m·ksub·(dims/m) doubles — 8 KB at the
+    * defaults), so like [[kmeansCentroids]] the update runs on a collected
+    * per-(sub, code, dim) partial-sum table: one distributed aggregation
+    * per round, never a per-vector driver loop. */
+  def pqCodebooks(
+      corpus: DataFrame,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 2,
+      seed: Long = 42L,
+      dims: Int = -1,
+      vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    val d = dimsOf(corpus, vecCol, dims)
+    require(m >= 1 && d % m == 0, s"dims $d must divide into m=$m subspaces")
+    require(ksub >= 1 && iters >= 0, "need ksub >= 1, iters >= 0")
+    val subdim = d / m
+    var books = pqSeedBooks(m, ksub, subdim, seed)
+    for (_ <- 0 until iters) {
+      val sub = (col("pos") / subdim).cast("int")
+      val stats = corpus
+        .select(graft.functions.VectorKernels.pqEncodeCol(col(vecCol), books)
+          .as("__codes"), posexplode(col(vecCol)))
+        .select(sub.as("sub"), pmod(col("pos"), lit(subdim)).as("subpos"),
+          element_at(col("__codes"), sub + 1).as("code"),
+          col("col").cast("double").as("v"))
+        .groupBy("sub", "code", "subpos")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          r.getDouble(3) / r.getLong(4)
+      }
+      books = next
+    }
+    books
+  }
+
+  /** PQ top-k — the memory-bound ANN scale path: the corpus compresses to
+    * `m` small codes per vector (6-bit codes at the tuned ksub=64 default;
+    * parquet bit-packing makes the at-rest code table ~20× smaller than
+    * 64-dim floats), each query precomputes an integer ADC lookup table
+    * ONCE, and
+    * the scan scores every candidate with m array lookups instead of a
+    * dims-wide float dot. The ADC shortlist (`rerank`·k per query) then
+    * re-ranks by exact cosine against only those ids' float vectors.
+    *
+    * ADC scores are exact fixed-point micro-units (Σ of per-subspace
+    * `round(dot·1e6)` longs), so the shortlist is order-independent and
+    * replayable by an ANSI oracle; `iters = 0` keeps the seeded codebooks
+    * the oracle can inline ([[topKIvf]]'s adjudication — the refined path
+    * is covered by the bench recall gate).
+    *
+    * Plan at scale: codes are computed in the corpus scan and are all the
+    * scan ever reads; the query side (with LUTs) broadcasts; one window
+    * takes the shortlist; one id equi-join touches the full-precision
+    * vectors for the rerank·k survivors only. Compose with an IVF cell
+    * filter upstream for sublinear scans when queries are few.
+    *
+    * Output: (query_id, vec_id, sim, rank) — rank 1..k per query by exact
+    * rerank cosine. */
+  def topKPq(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      m: Int = 16,
+      ksub: Int = 64,
+      rerank: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      queryIdCol: String = "query_id",
+      seed: Long = 42L,
+      dims: Int = -1,
+      iters: Int = 2): DataFrame = {
+    require(k >= 1 && rerank >= 1, "need k >= 1, rerank >= 1")
+    val books = pqCodebooks(corpus, m, ksub, iters, seed, dims, vecCol)
+    val codes = corpus.select(col(idCol),
+      graft.functions.VectorKernels.pqEncodeCol(col(vecCol), books).as("__codes"))
+    val q = queries.select(col(queryIdCol), col(vecCol).as("__qv"),
+      graft.functions.VectorKernels.pqLutCol(col(vecCol), books).as("__lut"))
+    val wAdc = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__adc").desc, col(idCol))
+    val short = codes.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col(queryIdCol))
+      .withColumn("__adc", graft.functions.VectorKernels.pqLookupCol(
+        col("__lut"), col("__codes"), ksub))
+      .withColumn("__arank", row_number().over(wAdc))
+      .filter(col("__arank") <= rerank * k)
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
+    short.join(corpus.select(col(idCol), col(vecCol).as("__cv")), Seq(idCol))
+      .withColumn("sim", round(cosine(col("__cv"), col("__qv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+  }
+
   /** Per-group embedding centroids (cluster prep / dataset signatures):
     * element-wise mean per group. Lowered as posexplode → one shuffle on
     * (group, dim) with map-side partial avg → re-assemble in dim order —

@@ -383,6 +383,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(full == ex001, "full probe must equal brute force")
   }
 
+  test("PQ ANN recall@10 >= 0.8 at tuned defaults; full rerank equals brute force") {
+    val queries = emb01.filter(col("vec_id") < 50).withColumnRenamed("vec_id", "query_id")
+    val exact = recallPairs(Similarity.topK(emb01, queries, k = 10))
+    val approx = recallPairs(Similarity.topKPq(emb01, queries, k = 10))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"PQ recall $recall at tuned defaults")
+    // rerank budget covering the whole corpus → the exact rerank IS brute
+    // force, independent of codebook quality (small fixture: 500 vectors)
+    val q001 = emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+    val ex001 = recallPairs(Similarity.topK(emb, q001, k = 10))
+    val full = recallPairs(Similarity.topKPq(emb, q001, k = 10, rerank = 50))
+    assert(full == ex001, "corpus-wide rerank must equal brute force")
+  }
+
   test("semanticPairs: true-pair subset, refined path verified, cell cap collapses output") {
     // ground truth: every >= 0.3 cosine pair (brute force, 500 vectors)
     val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
