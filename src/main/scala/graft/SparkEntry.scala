@@ -1549,6 +1549,53 @@ object SparkEntry {
         SELECT doc_id, source, CAST(unnest(range(0, copies)) AS INT) AS epoch, mix_rate
         FROM c WHERE copies > 0""".stripMargin.trim)),
 
+    Q("q_warc_ingest",
+      // WARC round trip: serialize documents into multi-record WARC files
+      // (plus three adversarial rows — a payload embedding a fake record
+      // header that a blank-line splitter would shatter into an extra row,
+      // a non-ASCII payload pinning byte-counted Content-Length, and an
+      // empty payload), then parse back with Ingest.warc; the oracle
+      // replays the serialize∘parse identity straight from documents, so
+      // any framing error shifts rows or fields red
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        import s.implicits._
+        val extra = Seq(
+          (1000001L, "x\r\n\r\nWARC/1.0\r\nContent-Length: 3\r\n\r\nabc"),
+          (1000002L, "héllo – ümlaut"),
+          (1000003L, "")).toDF("doc_id", "text")
+        val docs = Tables.load(s, dir)("documents")
+          .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
+          .unionByName(extra)
+        val files = docs
+          .withColumn("__rec0", sources.Ingest.warcRecord(
+            lit("response"), concat(lit("http://ex.com/"), col("doc_id")),
+            lit("2026-01-01T00:00:00Z"), col("text")))
+          .groupBy(pmod(col("doc_id"), lit(20)).as("file_id"))
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("__rec0")))),
+            x => x.getField("__rec0")), "").as("content"))
+        sources.Ingest.warc(files, "content")
+          .select(col("file_id"), col("rec_index"), col("warc_type"),
+            col("target_uri"), col("content_length"), col("payload"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+          UNION ALL SELECT 1000001, 'x' || chr(13) || chr(10) || chr(13) || chr(10) ||
+            'WARC/1.0' || chr(13) || chr(10) || 'Content-Length: 3' ||
+            chr(13) || chr(10) || chr(13) || chr(10) || 'abc'
+          UNION ALL SELECT 1000002,
+            'h' || chr(233) || 'llo ' || chr(8211) || ' ' || chr(252) || 'mlaut'
+          UNION ALL SELECT 1000003, '')
+        SELECT doc_id % 20 AS file_id,
+          CAST(row_number() OVER (PARTITION BY doc_id % 20 ORDER BY doc_id) - 1 AS INTEGER) AS rec_index,
+          'response' AS warc_type,
+          'http://ex.com/' || doc_id::VARCHAR AS target_uri,
+          CAST(strlen(text) AS BIGINT) AS content_length,
+          text AS payload
+        FROM d""".stripMargin.trim)),
+
     Q("q_corpus_diff",
       // snapshot diff between two deterministic slices of the corpus:
       // prev = ids not divisible by 3, next = ids not divisible by 5 with

@@ -623,4 +623,64 @@ object TextKernels {
     var t = 0
     while (t < syms.size) { out.add(UTF8String.fromString(syms.get(t))); t += 1 }
   }
+
+  // ------------------------------------------------------------ WARC split
+
+  def warcSplitCol(content: Column): Column = GraftColumnBridge.column(
+    StaticInvoke(
+      TextKernels.getClass, ArrayType(StringType, containsNull = false),
+      "warcSplit",
+      Seq(GraftColumnBridge.expression(content)), Seq(StringType),
+      returnNullable = false))
+
+  private val warcClRe =
+    java.util.regex.Pattern.compile("(?im)^content-length:[ \\t]*(\\d+)")
+
+  /** Content-Length-aware WARC record splitting: each element is one full
+    * record block (header lines + blank line + exactly Content-Length
+    * payload BYTES). Splitting on the blank-line separator alone is wrong —
+    * a payload may embed `\r\n\r\n` or even a fake `WARC/1.0` header; the
+    * spec's framing is the byte count, so the walk reads the header up to
+    * the first `\r\n\r\n`, takes Content-Length bytes of payload, then
+    * skips the inter-record CRLFs. A record with no Content-Length header
+    * or a truncated payload yields what is available and ends the walk
+    * (malformed tail never invents records). One pass over the file bytes,
+    * inside whole-stage codegen. */
+  def warcSplit(content: UTF8String): ArrayData = {
+    val bytes = content.getBytes
+    val n = bytes.length
+    val out = new java.util.ArrayList[Any]()
+    var i = 0
+    while (i < n) {
+      // header ends at the first \r\n\r\n
+      var he = -1
+      var j = i
+      while (he < 0 && j + 3 < n) {
+        if (bytes(j) == '\r' && bytes(j + 1) == '\n' &&
+            bytes(j + 2) == '\r' && bytes(j + 3) == '\n') he = j
+        j += 1
+      }
+      if (he < 0) {
+        // incomplete header: emit the tail as-is so nothing is silently lost
+        out.add(UTF8String.fromBytes(bytes, i, n - i))
+        i = n
+      } else {
+        val header = new String(bytes, i, he - i,
+          java.nio.charset.StandardCharsets.UTF_8)
+        val m = warcClRe.matcher(header)
+        if (!m.find()) { // unframed record: payload is everything remaining
+          out.add(UTF8String.fromBytes(bytes, i, n - i))
+          i = n
+        } else {
+          val cl = java.lang.Long.parseLong(m.group(1))
+          val payloadStart = he + 4L
+          val payloadEnd = math.min(n.toLong, payloadStart + cl).toInt
+          out.add(UTF8String.fromBytes(bytes, i, payloadEnd - i))
+          i = payloadEnd
+          while (i + 1 < n && bytes(i) == '\r' && bytes(i + 1) == '\n') i += 2
+        }
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
 }

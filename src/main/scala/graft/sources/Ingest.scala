@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructType}
 
@@ -76,5 +76,54 @@ object Ingest {
         Map("sep" -> delimiter, "mode" -> "PERMISSIVE",
           "columnNameOfCorruptRecord" -> corruptCol)))
     validated(parsed, schema, metricName)
+  }
+
+  // -------------------------------------------------------------------- WARC
+
+  /** One serialized WARC/1.0 record (reversed by [[warc]]). Content-Length
+    * frames the payload in BYTES (`octet_length`), per the spec — char
+    * counting would corrupt every non-ASCII crawl page downstream. */
+  def warcRecord(warcType: Column, targetUri: Column, warcDate: Column,
+      payload: Column, contentType: Column = lit("text/plain")): Column =
+    concat(
+      lit("WARC/1.0\r\nWARC-Type: "), warcType,
+      lit("\r\nWARC-Target-URI: "), targetUri,
+      lit("\r\nWARC-Date: "), warcDate,
+      lit("\r\nContent-Type: "), contentType,
+      lit("\r\nContent-Length: "), octet_length(payload).cast("string"),
+      lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+
+  /** Explode a column of WARC-file content into parsed records — the
+    * web-crawl ingestion surface (Common-Crawl-shaped archives feed the
+    * curation pipeline through exactly this step).
+    *
+    * The Content-Length-aware record framing runs as a one-pass scan
+    * kernel ([[graft.functions.TextKernels.warcSplit]] — blank-line
+    * splitting would shatter any payload embedding `\r\n\r\n` or a fake
+    * header); the per-record header fields then parse with ordinary
+    * regexes, so everything stays inside the file scan: no shuffle, and a
+    * downstream filter on e.g. `warc_type = 'response'` prunes before any
+    * payload moves. Header fields missing from a record parse as empty
+    * string / null length — the caller's filter decides.
+    *
+    * Output: the input's other columns + (rec_index, warc_type, target_uri,
+    * warc_date, content_type, content_length, payload). */
+  def warc(df: DataFrame, contentCol: String): DataFrame = {
+    val hdr = (name: String) =>
+      regexp_extract(col("__rec"), "(?i)" + name + ":[ \\t]*([^\\r\\n]*)", 1)
+    df.select(col("*"),
+        posexplode(graft.functions.TextKernels.warcSplitCol(col(contentCol)))
+          .as(Seq("rec_index", "__rec")))
+      .drop(contentCol)
+      .withColumn("warc_type", hdr("WARC-Type"))
+      .withColumn("target_uri", hdr("WARC-Target-URI"))
+      .withColumn("warc_date", hdr("WARC-Date"))
+      .withColumn("content_type", hdr("Content-Type"))
+      .withColumn("content_length", // '' when absent: null, not an ANSI cast error
+        when(hdr("Content-Length") =!= "", hdr("Content-Length")).cast("long"))
+      .withColumn("payload", when(locate("\r\n\r\n", col("__rec")) > 0,
+        col("__rec").substr(
+          locate("\r\n\r\n", col("__rec")) + lit(4), length(col("__rec")))))
+      .drop("__rec")
   }
 }

@@ -37,6 +37,56 @@ class IngestSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(("d1", 21.5), ("d2", 30.0)))
   }
 
+  test("WARC round trip: framing survives embedded fake headers, bytes, empties") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "plain body"),
+      // payload embedding a complete fake record — blank-line splitting
+      // would emit it as an extra record; Content-Length framing must not
+      (2L, "x\r\n\r\nWARC/1.0\r\nWARC-Type: fake\r\nContent-Length: 3\r\n\r\nabc\r\n\r\n"),
+      (3L, "héllo – ümlaut 😀"), // multi-byte: CL counts BYTES
+      (4L, ""),
+      (5L, "trailing\r\n\r\n")).toDF("doc_id", "text")
+    val files = docs
+      .withColumn("rec", Ingest.warcRecord(lit("response"),
+        concat(lit("http://t/"), col("doc_id")), lit("2026-01-01"), col("text")))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("doc_id"), col("rec")))),
+        x => x.getField("rec")), "").as("content"))
+    val out = Ingest.warc(files, "content")
+      .orderBy("rec_index")
+      .select("rec_index", "warc_type", "target_uri", "content_length", "payload")
+      .collect()
+    assert(out.length == 5, out.mkString("\n"))
+    val expect = docs.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    out.zip(expect).foreach { case (row, (id, text)) =>
+      assert(row.getInt(0) == (id - 1).toInt)
+      assert(row.getString(1) == "response")
+      assert(row.getString(2) == s"http://t/$id")
+      assert(row.getLong(3) ==
+        text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong)
+      assert(row.getString(4) == text, s"payload mismatch for doc $id")
+    }
+  }
+
+  test("WARC malformed tails: truncated payload and missing Content-Length") {
+    import org.apache.spark.sql.functions._
+    // truncated: header claims 100 bytes, only 5 present → one record with
+    // the available payload, walk ends (nothing invented)
+    val truncated = Seq(
+      "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 100\r\n\r\nshort")
+      .toDF("content")
+    val t = Ingest.warc(truncated, "content").collect()
+    assert(t.length == 1 && t(0).getAs[String]("payload") == "short")
+    assert(t(0).getAs[Long]("content_length") == 100L)
+    // missing Content-Length: record is unframed → rest of file is payload
+    val unframed = Seq(
+      "WARC/1.0\r\nWARC-Type: response\r\n\r\nrest\r\n\r\nWARC/1.0\r\n\r\nx")
+      .toDF("content")
+    val u = Ingest.warc(unframed, "content").collect()
+    assert(u.length == 1 && u(0).getAs[String]("payload").startsWith("rest"))
+  }
+
   test("streaming ingestion drops invalid rows per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
