@@ -1549,6 +1549,28 @@ object SparkEntry {
         SELECT doc_id, source, CAST(unnest(range(0, copies)) AS INT) AS epoch, mix_rate
         FROM c WHERE copies > 0""".stripMargin.trim)),
 
+    Q("q_interleave",
+      // stride-scheduled mixture order: per-source rank by portable hash,
+      // vtime = (rank - 0.5) / weight — every prefix of the vtime order
+      // realizes the weights; unlisted sources drop
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        operators.Sampling.interleaveByWeight(
+            Tables.load(s, dir)("documents"),
+            col("source"), col("doc_id"),
+            Map("src1" -> 0.6, "src2" -> 0.3, "src3" -> 0.1))
+          .select("doc_id", "source", "pos_in_source", "vtime")
+      },
+      Some("""
+        SELECT doc_id, source,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT, doc_id)
+            AS INTEGER) AS pos_in_source,
+          round((pos_in_source - 0.5) /
+            (CASE source WHEN 'src1' THEN 0.6 WHEN 'src2' THEN 0.3
+                         ELSE 0.1 END), 6) AS vtime
+        FROM documents WHERE source IN ('src1', 'src2', 'src3')""".stripMargin.trim)),
+
     Q("q_warc_ingest",
       // WARC round trip: serialize documents into multi-record WARC files
       // (plus three adversarial rows — a payload embedding a fake record

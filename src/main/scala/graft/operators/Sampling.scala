@@ -329,4 +329,46 @@ object Sampling {
         (lit(1) + size(filter(col("__thr"), t => t < score))).cast("int"))
       .drop("__thr")
   }
+
+  /** Deterministic weighted interleave — the consumption ORDER a training
+    * data loader draws when the mixture is not materialized up front:
+    * source g with weight w contributes its r-th item at virtual time
+    * (r − 0.5) / w (stride scheduling), so EVERY prefix of the vtime order
+    * realizes the sources in proportion to their weights — no RNG, and the
+    * order is reproducible from (source, key) alone regardless of
+    * partitioning.
+    *
+    * Emits `pos_in_source` (1-based rank by portable key hash within the
+    * source — seed-stable shuffling, not input order) and `vtime` (rounded
+    * to 6 dp so an ANSI replay agrees exactly). Consume by range-partition
+    * + sort on (vtime, source, key) — the distributed sort Spark does
+    * well — or key [[graft.operators.Packing.shardForTraining]] off
+    * floor(vtime) for sequential shards. Sources absent from `weights`
+    * drop (weight 0 = drop).
+    *
+    * Scale shape: the per-source rank window runs on a SLIM (key, source)
+    * projection and the result joins back on the unique key — the payload
+    * never rides the per-source sort (the packSequences lesson). `key`
+    * must be unique (a doc id). */
+  def interleaveByWeight(
+      df: DataFrame,
+      source: Column,
+      key: Column,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.values.forall(_ >= 0), "weights must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val w = weights.foldLeft(lit(0.0)) { case (acc, (g, wt)) =>
+      when(col("__src") === g, lit(wt)).otherwise(acc)
+    }
+    val win = Window.partitionBy(col("__src"))
+      .orderBy(TextOps.portableHash60(col("__k").cast("string")), col("__k"))
+    val ranked = df.select(key.as("__k"), source.as("__src"))
+      .withColumn("__w", w)
+      .filter(col("__w") > 0)
+      .withColumn("pos_in_source", row_number().over(win))
+      .withColumn("vtime",
+        round((col("pos_in_source") - lit(0.5)) / col("__w"), 6))
+      .drop("__w")
+    df.join(ranked, key === col("__k")).drop("__k", "__src")
+  }
 }

@@ -1648,6 +1648,40 @@ class OperatorsSpec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("interleaveByWeight: every prefix tracks the weights; partition-invariant") {
+    val weights = Map("src1" -> 0.6, "src2" -> 0.3, "src3" -> 0.1)
+    val out = Sampling.interleaveByWeight(docs, col("source"), col("doc_id"), weights)
+      .select("doc_id", "source", "pos_in_source", "vtime").cache()
+    // stride property: in the vtime order, after any prefix, each source
+    // has contributed floor/ceil of weight-proportional count — check a
+    // few prefixes with tolerance ±1 per source (ties at equal vtime)
+    val ordered = out.orderBy(col("vtime"), col("source")).collect()
+    // proportions only hold while no source is exhausted: cap prefixes at
+    // the earliest per-source max vtime
+    val vcut = weights.map { case (s, w) =>
+      (ordered.count(_.getString(1) == s) - 0.5) / w }.min
+    val safe = ordered.takeWhile(_.getDouble(3) <= vcut)
+    assert(safe.length > 30, s"fixture too small: ${safe.length}")
+    val totalW = weights.values.sum
+    for (p <- Seq(safe.length / 3, safe.length / 2, safe.length)) {
+      val bySrc = safe.take(p).groupBy(_.getString(1)).view.mapValues(_.length).toMap
+      weights.foreach { case (src, wt) =>
+        val expect = p * wt / totalW
+        val got = bySrc.getOrElse(src, 0)
+        assert(math.abs(got - expect) <= 2,
+          s"prefix $p source $src: got $got expect ~$expect")
+      }
+    }
+    // determinism: same result from a differently-partitioned input
+    val again = Sampling.interleaveByWeight(
+      docs.repartition(7), col("source"), col("doc_id"), weights)
+      .select("doc_id", "source", "pos_in_source", "vtime")
+    assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+    // unlisted sources drop
+    assert(out.filter(!col("source").isin("src1", "src2", "src3")).count() == 0)
+    out.unpersist()
+  }
+
   test("BPE trainer reproduces the canonical merge sequence and round-trips") {
     // Sennrich et al.'s worked example: {low:5, lower:2, newest:6, widest:3}
     val corpus = Seq((1L,
