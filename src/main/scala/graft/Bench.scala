@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Benchmark main — prints a compact headline JSON as the FINAL stdout
   * line (driver contract: the driver tail-captures ~2 kB, so the
   * per-query map must NOT ride on that line) and writes the full
-  * per-query map to `bench_full_r9.json` in the repo for cross-round
+  * per-query map to `bench_full_r10.json` in the repo for cross-round
   * diffing. Rule-shape rows/s compares against the reference's three
   * published shapes (BASELINE.md: filter / transform / analytic+
   * partition, reference: test/e2e/stress_test.go:162-176).
@@ -201,7 +201,8 @@ object Bench {
       "q_dedup_sig_pairs", "q_dedup_sig_pairs_simhash", "q_bpe_vocab",
       "q_pack_emit", "q_pack_emit_bounds", "q_pack_chunks", "q_train_pipeline",
       "q_remove_dup_spans", "q_shard_manifest", "q_hybrid_topk",
-      "q_dedup_sig_pairs_simhash_incr", "q_embed_pq", "q_mixture_epochs")
+      "q_dedup_sig_pairs_simhash_incr", "q_embed_pq", "q_mixture_epochs",
+      "q_warc_ingest", "q_interleave")
     val headline = benchOnly match {
       case Some(ps) => headline0.filter(n => ps.exists(n.startsWith))
       case None     => headline0
@@ -524,7 +525,7 @@ object Bench {
         s""""notes":"$notes","sf":"$sfDir"}"""
     // full per-query artifact for cross-round diffing (BENCH_r07 lost half
     // its map to the driver's 2 kB tail capture); path env-overridable
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full_r9.json")
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full_r10.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), full + "\n")
     catch { case _: Throwable => () }
     // rule-shape seconds stay on the headline (the baseline comparison the

@@ -134,6 +134,26 @@ object SparkEntry {
       SELECT query_id, vec_id, sim, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 10""".trim
   }
 
+  /** DuckDB replica of [[operators.Similarity.randomProject]] (outDims=8,
+    * seed=42, normalize): direction literals inlined; the norm replays the
+    * kernel's left-to-right accumulation via an i-ordered list self
+    * inner-product, then the 6-dp rounding. */
+  private lazy val annProjectOracleSql: String = {
+    val planes = operators.Similarity.hyperplanes(8, 64, 42L)
+    val rows = planes.zipWithIndex.map { case (w, i) =>
+      s"($i, [${w.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n          ")
+    s"""
+      WITH pl(i, w) AS (VALUES $rows),
+      p AS (SELECT e.vec_id, pl.i,
+          list_inner_product(e.embedding::DOUBLE[], pl.w) AS raw
+        FROM embeddings e CROSS JOIN pl),
+      l AS (SELECT vec_id, list(raw ORDER BY i) AS lr FROM p GROUP BY vec_id)
+      SELECT vec_id, CAST(unnest(range(8)) AS INTEGER) AS i,
+        round(unnest(lr) / sqrt(list_inner_product(lr, lr)), 6) AS p_val
+      FROM l""".trim
+  }
+
   /** DuckDB replica of [[operators.Similarity.semanticPairs]] (nlist=16,
     * seed=42, kmeansIter=0): centroid directions inlined, cell assignment
     * replayed with the operator's (dot DESC, cell DESC) argmax tie order,
@@ -3620,6 +3640,64 @@ object SparkEntry {
         operators.Similarity.topKPq(emb, queries, k = 10, m = 8, ksub = 16,
           rerank = 2, dims = 64, iters = 0)
       }, Some(annPqOracleSql)),
+
+    // random projection 64→8 dims with re-normalization — the oracle
+    // inlines the seeded direction literals and replays dot, ordered-list
+    // norm (left-to-right, matching the kernel), and the 6-dp rounding
+    Q("q_embed_project",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        operators.Similarity.randomProject(
+            Tables.load(s, dir)("embeddings"), outDims = 8)
+          .select(col("vec_id"), posexplode(col("proj")).as(Seq("i", "p_val")))
+      },
+      Some(annProjectOracleSql)),
+
+    Q("q_profile_drift",
+      // snapshot promotion audit: two deterministic corpus slices, full
+      // profile side-by-side plus raw-double shift columns (unrounded:
+      // IEEE subtraction of already-rounded means is bit-equal across
+      // engines; a second rounding would reintroduce half-mode skew)
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = Tables.load(s, dir)("documents")
+        operators.Profile.drift(
+          d.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+          d.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+          cols = Seq("n_chars", "lang"), exactDistinct = true)
+      },
+      Some("""
+        WITH prev AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+        nxt AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+        pp AS (
+          SELECT 'n_chars' AS col_name, count(*) AS prev_rows,
+            count(*) - count(n_chars) AS prev_nulls,
+            count(DISTINCT n_chars) AS prev_distinct,
+            CAST(min(n_chars) AS VARCHAR) AS prev_min,
+            CAST(max(n_chars) AS VARCHAR) AS prev_max,
+            round(avg(n_chars), 6) AS prev_mean FROM prev
+          UNION ALL
+          SELECT 'lang', count(*), count(*) - count(lang),
+            count(DISTINCT lang), min(lang), max(lang),
+            CAST(NULL AS DOUBLE) FROM prev),
+        np AS (
+          SELECT 'n_chars' AS col_name, count(*) AS next_rows,
+            count(*) - count(n_chars) AS next_nulls,
+            count(DISTINCT n_chars) AS next_distinct,
+            CAST(min(n_chars) AS VARCHAR) AS next_min,
+            CAST(max(n_chars) AS VARCHAR) AS next_max,
+            round(avg(n_chars), 6) AS next_mean FROM nxt
+          UNION ALL
+          SELECT 'lang', count(*), count(*) - count(lang),
+            count(DISTINCT lang), min(lang), max(lang),
+            CAST(NULL AS DOUBLE) FROM nxt)
+        SELECT pp.col_name, prev_rows, prev_nulls, prev_distinct, prev_min,
+          prev_max, prev_mean, next_rows, next_nulls, next_distinct,
+          next_min, next_max, next_mean,
+          next_nulls::DOUBLE / next_rows - prev_nulls::DOUBLE / prev_rows
+            AS null_frac_shift,
+          next_mean - prev_mean AS mean_shift
+        FROM pp JOIN np USING (col_name)""".stripMargin.trim)),
 
     Q("q_embed_centroids",
       (s, dir) => {

@@ -220,6 +220,44 @@ object VectorKernels {
     new GenericArrayData(out)
   }
 
+  // --------------------------------------------------- random projection
+
+  /** `k` dot products against plan-time direction literals, optionally
+    * L2-re-normalized — one pass, left-to-right accumulation for oracle
+    * parity with `list_inner_product`. */
+  def projectCol(vec: Column, planes: Array[Array[Double]],
+      normalize: Boolean): Column =
+    inv(doubleArr, "project",
+      Seq(GraftColumnBridge.expression(vec), flatLit(planes),
+        Literal(planes.length), Literal(normalize)),
+      Seq(floatArr, doubleArr, IntegerType, BooleanType))
+
+  def project(vec: ArrayData, flat: ArrayData, k: Int,
+      normalize: Boolean): ArrayData = {
+    val d = vec.numElements()
+    val out = new Array[Double](k)
+    var i = 0
+    while (i < k) {
+      var s = 0.0
+      var j = 0
+      while (j < d) {
+        s += vec.getFloat(j).toDouble * flat.getDouble(i * d + j); j += 1
+      }
+      out(i) = s; i += 1
+    }
+    if (normalize) {
+      var n2 = 0.0
+      var a = 0
+      while (a < k) { n2 += out(a) * out(a); a += 1 }
+      val nrm = math.sqrt(n2)
+      if (nrm != 0.0) {
+        var b = 0
+        while (b < k) { out(b) /= nrm; b += 1 }
+      }
+    }
+    new GenericArrayData(out)
+  }
+
   // ------------------------------------------------- product quantization
 
   private def booksLit(books: Array[Array[Array[Double]]]): Literal =

@@ -151,4 +151,34 @@ object Profile {
     }
     row.select(explode(array(pieces: _*)).as("p")).select("p.*")
   }
+
+  /** Snapshot drift audit between two corpus versions — the check a daily
+    * ingest runs before promoting a build: one row per column with both
+    * [[profile]]s side by side plus shift columns (null fraction, mean).
+    * Shifts stay UNROUNDED raw doubles: the means are already 6-dp values,
+    * and identical IEEE subtraction/division is what keeps an ANSI replay
+    * bit-equal (a second rounding would reintroduce half-mode skew).
+    * Cost: the two profile scans; the join is #columns rows. A column
+    * present in only one snapshot survives the full-outer join with nulls
+    * on the missing side — schema drift is visible, not an error. */
+  def drift(
+      prev: DataFrame,
+      next: DataFrame,
+      cols: Seq[String] = Nil,
+      exactDistinct: Boolean = false): DataFrame = {
+    def side(df: DataFrame, tag: String) =
+      profile(df, cols, exactDistinct).select(
+        col("col_name"),
+        col("n_rows").as(s"${tag}_rows"),
+        col("n_nulls").as(s"${tag}_nulls"),
+        col("n_distinct").as(s"${tag}_distinct"),
+        col("min").as(s"${tag}_min"),
+        col("max").as(s"${tag}_max"),
+        col("mean").as(s"${tag}_mean"))
+    side(prev, "prev").join(side(next, "next"), Seq("col_name"), "full_outer")
+      .withColumn("null_frac_shift",
+        col("next_nulls").cast("double") / col("next_rows") -
+          col("prev_nulls").cast("double") / col("prev_rows"))
+      .withColumn("mean_shift", col("next_mean") - col("prev_mean"))
+  }
 }

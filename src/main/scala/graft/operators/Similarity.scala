@@ -385,6 +385,34 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
   }
 
+  /** Seeded random projection (Johnson–Lindenstrauss) of an embedding
+    * column to `outDims` coordinates: dot products against deterministic
+    * [[hyperplanes]] directions, L2-re-normalized by default so every
+    * downstream cosine operator works unchanged on the smaller vectors.
+    * Coordinates round to 6 dp (the [[l2Normalize]] convention) so an
+    * ANSI oracle replays them exactly.
+    *
+    * The 100 TB lever: projection is a pure scan-stage kernel (no
+    * shuffle), and every downstream ANN scan, pair verify, or k-means
+    * round then costs dims/outDims less — project once, run the whole
+    * similarity stack at 64→16 = 4× less vector math, re-rank survivors
+    * against the full vectors if exactness matters. */
+  def randomProject(
+      df: DataFrame,
+      outDims: Int,
+      seed: Long = 42L,
+      dims: Int = -1,
+      vecCol: String = "embedding",
+      outCol: String = "proj",
+      normalize: Boolean = true): DataFrame = {
+    require(outDims >= 1, "need outDims >= 1")
+    val d = dimsOf(df, vecCol, dims)
+    val planes = hyperplanes(outDims, d, seed)
+    df.withColumn(outCol, transform(
+      graft.functions.VectorKernels.projectCol(col(vecCol), planes, normalize),
+      x => round(x, 6)))
+  }
+
   /** Per-group embedding centroids (cluster prep / dataset signatures):
     * element-wise mean per group. Lowered as posexplode → one shuffle on
     * (group, dim) with map-side partial avg → re-assemble in dim order —

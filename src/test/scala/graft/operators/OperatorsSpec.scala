@@ -1250,6 +1250,57 @@ class OperatorsSpec extends AnyFunSuite {
     assert(g(("a", "id")) == 2 && g((null, "id")) == 1)
   }
 
+  test("drift: side-by-side profiles, raw shifts, schema drift survives") {
+    val prev = Seq((1L, Some(10), "a"), (2L, None, "b"), (3L, Some(20), "c"))
+      .toDF("id", "v", "s")
+    val next = Seq((1L, Some(40), "a"), (2L, Some(20), "b"))
+      .toDF("id", "v", "s").withColumn("extra", lit(1))
+    val d = Profile.drift(prev, next, exactDistinct = true)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val v = d("v")
+    // prev: 1 null / 3 rows; next: 0 / 2 → shift = -1/3
+    assert(math.abs(v.getAs[Double]("null_frac_shift") - (0.0 - 1.0 / 3)) < 1e-12)
+    // means 15 → 30
+    assert(math.abs(v.getAs[Double]("mean_shift") - 15.0) < 1e-9)
+    // column only in next: prev side all null, next side populated
+    val e = d("extra")
+    assert(e.isNullAt(e.fieldIndex("prev_rows")) &&
+      e.getAs[Long]("next_rows") == 2L)
+  }
+
+  test("randomProject: unit norm, determinism, cosine approximately preserved") {
+    val p = Similarity.randomProject(emb, outDims = 32).cache()
+    // re-normalized output has unit L2 norm (up to the 6-dp rounding)
+    val norms = p.select(aggregate(col("proj"), lit(0.0),
+      (acc, x) => acc + x * x).as("n2")).collect().map(_.getDouble(0))
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-4))
+    // deterministic under repartition
+    val again = Similarity.randomProject(emb.repartition(7), outDims = 32)
+      .select("vec_id", "proj")
+    assert(p.select("vec_id", "proj").exceptAll(again).count() == 0)
+    // JL: cosine in the projected space tracks the exact cosine; fixed
+    // pairs + fixed seed make this deterministic, not statistical
+    val orig = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val proj = p.select(col("vec_id"), col("proj")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cosF(a: Array[Float], b: Array[Float]) = {
+      val ab = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      ab / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    def cosD(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    val ids = orig.keys.toSeq.sorted.take(60)
+    val errs = for (i <- ids.indices; j <- (i + 1) until ids.size; if j <= i + 3)
+      yield math.abs(
+        cosF(orig(ids(i)), orig(ids(j))) - cosD(proj(ids(i)), proj(ids(j))))
+    assert(errs.sum / errs.size < 0.2,
+      f"mean |cos err| ${errs.sum / errs.size}%.3f at 32 dims")
+    p.unpersist()
+  }
+
   test("quantilesBy: exact interpolation, approx tracks exact, monotone in p") {
     val df = (1 to 101).map(i => ("g", i.toDouble)).toDF("g", "x")
     val exact = Profile.quantilesBy(df, Seq("g"), col("x"), exact = true)
