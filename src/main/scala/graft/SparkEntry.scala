@@ -1569,6 +1569,44 @@ object SparkEntry {
         SELECT doc_id, source, CAST(unnest(range(0, copies)) AS INT) AS epoch, mix_rate
         FROM c WHERE copies > 0""".stripMargin.trim)),
 
+    Q("q_sketch_cm",
+      // count-min cell table over an unbounded key space: md5-portable
+      // hash family, so every cell is exactly replayable; the shuffle is
+      // sketch-sized (depth x width cells), never corpus-sized
+      (s, dir) => operators.Sketches.countMin(
+        Tables.load(s, dir)("events"),
+        org.apache.spark.sql.functions.col("user_id"),
+        depth = 4, width = 256),
+      Some("""
+        SELECT t.row AS row,
+          ('0x' || substr(md5(t.row::VARCHAR || ':' || e.user_id::VARCHAR), 1, 15))::BIGINT % 256 AS bucket,
+          count(*) AS cnt
+        FROM events e CROSS JOIN range(4) t(row)
+        GROUP BY 1, 2""".stripMargin.trim)),
+
+    Q("q_sketch_cm_query",
+      // point estimates: min over each key's depth cells, missing = 0;
+      // the oracle replays build + probe end-to-end
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val ev = Tables.load(s, dir)("events")
+        val sk = operators.Sketches.countMin(ev, col("user_id"), 4, 256)
+        val keys = ev.select(col("user_id")).distinct()
+          .filter(pmod(col("user_id"), lit(25)) === 0)
+        operators.Sketches.countMinQuery(sk, keys, col("user_id"), 4, 256)
+      },
+      Some("""
+        WITH c AS (SELECT t.row AS row,
+            ('0x' || substr(md5(t.row::VARCHAR || ':' || e.user_id::VARCHAR), 1, 15))::BIGINT % 256 AS bucket,
+            count(*) AS cnt
+          FROM events e CROSS JOIN range(4) t(row) GROUP BY 1, 2),
+        k AS (SELECT DISTINCT user_id FROM events WHERE user_id % 25 = 0),
+        q AS (SELECT k.user_id, t.row AS row,
+            ('0x' || substr(md5(t.row::VARCHAR || ':' || k.user_id::VARCHAR), 1, 15))::BIGINT % 256 AS bucket
+          FROM k CROSS JOIN range(4) t(row))
+        SELECT q.user_id, min(coalesce(c.cnt, 0)) AS cm_est
+        FROM q LEFT JOIN c USING (row, bucket) GROUP BY 1""".stripMargin.trim)),
+
     Q("q_interleave",
       // stride-scheduled mixture order: per-source rank by portable hash,
       // vtime = (rank - 0.5) / weight — every prefix of the vtime order

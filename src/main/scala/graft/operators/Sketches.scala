@@ -231,4 +231,45 @@ object Sketches {
         .select(lit("__total__").as("group"), col("n_distinct")))
     Dedup.materializeAndRelease(out, perGroup)
   }
+
+  // --------------------------------------------------------- count-min
+
+  /** Count-min sketch cells over an unbounded key space: `depth` rows ×
+    * `width` buckets, hash_i(key) = portable md5 hash of "i:key" mod
+    * width — the frequency-table complement of [[heavyHitters]] (that one
+    * finds the top keys; this one answers "how often is ANY key" in fixed
+    * memory). Point estimates ([[countMinQuery]]) are min over the key's
+    * depth cells: always ≥ the true count, ≤ true + N/width w.h.p.
+    *
+    * Build is one partial-agg groupBy on (row, bucket) — map-side combine
+    * collapses to at most depth·width cells per partition, so the shuffle
+    * is sketch-sized, never corpus-sized. Cells from different corpus
+    * shards ADD (sum on (row, bucket)) — the merge a daily ingest needs.
+    * The md5 hash family makes every cell and every estimate exactly
+    * replayable by an ANSI engine. Missing cells mean zero. */
+  def countMin(df: DataFrame, key: Column,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 2, "need depth >= 1, width >= 2")
+    df.select(key.cast("string").as("__k"),
+        explode(sequence(lit(0), lit(depth - 1))).as("row"))
+      .withColumn("bucket", pmod(TextOps.portableHash60(
+        concat(col("row").cast("string"), lit(":"), col("__k"))), lit(width)))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates from a [[countMin]] cell table: each key
+    * hashes to its depth cells, missing cells count zero, the estimate is
+    * the min. The sketch side is at most depth·width rows — broadcast. */
+  def countMinQuery(sketch: DataFrame, keys: DataFrame, key: Column,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 2, "need depth >= 1, width >= 2")
+    keys.select(keys.columns.map(col) :+
+        explode(sequence(lit(0), lit(depth - 1))).as("row"): _*)
+      .withColumn("bucket", pmod(TextOps.portableHash60(
+        concat(col("row").cast("string"), lit(":"), key.cast("string"))),
+        lit(width)))
+      .join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy(keys.columns.map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+  }
 }

@@ -181,4 +181,32 @@ class SketchesSpec extends AnyFunSuite {
     got.values // 4 rows: 3 groups + total
     assert(got.size == 4)
   }
+
+  test("countMin: estimates dominate truth, exact at ample width, shards add") {
+    val data = (1 to 500).map(i => s"k${i % 37}").toDF("k")
+    val truth = data.groupBy("k").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keys = data.select("k").distinct()
+    // narrow sketch: collisions possible, estimate must never undercount
+    val estNarrow = Sketches.countMinQuery(
+      Sketches.countMin(data, col("k"), depth = 4, width = 16),
+      keys, col("k"), depth = 4, width = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (k, t) =>
+      assert(estNarrow(k) >= t, s"$k: est ${estNarrow(k)} < true $t") }
+    // ample width: no collisions among 37 keys in 4x1024 cells → exact
+    val estWide = Sketches.countMinQuery(
+      Sketches.countMin(data, col("k"), depth = 4, width = 1024),
+      keys, col("k"), depth = 4, width = 1024)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estWide == truth)
+    // mergeability: shard sketches SUM into the whole-corpus sketch
+    val (a, b) = (data.limit(200), data.exceptAll(data.limit(200)))
+    val merged = Sketches.countMin(a, col("k"), 4, 64)
+      .unionAll(Sketches.countMin(b, col("k"), 4, 64))
+      .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+    val whole = Sketches.countMin(data, col("k"), 4, 64)
+    assert(merged.exceptAll(whole).count() == 0 &&
+      whole.exceptAll(merged).count() == 0)
+  }
 }
