@@ -1569,6 +1569,20 @@ object SparkEntry {
         SELECT doc_id, source, CAST(unnest(range(0, copies)) AS INT) AS epoch, mix_rate
         FROM c WHERE copies > 0""".stripMargin.trim)),
 
+    Q("q_lsh_plan",
+      // banding planner: the p(j) curve per (bands, rows) split of a
+      // 64-position signature at j = 0.7 / 0.5 / 0.8 — pure arithmetic,
+      // replayed with power() (4-dp rounding absorbs last-ulp pow drift)
+      (s, dir) => operators.Sketches.lshPlan(s, k = 64, threshold = 0.7),
+      Some("""
+        SELECT CAST(r AS INTEGER) AS rows_per_band,
+          CAST(64 // r AS INTEGER) AS bands,
+          CAST((64 // r) * r AS INTEGER) AS positions_used,
+          round(1 - power(1 - power(0.7, r), 64 // r), 4) AS p_at_threshold,
+          round(1 - power(1 - power(0.7 - 0.2, r), 64 // r), 4) AS p_below,
+          round(1 - power(1 - power(0.7 + 0.1, r), 64 // r), 4) AS p_above
+        FROM range(1, 65) t(r)""".stripMargin.trim)),
+
     Q("q_sketch_cm",
       // count-min cell table over an unbounded key space: md5-portable
       // hash family, so every cell is exactly replayable; the shuffle is

@@ -126,4 +126,50 @@ object Curation {
     pairs.unpersist(false)
     kept
   }
+
+  /** At-ingest curation — the streaming front of [[curate]] plus the two
+    * rejection side-streams a real ingest reconciles downstream.
+    *
+    * Returns (kept, nearDupFlags, contaminationFlags):
+    *   - `kept`: stream docs passing the language/quality/token filters
+    *     (stateless scan — identical gates to [[curate]]) with exact
+    *     within-watermark dedup ([[Dedup.exactStream]]);
+    *   - `nearDupFlags`: (doc_new, doc_corpus, jaccard, ts) rows where a
+    *     FILTERED stream doc near-duplicates the static corpus
+    *     ([[Dedup.nearDupStream]] — stream-static band join, so cache the
+    *     corpus);
+    *   - `contaminationFlags`: (idCol, ts) rows sharing a benchmark n-gram
+    *     ([[Dedup.contaminationStream]] — broadcast benchmark grams).
+    *
+    * Why three streams and not one: Structured Streaming cannot anti-join
+    * a stream against another stream-derived set, so at-ingest dedup is
+    * tag-and-reconcile — sink `kept`, sink the flag streams, drop flagged
+    * ids at the next compaction. Each output is a separate streaming
+    * query over the same source; the shared filter front is stateless, so
+    * no state is duplicated — only the scan. */
+  def curateStream(
+      stream: DataFrame,
+      corpus: DataFrame,
+      bench: DataFrame,
+      tsCol: String,
+      delay: String,
+      langs: Seq[String] = Seq("en"),
+      minQuality: Double = 0.7,
+      minTokens: Int = 5,
+      maxTokens: Int = 100000,
+      jaccardThreshold: Double = 0.7,
+      contaminationN: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"): (DataFrame, DataFrame, DataFrame) = {
+    val filtered = TextOps.analyze(stream, textCol)
+      .filter(col("lang_pred").isin(langs: _*) &&
+        col("quality") >= minQuality &&
+        col("token_count").between(minTokens, maxTokens))
+    val kept = Dedup.exactStream(filtered, tsCol, delay, textCol)
+    val nearDup = Dedup.nearDupStream(filtered, corpus, tsCol, delay,
+      textCol, idCol, threshold = jaccardThreshold)
+    val contamination = Dedup.contaminationStream(filtered, bench, tsCol,
+      delay, contaminationN, textCol, idCol)
+    (kept, nearDup, contamination)
+  }
 }

@@ -257,6 +257,28 @@ object Sketches {
       .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
   }
 
+  /** MinHash-LSH banding planner — the audit table to read BEFORE running
+    * a corpus-sized dedup: for every (bands, rows) split of a k-position
+    * signature, the candidate probability p(j) = 1 − (1 − j^rows)^bands at
+    * the target Jaccard threshold, at threshold−0.2 (false-candidate
+    * cost: each unit of p there multiplies the verify-join fanout), and
+    * at threshold+0.1 (recall near misses). Pure arithmetic on a k-row
+    * range — no data touched; rounded to 4 dp so pow() replay differences
+    * in the last ulp cannot flip a digit. */
+  def lshPlan(spark: org.apache.spark.sql.SparkSession,
+      k: Int = 64, threshold: Double = 0.7): DataFrame = {
+    require(k >= 1 && threshold > 0 && threshold < 1, "bad k/threshold")
+    def p(j: Double) = round(lit(1.0) -
+      pow(lit(1.0) - pow(lit(j), col("rows_per_band")), col("bands")), 4)
+    spark.range(1, k + 1L).toDF("rows_per_band")
+      .withColumn("rows_per_band", col("rows_per_band").cast("int"))
+      .withColumn("bands", (lit(k) / col("rows_per_band")).cast("int"))
+      .withColumn("positions_used", col("bands") * col("rows_per_band"))
+      .withColumn("p_at_threshold", p(threshold))
+      .withColumn("p_below", p(math.max(threshold - 0.2, 0.0)))
+      .withColumn("p_above", p(math.min(threshold + 0.1, 1.0)))
+  }
+
   /** Point-frequency estimates from a [[countMin]] cell table: each key
     * hashes to its depth cells, missing cells count zero, the estimate is
     * the min. The sketch side is at most depth·width rows — broadcast. */

@@ -769,4 +769,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids == Seq(1L))
     bench.unpersist()
   }
+
+  test("curateStream: filtered+deduped kept stream, near-dup and contamination flags") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text").cache()
+    val bench = Seq((1L, "the secret holdout answer key")).toDF("bid", "text").cache()
+    val mem = MemoryStream[(Long, String, Long)]
+    val src = mem.toDF().toDF("doc_id", "text", "tsm")
+      .withColumn("ts", timestamp_millis(col("tsm"))).drop("tsm")
+    val (kept, nd, ct) = graft.operators.Curation.curateStream(
+      src, corpus, bench, "ts", "10 seconds",
+      langs = Seq("en", "und"), minQuality = 0.0, minTokens = 3,
+      contaminationN = 3)
+    val q1 = kept.writeStream.format("memory").queryName("cs_kept")
+      .outputMode("append").start()
+    val q2 = nd.writeStream.format("memory").queryName("cs_nd")
+      .outputMode("append").start()
+    val q3 = ct.writeStream.format("memory").queryName("cs_ct")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, "a clean english training document with many words", 1000L),
+      (2L, "too short", 1000L), // fails minTokens → gone from ALL outputs
+      (3L, "alpha beta gamma delta epsilon", 1000L), // near-dups corpus 100
+      (4L, "contains the secret holdout answer key verbatim", 1000L),
+      (5L, "a clean english training document with many words", 1000L)) // exact dup of 1
+    Seq(q1, q2, q3).foreach(_.processAllAvailable())
+    Seq(q1, q2, q3).foreach(SparkTestBase.stopQuietly)
+    val keptIds = spark.table("cs_kept").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // exact dedup keeps exactly one of the {1, 5} twins; flagged docs 3
+    // and 4 STAY in kept — the contract is tag-and-reconcile, the flag
+    // streams drive the downstream delete
+    assert((keptIds & Set(1L, 5L)).size == 1, keptIds)
+    assert((keptIds -- Set(1L, 5L)) == Set(3L, 4L), keptIds)
+    val ndRows = spark.table("cs_nd").select("doc_new", "doc_corpus")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ndRows == Set((3L, 100L)), ndRows)
+    val ctIds = spark.table("cs_ct").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ctIds == Set(4L), ctIds)
+    corpus.unpersist(); bench.unpersist()
+  }
 }
