@@ -898,6 +898,65 @@ object Dedup {
     docs.withColumn(textCol, array_join(kept, "\n"))
   }
 
+  /** Corpus-frequency paragraph dedup (RefinedWeb-style, between
+    * [[dropCommonLines]]' line granularity and
+    * [[graft.operators.TextOps.removeDupSpans]]' word windows): every
+    * blank-line-separated paragraph that occurs more than once in the
+    * corpus keeps only its FIRST occurrence by (doc, position); later
+    * copies are deleted from their documents. Paragraphs shorter than
+    * `minChars` (after trim) are kept unconditionally — short boilerplate
+    * is [[dropCommonLines]]' job, and deduping "Introduction" headers
+    * would shred unrelated documents.
+    *
+    * Scale shape: the corpus-global first-occurrence window shuffles only
+    * (hash, id, idx) — paragraph TEXT never rides it (the packSequences
+    * lesson) — with the partition count sized to input volume; surviving
+    * paragraphs reassemble in one doc-id shuffle. Dedup keys are
+    * whitespace-normalized lowercase; the rebuilt text preserves the
+    * original paragraph bytes. Output: (idCol, clean_text, n_paras,
+    * n_removed); documents whose every paragraph was removed survive with
+    * empty text (the caller's length filter decides). */
+  def dropDupParagraphs(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      minChars: Int = 30,
+      parts: Int = 0): DataFrame = {
+    require(minChars >= 0 && parts >= 0, "bad minChars/parts")
+    val paras = docs.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), "\n\n")).as(Seq("__i", "__para")))
+    val keyed = paras
+      .filter(length(trim(col("__para"))) >= minChars)
+      .select(col("__id"), col("__i"),
+        TextOps.portableHash60(TextOps.normalize(col("__para"))).as("__h"))
+    val windowParts =
+      if (parts > 0) parts
+      else TextOps.volumeParts(docs, targetBytes = 8L << 20)
+    val sized =
+      if (windowParts > docs.sparkSession.sessionState.conf.numShufflePartitions)
+        keyed.repartition(windowParts, col("__h"))
+      else keyed
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
+    val removals = sized
+      .withColumn("__occ", count(lit(1)).over(byHash))
+      .withColumn("__first", min(struct(col("__id"), col("__i"))).over(byHash))
+      .filter(col("__occ") > 1 &&
+        !(col("__first")("__id") === col("__id") &&
+          col("__first")("__i") === col("__i")))
+      .select(col("__id"), col("__i"), lit(true).as("__rm"))
+    paras.join(removals, Seq("__id", "__i"), "left")
+      .groupBy(col("__id"))
+      // collect_list skips nulls: removed paragraphs vanish, the doc row
+      // survives even when everything was removed
+      .agg(
+        array_join(transform(array_sort(collect_list(
+            when(col("__rm").isNull, struct(col("__i"), col("__para"))))),
+          x => x.getField("__para")), "\n\n").as("clean_text"),
+        count(lit(1)).as("n_paras"),
+        count(col("__rm")).as("n_removed"))
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** Benchmark decontamination (the GPT-3/Llama eval-overlap step): flag
     * corpus documents sharing at least one word n-gram with the benchmark
     * set. Returns (idCol, hits) for contaminated docs only — `hits` is the

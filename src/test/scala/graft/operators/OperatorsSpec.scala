@@ -1049,6 +1049,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(s(1) - 0.5) < 1e-6) // -2 + 1*2 = 0
   }
 
+  test("dropDupParagraphs: first occurrence survives, short paras exempt, empty docs kept") {
+    val docs = Seq(
+      (1L, "the first unique paragraph body here\n\nshared paragraph content across documents\n\nhdr"),
+      (2L, "shared paragraph content across documents\n\nanother unique paragraph body text"),
+      (3L, "shared paragraph content across documents"),
+      (4L, "hdr") // short paragraph duplicated in doc 1 — exempt both places
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropDupParagraphs(docs, minChars = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1 holds the first occurrence of the shared paragraph → untouched
+    assert(out(1L).getString(1) ==
+      "the first unique paragraph body here\n\nshared paragraph content across documents\n\nhdr")
+    assert(out(1L).getLong(2) == 3 && out(1L).getLong(3) == 0)
+    // docs 2 and 3 lose their copy; doc 3 survives with empty text
+    assert(out(2L).getString(1) == "another unique paragraph body text" &&
+      out(2L).getLong(3) == 1)
+    assert(out(3L).getString(1) == "" && out(3L).getLong(3) == 1)
+    // "hdr" is under minChars: kept everywhere despite being duplicated
+    assert(out(4L).getString(1) == "hdr" && out(4L).getLong(3) == 0)
+  }
+
   test("dropRepeatedLines keeps first occurrences and blank separators") {
     val df = Seq(
       (1L, "a\n\nbb\na\n\nbb\ncc"),
