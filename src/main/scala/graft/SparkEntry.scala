@@ -1569,6 +1569,30 @@ object SparkEntry {
         SELECT doc_id, source, CAST(unnest(range(0, copies)) AS INT) AS epoch, mix_rate
         FROM c WHERE copies > 0""".stripMargin.trim)),
 
+    Q("q_join_interval",
+      // interval-overlap join via bucketized equi-join + canonical-bucket
+      // election; the oracle is the direct theta join (same IEEE interval
+      // arithmetic on both sides), so any duplicate or lost pair goes red
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val ev = Tables.load(s, dir)("events")
+        val l = ev.select(col("event_id").as("l_id"), col("user_id"),
+          (col("value") * 100).as("ls"), (col("value") * 100 + 300).as("le"))
+        val r = ev.filter(pmod(col("event_id"), lit(10)) === 0)
+          .select(col("event_id").as("r_id"), col("user_id"),
+            (col("value") * 100 - 200).as("rs"),
+            (col("value") * 100 + 100).as("re"))
+        operators.Joins.intervalOverlap(l, r, Seq("user_id"),
+            "ls", "le", "rs", "re", bucketWidth = 250)
+          .select("user_id", "l_id", "r_id")
+      },
+      Some("""
+        SELECT a.user_id, a.event_id AS l_id, b.event_id AS r_id
+        FROM events a JOIN events b ON a.user_id = b.user_id
+        WHERE b.event_id % 10 = 0
+          AND a.value * 100 <= b.value * 100 + 100
+          AND b.value * 100 - 200 <= a.value * 100 + 300""".stripMargin.trim)),
+
     Q("q_dedup_paragraphs",
       // corpus-wide paragraph dedup over synthetic 3-paragraph docs built
       // from overlapping document triples — every interior paragraph

@@ -127,4 +127,44 @@ object Joins {
       explode(sequence(lit(0), lit(salts - 1))))
     l2.join(r2, on :+ "__salt", joinType).drop("__salt")
   }
+
+  /** Interval×interval OVERLAP join — pairs where `[lStart, lEnd]` and
+    * `[rStart, rEnd]` intersect (closed intervals: `lStart <= rEnd AND
+    * rStart <= lEnd`), the span-vs-span shape [[range]]'s point-in-interval
+    * cannot express (outage windows vs sessions, annotation spans vs
+    * document chunks).
+    *
+    * Shape at scale: both sides explode into coarse time buckets of
+    * `bucketWidth` and the join is a plain equi-join on (`on`…, bucket) —
+    * never a nested loop. An overlapping pair shares every bucket in the
+    * intersection, so each pair is emitted exactly once by the
+    * canonical-bucket election: only the FIRST shared bucket,
+    * `greatest(floor(lStart/w), floor(rStart/w))`, keeps the row — no
+    * distinct, no post-dedup shuffle. Per-row fanout is intervalLength/w:
+    * pick `bucketWidth` near the median interval length (width too small
+    * explodes rows, too large degrades toward a per-key cross join —
+    * exactly [[range]]'s tuning story). Column names must be disjoint
+    * across the two sides apart from the `on` keys. */
+  def intervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      lStart: String,
+      lEnd: String,
+      rStart: String,
+      rEnd: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val l2 = left.withColumn("__b",
+      explode(sequence(floor(col(lStart) / bucketWidth),
+        floor(col(lEnd) / bucketWidth))))
+    val r2 = right.withColumn("__b",
+      explode(sequence(floor(col(rStart) / bucketWidth),
+        floor(col(rEnd) / bucketWidth))))
+    l2.join(r2, on :+ "__b")
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("__b") === greatest(
+        floor(col(lStart) / bucketWidth), floor(col(rStart) / bucketWidth)))
+      .drop("__b")
+  }
 }

@@ -1403,6 +1403,26 @@ class OperatorsSpec extends AnyFunSuite {
       == rows(left.join(right, Seq("k"), "left")))
   }
 
+  test("intervalOverlap equals the theta join for skinny and wide buckets") {
+    val left = Seq((1L, "a", 0.0, 100.0), (2L, "a", 150.0, 160.0),
+      (3L, "b", 0.0, 100.0), (4L, "a", -50.0, 5.0), (5L, "a", 99.0, 401.0))
+      .toDF("l_id", "k", "ls", "le")
+    val right = Seq((10L, "a", 90.0, 200.0), (11L, "a", 400.0, 500.0),
+      (12L, "b", 101.0, 102.0), (13L, "c", 0.0, 10.0))
+      .toDF("r_id", "k", "rs", "re")
+    val expect = left.join(right, Seq("k"))
+      .filter(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("k", "l_id", "r_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    for (w <- Seq(7L, 50L, 1000L)) {
+      val got = Joins.intervalOverlap(left, right, Seq("k"),
+          "ls", "le", "rs", "re", bucketWidth = w)
+        .select("k", "l_id", "r_id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(got == expect, s"width $w: $got vs $expect")
+    }
+  }
+
   test("lineFlags separates prose from listing shapes") {
     val prose = "This is a line.\nAnd a longer following sentence right here!\nMore prose follows today."
     val menu = "home\nabout\ncontact\nlogin\nsearch"
