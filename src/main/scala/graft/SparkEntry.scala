@@ -1569,6 +1569,38 @@ object SparkEntry {
         SELECT doc_id, source, CAST(unnest(range(0, copies)) AS INT) AS epoch, mix_rate
         FROM c WHERE copies > 0""".stripMargin.trim)),
 
+    Q("q_byte_proxy",
+      // byte-level-BPE input representation: every UTF-8 byte of the
+      // normalized text as one proxy char (space/printable ASCII =
+      // themselves, the rest in the PUA at U+E000+byte); the oracle
+      // replays the mapping from hex-encoded bytes, incl. an adversarial
+      // multi-byte row (accents, en dash, an astral emoji)
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        import s.implicits._
+        val extra = Seq(
+          (1000001L, "héllo – ümlaut 😀"))
+          .toDF("doc_id", "text")
+        val d = Tables.load(s, dir)("documents")
+          .select(col("doc_id"), col("text")).unionByName(extra)
+        d.select(col("doc_id"),
+          posexplode(split(operators.Bpe.byteProxyText(col("text")), ""))
+            .as(Seq("i", "ch")))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, text FROM documents
+          UNION ALL SELECT 1000001, 'h' || chr(233) || 'llo ' || chr(8211) ||
+            ' ' || chr(252) || 'mlaut ' || chr(128512)),
+        n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM d),
+        b AS (SELECT doc_id, to_hex(encode(t)) AS h, octet_length(encode(t)) AS nb FROM n),
+        e AS (SELECT doc_id, unnest(range(nb)) AS i, h FROM b),
+        byt AS (SELECT doc_id, i,
+            ('0x' || substr(h, CAST(i * 2 + 1 AS INT), 2))::INT AS bv FROM e)
+        SELECT doc_id, CAST(i AS INTEGER) AS i,
+          CASE WHEN bv = 32 OR bv BETWEEN 33 AND 126 THEN chr(bv)
+               ELSE chr(57344 + bv) END AS ch
+        FROM byt""".stripMargin.trim)),
+
     Q("q_join_interval",
       // interval-overlap join via bucketized equi-join + canonical-bucket
       // election; the oracle is the direct theta join (same IEEE interval

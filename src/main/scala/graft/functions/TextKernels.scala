@@ -624,6 +624,56 @@ object TextKernels {
     while (t < syms.size) { out.add(UTF8String.fromString(syms.get(t))); t += 1 }
   }
 
+  // ------------------------------------------------------------ byte proxy
+
+  def byteProxyCol(text: Column): Column = GraftColumnBridge.column(
+    StaticInvoke(
+      TextKernels.getClass, StringType, "byteProxy",
+      Seq(GraftColumnBridge.expression(text)), Seq(StringType),
+      returnNullable = false))
+
+  def byteUnproxyCol(text: Column): Column = GraftColumnBridge.column(
+    StaticInvoke(
+      TextKernels.getClass, StringType, "byteUnproxy",
+      Seq(GraftColumnBridge.expression(text)), Seq(StringType),
+      returnNullable = false))
+
+  /** UTF-8 byte → one-char proxy bijection (byte-level BPE fallback):
+    * space and printable ASCII map to themselves; every other byte maps
+    * to U+E000+byte. The Private Use Area is deliberate — PUA code points
+    * have no case mappings and are not whitespace, so `lower()` and
+    * `\s+` in [[graft.operators.TextOps.normalize]] are identity on
+    * proxied text (U+0100.. would get case-folded and corrupt the
+    * bijection). One proxy char per byte, all BMP. */
+  def byteProxy(t: UTF8String): UTF8String = {
+    val bytes = t.getBytes
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xFF
+      if (b == 0x20 || (b >= 0x21 && b <= 0x7E)) sb.append(b.toChar)
+      else sb.append((0xE000 + b).toChar)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Inverse of [[byteProxy]]: proxy chars back to their bytes, decoded
+    * as UTF-8. Input must be [[byteProxy]] output (or concatenated
+    * pieces of it). */
+  def byteUnproxy(t: UTF8String): UTF8String = {
+    val s = t.toString
+    val out = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= 0xE000 && c <= 0xE0FF) out.write(c - 0xE000)
+      else out.write(c.toInt)
+      i += 1
+    }
+    UTF8String.fromBytes(out.toByteArray)
+  }
+
   // ------------------------------------------------------------ WARC split
 
   def warcSplitCol(content: Column): Column = GraftColumnBridge.column(

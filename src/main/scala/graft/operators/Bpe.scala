@@ -378,4 +378,73 @@ object Bpe {
         transform(col(tmp), p => coalesce(element_at(lookup, p), lit(0))))
       .drop(tmp)
   }
+
+  // ------------------------------------------------------- byte-level mode
+
+  /** Normalized text in the byte-proxy alphabet — the byte-level-BPE
+    * (GPT-2-style) input representation: every UTF-8 byte becomes one
+    * proxy character ([[graft.functions.TextKernels.byteProxy]] — space
+    * and printable ASCII are themselves, everything else lands in the
+    * Private Use Area, which `normalize` treats as identity), so the
+    * char-level trainer/tokenizer machinery runs unchanged over bytes and
+    * OOV becomes impossible: the base alphabet is exactly the 256 bytes. */
+  def byteProxyText(text: Column): Column =
+    graft.functions.TextKernels.byteProxyCol(TextOps.normalize(text))
+
+  private def proxyTmp(docs: DataFrame): String =
+    Iterator.iterate("__bytes")(_ + "_")
+      .dropWhile(docs.columns.contains).next()
+
+  /** [[trainMerges]] over the byte-proxy representation: merges are byte
+    * sequences (as proxy strings), starting from single bytes. */
+  def trainMergesBytes(
+      docs: DataFrame,
+      numMerges: Int,
+      textCol: String = "text",
+      minCount: Long = 2L,
+      localThreshold: Long = 2000000L): Seq[(String, String)] = {
+    val tmp = proxyTmp(docs)
+    trainMerges(docs.withColumn(tmp, byteProxyText(col(textCol))),
+      numMerges, tmp, minCount, localThreshold)
+  }
+
+  /** The byte-mode vocabulary: `<unk>` (id 0, kept for API compatibility —
+    * byte fallback makes it unreachable), the 255 non-space byte proxies
+    * in lexicographic order, the end-of-word sentinel, then merge products
+    * in rank order. No corpus scan: the alphabet IS the byte range. */
+  def byteVocab(merges: Seq[(String, String)]): Seq[String] = {
+    val alphabet = (0 to 255).filter(_ != 0x20).map { b =>
+      (if (b >= 0x21 && b <= 0x7E) b.toChar else (0xE000 + b).toChar).toString
+    }.sorted
+    (("<unk>" +: alphabet :+ EndOfWord) ++
+      merges.map { case (l, r) => l + r }).distinct
+  }
+
+  /** [[tokenizeIds]] over the byte-proxy representation with the full
+    * byte alphabet ([[byteVocab]]) — id 0 (`<unk>`) can never be emitted,
+    * for ANY input: unseen characters decompose into known bytes. The
+    * original text column is untouched; pieces decode back to bytes via
+    * [[graft.functions.TextKernels.byteUnproxy]]. */
+  def tokenizeIdsBytes(
+      docs: DataFrame,
+      merges: Seq[(String, String)],
+      vocab: Seq[String],
+      textCol: String = "text",
+      outCol: String = "token_ids"): DataFrame = {
+    val tmp = proxyTmp(docs)
+    tokenizeIds(docs.withColumn(tmp, byteProxyText(col(textCol))),
+      merges, vocab, tmp, outCol).drop(tmp)
+  }
+
+  /** [[tokenize]] over the byte-proxy representation (pieces are proxy
+    * strings; the original text column is untouched). */
+  def tokenizeBytes(
+      docs: DataFrame,
+      merges: Seq[(String, String)],
+      textCol: String = "text",
+      outCol: String = "bpe_pieces"): DataFrame = {
+    val tmp = proxyTmp(docs)
+    tokenize(docs.withColumn(tmp, byteProxyText(col(textCol))),
+      merges, tmp, outCol).drop(tmp)
+  }
 }

@@ -1882,6 +1882,50 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("byte-level BPE: proxy bijection, no <unk> ever, lossless decode, ASCII parity") {
+    // total bijection: any string round-trips through proxy/unproxy
+    val hard = "héllo wörld 😀 漢字  ctrl\ttab"
+    val rt = Seq((1L, hard)).toDF("doc_id", "text")
+      .select(graft.functions.TextKernels.byteUnproxyCol(
+        graft.functions.TextKernels.byteProxyCol(col("text"))).as("t"))
+      .head.getString(0)
+    assert(rt == hard)
+    val corpus = Seq(
+      (1L, "der schöne grüne Baum"), (2L, "die schöne grüne Blume"),
+      (3L, "der grüne Baum blüht"), (4L, "die Blume blüht schön")
+    ).toDF("doc_id", "text")
+    val merges = Bpe.trainMergesBytes(corpus, numMerges = 12)
+    val vocab = Bpe.byteVocab(merges)
+    // characters never seen in training decompose into raw bytes: id 0
+    // (<unk>) is unreachable — while char-level mode must emit it
+    val unseen = Seq((9L, "nie gesehen: 🚀 ŽĆ проверка")).toDF("doc_id", "text")
+    val ids = Bpe.tokenizeIdsBytes(unseen, merges, vocab)
+      .select("token_ids").head.getSeq[Int](0)
+    assert(ids.nonEmpty && !ids.contains(0), s"byte mode emitted <unk>: $ids")
+    val charMerges = Bpe.trainMerges(corpus, numMerges = 12)
+    val charIds = Bpe.tokenizeIds(unseen, charMerges,
+      Bpe.vocab(corpus, charMerges)).select("token_ids").head.getSeq[Int](0)
+    assert(charIds.contains(0), "char mode should hit <unk> on unseen chars")
+    // lossless decode: unproxy(concat pieces, sentinel -> space) equals
+    // the normalized text, for training AND unseen docs
+    for (df <- Seq(corpus, unseen)) {
+      val rows = Bpe.tokenizeBytes(df, merges)
+        .select(col("text"), col("bpe_pieces")).collect()
+      rows.foreach { r =>
+        val decoded = graft.functions.TextKernels.byteUnproxy(
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            r.getSeq[String](1).mkString("").replace(Bpe.EndOfWord, " ").trim))
+          .toString
+        val norm = r.getString(0).toLowerCase.trim.replaceAll("\\s+", " ")
+        assert(decoded == norm, s"decode mismatch: '$decoded' vs '$norm'")
+      }
+    }
+    // printable-ASCII corpora: byte mode IS char mode (proxy = identity)
+    val ascii = Seq((1L, "the old tree grows"), (2L, "the old flower grows"),
+      (3L, "old trees grow slowly")).toDF("doc_id", "text")
+    assert(Bpe.trainMergesBytes(ascii, 6) == Bpe.trainMerges(ascii, 6))
+  }
+
   test("BPE: supplementary-plane symbols, duplicate products, staging collisions") {
     // code points, not UTF-16 units: on an emoji corpus the local and
     // distributed trainers must learn the identical table, and no learned
