@@ -1908,6 +1908,50 @@ object SparkEntry {
           unnest(tid) AS token_id
         FROM p""".stripMargin.trim)),
 
+    Q("q_pack_stats",
+      // fill-rate audit of the packed table: the oracle replays the whole
+      // greedy emission (same chain as q_pack_emit) and aggregates — pad
+      // fractions are raw-double divisions of exact longs
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = Tables.load(s, dir)("documents")
+        val ids = d.select(col("doc_id"),
+          transform(
+            filter(split(operators.TextOps.normalize(col("text")), " "), w => w =!= ""),
+            w => (pmod(operators.TextOps.portableHash60(w), lit(97)) + 1).cast("int"))
+            .as("token_ids"))
+        operators.Packing.packStats(
+          operators.Packing.emitPackedIds(ids, budget = 128, buckets = 8),
+          budget = 128)
+      },
+      Some("""
+        WITH RECURSIVE t AS (
+          SELECT doc_id,
+            list_transform(list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), w -> w <> ''),
+              w -> CAST(('0x' || substr(md5(w), 1, 15))::BIGINT % 97 + 1 AS INTEGER)) AS ids,
+            ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS pack_bucket
+          FROM documents),
+        t2 AS (SELECT doc_id, ids, pack_bucket, len(ids)::BIGINT AS n,
+               row_number() OVER (PARTITION BY pack_bucket ORDER BY doc_id) AS rn FROM t),
+        r AS (
+          SELECT doc_id, ids, pack_bucket, n, rn, 0::BIGINT AS bin, n AS fill FROM t2 WHERE rn = 1
+          UNION ALL
+          SELECT t2.doc_id, t2.ids, t2.pack_bucket, t2.n, t2.rn,
+            CASE WHEN r.fill + t2.n > 128 THEN r.bin + 1 ELSE r.bin END,
+            CASE WHEN r.fill + t2.n > 128 THEN t2.n ELSE r.fill + t2.n END
+          FROM r JOIN t2 ON t2.pack_bucket = r.pack_bucket AND t2.rn = r.rn + 1),
+        agg AS (SELECT pack_bucket * 1099511627776 + bin AS seq_id,
+                  count(*) AS n_docs, flatten(list(ids ORDER BY doc_id)) AS cat
+                FROM r GROUP BY 1),
+        p AS (SELECT seq_id, n_docs, CAST(len(cat) AS INTEGER) AS n_tokens FROM agg)
+        SELECT count(*) AS n_seqs, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+          CAST(sum(n_tokens) AS BIGINT) AS payload_tokens,
+          CAST(count(*) * 128 - sum(n_tokens) AS BIGINT) AS pad_tokens,
+          (count(*) * 128 - sum(n_tokens))::DOUBLE / (count(*) * 128) AS pad_frac,
+          min(n_tokens) AS min_fill, max(n_tokens) AS max_fill,
+          sum(n_docs)::DOUBLE / count(*) AS mean_docs_per_seq
+        FROM p""".stripMargin.trim)),
+
     Q("q_pack_emit_bounds",
       // doc-boundary metadata on packed sequences: doc_lens / doc_starts
       // (member-id order) are what a trainer consumes to reset attention

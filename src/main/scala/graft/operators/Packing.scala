@@ -344,6 +344,29 @@ object Packing {
         sum(h % lit(1000003L)).as("fingerprint"))
   }
 
+  /** Packing-efficiency audit of a materialized packed table
+    * ([[emitPackedIds]] / [[emitPackedChunks]] output): sequences, member
+    * docs, payload vs padding tokens, fill extremes, mean docs per
+    * sequence — the fill-rate numbers a training job checks before
+    * burning GPU-hours on padding. One aggregation over sequence rows
+    * (already corpus/budget-sized); fraction columns are raw-double
+    * divisions of exact longs, bit-replayable by any engine. */
+  def packStats(packed: DataFrame, budget: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val seqs = count(lit(1))
+    val payload = sum(col("n_tokens"))
+    packed.agg(
+      seqs.as("n_seqs"),
+      sum(col("n_docs")).as("n_docs"),
+      payload.as("payload_tokens"),
+      (seqs * budget - payload).as("pad_tokens"),
+      ((seqs * budget - payload).cast("double") / (seqs * budget))
+        .as("pad_frac"),
+      min(col("n_tokens")).as("min_fill"),
+      max(col("n_tokens")).as("max_fill"),
+      (sum(col("n_docs")).cast("double") / seqs).as("mean_docs_per_seq"))
+  }
+
   /** Materialize [[shardForTraining]]'s layout on disk: one
     * `shard=N/` directory per shard, rows inside each file in
     * `shard_pos` order (the decorrelated read order a data loader
