@@ -1569,6 +1569,37 @@ object SparkEntry {
         SELECT doc_id, source, CAST(unnest(range(0, copies)) AS INT) AS epoch, mix_rate
         FROM c WHERE copies > 0""".stripMargin.trim)),
 
+    Q("q_robots",
+      // RFC 9309 robots.txt parsing over adversarial literal files:
+      // multi-UA groups, comments, mixed-case directives, first-colon
+      // value split (sitemap URLs keep their colons), orphan rules
+      // dropped, group-independent sitemaps; the oracle is the
+      // hand-computed expected table
+      (s, dir) => {
+        import s.implicits._
+        val files = Seq(
+          ("a.com",
+            "# politeness\nUser-agent: *\nDisallow: /private/\n" +
+              "Allow: /private/ok.html\nCrawl-delay: 2\n\n" +
+              "User-agent: fastbot\nUser-agent: speedbot\nDisallow: /\n\n" +
+              "Sitemap: https://a.com/sitemap.xml"),
+          ("b.com",
+            "Disallow: /orphan/\nUSER-AGENT: GoodBot\n" +
+              "Disallow: /tmp/ # temp\nAllow:")).toDF("host", "content")
+        operators.WebOps.parseRobots(files)
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          ('a.com', '*', 'disallow', '/private/', 2),
+          ('a.com', '*', 'allow', '/private/ok.html', 3),
+          ('a.com', '*', 'crawl-delay', '2', 4),
+          ('a.com', 'fastbot', 'disallow', '/', 8),
+          ('a.com', 'speedbot', 'disallow', '/', 8),
+          ('a.com', NULL, 'sitemap', 'https://a.com/sitemap.xml', 10),
+          ('b.com', 'GoodBot', 'disallow', '/tmp/', 2),
+          ('b.com', 'GoodBot', 'allow', '', 3)
+        ) AS t(host, user_agent, directive, value, line_no)""".stripMargin.trim)),
+
     Q("q_byte_proxy",
       // byte-level-BPE input representation: every UTF-8 byte of the
       // normalized text as one proxy char (space/printable ASCII =

@@ -157,4 +157,52 @@ object WebOps {
       .drop("__total")
       .orderBy(col("n_docs").desc, col("registered_domain"))
   }
+
+  /** robots.txt parsing (RFC 9309 grouping): one row per (group,
+    * directive) — the politeness table a crawl pipeline joins its URL
+    * frontier against. Comments strip at `#`, blank lines and malformed
+    * lines drop, directive names case-fold; a group is the block of
+    * CONSECUTIVE `User-agent:` lines plus the rules that follow it (a
+    * later `User-agent:` line starts a NEW group, so its rules never leak
+    * backward); rules that precede any group are invalid per the RFC and
+    * drop. `Sitemap:` is group-independent — it emits with a NULL
+    * user_agent wherever it appears.
+    *
+    * Output: keyCol + (user_agent, directive, value, line_no). Pure
+    * line-algebra in the scan plus one per-file window on (keyCol,
+    * line_no) — robots files are KB-sized, so the window partition is a
+    * file, never a corpus. */
+  def parseRobots(
+      df: DataFrame,
+      contentCol: String = "content",
+      keyCol: String = "host"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = df
+      .select(col(keyCol),
+        posexplode(split(col(contentCol), "\n")).as(Seq("line_no", "__l")))
+      .withColumn("__s", trim(regexp_replace(col("__l"), "#.*$", "")))
+      .filter(col("__s") =!= "")
+      .withColumn("__k", lower(trim(regexp_extract(col("__s"), "^([^:]+):", 1))))
+      .withColumn("__v", trim(regexp_extract(col("__s"), "^[^:]+:(.*)$", 1)))
+      .filter(col("__k") =!= "")
+      .drop("__l", "__s")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("line_no"))
+    val isUA = col("__k") === "user-agent"
+    val flagged = lines
+      .withColumn("__blockStart",
+        (isUA && !coalesce(lag(isUA, 1).over(w), lit(false))).cast("int"))
+      .withColumn("__block", sum(col("__blockStart")).over(w))
+    val uas = flagged.filter(isUA)
+      .select(col(keyCol), col("__block"), col("__v").as("user_agent"))
+    val rules = flagged.filter(!isUA && col("__k") =!= "sitemap")
+      .select(col(keyCol), col("__block"),
+        col("__k").as("directive"), col("__v").as("value"), col("line_no"))
+    val sitemaps = flagged.filter(col("__k") === "sitemap")
+      .select(col(keyCol), lit(null).cast("string").as("user_agent"),
+        lit("sitemap").as("directive"), col("__v").as("value"), col("line_no"))
+    rules.join(uas, Seq(keyCol, "__block"))
+      .select(col(keyCol), col("user_agent"), col("directive"),
+        col("value"), col("line_no"))
+      .unionByName(sitemaps)
+  }
 }
