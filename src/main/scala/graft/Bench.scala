@@ -202,7 +202,8 @@ object Bench {
       "q_pack_emit", "q_pack_emit_bounds", "q_pack_chunks", "q_train_pipeline",
       "q_remove_dup_spans", "q_shard_manifest", "q_hybrid_topk",
       "q_dedup_sig_pairs_simhash_incr", "q_embed_pq", "q_mixture_epochs",
-      "q_warc_ingest", "q_interleave")
+      "q_warc_ingest", "q_interleave", "q_dedup_paragraphs", "q_byte_proxy",
+      "q_join_interval", "q_embed_project")
     val headline = benchOnly match {
       case Some(ps) => headline0.filter(n => ps.exists(n.startsWith))
       case None     => headline0
