@@ -426,6 +426,52 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("WARC parse and byte proxy are scan-speed: one scan, no shuffle") {
+    val warcFiles = tables("documents").selectExpr(
+      "doc_id", "concat('WARC/1.0\r\nContent-Length: ', octet_length(text), '\r\n\r\n', text) AS content")
+    val p1 = graft.sources.Ingest.warc(warcFiles, "content")
+      .queryExecution.executedPlan.toString
+    assert(!p1.contains("Exchange"), p1)
+    assert("Scan parquet".r.findAllIn(p1).size == 1, p1)
+    val p2 = tables("documents")
+      .select(graft.operators.Bpe.byteProxyText(org.apache.spark.sql.functions.col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("Exchange"), p2)
+  }
+
+  test("interleave ranks a slim projection; the payload joins back by key only") {
+    val df = graft.operators.Sampling.interleaveByWeight(
+      tables("documents"), org.apache.spark.sql.functions.col("source"),
+      org.apache.spark.sql.functions.col("doc_id"), Map("src1" -> 0.5, "src2" -> 0.5))
+    val p = df.queryExecution.executedPlan.toString
+    // the window's sort must read only (key, source)-derived columns: the
+    // document text appears in NO Sort operator input
+    val sortLines = p.linesIterator.filter(_.contains("Sort ")).mkString("\n")
+    assert(!sortLines.contains("text"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("paragraph dedup: the election window never carries paragraph text") {
+    val df = graft.operators.Dedup.dropDupParagraphs(tables("documents"))
+    val p = df.queryExecution.executedPlan.toString
+    val sortLines = p.linesIterator.filter(_.contains("Sort ")).mkString("\n")
+    assert(!sortLines.contains("__para"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("PQ scan: the query side broadcasts; codes come from one corpus scan") {
+    val emb = tables("embeddings")
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+      .withColumnRenamed("vec_id", "query_id")
+    val df = graft.operators.Similarity.topKPq(emb, q, k = 5,
+      m = 8, ksub = 16, iters = 0, rerank = 2)
+    val p = df.queryExecution.executedPlan.toString
+    // candidate generation is the broadcast cross of the tiny query side —
+    // never a shuffled cartesian of the corpus
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("large-table BPE tokenize is ONE scan-stage kernel expression, no shuffle") {
     // a 1000-rank merge table must neither add an Exchange nor unroll
     // into nested aggregate() HOFs (the fold path stops being
