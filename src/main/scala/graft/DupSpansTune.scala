@@ -26,9 +26,14 @@ object DupSpansTune {
         concat_ws(" ", transform(sequence(lit(1), lit(40)),
           i => concat(lit("w"), pmod(hash(seed, i), lit(5000))))).as("text"))
     }
-    def run(m: Long, parts: Int): Unit =
-      operators.TextOps.dupSpans(synthDocs(m), n = 8, parts = parts)
-        .write.format("noop").mode("overwrite").save()
+    // arg 2: "detect" (default) = dupSpans, "remove" = removeDupSpans —
+    // the acting twin shares the hash-window shape plus a rebuild join
+    val mode = if (args.length > 1) args(1) else "detect"
+    def run(m: Long, parts: Int): Unit = (
+      if (mode == "remove")
+        operators.TextOps.removeDupSpans(synthDocs(m), n = 8, parts = parts)
+      else operators.TextOps.dupSpans(synthDocs(m), n = 8, parts = parts)
+      ).write.format("noop").mode("overwrite").save()
     run(n / 10, 0) // warm-up
     System.gc(); Thread.sleep(1000)
     // within-JVM A/B across window partition counts at 20M (0 = the
@@ -37,13 +42,13 @@ object DupSpansTune {
     for (pass <- 1 to 2; p <- Seq(32, 0, 512)) {
       val t0 = System.nanoTime()
       run(n, p)
-      println(f"dup_spans $n%9d parts=$p%4d pass $pass: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      println(f"$mode%s $n%9d parts=$p%4d pass $pass: ${(System.nanoTime() - t0) / 1e9}%.1f s")
       System.gc(); Thread.sleep(1000)
     }
     for (pass <- 1 to 2) {
       val t0 = System.nanoTime()
       run(n / 10, 0)
-      println(f"dup_spans ${n / 10}%9d parts=auto pass $pass: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      println(f"$mode%s ${n / 10}%9d parts=auto pass $pass: ${(System.nanoTime() - t0) / 1e9}%.1f s")
       System.gc(); Thread.sleep(1000)
     }
     spark.stop()
