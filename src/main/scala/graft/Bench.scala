@@ -249,6 +249,8 @@ object Bench {
         recall(operators.Similarity.topKIvf(emb, queries, k = 10))
       annRecall("pq_recall_at_10") =
         recall(operators.Similarity.topKPq(emb, queries, k = 10))
+      annRecall("ivfpq_recall_at_10") =
+        recall(operators.Similarity.topKIvfPq(emb, queries, k = 10))
       emb.unpersist()
     } catch { case _: Throwable => () }
 

@@ -385,6 +385,64 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
   }
 
+  /** IVF-PQ top-k — the production ANN composition (FAISS's default
+    * shape): coarse cells prune the scan to `nprobe`/`nlist` of the
+    * corpus, PQ codes make scoring the survivors m integer lookups, and
+    * the ADC shortlist re-ranks by exact cosine. The at-rest index is
+    * (id, cell, codes) — for 64-dim floats ~20× smaller than the vectors,
+    * so the scan side of a 100 TB ANN query reads a few TB of codes
+    * pruned by cell, and the full-precision vectors are touched only for
+    * the rerank·k survivors per query.
+    *
+    * Both component paths carry exact oracles (q_embed_ivf, q_embed_pq);
+    * the composition is gated by its recall floor (spec + bench) like the
+    * refined-codebook paths. Query side (with LUTs) broadcasts. */
+  def topKIvfPq(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 10,
+      m: Int = 16,
+      ksub: Int = 64,
+      rerank: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      queryIdCol: String = "query_id",
+      seed: Long = 42L,
+      dims: Int = -1,
+      kmeansIter: Int = 2,
+      iters: Int = 2): DataFrame = {
+    require(k >= 1 && rerank >= 1 && nprobe >= 1, "bad k/rerank/nprobe")
+    val cents0 = hyperplanes(nlist, dimsOf(corpus, vecCol, dims), seed)
+    val cents =
+      if (kmeansIter > 0) kmeansCentroids(corpus, cents0, kmeansIter, vecCol)
+      else cents0
+    val books = pqCodebooks(corpus, m, ksub, iters, seed, dims, vecCol)
+    // the at-rest index: id + coarse cell + PQ codes, never the vector
+    val assigned = corpus.select(col(idCol),
+      graft.functions.VectorKernels.argmaxCellCol(col(vecCol), cents).as("__cell"),
+      graft.functions.VectorKernels.pqEncodeCol(col(vecCol), books).as("__codes"))
+    val probed = queries.select(col(queryIdCol), col(vecCol).as("__qv"),
+      graft.functions.VectorKernels.pqLutCol(col(vecCol), books).as("__lut"),
+      explode(graft.functions.VectorKernels.topCellsCol(col(vecCol), cents, nprobe))
+        .as("__cell"))
+    val wAdc = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__adc").desc, col(idCol))
+    val short = assigned.join(broadcast(probed), Seq("__cell"))
+      .filter(col(idCol) =!= col(queryIdCol))
+      .withColumn("__adc", graft.functions.VectorKernels.pqLookupCol(
+        col("__lut"), col("__codes"), ksub))
+      .withColumn("__arank", row_number().over(wAdc))
+      .filter(col("__arank") <= rerank * k)
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
+    short.join(corpus.select(col(idCol), col(vecCol).as("__cv")), Seq(idCol))
+      .withColumn("sim", round(cosine(col("__cv"), col("__qv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+  }
+
   /** Seeded random projection (Johnson–Lindenstrauss) of an embedding
     * column to `outDims` coordinates: dot products against deterministic
     * [[hyperplanes]] directions, L2-re-normalized by default so every

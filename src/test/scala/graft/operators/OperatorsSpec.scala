@@ -383,6 +383,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(full == ex001, "full probe must equal brute force")
   }
 
+  test("IVF-PQ recall@10 at defaults; full-probe full-rerank equals brute force") {
+    val queries = emb01.filter(col("vec_id") < 50).withColumnRenamed("vec_id", "query_id")
+    val exact = recallPairs(Similarity.topK(emb01, queries, k = 10))
+    val approx = recallPairs(Similarity.topKIvfPq(emb01, queries, k = 10))
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"IVF-PQ recall@10 = $recall%.3f")
+    // composition ceiling is min(IVF probe coverage, PQ shortlist quality)
+    assert(recall >= 0.75, s"IVF-PQ recall $recall at defaults")
+    // probing every cell with a corpus-wide rerank budget IS brute force
+    val q001 = emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+    val ex001 = recallPairs(Similarity.topK(emb, q001, k = 10))
+    val full = recallPairs(Similarity.topKIvfPq(emb, q001, k = 10,
+      nlist = 4, nprobe = 4, rerank = 50))
+    assert(full == ex001, "full probe + corpus rerank must equal brute force")
+  }
+
   test("PQ ANN recall@10 >= 0.8 at tuned defaults; full rerank equals brute force") {
     val queries = emb01.filter(col("vec_id") < 50).withColumnRenamed("vec_id", "query_id")
     val exact = recallPairs(Similarity.topK(emb01, queries, k = 10))
