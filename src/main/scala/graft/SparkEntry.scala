@@ -1569,6 +1569,42 @@ object SparkEntry {
         SELECT doc_id, source, CAST(unnest(range(0, copies)) AS INT) AS epoch, mix_rate
         FROM c WHERE copies > 0""".stripMargin.trim)),
 
+    Q("q_text_hygiene",
+      // NFC + invisible-strip + de-hyphenation over documents plus
+      // adversarial rows (decomposed accents, zero-width chars, soft
+      // hyphens, line-break hyphenation); the oracle replays NFC via
+      // DuckDB's conformant utf8proc and the cleanups via the same RE2
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        import s.implicits._
+        val extra = Seq(
+          (1000001L, "cafe\u0301 and caf\u00e9 are the same word"),
+          (1000002L, "zero\u200Bwidth\u200C and soft\u00ADhyphen\uFEFF"),
+          (1000003L, "exam-\nple hyphen-\n  ation but stays-inline and end-\n9digit"))
+          .toDF("doc_id", "text")
+        val d = Tables.load(s, dir)("documents")
+          .select(col("doc_id"), col("text")).unionByName(extra)
+        d.select(col("doc_id"),
+          operators.TextOps.nfcNormalize(col("text")).as("nfc_text"),
+          operators.TextOps.dehyphenate(
+            operators.TextOps.stripInvisible(col("text"))).as("clean_text"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, text FROM documents
+          UNION ALL SELECT 1000001,
+            'cafe' || chr(769) || ' and caf' || chr(233) || ' are the same word'
+          UNION ALL SELECT 1000002,
+            'zero' || chr(8203) || 'width' || chr(8204) || ' and soft' ||
+            chr(173) || 'hyphen' || chr(65279)
+          UNION ALL SELECT 1000003, 'exam-' || chr(10) || 'ple hyphen-' ||
+            chr(10) || '  ation but stays-inline and end-' || chr(10) || '9digit')
+        SELECT doc_id, nfc_normalize(text) AS nfc_text,
+          regexp_replace(
+            regexp_replace(text,
+              '[\x{200B}\x{200C}\x{200D}\x{2060}\x{FEFF}\x{00AD}]', '', 'g'),
+            '(\p{L})-[ \t]*\n[ \t]*(\p{L})', '\1\2', 'g') AS clean_text
+        FROM d""".stripMargin.trim)),
+
     Q("q_robots",
       // RFC 9309 robots.txt parsing over adversarial literal files:
       // multi-UA groups, comments, mixed-case directives, first-colon

@@ -624,6 +624,25 @@ object TextKernels {
     while (t < syms.size) { out.add(UTF8String.fromString(syms.get(t))); t += 1 }
   }
 
+  // ------------------------------------------------------------ NFC
+
+  def nfcCol(text: Column): Column = GraftColumnBridge.column(
+    StaticInvoke(
+      TextKernels.getClass, StringType, "nfc",
+      Seq(GraftColumnBridge.expression(text)), Seq(StringType),
+      returnNullable = false))
+
+  /** Canonical-composition normalization (Unicode NFC) — conformance-
+    * defined, so JDK output matches any other conformant engine's. */
+  def nfc(t: UTF8String): UTF8String = {
+    val s = t.toString
+    // fast path: Normalizer.isNormalized is a cheap scan; ASCII and most
+    // already-composed text skips the rebuild entirely
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) t
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   // ------------------------------------------------------------ byte proxy
 
   def byteProxyCol(text: Column): Column = GraftColumnBridge.column(

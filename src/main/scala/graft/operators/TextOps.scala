@@ -380,6 +380,29 @@ object TextOps {
           col("n_mojibake") <= budget)
   }
 
+  /** NFC Unicode normalization — the dedup-hygiene step [[normalize]]'s
+    * lowercase/whitespace pass cannot cover: composed and decomposed
+    * accents ("é" as U+00E9 vs "e"+U+0301) are byte-distinct, so they
+    * defeat exact dedup, fingerprints, and MinHash shingles while looking
+    * identical. Run it before any hash-keyed operator on
+    * non-ASCII-guaranteed corpora. JDK Normalizer behind a scan-stage
+    * kernel; NFC is a conformance-defined form, so any engine's
+    * implementation (the oracle uses DuckDB's utf8proc) agrees. */
+  def nfcNormalize(text: Column): Column =
+    graft.functions.TextKernels.nfcCol(text)
+
+  /** Strip invisible code points — zero-width space/joiner/non-joiner,
+    * word joiner, BOM, soft hyphen — the characters that make two
+    * identical-looking strings hash differently and pad token counts. */
+  def stripInvisible(text: Column): Column =
+    regexp_replace(text, "[\\x{200B}\\x{200C}\\x{200D}\\x{2060}\\x{FEFF}\\x{00AD}]", "")
+
+  /** Re-join end-of-line hyphenation ("exam-\nple" → "example") — the
+    * PDF/column-extraction artifact; a hyphen between letters on ONE line
+    * (a genuine compound) is preserved. */
+  def dehyphenate(text: Column): Column =
+    regexp_replace(text, "(\\p{L})-[ \\t]*\\n[ \\t]*(\\p{L})", "$1$2")
+
   // ------------------------------------------------------ DataFrame-level ops
 
   /** Attach the expensive struct kernel `c` as column `name` behind a

@@ -1065,6 +1065,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(s(1) - 0.5) < 1e-6) // -2 + 1*2 = 0
   }
 
+  test("text hygiene: NFC unifies byte-distinct lookalikes; cleanups are surgical") {
+    val r = Seq(
+      ("cafe\u0301", "caf\u00e9"), // decomposed vs composed
+      ("stra\u00dfe", "stra\u00dfe")).toDF("a", "b")
+      .select(
+        (TextOps.fingerprint(TextOps.nfcNormalize(col("a"))) ===
+          TextOps.fingerprint(TextOps.nfcNormalize(col("b")))).as("same"))
+      .collect().map(_.getBoolean(0))
+    assert(r.forall(identity), "NFC must unify composed/decomposed twins")
+    val cleaned = Seq(("exam-\nple soft\u00ADhyphen stays-inline a-\n1"))
+      .toDF("t")
+      .select(TextOps.dehyphenate(TextOps.stripInvisible(col("t"))).as("c"))
+      .head.getString(0)
+    // hyphen-linebreak joins; soft hyphen vanishes; inline compound and
+    // letter-digit breaks stay
+    assert(cleaned == "example softhyphen stays-inline a-\n1", cleaned)
+  }
+
   test("dropDupParagraphs: first occurrence survives, short paras exempt, empty docs kept") {
     val docs = Seq(
       (1L, "the first unique paragraph body here\n\nshared paragraph content across documents\n\nhdr"),
