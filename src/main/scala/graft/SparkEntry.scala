@@ -623,6 +623,26 @@ object SparkEntry {
         "'http://' || source || '.com/A/b?b=2' AS cu " +
         "FROM documents"),
 
+    gq("q_pipeline_funcs3",
+      // r10 hygiene kernels on the dialect surface: NFC, invisible-strip,
+      // de-hyphenation — decomposed accents and zero-width chars built
+      // IN-QUERY from concat'd char literals so the parser path is tested
+      // chr() is byte-mod-256 on this side, so multi-byte specials build
+      // from their UTF-8 bytes via the dialect's decode(x, 'hex')
+      "SELECT doc_id, " +
+        "nfc_normalize(concat('cafe', decode('CC81', 'hex'), ' ', text)) AS nfc, " +
+        "strip_invisible(concat('a', decode('E2808B', 'hex'), 'b', " +
+        "decode('C2AD', 'hex'), text)) AS si, " +
+        "dehyphenate(concat('exam-', chr(10), 'ple ', text)) AS dh " +
+        "FROM documents WHERE doc_id < 100",
+      "SELECT doc_id, " +
+        "nfc_normalize('cafe' || chr(769) || ' ' || text) AS nfc, " +
+        "regexp_replace('a' || chr(8203) || 'b' || chr(173) || text, " +
+        "'[\\x{200B}\\x{200C}\\x{200D}\\x{2060}\\x{FEFF}\\x{00AD}]', '', 'g') AS si, " +
+        "regexp_replace('exam-' || chr(10) || 'ple ' || text, " +
+        "'(\\p{L})-[ \\t]*\\n[ \\t]*(\\p{L})', '\\1\\2', 'g') AS dh " +
+        "FROM documents WHERE doc_id < 100"),
+
     gq("q_misc_funcs",
       // dialect log is base-10 (functions_math.go:419-436); bit ops on keys
       "SELECT l_orderkey, l_linenumber, round(log(l_quantity), 6) AS lg10, " +

@@ -200,6 +200,9 @@ object FunctionMap {
           nullif(length(graft.operators.HtmlOps.extractText(a0)), lit(0)), 6)
       case "canonical_url" => graft.operators.WebOps.canonicalUrl(a0)
       case "sentence_split" => graft.operators.TextOps.sentencesArray(a0)
+      case "nfc_normalize" => graft.operators.TextOps.nfcNormalize(a0)
+      case "strip_invisible" => graft.operators.TextOps.stripInvisible(a0)
+      case "dehyphenate" => graft.operators.TextOps.dehyphenate(a0)
 
       // ---- type predicates (functions_type.go) ----
       case "is_null" => a0.isNull
