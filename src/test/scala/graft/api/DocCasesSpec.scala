@@ -129,6 +129,55 @@ class DocCasesSpec extends AnyFunSuite {
       expShard(2L), expPos(2L).toLong)))
   }
 
+  test("crawl-to-training end-to-end: WARC → curateWeb → byte BPE → pack → manifest") {
+    // the full front door: a WARC archive in, packed integer training
+    // sequences and an audit manifest out — every stage is an operator
+    // this library ships, composed the way a real pipeline runs them
+    import graft.operators.{Bpe, Curation, Packing}
+    import graft.sources.Ingest
+    import org.apache.spark.sql.functions._
+    def page(body: String) = s"<html><title>t</title><body><p>$body</p></body></html>"
+    val docs = Seq(
+      (1L, "http://a.com/x", page("the quick brown fox jumps over the lazy dog again and again")),
+      (2L, "http://a.com/x?utm_source=f", page("the quick brown fox jumps over the lazy dog again and again")), // same canonical URL → dropped
+      (3L, "http://b.com/y", page("a completely different english document about training data pipelines")),
+      (4L, "http://c.com/menu", "<html><body><a href='/1'>home</a><a href='/2'>about</a></body></html>"), // link-farm → dropped
+      (5L, "http://d.com/z", page("tiny"))) // under minTokens → dropped
+      .toDF("doc_id", "url", "html")
+    // 1. serialize into one WARC file and parse it back (the archive leg)
+    val warcFile = docs
+      .withColumn("rec", Ingest.warcRecord(lit("response"), col("url"),
+        lit("2026-01-01T00:00:00Z"), col("html")))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("doc_id"), col("rec")))),
+        x => x.getField("rec")), "").as("content"))
+    val crawl = Ingest.warc(warcFile, "content")
+      .select((col("rec_index") + 1).cast("long").as("doc_id"),
+        col("target_uri").as("url"), col("payload").as("html"))
+    assert(crawl.count() == 5)
+    // 2. crawl-side curation: extract, link gate, canonical-URL dedup,
+    //    lang/quality/token filters, near-dup keep
+    val curated = Curation.curateWeb(crawl,
+      langs = Seq("en", "und"), minQuality = 0.0, minTokens = 5)
+    val keptIds = curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds == Set(1L, 3L), keptIds)
+    // 3. tokenizer side: byte-level merges → ids (no <unk> possible) →
+    //    packed sequences with boundary metadata → shard manifest
+    val merges = Bpe.trainMergesBytes(curated, numMerges = 10, minCount = 1)
+    val ids = Bpe.tokenizeIdsBytes(curated, merges, Bpe.byteVocab(merges))
+      .select(col("doc_id"), col("token_ids"))
+    assert(ids.collect().forall(!_.getSeq[Int](1).contains(0)))
+    val packed = Packing.emitPackedIds(ids, budget = 64, buckets = 1)
+    val stats = Packing.packStats(packed, budget = 64).head
+    // conservation: payload tokens = sum of per-doc ids
+    val totalIds = ids.select(sum(size(col("token_ids")))).head.getLong(0)
+    assert(stats.getAs[Long]("payload_tokens") == totalIds)
+    assert(stats.getAs[Long]("n_docs") == 2L)
+    val manifest = Packing.shardManifest(
+      packed.withColumn("text", concat_ws(" ", col("token_ids"))),
+      shards = 2, idCol = "seq_id")
+    assert(manifest.agg(sum("n_docs")).head.getLong(0) == stats.getAs[Long]("n_seqs"))
+  }
+
   test("doc case: filter + unit conversion + CASE grading (EmitSync analog)") {
     // reference doc_cases_test.go:16-52 — same SQL, same expectations;
     // the out-of-range and null readings must be filtered, not errors
