@@ -1589,6 +1589,49 @@ object SparkEntry {
         SELECT doc_id, source, CAST(unnest(range(0, copies)) AS INT) AS epoch, mix_rate
         FROM c WHERE copies > 0""".stripMargin.trim)),
 
+    Q("q_robots_allowed",
+      // parse → decide composed: the q_robots fixture files gate a
+      // frontier under two user agents — group selection (own group
+      // beats *, absent groups allow), longest-prefix precedence,
+      // allow-beats-disallow ties, empty values match nothing; the
+      // oracle is the hand-computed decision table
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        import s.implicits._
+        val files = Seq(
+          ("a.com",
+            "# politeness\nUser-agent: *\nDisallow: /private/\n" +
+              "Allow: /private/ok.html\nCrawl-delay: 2\n\n" +
+              "User-agent: fastbot\nUser-agent: speedbot\nDisallow: /\n\n" +
+              "Sitemap: https://a.com/sitemap.xml"),
+          ("b.com",
+            "Disallow: /orphan/\nUSER-AGENT: GoodBot\n" +
+              "Disallow: /tmp/\nAllow:")).toDF("host", "content")
+        val rules = operators.WebOps.parseRobots(files)
+        val frontier = Seq(
+          "http://a.com/public/page", "http://a.com/private/secret",
+          "http://a.com/private/ok.html", "http://b.com/tmp/x",
+          "http://c.com/anything").toDF("url")
+        operators.WebOps.robotsAllowed(frontier, rules, "mybot")
+          .withColumn("ua", lit("mybot"))
+          .unionByName(operators.WebOps
+            .robotsAllowed(frontier, rules, "FastBot")
+            .withColumn("ua", lit("FastBot")))
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          ('http://a.com/public/page',    true,  'mybot'),
+          ('http://a.com/private/secret', false, 'mybot'),
+          ('http://a.com/private/ok.html', true, 'mybot'),
+          ('http://b.com/tmp/x',          true,  'mybot'),
+          ('http://c.com/anything',       true,  'mybot'),
+          ('http://a.com/public/page',    false, 'FastBot'),
+          ('http://a.com/private/secret', false, 'FastBot'),
+          ('http://a.com/private/ok.html', false, 'FastBot'),
+          ('http://b.com/tmp/x',          true,  'FastBot'),
+          ('http://c.com/anything',       true,  'FastBot')
+        ) AS t(url, allowed, ua)""".stripMargin.trim)),
+
     Q("q_text_hygiene",
       // NFC + invisible-strip + de-hyphenation over documents plus
       // adversarial rows (decomposed accents, zero-width chars, soft

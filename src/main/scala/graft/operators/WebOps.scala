@@ -205,4 +205,47 @@ object WebOps {
         col("value"), col("line_no"))
       .unionByName(sitemaps)
   }
+
+  /** Frontier politeness decision over [[parseRobots]] output: each URL is
+    * allowed unless its host's applicable rule group disallows it under
+    * RFC 9309 precedence — the group for the crawler's OWN user-agent
+    * when the host declares one, else the `*` group; among matching
+    * rules the LONGEST literal path prefix wins, ties go to allow; an
+    * empty rule value matches nothing; hosts with no applicable rules
+    * allow everything. Wildcard rules (`*`/`$` in the path) are outside
+    * this literal-prefix subset and are ignored, documented here.
+    *
+    * Shape at scale: rules tables are KB-per-host — the join broadcasts;
+    * the frontier is never shuffled. `urlCol` values must be unique (a
+    * frontier). Output: the frontier's columns + `allowed`. */
+  def robotsAllowed(
+      urls: DataFrame,
+      rules: DataFrame,
+      userAgent: String,
+      urlCol: String = "url",
+      keyCol: String = "host"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ua = userAgent.toLowerCase
+    val applicable = rules
+      .filter(col("directive").isin("allow", "disallow") &&
+        (lower(col("user_agent")) === ua || col("user_agent") === "*") &&
+        !col("value").contains("*") && !col("value").contains("$"))
+      .withColumn("__sp", (lower(col("user_agent")) === ua).cast("int"))
+      .withColumn("__best", max(col("__sp")).over(Window.partitionBy(col(keyCol))))
+      .filter(col("__sp") === col("__best"))
+      .select(col(keyCol).as("__rhost"), col("directive"), col("value"))
+    val u = urls.withColumn("__host", host(col(urlCol)))
+      .withColumn("__path", path(col(urlCol)))
+    val decided = u.join(broadcast(applicable),
+        u("__host") === applicable("__rhost"), "left")
+      .withColumn("__score", when(col("value").isNotNull &&
+        col("value") =!= "" && col("__path").startsWith(col("value")),
+        length(col("value"))).otherwise(lit(-1)))
+      .withColumn("__rn", row_number().over(Window.partitionBy(col(urlCol))
+        .orderBy(col("__score").desc, (col("directive") === "allow").desc)))
+      .filter(col("__rn") === 1)
+      .withColumn("allowed",
+        !(col("__score") >= 0 && col("directive") === "disallow"))
+    decided.select(urls.columns.map(col) :+ col("allowed"): _*)
+  }
 }
