@@ -1065,6 +1065,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(s(1) - 0.5) < 1e-6) // -2 + 1*2 = 0
   }
 
+  test("robotsAllowed: wildcard rules ignored, UA case-insensitive, root disallow") {
+    val rules = Seq(
+      ("h.com", "CrawlerX", "disallow", "/a*b", 1), // wildcard → ignored
+      ("h.com", "CrawlerX", "disallow", "/exact/", 2),
+      ("h.com", "*", "disallow", "/", 3)) // shadowed by the own-UA group
+      .toDF("host", "user_agent", "directive", "value", "line_no")
+    val urls = Seq("http://h.com/a-then-b", "http://h.com/exact/x",
+      "http://h.com/elsewhere").toDF("url")
+    val got = WebOps.robotsAllowed(urls, rules, "crawlerx")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    // the wildcard rule is out of the literal subset: /a-then-b allowed;
+    // the * group's root disallow never applies to a UA with its own group
+    assert(got == Map("http://h.com/a-then-b" -> true,
+      "http://h.com/exact/x" -> false, "http://h.com/elsewhere" -> true), got)
+  }
+
   test("text hygiene: NFC unifies byte-distinct lookalikes; cleanups are surgical") {
     val r = Seq(
       ("cafe\u0301", "caf\u00e9"), // decomposed vs composed
