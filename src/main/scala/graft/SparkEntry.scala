@@ -2658,6 +2658,28 @@ object SparkEntry {
         SELECT l.event_id, l.user_id, l.value, r.purchase_value
         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin.trim)),
 
+    Q("q_join_asof_tol",
+      // as-of with a staleness tolerance (merge-asof semantics): the match
+      // is still the latest preceding purchase, but one older than 6h is
+      // too stale to carry — the oracle nulls it the same way
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val ev = Tables.load(s, dir)("events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts", "value")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+        operators.Joins.asof(clicks, purchases, Seq("user_id"),
+            valueCols = Seq("purchase_value"), toleranceSec = 21600)
+          .select("event_id", "user_id", "value", "purchase_value")
+      },
+      Some("""
+        WITH l AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+        r AS (SELECT user_id, ts, value AS purchase_value FROM events WHERE event_type = 'purchase')
+        SELECT l.event_id, l.user_id, l.value,
+          CASE WHEN epoch(l.ts) - epoch(r.ts) <= 21600 THEN r.purchase_value END AS purchase_value
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin.trim)),
+
     Q("q_sessionize",
       // row-level gap sessionization: 30-minute gap per user, every event
       // tagged with its session index

@@ -37,13 +37,19 @@ object Joins {
       on: Seq[String],
       leftTs: String = "ts",
       rightTs: String = "ts",
-      valueCols: Seq[String] = Seq("value")): DataFrame = {
+      valueCols: Seq[String] = Seq("value"),
+      toleranceSec: Double = 0.0): DataFrame = {
     require(on.nonEmpty, "as-of join needs at least one equi key")
     require(valueCols.nonEmpty, "no right columns to carry")
+    require(toleranceSec >= 0, "tolerance must be >= 0 (0 = unbounded)")
     val collide = valueCols.filter(left.columns.contains)
     require(collide.isEmpty,
       s"right value columns collide with left columns: ${collide.mkString(", ")}")
-    val vstruct = struct(valueCols.map(col): _*)
+    // the match timestamp rides inside the carried struct so a staleness
+    // tolerance can null out matches older than the horizon (the
+    // merge-asof tolerance semantics: the match is still "the latest
+    // preceding row" — it is just too old to use)
+    val vstruct = struct(valueCols.map(col) :+ col(rightTs).as("__rts"): _*)
     val l2 = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
@@ -55,11 +61,17 @@ object Joins {
       .partitionBy(on.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // timestamps cast to epoch seconds; plain numeric ts columns compare
+    // in their own units
+    val fresh =
+      if (toleranceSec == 0.0) lit(true)
+      else col("__ts").cast("double") -
+        col("__m.__rts").cast("double") <= toleranceSec
     l2.unionByName(r2, allowMissingColumns = true)
       .withColumn("__m", last(col("__v"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(left.columns.map(col) ++
-        valueCols.map(c => col(s"__m.$c").as(c)): _*)
+        valueCols.map(c => when(fresh, col(s"__m.$c")).as(c)): _*)
   }
 
   /** Range (interval) join: left rows matched to right intervals
