@@ -770,6 +770,28 @@ class StreamingSpec extends AnyFunSuite {
     bench.unpersist()
   }
 
+  test("countMin accumulates as a streaming update-mode aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val sketch = graft.operators.Sketches.countMin(
+      mem.toDF().toDF("k"), col("k"), depth = 2, width = 32)
+    val q = sketch.writeStream.format("memory").queryName("cm_stream")
+      .outputMode("complete").start()
+    mem.addData("a", "a", "b")
+    q.processAllAvailable()
+    mem.addData("a", "c")
+    q.processAllAvailable()
+    SparkTestBase.stopQuietly(q)
+    // cross-micro-batch accumulation: the final cells equal the batch
+    // sketch over the full feed
+    val streamed = spark.table("cm_stream")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = graft.operators.Sketches.countMin(
+      Seq("a", "a", "b", "a", "c").toDF("k"), col("k"), depth = 2, width = 32)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch, s"$streamed vs $batch")
+  }
+
   test("curateStream: filtered+deduped kept stream, near-dup and contamination flags") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq((100L, "alpha beta gamma delta epsilon"))
