@@ -4298,6 +4298,44 @@ object SparkEntry {
         r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM s)
         SELECT query_id, doc_id, score, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 10""".stripMargin.trim)),
 
+    Q("q_hard_negatives",
+      // hard-negative mining with the positives = each query's BM25 top-2
+      // (so the anti-join provably bites on real hits): negatives are
+      // ranks 3..12 re-ranked 1..10 — the oracle replays the BM25 chain
+      // and shifts the rank
+      (s, dir) => {
+        import s.implicits._
+        val queries = Seq(
+          ("q1", "spark window join"),
+          ("q2", "hash table scan"),
+          ("q3", "customer query value")).toDF("query_id", "qtext")
+        val docs = Tables.load(s, dir)("documents")
+        val positives = operators.TextOps.bm25(docs, queries, topK = 2)
+          .select("query_id", "doc_id")
+        operators.TextOps.hardNegatives(docs, queries, positives,
+          k = 10, posBuffer = 2)
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+        b AS (SELECT doc_id, CASE WHEN length(t) = 0 THEN 0 ELSE len(string_split(t, ' ')) END AS dl, t FROM d),
+        c AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM b),
+        p AS (SELECT doc_id, dl, token, count(*) AS tf FROM (
+                SELECT doc_id, dl, unnest(string_split(t, ' ')) AS token FROM b)
+              WHERE length(token) > 0 GROUP BY doc_id, dl, token),
+        q AS (SELECT DISTINCT query_id, token FROM (
+                SELECT query_id, unnest(string_split(qtext, ' ')) AS token
+                FROM (VALUES ('q1', 'spark window join'), ('q2', 'hash table scan'), ('q3', 'customer query value')) AS v(query_id, qtext))
+              WHERE length(token) > 0),
+        f AS (SELECT p.token, count(*) AS df FROM p JOIN (SELECT DISTINCT token FROM q) qt ON p.token = qt.token GROUP BY p.token),
+        s AS (SELECT q.query_id, p.doc_id,
+                round(sum(ln(1 + (c.n - f.df + 0.5) / (f.df + 0.5)) *
+                  p.tf * (1.2 + 1) / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / c.avgdl))), 6) AS score
+              FROM p JOIN q ON p.token = q.token JOIN f ON p.token = f.token CROSS JOIN c
+              GROUP BY q.query_id, p.doc_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM s)
+        SELECT query_id, doc_id, score, CAST(rank - 2 AS INTEGER) AS neg_rank
+        FROM r WHERE rank BETWEEN 3 AND 12""".stripMargin.trim)),
+
     Q("q_keywords_tfidf",
       // per-doc top-3 keywords by smoothed tf·idf — cheap doc-topic
       // signal; one postings shuffle + vocab-sized df agg + per-doc

@@ -887,6 +887,44 @@ object TextOps {
         col("score"), col("rank"))
   }
 
+  /** Hard-negative mining for retrieval / embedding-model training: for
+    * each query, the top-`k` corpus documents by [[bm25]] that are NOT the
+    * query's labeled positives — the lexically-confusable negatives that
+    * actually teach a ranking boundary (random negatives are trivially
+    * separable). Fetches `k + posBuffer` BM25 ranks, anti-joins the
+    * broadcast positives, re-ranks the survivors 1..k; if a query has
+    * more than `posBuffer` positives inside the fetched window, fewer
+    * than k negatives emit (raise `posBuffer`). Same plan as [[bm25]]
+    * plus one broadcast join — the positives table is training labels,
+    * always small relative to the corpus.
+    *
+    * Output: (queryIdCol, idCol, score, neg_rank). */
+  def hardNegatives(
+      docs: DataFrame,
+      queries: DataFrame,
+      positives: DataFrame,
+      k: Int = 10,
+      posBuffer: Int = 5,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      queryIdCol: String = "query_id",
+      queryTextCol: String = "qtext",
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k >= 1 && posBuffer >= 0, "need k >= 1, posBuffer >= 0")
+    val ranked = bm25(docs, queries, textCol, idCol, queryIdCol,
+      queryTextCol, k1, b, topK = k + posBuffer)
+    val pos = positives.select(col(queryIdCol), col(idCol))
+      .distinct().withColumn("__pos", lit(true))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol)).orderBy(col("score").desc, col(idCol))
+    ranked.join(broadcast(pos), Seq(queryIdCol, idCol), "left")
+      .filter(col("__pos").isNull)
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("score"), col("neg_rank"))
+  }
+
   /** Per-document keyword extraction by smoothed tf·idf
     * (`tf · (ln((N+1)/(df+1)) + 1)`, the sklearn smoothing — never
     * negative, defined even for corpus-universal terms): the top `topN`
