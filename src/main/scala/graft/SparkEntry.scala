@@ -2585,6 +2585,35 @@ object SparkEntry {
         FROM t WHERE length(token) > 0
         GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin.trim)),
 
+    Q("q_vocab_drift",
+      // token-distribution drift between two deterministic snapshot
+      // slices: top-30 vocab per side, full-outer join, per-snapshot
+      // frequency shares and their raw-double shift
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = Tables.load(s, dir)("documents")
+        operators.TextOps.vocabDrift(
+          d.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+          d.filter(pmod(col("doc_id"), lit(5)) =!= 0), k = 30)
+      },
+      Some("""
+        WITH prevd AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+        nextd AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+        pv AS (SELECT token, count(*) AS cnt, count(DISTINCT doc_id) AS df FROM (
+            SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token FROM prevd)
+          WHERE length(token) > 0 GROUP BY token ORDER BY cnt DESC, token LIMIT 30),
+        nv AS (SELECT token, count(*) AS cnt, count(DISTINCT doc_id) AS df FROM (
+            SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token FROM nextd)
+          WHERE length(token) > 0 GROUP BY token ORDER BY cnt DESC, token LIMIT 30),
+        ps AS (SELECT token, cnt AS prev_cnt, df AS prev_df,
+            cnt::DOUBLE / (SELECT CAST(sum(cnt) AS BIGINT) FROM pv) AS prev_frac FROM pv),
+        ns AS (SELECT token, cnt AS next_cnt, df AS next_df,
+            cnt::DOUBLE / (SELECT CAST(sum(cnt) AS BIGINT) FROM nv) AS next_frac FROM nv)
+        SELECT coalesce(ps.token, ns.token) AS token,
+          prev_cnt, prev_df, prev_frac, next_cnt, next_df, next_frac,
+          coalesce(next_frac, 0) - coalesce(prev_frac, 0) AS frac_shift
+        FROM ps FULL OUTER JOIN ns ON ps.token = ns.token""".stripMargin.trim)),
+
     Q("q_heavy_hitters",
       // bounded-memory Space-Saving top-k over the token stream: with
       // capacity >= the fixture's key space the sketch is EXACT (err = 0),

@@ -112,6 +112,34 @@ object TextOps {
       .limit(k)
   }
 
+  /** Token-distribution drift between two corpus snapshots — the
+    * tokenizer-health audit: a term whose relative frequency moves is a
+    * content shift a fixed merge table was not trained for. Each side's
+    * [[vocab]] top-k joins full-outer (a token in only one snapshot
+    * surfaces with zero on the other side, which IS the signal);
+    * `prev_frac`/`next_frac` are each token's share of its own snapshot's
+    * top-k mass, `frac_shift` their raw-double difference (exact longs
+    * divided — bit-replayable). Two vocab scans + a k-row join. */
+  def vocabDrift(
+      prev: DataFrame,
+      next: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 1000): DataFrame = {
+    def side(df: DataFrame, tag: String) = {
+      val v = vocab(df, textCol, idCol, k)
+      v.crossJoin(broadcast(v.agg(sum("cnt").as(s"__total_$tag"))))
+        .select(col("token"), col("cnt").as(s"${tag}_cnt"),
+          col("df").as(s"${tag}_df"),
+          (col("cnt").cast("double") / col(s"__total_$tag"))
+            .as(s"${tag}_frac"))
+    }
+    side(prev, "prev").join(side(next, "next"), Seq("token"), "full_outer")
+      .withColumn("frac_shift",
+        coalesce(col("next_frac"), lit(0.0)) -
+          coalesce(col("prev_frac"), lit(0.0)))
+  }
+
   /** Corpus n-gram frequency statistics: top-k word n-grams by total
     * occurrence count with document frequency — phrase mining, bigram-LM
     * and tokenizer-merge prep. Unlike [[shingles]] (distinct per doc,
