@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Benchmark main — prints a compact headline JSON as the FINAL stdout
   * line (driver contract: the driver tail-captures ~2 kB, so the
   * per-query map must NOT ride on that line) and writes the full
-  * per-query map to `bench_full_r10.json` in the repo for cross-round
+  * per-query map to `bench_full_r11.json` in the repo for cross-round
   * diffing. Rule-shape rows/s compares against the reference's three
   * published shapes (BASELINE.md: filter / transform / analytic+
   * partition, reference: test/e2e/stress_test.go:162-176).
@@ -14,19 +14,44 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * actually executed (a bare count() would let Catalyst prune the
   * projections being measured).
   *
-  * Measurement-order protocol (r8): the micro-batch latency section runs
-  * FIRST, in the freshest JVM state — r7 ran it after the 20M-row smoke
-  * stages and measured 2-4x inflated analytic latencies in a
-  * GC-pressured heap (rule_analytic 251→996 ms on unchanged code).
-  * Latency also tunes shuffle.partitions down to 8 for its 5k-row
-  * micro-batches; that setting (and the state-store provider) is now
-  * RESTORED afterwards — in r7 it silently leaked into the scale-smoke
-  * stages, starving the 32-core box to 8-partition shuffles and causing
-  * the non-monotonic curate/pack numbers.
+  * r11 protocol — BUDGETED, INCREMENTAL, KILL-SAFE. BENCH_r10 was
+  * produced by a driver-timeout-killed run (rc=124): the smoke section
+  * had grown past the wall budget, the kill lost the curate/pack series
+  * entirely (-1), and everything measured alongside the over-budget tail
+  * was contention-inflated (rule_filter 5.46 s vs 0.13 s quiet). Three
+  * structural fixes:
+  *   1. a soft wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default
+  *      1500 s): once exceeded, remaining smoke stages/passes are
+  *      SKIPPED and named in a `skipped` list, with `truncated: true`
+  *      on the artifact — a truncated-but-honest artifact beats a
+  *      killed one;
+  *   2. the artifact file is rewritten after EVERY section and every
+  *      smoke measurement, so a kill can never lose completed sections;
+  *      a JVM shutdown hook prints the current headline JSON (marked
+  *      truncated) if the normal end-of-run print never happened;
+  *   3. smoke passes are pass-major with per-stage budget checks and a
+  *      priority order (the round-gating stages first), so pass 1
+  *      covers every stage before any stage gets a second pass.
+  * Gate-critical sections keep their r8 order — latency FIRST (fresh
+  * JVM), then rule-shape/headline throughput, then ANN recall, and all
+  * scale smokes strictly last. The latency section's partitions=8 /
+  * RocksDB confs are restored afterwards (r7 leaked them into the batch
+  * stages). The curate end-to-end smoke runs a 1M/10M pair instead of
+  * r9's 2M/20M (same 10x linearity signal at half the cost — r9
+  * measured 578 s for curate@20M alone, which no 25-minute budget can
+  * carry); keys are `curate_1m_sec`/`curate_10m_sec` accordingly.
   */
 object Bench {
 
   def main(args: Array[String]): Unit = {
+    val benchT0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toDouble
+    def overBudget: Boolean = elapsedSec > budgetSec
+    val skipped = scala.collection.mutable.LinkedHashSet[String]()
+    var extraPassesSkipped = 0
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -81,11 +106,95 @@ object Bench {
       ds(ds.size / 2)
     }
 
+    // ---- incremental artifact state (written after every section) ----
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val latency = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val annRecall = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val scaleSmoke = scala.collection.mutable.LinkedHashMap[String, Double]()
+    var eventRows = 0L
+    val replicate =
+      sys.env.getOrElse("SPARK_GRAFT_RULE_REPLICATE", if (benchOnly.isDefined) "1" else "20").toInt
+    val smokePasses =
+      sys.env.getOrElse("SPARK_GRAFT_SMOKE_PASSES", "2").toInt.max(1)
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full_r11.json")
+
+    def jmap(m: scala.collection.Map[String, Double], fmt: String): String =
+      m.map { case (k, v) => s""""$k":${fmt.format(v)}""" }.mkString("{", ",", "}")
+    val notes = "r11 budgeted protocol: soft wall budget (default 1500s, " +
+      "SPARK_GRAFT_BENCH_BUDGET_SEC) - over-budget smoke stages/passes " +
+      "are SKIPPED and listed in 'skipped' with truncated:true, because " +
+      "BENCH_r10 (rc=124) showed a driver-killed run both loses whole " +
+      "series (curate/pack were -1) and contention-inflates everything " +
+      "measured beside the overrun (rule_filter 5.46s vs 0.13s quiet); " +
+      "artifact file rewritten after every section and every smoke " +
+      "measurement so a kill cannot lose completed sections; a shutdown " +
+      "hook prints the headline JSON if the run is killed before the " +
+      "normal print; latency section still FIRST (fresh JVM) with its " +
+      "partitions=8/RocksDB confs restored after; smoke passes are " +
+      "pass-major (every stage measured once before any second pass) in " +
+      "priority order curate,pack,remove_spans,pack_chunks,dup_spans," +
+      "pack_emit,cc,pagerank - pipe stages report min over passes " +
+      "(contention is one-sided noise), curate/pack report median; " +
+      "curate runs a 1M/10M pair (was 2M/20M; r9 measured 578s for " +
+      "curate@20M alone - same 10x linearity signal, half the cost); " +
+      "dup_spans/remove_spans now size their corpus-global hash-window " +
+      "shuffle to the WINDOW FAN-OUT (TextOps.fanoutParts: sampled " +
+      "words/doc x estimated rows x 32B/row at 32MB targets) instead of " +
+      "input plan bytes - the r10 auto-sizing over-partitioned the 20M " +
+      "smoke ~4x past the tune's 512-part optimum; driver GC still runs " +
+      "between smoke passes (untimed) so stale shuffle files do not " +
+      "pile up (PackTune A/B at 20M: 27s pass1 -> 122s pass2 without)"
+
+    @volatile var headlinePrinted = false
+    def headlineJson(truncated: Boolean): String = {
+      val ruleSecs = jmap(results.filter(_._1.startsWith("rule_")), "%.4f")
+      val tput = results.keys.filter(_.startsWith("rule_")).map { name =>
+        val s = results(name)
+        val rps = if (s > 0 && eventRows > 0) (eventRows / s).toLong else -1
+        s""""$name":$rps"""
+      }.mkString("{", ",", "}")
+      val total = results.values.filter(_ > 0).sum
+      s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec",""" +
+        s""""queries":$ruleSecs,"queries_file":"$fullPath","n_queries":${results.size},""" +
+        s""""rows_per_sec":$tput,"micro_batch_latency_ms_5k_rows":${jmap(latency, "%.1f")},""" +
+        s""""ann_recall":${jmap(annRecall, "%.3f")},"scale_smoke":${jmap(scaleSmoke, "%.4f")},""" +
+        s""""event_rows":$eventRows,"truncated":$truncated,""" +
+        s""""skipped":[${skipped.map(s => s""""$s"""").mkString(",")}],""" +
+        s""""extra_passes_skipped":$extraPassesSkipped,""" +
+        s""""budget_sec":${budgetSec.toLong},"elapsed_sec":${"%.0f".format(elapsedSec)},""" +
+        s""""passes":{"timed":$timedPasses,"smoke":$smokePasses},"sf":"$sfDir"}"""
+    }
+    def writeArtifact(): Unit = {
+      val total = results.values.filter(_ > 0).sum
+      val full =
+        s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec",""" +
+          s""""queries":${jmap(results, "%.4f")},""" +
+          s""""micro_batch_latency_ms_5k_rows":${jmap(latency, "%.1f")},""" +
+          s""""ann_recall":${jmap(annRecall, "%.3f")},"scale_smoke":${jmap(scaleSmoke, "%.4f")},""" +
+          s""""event_rows":$eventRows,"truncated":${skipped.nonEmpty},""" +
+          s""""skipped":[${skipped.map(s => s""""$s"""").mkString(",")}],""" +
+          s""""extra_passes_skipped":$extraPassesSkipped,""" +
+          s""""budget_sec":${budgetSec.toLong},"elapsed_sec":${"%.0f".format(elapsedSec)},""" +
+          s""""passes":{"timed":$timedPasses,"smoke":$smokePasses},""" +
+          s""""notes":"$notes","sf":"$sfDir"}"""
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), full + "\n")
+      catch { case _: Throwable => () }
+    }
+    // kill-safety net: if the driver times the run out (r10: rc=124,
+    // SIGTERM), print whatever has been measured so far as the headline
+    // line — a truncated artifact beats a missing one
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (!headlinePrinted) {
+        skipped += "killed_before_finish"
+        println(headlineJson(truncated = true))
+        Console.flush()
+      }
+    }))
+
     // ---- micro-batch latency for the rule shapes, FIRST (fresh JVM; see
     // header). BASELINE.md comparability note: the reference reports
     // per-row push latency of an embedded engine; the Spark-comparable
     // figure is per-micro-batch latency.
-    val latency = scala.collection.mutable.LinkedHashMap[String, Double]()
     try if (benchOnly.isEmpty) {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import org.apache.spark.sql.functions.{col, unix_millis}
@@ -158,10 +267,12 @@ object Bench {
       spark.conf.set("spark.sql.shuffle.partitions", cpus)
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
+    writeArtifact()
 
     if (latencyOnly) {
       val lat0 = latency.map { case (k, v) => s""""$k":${"%.1f".format(v)}""" }
         .mkString("{", ",", "}")
+      headlinePrinted = true
       println(s"""{"metric":"latency_only","micro_batch_latency_ms_5k_rows":$lat0}""")
       spark.stop()
       return
@@ -170,13 +281,11 @@ object Bench {
     // rule-shape throughput is measured on a replicated in-memory stream so
     // per-job fixed overhead (~0.3s) doesn't swamp per-row cost — the
     // reference's numbers are per-row costs of a warm single-core loop
-    val replicate =
-      sys.env.getOrElse("SPARK_GRAFT_RULE_REPLICATE", if (benchOnly.isDefined) "1" else "20").toInt
     val bigEvents = tables0("events")
       .crossJoin(spark.range(replicate).select(org.apache.spark.sql.functions.col("id").as("__rep")))
       .drop("__rep")
       .cache()
-    val eventRows = bigEvents.count() // warms cache + JVM
+    eventRows = bigEvents.count() // warms cache + JVM
     val tables = tables0 + ("stream" -> bigEvents)
 
     val ruleShapes = if (benchOnly.isDefined) Nil else ruleShapes0
@@ -220,19 +329,19 @@ object Bench {
       try timedOnce(qmap(name)(spark, sfDir)) catch { case _: Throwable => () }
     }
 
-    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     ruleShapes.foreach { case (name, sql) =>
       results(name) = try timed(GraftEngine.sql(sql, tables)) catch { case _: Throwable => -1.0 }
     }
+    writeArtifact()
     headline.foreach { name =>
       results(name) =
         try timed(qmap(name)(spark, sfDir)) catch { case _: Throwable => -1.0 }
     }
+    writeArtifact()
 
     // ANN quality gate: recall@10 of the approximate paths vs brute-force
     // topK at tuned defaults on the sf embeddings (uniform random vectors —
     // the worst case; clustered real embeddings land higher)
-    val annRecall = scala.collection.mutable.LinkedHashMap[String, Double]()
     if (benchOnly.isEmpty) try {
       import org.apache.spark.sql.functions.col
       val emb = tables0("embeddings").cache()
@@ -253,12 +362,12 @@ object Bench {
         recall(operators.Similarity.topKIvfPq(emb, queries, k = 10))
       emb.unpersist()
     } catch { case _: Throwable => () }
+    writeArtifact()
 
     // 10x scale smoke for the stateful operators: the same shape timed at
     // 2M and 20M rows — catches nonlinear behavior (state growth, per-key
     // buffer blowups) that a single sf0.1-sized run can't see. ~Linear
     // scaling (ratio ≈ 10) is the pass condition.
-    val scaleSmoke = scala.collection.mutable.LinkedHashMap[String, Double]()
     // SPARK_GRAFT_SCALE_SMOKE=force runs the smoke block even under a
     // BENCH_ONLY subset (local iteration on the smoke entries themselves)
     val smokeFlag = sys.env.getOrElse("SPARK_GRAFT_SCALE_SMOKE", "1")
@@ -288,6 +397,7 @@ object Bench {
           scaleSmoke(s"${name}_2m_sec") = timed(GraftEngine.sql(sql, tables))
           scaleSmoke(s"${name}_20m_sec") = timed(GraftEngine.sql(sql, t10))
         } catch { case _: Throwable => scaleSmoke(s"${name}_2m_sec") = -1.0 }
+        writeArtifact()
       }
       big10.unpersist()
       // nothing below touches the replicated event stream — free its cached
@@ -305,20 +415,10 @@ object Bench {
       // rounds; the curation corpus plants 10% exact dups so the pair
       // graph is ~2M edges and curate's CC ALSO runs the distributed path
       // (ccLocalThreshold=0).
-      //
-      // Protocol (r8): curate and pack — the memory-heavy stages whose r7
-      // numbers were non-monotonic under run-to-run heap variance — run
-      // their (2m, 20m) pair INTERLEAVED for `smokePasses` rounds and
-      // report the per-label median, so a GC spike in one round cannot
-      // invert the ratio. r9: the pipe stages (cc/dup_spans/pack_emit/
-      // pack_chunks/pagerank) report interleaved MIN-of-2 — see the
-      // pipeStages comment.
       {
         import org.apache.spark.sql.functions._
         val smokeRows =
           sys.env.getOrElse("SPARK_GRAFT_PIPE_SMOKE_ROWS", "20000000").toLong
-        val smokePasses =
-          sys.env.getOrElse("SPARK_GRAFT_SMOKE_PASSES", "3").toInt.max(1)
         def timedEager(body: => Unit): Double = {
           val t0 = System.nanoTime(); body; val s = (System.nanoTime() - t0) / 1e9
           // driver GC kicks Spark's ContextCleaner between passes: the
@@ -329,10 +429,6 @@ object Bench {
           // part of the measured pass.
           System.gc(); Thread.sleep(1000)
           s
-        }
-        def medianOf(xs: Seq[Double]): Double = {
-          val ok = xs.filter(_ >= 0).sorted
-          if (ok.isEmpty) -1.0 else ok(ok.size / 2)
         }
         // chains of 5 nodes: clusters have diameter 4 → >1 propagation round
         def chainEdges(n: Long) = spark.range(n)
@@ -348,7 +444,6 @@ object Bench {
               i => concat(lit("w"), pmod(hash(seed, i), lit(5000))))).as("text"),
             lit("synthetic").as("source"))
         }
-        val labels = Seq("2m" -> smokeRows / 10, "20m" -> smokeRows)
         // untimed 2M warm-up per iterative stage: cold-JVM asymmetry
         // otherwise dominates the 2m/20m ratio (CcTune A/B at 20M: 153-200s
         // cold vs 40s warm, identical plan — JIT + codegen + GC ramp, not
@@ -366,7 +461,7 @@ object Bench {
         // this position's number)
         val bpeMerges =
           sys.env.getOrElse("SPARK_GRAFT_BPE_SMOKE_MERGES", "1000").toInt
-        if (bpeMerges > 0) {
+        if (bpeMerges > 0 && !overBudget) {
           scaleSmoke("bpe_1k_merges_sec") =
             try timedEager {
               val m = operators.Bpe.trainMerges(
@@ -378,168 +473,117 @@ object Bench {
               operators.Bpe.trainMerges(synthDocs(smokeRows / 10),
                 numMerges = math.min(100, bpeMerges), localThreshold = 0L)
             } catch { case _: Throwable => -1.0 }
+          writeArtifact()
+        } else if (bpeMerges > 0) skipped += "bpe_smokes"
+
+        def tokenIds(n: Long) = synthDocs(n).select(col("doc_id"),
+          transform(split(col("text"), " "),
+            w => pmod(hash(w), lit(30000)).cast("int")).as("token_ids"))
+
+        // ALL remaining smoke stages, unified and priority-ordered: the
+        // round-gating stages (curate/pack end-to-end — LOST in r10's
+        // killed run — and the r10 weak set remove_spans/pack_chunks) run
+        // before the established-linear ones, and the loop is pass-major:
+        // every stage gets its pass-1 measurement before any stage gets a
+        // second pass, so a budget stop costs repetitions, never coverage.
+        // `agg` picks the cross-pass estimator: min for the pipe stages
+        // (box contention is one-sided noise — identical-config
+        // pack_emit@2M single passes measured 6 s and 134 s the same
+        // evening in r9), median for the memory-heavy end-to-end stages
+        // (their variance is heap-shaped, not spike-shaped).
+        // curate runs a 1M/10M pair — see the header.
+        case class Stage(name: String, labels: Seq[(String, Long)],
+            agg: Seq[Double] => Double, run: Long => Unit)
+        def minOk(xs: Seq[Double]): Double = {
+          val ok = xs.filter(_ >= 0); if (ok.isEmpty) -1.0 else ok.min
         }
-        // pipe stages, interleaved MIN-of-k (default 2, env-dialable):
-        // shared-box contention is one-sided noise — a spike can only ADD
-        // time — so the minimum over interleaved passes is the capability
-        // estimator for the 2M/20M linearity ratio (r9 observed identical-
-        // config single passes of pack_emit@2M at 6s and 134s in the same
-        // evening; the median-of-1 protocol made such spikes the reported
-        // number)
-        val pipePasses =
-          sys.env.getOrElse("SPARK_GRAFT_PIPE_PASSES", "2").toInt.max(1)
-        val pipeStages: Seq[(String, Long => Unit)] = Seq(
-          "cc_distributed" -> { n: Long =>
-            operators.Dedup.connectedComponents(chainEdges(n), localThreshold = 0L)
+        def medianOk(xs: Seq[Double]): Double = {
+          val ok = xs.filter(_ >= 0).sorted
+          if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+        }
+        val lbl = Seq("2m" -> smokeRows / 10, "20m" -> smokeRows)
+        val stages: Seq[Stage] = Seq(
+          Stage("curate", Seq("1m" -> smokeRows / 20, "10m" -> smokeRows / 2),
+            medianOk, { n =>
+              // synthetic vocab words land in lang_pred='und'; disable the
+              // quality/token floors so dedup stages see the full corpus
+              operators.Curation.curate(synthDocs(n), langs = Seq("und", "en"),
+                  minQuality = 0.0, minTokens = 1, ccLocalThreshold = 0L)
+                .write.format("noop").mode("overwrite").save()
+            }),
+          Stage("pack", lbl, medianOk, { n =>
+            operators.Packing.packSequences(synthDocs(n), budget = 2048,
+                buckets = 2048)
               .write.format("noop").mode("overwrite").save()
-          },
+          }),
+          // the acting dup-span twin (r10 weak set: 27x in the killed
+          // artifact): corpus-global hash window carrying (id, pos, hash),
+          // first-occurrence election, per-doc removal rollup, payload
+          // rebuild join
+          Stage("remove_spans", lbl, minOk, { n =>
+            operators.TextOps.removeDupSpans(synthDocs(n), n = 8)
+              .write.format("noop").mode("overwrite").save()
+          }),
+          // concat-then-chunk packing (r10 weak set: 20x in the killed
+          // artifact): payload moves twice + per-doc segment fan-out join
+          Stage("pack_chunks", lbl, minOk, { n =>
+            operators.Packing.emitPackedChunks(tokenIds(n), budget = 2048,
+                buckets = 2048)
+              .write.format("noop").mode("overwrite").save()
+          }),
           // the heaviest text shuffle shape: corpus-global hash-keyed
           // span-sharing window (two shuffles, no join); 8-word windows
           // over 40-word docs → 33 hashed windows per doc
-          "dup_spans" -> { n: Long =>
+          Stage("dup_spans", lbl, minOk, { n =>
             operators.TextOps.dupSpans(synthDocs(n), n = 8)
               .write.format("noop").mode("overwrite").save()
-          },
-          // the acting twin (r10): same corpus-global hash window carrying
-          // (id, pos, hash), plus first-occurrence election, per-doc
-          // removal rollup, and the payload-attaching rebuild join
-          "remove_spans" -> { n: Long =>
-            operators.TextOps.removeDupSpans(synthDocs(n), n = 8)
-              .write.format("noop").mode("overwrite").save()
-          },
+          }),
           // packed-sequence MATERIALIZATION — the payload (token ids)
           // rides the shuffles: assignment is payload-free, then the ids
           // move twice (seq_id join + ordered concat). 40 ids/doc → 800M
           // ints at the 20M label.
-          "pack_emit" -> { n: Long =>
-            val ids = synthDocs(n).select(col("doc_id"),
-              transform(split(col("text"), " "),
-                w => pmod(hash(w), lit(30000)).cast("int")).as("token_ids"))
-            operators.Packing.emitPackedIds(ids, budget = 2048, buckets = 2048)
+          Stage("pack_emit", lbl, minOk, { n =>
+            operators.Packing.emitPackedIds(tokenIds(n), budget = 2048,
+                buckets = 2048)
               .write.format("noop").mode("overwrite").save()
-          },
-          // the concat-then-chunk twin: same payload-moves-twice shape
-          // plus the per-doc segment fan-out and slicing
-          "pack_chunks" -> { n: Long =>
-            val ids = synthDocs(n).select(col("doc_id"),
-              transform(split(col("text"), " "),
-                w => pmod(hash(w), lit(30000)).cast("int")).as("token_ids"))
-            operators.Packing.emitPackedChunks(ids, budget = 2048, buckets = 2048)
+          }),
+          Stage("cc_distributed", lbl, minOk, { n =>
+            operators.Dedup.connectedComponents(chainEdges(n), localThreshold = 0L)
               .write.format("noop").mode("overwrite").save()
-          },
+          }),
           // link-graph authority at scale: n/4 edges over n/40 nodes
           // (avg degree 10), 3 power-iteration rounds = 6 shuffles + 3
           // scalar dangling aggregates
-          "pagerank" -> { n: Long =>
+          Stage("pagerank", lbl, minOk, { n =>
             val nodes = math.max(1L, n / 40)
             val e = spark.range(n / 4).select(
               (col("id") % nodes).as("src"),
               ((col("id") * 31 + 7) % nodes).as("dst"))
             operators.Graphs.pageRank(e, iters = 3)
               .write.format("noop").mode("overwrite").save()
-          })
-        val pipeObs = scala.collection.mutable.Map[String, List[Double]]()
+          }))
+        val obs = scala.collection.mutable.Map[String, List[Double]]()
           .withDefaultValue(Nil)
-        for (_ <- 1 to pipePasses; (label, n) <- labels; (stage, run) <- pipeStages)
-          pipeObs(s"${stage}_${label}_sec") = pipeObs(s"${stage}_${label}_sec") :+
-            (try timedEager(run(n)) catch { case _: Throwable => -1.0 })
-        for ((stage, _) <- pipeStages; (label, _) <- labels) {
-          val ok = pipeObs(s"${stage}_${label}_sec").filter(_ >= 0)
-          scaleSmoke(s"${stage}_${label}_sec") = if (ok.isEmpty) -1.0 else ok.min
-        }
-        // (BPE training smokes — the corpus pass sees 2M docs / 80M
-        // tokens but the merge loop runs on the VOCAB-bounded dict of
-        // 5000 synthetic words; a thousand merge rounds complete in
-        // seconds, i.e. loop cost is corpus-size-independent. They run
-        // BEFORE this loop — see above.)
-
-        // memory-heavy stages: interleaved passes, per-label median
-        val heavy: Seq[(String, Long => Unit)] = Seq(
-          "curate" -> { n: Long =>
-            // synthetic vocab words land in lang_pred='und'; disable the
-            // quality/token floors so the dedup stages see the full corpus
-            operators.Curation.curate(synthDocs(n), langs = Seq("und", "en"),
-                minQuality = 0.0, minTokens = 1, ccLocalThreshold = 0L)
-              .write.format("noop").mode("overwrite").save()
-          },
-          "pack" -> { n: Long =>
-            operators.Packing.packSequences(synthDocs(n), budget = 2048,
-                buckets = 2048)
-              .write.format("noop").mode("overwrite").save()
-          })
-        for ((stage, run) <- heavy) {
-          val obs = scala.collection.mutable.Map[String, List[Double]]()
-            .withDefaultValue(Nil)
-          for (_ <- 1 to smokePasses; (label, n) <- labels)
-            obs(label) = obs(label) :+
-              (try timedEager(run(n)) catch { case _: Throwable => -1.0 })
-          for ((label, _) <- labels)
-            scaleSmoke(s"${stage}_${label}_sec") = medianOf(obs(label))
+        for (pass <- 1 to smokePasses; st <- stages; (label, n) <- st.labels) {
+          val key = s"${st.name}_${label}_sec"
+          if (overBudget) {
+            // a skipped FIRST pass is lost coverage (truncated artifact);
+            // a skipped repeat pass only loses noise suppression — count
+            // it, but don't flag the artifact truncated for it
+            if (pass == 1) skipped += key else extraPassesSkipped += 1
+          } else {
+            obs(key) = obs(key) :+
+              (try timedEager(st.run(n)) catch { case _: Throwable => -1.0 })
+            scaleSmoke(key) = st.agg(obs(key))
+            writeArtifact()
+          }
         }
       }
     }
 
-    def jmap(m: scala.collection.Map[String, Double], fmt: String): String =
-      m.map { case (k, v) => s""""$k":${fmt.format(v)}""" }.mkString("{", ",", "}")
-    val qs = jmap(results, "%.4f")
-    val lat = jmap(latency, "%.1f")
-    val tput = ruleShapes.map { case (name, _) =>
-      val s = results(name)
-      val rps = if (s > 0) (eventRows / s).toLong else -1
-      s""""$name":$rps"""
-    }.mkString("{", ",", "}")
-    val total = results.values.filter(_ > 0).sum
-    val smoke = jmap(scaleSmoke, "%.4f")
-    val ann = jmap(annRecall, "%.3f")
-    val notes = "latency section runs FIRST (fresh JVM) with its " +
-      "partitions=8/RocksDB confs restored after; curate/pack smokes are " +
-      "interleaved per-label medians of 3; r9 protocol: a driver GC runs " +
-      "between smoke passes (untimed) so stale shuffle files do not pile " +
-      "up across passes (PackTune A/B at 20M: 27s pass1 -> 122s pass2 " +
-      "without, 23/26/35s with); bpe smokes moved BEFORE the 20M stages " +
-      "(r8 measured the distributed loop 4x slower in the post-smoke " +
-      "GC-pressured heap); r9 operators size corpus-global shuffle " +
-      "partitions to input volume from plan stats (TextOps.volumeParts: " +
-      "dupSpans window, packSequences/emitPackedIds join-back), and " +
-      "packSequences now windows a slim projection and hash-joins " +
-      "offsets back so the payload is never sorted (was 37x at 10x " +
-      "data in r8, now ~7x = linear); r7-asked latency-creep cause " +
-      "NAMED: fresh-JVM A/B with SPARK_GRAFT_LATENCY_REPS horizon 1/5/" +
-      "10x gave rule_filter 142/120/110ms, rule_transform 133/120/104ms " +
-      "- a monotonic JIT/codegen warmup tail inside the r8 first-" +
-      "position protocol's short 20-40 batch window; r6's 87ms was " +
-      "measured after the batch stages had warmed the same query " +
-      "shapes, so the creep is protocol, not code (default stays " +
-      "reps=1 for r8 comparability); q_pack_sequences ~2x vs r8 at sf0.1 " +
-      "(0.17->0.37s) is the slim-window+join-back rewrite's fixed cost " +
-      "at small scale - the trade that took the 20M smoke from 94.8s " +
-      "(37x super-linear) to 67s with no payload sort anywhere; " +
-      "q_train_pipeline (new) runs the full train->vocab->ids->pack->" +
-      "shard chain per pass, so its ~10s headline cost is the whole " +
-      "pipeline, not one operator; pipe smokes (cc/dup_spans/pack_emit/" +
-      "pack_chunks/pagerank) now report interleaved MIN-of-2 - box " +
-      "contention is one-sided noise (identical-config pack_emit@2M " +
-      "single passes measured 6s and 134s the same evening), so min is " +
-      "the capability estimator for the linearity ratio"
-    val full =
-      s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,""" +
-        s""""rows_per_sec":$tput,"micro_batch_latency_ms_5k_rows":$lat,""" +
-        s""""ann_recall":$ann,"scale_smoke":$smoke,"event_rows":$eventRows,""" +
-        s""""notes":"$notes","sf":"$sfDir"}"""
-    // full per-query artifact for cross-round diffing (BENCH_r07 lost half
-    // its map to the driver's 2 kB tail capture); path env-overridable
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full_r10.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), full + "\n")
-    catch { case _: Throwable => () }
-    // rule-shape seconds stay on the headline (the baseline comparison the
-    // judge reads); the 60-query map lives only in the file
-    val ruleSecs = jmap(results.filter(_._1.startsWith("rule_")), "%.4f")
-    println(
-      s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec",""" +
-        s""""queries":$ruleSecs,"queries_file":"$fullPath","n_queries":${results.size},""" +
-        s""""rows_per_sec":$tput,"micro_batch_latency_ms_5k_rows":$lat,""" +
-        s""""ann_recall":$ann,"scale_smoke":$smoke,"event_rows":$eventRows,""" +
-        s""""sf":"$sfDir"}""")
+    writeArtifact()
+    headlinePrinted = true
+    println(headlineJson(truncated = skipped.nonEmpty))
     spark.stop()
   }
 }

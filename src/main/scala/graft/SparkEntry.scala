@@ -1590,11 +1590,16 @@ object SparkEntry {
         FROM c WHERE copies > 0""".stripMargin.trim)),
 
     Q("q_robots_allowed",
-      // parse → decide composed: the q_robots fixture files gate a
-      // frontier under two user agents — group selection (own group
-      // beats *, absent groups allow), longest-prefix precedence,
-      // allow-beats-disallow ties, empty values match nothing; the
-      // oracle is the hand-computed decision table
+      // parse → decide composed: the q_robots fixture files plus a
+      // wildcard host and an own-UA-crawl-delay-only host gate a
+      // frontier under two user agents — group selection over ALL
+      // directives (own group beats *, even when the own group carries
+      // only crawl-delay: RFC 9309 says that means allow-all, never
+      // fall-through to *), longest-rule precedence,
+      // allow-beats-disallow ties, empty values match nothing, RFC
+      // wildcards ('*' any-run, trailing '$' end anchor) matched
+      // against path+query; the oracle is the hand-computed decision
+      // table
       (s, dir) => {
         import org.apache.spark.sql.functions._
         import s.implicits._
@@ -1606,12 +1611,21 @@ object SparkEntry {
               "Sitemap: https://a.com/sitemap.xml"),
           ("b.com",
             "Disallow: /orphan/\nUSER-AGENT: GoodBot\n" +
-              "Disallow: /tmp/\nAllow:")).toDF("host", "content")
+              "Disallow: /tmp/\nAllow:"),
+          ("c.org",
+            "User-agent: *\nDisallow: /*?sessionid=\nDisallow: /*.pdf$\n" +
+              "Allow: /docs/*.pdf$"),
+          ("d.com",
+            "User-agent: mybot\nCrawl-delay: 5\n\n" +
+              "User-agent: *\nDisallow: /")).toDF("host", "content")
         val rules = operators.WebOps.parseRobots(files)
         val frontier = Seq(
           "http://a.com/public/page", "http://a.com/private/secret",
           "http://a.com/private/ok.html", "http://b.com/tmp/x",
-          "http://c.com/anything").toDF("url")
+          "http://c.com/anything",
+          "http://c.org/page?sessionid=99", "http://c.org/file.pdf",
+          "http://c.org/docs/guide.pdf", "http://c.org/file.pdf?x=1",
+          "http://d.com/anything").toDF("url")
         operators.WebOps.robotsAllowed(frontier, rules, "mybot")
           .withColumn("ua", lit("mybot"))
           .unionByName(operators.WebOps
@@ -1625,12 +1639,58 @@ object SparkEntry {
           ('http://a.com/private/ok.html', true, 'mybot'),
           ('http://b.com/tmp/x',          true,  'mybot'),
           ('http://c.com/anything',       true,  'mybot'),
+          ('http://c.org/page?sessionid=99', false, 'mybot'),
+          ('http://c.org/file.pdf',       false, 'mybot'),
+          ('http://c.org/docs/guide.pdf', true,  'mybot'),
+          ('http://c.org/file.pdf?x=1',   true,  'mybot'),
+          ('http://d.com/anything',       true,  'mybot'),
           ('http://a.com/public/page',    false, 'FastBot'),
           ('http://a.com/private/secret', false, 'FastBot'),
           ('http://a.com/private/ok.html', false, 'FastBot'),
           ('http://b.com/tmp/x',          true,  'FastBot'),
-          ('http://c.com/anything',       true,  'FastBot')
+          ('http://c.com/anything',       true,  'FastBot'),
+          ('http://c.org/page?sessionid=99', false, 'FastBot'),
+          ('http://c.org/file.pdf',       false, 'FastBot'),
+          ('http://c.org/docs/guide.pdf', true,  'FastBot'),
+          ('http://c.org/file.pdf?x=1',   true,  'FastBot'),
+          ('http://d.com/anything',       false, 'FastBot')
         ) AS t(url, allowed, ua)""".stripMargin.trim)),
+
+    Q("q_domain_psl",
+      // Public-Suffix-List registered-domain lookup over a fixture PSL
+      // (plain suffixes, a private-registry suffix github.io, a wildcard
+      // *.ck, an exception !www.ck) and adversarial URLs — the exact
+      // semantics the builtin ccSLD heuristic approximates; IPs and
+      // unlisted TLDs fall back to the builtin; the oracle is the
+      // hand-computed PSL-algorithm decision table
+      (s, dir) => {
+        import s.implicits._
+        val psl = Seq("// comment line", "", "com", "uk", "co.uk", "io",
+          "github.io", "ck", "*.ck", "!www.ck", "au", "com.au")
+          .toDF("suffix")
+        val urls = Seq(
+          "http://a.b.example.co.uk/x", "https://user.github.io/repo",
+          "http://github.io/", "http://www.ck/page",
+          "http://foo.bar.ck/", "http://example.com",
+          "http://sub.example.com/y", "http://shop.example.com.au",
+          "http://x.y.example.zz/unlisted", "http://192.168.0.1/ip",
+          "not a url").toDF("url")
+        operators.WebOps.registeredDomainPsl(urls, psl)
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          ('http://a.b.example.co.uk/x',   'example.co.uk'),
+          ('https://user.github.io/repo',  'user.github.io'),
+          ('http://github.io/',            NULL),
+          ('http://www.ck/page',           'www.ck'),
+          ('http://foo.bar.ck/',           'foo.bar.ck'),
+          ('http://example.com',           'example.com'),
+          ('http://sub.example.com/y',     'example.com'),
+          ('http://shop.example.com.au',   'example.com.au'),
+          ('http://x.y.example.zz/unlisted', 'example.zz'),
+          ('http://192.168.0.1/ip',        '192.168.0.1'),
+          ('not a url',                    NULL)
+        ) AS t(url, registered_domain)""".stripMargin.trim)),
 
     Q("q_text_hygiene",
       // NFC + invisible-strip + de-hyphenation over documents plus

@@ -923,8 +923,13 @@ object Dedup {
       minChars: Int = 30,
       parts: Int = 0): DataFrame = {
     require(minChars >= 0 && parts >= 0, "bad minChars/parts")
+    // NULL text coalesces to '' so the doc still emits its one (empty)
+    // paragraph row — posexplode of a null split array would otherwise
+    // DROP the document from the output entirely, inconsistent with
+    // dropCommonLines/removeDupSpans which preserve every input row
     val paras = docs.select(col(idCol).as("__id"),
-      posexplode(split(col(textCol), "\n\n")).as(Seq("__i", "__para")))
+      posexplode(split(coalesce(col(textCol), lit("")), "\n\n"))
+        .as(Seq("__i", "__para")))
     val keyed = paras
       .filter(length(trim(col("__para"))) >= minChars)
       .select(col("__id"), col("__i"),

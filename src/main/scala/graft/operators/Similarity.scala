@@ -84,9 +84,21 @@ object Similarity {
     * Plan at scale: each modality retrieves its own `poolK` pool (BM25's
     * postings shuffle / brute-force or ANN cosine), the pools — both
     * bounded by |queries|·poolK — full-outer join on (query, doc), and a
-    * per-query top-k window runs over ≤ 2·poolK rows per query. Swap the
-    * brute-force cosine for [[topKIvf]]/[[topKBucketed]] at corpus scale;
-    * the fusion stage is modality-agnostic.
+    * per-query top-k window runs over ≤ 2·poolK rows per query. At
+    * corpus scale pass an ANN path as `semRetriever` — e.g.
+    * `(c, q, n) => Similarity.topKIvfPq(c, q, n)` — the fusion stage is
+    * modality-agnostic; the default stays brute-force [[topK]]. The
+    * retriever must return (queryIdCol, vecIdCol, sim) with 6dp-rounded
+    * deterministic scores (every built-in variant does).
+    *
+    * Self-exclusion is symmetric and lives HERE, not in the retrievers:
+    * when query ids collide with doc ids (querying the corpus against
+    * itself), the query document is dropped from BOTH pools and each
+    * modality's ranks are recomputed over the surviving pool by
+    * (score desc, id) — the same deterministic ordering the retrievers
+    * use, so with disjoint id spaces nothing changes. Without this, one
+    * pool excluding the self-match while the other ranks it would skew
+    * every RRF score for that query.
     *
     * @return (queryIdCol, docIdCol, lex_rank, sem_rank, rrf, rank) —
     *         modality ranks null when the doc is outside that pool */
@@ -102,18 +114,29 @@ object Similarity {
       vecIdCol: String = "vec_id",
       vecCol: String = "embedding",
       queryIdCol: String = "query_id",
-      queryTextCol: String = "qtext"): DataFrame = {
+      queryTextCol: String = "qtext",
+      semRetriever: (DataFrame, DataFrame, Int) => DataFrame = null): DataFrame = {
     require(k >= 1 && k0 >= 1 && poolK >= k, "need k >= 1, k0 >= 1, poolK >= k")
-    val lex = TextOps.bm25(docs,
+    val retrieve =
+      if (semRetriever != null) semRetriever
+      else (c: DataFrame, q: DataFrame, n: Int) => topK(c, q, k = n,
+        idCol = vecIdCol, vecCol = vecCol, queryIdCol = queryIdCol)
+    def pool(df: DataFrame, idC: String, scoreC: String, rankName: String) = {
+      val rw = Window.partitionBy(col(queryIdCol))
+        .orderBy(col(scoreC).desc, col("__id"))
+      df.select(col(queryIdCol), col(idC).as("__id"), col(scoreC))
+        .filter(col("__id") =!= col(queryIdCol))
+        .withColumn(rankName, row_number().over(rw))
+        .drop(scoreC)
+    }
+    val lex = pool(TextOps.bm25(docs,
         queries.select(col(queryIdCol), col(queryTextCol)),
         textCol = textCol, idCol = docIdCol, queryIdCol = queryIdCol,
-        queryTextCol = queryTextCol, topK = poolK)
-      .select(col(queryIdCol), col(docIdCol).as("__id"),
-        col("rank").as("lex_rank"))
-    val sem = topK(embs, queries.select(col(queryIdCol), col(vecCol)),
-        k = poolK, idCol = vecIdCol, vecCol = vecCol, queryIdCol = queryIdCol)
-      .select(col(queryIdCol), col(vecIdCol).as("__id"),
-        col("rank").as("sem_rank"))
+        queryTextCol = queryTextCol, topK = poolK),
+      docIdCol, "score", "lex_rank")
+    val sem = pool(retrieve(embs,
+        queries.select(col(queryIdCol), col(vecCol)), poolK),
+      vecIdCol, "sim", "sem_rank")
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col("rrf").desc, col("__id"))
     lex.join(sem, Seq(queryIdCol, "__id"), "full_outer")

@@ -329,6 +329,54 @@ object TextOps {
     math.max(default.toLong, need).toInt
   }
 
+  /** Shuffle partition count for the corpus-global n-gram hash window,
+    * sized to the WINDOW FAN-OUT rather than input plan bytes: the
+    * shuffle carries ~one slim (id, pos, hash60) row (~32 B serialized)
+    * per WORD of normalized text, so the right sizing input is
+    * `rows × words/doc`, which plan statistics cannot see (they estimate
+    * the pre-explode relation, with strings at a flat 20-byte default).
+    * r10's byte-based sizing (volumeParts at a 512 KB target) resolved
+    * ~4× past the DupSpansTune optimum at the 20M smoke (tune: 512 parts
+    * 99–186 s vs auto 132–274 s — over-partitioning pays task-launch and
+    * tiny-sort overhead with no spill relief).
+    *
+    * Estimation is two-tier so small inputs stay free: the cheap plan-
+    * stats gate first (below the session partition count → return it, no
+    * job), then ONE bounded probe job — `head(sampleRows)` of the word
+    * counts (reads a single partition, never a scan) — for words/doc,
+    * with row count from plan stats (`rowCount` when the source provides
+    * it, else `sizeInBytes / schema default width`; both undercount
+    * generated text, which only biases partitions DOWN toward the
+    * session floor, never toward a blow-up — the 4096 cap bounds the
+    * other direction). One partition per `targetBytes` of projected
+    * window rows; floor = session setting, cap = 4096 (same rationale as
+    * [[volumeParts]]: a 100 TB deployment raises the session setting). */
+  private[graft] def fanoutParts(
+      docs: DataFrame,
+      textCol: String,
+      bytesPerRow: Long = 32L,
+      targetBytes: Long = 32L << 20,
+      sampleRows: Int = 256): Int = {
+    val default = docs.sparkSession.sessionState.conf.numShufflePartitions
+    if (volumeParts(docs, targetBytes = 512L << 10) <= default) return default
+    val stats =
+      try docs.queryExecution.optimizedPlan.stats
+      catch { case _: Throwable => return default }
+    val rowsEst: Long = stats.rowCount.map(_.toLong).getOrElse {
+      val width = math.max(1, docs.schema.map(_.dataType.defaultSize).sum)
+      (BigInt(stats.sizeInBytes.toString) / width).toLong
+    }
+    val sampled =
+      try docs.select(size(split(normalize(col(textCol)), " ")).cast("long"))
+        .head(sampleRows)
+      catch { case _: Throwable => Array.empty[org.apache.spark.sql.Row] }
+    if (sampled.isEmpty || rowsEst <= 0) return default
+    val avgWords = sampled.map(_.getLong(0)).sum.toDouble / sampled.length
+    val windowBytes = rowsEst.toDouble * avgWords * bytesPerRow
+    val need = math.min(4096.0, windowBytes / targetBytes).toLong
+    math.max(default.toLong, need).toInt
+  }
+
   /** 64-bit SimHash over tokens — one pass, no shuffle: per-row fold of
     * token hashes into 64 signed bit-counts, then sign bits.
     * (Charikar's scheme; bit i set iff Σ ±1 over tokens ≥ 0.) */
@@ -751,22 +799,22 @@ object TextOps {
     val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
     // the hash window is the corpus-global shuffle (one (id, hash) row per
     // distinct window — ~wordCount× the input ROW count, i.e. far beyond
-    // the input byte estimate): size its partition count to input volume
-    // so the per-partition window sort stays in memory at any corpus size.
-    // The 512 KB target (vs volumeParts' 8 MB default) absorbs the window
-    // fan-out — at the 20M-doc smoke it resolves ~700 partitions, ~20 MB
-    // of hashed-window rows each, always in-memory sorts (DupSpansTune
-    // within-JVM A/B: 512 parts ran 112-285 s vs 236-450 s at 32; the
-    // residual swing is shared-box contention, not the plan). The
-    // explicit repartition satisfies the window's clustering requirement,
-    // so this is still the SAME single shuffle, just volume-sized; AQE
-    // never splits partitions upward on its own.
+    // the input byte estimate): size its partition count to the WINDOW
+    // FAN-OUT ([[fanoutParts]]: rows × sampled words/doc × 32 B at 32 MB
+    // targets) so the per-partition window sort stays in memory at any
+    // corpus size without over-partitioning (r10's byte-based sizing at a
+    // 512 KB target resolved ~4× past the DupSpansTune optimum of ~512
+    // parts at the 20M smoke — 99-186 s at 512 vs 132-274 s auto; tiny
+    // partitions pay task-launch and per-sort overhead with no spill
+    // relief). The explicit repartition satisfies the window's clustering
+    // requirement, so this is still the SAME single shuffle, just
+    // fan-out-sized; AQE never splits partitions upward on its own.
     // only repartition when sizing UP past the session setting: an
     // explicit numPartitions also disables AQE's downward coalescing, so
     // forcing it at small scale costs task-launch overhead for nothing
     // (r9 bench: q_dup_spans 1.6× slower at sf0.1 with a forced 32)
     val windowParts =
-      if (parts > 0) parts else volumeParts(docs, targetBytes = 512L << 10)
+      if (parts > 0) parts else fanoutParts(docs, textCol)
     val sized =
       if (windowParts > docs.sparkSession.sessionState.conf.numShufflePartitions)
         grams.repartition(windowParts, col("__h"))
@@ -816,10 +864,10 @@ object TextOps {
       .select(col("__id"), col("__p"),
         portableHash60(col("__gram")).as("__h"))
     val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
-    // same corpus-global shuffle shape (and volume sizing rationale) as
+    // same corpus-global shuffle shape (and fan-out sizing rationale) as
     // dupSpans: ~wordCount× the input row count rides this window
     val windowParts =
-      if (parts > 0) parts else volumeParts(docs, targetBytes = 512L << 10)
+      if (parts > 0) parts else fanoutParts(docs, textCol)
     val sized =
       if (windowParts > docs.sparkSession.sessionState.conf.numShufflePartitions)
         occ.repartition(windowParts, col("__h"))

@@ -36,6 +36,16 @@ object WebOps {
       .otherwise(when(p === "", lit("/")).otherwise(p))
   }
 
+  /** Path plus query (`/a/b?x=1`), "" → "/" — the robots.txt match
+    * target: RFC 9309 rules match against everything after the
+    * authority, so a wildcard rule disallowing `?sessionid=` URLs must
+    * see the query. The fragment is excluded (never sent to servers). */
+  private[graft] def pathQuery(url: Column): Column = {
+    val pq = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    when(host(url).isNull, lit(null))
+      .otherwise(when(pq === "", lit("/")).otherwise(pq))
+  }
+
   /** Number of non-empty path segments. */
   def pathDepth(url: Column): Column =
     when(host(url).isNull, lit(null))
@@ -62,6 +72,75 @@ object WebOps {
       .otherwise(lit(2))
     when(h.isNull || isIp || n < 2, h)
       .otherwise(concat_ws(".", slice(labels, n - take + 1, take)))
+  }
+
+  /** Registered (pay-level) domain under a caller-provided Public Suffix
+    * List — the exact lookup [[registeredDomain]]'s builtin ccSLD
+    * heuristic approximates (which mis-cuts `*.github.io`-style private
+    * suffixes: crawl dedup and domain stats then conflate every user
+    * site on the host). `psl` carries one rule per row in `suffixCol`,
+    * publicsuffix.org syntax: plain suffixes (`com`, `co.uk`,
+    * `github.io`), one-label wildcards (`*.ck`), exceptions (`!www.ck`);
+    * comment (`//...`) and blank lines are tolerated and dropped.
+    * Prevailing-rule semantics per the PSL algorithm: an exception rule
+    * beats everything (its public suffix is the rule minus its leading
+    * label), else the matching rule with the most labels; a host whose
+    * TLD is in the list but matches no longer rule gets the implicit
+    * 1-label public suffix. The registered domain is the public suffix
+    * plus one label; a host that IS a public suffix yields NULL. Hosts
+    * whose TLD is absent from the list (and IPs) fall back to
+    * [[registeredDomain]]'s builtin behavior.
+    *
+    * Shape at scale: the PSL (~10k rows) groups into one rule array per
+    * TLD and BROADCASTS; the corpus side is one scan + broadcast hash
+    * join + a per-row `aggregate` fold over its TLD's rule group
+    * (typically < 50 entries) — the corpus is never shuffled. */
+  def registeredDomainPsl(
+      df: DataFrame,
+      psl: DataFrame,
+      urlCol: String = "url",
+      suffixCol: String = "suffix",
+      outCol: String = "registered_domain"): DataFrame = {
+    val rules = psl
+      .select(lower(trim(col(suffixCol))).as("__r"))
+      .filter(col("__r") =!= "" && !col("__r").startsWith("//"))
+      .withColumn("__exc", col("__r").startsWith("!"))
+      .withColumn("__pat", regexp_replace(col("__r"), "^!", ""))
+      .select(col("__exc"), col("__pat"),
+        split(col("__pat"), "\\.").as("__labs"),
+        element_at(split(col("__pat"), "\\."), -1).as("__ptld"))
+      .groupBy(col("__ptld"))
+      .agg(collect_list(struct(col("__labs").as("labs"),
+        size(split(col("__pat"), "\\.")).cast("int").as("nl"),
+        col("__exc").as("exc"))).as("__rules"))
+    val withHost = df
+      .withColumn("__h", host(col(urlCol)))
+      .withColumn("__hlabs", split(col("__h"), "\\."))
+    val n = size(col("__hlabs"))
+    // prevailing rule: exceptions dominate, else most labels; a rule
+    // matches when its labels align with the host's trailing labels
+    // ('*' matches exactly one label at its position)
+    val matched = aggregate(col("__rules"),
+      struct(lit(false).as("exc"), lit(0).as("nl")),
+      (acc, r) => when(
+        n >= r("nl") &&
+          forall(zip_with(slice(col("__hlabs"), n - r("nl") + 1, r("nl")),
+            r("labs"), (a, b) => b === "*" || a === b), x => x) &&
+          ((r("exc") && !acc("exc")) ||
+            (r("exc") === acc("exc") && r("nl") > acc("nl"))),
+        struct(r("exc").as("exc"), r("nl").as("nl"))).otherwise(acc))
+    val psNl = when(matched("exc"), matched("nl") - 1)
+      .otherwise(when(matched("nl") > 0, matched("nl")).otherwise(lit(1)))
+    val viaPsl = when(n <= psNl, lit(null).cast("string"))
+      .otherwise(concat_ws(".", slice(col("__hlabs"), n - psNl, psNl + 1)))
+    withHost
+      .join(broadcast(rules),
+        element_at(col("__hlabs"), -1) === col("__ptld"), "left")
+      .withColumn(outCol,
+        when(col("__rules").isNull || col("__h").rlike("^[0-9.]+$"),
+          registeredDomain(col(urlCol)))
+          .otherwise(viaPsl))
+      .drop("__h", "__hlabs", "__ptld", "__rules")
   }
 
   /** Top-level domain (last host label), NULL for IPs/single labels. */
@@ -206,46 +285,79 @@ object WebOps {
       .unionByName(sitemaps)
   }
 
+  /** RFC 9309 rule path → portable regex: literal chars escaped, `*`
+    * expands to `.*`, a TRAILING `$` anchors the end of the path (a
+    * mid-pattern `$` is literal). The result is `^`-anchored, unanchored
+    * at the end (prefix semantics), and stays inside the Java/RE2 shared
+    * regex subset so oracle engines replay the same matches. */
+  private[graft] def robotsPattern(v: Column): Column = {
+    val anchored = v.endsWith("$")
+    val core = when(anchored, substring(v, lit(1), length(v) - 1)).otherwise(v)
+    val esc = regexp_replace(core,
+      "([\\\\.\\[\\]\\{\\}\\(\\)\\+\\?\\^\\|\\$])", "\\\\$1")
+    val wild = regexp_replace(esc, "\\*", ".*")
+    concat(lit("^"), wild, when(anchored, lit("$")).otherwise(lit("")))
+  }
+
   /** Frontier politeness decision over [[parseRobots]] output: each URL is
     * allowed unless its host's applicable rule group disallows it under
-    * RFC 9309 precedence — the group for the crawler's OWN user-agent
-    * when the host declares one, else the `*` group; among matching
-    * rules the LONGEST literal path prefix wins, ties go to allow; an
-    * empty rule value matches nothing; hosts with no applicable rules
-    * allow everything. Wildcard rules (`*`/`$` in the path) are outside
-    * this literal-prefix subset and are ignored, documented here.
+    * RFC 9309 precedence. Group election first, over ALL of the host's
+    * directives: the groups for the crawler's OWN user-agent when the
+    * host declares any (even if those groups carry only `crawl-delay` —
+    * per the RFC an own group with no path rules means allow-all, NOT
+    * fall-through to `*`), else the `*` groups. Then, among the elected
+    * groups' allow/disallow rules that match the URL's path+query
+    * ([[pathQuery]] — RFC rules see everything after the authority), the
+    * LONGEST rule value wins and ties go to allow. `*` matches any
+    * character run and a trailing `$` anchors the target end
+    * ([[robotsPattern]]);
+    * an empty rule value matches nothing; hosts with no applicable
+    * group allow everything. User-agent comparison is case-insensitive
+    * exact token match (no product-token prefix matching), documented.
     *
-    * Shape at scale: rules tables are KB-per-host — the join broadcasts;
-    * the frontier is never shuffled. `urlCol` values must be unique (a
-    * frontier). Output: the frontier's columns + `allowed`. */
+    * Shape at scale: the rules table aggregates to one KB-sized rule
+    * array per host (a shuffle of the RULES side only — KB per host) and
+    * broadcasts; the frontier side is ONE scan with a broadcast hash
+    * join and a per-row `aggregate` fold over the host's rule array —
+    * the frontier is never shuffled (no window, no exchange on the URL
+    * side). Output: the frontier's columns + `allowed`. */
   def robotsAllowed(
       urls: DataFrame,
       rules: DataFrame,
       userAgent: String,
       urlCol: String = "url",
       keyCol: String = "host"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ua = userAgent.toLowerCase
-    val applicable = rules
-      .filter(col("directive").isin("allow", "disallow") &&
-        (lower(col("user_agent")) === ua || col("user_agent") === "*") &&
-        !col("value").contains("*") && !col("value").contains("$"))
+    // elect own-UA vs '*' over EVERY directive row (crawl-delay included):
+    // a host whose own-UA group has no allow/disallow rules must still
+    // suppress the '*' group (allow-all), not inherit its rules
+    val elected = rules
+      .filter(lower(col("user_agent")) === ua || col("user_agent") === "*")
       .withColumn("__sp", (lower(col("user_agent")) === ua).cast("int"))
-      .withColumn("__best", max(col("__sp")).over(Window.partitionBy(col(keyCol))))
-      .filter(col("__sp") === col("__best"))
-      .select(col(keyCol).as("__rhost"), col("directive"), col("value"))
-    val u = urls.withColumn("__host", host(col(urlCol)))
-      .withColumn("__path", path(col(urlCol)))
-    val decided = u.join(broadcast(applicable),
-        u("__host") === applicable("__rhost"), "left")
-      .withColumn("__score", when(col("value").isNotNull &&
-        col("value") =!= "" && col("__path").startsWith(col("value")),
-        length(col("value"))).otherwise(lit(-1)))
-      .withColumn("__rn", row_number().over(Window.partitionBy(col(urlCol))
-        .orderBy(col("__score").desc, (col("directive") === "allow").desc)))
-      .filter(col("__rn") === 1)
-      .withColumn("allowed",
-        !(col("__score") >= 0 && col("directive") === "disallow"))
-    decided.select(urls.columns.map(col) :+ col("allowed"): _*)
+      .groupBy(col(keyCol).as("__rhost"))
+      .agg(max(col("__sp")).as("__bestSp"),
+        collect_list(struct(col("__sp").as("sp"),
+          (col("directive") === "allow").as("allow"),
+          length(col("value")).cast("int").as("len"),
+          robotsPattern(col("value")).as("pat"),
+          col("directive").as("dir"),
+          col("value").as("v"))).as("__all"))
+      .select(col("__rhost"),
+        filter(col("__all"), r => r("sp") === col("__bestSp") &&
+          (r("dir") === "allow" || r("dir") === "disallow") &&
+          r("v") =!= "").as("__rules"))
+    val u = urls.withColumn("__uhost", host(col(urlCol)))
+      .withColumn("__upath", pathQuery(col(urlCol)))
+    val best = aggregate(col("__rules"),
+      struct(lit(-1).as("len"), lit(true).as("allow")),
+      (acc, r) => when(
+        regexp_like(col("__upath"), r("pat")) &&
+          (r("len") > acc("len") ||
+            (r("len") === acc("len") && r("allow") && !acc("allow"))),
+        struct(r("len").as("len"), r("allow").as("allow"))).otherwise(acc))
+    u.join(broadcast(elected), col("__uhost") === col("__rhost"), "left")
+      // no elected group for the host → null rule array → null fold → allow
+      .withColumn("allowed", coalesce(best("allow"), lit(true)))
+      .select(urls.columns.map(col) :+ col("allowed"): _*)
   }
 }

@@ -109,12 +109,21 @@ object Ingest {
     * Output: the input's other columns + (rec_index, warc_type, target_uri,
     * warc_date, content_type, content_length, payload). */
   def warc(df: DataFrame, contentCol: String): DataFrame = {
+    // fields parse from the HEADER BLOCK only (before the first \r\n\r\n),
+    // line-anchored — exactly the region and anchoring the framing kernel
+    // uses for Content-Length, so the reported fields can never disagree
+    // with the byte framing (an 'X-Content-Length:' header or a
+    // 'Content-Type:' line inside an HTTP-response payload must not leak
+    // into the WARC fields)
     val hdr = (name: String) =>
-      regexp_extract(col("__rec"), "(?i)" + name + ":[ \\t]*([^\\r\\n]*)", 1)
+      regexp_extract(col("__hdr"), "(?im)^" + name + ":[ \\t]*([^\\r\\n]*)", 1)
     df.select(col("*"),
         posexplode(graft.functions.TextKernels.warcSplitCol(col(contentCol)))
           .as(Seq("rec_index", "__rec")))
       .drop(contentCol)
+      .withColumn("__hdr", when(locate("\r\n\r\n", col("__rec")) > 0,
+        col("__rec").substr(lit(1), locate("\r\n\r\n", col("__rec")) - 1))
+        .otherwise(col("__rec")))
       .withColumn("warc_type", hdr("WARC-Type"))
       .withColumn("target_uri", hdr("WARC-Target-URI"))
       .withColumn("warc_date", hdr("WARC-Date"))
@@ -124,6 +133,6 @@ object Ingest {
       .withColumn("payload", when(locate("\r\n\r\n", col("__rec")) > 0,
         col("__rec").substr(
           locate("\r\n\r\n", col("__rec")) + lit(4), length(col("__rec")))))
-      .drop("__rec")
+      .drop("__rec", "__hdr")
   }
 }

@@ -1065,20 +1065,71 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(s(1) - 0.5) < 1e-6) // -2 + 1*2 = 0
   }
 
-  test("robotsAllowed: wildcard rules ignored, UA case-insensitive, root disallow") {
+  test("robotsAllowed: RFC wildcards, UA case-insensitive, root disallow") {
     val rules = Seq(
-      ("h.com", "CrawlerX", "disallow", "/a*b", 1), // wildcard → ignored
+      ("h.com", "CrawlerX", "disallow", "/a*b", 1), // '*' = any run
       ("h.com", "CrawlerX", "disallow", "/exact/", 2),
-      ("h.com", "*", "disallow", "/", 3)) // shadowed by the own-UA group
+      ("h.com", "CrawlerX", "disallow", "/end$", 3), // trailing anchor
+      ("h.com", "CrawlerX", "disallow", "/*?sid=", 4), // matches the query
+      ("h.com", "*", "disallow", "/", 5)) // shadowed by the own-UA group
       .toDF("host", "user_agent", "directive", "value", "line_no")
     val urls = Seq("http://h.com/a-then-b", "http://h.com/exact/x",
-      "http://h.com/elsewhere").toDF("url")
+      "http://h.com/elsewhere", "http://h.com/end", "http://h.com/end2",
+      "http://h.com/p?sid=9").toDF("url")
     val got = WebOps.robotsAllowed(urls, rules, "crawlerx")
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
-    // the wildcard rule is out of the literal subset: /a-then-b allowed;
     // the * group's root disallow never applies to a UA with its own group
-    assert(got == Map("http://h.com/a-then-b" -> true,
-      "http://h.com/exact/x" -> false, "http://h.com/elsewhere" -> true), got)
+    assert(got == Map("http://h.com/a-then-b" -> false,
+      "http://h.com/exact/x" -> false, "http://h.com/elsewhere" -> true,
+      "http://h.com/end" -> false, "http://h.com/end2" -> true,
+      "http://h.com/p?sid=9" -> false), got)
+  }
+
+  test("robotsAllowed: own-UA group with only crawl-delay suppresses *") {
+    // RFC 9309: a declared own-UA group with no allow/disallow rules means
+    // allow-all — the '*' group's rules must NOT leak through
+    val rules = Seq(
+      ("h.com", "mybot", "crawl-delay", "5", 1),
+      ("h.com", "*", "disallow", "/", 2))
+      .toDF("host", "user_agent", "directive", "value", "line_no")
+    val urls = Seq("http://h.com/anything").toDF("url")
+    assert(WebOps.robotsAllowed(urls, rules, "mybot")
+      .head.getBoolean(1), "own group with only crawl-delay = allow-all")
+    assert(!WebOps.robotsAllowed(urls, rules, "otherbot")
+      .head.getBoolean(1), "* group still gates UAs without an own group")
+  }
+
+  test("robotsAllowed never shuffles the frontier (broadcast + fold plan)") {
+    val rules = Seq(("h.com", "*", "disallow", "/private/", 1))
+      .toDF("host", "user_agent", "directive", "value", "line_no")
+    val urls = Seq("http://h.com/a", "http://h.com/private/b").toDF("url")
+    val plan = WebOps.robotsAllowed(urls, rules, "bot")
+      .queryExecution.executedPlan.toString
+    // the decision is a broadcast hash join + per-row aggregate fold: the
+    // only hash exchange allowed is the KB-sized RULES aggregation
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Window"), s"no window over the frontier:\n$plan")
+    val exchanges = "Exchange hashpartitioning\\(([a-zA-Z_#0-9]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(exchanges.forall(k => k.startsWith("host") || k.startsWith("__rhost")),
+      s"frontier-side hash exchange found: $exchanges\n$plan")
+  }
+
+  test("registeredDomainPsl: PSL semantics with builtin fallback") {
+    val psl = Seq("com", "io", "github.io", "ck", "*.ck", "!www.ck")
+      .toDF("suffix")
+    val urls = Seq("https://user.github.io/repo", "http://github.io/",
+      "http://foo.bar.ck/", "http://www.ck/", "http://sub.example.com",
+      "http://x.example.zz/unlisted-tld").toDF("url")
+    val got = WebOps.registeredDomainPsl(urls, psl)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      "https://user.github.io/repo" -> "user.github.io", // private registry
+      "http://github.io/" -> null, // IS a public suffix
+      "http://foo.bar.ck/" -> "foo.bar.ck", // wildcard *.ck
+      "http://www.ck/" -> "www.ck", // exception !www.ck
+      "http://sub.example.com" -> "example.com",
+      "http://x.example.zz/unlisted-tld" -> "example.zz"), got) // fallback
   }
 
   test("text hygiene: NFC unifies byte-distinct lookalikes; cleanups are surgical") {
@@ -1118,6 +1169,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L).getString(1) == "" && out(3L).getLong(3) == 1)
     // "hdr" is under minChars: kept everywhere despite being duplicated
     assert(out(4L).getString(1) == "hdr" && out(4L).getLong(3) == 0)
+  }
+
+  test("dropDupParagraphs preserves null-text documents") {
+    // a NULL text must not vanish from the output (posexplode of a null
+    // split array would silently drop the row) — it survives with empty
+    // clean_text, matching the every-input-row-survives family contract
+    val docs = Seq((1L, "some unique paragraph body"), (2L, null))
+      .toDF("doc_id", "text")
+    val out = Dedup.dropDupParagraphs(docs, minChars = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 2, s"null-text doc dropped: ${out.keys}")
+    assert(out(2L).getString(1) == "" && out(2L).getLong(3) == 0)
   }
 
   test("dropRepeatedLines keeps first occurrences and blank separators") {
@@ -1180,6 +1243,39 @@ class OperatorsSpec extends AnyFunSuite {
     // rrf arithmetic: doc1 = 1/61 + 1/62, doc2 = 1/61 (missing → 0)
     assert(r(1L).getDouble(4) == 0.032522)
     assert(r(2L).getDouble(4) == 0.016393)
+  }
+
+  test("hybridTopK: pluggable ANN retriever fuses identically when its pool " +
+      "contains the brute-force pool; self-matches excluded symmetrically") {
+    val d = Seq(
+      (1L, "quick brown fox jumps"),
+      (2L, "totally different words here"),
+      (3L, "unrelated filler text")).toDF("doc_id", "text")
+    val e = Seq(
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, -1.0f))).toDF("vec_id", "embedding")
+    val q = Seq((100L, "quick brown fox jumps", Array(1.0f, 0.0f)))
+      .toDF("query_id", "qtext", "embedding")
+    val base = Similarity.hybridTopK(d, e, q, k = 3, poolK = 3)
+      .orderBy("rank").collect().toSeq
+    // full-probe IVF returns the exact brute-force pool → fusion equal
+    val viaIvf = Similarity.hybridTopK(d, e, q, k = 3, poolK = 3,
+        semRetriever = (c, qq, n) => Similarity.topKIvf(c, qq, k = n,
+          nlist = 2, nprobe = 2))
+      .orderBy("rank").collect().toSeq
+    assert(viaIvf == base, s"ANN-pool fusion diverged:\n$base\n$viaIvf")
+    // colliding id spaces: the query doc (id 1 queries with its own text
+    // and vector) is dropped from BOTH pools — no asymmetric null rank
+    val qSelf = Seq((1L, "quick brown fox jumps", Array(0.0f, 1.0f)))
+      .toDF("query_id", "qtext", "embedding")
+    val self = Similarity.hybridTopK(d, e, qSelf, k = 3, poolK = 3).collect()
+    assert(!self.exists(_.getLong(1) == 1L), "query doc must leave both pools")
+    // surviving pools re-rank from 1: some doc holds lex_rank 1 (docs 2/3
+    // share no term with the query, so the lex pool may be empty — the
+    // SEM pool must re-rank from 1)
+    assert(self.exists(r => !r.isNullAt(3) && r.getInt(3) == 1),
+      s"sem_rank must restart at 1 after self-exclusion: ${self.toSeq}")
   }
 
   test("removeDupSpans deletes non-first occurrences of shared windows") {

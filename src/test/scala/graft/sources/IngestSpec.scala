@@ -87,6 +87,26 @@ class IngestSpec extends AnyFunSuite {
     assert(u.length == 1 && u(0).getAs[String]("payload").startsWith("rest"))
   }
 
+  test("WARC fields parse from the header block only, line-anchored") {
+    import org.apache.spark.sql.functions._
+    // an X-Content-Length header and HTTP headers inside the payload must
+    // not leak into the WARC fields — the extraction must see exactly the
+    // region (header block) and anchoring (line start) the framing uses
+    val payload = "HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n" +
+      "Content-Length: 7\r\n\r\nit's me"
+    val rec = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "X-Content-Length: 5\r\nX-WARC-Type: fake\r\n" +
+      "Content-Type: application/http\r\n" +
+      s"Content-Length: ${payload.getBytes("UTF-8").length}\r\n\r\n" +
+      payload + "\r\n\r\n"
+    val out = Ingest.warc(Seq(rec).toDF("content"), "content").collect()
+    assert(out.length == 1, out.mkString("\n"))
+    assert(out(0).getAs[String]("warc_type") == "response")
+    assert(out(0).getAs[String]("content_type") == "application/http")
+    assert(out(0).getAs[Long]("content_length") == payload.getBytes("UTF-8").length)
+    assert(out(0).getAs[String]("payload") == payload)
+  }
+
   test("streaming ingestion drops invalid rows per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
