@@ -1656,6 +1656,44 @@ object SparkEntry {
           ('http://d.com/anything',       false, 'FastBot')
         ) AS t(url, allowed, ua)""".stripMargin.trim)),
 
+    Q("q_sitemap",
+      // sitemaps.org parsing over adversarial literal files: a urlset
+      // with entity-escaped and CDATA locs, attribute-carrying tags,
+      // missing-loc and garbage-priority entries, and a sitemapindex;
+      // the oracle is the hand-computed expected table
+      (s, dir) => {
+        import s.implicits._
+        val files = Seq(
+          ("a.com",
+            "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+              "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+              " <url>\n  <loc>https://a.com/page?x=1&amp;y=2</loc>\n" +
+              "  <lastmod>2026-01-05</lastmod>\n  <changefreq>Daily</changefreq>\n" +
+              "  <priority>0.8</priority>\n </url>\n" +
+              " <url><loc><![CDATA[https://a.com/cdata&raw]]></loc>" +
+              "<priority>high</priority></url>\n" +
+              " <url><lastmod>2026-01-01</lastmod></url>\n" + // no loc → drop
+              " <URL><LOC> https://a.com/upper </LOC></URL>\n" +
+              "</urlset>"),
+          ("b.com",
+            "<sitemapindex>\n <sitemap>\n" +
+              "  <loc>https://b.com/sitemap-1.xml</loc>\n" +
+              "  <lastmod>2026-02-01T10:00:00Z</lastmod>\n </sitemap>\n" +
+              " <sitemap><loc>https://b.com/sitemap-2.xml</loc></sitemap>\n" +
+              "</sitemapindex>")).toDF("host", "content")
+        operators.WebOps.parseSitemap(files)
+          .select("host", "entry_no", "kind", "loc", "lastmod",
+            "changefreq", "priority")
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          ('a.com', 0, 'url', 'https://a.com/page?x=1&y=2', '2026-01-05', 'daily', 0.8),
+          ('a.com', 1, 'url', 'https://a.com/cdata&raw', NULL, NULL, NULL),
+          ('a.com', 3, 'url', 'https://a.com/upper', NULL, NULL, NULL),
+          ('b.com', 0, 'sitemap', 'https://b.com/sitemap-1.xml', '2026-02-01T10:00:00Z', NULL, NULL),
+          ('b.com', 1, 'sitemap', 'https://b.com/sitemap-2.xml', NULL, NULL, NULL)
+        ) AS t(host, entry_no, kind, loc, lastmod, changefreq, priority)""".stripMargin.trim)),
+
     Q("q_domain_psl",
       // Public-Suffix-List registered-domain lookup over a fixture PSL
       // (plain suffixes, a private-registry suffix github.io, a wildcard

@@ -299,6 +299,58 @@ object WebOps {
     concat(lit("^"), wild, when(anchored, lit("$")).otherwise(lit("")))
   }
 
+  /** XML sitemap / sitemap-index parsing (sitemaps.org protocol) — the
+    * crawl-DISCOVERY complement of [[parseRobots]]' politeness table: a
+    * frontier seeds from the robots `sitemap` rows, fetches those
+    * documents, and this turns them into per-URL rows. Handles both
+    * document kinds in one pass — `<urlset>` entries emit
+    * `kind = 'url'`, `<sitemapindex>` entries emit `kind = 'sitemap'`
+    * (feed those locs back into the fetch loop). Per entry: `loc`
+    * (CDATA unwrapped, the five XML entities sitemap URLs escape
+    * decoded), `lastmod`, `changefreq`, `priority` (null unless
+    * numeric — the protocol default 0.5 is the CALLER's choice to
+    * apply). Entries without a `<loc>` are invalid per the protocol and
+    * drop. Case-insensitive tags, whitespace/attribute tolerant, pure
+    * RE2-portable regex chain — one scan, zero shuffle, the per-file
+    * explode stays inside the scan stage.
+    *
+    * Output: the input's other columns + (kind, loc, lastmod,
+    * changefreq, priority, entry_no) — `entry_no` is the 0-based
+    * position within the file (urls first, then index entries). */
+  def parseSitemap(
+      df: DataFrame,
+      contentCol: String = "content"): DataFrame = {
+    def blocks(tag: String): Column =
+      regexp_extract_all(col(contentCol),
+        lit(s"(?is)<$tag(?:\\s[^>]*)?>(.*?)</$tag\\s*>"), lit(1))
+    def field(b: Column, tag: String): Column =
+      trim(regexp_extract(b, s"(?is)<$tag(?:\\s[^>]*)?>(.*?)</$tag\\s*>", 1))
+    def xmlText(v: Column): Column = {
+      val cdata = regexp_replace(v, "(?s)^<!\\[CDATA\\[(.*)\\]\\]>$", "$1")
+      // amp decodes LAST so '&amp;lt;' yields the literal '&lt;'
+      Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&apos;" -> "'", "&amp;" -> "&")
+        .foldLeft(trim(cdata)) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    }
+    def optional(v: Column): Column = when(v =!= "", v)
+    val entries = concat(
+      transform(blocks("url"), b => struct(lit("url").as("kind"), b.as("b"))),
+      transform(blocks("sitemap"), b => struct(lit("sitemap").as("kind"), b.as("b"))))
+    df.select(col("*"), posexplode(entries).as(Seq("entry_no", "__e")))
+      .drop(contentCol)
+      .withColumn("kind", col("__e")("kind"))
+      .withColumn("loc", xmlText(field(col("__e")("b"), "loc")))
+      .withColumn("lastmod", optional(field(col("__e")("b"), "lastmod")))
+      .withColumn("changefreq",
+        optional(lower(field(col("__e")("b"), "changefreq"))))
+      .withColumn("priority", // null unless numeric: ANSI cast must not throw
+        when(field(col("__e")("b"), "priority")
+            .rlike("^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)$"),
+          field(col("__e")("b"), "priority")).cast("double"))
+      .filter(col("loc") =!= "")
+      .drop("__e")
+  }
+
   /** Frontier politeness decision over [[parseRobots]] output: each URL is
     * allowed unless its host's applicable rule group disallows it under
     * RFC 9309 precedence. Group election first, over ALL of the host's
