@@ -1198,6 +1198,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept == "-\nlong line here\n-")
   }
 
+  test("fanoutParts sizes the n-gram window shuffle to the window fan-out") {
+    // small input: the cheap plan-stats gate returns the session setting
+    // WITHOUT running the sample job
+    val small = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val session = spark.sessionState.conf.numShufflePartitions
+    assert(TextOps.fanoutParts(small, "text") == session)
+    // 2M docs x 40 words -> ~80M slim window rows: partitions must scale
+    // past the session setting and stay under the 4096 cap
+    val big = spark.range(2000000).select(col("id").as("doc_id"),
+      concat_ws(" ", (1 to 40).map(i => lit(s"w$i")): _*).as("text"))
+    val p = TextOps.fanoutParts(big, "text")
+    assert(p > session && p <= 4096, s"resolved $p")
+  }
+
   test("dupSpans flags shared windows, not unique text") {
     // doc 1 and 2 share one exact 4-word span inside otherwise-unique
     // text; doc 3 is a full copy of doc 1; doc 4 shares nothing
