@@ -35,4 +35,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // whole bench run (Spark exits 52). The box has 128 GiB — a high max
   // is safe (heap grows on demand) and still env-overridable.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // pre-size the heap: growing from the tiny default to tens of GB
+  // mid-pass costs repeated full GCs exactly once — on the FIRST heavy
+  // execution — which made first-position 20M smoke numbers read 1.5-3x
+  // their steady state (r11 DupSpansTune A/B: first 20M remove_spans
+  // pass 546.5 s at default -Xms vs 343.5 s pre-sized; the pass after,
+  // 416.8 s vs 153.4 s). Benchmarks must measure the operator, not the
+  // heap ramp.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

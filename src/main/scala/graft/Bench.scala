@@ -46,8 +46,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val benchT0 = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
+    // default sized to the MEASURED full pass-1 cost (r11 validation
+    // runs: 1901 s end-to-end on a semi-contended box, ~28 min quiet)
+    // plus margin — a budget below pass-1 cost silently loses the tail
+    // series (the first r11 validation at 1500 s skipped 10 of them)
     val budgetSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2000").toDouble
     def overBudget: Boolean = elapsedSec > budgetSec
     val skipped = scala.collection.mutable.LinkedHashSet[String]()
     var extraPassesSkipped = 0
@@ -120,9 +124,11 @@ object Bench {
 
     def jmap(m: scala.collection.Map[String, Double], fmt: String): String =
       m.map { case (k, v) => s""""$k":${fmt.format(v)}""" }.mkString("{", ",", "}")
-    val notes = "r11 budgeted protocol: soft wall budget (default 1500s, " +
-      "SPARK_GRAFT_BENCH_BUDGET_SEC) - over-budget smoke stages/passes " +
-      "are SKIPPED and listed in 'skipped' with truncated:true, because " +
+    val notes = "r11 budgeted protocol: soft wall budget (default 2000s, " +
+      "SPARK_GRAFT_BENCH_BUDGET_SEC - sized to the measured pass-1 cost " +
+      "of 1901s end-to-end; a 1500s trial run skipped 10 tail series) " +
+      "- over-budget smoke stages/passes are SKIPPED and listed in " +
+      "'skipped' with truncated:true for pass-1 losses, because " +
       "BENCH_r10 (rc=124) showed a driver-killed run both loses whole " +
       "series (curate/pack were -1) and contention-inflates everything " +
       "measured beside the overrun (rule_filter 5.46s vs 0.13s quiet); " +
@@ -131,19 +137,31 @@ object Bench {
       "hook prints the headline JSON if the run is killed before the " +
       "normal print; latency section still FIRST (fresh JVM) with its " +
       "partitions=8/RocksDB confs restored after; smoke passes are " +
-      "pass-major (every stage measured once before any second pass) in " +
-      "priority order curate,pack,remove_spans,pack_chunks,dup_spans," +
-      "pack_emit,cc,pagerank - pipe stages report min over passes " +
-      "(contention is one-sided noise), curate/pack report median; " +
-      "curate runs a 1M/10M pair (was 2M/20M; r9 measured 578s for " +
-      "curate@20M alone - same 10x linearity signal, half the cost); " +
-      "dup_spans/remove_spans now size their corpus-global hash-window " +
-      "shuffle to the WINDOW FAN-OUT (TextOps.fanoutParts: sampled " +
-      "words/doc x estimated rows x 32B/row at 32MB targets) instead of " +
-      "input plan bytes - the r10 auto-sizing over-partitioned the 20M " +
-      "smoke ~4x past the tune's 512-part optimum; driver GC still runs " +
-      "between smoke passes (untimed) so stale shuffle files do not " +
-      "pile up (PackTune A/B at 20M: 27s pass1 -> 122s pass2 without)"
+      "pass-major (every stage measured once before any second pass), " +
+      "cheap-insurance-first order pagerank,cc,pack_emit,curate,pack," +
+      "remove_spans,pack_chunks,dup_spans (pagerank first: the first " +
+      "20M stage pays a residual ~2x first-execution warm-up even " +
+      "pre-sized, so the cheapest stage absorbs it) - pipe stages " +
+      "report min over " +
+      "passes (contention is one-sided noise), curate/pack report " +
+      "median; curate runs a 1M/10M pair (was 2M/20M; r9 measured 578s " +
+      "for curate@20M alone - same 10x linearity signal, half the " +
+      "cost); dup_spans/remove_spans size their corpus-global " +
+      "hash-window shuffle to the WINDOW FAN-OUT (TextOps.fanoutParts: " +
+      "sampled words/doc x estimated rows x 32B/row at 32MB targets) " +
+      "instead of input plan bytes - the r10 auto-sizing " +
+      "over-partitioned the 20M smoke ~4x past the tune's 512-part " +
+      "optimum (quiet ratios with it: remove_spans 133.6s/14.5s = 9.2x " +
+      "linear, auto within noise of the best forced config at both " +
+      "scales); the JVM heap is now PRE-SIZED (-Xms=-Xmx in build.sbt) " +
+      "because growing the heap tens of GB mid-pass costs repeated full " +
+      "GCs exactly once, on the first heavy execution - DupSpansTune " +
+      "A/B: first 20M pass 546.5s default vs 343.5s pre-sized, next " +
+      "pass 416.8s vs 153.4s - which is what made first-position 20M " +
+      "smoke readings (r10 remove_spans 425s) look super-linear on a " +
+      "linear plan; driver GC still runs between smoke passes (untimed) " +
+      "so stale shuffle files do not pile up (PackTune A/B at 20M: 27s " +
+      "pass1 -> 122s pass2 without)"
 
     @volatile var headlinePrinted = false
     def headlineJson(truncated: Boolean): String = {
@@ -480,12 +498,17 @@ object Bench {
           transform(split(col("text"), " "),
             w => pmod(hash(w), lit(30000)).cast("int")).as("token_ids"))
 
-        // ALL remaining smoke stages, unified and priority-ordered: the
-        // round-gating stages (curate/pack end-to-end — LOST in r10's
-        // killed run — and the r10 weak set remove_spans/pack_chunks) run
-        // before the established-linear ones, and the loop is pass-major:
-        // every stage gets its pass-1 measurement before any stage gets a
-        // second pass, so a budget stop costs repetitions, never coverage.
+        // ALL remaining smoke stages, unified and priority-ordered, and
+        // the loop is pass-major: every stage gets its pass-1 measurement
+        // before any stage gets a second pass, so a budget stop costs
+        // repetitions, never coverage. Order within a pass: the CHEAP
+        // established-linear stages first (pack_emit/cc/pagerank — ~150 s
+        // of insurance that cannot be starved by an expensive stage
+        // overrunning), then the round-gating end-to-end pairs (curate/
+        // pack — LOST in r10's killed run), then the expensive r10 weak
+        // set (remove_spans/pack_chunks/dup_spans) — if the budget dies
+        // mid-pass, the last casualties are the stages whose ratios other
+        // harness runs (DupSpansTune/PackTune) can re-establish.
         // `agg` picks the cross-pass estimator: min for the pipe stages
         // (box contention is one-sided noise — identical-config
         // pack_emit@2M single passes measured 6 s and 134 s the same
@@ -503,6 +526,34 @@ object Bench {
         }
         val lbl = Seq("2m" -> smokeRows / 10, "20m" -> smokeRows)
         val stages: Seq[Stage] = Seq(
+          // link-graph authority at scale: n/4 edges over n/40 nodes
+          // (avg degree 10), 3 power-iteration rounds = 6 shuffles + 3
+          // scalar dangling aggregates. FIRST deliberately: the first
+          // 20M-scale stage of a run absorbs a residual ~2x first-
+          // execution penalty even with the pre-sized heap (JIT + page-
+          // cache warm-up) — pagerank is the cheapest stage, so it is
+          // the cheapest place to pay that
+          Stage("pagerank", lbl, minOk, { n =>
+            val nodes = math.max(1L, n / 40)
+            val e = spark.range(n / 4).select(
+              (col("id") % nodes).as("src"),
+              ((col("id") * 31 + 7) % nodes).as("dst"))
+            operators.Graphs.pageRank(e, iters = 3)
+              .write.format("noop").mode("overwrite").save()
+          }),
+          Stage("cc_distributed", lbl, minOk, { n =>
+            operators.Dedup.connectedComponents(chainEdges(n), localThreshold = 0L)
+              .write.format("noop").mode("overwrite").save()
+          }),
+          // packed-sequence MATERIALIZATION — the payload (token ids)
+          // rides the shuffles: assignment is payload-free, then the ids
+          // move twice (seq_id join + ordered concat). 40 ids/doc → 800M
+          // ints at the 20M label.
+          Stage("pack_emit", lbl, minOk, { n =>
+            operators.Packing.emitPackedIds(tokenIds(n), budget = 2048,
+                buckets = 2048)
+              .write.format("noop").mode("overwrite").save()
+          }),
           Stage("curate", Seq("1m" -> smokeRows / 20, "10m" -> smokeRows / 2),
             medianOk, { n =>
               // synthetic vocab words land in lang_pred='und'; disable the
@@ -536,30 +587,6 @@ object Bench {
           // over 40-word docs → 33 hashed windows per doc
           Stage("dup_spans", lbl, minOk, { n =>
             operators.TextOps.dupSpans(synthDocs(n), n = 8)
-              .write.format("noop").mode("overwrite").save()
-          }),
-          // packed-sequence MATERIALIZATION — the payload (token ids)
-          // rides the shuffles: assignment is payload-free, then the ids
-          // move twice (seq_id join + ordered concat). 40 ids/doc → 800M
-          // ints at the 20M label.
-          Stage("pack_emit", lbl, minOk, { n =>
-            operators.Packing.emitPackedIds(tokenIds(n), budget = 2048,
-                buckets = 2048)
-              .write.format("noop").mode("overwrite").save()
-          }),
-          Stage("cc_distributed", lbl, minOk, { n =>
-            operators.Dedup.connectedComponents(chainEdges(n), localThreshold = 0L)
-              .write.format("noop").mode("overwrite").save()
-          }),
-          // link-graph authority at scale: n/4 edges over n/40 nodes
-          // (avg degree 10), 3 power-iteration rounds = 6 shuffles + 3
-          // scalar dangling aggregates
-          Stage("pagerank", lbl, minOk, { n =>
-            val nodes = math.max(1L, n / 40)
-            val e = spark.range(n / 4).select(
-              (col("id") % nodes).as("src"),
-              ((col("id") * 31 + 7) % nodes).as("dst"))
-            operators.Graphs.pageRank(e, iters = 3)
               .write.format("noop").mode("overwrite").save()
           }))
         val obs = scala.collection.mutable.Map[String, List[Double]]()

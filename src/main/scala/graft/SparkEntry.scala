@@ -1656,6 +1656,34 @@ object SparkEntry {
           ('http://d.com/anything',       false, 'FastBot')
         ) AS t(url, allowed, ua)""".stripMargin.trim)),
 
+    Q("q_crawl_delay",
+      // per-host politeness rate under RFC group election: own-UA group
+      // beats * even when its delay is the smaller one; several elected
+      // delays take the max (most conservative); non-numeric ignored; an
+      // elected group with no delay yields null; hosts with no
+      // applicable group are absent
+      (s, dir) => {
+        import s.implicits._
+        val rules = Seq(
+          ("a.com", "*", "crawl-delay", "2", 1),
+          ("a.com", "*", "disallow", "/x", 2),
+          ("b.com", "mybot", "crawl-delay", "5", 1),
+          ("b.com", "*", "crawl-delay", "1", 2),
+          ("c.com", "mybot", "disallow", "/y", 1), // elected, no delay
+          ("c.com", "*", "crawl-delay", "9", 2),
+          ("d.com", "otherbot", "crawl-delay", "4", 1), // no group for mybot
+          ("e.com", "*", "crawl-delay", "fast", 1), // non-numeric → null
+          ("f.com", "*", "crawl-delay", "1.5", 1),
+          ("f.com", "*", "crawl-delay", "3", 2))
+          .toDF("host", "user_agent", "directive", "value", "line_no")
+        operators.WebOps.crawlDelay(rules, "MyBot")
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          ('a.com', 2.0), ('b.com', 5.0), ('c.com', NULL),
+          ('e.com', NULL), ('f.com', 3.0)
+        ) AS t(host, crawl_delay)""".stripMargin.trim)),
+
     Q("q_sitemap",
       // sitemaps.org parsing over adversarial literal files: a urlset
       // with entity-escaped and CDATA locs, attribute-carrying tags,

@@ -285,6 +285,36 @@ object WebOps {
       .unionByName(sitemaps)
   }
 
+  /** Effective per-host crawl delay for a user agent over [[parseRobots]]
+    * output — the politeness-rate half of the frontier decision
+    * ([[robotsAllowed]] is the permission half, sharing the same group
+    * election: own-UA groups beat `*`, elected over ALL directives).
+    * Among the elected groups' `crawl-delay` rows, the MAXIMUM numeric
+    * value wins (when a host declares several, the most conservative
+    * delay is the polite read); non-numeric values are ignored. Output:
+    * one row per host that HAS an elected group — (keyCol, crawl_delay),
+    * `crawl_delay` null when the elected group declares none (allow-all
+    * pace; hosts absent from the output have no applicable group at
+    * all). One KB-per-host aggregation, broadcastable downstream. */
+  def crawlDelay(
+      rules: DataFrame,
+      userAgent: String,
+      keyCol: String = "host"): DataFrame = {
+    val ua = userAgent.toLowerCase
+    rules.filter(lower(col("user_agent")) === ua || col("user_agent") === "*")
+      .withColumn("__sp", (lower(col("user_agent")) === ua).cast("int"))
+      .groupBy(col(keyCol))
+      .agg(max(col("__sp")).as("__best"),
+        collect_list(struct(col("__sp").as("sp"),
+          col("directive").as("dir"), col("value").as("v"))).as("__all"))
+      .select(col(keyCol),
+        array_max(transform(
+          filter(col("__all"), r => r("sp") === col("__best") &&
+            r("dir") === "crawl-delay" &&
+            r("v").rlike("^[0-9]+(\\.[0-9]+)?$")),
+          r => r("v").cast("double"))).as("crawl_delay"))
+  }
+
   /** RFC 9309 rule path → portable regex: literal chars escaped, `*`
     * expands to `.*`, a TRAILING `$` anchors the end of the path (a
     * mid-pattern `$` is literal). The result is `^`-anchored, unanchored
