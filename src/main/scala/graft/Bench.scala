@@ -330,7 +330,8 @@ object Bench {
       "q_remove_dup_spans", "q_shard_manifest", "q_hybrid_topk",
       "q_dedup_sig_pairs_simhash_incr", "q_embed_pq", "q_mixture_epochs",
       "q_warc_ingest", "q_interleave", "q_dedup_paragraphs", "q_byte_proxy",
-      "q_join_interval", "q_embed_project", "q_domain_psl", "q_sitemap")
+      "q_join_interval", "q_embed_project", "q_domain_psl", "q_sitemap",
+      "q_crawl_delay", "q_gate_report")
     val headline = benchOnly match {
       case Some(ps) => headline0.filter(n => ps.exists(n.startsWith))
       case None     => headline0

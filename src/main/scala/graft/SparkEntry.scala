@@ -1306,6 +1306,67 @@ object SparkEntry {
           SELECT src FROM (SELECT src, least(src, min(dst)) AS comp FROM reach GROUP BY src)
           WHERE src <> comp)""".stripMargin.trim)),
 
+    Q("q_gate_report",
+      // curation-funnel audit: independent per-gate pass counts (language
+      // / quality / token bounds) plus the conjunction, one analyze scan
+      // + one single-row agg unpivoted; the oracle replays the analyze
+      // kernels (same CTE as q_curate) and aggregates independently
+      (s, dir) => operators.Curation.gateReport(
+        Tables.load(s, dir)("documents")),
+      Some("""
+        WITH b AS (
+          SELECT doc_id, text,
+            CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS token_count,
+            length(text) AS n,
+            length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS npunct,
+            length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS nalpha,
+            ' ' || lower(text) || ' ' AS padded
+          FROM documents
+        ), h AS (
+          SELECT *,
+            len(regexp_extract_all(padded, ' (the|and|is|of|to|that|with) ')) AS en,
+            len(regexp_extract_all(padded, ' (der|die|das|und|ist|nicht|mit) ')) AS de,
+            len(regexp_extract_all(padded, ' (le|la|les|et|est|dans|pour) ')) AS fr,
+            len(regexp_extract_all(padded, ' (el|los|las|es|en|que|por) ')) AS es,
+            length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS zh,
+            length(regexp_replace(text, '[^\x{0400}-\x{04ff}]', '', 'g')) AS ru,
+            length(regexp_replace(text, '[^\x{0600}-\x{06ff}]', '', 'g')) AS ar,
+            length(regexp_replace(text, '[^\x{ac00}-\x{d7af}]', '', 'g')) AS ko,
+            length(regexp_replace(text, '[^\x{3040}-\x{30ff}]', '', 'g')) AS ja,
+            length(regexp_replace(text, '[^\x{0900}-\x{097f}]', '', 'g')) AS hi
+          FROM b
+        ), a AS (
+          SELECT doc_id, token_count,
+            round((CASE WHEN n BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.3 END) * 0.4 +
+                  (CASE WHEN (CASE WHEN n = 0 THEN 0 ELSE npunct::DOUBLE / n END) < 0.2 THEN 1.0 ELSE 0.4 END) * 0.3 +
+                  (CASE WHEN (CASE WHEN n = 0 THEN 0 ELSE nalpha::DOUBLE / n END) > 0.5 THEN 1.0 ELSE 0.5 END) * 0.3, 4) AS quality,
+            CASE WHEN greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) = 0 THEN 'und'
+                 WHEN ja = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'ja'
+                 WHEN zh = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'zh'
+                 WHEN ru = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'ru'
+                 WHEN ar = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'ar'
+                 WHEN ko = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'ko'
+                 WHEN hi = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'hi'
+                 WHEN en = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'en'
+                 WHEN de = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'de'
+                 WHEN fr = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'fr'
+                 ELSE 'es' END AS lang_pred
+          FROM h
+        ), g AS (
+          SELECT count(*) AS total,
+            sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END) AS lang_p,
+            sum(CASE WHEN quality >= 0.7 THEN 1 ELSE 0 END) AS q_p,
+            sum(CASE WHEN token_count BETWEEN 5 AND 100000 THEN 1 ELSE 0 END) AS t_p,
+            sum(CASE WHEN lang_pred = 'en' AND quality >= 0.7
+                      AND token_count BETWEEN 5 AND 100000 THEN 1 ELSE 0 END) AS all_p
+          FROM a)
+        SELECT 'total' AS gate, CAST(total AS BIGINT) AS pass_docs,
+          round(1.0, 6) AS pass_frac FROM g
+        UNION ALL SELECT 'language', CAST(lang_p AS BIGINT), round(lang_p::DOUBLE / total, 6) FROM g
+        UNION ALL SELECT 'quality', CAST(q_p AS BIGINT), round(q_p::DOUBLE / total, 6) FROM g
+        UNION ALL SELECT 'tokens', CAST(t_p AS BIGINT), round(t_p::DOUBLE / total, 6) FROM g
+        UNION ALL SELECT 'all', CAST(all_p AS BIGINT), round(all_p::DOUBLE / total, 6) FROM g""".stripMargin.trim)),
+
     // --- LLM-pipeline operators: deterministic sampling -------------------
     // (membership depends only on the row's key hash — reproducible across
     // reshards, exactly replayable by the DuckDB oracle via md5)

@@ -59,6 +59,54 @@ object Curation {
     kept
   }
 
+  /** Curation-funnel audit — the per-gate report every pipeline owner
+    * reads before trusting [[curate]]'s output: for each filter gate
+    * (language, quality, token bounds), how many documents pass it
+    * INDEPENDENTLY, plus the conjunction (what the filter stage of
+    * [[curate]] keeps, before dedup). Independent per-gate counts
+    * localize which gate is eating the corpus — a conjunctive survivor
+    * count alone can't distinguish "quality floor too high" from
+    * "language ID misfiring".
+    *
+    * One [[TextOps.analyze]] scan + ONE single-row aggregation (all
+    * gates as conditional sums in the same pass), unpivoted to a
+    * 5-row report — at 100 TB this is exactly one pass over the text.
+    *
+    * @return (gate, pass_docs, pass_frac) rows in funnel order:
+    *         total, language, quality, tokens, all; `pass_frac` is
+    *         pass_docs/total rounded to 6 digits (null on an empty
+    *         corpus) */
+  def gateReport(
+      docs: DataFrame,
+      langs: Seq[String] = Seq("en"),
+      minQuality: Double = 0.7,
+      minTokens: Int = 5,
+      maxTokens: Int = 100000,
+      textCol: String = "text"): DataFrame = {
+    val flags = TextOps.analyze(docs, textCol).select(
+      col("lang_pred").isin(langs: _*).as("__lang"),
+      (col("quality") >= minQuality).as("__q"),
+      col("token_count").between(minTokens, maxTokens).as("__t"))
+    def passing(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val agg = flags.agg(
+      count(lit(1)).as("__total"),
+      passing(col("__lang")).as("__lang_p"),
+      passing(col("__q")).as("__q_p"),
+      passing(col("__t")).as("__t_p"),
+      passing(col("__lang") && col("__q") && col("__t")).as("__all_p"))
+    def gateRow(name: String, pass: Column) = struct(
+      lit(name).as("gate"), pass.as("pass_docs"),
+      when(col("__total") > 0, round(pass / col("__total"), 6))
+        .as("pass_frac"))
+    agg.select(explode(array(
+        gateRow("total", col("__total")),
+        gateRow("language", col("__lang_p")),
+        gateRow("quality", col("__q_p")),
+        gateRow("tokens", col("__t_p")),
+        gateRow("all", col("__all_p")))).as("__g"))
+      .select(col("__g.gate"), col("__g.pass_docs"), col("__g.pass_frac"))
+  }
+
   /** [[curate]] from raw crawl HTML — the README front door as one call:
     * [[HtmlOps.htmlStats]] extraction, the link-density boilerplate gate,
     * optional canonical-URL exact dedup (when `urlCol` is present — the
