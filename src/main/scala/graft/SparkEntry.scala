@@ -1504,6 +1504,55 @@ object SparkEntry {
           AND flag_bullet_ratio AND flag_stopwords AND flag_repetition AS gopher_keep
         FROM f""".stripMargin.trim)),
 
+    Q("q_redaction_report",
+      // corpus PII audit over the same planted strings as q_redact:
+      // per-type match totals and affected-doc counts, counted in
+      // redact's sequential masking order (emails masked before phone
+      // counting, so the digits inside them never double-count)
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = Tables.load(s, dir)("documents")
+        val synth = concat(col("text"),
+          lit(" reach user"), col("doc_id"), lit("@mail.example.com"),
+          lit(" or +1 (555) 01"), pmod(col("doc_id"), lit(100)),
+          lit(" ip 10.2."), pmod(col("doc_id"), lit(256)), lit(".9"),
+          lit(" id 123-45-6789"))
+        operators.TextOps.redactionReport(
+          d.select(col("doc_id"), synth.as("text")))
+      },
+      Some("""
+        WITH s AS (
+          SELECT concat(text, ' reach user', doc_id::VARCHAR, '@mail.example.com',
+            ' or +1 (555) 01', (doc_id % 100)::VARCHAR,
+            ' ip 10.2.', (doc_id % 256)::VARCHAR, '.9',
+            ' id 123-45-6789') AS t
+          FROM documents
+        ), m AS (
+          SELECT t,
+            regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+          FROM s
+        ), m2 AS (
+          SELECT t, t1, regexp_replace(t1, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<ID>', 'g') AS t2 FROM m
+        ), m3 AS (
+          SELECT t, t1, t2,
+            regexp_replace(t2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS t3
+          FROM m2
+        ), c AS (
+          SELECT
+            len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS e,
+            len(regexp_extract_all(t1, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS s_,
+            len(regexp_extract_all(t2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS i,
+            len(regexp_extract_all(t3, '\+?[0-9][0-9()./ -]{6,}[0-9]')) AS p
+          FROM m3)
+        SELECT 'email' AS pii_type, CAST(sum(e) AS BIGINT) AS matches,
+          CAST(sum(CASE WHEN e > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs FROM c
+        UNION ALL SELECT 'id', CAST(sum(s_) AS BIGINT),
+          CAST(sum(CASE WHEN s_ > 0 THEN 1 ELSE 0 END) AS BIGINT) FROM c
+        UNION ALL SELECT 'ip', CAST(sum(i) AS BIGINT),
+          CAST(sum(CASE WHEN i > 0 THEN 1 ELSE 0 END) AS BIGINT) FROM c
+        UNION ALL SELECT 'phone', CAST(sum(p) AS BIGINT),
+          CAST(sum(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS BIGINT) FROM c""".stripMargin.trim)),
+
     Q("q_redact",
       // PII redaction; the synthetic corpus carries no PII, so the query
       // plants deterministic email/phone/IP/SSN strings first — both

@@ -417,6 +417,51 @@ object TextOps {
     regexp_replace(ip, "\\+?[0-9][0-9()./ -]{6,}[0-9]", "<PHONE>")
   }
 
+  /** Corpus PII audit — the release-gate report for [[redact]]: per PII
+    * type (email, id, ip, phone), total match count and number of
+    * documents affected. Counting applies the SAME sequential masking
+    * order as [[redact]] (email → id → ip → phone, each type counted on
+    * text with the earlier types already masked), so the report
+    * describes exactly the replacements redact would make — digits
+    * inside an email are never double-counted as a phone.
+    *
+    * One scan (four codegen'd regexp_count chains) + ONE single-row
+    * aggregation, unpivoted to the 4-row report; at 100 TB this is one
+    * pass over the text, no shuffle beyond the 1-row partial agg.
+    *
+    * @return (pii_type, matches, docs) in masking order */
+  def redactionReport(
+      docs: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ssnRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+    val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val phoneRe = "\\+?[0-9][0-9()./ -]{6,}[0-9]"
+    val t0 = coalesce(col(textCol), lit(""))
+    val t1 = regexp_replace(t0, emailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, ssnRe, "<ID>")
+    val t3 = regexp_replace(t2, ipRe, "<IP>")
+    val counted = docs.select(
+      regexp_count(t0, lit(emailRe)).as("__e"),
+      regexp_count(t1, lit(ssnRe)).as("__s"),
+      regexp_count(t2, lit(ipRe)).as("__i"),
+      regexp_count(t3, lit(phoneRe)).as("__p"))
+    val agg = counted.agg(
+      sum(col("__e")).as("__et"), sum(when(col("__e") > 0, 1L).otherwise(0L)).as("__ed"),
+      sum(col("__s")).as("__st"), sum(when(col("__s") > 0, 1L).otherwise(0L)).as("__sd"),
+      sum(col("__i")).as("__it"), sum(when(col("__i") > 0, 1L).otherwise(0L)).as("__id"),
+      sum(col("__p")).as("__pt"), sum(when(col("__p") > 0, 1L).otherwise(0L)).as("__pd"))
+    def row(name: String, total: Column, docsC: Column) = struct(
+      lit(name).as("pii_type"), coalesce(total, lit(0L)).as("matches"),
+      coalesce(docsC, lit(0L)).as("docs"))
+    agg.select(explode(array(
+        row("email", col("__et"), col("__ed")),
+        row("id", col("__st"), col("__sd")),
+        row("ip", col("__it"), col("__id")),
+        row("phone", col("__pt"), col("__pd")))).as("__r"))
+      .select(col("__r.pii_type"), col("__r.matches"), col("__r.docs"))
+  }
+
   // ----------------------------------------------------- encoding hygiene
 
   /** Encoding-artifact counters and keep flag — the "was this document
