@@ -331,7 +331,8 @@ object Bench {
       "q_dedup_sig_pairs_simhash_incr", "q_embed_pq", "q_mixture_epochs",
       "q_warc_ingest", "q_interleave", "q_dedup_paragraphs", "q_byte_proxy",
       "q_join_interval", "q_embed_project", "q_domain_psl", "q_sitemap",
-      "q_crawl_delay", "q_gate_report", "q_redaction_report")
+      "q_crawl_delay", "q_gate_report", "q_redaction_report",
+      "q_frontier_schedule")
     val headline = benchOnly match {
       case Some(ps) => headline0.filter(n => ps.exists(n.startsWith))
       case None     => headline0

@@ -1794,6 +1794,36 @@ object SparkEntry {
           ('e.com', NULL), ('f.com', 3.0)
         ) AS t(host, crawl_delay)""".stripMargin.trim)),
 
+    Q("q_frontier_schedule",
+      // politeness-scheduled frontier: robots decision + elected
+      // crawl-delay composed into per-host fetch slots — allowed URLs
+      // rank within their host in URL order and offset by (seq-1)*delay,
+      // hosts without a declared delay pace at the default, disallowed
+      // and malformed URLs stay unscheduled; the oracle is the
+      // hand-computed slot table
+      (s, dir) => {
+        import s.implicits._
+        val rules = Seq(
+          ("a.com", "*", "crawl-delay", "2", 1),
+          ("a.com", "*", "disallow", "/private/", 2))
+          .toDF("host", "user_agent", "directive", "value", "line_no")
+        val frontier = Seq(
+          "http://a.com/a", "http://a.com/b", "http://a.com/private/x",
+          "http://a.com/z", "http://b.com/q", "http://b.com/r",
+          "not a url").toDF("url")
+        operators.WebOps.frontierSchedule(frontier, rules, "mybot")
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          ('http://a.com/a',         true,  2.0, 1,    0.0),
+          ('http://a.com/b',         true,  2.0, 2,    2.0),
+          ('http://a.com/private/x', false, 2.0, NULL, NULL),
+          ('http://a.com/z',         true,  2.0, 3,    4.0),
+          ('http://b.com/q',         true,  1.0, 1,    0.0),
+          ('http://b.com/r',         true,  1.0, 2,    1.0),
+          ('not a url',              true,  1.0, NULL, NULL)
+        ) AS t(url, allowed, crawl_delay, fetch_seq, fetch_offset_sec)""".stripMargin.trim)),
+
     Q("q_sitemap",
       // sitemaps.org parsing over adversarial literal files: a urlset
       // with entity-escaped and CDATA locs, attribute-carrying tags,

@@ -315,6 +315,45 @@ object WebOps {
           r => r("v").cast("double"))).as("crawl_delay"))
   }
 
+  /** Politeness-scheduled frontier — [[robotsAllowed]] and [[crawlDelay]]
+    * composed into per-host fetch slots: every allowed URL gets a
+    * deterministic 1-based `fetch_seq` within its host (URL-string
+    * order) and `fetch_offset_sec = (fetch_seq - 1) × delay`, where the
+    * delay is the host's elected crawl-delay or `defaultDelay` when the
+    * host declares none. Disallowed and host-less (malformed) URLs keep
+    * null seq/offset. A fetcher that dispatches URL u no earlier than
+    * `t0 + fetch_offset_sec` never exceeds any host's requested rate.
+    *
+    * Shape at scale: the allow decision and the delay both come from
+    * broadcast KB-sized rule tables (no frontier shuffle); the slot
+    * assignment is the ONE inherent shuffle of politeness scheduling —
+    * per-host ordering — keyed on the host, slim frontier rows only. */
+  def frontierSchedule(
+      urls: DataFrame,
+      rules: DataFrame,
+      userAgent: String,
+      urlCol: String = "url",
+      keyCol: String = "host",
+      defaultDelay: Double = 1.0): DataFrame = {
+    require(defaultDelay >= 0, "defaultDelay must be non-negative")
+    import org.apache.spark.sql.expressions.Window
+    val delays = crawlDelay(rules, userAgent, keyCol)
+      .withColumnRenamed(keyCol, "__dhost")
+    val w = Window.partitionBy(col("__shost"), col("allowed"))
+      .orderBy(col(urlCol))
+    robotsAllowed(urls, rules, userAgent, urlCol, keyCol)
+      .withColumn("__shost", host(col(urlCol)))
+      .join(broadcast(delays), col("__shost") === col("__dhost"), "left")
+      .withColumn("crawl_delay",
+        coalesce(col("crawl_delay"), lit(defaultDelay)))
+      .withColumn("fetch_seq",
+        when(col("allowed") && col("__shost").isNotNull,
+          row_number().over(w)))
+      .withColumn("fetch_offset_sec",
+        (col("fetch_seq") - 1) * col("crawl_delay"))
+      .drop("__shost", "__dhost")
+  }
+
   /** RFC 9309 rule path → portable regex: literal chars escaped, `*`
     * expands to `.*`, a TRAILING `$` anchors the end of the path (a
     * mid-pattern `$` is literal). The result is `^`-anchored, unanchored

@@ -1115,6 +1115,18 @@ class OperatorsSpec extends AnyFunSuite {
       s"frontier-side hash exchange found: $exchanges\n$plan")
   }
 
+  test("registeredDomainPsl never shuffles the corpus (broadcast PSL plan)") {
+    val psl = Seq("com", "co.uk").toDF("suffix")
+    val urls = Seq("http://a.example.com/x").toDF("url")
+    val plan = WebOps.registeredDomainPsl(urls, psl)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val exchanges = "Exchange hashpartitioning\\(([a-zA-Z_#0-9]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(exchanges.forall(_.startsWith("__ptld")),
+      s"corpus-side hash exchange found: $exchanges\n$plan")
+  }
+
   test("registeredDomainPsl: PSL semantics with builtin fallback") {
     val psl = Seq("com", "io", "github.io", "ck", "*.ck", "!www.ck")
       .toDF("suffix")
