@@ -332,7 +332,7 @@ object Bench {
       "q_warc_ingest", "q_interleave", "q_dedup_paragraphs", "q_byte_proxy",
       "q_join_interval", "q_embed_project", "q_domain_psl", "q_sitemap",
       "q_crawl_delay", "q_gate_report", "q_redaction_report",
-      "q_frontier_schedule")
+      "q_frontier_schedule", "q_markdown")
     val headline = benchOnly match {
       case Some(ps) => headline0.filter(n => ps.exists(n.startsWith))
       case None     => headline0

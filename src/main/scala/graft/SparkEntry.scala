@@ -1898,6 +1898,74 @@ object SparkEntry {
           ('not a url',                    NULL)
         ) AS t(url, registered_domain)""".stripMargin.trim)),
 
+    Q("q_markdown",
+      // markdown → visible text (README/docs/issue corpora): fences drop,
+      // links/images/autolinks reduce to their text, headers/quotes/
+      // bullets/tables/setext strip, emphasis unwraps — synthesized
+      // markdown wraps every document so both engines extract the same
+      // bytes; the DuckDB oracle replays the RE2-portable chain verbatim
+      // (hand-computed expectations live in the spec)
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = Tables.load(s, dir)("documents")
+        val md = concat(lit("# Doc "), col("doc_id"),
+          lit("\n\n**intro** with *star* and [link "), col("doc_id"),
+          lit("](http://ex.com/"), col("doc_id"),
+          lit(") plus ![alt "), col("doc_id"),
+          lit("](i.png) and <http://auto.ex> and `code()`\n\n```\nfenced "),
+          col("doc_id"),
+          lit("\n```\n\n- bullet one\n2. bullet two\n\n| a | b"), col("doc_id"),
+          lit(" |\n| --- | --- |\n\n> quote _q_\n\nSetext\n===\ntail "),
+          substring(col("text"), 1, 40))
+        d.select(col("doc_id"),
+          operators.TextOps.markdownToText(md).as("clean"))
+      },
+      Some("""
+        WITH s0 AS (
+          SELECT doc_id,
+            '# Doc ' || doc_id::VARCHAR || chr(10) || chr(10) ||
+            '**intro** with *star* and [link ' || doc_id::VARCHAR ||
+            '](http://ex.com/' || doc_id::VARCHAR ||
+            ') plus ![alt ' || doc_id::VARCHAR ||
+            '](i.png) and <http://auto.ex> and `code()`' || chr(10) || chr(10) ||
+            '```' || chr(10) || 'fenced ' || doc_id::VARCHAR || chr(10) ||
+            '```' || chr(10) || chr(10) ||
+            '- bullet one' || chr(10) || '2. bullet two' || chr(10) || chr(10) ||
+            '| a | b' || doc_id::VARCHAR || ' |' || chr(10) ||
+            '| --- | --- |' || chr(10) || chr(10) ||
+            '> quote _q_' || chr(10) || chr(10) ||
+            'Setext' || chr(10) || '===' || chr(10) || 'tail ' || substr(text, 1, 40) AS t
+          FROM documents
+        ), s1 AS (
+          SELECT doc_id, regexp_replace(t, '(?s)```.*?(```|$)', ' ', 'g') AS t FROM s0
+        ), s2 AS (
+          SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+            '!\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
+            '\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
+            '\[([^\]]*)\]\[[^\]]*\]', '\1', 'g'),
+            '<(https?://[^>]*)>', '\1', 'g'),
+            '`([^`]*)`', '\1', 'g') AS t FROM s1
+        ), s3 AS (
+          SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+            '(?m)^[ \t]{0,3}#{1,6}[ \t]+', '', 'g'),
+            '(?m)^[ \t]{0,3}(=+|-{3,})[ \t]*$', '', 'g'),
+            '(?m)^[ \t]*>[ \t]?', '', 'g'),
+            '(?m)^[ \t]*([-*+]|[0-9]+\.)[ \t]+', '', 'g') AS t FROM s2
+        ), s4 AS (
+          SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+            '\*\*([^*]+)\*\*', '\1', 'g'),
+            '__([^_]+)__', '\1', 'g'),
+            '~~([^~]+)~~', '\1', 'g'),
+            '\*([^*\n]+)\*', '\1', 'g'),
+            '(?m)(^|[^A-Za-z0-9])_([^_\n]+)_($|[^A-Za-z0-9])', '\1\2\3', 'g') AS t FROM s3
+        ), s5 AS (
+          SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t,
+            '(?m)^[|:* \t-]+$', '', 'g'),
+            '[ \t]*\|[ \t]*', ' ', 'g'),
+            '[ \t]+', ' ', 'g') AS t FROM s4
+        )
+        SELECT doc_id, regexp_replace(t, '^\s+|\s+$', '', 'g') AS clean FROM s5""".stripMargin.trim)),
+
     Q("q_text_hygiene",
       // NFC + invisible-strip + de-hyphenation over documents plus
       // adversarial rows (decomposed accents, zero-width chars, soft

@@ -417,6 +417,54 @@ object TextOps {
     regexp_replace(ip, "\\+?[0-9][0-9()./ -]{6,}[0-9]", "<PHONE>")
   }
 
+  /** Markdown → visible text at scan speed — the extraction step for
+    * README/docs/issue corpora (the markdown sibling of
+    * [[HtmlOps.extractText]]): fenced code blocks drop whole (code is a
+    * different modality — keep it by NOT calling this), inline code
+    * keeps its content without backticks, images reduce to their alt
+    * text, links to their anchor text (reference-style `[t][ref]` and
+    * autolink `<http://u>` included), ATX `#` prefixes / blockquote `>`
+    * markers / list bullets / horizontal rules strip, emphasis markers
+    * (`**` `__` `*` `_` `~~`) unwrap, and setext underlines (`===`/
+    * `---` lines) drop. Table pipes become spaces so cell text
+    * survives. Pure RE2-portable regexp_replace chain — codegen'd, zero
+    * shuffle, oracle-replayable verbatim.
+    *
+    * Deliberately NOT a full CommonMark parser (nested emphasis
+    * edge-cases, HTML blocks, lazy continuations): corpus extraction
+    * wants the 99% of real markdown bytes, at scan speed, with
+    * deterministic cross-engine replay. */
+  def markdownToText(md: Column): Column = {
+    val noFence = regexp_replace(md, "(?s)```.*?(```|$)", " ")
+    val noImg = regexp_replace(noFence, "!\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val noLink = regexp_replace(noImg, "\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val noRef = regexp_replace(noLink, "\\[([^\\]]*)\\]\\[[^\\]]*\\]", "$1")
+    val noAuto = regexp_replace(noRef, "<(https?://[^>]*)>", "$1")
+    val noCode = regexp_replace(noAuto, "`([^`]*)`", "$1")
+    val noHead = regexp_replace(noCode, "(?m)^[ \\t]{0,3}#{1,6}[ \\t]+", "")
+    val noSetext = regexp_replace(noHead, "(?m)^[ \\t]{0,3}(=+|-{3,})[ \\t]*$", "")
+    val noQuote = regexp_replace(noSetext, "(?m)^[ \\t]*>[ \\t]?", "")
+    val noBullet = regexp_replace(noQuote,
+      "(?m)^[ \\t]*([-*+]|[0-9]+\\.)[ \\t]+", "")
+    // emphasis unwrapping stays inside the RE2 subset: no backreferences,
+    // no lookaround — bold/strike as literal pairs, italic-underscore only
+    // between non-word chars so snake_case identifiers survive
+    val noBold = regexp_replace(noBullet, "\\*\\*([^*]+)\\*\\*", "$1")
+    val noBoldU = regexp_replace(noBold, "__([^_]+)__", "$1")
+    val noStrike = regexp_replace(noBoldU, "~~([^~]+)~~", "$1")
+    val noItal = regexp_replace(noStrike, "\\*([^*\\n]+)\\*", "$1")
+    val noItalU = regexp_replace(noItal,
+      "(?m)(^|[^A-Za-z0-9])_([^_\\n]+)_($|[^A-Za-z0-9])", "$1$2$3")
+    // table separator rows (| --- | :-: |) and horizontal rules (---, ***,
+    // * * *): lines of only pipes/dashes/colons/asterisks/blanks drop
+    val noTableSep = regexp_replace(noItalU, "(?m)^[|:* \\t-]+$", "")
+    val noPipe = regexp_replace(noTableSep, "[ \\t]*\\|[ \\t]*", " ")
+    // collapse runs of blanks; strip leading/trailing whitespace INCLUDING
+    // newlines (trim() is spaces-only)
+    regexp_replace(regexp_replace(noPipe, "[ \\t]+", " "),
+      "^\\s+|\\s+$", "")
+  }
+
   /** Corpus PII audit — the release-gate report for [[redact]]: per PII
     * type (email, id, ip, phone), total match count and number of
     * documents affected. Counting applies the SAME sequential masking

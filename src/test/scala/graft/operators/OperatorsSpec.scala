@@ -1144,6 +1144,25 @@ class OperatorsSpec extends AnyFunSuite {
       "http://x.example.zz/unlisted-tld" -> "example.zz"), got) // fallback
   }
 
+  test("markdownToText: hand-computed extraction over adversarial markdown") {
+    def x(md: String): String =
+      Seq(md).toDF("t").select(TextOps.markdownToText(col("t")).as("c"))
+        .head.getString(0)
+    assert(x("# Title\nbody") == "Title\nbody")
+    assert(x("**bold** and *ital* and ~~gone~~") == "bold and ital and gone")
+    assert(x("a _em_ b") == "a em b")
+    assert(x("snake_case stays_intact here") == "snake_case stays_intact here")
+    assert(x("[text](http://u) ![alt](i.png) [r][1] <http://auto>") ==
+      "text alt r http://auto")
+    assert(x("`code()` inline") == "code() inline")
+    assert(x("before\n```scala\nval x = 1\n```\nafter") == "before\n\nafter")
+    assert(x("unclosed\n```\nrest is code") == "unclosed") // fence to EOF
+    assert(x("> quoted\n>> nested") == "quoted\n> nested")
+    assert(x("- one\n* two\n3. three") == "one\ntwo\nthree")
+    assert(x("| a | b |\n| --- | --- |\n| c | d |") == "a b \n\n c d")
+    assert(x("Setext\n===\n---") == "Setext")
+  }
+
   test("text hygiene: NFC unifies byte-distinct lookalikes; cleanups are surgical") {
     val r = Seq(
       ("cafe\u0301", "caf\u00e9"), // decomposed vs composed
