@@ -21,7 +21,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * was contention-inflated (rule_filter 5.46 s vs 0.13 s quiet). Three
   * structural fixes:
   *   1. a soft wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default
-  *      1500 s): once exceeded, remaining smoke stages/passes are
+  *      2000 s — the measured full pass-1 cost plus margin): once
+  *      exceeded, remaining smoke stages/passes are
   *      SKIPPED and named in a `skipped` list, with `truncated: true`
   *      on the artifact — a truncated-but-honest artifact beats a
   *      killed one;
@@ -332,7 +333,7 @@ object Bench {
       "q_warc_ingest", "q_interleave", "q_dedup_paragraphs", "q_byte_proxy",
       "q_join_interval", "q_embed_project", "q_domain_psl", "q_sitemap",
       "q_crawl_delay", "q_gate_report", "q_redaction_report",
-      "q_frontier_schedule", "q_markdown")
+      "q_frontier_schedule", "q_markdown", "q_code_flags")
     val headline = benchOnly match {
       case Some(ps) => headline0.filter(n => ps.exists(n.startsWith))
       case None     => headline0

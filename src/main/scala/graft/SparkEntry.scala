@@ -1898,6 +1898,54 @@ object SparkEntry {
           ('not a url',                    NULL)
         ) AS t(url, registered_domain)""".stripMargin.trim)),
 
+    Q("q_code_flags",
+      // code-vs-prose router signals over documents plus planted code
+      // rows (python def/indent, C-style braces+semicolons, plain
+      // prose): line-signature fraction, symbol density, and the
+      // flag_code decision; the oracle replays the line filter and
+      // counts in DuckDB
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        import s.implicits._
+        val extra = Seq(
+          (1000001L, "def main():\n    print('hi')\n    return 0"),
+          (1000002L, "short prose line\nanother line of plain text"),
+          (1000003L, "int x = 1;\nif (x) {\n  y();\n}"))
+          .toDF("doc_id", "text")
+        val d = Tables.load(s, dir)("documents")
+          .select(col("doc_id"), col("text")).unionByName(extra)
+        operators.TextOps.codeFlags(d)
+          .select("doc_id", "n_lines", "code_line_frac", "symbol_frac",
+            "flag_code")
+      },
+      Some("""
+        WITH docs2 AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT 1000001, 'def main():' || chr(10) ||
+            '    print(''hi'')' || chr(10) || '    return 0'
+          UNION ALL SELECT 1000002, 'short prose line' || chr(10) ||
+            'another line of plain text'
+          UNION ALL SELECT 1000003, 'int x = 1;' || chr(10) ||
+            'if (x) {' || chr(10) || '  y();' || chr(10) || '}'
+        ), d AS (
+          SELECT doc_id, text,
+            list_filter(string_split(coalesce(text, ''), chr(10)),
+              l -> trim(l) <> '') AS ls
+          FROM docs2
+        ), c AS (
+          SELECT doc_id, text, len(ls) AS nl,
+            len(list_filter(ls, l -> regexp_matches(l,
+              '^( {4,}|\t)|[;{}][ \t]*$|^[ \t]*(def |class |import |from |#include|function |var |let |const |public |private |return |if \(|for \(|while \()')))
+              AS ncode
+          FROM d)
+        SELECT doc_id, CAST(nl AS BIGINT) AS n_lines,
+          CASE WHEN nl > 0 THEN round(ncode::DOUBLE / nl, 6) ELSE 0.0 END AS code_line_frac,
+          CASE WHEN length(text) > 0
+               THEN round(len(regexp_extract_all(text, '[{}();=<>\[\]]'))::DOUBLE / length(text), 6)
+               ELSE 0.0 END AS symbol_frac,
+          (code_line_frac >= 0.3 OR symbol_frac >= 0.05) AS flag_code
+        FROM c""".stripMargin.trim)),
+
     Q("q_markdown",
       // markdown → visible text (README/docs/issue corpora): fences drop,
       // links/images/autolinks reduce to their text, headers/quotes/

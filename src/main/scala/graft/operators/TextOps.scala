@@ -417,6 +417,48 @@ object TextOps {
     regexp_replace(ip, "\\+?[0-9][0-9()./ -]{6,}[0-9]", "<PHONE>")
   }
 
+  /** Code-vs-prose signals — the router a mixed web/docs corpus needs
+    * before language-specific filtering (prose quality scores garbage-
+    * rate source code; code pipelines don't want prose): per document,
+    * at scan speed,
+    *
+    *   - `n_lines` — non-blank lines
+    *   - `code_line_frac` — fraction of non-blank lines bearing a code
+    *     signature (4+-space or tab indent; trailing `;`/`{`/`}`; a
+    *     leading declaration keyword across the mainstream languages)
+    *   - `symbol_frac` — `{}();=<>[]` characters per character
+    *   - `flag_code` — the router decision:
+    *     `code_line_frac ≥ minCodeLines` OR `symbol_frac ≥ minSymbols`
+    *
+    * Pure array/regex Column expressions (RE2-portable, zero shuffle);
+    * fractions round to 6dp. Heuristic by design — a trained classifier
+    * ([[hashedNgramFeatures]] + [[graft.operators.Fit.fitLogistic]])
+    * beats it when labels exist; this is the label-free default. */
+  def codeFlags(
+      docs: DataFrame,
+      textCol: String = "text",
+      minCodeLines: Double = 0.3,
+      minSymbols: Double = 0.05): DataFrame = {
+    val codeRe = "^( {4,}|\\t)|[;{}][ \\t]*$|" +
+      "^[ \\t]*(def |class |import |from |#include|function |var |let " +
+      "|const |public |private |return |if \\(|for \\(|while \\()"
+    val lines = filter(split(coalesce(col(textCol), lit("")), "\n"),
+      l => trim(l) =!= "")
+    val codeLines = filter(lines, l => l.rlike(codeRe))
+    val symbols = regexp_count(col(textCol), lit("[{}();=<>\\[\\]]"))
+    docs
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("code_line_frac",
+        when(col("n_lines") > 0,
+          round(size(codeLines) / col("n_lines"), 6)).otherwise(0.0))
+      .withColumn("symbol_frac",
+        when(length(col(textCol)) > 0,
+          round(symbols / length(col(textCol)), 6)).otherwise(0.0))
+      .withColumn("flag_code",
+        col("code_line_frac") >= minCodeLines ||
+          col("symbol_frac") >= minSymbols)
+  }
+
   /** Markdown → visible text at scan speed — the extraction step for
     * README/docs/issue corpora (the markdown sibling of
     * [[HtmlOps.extractText]]): fenced code blocks drop whole (code is a

@@ -1144,6 +1144,21 @@ class OperatorsSpec extends AnyFunSuite {
       "http://x.example.zz/unlisted-tld" -> "example.zz"), got) // fallback
   }
 
+  test("codeFlags routes code to code, prose to prose") {
+    val df = Seq(
+      (1L, "def main():\n    print('hi')\n    return 0"), // python
+      (2L, "int x = 1;\nif (x) {\n  y();\n}"),            // C-style
+      (3L, "Plain prose with words.\nAnother sentence here, nothing more."),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextOps.codeFlags(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(r.fieldIndex("n_lines")),
+        r.getBoolean(r.fieldIndex("flag_code"))))).toMap
+    assert(got(1L) == ((3L, true)), got(1L))  // indent + def + return
+    assert(got(2L) == ((4L, true)), got(2L))  // ;{} endings + symbols
+    assert(got(3L)._2 == false, got(3L))
+    assert(got(4L) == ((0L, false)), got(4L)) // null text: zeroes, no flag
+  }
+
   test("markdownToText: hand-computed extraction over adversarial markdown") {
     def x(md: String): String =
       Seq(md).toDF("t").select(TextOps.markdownToText(col("t")).as("c"))
