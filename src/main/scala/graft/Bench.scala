@@ -47,12 +47,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val benchT0 = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
-    // default sized to the MEASURED full pass-1 cost (r11 validation
-    // runs: 1901 s end-to-end on a semi-contended box, ~28 min quiet)
-    // plus margin — a budget below pass-1 cost silently loses the tail
-    // series (the first r11 validation at 1500 s skipped 10 of them)
+    // default sized to the MEASURED full pass-1 cost across r11
+    // validation runs: 1901 s end-to-end on a fast draw, ~2300 s on a
+    // slow one (same code — the heavy synthetic-corpus stages vary 2-7x
+    // run-to-run on this box while the light stages are identical; a
+    // 2000 s budget truncated the slow draw's last two stages). A budget
+    // below slow-draw pass-1 cost silently loses tail series; 2300
+    // covers it while staying well under the driver's observed wall
+    // tolerance (r10's contended run exceeded 45 min before the kill).
     val budgetSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2000").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2300").toDouble
     def overBudget: Boolean = elapsedSec > budgetSec
     val skipped = scala.collection.mutable.LinkedHashSet[String]()
     var extraPassesSkipped = 0
@@ -125,9 +129,10 @@ object Bench {
 
     def jmap(m: scala.collection.Map[String, Double], fmt: String): String =
       m.map { case (k, v) => s""""$k":${fmt.format(v)}""" }.mkString("{", ",", "}")
-    val notes = "r11 budgeted protocol: soft wall budget (default 2000s, " +
+    val notes = "r11 budgeted protocol: soft wall budget (default 2300s, " +
       "SPARK_GRAFT_BENCH_BUDGET_SEC - sized to the measured pass-1 cost " +
-      "of 1901s end-to-end; a 1500s trial run skipped 10 tail series) " +
+      "across validation runs: 1901s on a fast draw, ~2300s on a slow " +
+      "one with identical code; a 1500s trial skipped 10 tail series) " +
       "- over-budget smoke stages/passes are SKIPPED and listed in " +
       "'skipped' with truncated:true for pass-1 losses, because " +
       "BENCH_r10 (rc=124) showed a driver-killed run both loses whole " +
