@@ -21,7 +21,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * was contention-inflated (rule_filter 5.46 s vs 0.13 s quiet). Three
   * structural fixes:
   *   1. a soft wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default
-  *      2000 s — the measured full pass-1 cost plus margin): once
+  *      2300 s — the measured full pass-1 cost on a slow draw): once
   *      exceeded, remaining smoke stages/passes are
   *      SKIPPED and named in a `skipped` list, with `truncated: true`
   *      on the artifact — a truncated-but-honest artifact beats a
@@ -338,7 +338,8 @@ object Bench {
       "q_warc_ingest", "q_interleave", "q_dedup_paragraphs", "q_byte_proxy",
       "q_join_interval", "q_embed_project", "q_domain_psl", "q_sitemap",
       "q_crawl_delay", "q_gate_report", "q_redaction_report",
-      "q_frontier_schedule", "q_markdown", "q_code_flags")
+      "q_frontier_schedule", "q_markdown", "q_code_flags",
+      "q_remove_spans_incr")
     val headline = benchOnly match {
       case Some(ps) => headline0.filter(n => ps.exists(n.startsWith))
       case None     => headline0

@@ -4676,6 +4676,51 @@ object SparkEntry {
           CAST(len(w.w) - coalesce(agg.kept, 0) AS BIGINT) AS n_removed
         FROM w LEFT JOIN agg USING (doc_id)""".stripMargin.trim)),
 
+    Q("q_remove_spans_incr",
+      // incremental span removal: documents split into a stored corpus
+      // (doc_id % 3 = 0, kept as span-hash signatures only) and a new
+      // batch — batch windows already in the corpus are deleted wherever
+      // they occur, batch-internal dups keep their first (doc, pos);
+      // the oracle replays both rules on raw gram strings (the Spark
+      // side shuffles 60-bit hashes, so collision-freedom is checked)
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = Tables.load(s, dir)("documents")
+        val corpus = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+        val batch = d.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+        operators.TextOps.removeDupSpansAgainst(batch,
+          operators.TextOps.spanSignatures(corpus, n = 8), n = 8)
+      },
+      Some("""
+        WITH ct AS (SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                    FROM documents WHERE doc_id % 3 = 0),
+        cw AS (SELECT string_split(t, ' ') AS w FROM ct),
+        cg AS (SELECT DISTINCT array_to_string(list_slice(w, p + 1, p + 8), ' ') AS gram
+               FROM (SELECT w, unnest(range(0, greatest(len(w) - 7, 0))) AS p FROM cw)),
+        d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+              FROM documents WHERE doc_id % 3 <> 0),
+        w AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
+        o AS (SELECT doc_id, w, unnest(range(0, greatest(len(w) - 7, 0))) AS p FROM w),
+        g AS (SELECT doc_id, p, array_to_string(list_slice(w, p + 1, p + 8), ' ') AS gram FROM o),
+        m AS (SELECT doc_id, p, gram, count(*) OVER (PARTITION BY gram) AS occ,
+                first_value(doc_id) OVER (PARTITION BY gram ORDER BY doc_id, p) AS fdoc,
+                first_value(p) OVER (PARTITION BY gram ORDER BY doc_id, p) AS fp
+              FROM g),
+        r AS (SELECT m.doc_id, m.p FROM m LEFT JOIN cg ON m.gram = cg.gram
+              WHERE cg.gram IS NOT NULL
+                 OR (occ > 1 AND NOT (m.doc_id = fdoc AND m.p = fp))),
+        cov AS (SELECT DISTINCT doc_id, unnest(range(p, p + 8)) AS pos FROM r),
+        pos AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) - 1 AS pos FROM w),
+        keep AS (SELECT pos.doc_id, pos.word, pos.pos FROM pos
+                 LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.pos = cov.pos
+                 WHERE cov.pos IS NULL),
+        agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text,
+                  count(*) AS kept FROM keep GROUP BY doc_id)
+        SELECT w.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+          CAST(len(w.w) AS BIGINT) AS n_words,
+          CAST(len(w.w) - coalesce(agg.kept, 0) AS BIGINT) AS n_removed
+        FROM w LEFT JOIN agg USING (doc_id)""".stripMargin.trim)),
+
     Q("q_bm25",
       // Okapi BM25 top-10 per query over the corpus — targeted-crawl /
       // decontamination search; query side broadcast, one corpus

@@ -1026,6 +1026,92 @@ object TextOps {
         (size(words) - size(kept)).cast("long").as("n_removed"))
   }
 
+  /** Distinct span-hash signatures of a corpus — the stored table
+    * [[removeDupSpansAgainst]] dedups future batches against (the
+    * span-level member of the stored-signature family beside
+    * `Dedup.minHashSignatures`/`simHashSignatures`): one 60-bit portable
+    * hash per distinct `n`-word window, text never stored. Materialize
+    * once per corpus snapshot, append each ingested batch's signatures.
+    *
+    * Plan: one explode scan → one hash-keyed dedup shuffle, sized to the
+    * window fan-out ([[fanoutParts]]). Output: (span_hash). */
+  def spanSignatures(
+      docs: DataFrame,
+      n: Int = 50,
+      textCol: String = "text",
+      parts: Int = 0): DataFrame = {
+    require(n >= 1 && parts >= 0, "need n >= 1, parts >= 0")
+    val hashes = docs.select(explode(graft.functions.TextKernels.ngramsCol(
+        normalize(col(textCol)), n)).as("__gram"))
+      .select(portableHash60(col("__gram")).as("span_hash"))
+    val windowParts = if (parts > 0) parts else fanoutParts(docs, textCol)
+    val sized =
+      if (windowParts > docs.sparkSession.sessionState.conf.numShufflePartitions)
+        hashes.repartition(windowParts, col("span_hash"))
+      else hashes
+    sized.dropDuplicates("span_hash")
+  }
+
+  /** Incremental duplicated-span REMOVAL — the daily-ingest twin of
+    * [[removeDupSpans]]: every `n`-word window of the NEW batch that
+    * already exists in the stored corpus signature table
+    * ([[spanSignatures]]) is deleted WHEREVER it occurs (the corpus owns
+    * the first occurrence), and windows duplicated within the batch
+    * itself keep their first (doc id, position) occurrence exactly like
+    * the batch-global operator. Deterministic; documents shorter than
+    * `n` words pass through untouched.
+    *
+    * Plan at scale: the batch's positional windows leave the scan as
+    * slim (id, pos, hash) rows; ONE fan-out-sized hash shuffle serves
+    * both the signature equi-join (corpus side pre-hashed — text never
+    * moves) and the within-batch census/election window (same
+    * partitioning, no second exchange); removal positions roll up per
+    * doc and one id-keyed join rebuilds the text, exactly the
+    * [[removeDupSpans]] tail.
+    *
+    * @return (idCol, clean_text, n_words, n_removed) */
+  def removeDupSpansAgainst(
+      docs: DataFrame,
+      signatures: DataFrame,
+      n: Int = 50,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      parts: Int = 0): DataFrame = {
+    require(n >= 1 && parts >= 0, "need n >= 1, parts >= 0")
+    val occ = docs.select(col(idCol).as("__id"),
+        posexplode(graft.functions.TextKernels.ngramsCol(
+          normalize(col(textCol)), n)).as(Seq("__p", "__gram")))
+      .select(col("__id"), col("__p"),
+        portableHash60(col("__gram")).as("__h"))
+    val windowParts =
+      if (parts > 0) parts else fanoutParts(docs, textCol)
+    val sized =
+      if (windowParts > docs.sparkSession.sessionState.conf.numShufflePartitions)
+        occ.repartition(windowParts, col("__h"))
+      else occ
+    val sigs = signatures
+      .select(col("span_hash").as("__h"), lit(true).as("__corpus"))
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
+    val removals = sized.join(sigs, Seq("__h"), "left")
+      .withColumn("__occ", count(lit(1)).over(byHash))
+      .withColumn("__first", min(struct(col("__id"), col("__p"))).over(byHash))
+      .filter(coalesce(col("__corpus"), lit(false)) ||
+        (col("__occ") > 1 &&
+          !(col("__first")("__id") === col("__id") &&
+            col("__first")("__p") === col("__p"))))
+      .groupBy(col("__id"))
+      .agg(collect_list(col("__p")).as("__starts"))
+      .withColumnRenamed("__id", idCol)
+    val words = split(normalize(col(textCol)), " ")
+    val starts = coalesce(col("__starts"), array().cast("array<int>"))
+    val kept = filter(words, (_, i) =>
+      !exists(starts, s => s <= i && i < s + n))
+    docs.join(removals, Seq(idCol), "left")
+      .select(col(idCol), concat_ws(" ", kept).as("clean_text"),
+        size(words).cast("long").as("n_words"),
+        (size(words) - size(kept)).cast("long").as("n_removed"))
+  }
+
   /** Okapi BM25 retrieval over the corpus: score every document against
     * every query (Lucene's idf variant, `ln(1 + (N-df+0.5)/(df+0.5))`),
     * keep the top `topK` docs per query. The workhorse for targeted-crawl

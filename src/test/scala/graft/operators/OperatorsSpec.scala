@@ -1144,6 +1144,26 @@ class OperatorsSpec extends AnyFunSuite {
       "http://x.example.zz/unlisted-tld" -> "example.zz"), got) // fallback
   }
 
+  test("removeDupSpansAgainst deletes corpus-owned spans everywhere, " +
+      "batch dups keep first occurrence") {
+    val corpus = Seq((100L, "aa bb cc dd tail1 tail2")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "aa bb cc dd unique1 unique2"),  // corpus-owned span: deleted
+      (2L, "xx yy zz ww other1 other2"),    // batch-dup FIRST: kept
+      (3L, "pre0 xx yy zz ww other3")       // batch-dup second: deleted
+    ).toDF("doc_id", "text")
+    val sigs = TextOps.spanSignatures(corpus, n = 4)
+    val r = TextOps.removeDupSpansAgainst(batch, sigs, n = 4).collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getLong(3)))).toMap
+    // doc 1: windows at 0..2 include "aa bb cc dd" (in corpus) → words
+    // 0..3 deleted; 2-word tail survives
+    assert(r(1L) == (("unique1 unique2", 4L)), r(1L))
+    // doc 2 holds the batch-first occurrence of "xx yy zz ww" → intact
+    assert(r(2L) == (("xx yy zz ww other1 other2", 0L)), r(2L))
+    // doc 3's copy is non-first → its 4 covered words delete
+    assert(r(3L) == (("pre0 other3", 4L)), r(3L))
+  }
+
   test("codeFlags routes code to code, prose to prose") {
     val df = Seq(
       (1L, "def main():\n    print('hi')\n    return 0"), // python
