@@ -1727,6 +1727,19 @@ object SparkEntry {
               "Allow: /docs/*.pdf$"),
           ("d.com",
             "User-agent: mybot\nCrawl-delay: 5\n\n" +
+              "User-agent: *\nDisallow: /"),
+          // RFC 9309 product-token PREFIX election: crawler 'mybot'
+          // matches both the 'my' and 'mybot' groups — the LONGEST
+          // prefix wins, so only /long/ is blocked; 'fastbot' matches
+          // neither and falls to '*'
+          ("e.com",
+            "User-agent: my\nDisallow: /short/\n\n" +
+              "User-agent: mybot\nDisallow: /long/\n\n" +
+              "User-agent: *\nDisallow: /"),
+          // own-PREFIX group carrying only crawl-delay still beats '*'
+          // (allow-all): crawler 'fastbot' starts with token 'fast'
+          ("f.com",
+            "User-agent: fast\nCrawl-delay: 3\n\n" +
               "User-agent: *\nDisallow: /")).toDF("host", "content")
         val rules = operators.WebOps.parseRobots(files)
         val frontier = Seq(
@@ -1735,7 +1748,9 @@ object SparkEntry {
           "http://c.com/anything",
           "http://c.org/page?sessionid=99", "http://c.org/file.pdf",
           "http://c.org/docs/guide.pdf", "http://c.org/file.pdf?x=1",
-          "http://d.com/anything").toDF("url")
+          "http://d.com/anything",
+          "http://e.com/short/x", "http://e.com/long/x",
+          "http://e.com/other", "http://f.com/page").toDF("url")
         operators.WebOps.robotsAllowed(frontier, rules, "mybot")
           .withColumn("ua", lit("mybot"))
           .unionByName(operators.WebOps
@@ -1754,6 +1769,10 @@ object SparkEntry {
           ('http://c.org/docs/guide.pdf', true,  'mybot'),
           ('http://c.org/file.pdf?x=1',   true,  'mybot'),
           ('http://d.com/anything',       true,  'mybot'),
+          ('http://e.com/short/x',        true,  'mybot'),
+          ('http://e.com/long/x',         false, 'mybot'),
+          ('http://e.com/other',          true,  'mybot'),
+          ('http://f.com/page',           false, 'mybot'),
           ('http://a.com/public/page',    false, 'FastBot'),
           ('http://a.com/private/secret', false, 'FastBot'),
           ('http://a.com/private/ok.html', false, 'FastBot'),
@@ -1763,7 +1782,11 @@ object SparkEntry {
           ('http://c.org/file.pdf',       false, 'FastBot'),
           ('http://c.org/docs/guide.pdf', true,  'FastBot'),
           ('http://c.org/file.pdf?x=1',   true,  'FastBot'),
-          ('http://d.com/anything',       false, 'FastBot')
+          ('http://d.com/anything',       false, 'FastBot'),
+          ('http://e.com/short/x',        false, 'FastBot'),
+          ('http://e.com/long/x',         false, 'FastBot'),
+          ('http://e.com/other',          false, 'FastBot'),
+          ('http://f.com/page',           true,  'FastBot')
         ) AS t(url, allowed, ua)""".stripMargin.trim)),
 
     Q("q_crawl_delay",
@@ -1827,7 +1850,8 @@ object SparkEntry {
     Q("q_sitemap",
       // sitemaps.org parsing over adversarial literal files: a urlset
       // with entity-escaped and CDATA locs, attribute-carrying tags,
-      // missing-loc and garbage-priority entries, and a sitemapindex;
+      // missing-loc, garbage-priority and non-W3C-lastmod entries, and
+      // a sitemapindex;
       // the oracle is the hand-computed expected table
       (s, dir) => {
         import s.implicits._
@@ -1842,6 +1866,8 @@ object SparkEntry {
               "<priority>high</priority></url>\n" +
               " <url><lastmod>2026-01-01</lastmod></url>\n" + // no loc → drop
               " <URL><LOC> https://a.com/upper </LOC></URL>\n" +
+              " <url><loc>https://a.com/badmod</loc>" +
+              "<lastmod>last week</lastmod></url>\n" + // non-W3C → null
               "</urlset>"),
           ("b.com",
             "<sitemapindex>\n <sitemap>\n" +
@@ -1858,6 +1884,7 @@ object SparkEntry {
           ('a.com', 0, 'url', 'https://a.com/page?x=1&y=2', '2026-01-05', 'daily', 0.8),
           ('a.com', 1, 'url', 'https://a.com/cdata&raw', NULL, NULL, NULL),
           ('a.com', 3, 'url', 'https://a.com/upper', NULL, NULL, NULL),
+          ('a.com', 4, 'url', 'https://a.com/badmod', NULL, NULL, NULL),
           ('b.com', 0, 'sitemap', 'https://b.com/sitemap-1.xml', '2026-02-01T10:00:00Z', NULL, NULL),
           ('b.com', 1, 'sitemap', 'https://b.com/sitemap-2.xml', NULL, NULL, NULL)
         ) AS t(host, entry_no, kind, loc, lastmod, changefreq, priority)""".stripMargin.trim)),

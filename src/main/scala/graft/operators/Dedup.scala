@@ -923,17 +923,30 @@ object Dedup {
       minChars: Int = 30,
       parts: Int = 0): DataFrame = {
     require(minChars >= 0 && parts >= 0, "bad minChars/parts")
-    // NULL text coalesces to '' so the doc still emits its one (empty)
-    // paragraph row — posexplode of a null split array would otherwise
-    // DROP the document from the output entirely, inconsistent with
-    // dropCommonLines/removeDupSpans which preserve every input row
-    val paras = docs.select(col(idCol).as("__id"),
-      posexplode(split(coalesce(col(textCol), lit("")), "\n\n"))
-        .as(Seq("__i", "__para")))
-    val keyed = paras
+    // the census/election scan explodes the RAW column: null text can't
+    // contain paragraphs, so null rows contribute nothing to the
+    // frequency count and the scan keeps its null-skipping path (the
+    // r11 coalesce-everywhere variant fed '' paragraphs through the
+    // hash+filter chain for every null row). Null-text docs are
+    // preserved solely by the REBUILD scan below.
+    val rawParas = docs.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), "\n\n")).as(Seq("__i", "__para")))
+    val keyed = rawParas
       .filter(length(trim(col("__para"))) >= minChars)
       .select(col("__id"), col("__i"),
         TextOps.portableHash60(TextOps.normalize(col("__para"))).as("__h"))
+    // NULL text coalesces to '' HERE so the doc still emits its one
+    // (empty) paragraph row into the per-doc rebuild — posexplode of a
+    // null split array would otherwise DROP the document from the
+    // output entirely, inconsistent with dropCommonLines/removeDupSpans
+    // which preserve every input row. The synthesized '' never enters
+    // the census (nulls can't contain paragraphs), so it is kept
+    // unconditionally — observable only at minChars = 0, where an
+    // EMPTY-text doc's '' paragraph competes in the election but a
+    // null-text doc's does not.
+    val paras = docs.select(col(idCol).as("__id"),
+      posexplode(split(coalesce(col(textCol), lit("")), "\n\n"))
+        .as(Seq("__i", "__para")))
     val windowParts =
       if (parts > 0) parts
       else TextOps.volumeParts(docs, targetBytes = 8L << 20)

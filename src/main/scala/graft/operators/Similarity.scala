@@ -57,10 +57,15 @@ object Similarity {
       k: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      queryIdCol: String = "query_id"): DataFrame = {
-    val joined = corpus.select(col(idCol), col(vecCol).as("__cv"))
+      queryIdCol: String = "query_id",
+      excludeSelf: Boolean = true): DataFrame = {
+    val joined0 = corpus.select(col(idCol), col(vecCol).as("__cv"))
       .crossJoin(broadcast(queries.select(col(queryIdCol), col(vecCol).as("__qv"))))
-      .filter(col(idCol) =!= col(queryIdCol)) // self-match excluded when ids align
+    // id-collision self-match excluded by default (querying the corpus
+    // against itself); pass excludeSelf = false when doc and query id
+    // spaces overlap but are unrelated (both auto-incrementing from 0)
+    val joined = (if (excludeSelf) joined0.filter(col(idCol) =!= col(queryIdCol))
+      else joined0)
       .withColumn("sim", round(cosine(col("__cv"), col("__qv")), 6))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
     joined.withColumn("rank", row_number().over(w))
@@ -91,14 +96,20 @@ object Similarity {
     * retriever must return (queryIdCol, vecIdCol, sim) with 6dp-rounded
     * deterministic scores (every built-in variant does).
     *
-    * Self-exclusion is symmetric and lives HERE, not in the retrievers:
-    * when query ids collide with doc ids (querying the corpus against
-    * itself), the query document is dropped from BOTH pools and each
-    * modality's ranks are recomputed over the surviving pool by
-    * (score desc, id) — the same deterministic ordering the retrievers
-    * use, so with disjoint id spaces nothing changes. Without this, one
-    * pool excluding the self-match while the other ranks it would skew
-    * every RRF score for that query.
+    * Self-exclusion (`excludeSelf`, default true) is symmetric and lives
+    * HERE, not in the retrievers: when query ids collide with doc ids
+    * (querying the corpus against itself), the query document is dropped
+    * from BOTH pools and each modality's ranks are recomputed over the
+    * surviving pool by (score desc, id) — the same deterministic ordering
+    * the retrievers use, so with disjoint id spaces nothing changes.
+    * Without this, one pool excluding the self-match while the other
+    * ranks it would skew every RRF score for that query. Pass
+    * `excludeSelf = false` when doc and query id spaces OVERLAP BUT ARE
+    * UNRELATED (both commonly auto-increment from 0) — the default would
+    * silently drop legitimate candidate doc i from query i's pools. With
+    * false, the built-in semantic retriever is invoked non-excluding
+    * too; a custom `semRetriever` must then not self-exclude either
+    * (every built-in ANN tier excludes — wrap or re-id when mixing).
     *
     * @return (queryIdCol, docIdCol, lex_rank, sem_rank, rrf, rank) —
     *         modality ranks null when the doc is outside that pool */
@@ -115,17 +126,19 @@ object Similarity {
       vecCol: String = "embedding",
       queryIdCol: String = "query_id",
       queryTextCol: String = "qtext",
-      semRetriever: (DataFrame, DataFrame, Int) => DataFrame = null): DataFrame = {
+      semRetriever: (DataFrame, DataFrame, Int) => DataFrame = null,
+      excludeSelf: Boolean = true): DataFrame = {
     require(k >= 1 && k0 >= 1 && poolK >= k, "need k >= 1, k0 >= 1, poolK >= k")
     val retrieve =
       if (semRetriever != null) semRetriever
       else (c: DataFrame, q: DataFrame, n: Int) => topK(c, q, k = n,
-        idCol = vecIdCol, vecCol = vecCol, queryIdCol = queryIdCol)
+        idCol = vecIdCol, vecCol = vecCol, queryIdCol = queryIdCol,
+        excludeSelf = excludeSelf)
     def pool(df: DataFrame, idC: String, scoreC: String, rankName: String) = {
       val rw = Window.partitionBy(col(queryIdCol))
         .orderBy(col(scoreC).desc, col("__id"))
-      df.select(col(queryIdCol), col(idC).as("__id"), col(scoreC))
-        .filter(col("__id") =!= col(queryIdCol))
+      val p = df.select(col(queryIdCol), col(idC).as("__id"), col(scoreC))
+      (if (excludeSelf) p.filter(col("__id") =!= col(queryIdCol)) else p)
         .withColumn(rankName, row_number().over(rw))
         .drop(scoreC)
     }

@@ -350,7 +350,21 @@ object TextOps {
     * session floor, never toward a blow-up — the 4096 cap bounds the
     * other direction). One partition per `targetBytes` of projected
     * window rows; floor = session setting, cap = 4096 (same rationale as
-    * [[volumeParts]]: a 100 TB deployment raises the session setting). */
+    * [[volumeParts]]: a 100 TB deployment raises the session setting).
+    *
+    * The probe coalesces null text to '' (zero words) BEFORE sizing:
+    * `size(split(null))` is NULL under Spark 4's default ANSI mode and
+    * would throw out of `getLong` at planning time — a null-text row in
+    * the first sampled partition must not crash the operators that are
+    * themselves specified to preserve null-text documents. Known bias:
+    * `head(sampleRows)` reads a PREFIX of one partition, not a random
+    * sample — a corpus sorted by document length (common after packing
+    * or sort-based curation) over- or under-estimates words/doc by the
+    * prefix's skew. The mis-sizing is bounded on both sides (session
+    * floor / 4096 cap) and costs partitions, never correctness; a
+    * random `sample()` here would scan the full input, which this probe
+    * exists to avoid — callers with pathological ordering pass `parts`
+    * explicitly. */
   private[graft] def fanoutParts(
       docs: DataFrame,
       textCol: String,
@@ -367,11 +381,14 @@ object TextOps {
       (BigInt(stats.sizeInBytes.toString) / width).toLong
     }
     val sampled =
-      try docs.select(size(split(normalize(col(textCol)), " ")).cast("long"))
+      try docs.select(size(split(normalize(coalesce(col(textCol), lit(""))),
+          " ")).cast("long"))
         .head(sampleRows)
       catch { case _: Throwable => Array.empty[org.apache.spark.sql.Row] }
     if (sampled.isEmpty || rowsEst <= 0) return default
-    val avgWords = sampled.map(_.getLong(0)).sum.toDouble / sampled.length
+    val avgWords = sampled.iterator
+      .map(r => if (r.isNullAt(0)) 0L else math.max(0L, r.getLong(0)))
+      .sum.toDouble / sampled.length
     val windowBytes = rowsEst.toDouble * avgWords * bytesPerRow
     val need = math.min(4096.0, windowBytes / targetBytes).toLong
     math.max(default.toLong, need).toInt
@@ -1089,8 +1106,18 @@ object TextOps {
       if (windowParts > docs.sparkSession.sessionState.conf.numShufflePartitions)
         occ.repartition(windowParts, col("__h"))
       else occ
+    // appended batch signatures accumulate duplicate hashes across
+    // snapshots ([[spanSignatures]] dedups within ONE batch only); a
+    // non-unique join side would duplicate every matched occurrence row
+    // into the window/collect_list — results stay correct (duplicated
+    // rows are corpus-matched and removed anyway) but the fan-out
+    // shuffle inflates by the duplication factor. Dedup here: the
+    // signature side is hashes only, and the dropDuplicates folds into
+    // the same hash-partitioned exchange the join needs.
     val sigs = signatures
-      .select(col("span_hash").as("__h"), lit(true).as("__corpus"))
+      .select(col("span_hash").as("__h"))
+      .dropDuplicates("__h")
+      .withColumn("__corpus", lit(true))
     val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
     val removals = sized.join(sigs, Seq("__h"), "left")
       .withColumn("__occ", count(lit(1)).over(byHash))

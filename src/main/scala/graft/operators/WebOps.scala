@@ -288,7 +288,8 @@ object WebOps {
   /** Effective per-host crawl delay for a user agent over [[parseRobots]]
     * output — the politeness-rate half of the frontier decision
     * ([[robotsAllowed]] is the permission half, sharing the same group
-    * election: own-UA groups beat `*`, elected over ALL directives).
+    * election: longest own-UA product-token prefix beats shorter beats
+    * `*`, elected over ALL directives).
     * Among the elected groups' `crawl-delay` rows, the MAXIMUM numeric
     * value wins (when a host declares several, the most conservative
     * delay is the polite read); non-numeric values are ignored. Output:
@@ -301,8 +302,12 @@ object WebOps {
       userAgent: String,
       keyCol: String = "host"): DataFrame = {
     val ua = userAgent.toLowerCase
-    rules.filter(lower(col("user_agent")) === ua || col("user_agent") === "*")
-      .withColumn("__sp", (lower(col("user_agent")) === ua).cast("int"))
+    // same RFC 9309 prefix election as [[robotsAllowed]]: longest
+    // applicable own product-token prefix beats shorter beats '*'
+    rules.filter(lit(ua).startsWith(lower(col("user_agent"))) ||
+        col("user_agent") === "*")
+      .withColumn("__sp", when(col("user_agent") === "*", lit(0))
+        .otherwise(length(col("user_agent"))).cast("int"))
       .groupBy(col(keyCol))
       .agg(max(col("__sp")).as("__best"),
         collect_list(struct(col("__sp").as("sp"),
@@ -376,7 +381,9 @@ object WebOps {
     * `kind = 'url'`, `<sitemapindex>` entries emit `kind = 'sitemap'`
     * (feed those locs back into the fetch loop). Per entry: `loc`
     * (CDATA unwrapped, the five XML entities sitemap URLs escape
-    * decoded), `lastmod`, `changefreq`, `priority` (null unless
+    * decoded), `lastmod` (null unless W3C datetime, the format the
+    * protocol pins — a malformed value must not poison downstream
+    * recrawl-scheduling casts), `changefreq`, `priority` (null unless
     * numeric — the protocol default 0.5 is the CALLER's choice to
     * apply). Entries without a `<loc>` are invalid per the protocol and
     * drop. Case-insensitive tags, whitespace/attribute tolerant, pure
@@ -409,7 +416,15 @@ object WebOps {
       .drop(contentCol)
       .withColumn("kind", col("__e")("kind"))
       .withColumn("loc", xmlText(field(col("__e")("b"), "loc")))
-      .withColumn("lastmod", optional(field(col("__e")("b"), "lastmod")))
+      // protocol pins lastmod to W3C datetime (YYYY[-MM[-DD[Thh:mm[:ss
+      // [.s]](Z|±hh:mm)]]]); anything else nulls so downstream recrawl
+      // scheduling can cast/compare without ANSI throw — same guard
+      // discipline as priority
+      .withColumn("lastmod",
+        when(field(col("__e")("b"), "lastmod").rlike(
+            "^[0-9]{4}(-[0-9]{2}(-[0-9]{2}(T[0-9]{2}:[0-9]{2}(:[0-9]{2}" +
+              "(\\.[0-9]+)?)?(Z|[+-][0-9]{2}:[0-9]{2}))?)?)?$"),
+          field(col("__e")("b"), "lastmod")))
       .withColumn("changefreq",
         optional(lower(field(col("__e")("b"), "changefreq"))))
       .withColumn("priority", // null unless numeric: ANSI cast must not throw
@@ -433,8 +448,12 @@ object WebOps {
     * character run and a trailing `$` anchors the target end
     * ([[robotsPattern]]);
     * an empty rule value matches nothing; hosts with no applicable
-    * group allow everything. User-agent comparison is case-insensitive
-    * exact token match (no product-token prefix matching), documented.
+    * group allow everything. User-agent comparison is RFC 9309
+    * product-token PREFIX matching, case-insensitive: a group applies
+    * when its token is a prefix of the crawler's token ("googlebot-news"
+    * obeys a "googlebot" group), and among applicable own groups the
+    * LONGEST token wins (exact match is the longest possible prefix);
+    * `*` applies only when no own group matches at all.
     *
     * Shape at scale: the rules table aggregates to one KB-sized rule
     * array per host (a shuffle of the RULES side only — KB per host) and
@@ -451,10 +470,16 @@ object WebOps {
     val ua = userAgent.toLowerCase
     // elect own-UA vs '*' over EVERY directive row (crawl-delay included):
     // a host whose own-UA group has no allow/disallow rules must still
-    // suppress the '*' group (allow-all), not inherit its rules
+    // suppress the '*' group (allow-all), not inherit its rules. Own
+    // match is RFC 9309 product-token prefix ("googlebot-news" obeys a
+    // "googlebot" group); __sp carries the matched token LENGTH so the
+    // longest applicable prefix wins the election ('*' scores 0 and
+    // only wins when nothing else applies)
     val elected = rules
-      .filter(lower(col("user_agent")) === ua || col("user_agent") === "*")
-      .withColumn("__sp", (lower(col("user_agent")) === ua).cast("int"))
+      .filter(lit(ua).startsWith(lower(col("user_agent"))) ||
+        col("user_agent") === "*")
+      .withColumn("__sp", when(col("user_agent") === "*", lit(0))
+        .otherwise(length(col("user_agent"))).cast("int"))
       .groupBy(col(keyCol).as("__rhost"))
       .agg(max(col("__sp")).as("__bestSp"),
         collect_list(struct(col("__sp").as("sp"),

@@ -1099,6 +1099,37 @@ class OperatorsSpec extends AnyFunSuite {
       .head.getBoolean(1), "* group still gates UAs without an own group")
   }
 
+  test("robotsAllowed/crawlDelay: RFC 9309 product-token PREFIX election") {
+    // crawler 'googlebot-news' matches groups 'googlebot' (prefix) and
+    // 'googlebot-news' (exact = longest prefix); the LONGEST wins, and
+    // any own-prefix group suppresses '*'. 'googlebot' alone elects its
+    // own exact group, never the longer 'googlebot-news' one.
+    val rules = Seq(
+      ("h.com", "googlebot", "disallow", "/g/", 1),
+      ("h.com", "googlebot-news", "disallow", "/news/", 2),
+      ("h.com", "googlebot", "crawl-delay", "2", 3),
+      ("h.com", "googlebot-news", "crawl-delay", "7", 4),
+      ("h.com", "*", "disallow", "/", 5))
+      .toDF("host", "user_agent", "directive", "value", "line_no")
+    val urls = Seq("http://h.com/g/x", "http://h.com/news/x",
+      "http://h.com/other").toDF("url")
+    def decide(ua: String) = WebOps.robotsAllowed(urls, rules, ua)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(decide("Googlebot-News") == Map(
+      "http://h.com/g/x" -> true,       // 'googlebot' group NOT elected
+      "http://h.com/news/x" -> false,   // longest own prefix governs
+      "http://h.com/other" -> true), decide("Googlebot-News"))
+    assert(decide("googlebot") == Map(
+      "http://h.com/g/x" -> false,      // own exact group
+      "http://h.com/news/x" -> true,    // longer token is NOT a prefix
+      "http://h.com/other" -> true), decide("googlebot"))
+    assert(decide("unrelatedbot") ==    // no own prefix → '*' root block
+      urls.collect().map(_.getString(0) -> false).toMap)
+    val d = WebOps.crawlDelay(rules, "googlebot-news")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(d == Map("h.com" -> 7.0), d) // elected group's delay, not max-of-all
+  }
+
   test("robotsAllowed never shuffles the frontier (broadcast + fold plan)") {
     val rules = Seq(("h.com", "*", "disallow", "/private/", 1))
       .toDF("host", "user_agent", "directive", "value", "line_no")
@@ -1162,6 +1193,13 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(2L) == (("xx yy zz ww other1 other2", 0L)), r(2L))
     // doc 3's copy is non-first → its 4 covered words delete
     assert(r(3L) == (("pre0 other3", 4L)), r(3L))
+    // appended snapshots accumulate DUPLICATE hashes in the signature
+    // table; results must match the unique-signature run exactly (the
+    // join side dedups internally — no duplicated occurrence rows)
+    val dupSigs = sigs.unionAll(sigs).unionAll(sigs)
+    val r2 = TextOps.removeDupSpansAgainst(batch, dupSigs, n = 4).collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getLong(3)))).toMap
+    assert(r2 == r, s"duplicate signatures changed results: $r2 vs $r")
   }
 
   test("codeFlags routes code to code, prose to prose") {
@@ -1276,6 +1314,15 @@ class OperatorsSpec extends AnyFunSuite {
       concat_ws(" ", (1 to 40).map(i => lit(s"w$i")): _*).as("text"))
     val p = TextOps.fanoutParts(big, "text")
     assert(p > session && p <= 4096, s"resolved $p")
+    // null text in the sampled prefix must not crash the probe
+    // (size(split(null)) is NULL under ANSI; the probe coalesces) —
+    // nulls count as zero words, only shrinking the estimate
+    val withNulls = spark.range(2000000).select(col("id").as("doc_id"),
+      when(col("id") % 2 === 0, lit(null).cast("string"))
+        .otherwise(concat_ws(" ",
+          (1 to 40).map(i => lit(s"w$i")): _*)).as("text"))
+    val pn = TextOps.fanoutParts(withNulls, "text")
+    assert(pn >= session && pn <= p, s"resolved $pn (all-text: $p)")
   }
 
   test("dupSpans flags shared windows, not unique text") {
@@ -1356,6 +1403,15 @@ class OperatorsSpec extends AnyFunSuite {
     // SEM pool must re-rank from 1)
     assert(self.exists(r => !r.isNullAt(3) && r.getInt(3) == 1),
       s"sem_rank must restart at 1 after self-exclusion: ${self.toSeq}")
+    // excludeSelf=false: overlapping-but-UNRELATED id spaces keep doc 1
+    // as a legitimate candidate for query 1 in BOTH pools
+    val open = Similarity.hybridTopK(d, e, qSelf, k = 3, poolK = 3,
+        excludeSelf = false).collect()
+    val doc1 = open.find(_.getLong(1) == 1L)
+    assert(doc1.isDefined, "excludeSelf=false must keep candidate doc 1")
+    assert(!doc1.get.isNullAt(2) && doc1.get.getInt(2) == 1 &&
+      !doc1.get.isNullAt(3) && doc1.get.getInt(3) == 1,
+      s"doc 1 is the exact match in both modalities: ${open.toSeq}")
   }
 
   test("removeDupSpans deletes non-first occurrences of shared windows") {
