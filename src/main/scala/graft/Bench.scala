@@ -41,6 +41,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * r9's 2M/20M (same 10x linearity signal at half the cost — r9
   * measured 578 s for curate@20M alone, which no 25-minute budget can
   * carry); keys are `curate_1m_sec`/`curate_10m_sec` accordingly.
+  *
+  * r12 additions — ARTIFACT-TRUSTWORTHY HEAVY RATIOS. BENCH_r11 (rc=0)
+  * showed pack 17.5× and dup_spans 16.1× at 10× data on code whose
+  * tune harnesses measure linear, purely because single draws of
+  * 2-7×-variance stages landed on opposite contention tails. Three
+  * changes: (1) repeat smoke passes run HEAVY-FIRST so the
+  * pack/dup_spans/remove_spans/pack_chunks second draws at both scales
+  * can never be starved by cheap stages' repeats; (2) every raw draw is
+  * published (`scale_smoke_draws` in the full artifact, `heavy_draws`
+  * on the headline line) so the min-of-N aggregate is auditable; (3)
+  * budget 2300 → 2600 s — r11's budget dropped exactly those 8 heavy
+  * repeat draws.
   */
 object Bench {
 
@@ -55,8 +67,16 @@ object Bench {
     // below slow-draw pass-1 cost silently loses tail series; 2300
     // covers it while staying well under the driver's observed wall
     // tolerance (r10's contended run exceeded 45 min before the kill).
+    // r12: 2300 → 2600. r11's committed artifact showed pack 17.5x and
+    // dup_spans 16.1x at 10x data on UNCHANGED code purely because their
+    // single draws landed on opposite contention tails (the same stages
+    // measured 2-7x apart between identical-config runs); the gate needs
+    // a second in-run draw of the heavy stages at both scales (min-of-2,
+    // heavy-first in pass 2 below), and r11's 2300 budget dropped exactly
+    // those 8 extra passes. 2600 + the in-flight-stage overshoot stays
+    // under the driver's observed >2700 s kill tolerance.
     val budgetSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2300").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2600").toDouble
     def overBudget: Boolean = elapsedSec > budgetSec
     val skipped = scala.collection.mutable.LinkedHashSet[String]()
     var extraPassesSkipped = 0
@@ -120,19 +140,43 @@ object Bench {
     val latency = scala.collection.mutable.LinkedHashMap[String, Double]()
     val annRecall = scala.collection.mutable.LinkedHashMap[String, Double]()
     val scaleSmoke = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // every raw smoke draw, in measurement order — the aggregate in
+    // scale_smoke is only trustworthy when the reader can see the draws
+    // it came from (r11's single-draw heavy readings were the lesson)
+    val smokeDraws = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    // the high-variance heavy stages that MUST get a second in-run draw
+    // at both scales before any light stage gets one (pass-2 order)
+    val heavyStages = Seq("pack", "dup_spans", "remove_spans", "pack_chunks")
     var eventRows = 0L
     val replicate =
       sys.env.getOrElse("SPARK_GRAFT_RULE_REPLICATE", if (benchOnly.isDefined) "1" else "20").toInt
     val smokePasses =
       sys.env.getOrElse("SPARK_GRAFT_SMOKE_PASSES", "2").toInt.max(1)
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full_r11.json")
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full_r12.json")
 
     def jmap(m: scala.collection.Map[String, Double], fmt: String): String =
       m.map { case (k, v) => s""""$k":${fmt.format(v)}""" }.mkString("{", ",", "}")
-    val notes = "r11 budgeted protocol: soft wall budget (default 2300s, " +
-      "SPARK_GRAFT_BENCH_BUDGET_SEC - sized to the measured pass-1 cost " +
-      "across validation runs: 1901s on a fast draw, ~2300s on a slow " +
-      "one with identical code; a 1500s trial skipped 10 tail series) " +
+    def jdraws(m: scala.collection.Map[String, List[Double]]): String =
+      m.map { case (k, vs) =>
+        s""""$k":${vs.map(v => "%.2f".format(v)).mkString("[", ",", "]")}"""
+      }.mkString("{", ",", "}")
+    val heavyKeys: Set[String] =
+      heavyStages.flatMap(n => Seq("2m", "20m").map(l => s"${n}_${l}_sec")).toSet
+    val notes = "r12 budgeted protocol: soft wall budget (default 2600s, " +
+      "SPARK_GRAFT_BENCH_BUDGET_SEC - r11's 2300 covered slow-draw " +
+      "pass 1 but dropped all 8 heavy second draws; 2600 buys the " +
+      "heavy stages' min-of-2 at both scales while staying inside the " +
+      "driver's observed >2700s kill tolerance); repeat passes run " +
+      "HEAVY-FIRST (pack,dup_spans,remove_spans,pack_chunks - the " +
+      "2-7x-variance stages whose single draws made r11's pack read " +
+      "17.5x and dup_spans 16.1x at 10x data on unchanged code) so a " +
+      "budget stop starves cheap stages' repeats, never the heavy " +
+      "ratios; EVERY raw draw is published (scale_smoke_draws here, " +
+      "heavy_draws on the headline) so the min-of-N aggregate is " +
+      "auditable; pack/curate moved from median to min over draws " +
+      "(with two draws a median reports the WORSE one, and the " +
+      "disclosed three-run data shows their variance is one-sided " +
+      "contention noise too) " +
       "- over-budget smoke stages/passes are SKIPPED and listed in " +
       "'skipped' with truncated:true for pass-1 losses, because " +
       "BENCH_r10 (rc=124) showed a driver-killed run both loses whole " +
@@ -144,13 +188,13 @@ object Bench {
       "normal print; latency section still FIRST (fresh JVM) with its " +
       "partitions=8/RocksDB confs restored after; smoke passes are " +
       "pass-major (every stage measured once before any second pass), " +
-      "cheap-insurance-first order pagerank,cc,pack_emit,curate,pack," +
-      "remove_spans,pack_chunks,dup_spans (pagerank first: the first " +
-      "20M stage pays a residual ~2x first-execution warm-up even " +
-      "pre-sized, so the cheapest stage absorbs it) - pipe stages " +
+      "pass-1 cheap-insurance-first order pagerank,cc,pack_emit,curate," +
+      "pack,remove_spans,pack_chunks,dup_spans (pagerank first: the " +
+      "first 20M stage pays a residual ~2x first-execution warm-up even " +
+      "pre-sized, so the cheapest stage absorbs it) - all stages " +
       "report min over " +
-      "passes (contention is one-sided noise), curate/pack report " +
-      "median; curate runs a 1M/10M pair (was 2M/20M; r9 measured 578s " +
+      "passes (contention is one-sided noise); " +
+      "curate runs a 1M/10M pair (was 2M/20M; r9 measured 578s " +
       "for curate@20M alone - same 10x linearity signal, half the " +
       "cost); dup_spans/remove_spans size their corpus-global " +
       "hash-window shuffle to the WINDOW FAN-OUT (TextOps.fanoutParts: " +
@@ -182,6 +226,7 @@ object Bench {
         s""""queries":$ruleSecs,"queries_file":"$fullPath","n_queries":${results.size},""" +
         s""""rows_per_sec":$tput,"micro_batch_latency_ms_5k_rows":${jmap(latency, "%.1f")},""" +
         s""""ann_recall":${jmap(annRecall, "%.3f")},"scale_smoke":${jmap(scaleSmoke, "%.4f")},""" +
+        s""""heavy_draws":${jdraws(smokeDraws.filter(e => heavyKeys(e._1)))},""" +
         s""""event_rows":$eventRows,"truncated":$truncated,""" +
         s""""skipped":[${skipped.map(s => s""""$s"""").mkString(",")}],""" +
         s""""extra_passes_skipped":$extraPassesSkipped,""" +
@@ -195,6 +240,7 @@ object Bench {
           s""""queries":${jmap(results, "%.4f")},""" +
           s""""micro_batch_latency_ms_5k_rows":${jmap(latency, "%.1f")},""" +
           s""""ann_recall":${jmap(annRecall, "%.3f")},"scale_smoke":${jmap(scaleSmoke, "%.4f")},""" +
+          s""""scale_smoke_draws":${jdraws(smokeDraws)},""" +
           s""""event_rows":$eventRows,"truncated":${skipped.nonEmpty},""" +
           s""""skipped":[${skipped.map(s => s""""$s"""").mkString(",")}],""" +
           s""""extra_passes_skipped":$extraPassesSkipped,""" +
@@ -564,14 +610,20 @@ object Bench {
               .write.format("noop").mode("overwrite").save()
           }),
           Stage("curate", Seq("1m" -> smokeRows / 20, "10m" -> smokeRows / 2),
-            medianOk, { n =>
+            minOk, { n =>
               // synthetic vocab words land in lang_pred='und'; disable the
               // quality/token floors so dedup stages see the full corpus
               operators.Curation.curate(synthDocs(n), langs = Seq("und", "en"),
                   minQuality = 0.0, minTokens = 1, ccLocalThreshold = 0L)
                 .write.format("noop").mode("overwrite").save()
             }),
-          Stage("pack", lbl, medianOk, { n =>
+          // min over draws for pack/curate too (was median): with the
+          // standard two draws, a median takes the WORSE one, and the
+          // three-run disclosure (pack@20M 68→187→271 s, identical
+          // config) shows the variance is one-sided contention noise on
+          // these stages as well — min is the artifact-grade estimator
+          // the per-draw lists let the reader audit
+          Stage("pack", lbl, minOk, { n =>
             operators.Packing.packSequences(synthDocs(n), budget = 2048,
                 buckets = 2048)
               .write.format("noop").mode("overwrite").save()
@@ -600,7 +652,19 @@ object Bench {
           }))
         val obs = scala.collection.mutable.Map[String, List[Double]]()
           .withDefaultValue(Nil)
-        for (pass <- 1 to smokePasses; st <- stages; (label, n) <- st.labels) {
+        // pass 1 keeps cheap-insurance-first order (a budget death costs
+        // the stages other tune harnesses can re-establish); pass 2+ runs
+        // HEAVY-FIRST — the whole point of the repeat pass is a second
+        // draw of the 2-7x-variance stages whose single-draw ratios made
+        // r11's pack read 17.5x and dup_spans 16.1x on unchanged code,
+        // so those must not be starved by cheap stages' third decimals
+        def passOrder(pass: Int): Seq[Stage] =
+          if (pass == 1) stages
+          else {
+            val (heavy, light) = stages.partition(s => heavyStages.contains(s.name))
+            heavy.sortBy(s => heavyStages.indexOf(s.name)) ++ light
+          }
+        for (pass <- 1 to smokePasses; st <- passOrder(pass); (label, n) <- st.labels) {
           val key = s"${st.name}_${label}_sec"
           if (overBudget) {
             // a skipped FIRST pass is lost coverage (truncated artifact);
@@ -611,6 +675,7 @@ object Bench {
             obs(key) = obs(key) :+
               (try timedEager(st.run(n)) catch { case _: Throwable => -1.0 })
             scaleSmoke(key) = st.agg(obs(key))
+            smokeDraws(key) = obs(key)
             writeArtifact()
           }
         }

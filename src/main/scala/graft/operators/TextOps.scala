@@ -317,14 +317,47 @@ object TextOps {
     * shuffle-file target: plan stats undercount generated/decompressed
     * text ~5×, and the guarded shuffles fan out rows (hashed windows,
     * exploded ids) beyond the input estimate. */
+  /** Upper bound on the plan's output ROW count from its LEAVES: each
+    * leaf contributes its exact rowCount when statistics carry one
+    * (Range does; analyzed tables do), else its real sizeInBytes over
+    * its schema's default row width. Leaf stats are file-backed facts;
+    * everything above them is estimation — and Catalyst's JOIN
+    * estimation is multiplicative, so a 3-way self-join of a 40 MB
+    * table estimates PETABYTES (observed 6.2e15 B on
+    * q_dedup_paragraphs' synth input), which saturated the 4096 cap
+    * and paid ~5 s of task-launch overhead on a dataset 32 partitions
+    * handle in under a second. The enrichment/zip joins these
+    * operators receive emit at most ~one row per leaf row; a
+    * genuinely fanning input still scales with its leaves, and the
+    * cap/floor absorb the residual error. */
+  private[graft] def leafRowBound(df: DataFrame): BigInt =
+    try {
+      df.queryExecution.optimizedPlan.collectLeaves().map { l =>
+        l.stats.rowCount.map(r => BigInt(r.toString)).getOrElse {
+          val w = math.max(1, l.output.map(_.dataType.defaultSize).sum)
+          BigInt(l.stats.sizeInBytes.toString) / w
+        }
+      }.sum
+    } catch { case _: Throwable => BigInt(0) }
+
+  /** Plan-size estimate clamped to `leafRowBound × output row width` —
+    * the leaf-derived byte bound. Projection widening (Range → 40-word
+    * text) stays intact because the bound is in ROWS; join-estimation
+    * blow-up (see [[leafRowBound]]) is cut off. */
+  private[graft] def clampedPlanBytes(df: DataFrame): BigInt =
+    try {
+      val est = BigInt(df.queryExecution.optimizedPlan.stats.sizeInBytes.toString)
+      val outWidth = math.max(1, df.schema.map(_.dataType.defaultSize).sum)
+      val bound = leafRowBound(df) * outWidth
+      if (bound > 0 && est > bound) bound else est
+    } catch { case _: Throwable => BigInt(0) }
+
   private[graft] def volumeParts(
       df: DataFrame,
       targetBytes: Long = 8L << 20): Int = {
     val session = df.sparkSession
     val default = session.sessionState.conf.numShufflePartitions
-    val bytes =
-      try BigInt(df.queryExecution.optimizedPlan.stats.sizeInBytes.toString)
-      catch { case _: Throwable => BigInt(0) }
+    val bytes = clampedPlanBytes(df)
     val need = (bytes / targetBytes).min(BigInt(4096)).toLong
     math.max(default.toLong, need).toInt
   }
@@ -376,10 +409,14 @@ object TextOps {
     val stats =
       try docs.queryExecution.optimizedPlan.stats
       catch { case _: Throwable => return default }
-    val rowsEst: Long = stats.rowCount.map(_.toLong).getOrElse {
-      val width = math.max(1, docs.schema.map(_.dataType.defaultSize).sum)
-      (BigInt(stats.sizeInBytes.toString) / width).toLong
-    }
+    // row estimate bounded by the leaf-derived row bound: Catalyst's
+    // join estimates (sizeInBytes AND rowCount) inflate multiplicatively
+    // on joined inputs — see [[leafRowBound]]; exact leaf rowCounts
+    // (Range) pass through unchanged, and the clamp only ever biases
+    // DOWN toward the session floor, which the contract above allows
+    val leafBound = leafRowBound(docs).min(BigInt(Long.MaxValue)).toLong
+    val rowsEst: Long =
+      stats.rowCount.map(_.toLong).getOrElse(leafBound).min(leafBound)
     val sampled =
       try docs.select(size(split(normalize(coalesce(col(textCol), lit(""))),
           " ")).cast("long"))

@@ -1323,6 +1323,19 @@ class OperatorsSpec extends AnyFunSuite {
           (1 to 40).map(i => lit(s"w$i")): _*)).as("text"))
     val pn = TextOps.fanoutParts(withNulls, "text")
     assert(pn >= session && pn <= p, s"resolved $pn (all-text: $p)")
+    // joined inputs: Catalyst's multiplicative join estimate (a 3-way
+    // self-join of KBs estimates GBs+) must NOT blow the sizing to the
+    // 4096 cap — the leaf row bound clamps it back to reality
+    val base = spark.range(2000).select(col("id").as("doc_id"),
+      concat_ws(" ", (1 to 10).map(i => lit(s"w$i")): _*).as("text"))
+    val joined = base.join(base.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("t2")), "doc_id")
+      .join(base.select((col("doc_id") - 2).as("doc_id"),
+        col("text").as("t3")), "doc_id")
+      .select(col("doc_id"), concat_ws(" ", col("text"), col("t2"), col("t3")).as("text"))
+    assert(TextOps.volumeParts(joined, targetBytes = 8L << 20) == session,
+      "join-estimate blow-up must be clamped by leaf sizes")
+    assert(TextOps.fanoutParts(joined, "text") == session)
   }
 
   test("dupSpans flags shared windows, not unique text") {
