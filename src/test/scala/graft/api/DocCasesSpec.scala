@@ -178,6 +178,69 @@ class DocCasesSpec extends AnyFunSuite {
     assert(manifest.agg(sum("n_docs")).head.getLong(0) == stats.getAs[Long]("n_seqs"))
   }
 
+  test("crawl-discovery end-to-end: robots → sitemap → frontierSchedule → fetch → curateWeb") {
+    // the crawl-side front door, the discovery/politeness sibling of the
+    // WARC chain above: robots.txt seeds the sitemap fetch, the sitemap
+    // (and a sitemapindex hop) seeds the frontier, politeness schedules
+    // it, and the fetched pages flow into web curation — every stage an
+    // operator this library ships, composed as a crawler runs them
+    import graft.operators.{Curation, WebOps}
+    import org.apache.spark.sql.functions._
+    val ua = "graftbot"
+    // 1. per-host robots: a politeness delay, a disallow, and the
+    //    sitemap pointer that seeds discovery
+    val robots = Seq(
+      ("a.com",
+        "User-agent: *\nDisallow: /private/\nCrawl-delay: 2\n" +
+          "Sitemap: https://a.com/sitemap-index.xml"))
+      .toDF("host", "content")
+    val rules = WebOps.parseRobots(robots)
+    val seeds = rules.filter(col("directive") === "sitemap")
+      .select(col("host"), col("value").as("url"))
+    assert(seeds.collect().map(_.getString(1)).toSeq ==
+      Seq("https://a.com/sitemap-index.xml"), "robots must seed the sitemap")
+    // 2. fetch the seed (simulated) → it is a sitemapindex; one hop
+    val indexDoc = seeds.withColumn("content", lit(
+      "<sitemapindex><sitemap><loc>https://a.com/sitemap-1.xml</loc>" +
+        "</sitemap></sitemapindex>"))
+    val hop = WebOps.parseSitemap(indexDoc)
+    assert(hop.select("kind", "loc").collect().map(r =>
+      (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("sitemap", "https://a.com/sitemap-1.xml")))
+    // 3. fetch the child sitemap (simulated) → the page frontier,
+    //    including a robots-disallowed URL the scheduler must bench
+    val childDoc = hop.select(col("host"), col("loc").as("url"))
+      .withColumn("content", lit(
+        "<urlset>" +
+          "<url><loc>http://a.com/page1</loc><lastmod>2026-01-05</lastmod></url>" +
+          "<url><loc>http://a.com/page2</loc></url>" +
+          "<url><loc>http://a.com/private/x</loc></url>" +
+          "</urlset>"))
+    val frontier = WebOps.parseSitemap(childDoc)
+      .filter(col("kind") === "url").select(col("loc").as("url"))
+    // 4. politeness: allowed pages get per-host fetch slots at the
+    //    host's declared 2 s delay; the disallowed URL stays unscheduled
+    val sched = WebOps.frontierSchedule(frontier, rules, ua)
+    val byUrl = sched.collect().map(r => r.getString(0) ->
+      ((r.getBoolean(1), Option(r.get(3)).map(_.toString.toInt),
+        Option(r.get(4)).map(_.toString.toDouble)))).toMap
+    assert(byUrl("http://a.com/page1") == ((true, Some(1), Some(0.0))), byUrl)
+    assert(byUrl("http://a.com/page2") == ((true, Some(2), Some(2.0))), byUrl)
+    assert(byUrl("http://a.com/private/x") == ((false, None, None)), byUrl)
+    // 5. fetch the scheduled pages (simulated bodies) → web curation
+    def page(body: String) = s"<html><body><p>$body</p></body></html>"
+    val fetched = sched.filter(col("allowed") && col("fetch_seq").isNotNull)
+      .select(col("url"), monotonically_increasing_id().as("doc_id"))
+      .withColumn("html", when(col("url").endsWith("page1"),
+          page("a clean english document about crawl scheduling and data"))
+        .otherwise(page("tiny")))
+    val curated = Curation.curateWeb(fetched,
+      langs = Seq("en", "und"), minQuality = 0.0, minTokens = 5)
+    val kept = curated.select("url").collect().map(_.getString(0)).toSeq
+    assert(kept == Seq("http://a.com/page1"),
+      s"curation must keep the real page and drop the stub: $kept")
+  }
+
   test("doc case: filter + unit conversion + CASE grading (EmitSync analog)") {
     // reference doc_cases_test.go:16-52 — same SQL, same expectations;
     // the out-of-range and null readings must be filtered, not errors

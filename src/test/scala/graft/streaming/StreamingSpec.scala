@@ -746,6 +746,56 @@ class StreamingSpec extends AnyFunSuite {
     corpusSigs.unpersist()
   }
 
+  test("streaming span dedup against the signature store matches the batch " +
+      "operator per micro-batch, and the store learns each batch's spans") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextOps
+    val sigDir = java.nio.file.Files.createTempDirectory("spansig").toFile
+    val sigPath = new java.io.File(sigDir, "sigs").getAbsolutePath
+    // seed: the existing corpus owns "aa bb cc dd"
+    val corpus = Seq((100L, "aa bb cc dd tail1 tail2")).toDF("doc_id", "text")
+    TextOps.spanSignatures(corpus, n = 4).write.parquet(sigPath)
+    val batch1 = Seq(
+      (1L, "aa bb cc dd unique1 unique2"), // corpus-owned span: deleted
+      (2L, "xx yy zz ww other1 other2"))   // new spans: kept, then learned
+    val batch2 = Seq(
+      (3L, "pre0 xx yy zz ww other3"),     // dups batch 1's learned span
+      (4L, "fresh words entirely new here"))
+    val mem = MemoryStream[(Long, String)]
+    val src = mem.toDF().toDF("doc_id", "text")
+    val got = scala.collection.mutable.Map[Long, Seq[(Long, String, Long)]]()
+    val q = IngestDedup.spanDedupStream(src, sigPath, n = 4) { (df, id) =>
+      got(id) = df.collect().toSeq
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    }.start()
+    mem.addData(batch1: _*); q.processAllAvailable()
+    mem.addData(batch2: _*); q.processAllAvailable()
+    SparkTestBase.stopQuietly(q)
+    // parity: the batch operator applied sequentially with the same
+    // store evolution must produce identical per-batch outputs
+    val seed = TextOps.spanSignatures(corpus, n = 4)
+    val exp1 = TextOps.removeDupSpansAgainst(
+      batch1.toDF("doc_id", "text"), seed, n = 4)
+    val sigs2 = seed.unionByName(TextOps.spanSignatures(
+      exp1.select(col("doc_id"), col("clean_text").as("text")), n = 4))
+    val exp2 = TextOps.removeDupSpansAgainst(
+      batch2.toDF("doc_id", "text"), sigs2, n = 4)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).sortBy(_._1)
+    assert(got.keySet == Set(0L, 1L), got.keySet)
+    assert(got(0L).sortBy(_._1) == canon(exp1), s"batch 0: ${got(0L)}")
+    assert(got(1L).sortBy(_._1) == canon(exp2), s"batch 1: ${got(1L)}")
+    // semantic spot checks: doc 3 lost the span it shares with doc 2's
+    // batch-1 output; doc 4 untouched
+    val b2 = got(1L).map { case (id, t, _) => id -> t }.toMap
+    assert(b2(3L) == "pre0 other3", b2)
+    assert(b2(4L) == "fresh words entirely new here", b2)
+    // the store kept growing: seed + batch1 + batch2 spans
+    val stored = spark.read.parquet(sigPath).count()
+    assert(stored > seed.count(), s"store did not grow: $stored")
+    org.apache.commons.io.FileUtils.deleteDirectory(sigDir)
+  }
+
   test("streaming decontamination flags docs sharing a benchmark n-gram, once per doc") {
     implicit val sqlCtx = spark.sqlContext
     val bench = Seq((1L, "the secret holdout answer key")).toDF("bid", "text").cache()
