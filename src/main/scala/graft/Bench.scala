@@ -666,7 +666,14 @@ object Bench {
           }
         for (pass <- 1 to smokePasses; st <- passOrder(pass); (label, n) <- st.labels) {
           val key = s"${st.name}_${label}_sec"
-          if (overBudget) {
+          // repeat draws also pre-check their PROJECTED cost (1.5x the
+          // stage's last draw): the budget is soft — an in-flight stage
+          // finishes — so starting a 200 s heavy repeat at budget-10 s
+          // would overshoot into the driver's kill window. First draws
+          // keep the plain check: coverage beats overshoot risk.
+          val projectedOver = pass > 1 && obs(key).lastOption.exists(last =>
+            last > 0 && elapsedSec + last * 1.5 > budgetSec)
+          if (overBudget || projectedOver) {
             // a skipped FIRST pass is lost coverage (truncated artifact);
             // a skipped repeat pass only loses noise suppression — count
             // it, but don't flag the artifact truncated for it
