@@ -2994,6 +2994,109 @@ object SparkEntry {
         FROM t WHERE length(token) > 0
         GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin.trim)),
 
+    Q("q_fertility",
+      // tokenizer fertility audit per source: tokens/word and chars/token
+      // from the BPE-proxy count (any real tokenizer's size(token_ids)
+      // drops into the same report) — the vocab-size / multilingual-
+      // balance health table; the oracle replays counts and ratios
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val d = Tables.load(s, dir)("documents")
+        operators.Bpe.fertilityReport(d,
+          operators.TextOps.tokenCountBpe(col("text")),
+          groupCols = Seq("source"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT source,
+            CAST(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+              ELSE len(string_split_regex(trim(coalesce(text, '')), '\s+')) END AS BIGINT) AS w,
+            CAST(CASE WHEN text IS NULL THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) +
+                floor(length(regexp_replace(text, '\s+', '', 'g')) / 4) END AS BIGINT) AS t,
+            CAST(length(regexp_replace(coalesce(text, ''), '\s', '', 'g')) AS BIGINT) AS c
+          FROM documents)
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(w) AS BIGINT) AS n_words, CAST(sum(t) AS BIGINT) AS n_tokens,
+          CAST(sum(c) AS BIGINT) AS n_chars,
+          round(sum(t)::DOUBLE / CASE WHEN sum(w) > 0 THEN sum(w) END, 6) AS tokens_per_word,
+          round(sum(c)::DOUBLE / CASE WHEN sum(t) > 0 THEN sum(t) END, 6) AS chars_per_token
+        FROM b GROUP BY source""".stripMargin.trim)),
+
+    Q("q_lang_segments",
+      // paragraph-level language segmentation over mixed-language synth
+      // docs (a German and/or French paragraph appended to the English-ish
+      // fixture text): per doc the char-weighted primary language, its
+      // char fraction, and the distinct-language vote count — the
+      // multilingual-pollution gate doc-level langId can't see; the
+      // oracle replays the per-paragraph langId CASE and the argmax
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = Tables.load(s, dir)("documents").filter(col("doc_id") < 600)
+        val de = "der die das und ist nicht mit der die das und ist nicht mit"
+        val fr = "le la les et est dans pour le la les et est dans pour"
+        val synth = d.select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+              concat_ws("\n\n", col("text"), lit(de)))
+            .when(pmod(col("doc_id"), lit(3)) === 1,
+              concat_ws("\n\n", col("text"), lit(de), lit(fr)))
+            .otherwise(col("text")).as("text"))
+        operators.TextOps.langSegments(synth)
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 600),
+        synth AS (SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0 THEN concat_ws(chr(10) || chr(10), text,
+                'der die das und ist nicht mit der die das und ist nicht mit')
+              WHEN doc_id % 3 = 1 THEN concat_ws(chr(10) || chr(10), text,
+                'der die das und ist nicht mit der die das und ist nicht mit',
+                'le la les et est dans pour le la les et est dans pour')
+              ELSE text END AS text
+          FROM d),
+        p AS (SELECT doc_id, unnest(string_split(text, chr(10) || chr(10))) AS para FROM synth),
+        v AS (SELECT doc_id, para, ' ' || lower(para) || ' ' AS padded,
+                CAST(length(para) AS BIGINT) AS chars
+              FROM p WHERE length(trim(para)) >= 20),
+        h AS (SELECT doc_id, chars,
+            len(regexp_extract_all(padded, ' (the|and|is|of|to|that|with) ')) AS en,
+            len(regexp_extract_all(padded, ' (der|die|das|und|ist|nicht|mit) ')) AS de,
+            len(regexp_extract_all(padded, ' (le|la|les|et|est|dans|pour) ')) AS fr,
+            len(regexp_extract_all(padded, ' (el|los|las|es|en|que|por) ')) AS es,
+            length(regexp_replace(para, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS zh,
+            length(regexp_replace(para, '[^\x{0400}-\x{04ff}]', '', 'g')) AS ru,
+            length(regexp_replace(para, '[^\x{0600}-\x{06ff}]', '', 'g')) AS ar,
+            length(regexp_replace(para, '[^\x{ac00}-\x{d7af}]', '', 'g')) AS ko,
+            length(regexp_replace(para, '[^\x{3040}-\x{30ff}]', '', 'g')) AS ja,
+            length(regexp_replace(para, '[^\x{0900}-\x{097f}]', '', 'g')) AS hi
+          FROM v),
+        l AS (SELECT doc_id, chars,
+            CASE WHEN greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) = 0 THEN 'und'
+                 WHEN ja = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'ja'
+                 WHEN zh = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'zh'
+                 WHEN ru = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'ru'
+                 WHEN ar = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'ar'
+                 WHEN ko = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'ko'
+                 WHEN hi = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'hi'
+                 WHEN en = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'en'
+                 WHEN de = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'de'
+                 WHEN fr = greatest(en, de, fr, es, zh, ru, ar, ko, ja, hi) THEN 'fr'
+                 ELSE 'es' END AS lang
+          FROM h),
+        g AS (SELECT doc_id, lang, sum(chars) AS lc, count(*) AS np
+              FROM l GROUP BY doc_id, lang),
+        r AS (SELECT doc_id, lang, lc,
+                row_number() OVER (PARTITION BY doc_id ORDER BY lc DESC, lang) AS rk,
+                sum(lc) OVER (PARTITION BY doc_id) AS total,
+                sum(np) OVER (PARTITION BY doc_id) AS n_paras,
+                count(*) OVER (PARTITION BY doc_id) AS n_langs
+              FROM g)
+        SELECT s.doc_id,
+          coalesce(r.lang, 'und') AS lang_primary,
+          round(r.lc::DOUBLE / r.total, 6) AS primary_char_frac,
+          CAST(coalesce(r.n_langs, 0) AS BIGINT) AS n_langs,
+          CAST(coalesce(r.n_paras, 0) AS BIGINT) AS n_paras
+        FROM synth s LEFT JOIN (SELECT * FROM r WHERE rk = 1) r USING (doc_id)""".stripMargin.trim)),
+
     Q("q_vocab_drift",
       // token-distribution drift between two deterministic snapshot
       // slices: top-30 vocab per side, full-outer join, per-snapshot

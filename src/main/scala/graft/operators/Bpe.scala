@@ -447,4 +447,50 @@ object Bpe {
     tokenize(docs.withColumn(tmp, byteProxyText(col(textCol))),
       merges, tmp, outCol).drop(tmp)
   }
+
+  /** Tokenizer FERTILITY audit — tokens/word and chars/token per group,
+    * the standard tokenizer-health table a vocab-size or multilingual-
+    * balance review reads (fertility ≫ 1 on a language means the
+    * tokenizer shreds it into many pieces — that language pays more
+    * sequence length per sentence; chars/token is the compression read).
+    * `tokens` is any per-document token-count Column — `size(col(
+    * "token_ids"))` over a real [[tokenizeIdsBytes]] run, or the
+    * [[graft.operators.TextOps.tokenCountBpe]] heuristic when no trained
+    * tokenizer is at hand; words are whitespace tokens, chars count
+    * non-whitespace (whitespace is formatting, not payload).
+    *
+    * Scale: one scan computing three longs per row, one partial-agg
+    * groupBy on the (low-cardinality) group keys — map-side combine
+    * collapses everything before the shuffle. Zero-word or zero-token
+    * groups yield null ratios rather than dividing by zero.
+    *
+    * @return groupCols + (n_docs, n_words, n_tokens, n_chars,
+    *         tokens_per_word, chars_per_token) */
+  def fertilityReport(
+      docs: DataFrame,
+      tokens: Column,
+      groupCols: Seq[String] = Nil,
+      textCol: String = "text"): DataFrame = {
+    val words = TextOps.tokenCount(coalesce(col(textCol), lit("")))
+    val chars = length(regexp_replace(coalesce(col(textCol), lit("")),
+      "\\s", ""))
+    val keyed =
+      if (groupCols.nonEmpty) docs
+      else docs.withColumn("corpus", lit("corpus"))
+    val keys = if (groupCols.nonEmpty) groupCols else Seq("corpus")
+    keyed
+      .select(keys.map(col) ++ Seq(
+        coalesce(tokens.cast("long"), lit(0L)).as("__t"),
+        words.cast("long").as("__w"), chars.cast("long").as("__c")): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__w")).as("n_words"),
+        sum(col("__t")).as("n_tokens"),
+        sum(col("__c")).as("n_chars"),
+        round(sum(col("__t")).cast("double") /
+          when(sum(col("__w")) > 0, sum(col("__w"))), 6).as("tokens_per_word"),
+        round(sum(col("__c")).cast("double") /
+          when(sum(col("__t")) > 0, sum(col("__t"))), 6).as("chars_per_token"))
+  }
 }

@@ -85,6 +85,62 @@ object TextOps {
       .when(fr === m, "fr").otherwise("es")
   }
 
+  /** Paragraph-level language segmentation — the multilingual-document
+    * audit [[langId]]'s whole-doc argmax can't see: a page that is 70%
+    * English with a German block resolves `en` doc-level and the German
+    * text silently pollutes an English-only corpus. Each blank-line
+    * paragraph of at least `minChars` trimmed chars votes with its
+    * [[langId]] weighted by its character count; per document this
+    * reports the primary language, the character fraction it holds of
+    * all voted text, and how many distinct languages voted — the
+    * `primary_char_frac < 0.9`-style gate a curation recipe applies
+    * before language filtering. Ties break to the lexicographically
+    * first language (deterministic, oracle-replayable). Documents with
+    * no voting paragraph (null/short/empty text) survive as
+    * (`und`, null, 0, 0) — report operators never drop rows.
+    *
+    * Scale: one explode scan (langId is a codegen'd regex/length chain),
+    * one partial-agg groupBy on (id, lang) — bounded at docs × ~10
+    * languages — then an (id)-keyed rollup and one left join back to the
+    * id spine. No window, no text on any shuffle beyond the per-paragraph
+    * explode rows.
+    *
+    * @return (idCol, lang_primary, primary_char_frac, n_langs, n_paras) */
+  def langSegments(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      minChars: Int = 20): DataFrame = {
+    require(minChars >= 0, "minChars must be non-negative")
+    val voted = docs
+      .select(col(idCol).as("__id"),
+        explode(split(col(textCol), "\n\n")).as("__para"))
+      .filter(length(trim(col("__para"))) >= minChars)
+      .select(col("__id"), langId(col("__para")).as("__lang"),
+        length(col("__para")).cast("long").as("__chars"))
+    val perLang = voted.groupBy(col("__id"), col("__lang"))
+      .agg(sum(col("__chars")).as("__lc"), count(lit(1)).as("__np"))
+    val perDoc = perLang.groupBy(col("__id"))
+      .agg(
+        // argmax by (chars desc, lang asc): min over (-chars, lang)
+        min(struct((-col("__lc")).as("nc"), col("__lang").as("lang")))
+          .as("__best"),
+        sum(col("__lc")).as("__total"),
+        countDistinct(col("__lang")).as("n_langs"),
+        sum(col("__np")).as("n_paras"))
+      .select(col("__id"),
+        col("__best")("lang").as("lang_primary"),
+        round((-col("__best")("nc")).cast("double") / col("__total"), 6)
+          .as("primary_char_frac"),
+        col("n_langs"), col("n_paras"))
+    docs.select(col(idCol)).join(perDoc, col(idCol) === col("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("lang_primary"), lit("und")).as("lang_primary"),
+        col("primary_char_frac"),
+        coalesce(col("n_langs"), lit(0L)).as("n_langs"),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"))
+  }
+
   /** Content fingerprint: 64-bit hash of whitespace/case-normalized text —
     * the exact-dup key that survives formatting noise. */
   def fingerprint(text: Column): Column =

@@ -1202,6 +1202,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r2 == r, s"duplicate signatures changed results: $r2 vs $r")
   }
 
+  test("langSegments: char-weighted primary language, mixed-doc detection") {
+    val en = "the cat and the dog went to that house with the mouse" // 53 ch
+    val de = "der hund und die katze ist nicht mit der maus hier" // 50 ch
+    val docs = Seq(
+      (1L, s"$en\n\n$de"),          // mixed: en wins by chars (53 > 50)
+      (2L, en),                      // pure en
+      (3L, null.asInstanceOf[String]), // preserved, no vote
+      (4L, "short\n\ntiny")          // all paragraphs under minChars
+    ).toDF("doc_id", "text")
+    val r = TextOps.langSegments(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getString(1),
+        if (x.isNullAt(2)) null else x.getDouble(2),
+        x.getLong(3), x.getLong(4)))).toMap
+    val frac = BigDecimal(en.length.toDouble / (en.length + de.length))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(1L) == (("en", frac, 2L, 2L)), r(1L))
+    assert(r(2L) == (("en", 1.0, 1L, 1L)), r(2L))
+    assert(r(3L) == (("und", null, 0L, 0L)), r(3L))
+    assert(r(4L) == (("und", null, 0L, 0L)), r(4L))
+  }
+
+  test("fertilityReport: tokens/word and chars/token per group") {
+    val docs = Seq(
+      (1L, "aaaa bb cc", "s1", 5L),  // 3 words, 8 chars, 5 tokens
+      (2L, "dd ee", "s1", 3L),       // 2 words, 4 chars, 3 tokens
+      (3L, null.asInstanceOf[String], "s2", 0L) // null text: zeroes
+    ).toDF("doc_id", "text", "src", "ntok")
+    val r = Bpe.fertilityReport(docs, col("ntok"), groupCols = Seq("src"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    val s1 = r("s1")
+    assert(s1.getLong(1) == 2L && s1.getLong(2) == 5L &&
+      s1.getLong(3) == 8L && s1.getLong(4) == 12L, s1)
+    assert(s1.getDouble(5) == 1.6)            // 8 tokens / 5 words
+    assert(s1.getDouble(6) == 1.5)            // 12 chars / 8 tokens
+    val s2 = r("s2")
+    assert(s2.getLong(1) == 1L && s2.getLong(2) == 0L && s2.getLong(3) == 0L)
+    assert(s2.isNullAt(5) && s2.isNullAt(6), "zero denominators yield null")
+    // ungrouped: one 'corpus' row over everything
+    val all = Bpe.fertilityReport(docs, col("ntok")).collect()
+    assert(all.length == 1 && all(0).getString(0) == "corpus" &&
+      all(0).getLong(1) == 3L, all.toSeq)
+  }
+
   test("codeFlags routes code to code, prose to prose") {
     val df = Seq(
       (1L, "def main():\n    print('hi')\n    return 0"), // python
