@@ -1889,6 +1889,49 @@ object SparkEntry {
           ('b.com', 1, 'sitemap', 'https://b.com/sitemap-2.xml', NULL, NULL, NULL)
         ) AS t(host, entry_no, kind, loc, lastmod, changefreq, priority)""".stripMargin.trim)),
 
+    Q("q_recrawl",
+      // recrawl scheduling from sitemap lastmod/changefreq + fetch
+      // history: new > modified (day-granularity lastmod vs fetch date)
+      // > stale (changefreq interval elapsed; 'never' disables it;
+      // missing paces at the weekly default; partial lastmod like bare
+      // '2026' is not comparable) > fresh; the oracle is the
+      // hand-computed decision table
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        import s.implicits._
+        val files = Seq(("a.com",
+          "<urlset>" +
+            "<url><loc>http://a.com/u1</loc><lastmod>2026-01-20</lastmod><changefreq>daily</changefreq></url>" +
+            "<url><loc>http://a.com/u2</loc><lastmod>2026-01-25</lastmod><changefreq>never</changefreq></url>" +
+            "<url><loc>http://a.com/u3</loc><lastmod>2026-01-05</lastmod><changefreq>never</changefreq></url>" +
+            "<url><loc>http://a.com/u4</loc></url>" +
+            "<url><loc>http://a.com/u5</loc><changefreq>monthly</changefreq></url>" +
+            "<url><loc>http://a.com/u6</loc><changefreq>hourly</changefreq></url>" +
+            "<url><loc>http://a.com/u7</loc><lastmod>2026</lastmod><changefreq>yearly</changefreq></url>" +
+            "</urlset>")).toDF("host", "content")
+        val pages = operators.WebOps.parseSitemap(files)
+        val history = Seq(
+          ("http://a.com/u1", "2026-01-10 00:00:00"),
+          ("http://a.com/u2", "2026-01-20 00:00:00"),
+          ("http://a.com/u3", "2026-01-10 00:00:00"),
+          ("http://a.com/u4", "2026-01-28 00:00:00"),
+          ("http://a.com/u6", "2026-01-31 23:00:00"),
+          ("http://a.com/u7", "2025-01-01 00:00:00")).toDF("loc", "lf")
+          .select(col("loc"), col("lf").cast("timestamp").as("last_fetch"))
+        operators.WebOps.recrawlDue(pages, history, "2026-02-01 00:00:00")
+          .select("loc", "last_fetch", "reason", "due")
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          ('http://a.com/u1', TIMESTAMP '2026-01-10 00:00:00', 'modified', true),
+          ('http://a.com/u2', TIMESTAMP '2026-01-20 00:00:00', 'modified', true),
+          ('http://a.com/u3', TIMESTAMP '2026-01-10 00:00:00', 'fresh', false),
+          ('http://a.com/u4', TIMESTAMP '2026-01-28 00:00:00', 'fresh', false),
+          ('http://a.com/u5', CAST(NULL AS TIMESTAMP), 'new', true),
+          ('http://a.com/u6', TIMESTAMP '2026-01-31 23:00:00', 'stale', true),
+          ('http://a.com/u7', TIMESTAMP '2025-01-01 00:00:00', 'stale', true)
+        ) AS t(loc, last_fetch, reason, due)""".stripMargin.trim)),
+
     Q("q_domain_psl",
       // Public-Suffix-List registered-domain lookup over a fixture PSL
       // (plain suffixes, a private-registry suffix github.io, a wildcard

@@ -506,4 +506,65 @@ object WebOps {
       .withColumn("allowed", coalesce(best("allow"), lit(true)))
       .select(urls.columns.map(col) :+ col("allowed"): _*)
   }
+
+  /** Recrawl scheduling over [[parseSitemap]] output + fetch history —
+    * the RE-fetch leg that closes the discovery loop (parse → schedule
+    * → fetch → re-fetch): each known page is `due` with a reason, in
+    * precedence order:
+    *   `new`      — never fetched (no history row);
+    *   `modified` — the sitemap's `lastmod` DATE is after the last
+    *                fetch's date (day granularity: `lastmod` is
+    *                commonly date-only, and comparing a date-floor
+    *                against a timestamp would re-fetch a page crawled
+    *                later the same day forever);
+    *   `stale`    — the page's `changefreq` interval has elapsed since
+    *                `last_fetch` as of `asOf` (always 0s, hourly,
+    *                daily, weekly, monthly 30d, yearly 365d; missing or
+    *                unrecognized values pace at `defaultFreq`;
+    *                `never` disables the interval — only `modified`
+    *                re-fetches it);
+    *   `fresh`    — otherwise (not due).
+    *
+    * Scale: one equi-join on the URL between two big tables (the
+    * sitemap snapshot and the fetch log) — co-partition/bucket both by
+    * URL at deployment scale — then pure codegen'd column arithmetic;
+    * no window, no driver state.
+    *
+    * @param asOf ANSI timestamp literal, e.g. `2026-02-01 00:00:00`
+    * @return pages' columns + (last_fetch, reason, due) */
+  def recrawlDue(
+      pages: DataFrame,
+      history: DataFrame,
+      asOf: String,
+      urlCol: String = "loc",
+      fetchedCol: String = "last_fetch",
+      defaultFreq: String = "weekly"): DataFrame = {
+    val freqSec = {
+      val f = coalesce(lower(col("changefreq")), lit(defaultFreq.toLowerCase))
+      when(f === "always", lit(0L))
+        .when(f === "hourly", lit(3600L))
+        .when(f === "daily", lit(86400L))
+        .when(f === "weekly", lit(7L * 86400))
+        .when(f === "monthly", lit(30L * 86400))
+        .when(f === "yearly", lit(365L * 86400))
+        .when(f === "never", lit(null).cast("long"))
+        .otherwise(lit(7L * 86400))
+    }
+    // lastmod is W3C-guarded by parseSitemap but may be partial
+    // (YYYY / YYYY-MM); only a full date prefix is comparable
+    val modDate = when(col("lastmod").rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}"),
+      to_date(substring(col("lastmod"), 1, 10)))
+    val h = history.select(col(urlCol).as("__hu"),
+      col(fetchedCol).cast("timestamp").as("last_fetch"))
+    pages.join(h, col(urlCol) === col("__hu"), "left").drop("__hu")
+      .withColumn("reason",
+        when(col("last_fetch").isNull, "new")
+          .when(modDate.isNotNull && modDate > to_date(col("last_fetch")),
+            "modified")
+          .when(freqSec.isNotNull &&
+            unix_timestamp(lit(asOf).cast("timestamp")) -
+              unix_timestamp(col("last_fetch")) >= freqSec, "stale")
+          .otherwise("fresh"))
+      .withColumn("due", col("reason") =!= "fresh")
+  }
 }
