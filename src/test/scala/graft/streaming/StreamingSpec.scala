@@ -796,6 +796,27 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(sigDir)
   }
 
+  test("streaming span dedup starts from a MISSING store: batch 1 passes " +
+      "untouched, batch 2 dedups against batch 1's learned spans") {
+    implicit val sqlCtx = spark.sqlContext
+    val sigDir = java.nio.file.Files.createTempDirectory("spansig0").toFile
+    val sigPath = new java.io.File(sigDir, "sigs").getAbsolutePath // never written
+    val mem = MemoryStream[(Long, String)]
+    val src = mem.toDF().toDF("doc_id", "text")
+    val got = scala.collection.mutable.Map[Long, Map[Long, String]]()
+    val q = IngestDedup.spanDedupStream(src, sigPath, n = 4) { (df, id) =>
+      got(id) = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }.start()
+    mem.addData((1L, "aa bb cc dd tail1 tail2")); q.processAllAvailable()
+    mem.addData((2L, "pre0 aa bb cc dd post")); q.processAllAvailable()
+    SparkTestBase.stopQuietly(q)
+    assert(got(0L) == Map(1L -> "aa bb cc dd tail1 tail2"),
+      s"empty store: nothing to remove: ${got(0L)}")
+    assert(got(1L) == Map(2L -> "pre0 post"),
+      s"batch 2 must lose batch 1's learned span: ${got(1L)}")
+    org.apache.commons.io.FileUtils.deleteDirectory(sigDir)
+  }
+
   test("streaming decontamination flags docs sharing a benchmark n-gram, once per doc") {
     implicit val sqlCtx = spark.sqlContext
     val bench = Seq((1L, "the secret holdout answer key")).toDF("bid", "text").cache()
