@@ -686,6 +686,24 @@ object Bench {
             writeArtifact()
           }
         }
+        // denominator pass: the heavy stages' SMALL endpoints are ~10 s
+        // jobs whose draw noise dominates the reported scale RATIO (four
+        // identical-code remove_spans@2M draws spanned 10.2-38.8 s across
+        // the r12 validation runs, moving the ratio 11x -> 16x while the
+        // 20M numerator held within 15%); one extra draw costs ~1/15 of
+        // a 20M draw and tightens the min where it moves the ratio most
+        for (st <- stages if heavyStages.contains(st.name);
+             (label, n) <- st.labels if label == "2m") {
+          val key = s"${st.name}_${label}_sec"
+          if (overBudget) extraPassesSkipped += 1
+          else {
+            obs(key) = obs(key) :+
+              (try timedEager(st.run(n)) catch { case _: Throwable => -1.0 })
+            scaleSmoke(key) = st.agg(obs(key))
+            smokeDraws(key) = obs(key)
+            writeArtifact()
+          }
+        }
       }
     }
 

@@ -459,6 +459,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("fertility report: one scan into a partial-then-final hash aggregate, no window") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.operators.Bpe.fertilityReport(tables("documents"),
+      graft.operators.TextOps.tokenCountBpe(col("text")),
+      groupCols = Seq("source"))
+    val p = df.queryExecution.executedPlan.toString
+    // map-side combine must collapse the corpus before the one shuffle
+    assert(p.contains("partial"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"expected <=1 exchange, got $exchanges:\n$p")
+  }
+
+  test("langSegments: no window; document text never rides an exchange") {
+    val df = graft.operators.TextOps.langSegments(tables("documents"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the (id, lang) and (id) aggregates move only slim vote rows, and
+    // the id-spine join carries ids: no full text column on any exchange
+    val exLines = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exLines.contains("text"), p)
+  }
+
   test("PQ scan: the query side broadcasts; codes come from one corpus scan") {
     val emb = tables("embeddings")
     val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
