@@ -385,7 +385,8 @@ object Bench {
       "q_join_interval", "q_embed_project", "q_domain_psl", "q_sitemap",
       "q_crawl_delay", "q_gate_report", "q_redaction_report",
       "q_frontier_schedule", "q_markdown", "q_code_flags",
-      "q_remove_spans_incr", "q_fertility", "q_lang_segments")
+      "q_remove_spans_incr", "q_fertility", "q_lang_segments",
+      "q_paragraphs_incr")
     val headline = benchOnly match {
       case Some(ps) => headline0.filter(n => ps.exists(n.startsWith))
       case None     => headline0

@@ -2250,6 +2250,60 @@ object SparkEntry {
           count(CASE WHEN rm THEN 1 END) AS n_removed
         FROM keep GROUP BY doc_id""".stripMargin.trim)),
 
+    Q("q_paragraphs_incr",
+      // incremental paragraph dedup against stored corpus signatures:
+      // corpus = every 7th document's paragraphs (hashed, text never
+      // stored), batch = overlapping 3-paragraph synth docs — a batch
+      // paragraph deletes when corpus-owned (wherever it occurs) or as
+      // a non-first within-batch occurrence; short paragraphs exempt;
+      // the oracle replays census, corpus join, election and rebuild on
+      // the normalized keys
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = Tables.load(s, dir)("documents").select(col("doc_id"), col("text"))
+        val sigs = operators.Dedup.paragraphSignatures(
+          d.filter(pmod(col("doc_id"), lit(7)) === 0))
+        val b = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("bt"))
+        val c = d.select((col("doc_id") - 2).as("doc_id"), col("text").as("ct"))
+        val synth = d.filter(col("doc_id") < 300).join(b, "doc_id").join(c, "doc_id")
+          .select(col("doc_id"),
+            concat_ws("\n\n", col("text"), col("bt"), col("ct")).as("text"))
+        operators.Dedup.dropDupParagraphsAgainst(synth, sigs)
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, text FROM documents),
+        corpus AS (SELECT DISTINCT
+            trim(regexp_replace(lower(para), '\s+', ' ', 'g')) AS key
+          FROM (SELECT unnest(string_split(text, chr(10) || chr(10))) AS para
+                FROM d WHERE doc_id % 7 = 0)
+          WHERE length(trim(para)) >= 30),
+        synth AS (SELECT a.doc_id,
+            a.text || chr(10) || chr(10) || b.text || chr(10) || chr(10) || c.text AS text
+          FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+                   JOIN d c ON c.doc_id = a.doc_id + 2
+          WHERE a.doc_id < 300),
+        sp AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps FROM synth),
+        p AS (SELECT doc_id, unnest(ps) AS para,
+                generate_subscripts(ps, 1) - 1 AS i FROM sp),
+        k AS (SELECT doc_id, i,
+                trim(regexp_replace(lower(para), '\s+', ' ', 'g')) AS key
+              FROM p WHERE length(trim(para)) >= 30),
+        m AS (SELECT doc_id, i, key, count(*) OVER (PARTITION BY key) AS occ,
+                first_value(doc_id) OVER (PARTITION BY key ORDER BY doc_id, i) AS fd,
+                first_value(i) OVER (PARTITION BY key ORDER BY doc_id, i) AS fi
+              FROM k),
+        r AS (SELECT doc_id, i FROM m
+              WHERE key IN (SELECT key FROM corpus)
+                 OR (occ > 1 AND NOT (doc_id = fd AND i = fi))),
+        keep AS (SELECT p.doc_id, p.i, p.para, r.i IS NOT NULL AS rm
+          FROM p LEFT JOIN r ON p.doc_id = r.doc_id AND p.i = r.i)
+        SELECT doc_id,
+          coalesce(string_agg(CASE WHEN NOT rm THEN para END,
+            chr(10) || chr(10) ORDER BY i), '') AS clean_text,
+          count(*) AS n_paras,
+          count(CASE WHEN rm THEN 1 END) AS n_removed
+        FROM keep GROUP BY doc_id""".stripMargin.trim)),
+
     Q("q_lsh_plan",
       // banding planner: the p(j) curve per (bands, rows) split of a
       // 64-position signature at j = 0.7 / 0.5 / 0.8 — pure arithmetic,

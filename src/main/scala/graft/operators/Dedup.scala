@@ -975,6 +975,106 @@ object Dedup {
       .withColumnRenamed("__id", idCol)
   }
 
+  /** Distinct paragraph-hash signatures of a corpus — the stored table
+    * [[dropDupParagraphsAgainst]] dedups future batches against: the
+    * paragraph-granularity member of the stored-signature family beside
+    * [[minHashSignatures]]/[[simHashSignatures]] (doc level) and
+    * [[graft.operators.TextOps.spanSignatures]] (word-window level).
+    * Keys match [[dropDupParagraphs]] exactly: one 60-bit portable hash
+    * per whitespace-normalized lowercase paragraph of at least
+    * `minChars` trimmed chars — text never stored. Materialize once per
+    * corpus snapshot, append each ingested batch's signatures
+    * (duplicate hashes across appends are tolerated — the join side
+    * dedups internally).
+    *
+    * Plan: one explode scan → one hash-keyed dedup shuffle sized to
+    * input volume. Output: (para_hash). */
+  def paragraphSignatures(
+      docs: DataFrame,
+      textCol: String = "text",
+      minChars: Int = 30,
+      parts: Int = 0): DataFrame = {
+    require(minChars >= 0 && parts >= 0, "bad minChars/parts")
+    val hashes = docs
+      .select(explode(split(col(textCol), "\n\n")).as("__para"))
+      .filter(length(trim(col("__para"))) >= minChars)
+      .select(TextOps.portableHash60(TextOps.normalize(col("__para")))
+        .as("para_hash"))
+    val windowParts =
+      if (parts > 0) parts
+      else TextOps.volumeParts(docs, targetBytes = 8L << 20)
+    val sized =
+      if (windowParts > docs.sparkSession.sessionState.conf.numShufflePartitions)
+        hashes.repartition(windowParts, col("para_hash"))
+      else hashes
+    sized.dropDuplicates("para_hash")
+  }
+
+  /** Incremental paragraph dedup against STORED corpus signatures — the
+    * daily-ingest twin of [[dropDupParagraphs]], completing the trio
+    * with the doc-level MinHash/SimHash and span-level ingest shapes:
+    * every qualifying paragraph of the NEW batch that already exists in
+    * the corpus signature table ([[paragraphSignatures]]) is deleted
+    * WHEREVER it occurs (the corpus owns the first occurrence), and
+    * paragraphs duplicated within the batch itself keep their first
+    * (doc id, position) exactly like the batch-global operator. Short
+    * paragraphs (< `minChars`) are kept unconditionally; null-text
+    * documents survive with empty text.
+    *
+    * Plan at scale: the batch's paragraphs leave the census scan as
+    * slim (id, idx, hash) rows; ONE hash shuffle serves both the
+    * signature equi-join (corpus side pre-hashed, text never moves)
+    * and the within-batch census/election window; the rebuild is the
+    * [[dropDupParagraphs]] tail.
+    *
+    * @return (idCol, clean_text, n_paras, n_removed) */
+  def dropDupParagraphsAgainst(
+      docs: DataFrame,
+      signatures: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      minChars: Int = 30,
+      parts: Int = 0): DataFrame = {
+    require(minChars >= 0 && parts >= 0, "bad minChars/parts")
+    val keyed = docs.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), "\n\n")).as(Seq("__i", "__para")))
+      .filter(length(trim(col("__para"))) >= minChars)
+      .select(col("__id"), col("__i"),
+        TextOps.portableHash60(TextOps.normalize(col("__para"))).as("__h"))
+    val windowParts =
+      if (parts > 0) parts
+      else TextOps.volumeParts(docs, targetBytes = 8L << 20)
+    val sized =
+      if (windowParts > docs.sparkSession.sessionState.conf.numShufflePartitions)
+        keyed.repartition(windowParts, col("__h"))
+      else keyed
+    val sigs = signatures
+      .select(col("para_hash").as("__h"))
+      .dropDuplicates("__h")
+      .withColumn("__corpus", lit(true))
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
+    val removals = sized.join(sigs, Seq("__h"), "left")
+      .withColumn("__occ", count(lit(1)).over(byHash))
+      .withColumn("__first", min(struct(col("__id"), col("__i"))).over(byHash))
+      .filter(coalesce(col("__corpus"), lit(false)) ||
+        (col("__occ") > 1 &&
+          !(col("__first")("__id") === col("__id") &&
+            col("__first")("__i") === col("__i"))))
+      .select(col("__id"), col("__i"), lit(true).as("__rm"))
+    val paras = docs.select(col(idCol).as("__id"),
+      posexplode(split(coalesce(col(textCol), lit("")), "\n\n"))
+        .as(Seq("__i", "__para")))
+    paras.join(removals, Seq("__id", "__i"), "left")
+      .groupBy(col("__id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(
+            when(col("__rm").isNull, struct(col("__i"), col("__para"))))),
+          x => x.getField("__para")), "\n\n").as("clean_text"),
+        count(lit(1)).as("n_paras"),
+        count(col("__rm")).as("n_removed"))
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** Benchmark decontamination (the GPT-3/Llama eval-overlap step): flag
     * corpus documents sharing at least one word n-gram with the benchmark
     * set. Returns (idCol, hits) for contaminated docs only — `hits` is the

@@ -77,4 +77,48 @@ object IngestDedup {
           .write.mode("append").parquet(sigPath)
       } finally cleaned.unpersist()
     }
+
+  /** Paragraph-granularity sibling of [[spanDedupStream]]: each
+    * micro-batch applies
+    * [[graft.operators.Dedup.dropDupParagraphsAgainst]] verbatim
+    * against the paragraph signature store as of batch start, then the
+    * store learns the batch's SURVIVING paragraphs (unlike word
+    * windows, paragraph removal never splices new keys into existence —
+    * the cleaned text's paragraphs are exactly the kept originals).
+    * Same foreachBatch rationale and per-batch batch-operator parity as
+    * the span twin.
+    *
+    * @param sigPath parquet directory of (para_hash) — seed it with
+    *        [[graft.operators.Dedup.paragraphSignatures]] of the
+    *        existing corpus, or start empty (missing path reads as an
+    *        empty store) */
+  def paragraphDedupStream(
+      stream: DataFrame,
+      sigPath: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      minChars: Int = 30,
+      parts: Int = 0)(
+      emit: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val sigs =
+        try spark.read.parquet(sigPath).select(col("para_hash"))
+        catch {
+          case _: org.apache.spark.sql.AnalysisException =>
+            spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+              StructType(Seq(StructField("para_hash", LongType))))
+        }
+      val cleaned = graft.operators.Dedup.dropDupParagraphsAgainst(
+          batch, sigs, textCol = textCol, idCol = idCol,
+          minChars = minChars, parts = parts)
+        .persist()
+      try {
+        emit(cleaned, batchId)
+        graft.operators.Dedup.paragraphSignatures(
+            cleaned.select(col(idCol), col("clean_text").as(textCol)),
+            textCol = textCol, minChars = minChars, parts = parts)
+          .write.mode("append").parquet(sigPath)
+      } finally cleaned.unpersist()
+    }
 }

@@ -1318,6 +1318,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(4L).getString(1) == "hdr" && out(4L).getLong(3) == 0)
   }
 
+  test("dropDupParagraphsAgainst: corpus-owned paragraphs delete everywhere, " +
+      "batch dups keep first, short paras exempt, duplicate signatures harmless") {
+    val pA = "this corpus paragraph is long enough to count" // corpus-owned
+    val pB = "a brand new batch paragraph nobody has seen yet"
+    val pC = "another fresh paragraph duplicated within the batch"
+    val corpus = Seq((100L, pA)).toDF("doc_id", "text")
+    val sigs = Dedup.paragraphSignatures(corpus, minChars = 10)
+    val batch = Seq(
+      (1L, s"$pA\n\n$pB"),       // corpus-owned first para: deleted
+      (2L, s"$pC\n\nshort"),     // batch-first pC kept; short exempt
+      (3L, s"$pC\n\n$pA")        // non-first pC AND corpus pA: both go
+    ).toDF("doc_id", "text")
+    val r = Dedup.dropDupParagraphsAgainst(batch, sigs, minChars = 10)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getString(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) == ((pB, 2L, 1L)), r(1L))
+    assert(r(2L) == ((s"$pC\n\nshort", 2L, 0L)), r(2L))
+    assert(r(3L) == (("", 2L, 2L)), r(3L))
+    // triplicated signature table must not change results
+    val r2 = Dedup.dropDupParagraphsAgainst(batch,
+        sigs.unionAll(sigs).unionAll(sigs), minChars = 10)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getString(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r2 == r, s"duplicate signatures changed results: $r2 vs $r")
+  }
+
   test("dropDupParagraphs preserves null-text documents") {
     // a NULL text must not vanish from the output (posexplode of a null
     // split array would silently drop the row) — it survives with empty

@@ -817,6 +817,44 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(sigDir)
   }
 
+  test("streaming paragraph dedup matches the batch operator per micro-batch " +
+      "and learns surviving paragraphs") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val sigDir = java.nio.file.Files.createTempDirectory("parasig").toFile
+    val sigPath = new java.io.File(sigDir, "sigs").getAbsolutePath
+    val pA = "this corpus paragraph is long enough to count"
+    val pB = "a brand new batch paragraph nobody has seen yet"
+    val corpus = Seq((100L, pA)).toDF("doc_id", "text")
+    Dedup.paragraphSignatures(corpus, minChars = 10).write.parquet(sigPath)
+    val batch1 = Seq((1L, s"$pA\n\n$pB"))  // pA corpus-owned; pB learned
+    val batch2 = Seq((2L, s"$pB\n\nunique follow-up paragraph text here"))
+    val mem = MemoryStream[(Long, String)]
+    val src = mem.toDF().toDF("doc_id", "text")
+    val got = scala.collection.mutable.Map[Long, Map[Long, String]]()
+    val q = IngestDedup.paragraphDedupStream(src, sigPath, minChars = 10) {
+      (df, id) => got(id) = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }.start()
+    mem.addData(batch1: _*); q.processAllAvailable()
+    mem.addData(batch2: _*); q.processAllAvailable()
+    SparkTestBase.stopQuietly(q)
+    assert(got(0L) == Map(1L -> pB), got(0L))
+    // batch 2's pB was learned from batch 1's surviving output
+    assert(got(1L) == Map(2L -> "unique follow-up paragraph text here"), got(1L))
+    // parity with the sequentially-applied batch operator
+    val seed = Dedup.paragraphSignatures(corpus, minChars = 10)
+    val exp1 = Dedup.dropDupParagraphsAgainst(
+      batch1.toDF("doc_id", "text"), seed, minChars = 10)
+    val sigs2 = seed.unionByName(Dedup.paragraphSignatures(
+      exp1.select(col("doc_id"), col("clean_text").as("text")), minChars = 10))
+    val exp2 = Dedup.dropDupParagraphsAgainst(
+      batch2.toDF("doc_id", "text"), sigs2, minChars = 10)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) == canon(exp1) && got(1L) == canon(exp2))
+    org.apache.commons.io.FileUtils.deleteDirectory(sigDir)
+  }
+
   test("streaming decontamination flags docs sharing a benchmark n-gram, once per doc") {
     implicit val sqlCtx = spark.sqlContext
     val bench = Seq((1L, "the secret holdout answer key")).toDF("bid", "text").cache()
