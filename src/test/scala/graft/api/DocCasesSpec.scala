@@ -241,6 +241,40 @@ class DocCasesSpec extends AnyFunSuite {
       s"curation must keep the real page and drop the stub: $kept")
   }
 
+  test("daily-ingest end-to-end: stored signatures gate a new batch at " +
+      "paragraph then span granularity") {
+    // the incremental-ingest composition: the corpus materializes its
+    // paragraph AND span signature tables once; a new batch dedups
+    // coarse-to-fine — whole duplicated paragraphs first (cheap, whole-
+    // unit), then word-window spans the paragraph hash can't see
+    // (copied sentences inside otherwise-new paragraphs)
+    import graft.operators.{Dedup, TextOps}
+    import org.apache.spark.sql.functions._
+    val corpus = Seq(
+      (100L, "corpus paragraph with enough characters here"),
+      (101L, "s1 s2 s3 s4 tail1 tail2")).toDF("doc_id", "text")
+    val paraSigs = Dedup.paragraphSignatures(corpus, minChars = 10)
+    val spanSigs = TextOps.spanSignatures(corpus, n = 4)
+    val batch = Seq(
+      // doc 1 re-posts a corpus paragraph verbatim + a fresh one
+      (1L, "corpus paragraph with enough characters here\n\nfresh unique paragraph lives here"),
+      // doc 2 embeds a corpus SPAN inside a paragraph the corpus never
+      // had — invisible to the paragraph hash, caught by the span table
+      (2L, "pre0 s1 s2 s3 s4 post0")).toDF("doc_id", "text")
+    val afterParas = Dedup.dropDupParagraphsAgainst(batch, paraSigs, minChars = 10)
+    val p = afterParas.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    assert(p(1L) == (("fresh unique paragraph lives here", 1L)), p(1L))
+    assert(p(2L) == (("pre0 s1 s2 s3 s4 post0", 0L)), p(2L)) // para hash blind
+    val afterSpans = TextOps.removeDupSpansAgainst(
+      afterParas.select(col("doc_id"), col("clean_text").as("text")),
+      spanSigs, n = 4)
+    val s = afterSpans.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    assert(s(1L) == (("fresh unique paragraph lives here", 0L)), s(1L))
+    assert(s(2L) == (("pre0 post0", 4L)), s(2L)) // the span stage catches it
+  }
+
   test("doc case: filter + unit conversion + CASE grading (EmitSync analog)") {
     // reference doc_cases_test.go:16-52 — same SQL, same expectations;
     // the out-of-range and null readings must be filtered, not errors
