@@ -1891,11 +1891,13 @@ object SparkEntry {
 
     Q("q_recrawl",
       // recrawl scheduling from sitemap lastmod/changefreq + fetch
-      // history: new > modified (day-granularity lastmod vs fetch date)
-      // > stale (changefreq interval elapsed; 'never' disables it;
-      // missing paces at the weekly default; partial lastmod like bare
-      // '2026' is not comparable) > fresh; the oracle is the
-      // hand-computed decision table
+      // history: new > modified (day-granularity lastmod vs fetch date;
+      // for 'never' pages lastmod >= fetch date counts — their stale
+      // path is disabled, so a same-day bump would otherwise be
+      // permanently unseen: u8 pins it) > stale (changefreq interval
+      // elapsed; 'never' disables it; missing paces at the weekly
+      // default; partial lastmod like bare '2026' is not comparable)
+      // > fresh; the oracle is the hand-computed decision table
       (s, dir) => {
         import org.apache.spark.sql.functions._
         import s.implicits._
@@ -1908,6 +1910,7 @@ object SparkEntry {
             "<url><loc>http://a.com/u5</loc><changefreq>monthly</changefreq></url>" +
             "<url><loc>http://a.com/u6</loc><changefreq>hourly</changefreq></url>" +
             "<url><loc>http://a.com/u7</loc><lastmod>2026</lastmod><changefreq>yearly</changefreq></url>" +
+            "<url><loc>http://a.com/u8</loc><lastmod>2026-01-15</lastmod><changefreq>never</changefreq></url>" +
             "</urlset>")).toDF("host", "content")
         val pages = operators.WebOps.parseSitemap(files)
         val history = Seq(
@@ -1916,7 +1919,8 @@ object SparkEntry {
           ("http://a.com/u3", "2026-01-10 00:00:00"),
           ("http://a.com/u4", "2026-01-28 00:00:00"),
           ("http://a.com/u6", "2026-01-31 23:00:00"),
-          ("http://a.com/u7", "2025-01-01 00:00:00")).toDF("loc", "lf")
+          ("http://a.com/u7", "2025-01-01 00:00:00"),
+          ("http://a.com/u8", "2026-01-15 12:00:00")).toDF("loc", "lf")
           .select(col("loc"), col("lf").cast("timestamp").as("last_fetch"))
         operators.WebOps.recrawlDue(pages, history, "2026-02-01 00:00:00")
           .select("loc", "last_fetch", "reason", "due")
@@ -1929,7 +1933,8 @@ object SparkEntry {
           ('http://a.com/u4', TIMESTAMP '2026-01-28 00:00:00', 'fresh', false),
           ('http://a.com/u5', CAST(NULL AS TIMESTAMP), 'new', true),
           ('http://a.com/u6', TIMESTAMP '2026-01-31 23:00:00', 'stale', true),
-          ('http://a.com/u7', TIMESTAMP '2025-01-01 00:00:00', 'stale', true)
+          ('http://a.com/u7', TIMESTAMP '2025-01-01 00:00:00', 'stale', true),
+          ('http://a.com/u8', TIMESTAMP '2026-01-15 12:00:00', 'modified', true)
         ) AS t(loc, last_fetch, reason, due)""".stripMargin.trim)),
 
     Q("q_domain_psl",
@@ -2303,6 +2308,54 @@ object SparkEntry {
           count(*) AS n_paras,
           count(CASE WHEN rm THEN 1 END) AS n_removed
         FROM keep GROUP BY doc_id""".stripMargin.trim)),
+
+    Q("q_lines_incr",
+      // incremental boilerplate-line removal against stored corpus line
+      // FREQUENCIES (the count-carrying member of the stored-signature
+      // family): corpus = every 7th document's per-line doc counts,
+      // batch = overlapping 3-doc synth rows (each source line lands in
+      // up to 3 batch docs, so combined df = batch 3 + corpus 0/1
+      // straddles maxDf=3 exactly at the corpus membership boundary —
+      // count-inclusive crossing is the thing under test); the oracle
+      // replays census, store join, threshold and rebuild on the raw
+      // line text (the Spark side joins 60-bit hashes, so
+      // collision-freedom is part of the check)
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = Tables.load(s, dir)("documents").select(col("doc_id"), col("text"))
+        val counts = operators.Dedup.lineCounts(
+          d.filter(pmod(col("doc_id"), lit(7)) === 0))
+        val b = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("bt"))
+        val c = d.select((col("doc_id") - 2).as("doc_id"), col("text").as("ct"))
+        val synth = d.filter(col("doc_id") < 300).join(b, "doc_id").join(c, "doc_id")
+          .select(col("doc_id"),
+            concat_ws("\n", col("text"), col("bt"), col("ct")).as("text"))
+        operators.Dedup.dropCommonLinesAgainst(synth, counts, maxDf = 3)
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, text FROM documents),
+        corpus AS (SELECT line, count(DISTINCT doc_id) AS sdf
+          FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+                FROM d WHERE doc_id % 7 = 0)
+          GROUP BY line),
+        synth AS (SELECT a.doc_id,
+            a.text || chr(10) || b.text || chr(10) || c.text AS text
+          FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+                   JOIN d c ON c.doc_id = a.doc_id + 2
+          WHERE a.doc_id < 300),
+        sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM synth),
+        l AS (SELECT doc_id, unnest(ls) AS line,
+                generate_subscripts(ls, 1) - 1 AS i FROM sp),
+        bdf AS (SELECT line, count(DISTINCT doc_id) AS bdf FROM l GROUP BY line),
+        hot AS (SELECT b.line FROM bdf b LEFT JOIN corpus c ON b.line = c.line
+                WHERE b.bdf + coalesce(c.sdf, 0) > 3)
+        SELECT doc_id,
+          coalesce(string_agg(CASE WHEN hot.line IS NULL THEN l.line END,
+            chr(10) ORDER BY i), '') AS clean_text,
+          count(*) AS n_lines,
+          count(hot.line) AS n_removed
+        FROM l LEFT JOIN hot ON l.line = hot.line
+        GROUP BY doc_id""".stripMargin.trim)),
 
     Q("q_lsh_plan",
       // banding planner: the p(j) curve per (bands, rows) split of a
@@ -4853,6 +4906,25 @@ object SparkEntry {
         "CAST((strlen(text) * 1000) // (8000 * (1 + doc_id % 4) * (1 + doc_id % 2) * 2) AS BIGINT) AS duration_ms, " +
         "CAST(strlen(text) + 44 AS INTEGER) AS byte_len " +
         "FROM documents")),
+
+    Q("q_multimodal_exif",
+      // EXIF/TIFF metadata byte-probe over hand-built literal payloads:
+      // JPEG APP1 + little-endian TIFF with DateTimeOriginal and a GPS
+      // IFD, big-endian standalone TIFF, a corrupt IFD (offset past the
+      // buffer), an exif-less JPEG, orientation-only, GPS-only — the
+      // oracle is the hand-computed decision table (every payload is
+      // deterministic bytes, so orientation/timestamp/GPS-presence are
+      // computable by inspection)
+      (s, dir) => operators.Multimodal.exifFixture(s),
+      Some("""
+        SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), true, CAST(6 AS INTEGER), '2023:12:31 23:59:58', true),
+          (CAST(2 AS BIGINT), true, CAST(1 AS INTEGER), '2024:05:06 07:08:09', false),
+          (CAST(3 AS BIGINT), false, CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), false),
+          (CAST(4 AS BIGINT), false, CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), false),
+          (CAST(5 AS BIGINT), true, CAST(3 AS INTEGER), CAST(NULL AS VARCHAR), false),
+          (CAST(6 AS BIGINT), true, CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), true)
+        ) AS t(media_id, exif_ok, orientation, captured_at, has_gps)""".stripMargin.trim)),
 
     Q("q_dup_spans",
       // cross-doc exact-substring duplication: fraction of each doc's

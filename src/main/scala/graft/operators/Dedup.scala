@@ -1075,6 +1075,102 @@ object Dedup {
       .withColumnRenamed("__id", idCol)
   }
 
+  /** Per-line document-frequency census of a corpus — the stored table
+    * [[dropCommonLinesAgainst]] filters future batches against: the
+    * line-granularity member of the stored-signature family, and the
+    * only FREQUENCY-counted one (doc/span/paragraph stores are
+    * presence-keyed — one hash row means "the corpus owns this key" —
+    * but boilerplate is a THRESHOLD property: a line is navigation
+    * chrome because many documents carry it, so the store must count).
+    * Keys match [[dropCommonLines]] exactly: one 60-bit portable hash
+    * per RAW line (no normalization — the batch operator's hot-line
+    * equality is exact), counted once per document. Text never stored.
+    * Materialize once per corpus snapshot, append each ingested batch's
+    * census — readers SUM counts per hash, so appended rows for the
+    * same line accumulate instead of conflicting.
+    *
+    * Plan: one explode scan → one hash-keyed count-distinct shuffle
+    * (map-side partial on the (doc, hash) dedup). Output:
+    * (line_hash, n_docs). */
+  def lineCounts(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("__id"),
+        explode(split(col(textCol), "\n")).as("__line"))
+      .select(col("__id"), TextOps.portableHash60(col("__line")).as("line_hash"))
+      .groupBy(col("line_hash"))
+      .agg(countDistinct(col("__id")).as("n_docs"))
+
+  /** Incremental boilerplate-line removal against STORED corpus line
+    * frequencies — the daily-ingest twin of [[dropCommonLines]],
+    * completing the stored-signature ingest matrix at line granularity
+    * (doc MinHash/SimHash, span, and paragraph shipped presence-keyed;
+    * this one is frequency-thresholded). A line of the NEW batch is
+    * boilerplate when its COMBINED document frequency — the store's
+    * summed `n_docs` (as of batch start) plus the batch's own
+    * distinct-document census — exceeds `maxDf`; boilerplate lines are
+    * removed from EVERY batch document (count-inclusive: the threshold
+    * can be crossed BY the ingested batch, which is what makes a
+    * single batch over an empty store match [[dropCommonLines]]
+    * exactly, and mirrors the presence-keyed twins' within-batch
+    * election). Frequency removal at ingest is inherently
+    * non-retroactive: corpus documents emitted BEFORE a line crossed
+    * the threshold keep their copies — only a batch-global re-run
+    * removes those.
+    *
+    * Unlike [[dropCommonLines]] (which drops a document whose every
+    * line is boilerplate), every input row survives — all-boilerplate
+    * and null-text documents come back with empty `clean_text`,
+    * matching the span/paragraph `Against` twins (the ingest caller
+    * owns the drop decision).
+    *
+    * Plan at scale: the batch's lines leave the explode scan as slim
+    * (id, pos, hash) rows; the batch census and the store join share
+    * one hash-keyed shuffle (the store side aggregates its appended
+    * count rows — compact the store offline to keep that side one row
+    * per line); the hot-line set is bounded by the batch's distinct
+    * lines, and the rebuild is one doc-id shuffle.
+    *
+    * @param counts (line_hash, n_docs) rows from [[lineCounts]] —
+    *        duplicate hash rows across appends SUM
+    * @return (idCol, clean_text, n_lines, n_removed) */
+  def dropCommonLinesAgainst(
+      docs: DataFrame,
+      counts: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxDf: Int = 30): DataFrame = {
+    require(maxDf >= 0, "bad maxDf")
+    val keyed = docs.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .select(col("__id"), col("__pos"),
+        TextOps.portableHash60(col("__line")).as("__h"))
+    val batchDf = keyed.select(col("__id"), col("__h")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__bdf"))
+    val store = counts.groupBy(col("line_hash").as("__h"))
+      .agg(sum(col("n_docs")).as("__sdf"))
+    val hot = batchDf.join(store, Seq("__h"), "left")
+      .filter(col("__bdf") + coalesce(col("__sdf"), lit(0L)) > maxDf)
+      .select(col("__h"), lit(true).as("__rm"))
+    val removals = keyed.join(hot, Seq("__h"))
+      .select(col("__id"), col("__pos"), col("__rm"))
+    // rebuild scan coalesces null text so null-text docs survive with
+    // empty output (they contribute nothing to the census above)
+    val lines = docs.select(col(idCol).as("__id"),
+      posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+        .as(Seq("__pos", "__line")))
+    lines.join(removals, Seq("__id", "__pos"), "left")
+      .groupBy(col("__id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(
+            when(col("__rm").isNull, struct(col("__pos"), col("__line"))))),
+          x => x.getField("__line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_lines"),
+        count(col("__rm")).as("n_removed"))
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** Benchmark decontamination (the GPT-3/Llama eval-overlap step): flag
     * corpus documents sharing at least one word n-gram with the benchmark
     * set. Returns (idCol, hits) for contaminated docs only — `hits` is the

@@ -274,6 +274,178 @@ object Multimodal {
     }
   }
 
+  /** EXIF metadata extracted by [[probeExif]]: display orientation
+    * (EXIF tag 0x0112, 1–8), capture timestamp ("YYYY:MM:DD HH:MM:SS",
+    * DateTimeOriginal preferred over file DateTime), and whether a GPS
+    * IFD is present — the provenance/PII signal an image-curation gate
+    * wants BEFORE any pixel decode (GPS-bearing images need redaction
+    * review; orientation feeds the resize plan; capture time feeds
+    * dedup/freshness). */
+  case class ExifInfo(
+      orientation: Option[Int],
+      captured_at: Option[String],
+      has_gps: Boolean)
+
+  /** EXIF/TIFF metadata byte-probe — the provenance twin of
+    * [[probeImage]], pure byte inspection (no codec): accepts a
+    * standalone TIFF payload (`II*\0` / `MM\0*`) or a JPEG whose APP1
+    * segment carries `Exif\0\0` + TIFF, walks IFD0 for Orientation
+    * (0x0112), DateTime (0x0132) and the GPS IFD pointer (0x8825), and
+    * follows the Exif sub-IFD pointer (0x8769) for DateTimeOriginal
+    * (0x9003). Returns None when no readable TIFF structure exists
+    * (non-exif JPEG, corrupt header, IFD offset past the buffer);
+    * individually-corrupt IFD entries are skipped, not fatal. Every
+    * read is bounds-checked — crawled image bytes are adversarial
+    * input, and a crafted offset must cost a null, not a task. */
+  def probeExif(b: Array[Byte]): Option[ExifInfo] = {
+    @inline def u8(i: Int): Int = b(i) & 0xff
+    @inline def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    // TIFF base: standalone payload, or inside a JPEG APP1 Exif segment
+    def tiffBase: Option[Int] =
+      if (b.length >= 8 && ((b(0) == 'I' && b(1) == 'I' && u8(2) == 42 && u8(3) == 0) ||
+          (b(0) == 'M' && b(1) == 'M' && u8(2) == 0 && u8(3) == 42))) Some(0)
+      else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+        var i = 2
+        while (i + 3 < b.length) {
+          if (u8(i) != 0xff) return None // desynced
+          var j = i + 1
+          while (j < b.length && u8(j) == 0xff) j += 1
+          if (j + 2 >= b.length) return None
+          val marker = u8(j)
+          if (marker == 0xd9 || marker == 0xda) return None // EOI / SOS
+          if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
+            i = j + 1
+          } else {
+            val len = be16(j + 1)
+            if (len < 2 || j + 1 + len > b.length) return None
+            if (marker == 0xe1 && len >= 8 + 2 &&
+                b(j + 3) == 'E' && b(j + 4) == 'x' && b(j + 5) == 'i' &&
+                b(j + 6) == 'f' && u8(j + 7) == 0 && u8(j + 8) == 0)
+              return Some(j + 9)
+            i = j + 1 + len
+          }
+        }
+        None
+      } else None
+    tiffBase.flatMap { base =>
+      if (base + 8 > b.length) return None
+      val le = b(base) == 'I'
+      @inline def r16(i: Int): Int =
+        if (le) u8(i) | (u8(i + 1) << 8) else (u8(i) << 8) | u8(i + 1)
+      @inline def r32(i: Int): Long = {
+        val v = if (le) u8(i).toLong | (u8(i + 1).toLong << 8) |
+            (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+          else (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) |
+            (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+        v & 0xffffffffL
+      }
+      // each yielded (tag, type, count, valueFieldOffset); a count/offset
+      // walking out of the buffer ends or skips cleanly
+      def entries(ifdOfs: Long): Seq[(Int, Int, Long, Int)] = {
+        val at = base + ifdOfs
+        if (ifdOfs <= 0 || at + 2 > b.length) return Nil
+        val n = r16(at.toInt)
+        (0 until n).flatMap { k =>
+          val e = at.toInt + 2 + 12 * k
+          if (e + 12 > b.length) None
+          else Some((r16(e), r16(e + 2), r32(e + 4), e + 8))
+        }
+      }
+      def ascii(count: Long, valOfs: Int): Option[String] = {
+        if (count <= 0 || count > 4096) return None
+        val start = if (count <= 4) valOfs else base + r32(valOfs).toInt
+        if (start < 0 || start + count > b.length) return None
+        val s = new String(b, start, count.toInt, "US-ASCII")
+        val t = s.takeWhile(_ != '\u0000').trim
+        if (t.isEmpty) None else Some(t)
+      }
+      val ifd0 = entries(r32(base + 4))
+      if (ifd0.isEmpty) return None
+      val orientation = ifd0.collectFirst {
+        case (0x0112, 3, 1, v) => r16(v)
+      }.filter(o => o >= 1 && o <= 8)
+      val dateTime = ifd0.collectFirst {
+        case (0x0132, 2, n, v) => ascii(n, v)
+      }.flatten
+      val hasGps = ifd0.exists(_._1 == 0x8825)
+      val original = ifd0.collectFirst { case (0x8769, 4, 1, v) => r32(v) }
+        .toSeq.flatMap(entries)
+        .collectFirst { case (0x9003, 2, n, v) => ascii(n, v) }.flatten
+      Some(ExifInfo(orientation, original.orElse(dateTime), hasGps))
+    }
+  }
+
+  /** Deterministic EXIF fixture: hand-built literal byte payloads (both
+    * endiannesses, JPEG-wrapped and standalone TIFF, GPS-bearing,
+    * corrupt-IFD, exif-less) so [[probeExif]]'s decisions are
+    * hand-computable by an external oracle. Output: (media_id, exif_ok,
+    * orientation, captured_at, has_gps). */
+  def exifFixture(spark: SparkSession): DataFrame = {
+    def tiff(le: Boolean, orientation: Option[Int], dateTime: Option[String],
+        dateTimeOriginal: Option[String], gps: Boolean): Array[Byte] = {
+      val n0 = orientation.size + dateTime.size +
+        dateTimeOriginal.size + (if (gps) 1 else 0)
+      val ifd0Size = 2 + 12 * n0 + 4
+      var cursor = 8 + ifd0Size
+      val ofsDT = cursor; if (dateTime.isDefined) cursor += 20
+      val ofsExif = cursor; if (dateTimeOriginal.isDefined) cursor += 2 + 12 + 4
+      val ofsDTO = cursor; if (dateTimeOriginal.isDefined) cursor += 20
+      val ofsGps = cursor; if (gps) cursor += 6
+      val buf = java.nio.ByteBuffer.allocate(cursor).order(
+        if (le) java.nio.ByteOrder.LITTLE_ENDIAN else java.nio.ByteOrder.BIG_ENDIAN)
+      buf.put((if (le) "II" else "MM").getBytes("US-ASCII"))
+      buf.putShort(42); buf.putInt(8)
+      buf.putShort(n0.toShort) // IFD0, entries tag-sorted
+      def entry(tag: Int, typ: Int, count: Int, value: Int, short: Boolean): Unit = {
+        buf.putShort(tag.toShort); buf.putShort(typ.toShort); buf.putInt(count)
+        if (short) { buf.putShort(value.toShort); buf.putShort(0) }
+        else buf.putInt(value)
+      }
+      orientation.foreach(o => entry(0x0112, 3, 1, o, short = true))
+      dateTime.foreach(_ => entry(0x0132, 2, 20, ofsDT, short = false))
+      dateTimeOriginal.foreach(_ => entry(0x8769, 4, 1, ofsExif, short = false))
+      if (gps) entry(0x8825, 4, 1, ofsGps, short = false)
+      buf.putInt(0) // next-IFD
+      def asciiField(s: String): Unit = {
+        val padded = (s + "\u0000").getBytes("US-ASCII").padTo(20, 0.toByte)
+        buf.put(padded, 0, 20)
+      }
+      dateTime.foreach(asciiField)
+      dateTimeOriginal.foreach { s =>
+        buf.putShort(1); entry(0x9003, 2, 20, ofsDTO, short = false)
+        buf.putInt(0); asciiField(s)
+      }
+      if (gps) { buf.putShort(0); buf.putInt(0) }
+      buf.array()
+    }
+    def jpegWrap(t: Array[Byte]): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(4 + 4 + 6 + t.length + 2)
+      buf.put(Array(0xff, 0xd8, 0xff, 0xe1).map(_.toByte))
+      buf.putShort((2 + 6 + t.length).toShort)
+      buf.put("Exif".getBytes("US-ASCII")); buf.put(0.toByte); buf.put(0.toByte)
+      buf.put(t); buf.put(0xff.toByte); buf.put(0xd9.toByte)
+      buf.array()
+    }
+    // valid header, IFD0 offset far past the buffer — the adversarial row
+    val corrupt = Array[Byte]('I', 'I', 42, 0, -1, -1, -1, 0x7f)
+    val plainJpeg = Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)
+    val rows = Seq(
+      1L -> jpegWrap(tiff(le = true, Some(6), Some("2024:01:02 03:04:05"),
+        Some("2023:12:31 23:59:58"), gps = true)),
+      2L -> tiff(le = false, Some(1), Some("2024:05:06 07:08:09"), None,
+        gps = false),
+      3L -> corrupt,
+      4L -> plainJpeg,
+      5L -> jpegWrap(tiff(le = true, Some(3), None, None, gps = false)),
+      6L -> tiff(le = true, None, None, None, gps = true))
+    import spark.implicits._
+    rows.toDF("media_id", "bytes").as[(Long, Array[Byte])].map { case (id, bs) =>
+      val e = probeExif(bs)
+      (id, e.isDefined, e.flatMap(_.orientation), e.flatMap(_.captured_at),
+        e.exists(_.has_gps))
+    }.toDF("media_id", "exif_ok", "orientation", "captured_at", "has_gps")
+  }
+
   /** STUB decode: deterministic 8-dim "feature vector" derived from content
     * bytes. A real implementation would decode pixels/samples here; the
     * batch shape (Iterator per partition → amortized decoder init) is what a

@@ -396,16 +396,30 @@ object TextOps {
       }.sum
     } catch { case _: Throwable => BigInt(0) }
 
-  /** Plan-size estimate clamped to `leafRowBound × output row width` —
-    * the leaf-derived byte bound. Projection widening (Range → 40-word
-    * text) stays intact because the bound is in ROWS; join-estimation
-    * blow-up (see [[leafRowBound]]) is cut off. */
+  /** Plan-size estimate with its ROW count clamped to [[leafRowBound]]
+    * but its PER-ROW width kept from the unclamped estimate
+    * (`est × boundRows / estRows`): join-estimation blow-up (see
+    * [[leafRowBound]]) is cut off, while a plan whose statistics carry
+    * real row widths — an ANALYZE'd table of multi-KB documents, or
+    * projection widening the estimator priced in — keeps that width.
+    * The r12 version clamped to `boundRows × schema defaultSize`
+    * (StringType = 20 B), which collapsed a well-analyzed text corpus
+    * to ~20 B/row — the opposite of the "plan stats undercount text"
+    * motivation — and silently floored the sizing exactly where exact
+    * statistics existed. When the stats carry no rowCount, the estimated
+    * rows fall back to `est / schema defaultSize`, which makes the
+    * scaled clamp algebraically identical to the r12 byte bound — the
+    * fix only changes plans with genuine row counts. */
   private[graft] def clampedPlanBytes(df: DataFrame): BigInt =
     try {
-      val est = BigInt(df.queryExecution.optimizedPlan.stats.sizeInBytes.toString)
+      val stats = df.queryExecution.optimizedPlan.stats
+      val est = BigInt(stats.sizeInBytes.toString)
       val outWidth = math.max(1, df.schema.map(_.dataType.defaultSize).sum)
-      val bound = leafRowBound(df) * outWidth
-      if (bound > 0 && est > bound) bound else est
+      val estRows = stats.rowCount.map(r => BigInt(r.toString))
+        .filter(_ > 0).getOrElse((est / outWidth).max(BigInt(1)))
+      val boundRows = leafRowBound(df)
+      if (boundRows > 0 && estRows > boundRows) est * boundRows / estRows
+      else est
     } catch { case _: Throwable => BigInt(0) }
 
   private[graft] def volumeParts(

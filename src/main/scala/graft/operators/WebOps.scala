@@ -448,12 +448,20 @@ object WebOps {
     * character run and a trailing `$` anchors the target end
     * ([[robotsPattern]]);
     * an empty rule value matches nothing; hosts with no applicable
-    * group allow everything. User-agent comparison is RFC 9309
-    * product-token PREFIX matching, case-insensitive: a group applies
-    * when its token is a prefix of the crawler's token ("googlebot-news"
-    * obeys a "googlebot" group), and among applicable own groups the
-    * LONGEST token wins (exact match is the longest possible prefix);
-    * `*` applies only when no own group matches at all.
+    * group allow everything. User-agent comparison is case-insensitive
+    * product-token PREFIX matching — the behavior of Google's
+    * open-sourced robots.txt parser, NOT the RFC 9309 letter (§2.2.1
+    * specifies case-insensitive EXACT token match; the widely-deployed
+    * parser accepts a group whose token is a prefix of the crawler's,
+    * so "googlebot-news" obeys a "googlebot" group, and crawler
+    * operators name their bots accordingly). The prefix has no
+    * token-boundary check, matching that parser: a group named "my"
+    * governs a crawler named "mybot" (pinned by the q_robots_allowed
+    * e.com fixture) — an unrelated short-named group can capture a
+    * longer crawler token, so deploy with a distinctive leading
+    * product token. Among applicable own groups the LONGEST token wins
+    * (exact match is the longest possible prefix); `*` applies only
+    * when no own group matches at all.
     *
     * Shape at scale: the rules table aggregates to one KB-sized rule
     * array per host (a shuffle of the RULES side only — KB per host) and
@@ -471,10 +479,11 @@ object WebOps {
     // elect own-UA vs '*' over EVERY directive row (crawl-delay included):
     // a host whose own-UA group has no allow/disallow rules must still
     // suppress the '*' group (allow-all), not inherit its rules. Own
-    // match is RFC 9309 product-token prefix ("googlebot-news" obeys a
-    // "googlebot" group); __sp carries the matched token LENGTH so the
-    // longest applicable prefix wins the election ('*' scores 0 and
-    // only wins when nothing else applies)
+    // match is Google-parser product-token prefix, no boundary check
+    // ("googlebot-news" obeys a "googlebot" group — see the scaladoc's
+    // RFC 9309 attribution note); __sp carries the matched token LENGTH
+    // so the longest applicable prefix wins the election ('*' scores 0
+    // and only wins when nothing else applies)
     val elected = rules
       .filter(lit(ua).startsWith(lower(col("user_agent"))) ||
         col("user_agent") === "*")
@@ -516,7 +525,14 @@ object WebOps {
     *                fetch's date (day granularity: `lastmod` is
     *                commonly date-only, and comparing a date-floor
     *                against a timestamp would re-fetch a page crawled
-    *                later the same day forever);
+    *                later the same day forever). For `never` pages the
+    *                comparison is `lastmod >= fetch date`: the stale
+    *                interval is disabled there, so a strict `>` would
+    *                leave a same-day lastmod bump permanently unseen —
+    *                the one-extra same-day re-fetch (until `last_fetch`
+    *                lands on a later day) is the cheap side of that
+    *                trade, and other changefreq values keep `>`
+    *                because their stale path eventually covers it;
     *   `stale`    — the page's `changefreq` interval has elapsed since
     *                `last_fetch` as of `asOf` (always 0s, hourly,
     *                daily, weekly, monthly 30d, yearly 365d; missing or
@@ -559,7 +575,10 @@ object WebOps {
     pages.join(h, col(urlCol) === col("__hu"), "left").drop("__hu")
       .withColumn("reason",
         when(col("last_fetch").isNull, "new")
-          .when(modDate.isNotNull && modDate > to_date(col("last_fetch")),
+          // freqSec is null exactly for changefreq='never' — the pages
+          // whose only re-fetch path is this comparison (see scaladoc)
+          .when(modDate.isNotNull && (modDate > to_date(col("last_fetch")) ||
+            (freqSec.isNull && modDate === to_date(col("last_fetch")))),
             "modified")
           .when(freqSec.isNotNull &&
             unix_timestamp(lit(asOf).cast("timestamp")) -

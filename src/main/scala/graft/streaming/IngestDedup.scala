@@ -1,50 +1,139 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.DataStreamWriter
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import graft.operators.TextOps
 
-/** Streaming ingest twin of the stored-signature span dedup — the
-  * missing member of the at-ingest family beside
-  * [[graft.operators.Dedup.nearDupStreamFromSignatures]] (doc-level
-  * MinHash) and its SimHash sibling: a crawl ingest stream span-dedups
-  * each micro-batch against the corpus signature store, then the store
-  * learns the batch's surviving spans so the NEXT batch dedups against
-  * them too.
+/** Streaming ingest twins of the stored-signature dedup family — a crawl
+  * ingest stream dedups each micro-batch against the corpus signature
+  * store, then the store learns the batch so the NEXT batch dedups
+  * against it too. Three granularities, one store discipline:
   *
-  * Shape: `foreachBatch`, deliberately — per micro-batch this applies
-  * [[TextOps.removeDupSpansAgainst]] verbatim (stream-static join
-  * against the store as of batch start + the within-batch
-  * first-occurrence election), so streaming output is BY CONSTRUCTION
-  * identical to running the batch operator on each micro-batch in
-  * arrival order (the parity StreamingSpec pins exactly that). A pure
-  * declarative stream can't express this operator: the signature table
-  * must GROW from the stream's own output (a static join side is frozen
-  * per query), the within-batch election is a corpus-global window
-  * (unsupported over unbounded input), and the signature append must
-  * commit atomically with the emitted batch — all three are
-  * `foreachBatch` semantics. Spark's own docs route stream writes that
-  * need batch-only machinery through foreachBatch for the same reason.
+  *   - [[spanDedupStream]]       word-window spans  (presence-keyed)
+  *   - [[paragraphDedupStream]]  paragraphs         (presence-keyed)
+  *   - [[lineDedupStream]]       boilerplate lines  (frequency-counted)
   *
-  * The store is signed from the CLEANED text, not the raw batch:
-  * removal splices the surviving words together, and downstream
-  * training data is the cleaned text, so the spliced windows are
-  * precisely what the corpus now contains and what future batches must
-  * dedup against. Kept spans become corpus-owned first occurrences;
-  * removed spans were corpus-owned already.
+  * Shape: `foreachBatch`, deliberately — per micro-batch each applies
+  * its batch operator verbatim (stream-static join against the store as
+  * of batch start + the within-batch election/census), so streaming
+  * output is BY CONSTRUCTION identical to running the batch operator on
+  * each micro-batch in arrival order (the parity StreamingSpecs pin
+  * exactly that). A pure declarative stream can't express these
+  * operators: the signature table must GROW from the stream's own
+  * output (a static join side is frozen per query), and the
+  * within-batch election is a corpus-global window (unsupported over
+  * unbounded input). Spark's own docs route stream writes that need
+  * batch-only machinery through foreachBatch for the same reason.
   *
-  * Scale: per batch, one fan-out-sized hash shuffle (the batch side of
-  * removeDupSpansAgainst) + one scan of the store's hash column —
-  * hashes only, text never leaves the batch; the store grows by ~one
-  * 8-byte hash per new corpus word. `emit` receives the cleaned batch
-  * (idCol, clean_text, n_words, n_removed) and the batch id.
+  * == Store layout and replay idempotency ==
   *
-  * @param sigPath parquet directory of (span_hash) — seed it with
-  *        [[TextOps.spanSignatures]] of the existing corpus (or start
-  *        empty: a missing path reads as an empty store) */
+  * The store root holds the SEED as plain parquet files (write it with
+  * a normal `.write.parquet(root)`) plus one `b<batchId>` subdirectory
+  * per processed micro-batch. Batch writes go `mode("overwrite")` into
+  * the batch's own subdirectory, and a batch's read of the store
+  * EXCLUDES its own subdirectory — so a replayed micro-batch (driver
+  * died after the signature write but before the streaming checkpoint
+  * committed) sees exactly the store-as-of-batch-start view, recomputes
+  * the identical cleaned output, and overwrites rather than duplicates
+  * its signatures. The r12 flat `mode("append")` layout made that
+  * replay self-dedup: the store already contained the batch's own
+  * surviving hashes, so every previously-kept span/paragraph was
+  * deleted as "corpus-owned" and the re-emitted output was silently
+  * gutted. `emit` must still be idempotent per `batchId` on its own
+  * sink (the standard foreachBatch contract) — this layout makes the
+  * STORE side of the transaction idempotent.
+  *
+  * Scale: the store grows hashes-only (text never stored); reading
+  * lists one directory level (cheap even at thousands of batches) and
+  * scans hash columns. Long-running streams can compact old `b*`
+  * subdirectories into the root seed files offline — the layout is
+  * just "root files + any subdirectories", nothing schema-level.
+  */
 object IngestDedup {
+
+  /** Parquet inputs of a signature store rooted at `root`: the seed
+    * files at the root plus every per-batch subdirectory except
+    * `b<excludeBatch>` (a replayed batch must not dedup against its own
+    * prior partial write). Empty when the root doesn't exist yet. */
+  private[graft] def storeInputs(
+      spark: SparkSession,
+      root: String,
+      excludeBatch: Option[Long]): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(root)
+    try {
+      val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+      val skip = excludeBatch.map(id => s"b$id")
+      fs.listStatus(path).toSeq
+        .filterNot(s => s.getPath.getName.startsWith("_") ||
+          s.getPath.getName.startsWith("."))
+        .filterNot(s => s.isDirectory && skip.contains(s.getPath.getName))
+        .map(_.getPath.toString)
+    } catch { case _: java.io.FileNotFoundException => Nil }
+  }
+
+  /** The store's current view as a single-column DataFrame of
+    * `hashCol` (missing/empty store reads as zero rows) — the frame to
+    * hand the batch operators, and the compaction read for offline
+    * maintenance. `excludeBatch` is the replay guard (see the store
+    * layout note above). */
+  def readStore(
+      spark: SparkSession,
+      root: String,
+      hashCol: String,
+      excludeBatch: Option[Long] = None): DataFrame = {
+    val inputs = storeInputs(spark, root, excludeBatch)
+    if (inputs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField(hashCol, LongType))))
+    else spark.read.parquet(inputs: _*).select(col(hashCol))
+  }
+
+  /** One span-dedup micro-batch: clean against the store as of batch
+    * start, emit, then the store learns the batch's post-removal spans
+    * in the batch's own subdirectory (idempotent on replay). The store
+    * is signed from the CLEANED text, not the raw batch: removal
+    * splices the surviving words together, and downstream training
+    * data is the cleaned text, so the spliced windows are precisely
+    * what the corpus now contains and what future batches must dedup
+    * against. Kept spans become corpus-owned first occurrences;
+    * removed spans were corpus-owned already. */
+  private[graft] def spanBatch(
+      batch: DataFrame,
+      batchId: Long,
+      sigPath: String,
+      n: Int,
+      textCol: String,
+      idCol: String,
+      parts: Int)(emit: (DataFrame, Long) => Unit): Unit = {
+    val spark = batch.sparkSession
+    val sigs = readStore(spark, sigPath, "span_hash", Some(batchId))
+    val cleaned = TextOps.removeDupSpansAgainst(
+        batch, sigs, n = n, textCol = textCol, idCol = idCol,
+        parts = parts)
+      .persist()
+    try {
+      emit(cleaned, batchId)
+      TextOps.spanSignatures(
+          cleaned.select(col(idCol), col("clean_text").as(textCol)),
+          n = n, textCol = textCol, parts = parts)
+        .write.mode("overwrite").parquet(s"$sigPath/b$batchId")
+    } finally cleaned.unpersist()
+  }
+
+  /** Streaming span-dedup ingest loop — word-window granularity.
+    * Per batch, one fan-out-sized hash shuffle (the batch side of
+    * [[TextOps.removeDupSpansAgainst]]) + one scan of the store's hash
+    * column; hashes only, text never leaves the batch; the store grows
+    * by ~one 8-byte hash per new corpus word. `emit` receives the
+    * cleaned batch (idCol, clean_text, n_words, n_removed) and the
+    * batch id.
+    *
+    * @param sigPath signature store root — seed it with
+    *        [[TextOps.spanSignatures]] of the existing corpus written
+    *        to the root, or start empty (a missing path reads as an
+    *        empty store); see the store-layout note on [[IngestDedup]] */
   def spanDedupStream(
       stream: DataFrame,
       sigPath: String,
@@ -54,44 +143,47 @@ object IngestDedup {
       parts: Int = 0)(
       emit: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val spark = batch.sparkSession
-      val sigs =
-        try spark.read.parquet(sigPath).select(col("span_hash"))
-        catch {
-          case _: org.apache.spark.sql.AnalysisException =>
-            spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-              StructType(Seq(StructField("span_hash", LongType))))
-        }
-      val cleaned = TextOps.removeDupSpansAgainst(
-          batch, sigs, n = n, textCol = textCol, idCol = idCol,
-          parts = parts)
-        .persist()
-      try {
-        emit(cleaned, batchId)
-        // store learns this batch's post-removal spans; the operator
-        // dedups its join side internally, so re-appended known splice
-        // hashes cost bytes, never correctness
-        TextOps.spanSignatures(
-            cleaned.select(col(idCol), col("clean_text").as(textCol)),
-            n = n, textCol = textCol, parts = parts)
-          .write.mode("append").parquet(sigPath)
-      } finally cleaned.unpersist()
+      spanBatch(batch, batchId, sigPath, n, textCol, idCol, parts)(emit)
     }
+
+  /** One paragraph-dedup micro-batch — see [[spanBatch]]; the store
+    * learns the batch's SURVIVING paragraphs (unlike word windows,
+    * paragraph removal never splices new keys into existence — the
+    * cleaned text's paragraphs are exactly the kept originals). */
+  private[graft] def paragraphBatch(
+      batch: DataFrame,
+      batchId: Long,
+      sigPath: String,
+      textCol: String,
+      idCol: String,
+      minChars: Int,
+      parts: Int)(emit: (DataFrame, Long) => Unit): Unit = {
+    val spark = batch.sparkSession
+    val sigs = readStore(spark, sigPath, "para_hash", Some(batchId))
+    val cleaned = graft.operators.Dedup.dropDupParagraphsAgainst(
+        batch, sigs, textCol = textCol, idCol = idCol,
+        minChars = minChars, parts = parts)
+      .persist()
+    try {
+      emit(cleaned, batchId)
+      graft.operators.Dedup.paragraphSignatures(
+          cleaned.select(col(idCol), col("clean_text").as(textCol)),
+          textCol = textCol, minChars = minChars, parts = parts)
+        .write.mode("overwrite").parquet(s"$sigPath/b$batchId")
+    } finally cleaned.unpersist()
+  }
 
   /** Paragraph-granularity sibling of [[spanDedupStream]]: each
     * micro-batch applies
     * [[graft.operators.Dedup.dropDupParagraphsAgainst]] verbatim
     * against the paragraph signature store as of batch start, then the
-    * store learns the batch's SURVIVING paragraphs (unlike word
-    * windows, paragraph removal never splices new keys into existence —
-    * the cleaned text's paragraphs are exactly the kept originals).
-    * Same foreachBatch rationale and per-batch batch-operator parity as
-    * the span twin.
+    * store learns the batch's surviving paragraphs. Same foreachBatch
+    * rationale, per-batch batch-operator parity, and replay-idempotent
+    * store layout as the span twin.
     *
-    * @param sigPath parquet directory of (para_hash) — seed it with
+    * @param sigPath signature store root — seed it with
     *        [[graft.operators.Dedup.paragraphSignatures]] of the
-    *        existing corpus, or start empty (missing path reads as an
-    *        empty store) */
+    *        existing corpus written to the root, or start empty */
   def paragraphDedupStream(
       stream: DataFrame,
       sigPath: String,
@@ -101,24 +193,73 @@ object IngestDedup {
       parts: Int = 0)(
       emit: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val spark = batch.sparkSession
-      val sigs =
-        try spark.read.parquet(sigPath).select(col("para_hash"))
-        catch {
-          case _: org.apache.spark.sql.AnalysisException =>
-            spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-              StructType(Seq(StructField("para_hash", LongType))))
-        }
-      val cleaned = graft.operators.Dedup.dropDupParagraphsAgainst(
-          batch, sigs, textCol = textCol, idCol = idCol,
-          minChars = minChars, parts = parts)
-        .persist()
-      try {
-        emit(cleaned, batchId)
-        graft.operators.Dedup.paragraphSignatures(
-            cleaned.select(col(idCol), col("clean_text").as(textCol)),
-            textCol = textCol, minChars = minChars, parts = parts)
-          .write.mode("append").parquet(sigPath)
-      } finally cleaned.unpersist()
+      paragraphBatch(batch, batchId, sigPath, textCol, idCol, minChars,
+        parts)(emit)
+    }
+
+  /** One line-dedup micro-batch — the FREQUENCY-counted member of the
+    * family: the store carries (line_hash, n_docs) document-frequency
+    * counts, removal is COUNT-INCLUSIVE (store counts as of batch
+    * start + the batch's own within-batch census — a line crosses the
+    * boilerplate threshold the moment the combined corpus has seen it
+    * in more than `maxDf` documents, including crossings caused BY
+    * this batch), and the store learns the RAW batch's census: a
+    * removed boilerplate line still occurred in those documents, and
+    * the honest corpus frequency is what sequential batch-global
+    * processing would have counted. Count-inclusive is the
+    * within-batch-aware choice the presence-keyed twins also make
+    * (their within-batch election removes later batch occurrences),
+    * and it makes a single batch over an empty store match
+    * [[graft.operators.Dedup.dropCommonLines]] exactly. Inherently
+    * non-retroactive: documents emitted before a line crossed the
+    * threshold keep it — only a batch re-run of the accumulated corpus
+    * removes boilerplate everywhere. */
+  private[graft] def lineBatch(
+      batch: DataFrame,
+      batchId: Long,
+      countsPath: String,
+      textCol: String,
+      idCol: String,
+      maxDf: Int)(emit: (DataFrame, Long) => Unit): Unit = {
+    val spark = batch.sparkSession
+    val inputs = storeInputs(spark, countsPath, Some(batchId))
+    val counts =
+      if (inputs.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          StructType(Seq(StructField("line_hash", LongType),
+            StructField("n_docs", LongType))))
+      else spark.read.parquet(inputs: _*).select(col("line_hash"), col("n_docs"))
+    val cleaned = graft.operators.Dedup.dropCommonLinesAgainst(
+        batch, counts, textCol = textCol, idCol = idCol, maxDf = maxDf)
+      .persist()
+    try {
+      emit(cleaned, batchId)
+      graft.operators.Dedup.lineCounts(batch, textCol = textCol, idCol = idCol)
+        .write.mode("overwrite").parquet(s"$countsPath/b$batchId")
+    } finally cleaned.unpersist()
+  }
+
+  /** Streaming boilerplate-line filter against accumulated corpus line
+    * frequencies — the line-granularity member of the ingest family.
+    * Per batch: one explode scan, the batch's distinct-doc line census
+    * (one hash shuffle), a hash equi-join against the store's summed
+    * counts, and one doc-id shuffle to reassemble; the store grows by
+    * one (hash, count) row per distinct line per batch. `emit`
+    * receives (idCol, clean_text, n_lines, n_removed) and the batch
+    * id. Semantics, store-append choice, and the non-retroactivity
+    * caveat: see [[lineBatch]].
+    *
+    * @param countsPath count store root — seed it with
+    *        [[graft.operators.Dedup.lineCounts]] of the existing
+    *        corpus written to the root, or start empty */
+  def lineDedupStream(
+      stream: DataFrame,
+      countsPath: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxDf: Int = 30)(
+      emit: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      lineBatch(batch, batchId, countsPath, textCol, idCol, maxDf)(emit)
     }
 }

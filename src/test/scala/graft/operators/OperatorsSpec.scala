@@ -302,6 +302,81 @@ class OperatorsSpec extends AnyFunSuite {
     assert(c2.filter(col("doc_id") === 99L).count() == 0)
   }
 
+  test("dropCommonLinesAgainst: count-inclusive threshold over store + batch, " +
+      "empty store matches dropCommonLines, null/all-boilerplate docs survive") {
+    // store: "footer" seen in 4 docs already
+    val store = Dedup.lineCounts((0L until 4L)
+      .map(i => (i, s"old $i\nfooter")).toDF("doc_id", "text"))
+    val batch = Seq(
+      (10L, "new body ten\nfooter"),        // store 4 + batch 1 = 5 > 4 → drop
+      (11L, "new body eleven\nlocal dup"),  // batch-only line, df 2 → kept at maxDf 4
+      (12L, "new body twelve\nlocal dup"),
+      (13L, "footer"),                      // all-boilerplate: row survives, empty
+      (14L, null.asInstanceOf[String]))     // null text: row survives, empty
+      .toDF("doc_id", "text")
+    val got = Dedup.dropCommonLinesAgainst(batch, store, maxDf = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toList
+      .sortBy(_._1)
+    assert(got == List(
+      (10L, "new body ten", 1L),
+      (11L, "new body eleven\nlocal dup", 0L),
+      (12L, "new body twelve\nlocal dup", 0L),
+      (13L, "", 1L),
+      (14L, "", 0L)), got)
+    // empty store ≡ the batch-global operator (on docs it keeps; the
+    // Against twin additionally preserves emptied docs)
+    val corpus = (0L until 10L).map { i =>
+      (i, s"unique head $i\nShared footer line\nunique tail $i")
+    }.toDF("doc_id", "text")
+    val emptyStore = store.filter(lit(false))
+    val incr = Dedup.dropCommonLinesAgainst(corpus, emptyStore, maxDf = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batchGlobal = Dedup.dropCommonLines(corpus, maxDf = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(batchGlobal.forall { case (k, v) => incr(k) == v },
+      s"empty-store parity: $incr vs $batchGlobal")
+    // appended duplicate count rows SUM: footer df 2+2 over maxDf 3 → drop
+    val split = Dedup.lineCounts(Seq((0L, "a\nfooter"), (1L, "b\nfooter"))
+        .toDF("doc_id", "text"))
+      .unionByName(Dedup.lineCounts(Seq((2L, "c\nfooter"), (3L, "d\nfooter"))
+        .toDF("doc_id", "text")))
+    val g2 = Dedup.dropCommonLinesAgainst(
+        Seq((20L, "body\nfooter")).toDF("doc_id", "text"), split, maxDf = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(g2 == Map(20L -> "body"), g2)
+  }
+
+  test("probeExif: orientation/captured_at/GPS from JPEG APP1 and standalone " +
+      "TIFF, both endiannesses; corrupt and exif-less payloads cost a null") {
+    val rows = Multimodal.exifFixture(spark).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(1),
+          if (r.isNullAt(2)) None else Some(r.getInt(2)),
+          Option(r.getString(3)),
+          r.getBoolean(4))).toMap
+    assert(rows(1L) == ((true, Some(6), Some("2023:12:31 23:59:58"), true)),
+      s"le jpeg: ${rows(1L)}") // DateTimeOriginal preferred over DateTime
+    assert(rows(2L) == ((true, Some(1), Some("2024:05:06 07:08:09"), false)),
+      s"be tiff: ${rows(2L)}")
+    assert(rows(3L) == ((false, None, None, false)), s"corrupt: ${rows(3L)}")
+    assert(rows(4L) == ((false, None, None, false)), s"no app1: ${rows(4L)}")
+    assert(rows(5L) == ((true, Some(3), None, false)), s"orient only: ${rows(5L)}")
+    assert(rows(6L) == ((true, None, None, true)), s"gps only: ${rows(6L)}")
+    // adversarial directs: truncated header, entry offsets past the buffer
+    assert(Multimodal.probeExif(Array[Byte]('I', 'I', 42, 0)).isEmpty)
+    assert(Multimodal.probeExif("not media at all".getBytes).isEmpty)
+    // a valid IFD whose ASCII value offset runs out of the buffer skips
+    // that field, not the probe
+    val bad = java.nio.ByteBuffer.allocate(8 + 2 + 12 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bad.put("II".getBytes); bad.putShort(42); bad.putInt(8)
+    bad.putShort(1) // one entry: DateTime at an impossible offset
+    bad.putShort(0x0132); bad.putShort(2); bad.putInt(20); bad.putInt(999999)
+    bad.putInt(0)
+    assert(Multimodal.probeExif(bad.array())
+      .contains(Multimodal.ExifInfo(None, None, false)))
+  }
+
   test("curate with lineMaxDf strips boilerplate before filtering and dedup") {
     val boilered = docs.withColumn("text",
       concat(col("text"), lit("\nSubscribe to our newsletter!")))

@@ -791,7 +791,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(b2(3L) == "pre0 other3", b2)
     assert(b2(4L) == "fresh words entirely new here", b2)
     // the store kept growing: seed + batch1 + batch2 spans
-    val stored = spark.read.parquet(sigPath).count()
+    val stored = IngestDedup.readStore(spark, sigPath, "span_hash").count()
     assert(stored > seed.count(), s"store did not grow: $stored")
     org.apache.commons.io.FileUtils.deleteDirectory(sigDir)
   }
@@ -853,6 +853,119 @@ class StreamingSpec extends AnyFunSuite {
       df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got(0L) == canon(exp1) && got(1L) == canon(exp2))
     org.apache.commons.io.FileUtils.deleteDirectory(sigDir)
+  }
+
+  test("streaming line dedup matches sequential batch operators and crosses " +
+      "the frequency threshold ACROSS batches (count-inclusive)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("linecnt").toFile
+    val countsPath = new java.io.File(dir, "counts").getAbsolutePath
+    // seed corpus: "footer" in 2 docs — below maxDf=3 on its own
+    val corpus = Seq(
+      (100L, "corpus body one\nfooter"),
+      (101L, "corpus body two\nfooter")).toDF("doc_id", "text")
+    Dedup.lineCounts(corpus).write.parquet(countsPath)
+    // batch 1 adds 1 footer doc: combined df = 3, NOT > 3 → kept
+    val batch1 = Seq((1L, "batch one body\nfooter"))
+    // batch 2 adds 2 more: store df = 3, batch df = 2 → 5 > 3 → removed
+    val batch2 = Seq(
+      (2L, "batch two body\nfooter"),
+      (3L, "batch three body\nfooter"))
+    val mem = MemoryStream[(Long, String)]
+    val src = mem.toDF().toDF("doc_id", "text")
+    val got = scala.collection.mutable.Map[Long, Map[Long, String]]()
+    val q = IngestDedup.lineDedupStream(src, countsPath, maxDf = 3) {
+      (df, id) => got(id) = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }.start()
+    mem.addData(batch1: _*); q.processAllAvailable()
+    mem.addData(batch2: _*); q.processAllAvailable()
+    SparkTestBase.stopQuietly(q)
+    assert(got(0L) == Map(1L -> "batch one body\nfooter"), got(0L))
+    assert(got(1L) == Map(2L -> "batch two body", 3L -> "batch three body"),
+      got(1L))
+    // parity with the sequentially-applied batch operators (store learns
+    // the RAW batch census each step)
+    val seed = Dedup.lineCounts(corpus)
+    val exp1 = Dedup.dropCommonLinesAgainst(batch1.toDF("doc_id", "text"),
+      seed, maxDf = 3)
+    val counts2 = seed.unionByName(Dedup.lineCounts(batch1.toDF("doc_id", "text")))
+    val exp2 = Dedup.dropCommonLinesAgainst(batch2.toDF("doc_id", "text"),
+      counts2, maxDf = 3)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) == canon(exp1) && got(1L) == canon(exp2))
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  test("ingest store replay is idempotent: re-running a micro-batch after " +
+      "its signature write emits identical output and never self-dedups") {
+    import graft.operators.{Dedup, TextOps}
+    // span granularity — the r12 failure mode: a replayed batch saw its
+    // own surviving spans as corpus-owned and gutted its re-emit
+    val spanDir = java.nio.file.Files.createTempDirectory("spanreplay").toFile
+    val spanPath = new java.io.File(spanDir, "sigs").getAbsolutePath
+    val b0 = Seq((1L, "aa bb cc dd tail1 tail2")).toDF("doc_id", "text")
+    def runSpan(): Map[Long, String] = {
+      var out = Map.empty[Long, String]
+      IngestDedup.spanBatch(b0, 0L, spanPath, n = 4, "text", "doc_id", 0) {
+        (df, _) => out = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      }
+      out
+    }
+    val first = runSpan() // store now contains batch 0's spans
+    val replay = runSpan() // driver died pre-checkpoint: same batchId re-runs
+    assert(first == Map(1L -> "aa bb cc dd tail1 tail2"), first)
+    assert(replay == first, s"replay gutted the batch: $replay")
+    // store state identical after replay (overwrite, not duplicate)
+    val storeRows = IngestDedup.readStore(spark, spanPath, "span_hash").count()
+    // next batch still dedups against batch 0's learned spans, and its
+    // surviving words are long enough to add new spans of their own
+    var next = Map.empty[Long, String]
+    IngestDedup.spanBatch(
+        Seq((2L, "pre0 aa bb cc dd w1 w2 w3 w4")).toDF("doc_id", "text"),
+        1L, spanPath, n = 4, "text", "doc_id", 0) {
+      (df, _) => next = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    assert(next == Map(2L -> "pre0 w1 w2 w3 w4"), next)
+    assert(IngestDedup.readStore(spark, spanPath, "span_hash").count() > storeRows)
+    org.apache.commons.io.FileUtils.deleteDirectory(spanDir)
+
+    // paragraph granularity
+    val paraDir = java.nio.file.Files.createTempDirectory("parareplay").toFile
+    val paraPath = new java.io.File(paraDir, "sigs").getAbsolutePath
+    val pb = Seq((1L, "a paragraph long enough to be counted here"))
+      .toDF("doc_id", "text")
+    def runPara(): Map[Long, String] = {
+      var out = Map.empty[Long, String]
+      IngestDedup.paragraphBatch(pb, 0L, paraPath, "text", "doc_id", 10, 0) {
+        (df, _) => out = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      }
+      out
+    }
+    val p1 = runPara(); val p2 = runPara()
+    assert(p1 == Map(1L -> "a paragraph long enough to be counted here") &&
+      p2 == p1, s"$p1 / $p2")
+    org.apache.commons.io.FileUtils.deleteDirectory(paraDir)
+
+    // line granularity: replay must not double-count the batch's own census
+    val lineDir = java.nio.file.Files.createTempDirectory("linereplay").toFile
+    val linePath = new java.io.File(lineDir, "counts").getAbsolutePath
+    val lb = (0L until 2L).map(i => (i, s"unique $i\nshared line"))
+      .toDF("doc_id", "text")
+    def runLine(): Map[Long, String] = {
+      var out = Map.empty[Long, String]
+      IngestDedup.lineBatch(lb, 0L, linePath, "text", "doc_id", 3) {
+        (df, _) => out = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      }
+      out
+    }
+    // batch df of "shared line" is 2, store 0 → 2 <= 3 → kept; a replay
+    // that read its own b0 counts would see 2 + 2 = 4 > 3 and remove it
+    val l1 = runLine(); val l2 = runLine()
+    assert(l1.values.forall(_.contains("shared line")), l1)
+    assert(l2 == l1, s"line replay drifted: $l2 vs $l1")
+    org.apache.commons.io.FileUtils.deleteDirectory(lineDir)
   }
 
   test("streaming decontamination flags docs sharing a benchmark n-gram, once per doc") {
