@@ -383,6 +383,62 @@ object Dedup {
     newDocs.join(drop, newDocs(idCol) === drop("doc_new"), "left_anti")
   }
 
+  /** The ingest keep decision against a STORED corpus signature table —
+    * [[keepNewAgainst]] with zero corpus text access, plus the
+    * within-batch election the presence-keyed span/paragraph twins
+    * perform: a new-batch document drops when (a) its within-batch
+    * near-dup component contains ANY corpus-paired member — corpus
+    * ownership propagates transitively through batch-internal clusters,
+    * matching what a global [[keepCanonical]] over corpus ∪ batch with
+    * corpus-always-wins would decide — or (b) its component is
+    * corpus-clean but it is not the lowest-id member (the
+    * [[keepCanonical]] election). Unpaired, corpus-clean documents keep.
+    * With an empty store this IS keepCanonical over the batch's own
+    * signature pairs (spec-pinned).
+    *
+    * Plan at scale: the batch signs once (one scan); the corpus side is
+    * the stored sketch table grouped per (band, bucket) exactly as
+    * [[minHashPairsAgainstSignatures]]; the within-batch pair graph and
+    * its components are batch-sized (only near-dup docs appear); the
+    * final filter is an anti-join on the (small) drop set. */
+  def keepNewAgainstSignatures(
+      newDocs: DataFrame,
+      corpusSigs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleN: Int = 3,
+      bands: Int = 16,
+      rows: Int = 4,
+      threshold: Double = 0.7,
+      maxBucket: Int = 100000,
+      ccMaxIter: Int = 20,
+      ccLocalThreshold: Long = 1000000L): DataFrame = {
+    val sigs = minHashSignatures(newDocs, textCol, idCol, shingleN,
+      bands, rows).persist()
+    val corpusHit = minHashPairsAgainstSignatures(sigs, corpusSigs,
+        bands = bands, rows = rows, threshold = threshold,
+        maxBucket = maxBucket)
+      .select(col("doc_new")).distinct().persist()
+    corpusHit.count()
+    val within = minHashPairsFromSignatures(sigs, bands = bands,
+      rows = rows, threshold = threshold, maxBucket = maxBucket)
+    val comp = connectedComponents(within, maxIter = ccMaxIter,
+      localThreshold = ccLocalThreshold).persist()
+    val contaminatedComps = comp
+      .join(corpusHit, comp("doc_id") === corpusHit("doc_new"))
+      .select(col("comp")).distinct()
+    val contaminated = comp.join(contaminatedComps, Seq("comp"))
+      .select(col("doc_id").as("__drop"))
+    val nonCanonical = comp.filter(col("doc_id") =!= col("comp"))
+      .select(col("doc_id").as("__drop"))
+    val drop = materializeAndRelease(
+      contaminated.unionByName(nonCanonical)
+        .unionByName(corpusHit.select(col("doc_new").as("__drop")))
+        .distinct(),
+      comp, corpusHit, sigs)
+    newDocs.join(drop, newDocs(idCol) === drop("__drop"), "left_anti")
+  }
+
   /** All intra-bucket candidate pairs (a < b) in ONE shuffle: group the
     * banded set by its bucket key(s), drop singleton buckets (no pair) and
     * over-populated buckets (> `max` members — a degenerate bucket of B

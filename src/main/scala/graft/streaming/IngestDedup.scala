@@ -239,6 +239,104 @@ object IngestDedup {
     } finally cleaned.unpersist()
   }
 
+  /** One doc-level dedup micro-batch — see [[spanBatch]]: the batch's
+    * MinHash signatures pair against the store (zero text access on the
+    * corpus side), within-batch near-dup components elect a canonical
+    * survivor with corpus ownership propagating through clusters
+    * ([[graft.operators.Dedup.keepNewAgainstSignatures]]), and the
+    * store learns the SURVIVORS' signatures — kept docs become
+    * corpus-owned for the next batch. The empty-store schema derives
+    * from the batch itself (`minHashSignatures(batch.limit(0))`), so
+    * id-column types and signature width always agree with the batch's. */
+  private[graft] def docBatch(
+      batch: DataFrame,
+      batchId: Long,
+      sigPath: String,
+      textCol: String,
+      idCol: String,
+      shingleN: Int,
+      bands: Int,
+      rows: Int,
+      threshold: Double,
+      maxBucket: Int)(emit: (DataFrame, Long) => Unit): Unit = {
+    val spark = batch.sparkSession
+    val inputs = storeInputs(spark, sigPath, Some(batchId))
+    val corpusSigs =
+      if (inputs.isEmpty)
+        graft.operators.Dedup.minHashSignatures(batch.limit(0), textCol,
+          idCol, shingleN, bands, rows)
+      else spark.read.parquet(inputs: _*).select(col("doc_id"), col("sig"))
+    val kept = graft.operators.Dedup.keepNewAgainstSignatures(
+        batch, corpusSigs, textCol = textCol, idCol = idCol,
+        shingleN = shingleN, bands = bands, rows = rows,
+        threshold = threshold, maxBucket = maxBucket)
+      .persist()
+    try {
+      emit(kept, batchId)
+      graft.operators.Dedup.minHashSignatures(kept, textCol, idCol,
+          shingleN, bands, rows)
+        .write.mode("overwrite").parquet(s"$sigPath/b$batchId")
+    } finally kept.unpersist()
+  }
+
+  /** Doc-granularity member of the ingest family — the GROWING-store
+    * near-dup keep loop ([[graft.operators.Dedup.nearDupStreamFromSignatures]]
+    * is the flag-only variant over a FROZEN store: a declarative
+    * stream-static join cannot learn from its own output, which is why
+    * this twin is foreachBatch like its span/paragraph/line siblings).
+    * Each micro-batch keeps only documents that near-dup neither the
+    * accumulated corpus nor a kept batch sibling, then the store learns
+    * the survivors' signatures. `emit` receives the kept rows (the
+    * batch's own columns, unchanged) and the batch id. Store layout and
+    * replay idempotency: see [[IngestDedup]].
+    *
+    * @param sigPath signature store root — seed it with
+    *        [[graft.operators.Dedup.minHashSignatures]] of the existing
+    *        corpus written to the root, or start empty */
+  def docDedupStream(
+      stream: DataFrame,
+      sigPath: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleN: Int = 3,
+      bands: Int = 16,
+      rows: Int = 4,
+      threshold: Double = 0.7,
+      maxBucket: Int = 100000)(
+      emit: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      docBatch(batch, batchId, sigPath, textCol, idCol, shingleN, bands,
+        rows, threshold, maxBucket)(emit)
+    }
+
+  /** Offline store maintenance: fold a store's accumulated per-batch
+    * subdirectories (plus the existing root seed) into ONE compacted
+    * table at `outRoot` — presence stores (`countCol = None`) dedup on
+    * `keyCols` (span/paragraph hashes re-appended across batches, doc
+    * signature rows), count stores (`countCol = Some("n_docs")`) SUM per
+    * key. Write the result as the new seed root and point the stream's
+    * checkpointed query at it; reading a store is one directory listing
+    * + a scan either way, so compaction is about long-tail file counts
+    * and store-side aggregation cost, not correctness. */
+  def compactStore(
+      spark: SparkSession,
+      root: String,
+      outRoot: String,
+      keyCols: Seq[String],
+      countCol: Option[String] = None): Unit = {
+    val inputs = storeInputs(spark, root, None)
+    require(inputs.nonEmpty, s"nothing to compact at $root")
+    val all = spark.read.parquet(inputs: _*)
+    val compacted = countCol match {
+      case Some(c) => all.groupBy(keyCols.map(col): _*)
+        .agg(org.apache.spark.sql.functions.sum(col(c)).as(c))
+      case None => all.select((keyCols ++
+          all.columns.filterNot(keyCols.contains)).distinct.map(col): _*)
+        .dropDuplicates(keyCols)
+    }
+    compacted.write.mode("errorifexists").parquet(outRoot)
+  }
+
   /** Streaming boilerplate-line filter against accumulated corpus line
     * frequencies — the line-granularity member of the ingest family.
     * Per batch: one explode scan, the batch's distinct-doc line census

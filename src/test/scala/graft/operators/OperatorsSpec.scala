@@ -346,6 +346,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(g2 == Map(20L -> "body"), g2)
   }
 
+  test("keepNewAgainstSignatures: corpus ownership propagates through " +
+      "within-batch clusters; clean clusters elect canonical; empty store " +
+      "equals keepCanonical") {
+    def words(prefix: String, from: Int, to: Int): String =
+      (from to to).map(i => s"$prefix$i").mkString(" ")
+    val xText = words("qa", 1, 20)
+    val aText = words("qa", 1, 20) + " " + words("qb", 1, 4)   // J(A,X)=.82
+    val bText = words("qa", 5, 20) + " " + words("qb", 1, 12)  // J(A,B)=.60, J(B,X)=.47
+    val dText = words("qd", 1, 20)
+    val eText = words("qe", 1, 20)
+    val corpusSigs = Dedup.minHashSignatures(
+      Seq((100L, xText)).toDF("doc_id", "text"))
+    val batch = Seq(
+      (1L, aText), // pairs corpus → drop
+      (2L, bText), // pairs A only; component {1,2} contaminated → drop
+      (3L, dText), (4L, dText), // clean exact-dup cluster → keep 3
+      (5L, eText)) // unique → keep
+      .toDF("doc_id", "text")
+    val kept = Dedup.keepNewAgainstSignatures(batch, corpusSigs,
+        threshold = 0.55)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 5L), s"kept=$kept")
+    // empty store ≡ keepCanonical over the batch's own signature pairs
+    val emptyStore = corpusSigs.filter(lit(false))
+    val k2 = Dedup.keepNewAgainstSignatures(batch, emptyStore,
+        threshold = 0.55)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val pairs = Dedup.minHashPairs(batch, threshold = 0.55)
+    val canon = Dedup.keepCanonical(batch, pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(k2 == canon, s"$k2 vs $canon")
+  }
+
   test("probeExif: orientation/captured_at/GPS from JPEG APP1 and standalone " +
       "TIFF, both endiannesses; corrupt and exif-less payloads cost a null") {
     val rows = Multimodal.exifFixture(spark).collect()

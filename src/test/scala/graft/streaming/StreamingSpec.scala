@@ -898,6 +898,92 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("streaming doc dedup keeps corpus-novel canonical docs and the store " +
+      "learns survivors; parity with sequential keepNewAgainstSignatures") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    def words(prefix: String, from: Int, to: Int): String =
+      (from to to).map(i => s"$prefix$i").mkString(" ")
+    val xText = words("qa", 1, 20)
+    val aText = words("qa", 1, 20) + " " + words("qb", 1, 4)
+    val dText = words("qd", 1, 20)
+    val eText = words("qe", 1, 20)
+    val gText = words("qg", 1, 20)
+    val dir = java.nio.file.Files.createTempDirectory("docsig").toFile
+    val sigPath = new java.io.File(dir, "sigs").getAbsolutePath
+    val corpus = Seq((100L, xText)).toDF("doc_id", "text")
+    Dedup.minHashSignatures(corpus).write.parquet(sigPath)
+    val batch1 = Seq(
+      (1L, aText),              // near-dups the corpus doc → dropped
+      (3L, dText), (4L, dText), // within-batch dup pair → canonical 3 kept
+      (5L, eText))              // unique → kept, learned
+    val batch2 = Seq(
+      (6L, eText),              // exact copy of batch 1's kept doc 5 → dropped
+      (7L, gText))              // fresh → kept
+    val mem = MemoryStream[(Long, String)]
+    val src = mem.toDF().toDF("doc_id", "text")
+    val got = scala.collection.mutable.Map[Long, Set[Long]]()
+    val q = IngestDedup.docDedupStream(src, sigPath, threshold = 0.55) {
+      (df, id) => got(id) = df.select("doc_id").collect().map(_.getLong(0)).toSet
+    }.start()
+    mem.addData(batch1: _*); q.processAllAvailable()
+    mem.addData(batch2: _*); q.processAllAvailable()
+    SparkTestBase.stopQuietly(q)
+    assert(got(0L) == Set(3L, 5L), got(0L))
+    assert(got(1L) == Set(7L), got(1L))
+    // parity with the sequentially-applied batch operator + store growth
+    val seed = Dedup.minHashSignatures(corpus)
+    val k1 = Dedup.keepNewAgainstSignatures(batch1.toDF("doc_id", "text"),
+      seed, threshold = 0.55)
+    val sigs2 = seed.unionByName(Dedup.minHashSignatures(k1))
+    val k2 = Dedup.keepNewAgainstSignatures(batch2.toDF("doc_id", "text"),
+      sigs2, threshold = 0.55)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got(0L) == ids(k1) && got(1L) == ids(k2))
+    // survivors' signatures are in the store
+    val stored = IngestDedup.readStore(spark, sigPath, "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(stored == Set(100L, 3L, 5L, 7L), stored)
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  test("compactStore folds batch subdirectories into one seed: presence " +
+      "stores dedup, count stores sum") {
+    import graft.operators.{Dedup, TextOps}
+    val dir = java.nio.file.Files.createTempDirectory("compact").toFile
+    val lineRoot = new java.io.File(dir, "lines").getAbsolutePath
+    // three appends counting the same line → compacted store sums to 6
+    Dedup.lineCounts(Seq((0L, "x\nshared"), (1L, "y\nshared"))
+      .toDF("doc_id", "text")).write.parquet(lineRoot)
+    Dedup.lineCounts(Seq((2L, "z\nshared"), (3L, "w\nshared"))
+        .toDF("doc_id", "text"))
+      .write.parquet(s"$lineRoot/b0")
+    Dedup.lineCounts(Seq((4L, "v\nshared"), (5L, "u\nshared"))
+        .toDF("doc_id", "text"))
+      .write.parquet(s"$lineRoot/b1")
+    val lineOut = new java.io.File(dir, "lines_c").getAbsolutePath
+    IngestDedup.compactStore(spark, lineRoot, lineOut,
+      keyCols = Seq("line_hash"), countCol = Some("n_docs"))
+    val compacted = spark.read.parquet(lineOut)
+    val sharedHash = Dedup.lineCounts(Seq((0L, "shared")).toDF("doc_id", "text"))
+      .collect()(0).getLong(0)
+    val byHash = compacted.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byHash(sharedHash) == 6L, byHash)
+    // presence store: duplicate span hashes across appends collapse
+    val spanRoot = new java.io.File(dir, "spans").getAbsolutePath
+    val doc = Seq((1L, "aa bb cc dd ee ff")).toDF("doc_id", "text")
+    TextOps.spanSignatures(doc, n = 4).write.parquet(spanRoot)
+    TextOps.spanSignatures(doc, n = 4).write.parquet(s"$spanRoot/b0")
+    val spanOut = new java.io.File(dir, "spans_c").getAbsolutePath
+    IngestDedup.compactStore(spark, spanRoot, spanOut,
+      keyCols = Seq("span_hash"))
+    assert(spark.read.parquet(spanOut).count() ==
+      TextOps.spanSignatures(doc, n = 4).count())
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("ingest store replay is idempotent: re-running a micro-batch after " +
       "its signature write emits identical output and never self-dedups") {
     import graft.operators.{Dedup, TextOps}
