@@ -43,4 +43,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 416.8 s vs 153.4 s). Benchmarks must measure the operator, not the
   // heap ramp.
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+) ++ (
+  // OPT-IN heap pre-touch (SPARK_GRAFT_PRETOUCH=1): moves lazy heap
+  // fault-in out of the first measured stages and into JVM startup.
+  // Deliberately NOT the default: r13 measured this host serving
+  // first-touch anonymous pages at ~200 MB/s beyond the first ~16 GB
+  // (a degraded overcommit backend — incremental bytearray probe;
+  // cache-resident CPU loops read normal), and pre-touching 48 GB at
+  // that rate costs ~4 minutes of dead startup on EVERY forked run
+  // (Shell, Verify, tests) for a benefit only benchmarks care about.
+  if (sys.env.get("SPARK_GRAFT_PRETOUCH").contains("1"))
+    Seq("-XX:+AlwaysPreTouch")
+  else Seq.empty
 )

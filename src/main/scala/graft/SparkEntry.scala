@@ -3044,6 +3044,44 @@ object SparkEntry {
           FROM s a JOIN s b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
           WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7)""".stripMargin.trim)),
 
+    Q("q_dedup_keep_sigs",
+      // stored-signature ingest keep decision end-to-end (sign → band →
+      // pair vs store → within-batch CC election with corpus ownership
+      // propagating through clusters → anti-join): batch doc b carries a
+      // synthesized text keyed by k = b - b%3, so consecutive id triples
+      // form exact in-batch dup clusters, and every-7th key also sits in
+      // the corpus signature store. Texts of DIFFERENT keys use disjoint
+      // per-key vocabularies (zero shared shingles), so at threshold 1.0
+      // the k=64 estimator is deterministic — identical texts estimate
+      // exactly 1.0, disjoint texts cannot reach it — and DuckDB replays
+      // the whole decision with text-key arithmetic. (The first draft
+      // fed the documents fixture's word-salad texts through this: with
+      // thousands of J≈0.9 pairs, a few hit 64/64 matching positions by
+      // construction-independent chance, which no SQL replay can see —
+      // disjoint vocabularies remove the phenomenon rather than guard-
+      // banding it.)
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        def synth(k: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          concat_ws(" ", transform(sequence(lit(1), lit(25)),
+            i => concat(lit("t"), k, lit("_w"), i)))
+        val corpusSigs = operators.Dedup.minHashSignatures(
+          s.range(0, 600).filter(col("id") % 7 === 0)
+            .select(col("id").as("doc_id"), synth(col("id")).as("text")))
+        val batch = s.range(0, 400)
+          .select((col("id") + 1000000).as("doc_id"),
+            synth(col("id") - pmod(col("id"), lit(3))).as("text"))
+        operators.Dedup.keepNewAgainstSignatures(batch, corpusSigs,
+          threshold = 1.0)
+      },
+      Some("""
+        WITH b AS (SELECT range AS bid FROM range(0, 400)),
+        c AS (SELECT bid, bid - bid % 3 AS k FROM b)
+        SELECT bid + 1000000 AS doc_id,
+          array_to_string([('t' || k || '_w' || i) for i in range(1, 26)], ' ') AS text
+        FROM c
+        WHERE bid = k AND k % 7 <> 0""".stripMargin.trim)),
+
     Q("q_dedup_component_stats",
       // cluster-size histogram of the near-dup components — the dedup
       // audit a pipeline runs before committing a canonical keep
