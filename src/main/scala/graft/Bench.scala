@@ -574,6 +574,11 @@ object Bench {
         import org.apache.spark.sql.functions._
         val smokeRows =
           sys.env.getOrElse("SPARK_GRAFT_PIPE_SMOKE_ROWS", "20000000").toLong
+        // self-disclosure: the pipe stages' "2m"/"20m" keys describe the
+        // DEFAULT scale; a SPARK_GRAFT_PIPE_SMOKE_ROWS override (e.g. a
+        // degraded-host validation run sized to the fast-RAM window) must
+        // be visible in the artifact, not only in the launcher's env
+        scaleSmoke("pipe_rows") = smokeRows.toDouble
         def timedEager(body: => Unit): Double = {
           val t0 = System.nanoTime(); body; val s = (System.nanoTime() - t0) / 1e9
           // Between draws (untimed): (1) unpersist every still-registered
