@@ -1052,6 +1052,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(l1.values.forall(_.contains("shared line")), l1)
     assert(l2 == l1, s"line replay drifted: $l2 vs $l1")
     org.apache.commons.io.FileUtils.deleteDirectory(lineDir)
+
+    // doc granularity: a replay that saw its own survivors' signatures
+    // would drop every kept doc as a corpus near-dup
+    val docDir = java.nio.file.Files.createTempDirectory("docreplay").toFile
+    val docPath = new java.io.File(docDir, "sigs").getAbsolutePath
+    val db = Seq((1L, (1 to 20).map(i => s"qx$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    def runDoc(): Set[Long] = {
+      var out = Set.empty[Long]
+      IngestDedup.docBatch(db, 0L, docPath, "text", "doc_id", 3, 16, 4,
+          0.55, 100000) {
+        (df, _) => out = df.select("doc_id").collect().map(_.getLong(0)).toSet
+      }
+      out
+    }
+    val d1 = runDoc(); val d2 = runDoc()
+    assert(d1 == Set(1L) && d2 == d1, s"doc replay drifted: $d1 / $d2")
+    org.apache.commons.io.FileUtils.deleteDirectory(docDir)
   }
 
   test("streaming decontamination flags docs sharing a benchmark n-gram, once per doc") {
