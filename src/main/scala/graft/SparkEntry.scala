@@ -31,6 +31,61 @@ object SparkEntry {
     Q(name, (s, dir) => GraftEngine.sql(graftSql, Tables.load(s, dir)),
       Option(oracle).filter(_.nonEmpty))
 
+  /** Shared DuckDB replay of the DSIR featurize-census-λ-score chain
+    * ([[operators.Sampling.importanceWeights]], buckets=512, alpha=1,
+    * target = lang='en' docs, raw = all docs): non-distinct uni+bigrams
+    * of normalized text, portable md5 bucket hash, add-1-smoothed bucket
+    * log-ratios, per-doc sum. */
+  private val dsirOracleCte: String = """
+    WITH t AS (
+      SELECT doc_id, lang,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ), g AS (
+      SELECT doc_id, lang, unnest(list_concat(w,
+        CASE WHEN len(w) >= 2
+          THEN [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
+          ELSE []::VARCHAR[] END)) AS gram
+      FROM t
+    ), gg AS (
+      SELECT doc_id, lang,
+        ('0x' || substr(md5(gram), 1, 15))::BIGINT % 512 AS b
+      FROM g WHERE length(gram) > 0
+    ), tot AS (
+      SELECT CAST(count(*) FILTER (WHERE lang = 'en') AS DOUBLE) AS tt,
+        CAST(count(*) AS DOUBLE) AS tr
+      FROM gg
+    ), lam AS (
+      SELECT b,
+        ln((count(*) FILTER (WHERE lang = 'en') + 1.0) / (tot.tt + 512.0)) -
+        ln((count(*) + 1.0) / (tot.tr + 512.0)) AS l
+      FROM gg, tot GROUP BY b, tot.tt, tot.tr
+    ), sc AS (
+      SELECT gg.doc_id, sum(lam.l) AS s, count(*) AS n
+      FROM gg JOIN lam USING (b) GROUP BY gg.doc_id
+    )
+  """
+
+  /** DuckDB replica of [[operators.Packing.zorderKey]] on
+    * (l_partkey, l_suppkey) at 8 bits/dim: the same exact-long rescale
+    * (integer division) and the interleave as an explicit 16-term bit
+    * sum. */
+  private lazy val zorderOracleSql: String = {
+    val terms = (for { b <- 0 until 8; j <- 0 until 2 } yield {
+      val src = if (j == 0) "b1" else "b2"
+      s"((($src >> $b) & 1) << ${b * 2 + j})"
+    }).mkString(" + ")
+    s"""
+      WITH mm AS (SELECT min(l_partkey) AS lo1, max(l_partkey) AS hi1,
+          min(l_suppkey) AS lo2, max(l_suppkey) AS hi2 FROM lineitem),
+      b AS (SELECT l_orderkey, l_linenumber,
+          ((l_partkey - lo1) * 255) // greatest(1, hi1 - lo1) AS b1,
+          ((l_suppkey - lo2) * 255) // greatest(1, hi2 - lo2) AS b2
+        FROM lineitem, mm)
+      SELECT l_orderkey, l_linenumber, CAST($terms AS BIGINT) AS zkey
+      FROM b""".trim
+  }
+
   /** DuckDB replica of [[operators.Similarity.topKBucketed]] (planesN=12,
     * chunks=4, seed=42, 64-dim): the operator's seeded hyperplanes are
     * inlined as literals, signatures and chunk-bucket candidate join are
@@ -1616,6 +1671,41 @@ object SparkEntry {
         FROM documents d JOIN r ON d.source IS NOT DISTINCT FROM r.source
         WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 10000 < floor(r.mix_rate * 10000)""".stripMargin.trim)),
 
+    Q("q_dsir_weights",
+      // DSIR importance weights: hashed uni+bigram census on target
+      // (lang='en' docs) and raw (all docs), add-1-smoothed bucket
+      // log-ratios, per-doc gram-sum score. B=512 so bucket collisions
+      // are exercised; the oracle recomputes the whole chain (census →
+      // λ table → per-doc sum) with the portable md5 bucket hash
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val docs = Tables.load(s, dir)("documents")
+        operators.Sampling.importanceWeights(
+            docs, docs.where(col("lang") === "en"), buckets = 512)
+          .select(col("doc_id"), col("n_grams"),
+            round(col("dsir_score"), 6).as("dsir_score"))
+      },
+      Some(dsirOracleCte + """
+        SELECT d.doc_id, CAST(coalesce(sc.n, 0) AS INT) AS n_grams,
+          round(coalesce(sc.s, 0.0), 6) AS dsir_score
+        FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin)),
+
+    Q("q_dsir_select",
+      // the DSIR selection step: top-40 raw docs by 1e-6-quantized
+      // importance weight, ties to lowest doc_id
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val docs = Tables.load(s, dir)("documents")
+        operators.Sampling.selectByImportance(
+            docs, docs.where(col("lang") === "en"), k = 40, buckets = 512)
+          .select(col("doc_id"), round(col("dsir_score"), 6).as("dsir_score"))
+      },
+      Some(dsirOracleCte + """
+        SELECT d.doc_id, round(coalesce(sc.s, 0.0), 6) AS dsir_score
+        FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+        ORDER BY round(coalesce(sc.s, 0.0), 6) DESC, d.doc_id
+        LIMIT 40""".stripMargin)),
+
     Q("q_sample_budget",
       // token-budget data mix: per-group keep rates min(1, frac·budget/T_g)
       // from one groupBy, broadcast hash keep; src1 saturates (rate 1),
@@ -2908,6 +2998,39 @@ object SparkEntry {
           unnest(un) AS u_val, unnest(qn) AS q_val
         FROM u""".stripMargin.trim)),
 
+    Q("q_pca_project",
+      // PCA dim-reduction over a planted Walsh-pattern design: 496 rows
+      // (31 complete 16-periods of the id bits), so the four ±1 patterns
+      // are exactly orthogonal and the population covariance is EXACTLY
+      // [[52,36,0,0],[36,73,0,0],[0,0,1,0],[0,0,0,4]] with eigenpairs
+      // (100,[.6,.8,0,0]) (25,[.8,-.6,0,0]) (4,e3) (1,e2). The Jacobi
+      // rotation, eigenvalue ordering, sign canonicalization and centered
+      // projection all land on exactly-representable values (±10/±5/±2),
+      // so the oracle is the hand-computed closed form.
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        def sgn(b: Int) =
+          lit(1.0) - lit(2.0) * pmod(floor(col("doc_id") / lit(1L << b)), lit(2))
+        val vecs = Tables.load(s, dir)("documents")
+          .where(col("doc_id") < 496)
+          .select(col("doc_id").as("vec_id"), array(
+            (lit(7.0) + lit(6.0) * sgn(0) - lit(4.0) * sgn(1)).cast("float"),
+            (lit(-3.0) + lit(8.0) * sgn(0) + lit(3.0) * sgn(1)).cast("float"),
+            (lit(2.0) + sgn(2)).cast("float"),
+            (lit(1.0) + lit(2.0) * sgn(3)).cast("float")).as("embedding"))
+        operators.Similarity.pcaReduce(vecs, k = 3)
+          .select(col("vec_id"),
+            round(element_at(col("proj"), 1), 6).as("p0"),
+            round(element_at(col("proj"), 2), 6).as("p1"),
+            round(element_at(col("proj"), 3), 6).as("p2"))
+      },
+      Some("""
+        SELECT doc_id AS vec_id,
+          round(10.0 * (1 - 2 * (doc_id % 2)), 6) AS p0,
+          round(-5.0 * (1 - 2 * ((doc_id // 2) % 2)), 6) AS p1,
+          round(2.0 * (1 - 2 * ((doc_id // 8) % 2)), 6) AS p2
+        FROM documents WHERE doc_id < 496""".stripMargin.trim)),
+
     // --- LLM-pipeline operators: deduplication ----------------------------
     Q("q_dedup_exact",
       (s, dir) => operators.Dedup.exact(Tables.load(s, dir)("documents")),
@@ -3366,6 +3489,47 @@ object SparkEntry {
         SELECT '__total__' AS source, count(DISTINCT token) AS n_distinct
         FROM t WHERE length(token) > 0""".stripMargin.trim)),
 
+    Q("q_corpus_overlap",
+      // sketch-mode corpus overlap audit (the 100 TB path: one HLL pass
+      // per side, union + inclusion-exclusion, NO join anywhere): two
+      // overlapping doc slices keyed by normalized text. At fixture
+      // cardinality the DataSketches HLL is still exact (same rationale
+      // as q_distinct_by_group), so the exact FULL-JOIN oracle pins the
+      // sketch path end-to-end
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val docs = Tables.load(s, dir)("documents")
+        val key = operators.TextOps.normalize(col("text"))
+        operators.Sketches.corpusOverlap(
+          docs.where(col("doc_id") < 300), docs.where(col("doc_id") >= 200),
+          key, key)
+      },
+      Some("""
+        WITH a AS (
+          SELECT DISTINCT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS k
+          FROM documents WHERE doc_id < 300 AND text IS NOT NULL
+        ), b AS (
+          SELECT DISTINCT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS k
+          FROM documents WHERE doc_id >= 200 AND text IS NOT NULL
+        ), u AS (
+          SELECT (a.k IS NOT NULL) AS ia, (b.k IS NOT NULL) AS ib
+          FROM a FULL OUTER JOIN b ON a.k = b.k
+        ), m AS (
+          SELECT CAST(count(*) FILTER (WHERE ia) AS BIGINT) AS n_a,
+            CAST(count(*) FILTER (WHERE ib) AS BIGINT) AS n_b,
+            CAST(count(*) AS BIGINT) AS n_union,
+            CAST(count(*) FILTER (WHERE ia AND ib) AS BIGINT) AS n_intersect
+          FROM u
+        )
+        SELECT n_a, n_b, n_union, n_intersect,
+          CASE WHEN n_union > 0
+            THEN round(n_intersect::DOUBLE / n_union, 6) ELSE 0.0 END AS jaccard,
+          CASE WHEN n_a > 0
+            THEN round(n_intersect::DOUBLE / n_a, 6) ELSE 0.0 END AS containment_a,
+          CASE WHEN n_b > 0
+            THEN round(n_intersect::DOUBLE / n_b, 6) ELSE 0.0 END AS containment_b
+        FROM m""".stripMargin.trim)),
+
     Q("q_join_asof",
       // as-of enrichment: every click carries the user's latest
       // preceding purchase value (null when none) — union + one
@@ -3555,6 +3719,17 @@ object SparkEntry {
         SELECT doc_id, CAST(h % 16 AS INT) AS shard,
           row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) - 1 AS shard_pos
         FROM t""".stripMargin.trim)),
+
+    Q("q_zorder",
+      // multi-column Z-order clustering key on (l_partkey, l_suppkey),
+      // 8 bits/dim: exact long rescaling + bit interleave, replayed in
+      // the oracle with the same integer arithmetic (bit term list is
+      // generated below — zorderOracleSql)
+      (s, dir) => operators.Packing.zorderKey(
+          Tables.load(s, dir)("lineitem"), Seq("l_partkey", "l_suppkey"),
+          bits = 8)
+        .select("l_orderkey", "l_linenumber", "zkey"),
+      Some(zorderOracleSql)),
 
     Q("q_shard_manifest",
       // per-shard audit manifest: doc/token/char totals, id range and an

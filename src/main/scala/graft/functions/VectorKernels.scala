@@ -258,6 +258,35 @@ object VectorKernels {
     new GenericArrayData(out)
   }
 
+  /** `k` dot products against plan-time direction literals, each shifted
+    * by a per-direction constant — the mean-centered linear projection
+    * `W·x − W·μ` a PCA reduce applies at scan speed (the centering folds
+    * into one precomputed offset per output coordinate, so the vector is
+    * never copied). Left-to-right accumulation for oracle parity. */
+  def projectOffsetCol(vec: Column, planes: Array[Array[Double]],
+      offsets: Array[Double]): Column =
+    inv(doubleArr, "projectOffset",
+      Seq(GraftColumnBridge.expression(vec), flatLit(planes),
+        Literal.create(new GenericArrayData(offsets), doubleArr),
+        Literal(planes.length)),
+      Seq(floatArr, doubleArr, doubleArr, IntegerType))
+
+  def projectOffset(vec: ArrayData, flat: ArrayData, offs: ArrayData,
+      k: Int): ArrayData = {
+    val d = vec.numElements()
+    val out = new Array[Double](k)
+    var i = 0
+    while (i < k) {
+      var s = 0.0
+      var j = 0
+      while (j < d) {
+        s += vec.getFloat(j).toDouble * flat.getDouble(i * d + j); j += 1
+      }
+      out(i) = s - offs.getDouble(i); i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   // ------------------------------------------------- product quantization
 
   private def booksLit(books: Array[Array[Array[Double]]]): Literal =

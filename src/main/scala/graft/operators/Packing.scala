@@ -383,4 +383,84 @@ object Packing {
       .repartition(shards, col("shard"))
       .sortWithinPartitions(col("shard"), col("shard_pos"))
       .write.partitionBy("shard").format(format).mode("overwrite").save(path)
+
+  // ------------------------------------------------------ Z-order layout
+
+  /** Multi-column Z-order (Morton) clustering key over integral columns:
+    * each column rescales to a `bits`-bit bucket by EXACT long arithmetic
+    * `((x − min) · (2ᵇ−1)) div max(1, max − min)` — portable to any ANSI
+    * engine's integer division, no double rounding — and the buckets'
+    * bits interleave into one long (`bit b of column j → key bit
+    * b·ncols + j`).
+    *
+    * Why it matters at 100 TB: sorting a fact table by ONE column gives
+    * parquet min/max pruning on that column only; sorting by the Z-key
+    * co-locates rows that are close in EVERY clustering dimension, so a
+    * selective filter on any subset of the columns skips most files.
+    * The whole fit is one tiny min/max aggregate (broadcast back as
+    * plan-time literals) + scan-speed bit arithmetic — the data itself
+    * is only touched by [[zorderBy]]'s single range shuffle.
+    *
+    * NULL in a clustering column yields a NULL key (callers decide the
+    * sort placement); column ranges must stay below 2⁴⁷ so the scale
+    * product fits a long (enforced). */
+  def zorderKey(
+      df: DataFrame,
+      cols: Seq[String],
+      bits: Int = 8,
+      keyCol: String = "zkey"): DataFrame = {
+    require(cols.nonEmpty, "need at least one clustering column")
+    require(bits >= 1 && bits <= 16, s"need 1 <= bits <= 16, got $bits")
+    require(cols.length * bits <= 62,
+      s"ncols*bits = ${cols.length * bits} exceeds the 62-bit key budget")
+    val mm = df.agg(
+      min(col(cols.head)).cast("long").as("lo0"),
+      (max(col(cols.head)).cast("long").as("hi0") +:
+        cols.zipWithIndex.tail.flatMap { case (c, i) =>
+          Seq(min(col(c)).cast("long").as(s"lo$i"),
+            max(col(c)).cast("long").as(s"hi$i"))
+        }): _*).head()
+    val maxB = (1L << bits) - 1
+    val buckets = cols.indices.map { i =>
+      val lo = mm.getLong(2 * i); val hi = mm.getLong(2 * i + 1)
+      require(hi - lo < (1L << 47),
+        s"column ${cols(i)} range ${hi - lo} too wide for exact scaling")
+      val span = math.max(1L, hi - lo)
+      call_function("div",
+        (col(cols(i)).cast("long") - lit(lo)) * lit(maxB), lit(span))
+    }
+    val tmp = buckets.indices.map(i => s"__zb$i")
+    val withB = tmp.zip(buckets).foldLeft(df) { case (d, (n, c)) =>
+      d.withColumn(n, c)
+    }
+    val zk = (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
+      tmp.indices.foldLeft(acc) { (a, j) =>
+        a + shiftleft(
+          call_function("shiftright", col(tmp(j)), lit(b))
+            .bitwiseAND(lit(1L)),
+          b * tmp.length + j)
+      }
+    }
+    withB.withColumn(keyCol, zk).drop(tmp: _*)
+  }
+
+  /** Cluster a table for multi-dimensional scan pruning: compute the
+    * Z-key, range-partition on it (one shuffle — Spark samples the key
+    * distribution, so skewed dimensions still split evenly) and sort
+    * within partitions, so a parquet write of the result carries tight
+    * per-file min/max on every clustering column. `numParts <= 0` keeps
+    * the session shuffle parallelism. */
+  def zorderBy(
+      df: DataFrame,
+      cols: Seq[String],
+      bits: Int = 8,
+      numParts: Int = 0,
+      keepKey: Boolean = false): DataFrame = {
+    val keyed = zorderKey(df, cols, bits)
+    val parts =
+      if (numParts > 0) keyed.repartitionByRange(numParts, col("zkey"))
+      else keyed.repartitionByRange(col("zkey"))
+    val sorted = parts.sortWithinPartitions(col("zkey"))
+    if (keepKey) sorted else sorted.drop("zkey")
+  }
 }

@@ -371,4 +371,99 @@ object Sampling {
       .drop("__w")
     df.join(ranked, key === col("__k")).drop("__k", "__src")
   }
+
+  // ------------------------------------------- DSIR importance selection
+
+  /** Hashed n-gram buckets of a document: NON-distinct word unigrams and
+    * bigrams of the normalized text (every occurrence counts — this is a
+    * frequency featurization, not a set sketch), each mapped to
+    * `[0, buckets)` by the portable 60-bit md5 hash. Empty grams (blank
+    * documents normalize to "") are dropped. */
+  private def gramBuckets(text: Column, buckets: Int): Column = {
+    val norm = TextOps.normalize(text)
+    val grams = filter(
+      concat(graft.functions.TextKernels.ngramsCol(norm, 1),
+        graft.functions.TextKernels.ngramsCol(norm, 2)),
+      g => length(g) > 0)
+    transform(grams,
+      g => pmod(TextOps.portableHash60(g), lit(buckets)).cast("int"))
+  }
+
+  /** Add-`alpha`-smoothed log-probability per hash bucket for one corpus:
+    * ln((cntᵦ + α) / (total + α·B)). ONE bounded-key aggregation — at
+    * most `buckets` distinct keys regardless of corpus size, so partial
+    * aggregation reduces a 100 TB scan to a B-row table collected to the
+    * driver. */
+  private def bucketLogProbs(
+      df: DataFrame, textCol: String, buckets: Int,
+      alpha: Double): Array[Double] = {
+    val rows = df
+      .select(explode(gramBuckets(col(textCol), buckets)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+      .collect()
+    val cnt = new Array[Long](buckets)
+    rows.foreach(r => cnt(r.getInt(0)) = r.getLong(1))
+    val total = cnt.sum.toDouble
+    cnt.map(c => math.log((c + alpha) / (total + alpha * buckets)))
+  }
+
+  /** DSIR importance weights (Data Selection via Importance Resampling,
+    * Xie et al. 2023): score every raw document by how much more likely
+    * its hashed n-gram features are under the TARGET domain than under
+    * the raw corpus —
+    * `Σ_grams [ln p_target(bucket) − ln p_raw(bucket)]`, with
+    * add-`alpha`-smoothed bucket distributions fit on each side.
+    *
+    * Scale shape: two bounded-key census aggregations (each collapses to
+    * ≤ `buckets` rows before anything crosses the wire) fit the model;
+    * the per-bucket log-ratio table ships back into the scan as ONE
+    * plan-time literal array, so scoring is a single pass over the raw
+    * corpus with zero joins and zero shuffles — md5 hashing of the grams
+    * dominates the cost, exactly like every other hashed featurizer
+    * here. Adds `n_grams` and `outCol` to the raw rows. */
+  def importanceWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      textCol: String = "text",
+      buckets: Int = 4096,
+      alpha: Double = 1.0,
+      outCol: String = "dsir_score"): DataFrame = {
+    require(buckets >= 2, "need at least 2 hash buckets")
+    require(alpha > 0, "alpha must be positive (unsmoothed ratios diverge)")
+    val pT = bucketLogProbs(target, textCol, buckets, alpha)
+    val pR = bucketLogProbs(raw, textCol, buckets, alpha)
+    val lam = typedLit(pT.indices.map(i => pT(i) - pR(i)))
+    raw
+      .withColumn("__gb", gramBuckets(col(textCol), buckets))
+      .withColumn("n_grams", size(col("__gb")))
+      .withColumn(outCol,
+        aggregate(col("__gb"), lit(0.0),
+          (acc, b) => acc + element_at(lam, b + 1)))
+      .drop("__gb")
+  }
+
+  /** The DSIR selection step: keep the `k` raw documents with the highest
+    * importance weight. Scores are quantized to 1e-6 before ranking (ties
+    * then break on the id), which makes the selected set reproducible
+    * across engines, partitionings and re-runs — the same fixed-point
+    * trick the PQ scorer uses. The rank is a top-k
+    * (TakeOrderedAndProject: per-partition heaps, never a global sort).
+    * The paper resamples with Gumbel noise for diversity; a deterministic
+    * pipeline wants the argmax variant, and callers who need the
+    * resampling can add seeded noise to `dsir_score` before ranking. */
+  def selectByImportance(
+      raw: DataFrame,
+      target: DataFrame,
+      k: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      buckets: Int = 4096,
+      alpha: Double = 1.0): DataFrame = {
+    require(k > 0, "k must be positive")
+    importanceWeights(raw, target, textCol, buckets, alpha)
+      .withColumn("__r", round(col("dsir_score"), 6))
+      .orderBy(col("__r").desc, col(idCol))
+      .limit(k)
+      .drop("__r")
+  }
 }

@@ -625,6 +625,203 @@ object Similarity {
     Dedup.materializeAndRelease(out, assigned)
   }
 
+  // ---------------------------------------------------------------- PCA
+
+  /** Fitted PCA: `mean` (d), all `eigenvalues` of the population
+    * covariance in descending order (d — their sum is the total variance,
+    * so explained-variance ratios come free), and the top-k principal
+    * axes as `basis` rows (each unit-norm, sign-canonicalized so the
+    * largest-|component| entry is positive — eigenvectors are only
+    * defined up to sign, and a deterministic convention makes refits
+    * byte-reproducible). */
+  final case class PcaModel(
+      mean: Array[Double],
+      eigenvalues: Array[Double],
+      basis: Array[Array[Double]]) {
+    def explainedVariance: Array[Double] = {
+      val t = eigenvalues.sum
+      basis.indices.map(i =>
+        if (t == 0.0) 0.0 else eigenvalues(i) / t).toArray
+    }
+  }
+
+  private[operators] final class MomentsBuf(val d: Int) extends Serializable {
+    var n: Long = 0L
+    val s: Array[Double] = new Array[Double](d)
+    // upper triangle of Σ x·xᵀ, row-major: (0,0)..(0,d-1),(1,1)..,(d-1,d-1)
+    val p: Array[Double] = new Array[Double](d * (d + 1) / 2)
+  }
+  private[operators] final case class MomentsOut(
+      n: Long, s: Seq[Double], p: Seq[Double])
+
+  /** One-pass second-moment summary of a float-vector column: count, Σx
+    * and the upper triangle of Σ x·xᵀ. Partial buffers build map-side and
+    * merge element-wise, so the only thing that ever crosses the wire is
+    * O(d²) doubles per partition — a 100 TB corpus reduces to one
+    * d(d+3)/2-double summary regardless of row count. Vectors whose
+    * length differs from `d` are skipped (ragged rows cannot silently
+    * corrupt the triangle). */
+  private[operators] final class Moments(d: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Array[Float], MomentsBuf, MomentsOut] {
+    def zero: MomentsBuf = new MomentsBuf(d)
+    def reduce(b: MomentsBuf, v: Array[Float]): MomentsBuf = {
+      if (v != null && v.length == d) {
+        b.n += 1
+        var t = 0
+        var i = 0
+        while (i < d) {
+          val xi = v(i).toDouble
+          b.s(i) += xi
+          var j = i
+          while (j < d) { b.p(t) += xi * v(j).toDouble; t += 1; j += 1 }
+          i += 1
+        }
+      }
+      b
+    }
+    def merge(a: MomentsBuf, b: MomentsBuf): MomentsBuf = {
+      a.n += b.n
+      var i = 0
+      while (i < a.s.length) { a.s(i) += b.s(i); i += 1 }
+      var t = 0
+      while (t < a.p.length) { a.p(t) += b.p(t); t += 1 }
+      a
+    }
+    def finish(b: MomentsBuf): MomentsOut =
+      MomentsOut(b.n, b.s.toSeq, b.p.toSeq)
+    def bufferEncoder: org.apache.spark.sql.Encoder[MomentsBuf] =
+      org.apache.spark.sql.Encoders.kryo[MomentsBuf]
+    def outputEncoder: org.apache.spark.sql.Encoder[MomentsOut] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[MomentsOut]()
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a small symmetric matrix (the
+    * d×d covariance a PCA fit reduces to — driver-local by design, like
+    * the k-means/PQ codebook tables above). Returns eigenvalues in
+    * descending order with their unit eigenvectors as rows,
+    * sign-canonicalized (largest-|component| entry positive, first index
+    * on ties). Converges quadratically; 64 sweeps is far beyond what any
+    * PSD matrix needs. */
+  private[operators] def jacobiEigen(
+      m: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def offSq: Double = {
+      var s = 0.0
+      for (i <- 0 until d; j <- i + 1 until d) s += a(i)(j) * a(i)(j)
+      s
+    }
+    val frob = {
+      var s = 0.0
+      for (i <- 0 until d; j <- 0 until d) s += a(i)(j) * a(i)(j)
+      math.max(s, Double.MinPositiveValue)
+    }
+    var sweep = 0
+    while (sweep < 64 && offSq > 1e-28 * frob) {
+      for (p <- 0 until d; q <- p + 1 until d if a(p)(q) != 0.0) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        val t =
+          (if (theta >= 0) 1.0 else -1.0) /
+            (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        val apq = a(p)(q)
+        val app = a(p)(p); val aqq = a(q)(q)
+        a(p)(p) = app - t * apq
+        a(q)(q) = aqq + t * apq
+        a(p)(q) = 0.0; a(q)(p) = 0.0
+        for (i <- 0 until d if i != p && i != q) {
+          val aip = a(i)(p); val aiq = a(i)(q)
+          a(i)(p) = c * aip - s * aiq; a(p)(i) = a(i)(p)
+          a(i)(q) = s * aip + c * aiq; a(q)(i) = a(i)(q)
+        }
+        for (i <- 0 until d) {
+          val vip = v(i)(p); val viq = v(i)(q)
+          v(i)(p) = c * vip - s * viq
+          v(i)(q) = s * vip + c * viq
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => (-a(i)(i), i))
+    val evals = order.map(i => a(i)(i)).toArray
+    val vecs = order.map { j =>
+      val col = Array.tabulate(d)(i => v(i)(j))
+      var best = 0
+      var i = 1
+      while (i < d) {
+        if (math.abs(col(i)) > math.abs(col(best))) best = i
+        i += 1
+      }
+      if (col(best) < 0) col.map(-_) else col
+    }.toArray
+    (evals, vecs)
+  }
+
+  /** Fit a PCA over an `array<float>` embedding column. ONE pass over the
+    * corpus (the [[Moments]] aggregator — map-side partials, O(d²) bytes
+    * per partition on the wire), then a driver-local d×d Jacobi
+    * eigendecomposition of the POPULATION covariance
+    * (Σxxᵀ/n − μμᵀ; the divisor only scales eigenvalues, never the
+    * axes). The scale shape matches what embedding whitening / SemDeDup
+    * pre-reduction needs at 100 TB: the corpus is read once, nothing
+    * shuffles on a data key, and the model is a k×d table shipped back
+    * to executors as plan-time literals. */
+  def pcaFit(
+      corpus: DataFrame,
+      k: Int,
+      vecCol: String = "embedding",
+      dims: Int = -1): PcaModel = {
+    val d = dimsOf(corpus, vecCol, dims)
+    require(k >= 1 && k <= d, s"need 1 <= k <= dims, got k=$k dims=$d")
+    val agg = udaf(new Moments(d))
+    val row = corpus.select(agg(col(vecCol)).as("m"))
+      .select(col("m.n"), col("m.s"), col("m.p")).head()
+    val n = row.getLong(0)
+    require(n > 1, s"pcaFit needs >= 2 vectors of length $d, saw $n")
+    val s = row.getSeq[Double](1).toArray
+    val p = row.getSeq[Double](2).toArray
+    val mean = s.map(_ / n)
+    val cov = Array.ofDim[Double](d, d)
+    var t = 0
+    for (i <- 0 until d; j <- i until d) {
+      val c = p(t) / n - mean(i) * mean(j)
+      cov(i)(j) = c; cov(j)(i) = c
+      t += 1
+    }
+    val (evals, vecs) = jacobiEigen(cov)
+    PcaModel(mean, evals, vecs.take(k))
+  }
+
+  /** Apply a fitted PCA: adds `outCol` = W·(x − μ) as `array<double>`,
+    * length k. The centering folds into one constant per output
+    * coordinate (W·x − W·μ), so the projection is a single codegen'd
+    * kernel pass over the vector — scan speed, zero shuffle. */
+  def pcaProject(
+      df: DataFrame,
+      model: PcaModel,
+      vecCol: String = "embedding",
+      outCol: String = "proj"): DataFrame = {
+    val offs = model.basis.map(w =>
+      w.indices.foldLeft(0.0)((acc, i) => acc + w(i) * model.mean(i)))
+    df.withColumn(outCol,
+      graft.functions.VectorKernels.projectOffsetCol(
+        col(vecCol), model.basis, offs))
+  }
+
+  /** Fit + project in one call — the "reduce my embeddings to k dims"
+    * convenience (2 corpus passes total: one moment scan, one projection
+    * scan). */
+  def pcaReduce(
+      corpus: DataFrame,
+      k: Int,
+      vecCol: String = "embedding",
+      outCol: String = "proj",
+      dims: Int = -1): DataFrame =
+    pcaProject(corpus, pcaFit(corpus, k, vecCol, dims), vecCol, outCol)
+
   /** Slim banded corpus×query candidate pairs: the only columns that ride
     * the ×chunks explosion and its join exchange are (id, chunk, key).
     * Inputs must carry `__cid`/`__qid` + `sig`. */

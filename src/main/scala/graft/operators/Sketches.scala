@@ -279,6 +279,65 @@ object Sketches {
       .withColumn("p_above", p(math.min(threshold + 0.1, 1.0)))
   }
 
+  /** Corpus-membership overlap audit of two key sets — |A|, |B|, |A∪B|,
+    * |A∩B|, Jaccard and both containments in ONE row, without ever
+    * joining the corpora.
+    *
+    * Default (sketch) path: one `hll_sketch_agg` pass per side (map-side
+    * partials, a few KB per partition on the wire), union the two
+    * sketches, intersection by inclusion–exclusion — the right shape for
+    * "how much of crawl B did we already have in A?" at 100 TB, where an
+    * exact distinct-key join is a corpus-sized shuffle. `exact = true`
+    * computes the same row exactly with one hash shuffle of the distinct
+    * keys (the oracle-checked mode; flags fold in the same exchange the
+    * distinct already needs). NULL keys are ignored on both sides.
+    * Estimates can make `n_a + n_b − n_union` slightly negative on
+    * near-disjoint sets; the intersection clamps at 0. */
+  def corpusOverlap(
+      a: DataFrame,
+      b: DataFrame,
+      keyA: Column,
+      keyB: Column,
+      exact: Boolean = false,
+      lgK: Int = 14): DataFrame = {
+    def out(nA: Column, nB: Column, nU: Column, nI: Column) = {
+      def ratio(num: Column, den: Column) =
+        round(when(den > 0, num.cast("double") / den).otherwise(lit(0.0)), 6)
+      Seq(nA.as("n_a"), nB.as("n_b"), nU.as("n_union"), nI.as("n_intersect"),
+        ratio(nI, nU).as("jaccard"),
+        ratio(nI, nA).as("containment_a"),
+        ratio(nI, nB).as("containment_b"))
+    }
+    if (exact) {
+      val ka = a.select(keyA.cast("string").as("k"))
+        .where(col("k").isNotNull)
+        .select(col("k"), lit(1).as("ia"), lit(0).as("ib"))
+      val kb = b.select(keyB.cast("string").as("k"))
+        .where(col("k").isNotNull)
+        .select(col("k"), lit(0).as("ia"), lit(1).as("ib"))
+      val merged = ka.union(kb).groupBy("k")
+        .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+      val nA = coalesce(sum(col("ia")), lit(0L)).cast("long")
+      val nB = coalesce(sum(col("ib")), lit(0L)).cast("long")
+      val nU = count(lit(1))
+      val nI = coalesce(sum(col("ia") * col("ib")), lit(0L)).cast("long")
+      merged.agg(nA.as("__a"), nB.as("__b"), nU.as("__u"), nI.as("__i"))
+        .select(out(col("__a"), col("__b"), col("__u"), col("__i")): _*)
+    } else {
+      val sa = a.agg(
+        hll_sketch_agg(keyA.cast("string"), lit(lgK)).as("sa"))
+      val sb = b.agg(
+        hll_sketch_agg(keyB.cast("string"), lit(lgK)).as("sb"))
+      val nA = hll_sketch_estimate(col("sa"))
+      val nB = hll_sketch_estimate(col("sb"))
+      val nU = hll_sketch_estimate(hll_union(col("sa"), col("sb"), allowDifferentLgConfigK = false))
+      sa.crossJoin(sb)
+        .select(nA.as("__a"), nB.as("__b"), nU.as("__u"))
+        .select(out(col("__a"), col("__b"), col("__u"),
+          greatest(lit(0L), col("__a") + col("__b") - col("__u"))): _*)
+    }
+  }
+
   /** Point-frequency estimates from a [[countMin]] cell table: each key
     * hashes to its depth cells, missing cells count zero, the estimate is
     * the min. The sketch side is at most depth·width rows — broadcast. */

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{SparkTestBase, Tables}
+
+/** DSIR importance selection and the sketch corpus-overlap audit. */
+class SelectionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  lazy val docs = Tables.load(spark, "/root/testdata/sf0.001")("documents")
+
+  test("importanceWeights: target docs score above non-target on average, zero-gram docs score 0") {
+    val target = docs.where(col("lang") === "en")
+    val w = Sampling.importanceWeights(docs, target, buckets = 512).cache()
+    assert(w.count() == docs.count())
+    // per-gram normalized lift: target-domain docs must average higher
+    val lift = w.where(col("n_grams") > 0)
+      .select(col("lang") === "en", col("dsir_score") / col("n_grams"))
+      .as[(Boolean, Double)].collect()
+    val en = lift.filter(_._1).map(_._2)
+    val rest = lift.filterNot(_._1).map(_._2)
+    assert(en.nonEmpty && rest.nonEmpty)
+    assert(en.sum / en.length > rest.sum / rest.length,
+      s"en mean ${en.sum / en.length} <= rest mean ${rest.sum / rest.length}")
+    // empty text → no grams → exactly zero score
+    val empty = Sampling.importanceWeights(
+      Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text"), target, buckets = 512)
+      .select("n_grams", "dsir_score").as[(Int, Double)].collect()
+    empty.foreach { case (n, s) => assert(n == 0 && s == 0.0) }
+  }
+
+  test("selectByImportance: k rows, all scores >= the best excluded score, deterministic") {
+    val target = docs.where(col("lang") === "en")
+    val all = Sampling.importanceWeights(docs, target, buckets = 512)
+      .select(col("doc_id"), round(col("dsir_score"), 6).as("r"))
+      .as[(Long, Double)].collect().sortBy(t => (-t._2, t._1))
+    val picked = Sampling.selectByImportance(docs, target, k = 25, buckets = 512)
+      .select("doc_id").as[Long].collect().toSet
+    assert(picked.size == 25)
+    assert(picked == all.take(25).map(_._1).toSet)
+    val again = Sampling.selectByImportance(docs, target, k = 25, buckets = 512)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == picked)
+  }
+
+  test("corpusOverlap: sketch mode matches exact mode at fixture cardinality; slices behave") {
+    val a = docs.where(col("doc_id") < 300)
+    val b = docs.where(col("doc_id") >= 200)
+    val key = TextOps.normalize(col("text"))
+    val exact = Sketches.corpusOverlap(a, b, key, key, exact = true).head()
+    val sk = Sketches.corpusOverlap(a, b, key, key).head()
+    (0 until 4).foreach(i =>
+      assert(sk.getLong(i) == exact.getLong(i),
+        s"col $i: sketch ${sk.getLong(i)} vs exact ${exact.getLong(i)}"))
+    // invariants: union >= max side, intersect <= min side, jaccard in [0,1]
+    assert(exact.getLong(2) >= math.max(exact.getLong(0), exact.getLong(1)))
+    assert(exact.getLong(3) <= math.min(exact.getLong(0), exact.getLong(1)))
+    assert(exact.getDouble(4) >= 0.0 && exact.getDouble(4) <= 1.0)
+    // disjoint id-keyed sets: zero intersection, zero ratios
+    val dis = Sketches.corpusOverlap(
+      docs.where(col("doc_id") < 100), docs.where(col("doc_id") >= 400),
+      col("doc_id"), col("doc_id"), exact = true).head()
+    assert(dis.getLong(3) == 0 && dis.getDouble(4) == 0.0)
+    // identical sets: jaccard and containments exactly 1
+    val same = Sketches.corpusOverlap(docs, docs,
+      col("doc_id"), col("doc_id"), exact = true).head()
+    assert(same.getLong(0) == same.getLong(3))
+    assert(same.getDouble(4) == 1.0 && same.getDouble(5) == 1.0 &&
+      same.getDouble(6) == 1.0)
+  }
+}
