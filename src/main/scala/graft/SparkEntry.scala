@@ -66,6 +66,42 @@ object SparkEntry {
     )
   """
 
+  /** DuckDB replica of [[operators.Profile.psiReport]] (exact mode,
+    * B=10, α=0.5) over even/odd l_orderkey halves of lineitem: per
+    * column — 6dp-rounded quantile_cont edges, strictly-greater bucket
+    * census on both sides, zero-filled bucket spine, smoothed fractions
+    * and PSI terms recomputed with the identical expressions. */
+  private lazy val psiOracleSql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val fr = (1 until 10).map(i => (i / 10.0).toString)
+      .mkString("[", ", ", "]")
+    val per = cols.zipWithIndex.map { case (c, i) =>
+      s"""ed_$i AS (SELECT list_transform(quantile_cont($c, $fr), x -> round(x, 6)) AS ed FROM ref),
+      rc_$i AS (SELECT len(list_filter((SELECT ed FROM ed_$i), e -> $c > e)) AS bucket, count(*) AS n
+        FROM ref WHERE $c IS NOT NULL GROUP BY 1),
+      cc_$i AS (SELECT len(list_filter((SELECT ed FROM ed_$i), e -> $c > e)) AS bucket, count(*) AS n
+        FROM cur WHERE $c IS NOT NULL GROUP BY 1),
+      d_$i AS (SELECT '$c' AS col_name, sp.bucket, coalesce(rc.n, 0) AS n_ref, coalesce(cc.n, 0) AS n_cur
+        FROM sp LEFT JOIN rc_$i rc ON rc.bucket = sp.bucket LEFT JOIN cc_$i cc ON cc.bucket = sp.bucket)"""
+    }.mkString(",\n      ")
+    val dAll = cols.indices.map(i => s"SELECT * FROM d_$i")
+      .mkString(" UNION ALL ")
+    s"""
+      WITH ref AS (SELECT * FROM lineitem WHERE l_orderkey % 2 = 0),
+      cur AS (SELECT * FROM lineitem WHERE l_orderkey % 2 = 1),
+      sp AS (SELECT CAST(unnest(range(10)) AS INT) AS bucket),
+      $per,
+      d AS ($dAll),
+      t AS (SELECT col_name, sum(n_ref) AS tr, sum(n_cur) AS tc FROM d GROUP BY col_name)
+      SELECT d.col_name, d.bucket,
+        CAST(d.n_ref AS BIGINT) AS n_ref, CAST(d.n_cur AS BIGINT) AS n_cur,
+        round((d.n_ref + 0.5) / (t.tr + 5.0), 6) AS ref_frac,
+        round((d.n_cur + 0.5) / (t.tc + 5.0), 6) AS cur_frac,
+        round(((d.n_cur + 0.5) / (t.tc + 5.0) - (d.n_ref + 0.5) / (t.tr + 5.0)) *
+          ln(((d.n_cur + 0.5) / (t.tc + 5.0)) / ((d.n_ref + 0.5) / (t.tr + 5.0))), 6) AS psi_term
+      FROM d JOIN t USING (col_name)""".trim
+  }
+
   /** DuckDB replica of [[operators.Packing.zorderKey]] on
     * (l_partkey, l_suppkey) at 8 bits/dim: the same exact-long rescale
     * (integer division) and the interleave as an explicit 16-term bit
@@ -1497,6 +1533,29 @@ object SparkEntry {
         "CAST(len(string_split_regex(trim(text), '\\s+')) + " +
         "floor(length(regexp_replace(text, '\\s+', '', 'g')) / 4) AS BIGINT) AS tok_bpe " +
         "FROM documents")),
+
+    Q("q_collapse_repeats",
+      // repeated-run collapse (n=1, keep=2): a 4-copy spam run is planted
+      // on every doc; the oracle replays the keep-first-2 rule with a
+      // DuckDB index lambda (kept unless both predecessors are equal —
+      // equivalent to the kernel's greedy run walk at n=1)
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        Tables.load(s, dir)("documents").select(col("doc_id"),
+          operators.TextOps.collapseRepeats(
+            concat(col("text"), lit(" spam spam spam spam end")),
+            maxN = 1, keep = 2).as("cleaned"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+            string_split(trim(regexp_replace(lower(text || ' spam spam spam spam end'), '\s+', ' ', 'g')), ' ') AS w
+          FROM documents
+        )
+        SELECT doc_id,
+          array_to_string(list_filter(w,
+            (e, i) -> i <= 2 OR NOT (e = w[i-1] AND e = w[i-2])), ' ') AS cleaned
+        FROM t""".stripMargin.trim)),
 
     Q("q_repetition",
       // Gopher-style repetition signals (one-pass kernel)
@@ -4456,6 +4515,22 @@ object SparkEntry {
         UNION ALL
         SELECT 'l_extendedprice', 'l_discount',
           round(corr(l_extendedprice, l_discount), 6) FROM lineitem""".stripMargin.trim)),
+
+    Q("q_psi",
+      // PSI distribution drift between even/odd l_orderkey halves of
+      // lineitem (exact ref-quantile edges, B=10, add-0.5 smoothing) —
+      // full per-(column, bucket) detail replayed by the generated
+      // oracle (psiOracleSql)
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val li = Tables.load(s, dir)("lineitem")
+        operators.Profile.psiReport(
+          li.where(pmod(col("l_orderkey"), lit(2)) === 0),
+          li.where(pmod(col("l_orderkey"), lit(2)) === 1),
+          Seq("l_quantity", "l_extendedprice", "l_discount"),
+          exact = true)
+      },
+      Some(psiOracleSql)),
 
     Q("q_redact_cards",
       // Luhn-validated card redaction: one valid and one checksum-broken

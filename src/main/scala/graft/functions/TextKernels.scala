@@ -752,4 +752,54 @@ object TextKernels {
     }
     new GenericArrayData(out.toArray)
   }
+
+  /** Collapse runs of consecutively repeated word n-grams in
+    * single-space-normalized text: any run of the same n-gram (n =
+    * 1..maxN, smaller n collapsed first so "a a a a" never survives as
+    * an "a a" phrase run) keeps its first `keep` copies. The
+    * LM-generated-spam cleanup ("click here click here click here …")
+    * — one per-row pass, no shuffle, inside whole-stage codegen. */
+  def collapseRunsCol(normText: Column, maxN: Int, keep: Int): Column =
+    GraftColumnBridge.column(StaticInvoke(
+      TextKernels.getClass, StringType, "collapseRuns",
+      Seq(GraftColumnBridge.expression(normText), Literal(maxN),
+        Literal(keep)),
+      Seq(StringType, IntegerType, IntegerType),
+      returnNullable = false))
+
+  def collapseRuns(norm: UTF8String, maxN: Int, keep: Int): UTF8String = {
+    var words = norm.toString.split(" ", -1)
+    var n = 1
+    while (n <= maxN) {
+      if (words.length >= n * 2) {
+        val out = new java.util.ArrayList[String]()
+        var i = 0
+        def blockEq(a: Int, b: Int): Boolean = {
+          var t = 0
+          var eq = true
+          while (eq && t < n) {
+            eq = words(a + t) == words(b + t); t += 1
+          }
+          eq
+        }
+        while (i < words.length) {
+          if (i + 2 * n <= words.length && blockEq(i, i + n)) {
+            // run of the block starting at i: count repeats
+            var r = 1
+            while (i + (r + 1) * n <= words.length && blockEq(i, i + r * n))
+              r += 1
+            val emit = math.min(r, keep)
+            var e = 0
+            while (e < emit * n) { out.add(words(i + e)); e += 1 }
+            i += r * n
+          } else {
+            out.add(words(i)); i += 1
+          }
+        }
+        words = out.toArray(new Array[String](out.size()))
+      }
+      n += 1
+    }
+    UTF8String.fromString(words.mkString(" "))
+  }
 }

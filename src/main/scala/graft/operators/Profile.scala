@@ -128,6 +128,91 @@ object Profile {
         round(col("value"), 6).as("value")): _*)
   }
 
+  /** Population-Stability-Index drift between two snapshots of numeric
+    * columns — the distributional complement of [[driftReport]] (which
+    * only sees mean/null shifts; PSI catches a variance blow-up or a
+    * bimodal split that leaves the mean untouched).
+    *
+    * Reference-quantile buckets: edges are the ref snapshot's
+    * `1/B .. (B-1)/B` quantiles (ALL columns in one aggregation pass —
+    * exact interpolated percentile when `exact`, the mergeable
+    * percentile_approx sketch otherwise), rounded to 6 dp so the edge
+    * literals are engine-portable, then baked into both census scans as
+    * plan-time literals. Each census is one scan + a (cols×B)-key
+    * partial aggregation — nothing corpus-sized ever shuffles. Bucket =
+    * number of edges strictly below the value (ties land LOW); NULLs
+    * drop out of both census and totals.
+    *
+    * Fractions are add-`alpha` smoothed ((n + α) / (tot + αB)) so empty
+    * buckets keep the PSI terms finite; one row per (col_name, bucket)
+    * with both counts, both smoothed fractions and the PSI contribution
+    * — `sum(psi_term) GROUP BY col_name` is the headline score (rule of
+    * thumb: < 0.1 stable, > 0.25 action). */
+  def psiReport(
+      ref: DataFrame,
+      cur: DataFrame,
+      cols: Seq[String],
+      buckets: Int = 10,
+      exact: Boolean = false,
+      accuracy: Int = 10000,
+      alpha: Double = 0.5): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    require(buckets >= 2 && buckets <= 1000, "need 2 <= buckets <= 1000")
+    require(alpha > 0, "alpha must be positive (unsmoothed PSI diverges)")
+    val fracs = (1 until buckets).map(_.toDouble / buckets)
+    val arr = array(fracs.map(lit): _*)
+    val qAggs = cols.zipWithIndex.map { case (c, i) =>
+      (if (exact) percentile(col(c).cast("double"), arr)
+       else percentile_approx(col(c).cast("double"), arr, lit(accuracy)))
+        .as(s"__q$i")
+    }
+    val qRow = ref.agg(qAggs.head, qAggs.tail: _*).head()
+    val edges: Seq[Array[Double]] = cols.indices.map { i =>
+      val e = qRow.getSeq[Double](i)
+      require(e != null, s"column ${cols(i)} has no non-null ref values")
+      e.map(x => BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble).toArray
+    }
+    def bucketOf(c: String, e: Array[Double]): Column =
+      when(col(c).isNotNull,
+        e.foldLeft(lit(0)) { (acc, b) =>
+          acc + when(col(c).cast("double") > lit(b), 1).otherwise(0)
+        })
+    def census(df: DataFrame, side: String): DataFrame = {
+      val pieces = cols.zipWithIndex.map { case (c, i) =>
+        struct(lit(c).as("col_name"), bucketOf(c, edges(i)).as("bucket"))
+      }
+      df.select(explode(array(pieces: _*)).as("p")).select("p.*")
+        .where(col("bucket").isNotNull)
+        .groupBy("col_name", "bucket").agg(count(lit(1)).as(s"n_$side"))
+    }
+    val spark = ref.sparkSession
+    import spark.implicits._
+    val spine = cols.flatMap(c => (0 until buckets).map(b => (c, b)))
+      .toDF("col_name", "bucket")
+    val d = spine
+      .join(census(ref, "ref"), Seq("col_name", "bucket"), "left")
+      .join(census(cur, "cur"), Seq("col_name", "bucket"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    val t = d.groupBy("col_name")
+      .agg(sum("n_ref").as("__tr"), sum("n_cur").as("__tc"))
+    val den = lit(alpha) * buckets
+    d.join(t, "col_name")
+      .withColumn("__p", (col("n_ref") + alpha) / (col("__tr") + den))
+      .withColumn("__q", (col("n_cur") + alpha) / (col("__tc") + den))
+      .select(col("col_name"), col("bucket"), col("n_ref"), col("n_cur"),
+        round(col("__p"), 6).as("ref_frac"),
+        round(col("__q"), 6).as("cur_frac"),
+        round((col("__q") - col("__p")) * log(col("__q") / col("__p")), 6)
+          .as("psi_term"))
+  }
+
+  /** Roll [[psiReport]] detail up to one PSI score per column. */
+  def psiSummary(detail: DataFrame): DataFrame =
+    detail.groupBy("col_name")
+      .agg(round(sum("psi_term"), 6).as("psi"),
+        sum("n_ref").as("n_ref"), sum("n_cur").as("n_cur"))
+
   /** Pairwise Pearson correlation of numeric columns in ONE aggregation
     * pass (d·(d-1)/2 `corr` aggregates, map-side partials — the moment
     * trick [[Fit]] uses, via Spark's built-in corr). One row per ordered

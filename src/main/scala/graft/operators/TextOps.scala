@@ -738,6 +738,19 @@ object TextOps {
   def dehyphenate(text: Column): Column =
     regexp_replace(text, "(\\p{L})-[ \\t]*\\n[ \\t]*(\\p{L})", "$1$2")
 
+  /** Collapse consecutively repeated word n-grams to their first `keep`
+    * copies ("click here click here click here …" → "click here click
+    * here") — the degenerate-repetition cleanup for LM-generated spam
+    * and scraper echo, the REMOVAL complement of the
+    * [[repetitionMetrics]] signals. Runs of n-grams up to `maxN` words
+    * collapse, smallest n first (so a single-word run never survives as
+    * a phrase run). Operates on and returns single-space-normalized
+    * text; scan-speed kernel, zero shuffle. */
+  def collapseRepeats(text: Column, maxN: Int = 3, keep: Int = 2): Column = {
+    require(maxN >= 1 && keep >= 1, "need maxN >= 1 and keep >= 1")
+    graft.functions.TextKernels.collapseRunsCol(normalize(text), maxN, keep)
+  }
+
   // ------------------------------------------------------ DataFrame-level ops
 
   /** Attach the expensive struct kernel `c` as column `name` behind a

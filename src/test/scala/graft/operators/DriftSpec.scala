@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{SparkTestBase, Tables}
+
+/** PSI distribution-drift semantics. */
+class DriftSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  lazy val li = Tables.load(spark, "/root/testdata/sf0.001")("lineitem")
+
+  test("psiReport: identical snapshots score exactly zero, detail shape is cols x buckets") {
+    val d = Profile.psiReport(li, li,
+      Seq("l_quantity", "l_extendedprice"), buckets = 8, exact = true).cache()
+    assert(d.count() == 16)
+    // p == q per bucket → every term (q-p)·ln(q/p) is exactly 0
+    assert(d.where(col("psi_term") =!= 0.0).count() == 0)
+    val s = Profile.psiSummary(d).collect()
+    assert(s.length == 2)
+    s.foreach(r => assert(r.getDouble(1) == 0.0))
+    // census accounting: per-column counts sum to the snapshot row count
+    val n = li.count()
+    s.foreach(r => assert(r.getLong(2) == n && r.getLong(3) == n))
+  }
+
+  test("psiReport: a planted location shift dominates an undrifted column") {
+    val ref = li.select(col("l_quantity"), col("l_discount"))
+    val cur = li.select((col("l_quantity") + 30.0).as("l_quantity"),
+      col("l_discount"))
+    val s = Profile.psiSummary(
+      Profile.psiReport(ref, cur, Seq("l_quantity", "l_discount"),
+        exact = true))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(s("l_quantity") > 0.25, s"shifted psi ${s("l_quantity")}")
+    assert(s("l_discount") < 0.05, s"stable psi ${s("l_discount")}")
+  }
+
+  test("psiReport: NULLs drop out of census and totals; approx mode tracks exact") {
+    val ref = li.select(
+      when(col("l_linenumber") === 1, col("l_quantity")).as("q"))
+    val cur = li.select(col("l_quantity").as("q"))
+    val d = Profile.psiReport(ref, cur, Seq("q"), exact = true)
+    val nonNull = ref.where(col("q").isNotNull).count()
+    val s = Profile.psiSummary(d).head()
+    assert(s.getLong(2) == nonNull)
+    assert(s.getLong(3) == li.count())
+
+    val ex = Profile.psiSummary(Profile.psiReport(li, li.limit(3000),
+      Seq("l_extendedprice"), exact = true)).head().getDouble(1)
+    val ap = Profile.psiSummary(Profile.psiReport(li, li.limit(3000),
+      Seq("l_extendedprice"))).head().getDouble(1)
+    assert(math.abs(ex - ap) < 0.05, s"exact $ex vs approx $ap")
+  }
+}
