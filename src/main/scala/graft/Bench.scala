@@ -443,7 +443,9 @@ object Bench {
       "q_crawl_delay", "q_gate_report", "q_redaction_report",
       "q_frontier_schedule", "q_markdown", "q_code_flags",
       "q_remove_spans_incr", "q_fertility", "q_lang_segments",
-      "q_paragraphs_incr", "q_lines_incr")
+      "q_paragraphs_incr", "q_lines_incr",
+      "q_pca_project", "q_zorder", "q_dsir_weights", "q_corpus_overlap",
+      "q_psi", "q_collapse_repeats")
     val headline = benchOnly match {
       case Some(ps) => headline0.filter(n => ps.exists(n.startsWith))
       case None     => headline0

@@ -194,10 +194,12 @@ object Profile {
       .join(census(ref, "ref"), Seq("col_name", "bucket"), "left")
       .join(census(cur, "cur"), Seq("col_name", "bucket"), "left")
       .na.fill(0L, Seq("n_ref", "n_cur"))
-    val t = d.groupBy("col_name")
-      .agg(sum("n_ref").as("__tr"), sum("n_cur").as("__tc"))
+    // totals via a window over the (cols×B)-row detail — a groupBy+join
+    // would re-execute both census scans through d's lineage
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("col_name")
     val den = lit(alpha) * buckets
-    d.join(t, "col_name")
+    d.withColumn("__tr", sum("n_ref").over(w))
+      .withColumn("__tc", sum("n_cur").over(w))
       .withColumn("__p", (col("n_ref") + alpha) / (col("__tr") + den))
       .withColumn("__q", (col("n_cur") + alpha) / (col("__tc") + den))
       .select(col("col_name"), col("bucket"), col("n_ref"), col("n_cur"),
