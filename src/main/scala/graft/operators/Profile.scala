@@ -155,7 +155,48 @@ object Profile {
       buckets: Int = 10,
       exact: Boolean = false,
       accuracy: Int = 10000,
-      alpha: Double = 0.5): DataFrame = {
+      alpha: Double = 0.5): DataFrame =
+    psiAgainst(cur, psiFit(ref, cols, buckets, exact, accuracy, alpha))
+
+  /** The fitted reference side of a PSI comparison: 6dp-rounded quantile
+    * edges plus the reference bucket census (cols × buckets longs — a
+    * driver-sized model whatever the corpus size). Fit once on the
+    * reference snapshot, then [[psiAgainst]] scores any number of
+    * current snapshots / micro-batches against it with one scan each. */
+  final case class PsiModel(
+      cols: Seq[String],
+      buckets: Int,
+      alpha: Double,
+      edges: Seq[Array[Double]],
+      refCounts: Seq[Array[Long]])
+
+  private def bucketOf(c: String, e: Array[Double]): Column =
+    when(col(c).isNotNull,
+      e.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col(c).cast("double") > lit(b), 1).otherwise(0)
+      })
+
+  private def census(
+      df: DataFrame, cols: Seq[String], edges: Seq[Array[Double]],
+      side: String): DataFrame = {
+    val pieces = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("col_name"), bucketOf(c, edges(i)).as("bucket"))
+    }
+    df.select(explode(array(pieces: _*)).as("p")).select("p.*")
+      .where(col("bucket").isNotNull)
+      .groupBy("col_name", "bucket").agg(count(lit(1)).as(s"n_$side"))
+  }
+
+  /** Fit the PSI reference model: one aggregation for every column's
+    * edges, one census scan collected to the driver (≤ cols×buckets
+    * rows). */
+  def psiFit(
+      ref: DataFrame,
+      cols: Seq[String],
+      buckets: Int = 10,
+      exact: Boolean = false,
+      accuracy: Int = 10000,
+      alpha: Double = 0.5): PsiModel = {
     require(cols.nonEmpty, "need at least one column")
     require(buckets >= 2 && buckets <= 1000, "need 2 <= buckets <= 1000")
     require(alpha > 0, "alpha must be positive (unsmoothed PSI diverges)")
@@ -173,31 +214,33 @@ object Profile {
       e.map(x => BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
         .toDouble).toArray
     }
-    def bucketOf(c: String, e: Array[Double]): Column =
-      when(col(c).isNotNull,
-        e.foldLeft(lit(0)) { (acc, b) =>
-          acc + when(col(c).cast("double") > lit(b), 1).otherwise(0)
-        })
-    def census(df: DataFrame, side: String): DataFrame = {
-      val pieces = cols.zipWithIndex.map { case (c, i) =>
-        struct(lit(c).as("col_name"), bucketOf(c, edges(i)).as("bucket"))
-      }
-      df.select(explode(array(pieces: _*)).as("p")).select("p.*")
-        .where(col("bucket").isNotNull)
-        .groupBy("col_name", "bucket").agg(count(lit(1)).as(s"n_$side"))
+    val idx = cols.zipWithIndex.toMap
+    val counts = cols.map(_ => Array.fill(buckets)(0L))
+    census(ref, cols, edges, "ref").collect().foreach { r =>
+      counts(idx(r.getString(0)))(r.getInt(1)) = r.getLong(2)
     }
-    val spark = ref.sparkSession
+    PsiModel(cols, buckets, alpha, edges, counts)
+  }
+
+  /** Score one current snapshot (or micro-batch) against a fitted
+    * [[PsiModel]]: ONE census scan of `cur` joined onto the model's
+    * literal (col, bucket, n_ref) spine — same output as [[psiReport]].
+    */
+  def psiAgainst(cur: DataFrame, model: PsiModel): DataFrame = {
+    val spark = cur.sparkSession
     import spark.implicits._
-    val spine = cols.flatMap(c => (0 until buckets).map(b => (c, b)))
-      .toDF("col_name", "bucket")
+    val spine = model.cols.zipWithIndex.flatMap { case (c, i) =>
+      (0 until model.buckets).map(b => (c, b, model.refCounts(i)(b)))
+    }.toDF("col_name", "bucket", "n_ref")
     val d = spine
-      .join(census(ref, "ref"), Seq("col_name", "bucket"), "left")
-      .join(census(cur, "cur"), Seq("col_name", "bucket"), "left")
-      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .join(census(cur, model.cols, model.edges, "cur"),
+        Seq("col_name", "bucket"), "left")
+      .na.fill(0L, Seq("n_cur"))
     // totals via a window over the (cols×B)-row detail — a groupBy+join
-    // would re-execute both census scans through d's lineage
+    // would re-execute the census scan through d's lineage
     val w = org.apache.spark.sql.expressions.Window.partitionBy("col_name")
-    val den = lit(alpha) * buckets
+    val alpha = model.alpha
+    val den = lit(alpha) * model.buckets
     d.withColumn("__tr", sum("n_ref").over(w))
       .withColumn("__tc", sum("n_cur").over(w))
       .withColumn("__p", (col("n_ref") + alpha) / (col("__tr") + den))

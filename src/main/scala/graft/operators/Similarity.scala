@@ -798,17 +798,30 @@ object Similarity {
   /** Apply a fitted PCA: adds `outCol` = W·(x − μ) as `array<double>`,
     * length k. The centering folds into one constant per output
     * coordinate (W·x − W·μ), so the projection is a single codegen'd
-    * kernel pass over the vector — scan speed, zero shuffle. */
+    * kernel pass over the vector — scan speed, zero shuffle.
+    * `whiten = true` rescales each axis by 1/√λ (unit variance per
+    * coordinate — the preprocessing cosine-based semantic dedup wants
+    * when the leading components would otherwise dominate); the scale
+    * folds into the basis/offset literals, so the kernel is unchanged.
+    * Axes with λ ≤ 0 (numerically empty directions) whiten to 0. */
   def pcaProject(
       df: DataFrame,
       model: PcaModel,
       vecCol: String = "embedding",
-      outCol: String = "proj"): DataFrame = {
-    val offs = model.basis.map(w =>
+      outCol: String = "proj",
+      whiten: Boolean = false): DataFrame = {
+    val basis =
+      if (!whiten) model.basis
+      else model.basis.zipWithIndex.map { case (w, i) =>
+        val ev = model.eigenvalues(i)
+        val s = if (ev > 0) 1.0 / math.sqrt(ev) else 0.0
+        w.map(_ * s)
+      }
+    val offs = basis.map(w =>
       w.indices.foldLeft(0.0)((acc, i) => acc + w(i) * model.mean(i)))
     df.withColumn(outCol,
       graft.functions.VectorKernels.projectOffsetCol(
-        col(vecCol), model.basis, offs))
+        col(vecCol), basis, offs))
   }
 
   /** Fit + project in one call — the "reduce my embeddings to k dims"
@@ -819,8 +832,10 @@ object Similarity {
       k: Int,
       vecCol: String = "embedding",
       outCol: String = "proj",
-      dims: Int = -1): DataFrame =
-    pcaProject(corpus, pcaFit(corpus, k, vecCol, dims), vecCol, outCol)
+      dims: Int = -1,
+      whiten: Boolean = false): DataFrame =
+    pcaProject(corpus, pcaFit(corpus, k, vecCol, dims), vecCol, outCol,
+      whiten)
 
   /** Slim banded corpus×query candidate pairs: the only columns that ride
     * the ×chunks explosion and its join exchange are (id, chunk, key).

@@ -53,4 +53,35 @@ class DriftSpec extends AnyFunSuite {
       Seq("l_extendedprice"))).head().getDouble(1)
     assert(math.abs(ex - ap) < 0.05, s"exact $ex vs approx $ap")
   }
+
+  test("psiStream scores each micro-batch against the fixed reference, batch-operator parity") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ref = li.select("l_quantity", "l_discount")
+    val model = Profile.psiFit(ref, Seq("l_quantity", "l_discount"),
+      buckets = 8, exact = true)
+    // batch 1: undrifted slice; batch 2: planted +30 location shift
+    val b1 = li.limit(1000).select("l_quantity", "l_discount")
+      .as[(Double, Double)].collect().toSeq
+    val b2 = b1.map { case (q, d) => (q + 30.0, d) }
+    val mem = MemoryStream[(Double, Double)]
+    val src = mem.toDF().toDF("l_quantity", "l_discount")
+    val got = scala.collection.mutable.Map[Long, Array[org.apache.spark.sql.Row]]()
+    val q = graft.streaming.DriftMonitor.psiStream(src, model) { (df, id) =>
+      got(id) = Profile.psiSummary(df).orderBy("col_name").collect()
+    }.start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    graft.SparkTestBase.stopQuietly(q)
+    // parity with the batch operator on each micro-batch
+    def exp(rows: Seq[(Double, Double)]) =
+      Profile.psiSummary(Profile.psiAgainst(
+        rows.toDF("l_quantity", "l_discount"), model))
+        .orderBy("col_name").collect()
+    assert(got(0L).toSeq == exp(b1).toSeq)
+    assert(got(1L).toSeq == exp(b2).toSeq)
+    // and the drifted batch's quantity PSI screams while discount stays low
+    val s2 = got(1L).map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(s2("l_quantity") > 0.25 && s2("l_discount") < 0.05, s2.toString)
+  }
 }

@@ -109,6 +109,16 @@ class PcaSpec extends AnyFunSuite {
     approx(m.mean, m2.mean, 0.0)
     approx(m.eigenvalues, m2.eigenvalues, 0.0)
     (0 until k).foreach(r => approx(m.basis(r), m2.basis(r), 0.0))
+
+    // whitened projection: every coordinate has unit variance
+    val wp = Similarity.pcaProject(emb, m, whiten = true)
+      .select("proj").collect().map(_.getSeq[Double](0).toArray)
+    for (r <- 0 until k) {
+      val c = wp.map(_(r))
+      val mu = c.sum / n
+      val v = c.map(x => (x - mu) * (x - mu)).sum / n
+      assert(math.abs(v - 1.0) < 1e-6, s"whitened var $v at $r")
+    }
   }
 
   test("pcaProject maps the mean to the origin and ragged vectors are skipped in fit") {
