@@ -3057,6 +3057,26 @@ object SparkEntry {
           unnest(un) AS u_val, unnest(qn) AS q_val
         FROM u""".stripMargin.trim)),
 
+    Q("q_embed_meanpool",
+      // chunk→doc embedding roll-up: element-wise mean per group (50
+      // groups by vec_id hash-mod), O(d) aggregator partials — exploded
+      // per dimension for the hash compare
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val emb = Tables.load(s, dir)("embeddings")
+          .withColumn("grp", pmod(col("vec_id"), lit(50)))
+        operators.Similarity.meanPool(emb, Seq("grp"))
+          .select(col("grp"), posexplode(col("mean_vec")).as(Seq("i", "v")))
+          .select(col("grp"), col("i"), round(col("v"), 6).as("v"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT vec_id % 50 AS grp, CAST(unnest(range(64)) AS INT) AS i,
+            unnest(embedding)::DOUBLE AS v
+          FROM embeddings
+        )
+        SELECT grp, i, round(avg(v), 6) AS v FROM t GROUP BY grp, i""".stripMargin.trim)),
+
     Q("q_pca_project",
       // PCA dim-reduction over a planted Walsh-pattern design: 496 rows
       // (31 complete 16-periods of the id bits), so the four ±1 patterns
@@ -4552,6 +4572,39 @@ object SparkEntry {
           (CASE WHEN doc_id % 4 = 0 THEN ' card <CARD> ok'
                 WHEN doc_id % 4 = 1 THEN ' card 4111 1111 1111 1112 ok'
                 ELSE '' END) AS redacted
+        FROM documents""".stripMargin.trim)),
+
+    Q("q_meta_robots",
+      // page-level crawl directives over 5 planted page shapes (both
+      // attribute orders, case-insensitivity, the 'none' token, nofollow
+      // link counting, a directive-free page); the oracle is the
+      // hand-computed decision table, independent of the regex chain
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val m = pmod(col("doc_id"), lit(5))
+        val html = when(m === 0, lit("<html><head><meta name=\"robots\" content=\"noindex, follow\">" +
+            "<link rel=\"canonical\" href=\"https://e.com/c0\"></head>" +
+            "<body><a href=\"/x\" rel=\"nofollow\">x</a><a href=\"/y\">y</a></body></html>"))
+          .when(m === 1, lit("<head><meta content=\"nofollow\" name=\"robots\"></head>" +
+            "<a href=\"/a\" rel=\"external nofollow\">a</a>"))
+          .when(m === 2, lit("<meta name=\"robots\" content=\"none\">" +
+            "<a rel=\"nofollow\" href=\"/1\">1</a><a rel=\"nofollow\" href=\"/2\">2</a>"))
+          .when(m === 3, lit("<p>plain</p><a href=\"/z\">z</a>"))
+          .otherwise(lit("<META NAME=\"ROBOTS\" CONTENT=\"NOINDEX,NOFOLLOW\">" +
+            "<link href=\"https://e.com/c4\" rel=\"canonical\">"))
+        val d = Tables.load(s, dir)("documents").select(col("doc_id"), html.as("html"))
+        operators.HtmlOps.metaRobots(d)
+          .select("doc_id", "robots_noindex", "robots_nofollow",
+            "canonical_url", "n_nofollow_links")
+      },
+      Some("""
+        SELECT doc_id,
+          (doc_id % 5) IN (0, 2, 4) AS robots_noindex,
+          (doc_id % 5) IN (1, 2, 4) AS robots_nofollow,
+          CASE doc_id % 5 WHEN 0 THEN 'https://e.com/c0'
+                          WHEN 4 THEN 'https://e.com/c4' END AS canonical_url,
+          CAST(CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2
+                               ELSE 0 END AS INT) AS n_nofollow_links
         FROM documents""".stripMargin.trim)),
 
     Q("q_html_links",

@@ -134,6 +134,42 @@ object HtmlOps {
       .drop("__l")
   }
 
+  /** Page-level crawl directives — the per-PAGE gate between the
+    * host-level robots.txt decision ([[WebOps.robotsAllowed]]) and text
+    * extraction: a corpus build must drop `noindex` pages and prefer the
+    * canonical URL for dedup keys. Adds
+    *   - `robots_noindex` / `robots_nofollow`: from any
+    *     `<meta name="robots" content="...">` (either attribute order,
+    *     case-insensitive; the `none` token means both),
+    *   - `canonical_url`: the first `<link rel="canonical" href="...">`
+    *     (either attribute order; NULL when absent),
+    *   - `n_nofollow_links`: count of `<a>` whose `rel` contains
+    *     `nofollow`.
+    * Double-quoted attributes only (same documented contract as the link
+    * extractor); pure RE2-portable regex chain, one scan, zero shuffle.
+    */
+  def metaRobots(df: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val h = col(htmlCol)
+    def first(p1: String, p2: String): Column = {
+      val a = regexp_extract(h, p1, 1)
+      val b = regexp_extract(h, p2, 1)
+      when(a =!= "", a).when(b =!= "", b)
+    }
+    val content = lower(coalesce(first(
+      "(?is)<meta[^>]*name=\"robots\"[^>]*content=\"([^\"]*)\"",
+      "(?is)<meta[^>]*content=\"([^\"]*)\"[^>]*name=\"robots\""), lit("")))
+    def hasTok(t: String): Column =
+      content.rlike(s"(^|[ ,])[ ]*($t|none)[ ]*($$|[ ,])")
+    df.withColumn("robots_noindex", hasTok("noindex"))
+      .withColumn("robots_nofollow", hasTok("nofollow"))
+      .withColumn("canonical_url", first(
+        "(?is)<link[^>]*rel=\"canonical\"[^>]*href=\"([^\"]*)\"",
+        "(?is)<link[^>]*href=\"([^\"]*)\"[^>]*rel=\"canonical\""))
+      .withColumn("n_nofollow_links",
+        size(regexp_extract_all(h,
+          lit("(?is)<a[^>]*rel=\"[^\"]*nofollow[^\"]*\"[^>]*>"), lit(0))))
+  }
+
   /** Adds `text_extracted`, `title`, `n_tags`, `n_anchors`,
     * `link_density` next to `htmlCol` — one scan, zero shuffle.
     * `link_density` = anchor text chars / extracted text chars (NULL when

@@ -696,6 +696,61 @@ object Similarity {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[MomentsOut]()
   }
 
+  private[operators] final class VecMeanBuf(val d: Int) extends Serializable {
+    var n: Long = 0L
+    val s: Array[Double] = new Array[Double](d)
+  }
+
+  /** Element-wise mean of a float-vector column as a typed aggregator:
+    * O(d) buffer, map-side partials, so pooling shuffles one d-double
+    * summary per partition per group — never the vectors themselves.
+    * Ragged/null vectors are skipped; an empty group yields an empty
+    * array. */
+  private[operators] final class VecMean(d: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Array[Float], VecMeanBuf, Seq[Double]] {
+    def zero: VecMeanBuf = new VecMeanBuf(d)
+    def reduce(b: VecMeanBuf, v: Array[Float]): VecMeanBuf = {
+      if (v != null && v.length == d) {
+        b.n += 1
+        var i = 0
+        while (i < d) { b.s(i) += v(i).toDouble; i += 1 }
+      }
+      b
+    }
+    def merge(a: VecMeanBuf, b: VecMeanBuf): VecMeanBuf = {
+      a.n += b.n
+      var i = 0
+      while (i < a.s.length) { a.s(i) += b.s(i); i += 1 }
+      a
+    }
+    def finish(b: VecMeanBuf): Seq[Double] =
+      if (b.n == 0) Seq.empty else b.s.map(_ / b.n).toSeq
+    def bufferEncoder: org.apache.spark.sql.Encoder[VecMeanBuf] =
+      org.apache.spark.sql.Encoders.kryo[VecMeanBuf]
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** Mean-pool embeddings per group — the chunk→document (or
+    * sentence→passage) roll-up after [[graft.operators.TextOps.chunkDocs]]
+    * + per-chunk embedding: `outCol` = element-wise mean as
+    * `array<double>`. ONE hash shuffle of O(d)-double partial sums (the
+    * [[VecMean]] aggregator) — the posexplode/groupBy formulation would
+    * shuffle n·d scalar rows instead. Empty groups (only ragged/null
+    * vectors) pool to an empty array. */
+  def meanPool(
+      df: DataFrame,
+      group: Seq[String],
+      vecCol: String = "embedding",
+      outCol: String = "mean_vec",
+      dims: Int = -1): DataFrame = {
+    require(group.nonEmpty, "need at least one group column")
+    val d = dimsOf(df, vecCol, dims)
+    val agg = udaf(new VecMean(d))
+    df.groupBy(group.map(col): _*).agg(agg(col(vecCol)).as(outCol))
+  }
+
   /** Cyclic Jacobi eigendecomposition of a small symmetric matrix (the
     * d×d covariance a PCA fit reduces to — driver-local by design, like
     * the k-means/PQ codebook tables above). Returns eigenvalues in

@@ -106,4 +106,52 @@ class HtmlOpsSpec extends AnyFunSuite {
     assert(HtmlOps.extractLinks(
       Seq(("https://b.org", "<p>plain</p>")).toDF("url", "html")).count() == 0)
   }
+
+  test("metaRobots: attribute orders, token boundaries, documented quote contract") {
+    def one(html: String) = HtmlOps.metaRobots(Seq(html).toDF("html"))
+      .select("robots_noindex", "robots_nofollow", "canonical_url",
+        "n_nofollow_links").head()
+    // token boundary: 'follow' is not 'nofollow', 'noindexing' not 'noindex'
+    val r1 = one("<meta name=\"robots\" content=\"noindexing, follow\">")
+    assert(!r1.getBoolean(0) && !r1.getBoolean(1))
+    // whitespace around tokens
+    val r2 = one("<meta name=\"robots\" content=\" noindex , nofollow \">")
+    assert(r2.getBoolean(0) && r2.getBoolean(1))
+    // reversed canonical attribute order
+    val r3 = one("<link href=\"https://x.y/p\" rel=\"canonical\">")
+    assert(r3.getString(2) == "https://x.y/p")
+    // single-quoted attributes are outside the documented contract
+    val r4 = one("<meta name='robots' content='noindex'>")
+    assert(!r4.getBoolean(0) && r4.isNullAt(2))
+    // extra attributes between the interesting ones
+    val r5 = one("<meta id=\"m\" name=\"robots\" data-x=\"1\" content=\"none\">" +
+      "<a class=\"c\" rel=\"me nofollow ugc\" href=\"/q\">q</a>")
+    assert(r5.getBoolean(0) && r5.getBoolean(1) && r5.getInt(3) == 1)
+  }
+
+  test("meanPool matches the per-dimension explode formulation and skips ragged vectors") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001")("embeddings")
+      .withColumn("grp", pmod(col("vec_id"), lit(7)))
+    val pooled = Similarity.meanPool(emb, Seq("grp"))
+      .select(col("grp"), posexplode(col("mean_vec")).as(Seq("i", "v")))
+      .select(col("grp"), col("i").cast("int").as("i"), round(col("v"), 9).as("v"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val ref = emb
+      .select(col("grp"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("grp", "i").agg(round(avg(col("x").cast("double")), 9).as("v"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(pooled.size == 7 * 64)
+    assert(pooled.keySet == ref.keySet)
+    pooled.foreach { case (k, v) =>
+      assert(math.abs(v - ref(k)) < 1e-8, s"$k: $v vs ${ref(k)}")
+    }
+    // ragged vector skipped; all-ragged group pools to empty
+    val mixed = Seq(
+      (0L, Seq(2.0f, 4.0f)), (0L, Seq(4.0f, 8.0f)), (0L, Seq(1.0f)),
+      (1L, Seq(9.9f, 9.9f, 9.9f))).toDF("grp", "embedding")
+    val got = Similarity.meanPool(mixed, Seq("grp"), dims = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got(0L) == Seq(3.0, 6.0))
+    assert(got(1L).isEmpty)
+  }
 }
