@@ -4383,6 +4383,83 @@ object SparkEntry {
             AS anomaly
         FROM zc""".stripMargin.trim)),
 
+    Q("q_entropy",
+      // per-doc code-point and word entropy (bits) — the gibberish gate;
+      // the oracle recomputes both distributions from scratch in DuckDB
+      // (string_split('') yields code points, matching the kernel's
+      // codePointAt walk) with the identical -p·ln(p)/ln(2) fold
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        operators.TextOps.entropyMetrics(Tables.load(s, dir)("documents"))
+          .select(col("doc_id"),
+            round(col("char_entropy"), 6).as("char_entropy"),
+            round(col("word_entropy"), 6).as("word_entropy"))
+      },
+      Some("""
+        WITH n AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+          FROM documents
+        ), cg AS (
+          SELECT doc_id, ch, count(*) AS c
+          FROM (SELECT doc_id, unnest(string_split(t, '')) AS ch FROM n)
+          GROUP BY 1, 2
+        ), ct AS (SELECT doc_id, sum(c) AS tot FROM cg GROUP BY 1),
+        ce AS (
+          SELECT cg.doc_id,
+            sum(-(c::DOUBLE / tot) * ln(c::DOUBLE / tot) / ln(2)) AS h
+          FROM cg JOIN ct USING (doc_id) GROUP BY 1
+        ), wg AS (
+          SELECT doc_id, w, count(*) AS c
+          FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM n)
+          GROUP BY 1, 2
+        ), wt AS (SELECT doc_id, sum(c) AS tot FROM wg GROUP BY 1),
+        we AS (
+          SELECT wg.doc_id,
+            sum(-(c::DOUBLE / tot) * ln(c::DOUBLE / tot) / ln(2)) AS h
+          FROM wg JOIN wt USING (doc_id) GROUP BY 1
+        )
+        SELECT d.doc_id, round(ce.h, 6) AS char_entropy,
+          round(we.h, 6) AS word_entropy
+        FROM documents d JOIN ce ON ce.doc_id = d.doc_id
+        JOIN we ON we.doc_id = d.doc_id""".stripMargin.trim)),
+
+    Q("q_url_features",
+      // URL lexical features over decorated synthesized URLs; the oracle
+      // derives depth/params/labels/tracking from the construction CASEs
+      // and replays only the trivial length/digit arithmetic
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = Tables.load(s, dir)("documents").withColumn("url",
+          concat(lit("http://"),
+            when(pmod(col("doc_id"), lit(5)) === 0, lit("sub.")).otherwise(lit("")),
+            col("source"), lit(".com/a/"), col("doc_id").cast("string"),
+            when(pmod(col("doc_id"), lit(2)) === 0, lit("/x7")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(3)) === 0, lit("?utm_s=1&q=2")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(4)) === 0, lit("#f")).otherwise(lit(""))))
+        operators.WebOps.urlFeatures(d)
+          .select(col("doc_id"), col("url_len"), col("url_depth"),
+            col("n_params"), col("n_host_labels"),
+            round(col("digit_ratio"), 6).as("digit_ratio"),
+            col("has_tracking"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT doc_id,
+            'http://' || (CASE WHEN doc_id % 5 = 0 THEN 'sub.' ELSE '' END) ||
+            source || '.com/a/' || doc_id ||
+            (CASE WHEN doc_id % 2 = 0 THEN '/x7' ELSE '' END) ||
+            (CASE WHEN doc_id % 3 = 0 THEN '?utm_s=1&q=2' ELSE '' END) ||
+            (CASE WHEN doc_id % 4 = 0 THEN '#f' ELSE '' END) AS url
+          FROM documents)
+        SELECT doc_id, CAST(length(url) AS INT) AS url_len,
+          CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END AS INT) AS url_depth,
+          CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 0 END AS INT) AS n_params,
+          CAST(CASE WHEN doc_id % 5 = 0 THEN 3 ELSE 2 END AS INT) AS n_host_labels,
+          round((length(url) - length(regexp_replace(url, '[0-9]', '', 'g')))::DOUBLE
+            / length(url), 6) AS digit_ratio,
+          doc_id % 3 = 0 AS has_tracking
+        FROM u""".stripMargin.trim)),
+
     Q("q_url_canonical",
       // crawl-dedup canonical key: decorated URLs (case noise, userinfo,
       // default and non-default ports, trailing slash, utm params,

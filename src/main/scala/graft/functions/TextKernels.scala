@@ -753,6 +753,61 @@ object TextKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** (code-point entropy, word entropy) of single-space-normalized text
+    * in bits — the gibberish/low-information signals a quality gate
+    * reads: natural language sits near 4–4.5 bits/char; base64 blobs and
+    * keyboard mashing run higher, template boilerplate lower. One
+    * per-row pass; distinct-symbol iteration is SORTED so the fold is
+    * bit-deterministic run-over-run. */
+  def entropyStatsCol(normText: Column): Column = GraftColumnBridge.column(
+    StaticInvoke(
+      TextKernels.getClass, ArrayType(DoubleType, containsNull = false),
+      "entropyStats",
+      Seq(GraftColumnBridge.expression(normText)), Seq(StringType),
+      returnNullable = false))
+
+  private def sortedEntropy(m: java.util.HashMap[_, Long], n: Long): Double =
+    if (n <= 0) 0.0
+    else {
+      val counts = new Array[Long](m.size())
+      val it = m.values().iterator()
+      var i = 0
+      while (it.hasNext) { counts(i) = it.next(); i += 1 }
+      java.util.Arrays.sort(counts)
+      var h = 0.0
+      var j = 0
+      while (j < counts.length) {
+        val p = counts(j).toDouble / n
+        h -= p * (math.log(p) / math.log(2.0))
+        j += 1
+      }
+      h
+    }
+
+  def entropyStats(norm: UTF8String): ArrayData = {
+    val s = norm.toString
+    val cc = new java.util.HashMap[Integer, Long]()
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      cc.merge(cp, 1L, (a, b) => a + b)
+      n += 1
+    }
+    val wc = new java.util.HashMap[String, Long]()
+    var wn = 0L
+    if (s.nonEmpty) {
+      val words = s.split(" ", -1)
+      var w = 0
+      while (w < words.length) {
+        wc.merge(words(w), 1L, (a, b) => a + b); wn += 1
+        w += 1
+      }
+    }
+    new GenericArrayData(Array(sortedEntropy(cc, n), sortedEntropy(wc, wn)))
+  }
+
   /** Collapse runs of consecutively repeated word n-grams in
     * single-space-normalized text: any run of the same n-gram (n =
     * 1..maxN, smaller n collapsed first so "a a a a" never survives as

@@ -738,6 +738,20 @@ object TextOps {
   def dehyphenate(text: Column): Column =
     regexp_replace(text, "(\\p{L})-[ \\t]*\\n[ \\t]*(\\p{L})", "$1$2")
 
+  /** Per-doc information-density signals: `char_entropy` (bits per code
+    * point) and `word_entropy` (bits per token) of the normalized text —
+    * the gibberish gate the ratio features miss (base64 blobs and
+    * keyboard mashing have unremarkable punct/alpha ratios but outlying
+    * entropy; template boilerplate sits low on word entropy). One
+    * scan-speed kernel pass behind the pushdown barrier, zero shuffle. */
+  def entropyMetrics(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val d = withKernelColumn(docs, "__ent",
+      graft.functions.TextKernels.entropyStatsCol(normalize(col(textCol))))
+    d.withColumn("char_entropy", element_at(col("__ent"), 1))
+      .withColumn("word_entropy", element_at(col("__ent"), 2))
+      .drop("__ent")
+  }
+
   /** Collapse consecutively repeated word n-grams to their first `keep`
     * copies ("click here click here click here …" → "click here click
     * here") — the degenerate-repetition cleanup for LM-generated spam

@@ -51,6 +51,31 @@ object WebOps {
     when(host(url).isNull, lit(null))
       .otherwise(size(filter(split(path(url), "/"), s => s =!= "")))
 
+  /** Per-URL lexical features — the frontier-prioritization / spam-gate
+    * signals URL-level quality filters read before fetching anything
+    * (deep paths, parameter farms, digit-heavy session ids and tracking
+    * decoration all predict low-value pages). Adds `url_len`,
+    * `url_depth` (non-empty path segments), `n_params` (query
+    * parameters, pre-fragment), `n_host_labels` (dot-separated host
+    * labels), `digit_ratio` (digits / url chars) and `has_tracking`
+    * (`utm_*` present). Pure Column arithmetic, one scan, zero shuffle;
+    * host-dependent features are NULL for unparseable URLs. */
+  def urlFeatures(df: DataFrame, urlCol: String = "url"): DataFrame = {
+    val u = col(urlCol)
+    val q = regexp_extract(u, "^[^#]*\\?([^#]*)", 1)
+    val h = host(u)
+    df.withColumn("url_len", length(u))
+      .withColumn("url_depth", pathDepth(u))
+      .withColumn("n_params",
+        when(q === "", lit(0)).otherwise(size(split(q, "&"))))
+      .withColumn("n_host_labels",
+        when(h.isNull, lit(null)).otherwise(size(split(h, "\\."))))
+      .withColumn("digit_ratio",
+        (length(u) - length(regexp_replace(u, "[0-9]", "")))
+          .cast("double") / length(u))
+      .withColumn("has_tracking", q.rlike("(?i)(^|&)utm_"))
+  }
+
   // multi-label public suffixes a 2-label cut would get wrong (co.uk,
   // com.au, ...). A full Public Suffix List lookup is a broadcast join
   // against a caller-provided table; this builtin covers the common
