@@ -3652,6 +3652,28 @@ object SparkEntry {
           CASE WHEN epoch(l.ts) - epoch(r.ts) <= 21600 THEN r.purchase_value END AS purchase_value
         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin.trim)),
 
+    Q("q_join_asof_fwd",
+      // forward as-of (next-event lookahead): every click carries the
+      // user's EARLIEST following purchase — same union+window shape over
+      // reversed time; DuckDB's native ASOF with l.ts <= r.ts is the
+      // oracle
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val ev = Tables.load(s, dir)("events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts", "value")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+        operators.Joins.asof(clicks, purchases, Seq("user_id"),
+            valueCols = Seq("purchase_value"), direction = "forward")
+          .select("event_id", "user_id", "value", "purchase_value")
+      },
+      Some("""
+        WITH l AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+        r AS (SELECT user_id, ts, value AS purchase_value FROM events WHERE event_type = 'purchase')
+        SELECT l.event_id, l.user_id, l.value, r.purchase_value
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin.trim)),
+
     Q("q_sessionize",
       // row-level gap sessionization: 30-minute gap per user, every event
       // tagged with its session index
@@ -4628,6 +4650,31 @@ object SparkEntry {
           exact = true)
       },
       Some(psiOracleSql)),
+
+    Q("q_clip",
+      // quantile winsorization: both columns clamp into their own
+      // [p05, p95] (exact mode, 6dp-rounded bounds); inside-range values
+      // pass through bit-identically, so no output rounding is needed
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        operators.Profile.clipOutliers(
+            Tables.load(s, dir)("lineitem"),
+            Seq("l_extendedprice", "l_quantity"),
+            lo = 0.05, hi = 0.95, exact = true)
+          .select("l_orderkey", "l_linenumber", "l_extendedprice",
+            "l_quantity")
+      },
+      Some("""
+        WITH q AS (
+          SELECT round(quantile_cont(l_extendedprice, 0.05), 6) AS e_lo,
+            round(quantile_cont(l_extendedprice, 0.95), 6) AS e_hi,
+            round(quantile_cont(l_quantity, 0.05), 6) AS q_lo,
+            round(quantile_cont(l_quantity, 0.95), 6) AS q_hi
+          FROM lineitem)
+        SELECT l_orderkey, l_linenumber,
+          greatest(least(l_extendedprice, e_hi), e_lo) AS l_extendedprice,
+          greatest(least(l_quantity, q_hi), q_lo) AS l_quantity
+        FROM lineitem, q""".stripMargin.trim)),
 
     Q("q_redact_cards",
       // Luhn-validated card redaction: one valid and one checksum-broken

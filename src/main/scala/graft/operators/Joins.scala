@@ -20,11 +20,15 @@ object Joins {
     * right row of the same key with `right.tsCol <= left.tsCol` (nulls
     * when no right row precedes) — the event-log enrichment primitive
     * ("state as of this event": last price before the trade, last config
-    * before the request).
+    * before the request). `direction = "forward"` flips the match to the
+    * EARLIEST right row with `right.tsCol >= left.tsCol` (the
+    * next-event/lookahead enrichment: next maintenance after the error,
+    * next price after the quote).
     *
     * At equal timestamps the right row is visible to the left row (the
     * right side orders first inside the window), matching SQL
-    * `ASOF JOIN ... ON l.ts >= r.ts` semantics (the DuckDB oracle).
+    * `ASOF JOIN ... ON l.ts >= r.ts` (resp. `l.ts <= r.ts`) semantics
+    * (the DuckDB oracle).
     *
     * @param on        equi-join key columns (present on both sides)
     * @param valueCols right columns carried onto the left rows; must not
@@ -38,10 +42,14 @@ object Joins {
       leftTs: String = "ts",
       rightTs: String = "ts",
       valueCols: Seq[String] = Seq("value"),
-      toleranceSec: Double = 0.0): DataFrame = {
+      toleranceSec: Double = 0.0,
+      direction: String = "backward"): DataFrame = {
     require(on.nonEmpty, "as-of join needs at least one equi key")
     require(valueCols.nonEmpty, "no right columns to carry")
     require(toleranceSec >= 0, "tolerance must be >= 0 (0 = unbounded)")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val backward = direction == "backward"
     val collide = valueCols.filter(left.columns.contains)
     require(collide.isEmpty,
       s"right value columns collide with left columns: ${collide.mkString(", ")}")
@@ -57,16 +65,22 @@ object Joins {
       .select(on.map(col) :+ col(rightTs).as("__ts") :+ vstruct.as("__v"): _*)
       .withColumn("__side", lit(0))
     // right rows sort before left rows at equal __ts → equal-ts matches
+    // forward = the same running-last walk over REVERSED time: at equal
+    // __ts the right row still orders first, so the equal-ts match stays
+    // visible in both directions
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(on.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(if (backward) col("__ts").asc else col("__ts").desc,
+        col("__side").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     // timestamps cast to epoch seconds; plain numeric ts columns compare
     // in their own units
+    val gap =
+      if (backward)
+        col("__ts").cast("double") - col("__m.__rts").cast("double")
+      else col("__m.__rts").cast("double") - col("__ts").cast("double")
     val fresh =
-      if (toleranceSec == 0.0) lit(true)
-      else col("__ts").cast("double") -
-        col("__m.__rts").cast("double") <= toleranceSec
+      if (toleranceSec == 0.0) lit(true) else gap <= toleranceSec
     l2.unionByName(r2, allowMissingColumns = true)
       .withColumn("__m", last(col("__v"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)

@@ -252,6 +252,49 @@ object Profile {
           .as("psi_term"))
   }
 
+  /** Quantile clipping (winsorization) of numeric columns — the
+    * feature-hygiene step before fitting/scoring anything on corpus
+    * statistics: each column clamps into its own [`lo`, `hi`] quantile
+    * range, so a handful of corrupt outliers can no longer move a mean,
+    * a z-score or a regression fit. ONE aggregation computes both bounds
+    * for every column (exact interpolated percentile when `exact`, the
+    * mergeable sketch otherwise), bounds are 6dp-rounded into plan
+    * literals (the engine-portability convention), and the clamp is
+    * scan-speed `greatest(least(...))`. NULLs pass through; each
+    * column's original type is preserved. */
+  def clipOutliers(
+      df: DataFrame,
+      cols: Seq[String],
+      lo: Double = 0.01,
+      hi: Double = 0.99,
+      exact: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    require(lo >= 0 && hi <= 1 && lo < hi, "need 0 <= lo < hi <= 1")
+    val arr = array(lit(lo), lit(hi))
+    val qAggs = cols.zipWithIndex.map { case (c, i) =>
+      (if (exact) percentile(col(c).cast("double"), arr)
+       else percentile_approx(col(c).cast("double"), arr, lit(accuracy)))
+        .as(s"__q$i")
+    }
+    val qRow = df.agg(qAggs.head, qAggs.tail: _*).head()
+    cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      val q = qRow.getSeq[Double](i)
+      if (q == null) d // no non-null values: nothing to clamp
+      else {
+        def r6(x: Double) =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val t = d.schema(c).dataType
+        // greatest/least SKIP nulls (a null row would clamp to the bound)
+        // — gate explicitly so nulls pass through
+        d.withColumn(c,
+          when(col(c).isNotNull,
+            greatest(least(col(c).cast("double"), lit(r6(q(1)))),
+              lit(r6(q(0))))).cast(t))
+      }
+    }
+  }
+
   /** Roll [[psiReport]] detail up to one PSI score per column. */
   def psiSummary(detail: DataFrame): DataFrame =
     detail.groupBy("col_name")

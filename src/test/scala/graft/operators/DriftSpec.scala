@@ -54,6 +54,77 @@ class DriftSpec extends AnyFunSuite {
     assert(math.abs(ex - ap) < 0.05, s"exact $ex vs approx $ap")
   }
 
+  test("clipOutliers: bounds respected, interior untouched, nulls and types preserved") {
+    val clipped = Profile.clipOutliers(li,
+      Seq("l_extendedprice"), lo = 0.1, hi = 0.9, exact = true).cache()
+    val Seq(qlo, qhi) = li
+      .select(percentile(col("l_extendedprice"), array(lit(0.1), lit(0.9))))
+      .head().getSeq[Double](0).toSeq
+    val lo6 = BigDecimal(qlo).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val hi6 = BigDecimal(qhi).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(clipped.where(col("l_extendedprice") < lo6 ||
+      col("l_extendedprice") > hi6).count() == 0)
+    // interior values pass through bit-identically: the clipped frame's
+    // strictly-inside values are exactly the original inside multiset
+    // ((l_orderkey, l_linenumber) is not unique in this fixture, so a
+    // key join cannot pair rows — compare value multisets instead)
+    val origVals = li.where(col("l_extendedprice") > lo6 &&
+        col("l_extendedprice") < hi6)
+      .select("l_extendedprice").as[Double].collect().sorted.toSeq
+    val clVals = clipped.where(col("l_extendedprice") > lo6 &&
+        col("l_extendedprice") < hi6)
+      .select("l_extendedprice").as[Double].collect().sorted.toSeq
+    assert(origVals == clVals)
+    // an int column keeps its type; nulls stay null
+    val d = Seq((Some(1), 1L), (Some(100), 2L), (None, 3L),
+      (Some(2), 4L), (Some(3), 5L)).toDF("v", "id")
+    val c = Profile.clipOutliers(d, Seq("v"), lo = 0.0, hi = 0.5, exact = true)
+    assert(c.schema("v").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(c.where(col("id") === 3 && col("v").isNull).count() == 1)
+    assert(c.agg(max("v")).head().getInt(0) <= 3)
+  }
+
+  test("asof forward matches a local next-event reference, tolerance nulls far matches") {
+    import graft.Tables
+    val ev = Tables.load(spark, "/root/testdata/sf0.001")("events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "value")
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("pv"))
+    val got = Joins.asof(clicks, purch, Seq("user_id"),
+        valueCols = Seq("pv"), direction = "forward")
+      .select("event_id", "pv").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    // local reference: earliest purchase with p.ts >= c.ts per user
+    val ps = purch.collect().map(r => (r.getLong(0),
+      r.getTimestamp(1).getTime, r.getDouble(2)))
+    val ref = clicks.collect().map { r =>
+      val (u, t) = (r.getLong(1), r.getTimestamp(2).getTime)
+      val cand = ps.filter(p => p._1 == u && p._2 >= t)
+      r.getLong(0) -> (if (cand.isEmpty) None
+                       else Some(cand.minBy(p => (p._2, p._3))._3))
+    }.toMap
+    // min ties by (ts): if two purchases share a user+ts, match the
+    // window's pick only when values agree — skip ambiguous keys
+    ref.foreach { case (id, exp) =>
+      val ambiguous = exp.isDefined && {
+        val r = clicks.where(col("event_id") === id).head()
+        val t = r.getTimestamp(2).getTime
+        val u = r.getLong(1)
+        val firstTs = ps.filter(p => p._1 == u && p._2 >= t).map(_._2).min
+        ps.count(p => p._1 == u && p._2 == firstTs) > 1
+      }
+      if (!ambiguous) assert(got(id) == exp, s"event $id")
+    }
+    // forward tolerance: zero-second horizon keeps only same-ts matches
+    val tight = Joins.asof(clicks, purch, Seq("user_id"),
+      valueCols = Seq("pv"), direction = "forward", toleranceSec = 0.001)
+    assert(tight.where(col("pv").isNotNull).count() <=
+      got.count(_._2.isDefined))
+  }
+
   test("psiStream scores each micro-batch against the fixed reference, batch-operator parity") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
