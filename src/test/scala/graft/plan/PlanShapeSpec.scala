@@ -508,4 +508,43 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).size == 1, p)
     assert(p.contains("bpeSegment"), p)
   }
+
+  test("PCA projection is one scan-stage kernel, no shuffle, no join") {
+    val emb = tables("embeddings")
+    val model = graft.operators.Similarity.pcaFit(emb, k = 4)
+    val p = graft.operators.Similarity.pcaProject(emb, model)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("DSIR scoring is a zero-join scan; zorderBy is exactly one range exchange") {
+    val docs = tables("documents")
+    val w = graft.operators.Sampling.importanceWeights(
+      docs, docs.limit(100), buckets = 64)
+    val pw = w.queryExecution.executedPlan.toString
+    // the lambda table is a plan literal: scoring adds no join, no
+    // exchange, and reads the corpus once
+    assert(!pw.contains("Join") && !pw.contains("Exchange"), pw)
+    assert("Scan parquet".r.findAllIn(pw).size == 1, pw)
+
+    val laid = graft.operators.Packing.zorderBy(tables("lineitem"),
+      Seq("l_partkey", "l_suppkey"), numParts = 4, keepKey = true)
+    val pl = laid.queryExecution.executedPlan.toString
+    assert(pl.contains("Exchange rangepartitioning"), pl)
+    assert("Exchange".r.findAllIn(pl).size == 1, pl)
+    assert(!pl.contains("Join"), pl)
+  }
+
+  test("sketch corpusOverlap never shuffle-joins the corpora") {
+    val docs = tables("documents")
+    val key = graft.operators.TextOps.normalize(
+      org.apache.spark.sql.functions.col("text"))
+    val p = graft.operators.Sketches.corpusOverlap(docs, docs, key, key)
+      .queryExecution.executedPlan.toString
+    // two independent sketch aggregations meet in a 1-row broadcast
+    // cross — no sort-merge/shuffled-hash join, no hash exchange of keys
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
 }
