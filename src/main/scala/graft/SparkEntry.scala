@@ -1534,6 +1534,44 @@ object SparkEntry {
         "floor(length(regexp_replace(text, '\\s+', '', 'g')) / 4) AS BIGINT) AS tok_bpe " +
         "FROM documents")),
 
+    Q("q_unigram_encode",
+      // unigram-LM (SentencePiece-family) Viterbi encoding under a
+      // hand-specified model (a-z at -5, composites at known log-probs)
+      // over four planted word shapes: whole-piece-wins, best-split,
+      // all-chars, and an unknown-char unk fallback — the oracle is the
+      // hand-computed segmentation table (the trainer is spec-pinned;
+      // encode is the scan-speed 100 TB path, so IT carries the oracle)
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val base = ('a' to 'z').map(c => c.toString -> -5.0)
+        val m = operators.Unigram.Model(
+          (base ++ Seq("data" -> -1.0, "base" -> -1.0, "database" -> -1.5,
+            "na" -> -2.5, "tion" -> -2.0)).map(_._1),
+          (base ++ Seq("data" -> -1.0, "base" -> -1.0, "database" -> -1.5,
+            "na" -> -2.5, "tion" -> -2.0)).map(_._2))
+        val mm = pmod(col("doc_id"), lit(4))
+        val txt = when(mm === 0, lit("database"))
+          .when(mm === 1, lit("basedata nation"))
+          .when(mm === 2, lit("zebra"))
+          .otherwise(lit("xq7"))
+        val d = Tables.load(s, dir)("documents")
+          .select(col("doc_id"), txt.as("text"))
+        operators.Unigram.tokenize(d, m)
+          .select(col("doc_id"),
+            posexplode(col("unigram_pieces")).as(Seq("pos", "piece")))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, CASE doc_id % 4
+            WHEN 0 THEN ['database']
+            WHEN 1 THEN ['base', 'data', 'na', 'tion']
+            WHEN 2 THEN ['z', 'e', 'b', 'r', 'a']
+            ELSE ['x', 'q', '7'] END AS ps
+          FROM documents)
+        SELECT doc_id, CAST(unnest(range(len(ps))) AS INT) AS pos,
+          unnest(ps) AS piece
+        FROM t""".stripMargin.trim)),
+
     Q("q_collapse_repeats",
       // repeated-run collapse (n=1, keep=2): a 4-copy spam run is planted
       // on every doc; the oracle replays the keep-first-2 rule with a

@@ -808,6 +808,106 @@ object TextKernels {
     new GenericArrayData(Array(sortedEntropy(cc, n), sortedEntropy(wc, wn)))
   }
 
+  // ----------------------------------------------------- unigram tokenize
+
+  /** Viterbi-segment every word of single-space-normalized text under a
+    * unigram piece model (SentencePiece decode rule: the segmentation
+    * maximizing Σ log p(piece)) — the scan-speed deployment half of
+    * `graft.operators.Unigram`. The piece table rides in as two literal
+    * arrays; each executor thread parses it into a hash map once
+    * (identity-cached, same discipline as the BPE table). Characters
+    * absent from the table fall back to `unkLogp` as single-char pieces,
+    * so every input segments. Ties break toward the LONGER final piece
+    * (fewer pieces overall), deterministically. */
+  def unigramSegmentCol(
+      normText: Column, pieces: Seq[String], logps: Seq[Double],
+      unkLogp: Double): Column = GraftColumnBridge.column(
+    StaticInvoke(
+      TextKernels.getClass, ArrayType(StringType, containsNull = false),
+      "unigramSegment",
+      Seq(GraftColumnBridge.expression(normText),
+        Literal.create(pieces, ArrayType(StringType, containsNull = false)),
+        Literal.create(logps, ArrayType(DoubleType, containsNull = false)),
+        Literal(unkLogp)),
+      Seq(StringType, ArrayType(StringType, containsNull = false),
+        ArrayType(DoubleType, containsNull = false), DoubleType),
+      returnNullable = false))
+
+  private val uniTableCache =
+    new ThreadLocal[(AnyRef, java.util.HashMap[String, java.lang.Double], Int)]
+
+  private def uniTable(pieces: ArrayData, logps: ArrayData)
+      : (java.util.HashMap[String, java.lang.Double], Int) = {
+    val cached = uniTableCache.get()
+    if (cached != null && (cached._1 eq pieces)) (cached._2, cached._3)
+    else {
+      val n = pieces.numElements()
+      val m = new java.util.HashMap[String, java.lang.Double](n * 2)
+      var maxLen = 1
+      var i = 0
+      while (i < n) {
+        val p = pieces.getUTF8String(i).toString
+        m.put(p, logps.getDouble(i))
+        if (p.length > maxLen) maxLen = p.length
+        i += 1
+      }
+      uniTableCache.set((pieces, m, maxLen))
+      (m, maxLen)
+    }
+  }
+
+  def unigramSegment(norm: UTF8String, pieces: ArrayData, logps: ArrayData,
+      unkLogp: Double): ArrayData = {
+    val (map, maxLen) = uniTable(pieces, logps)
+    val out = new java.util.ArrayList[Any]()
+    val s = norm.toString
+    var ws = 0
+    while (ws <= s.length) {
+      var we = s.indexOf(' ', ws)
+      if (we < 0) we = s.length
+      if (we > ws) {
+        val word = s.substring(ws, we)
+        val L = word.length
+        val best = new Array[Double](L + 1)
+        val back = new Array[Int](L + 1)
+        var j = 1
+        while (j <= L) {
+          best(j) = Double.NegativeInfinity
+          var l = 1
+          val lMax = math.min(maxLen, j)
+          while (l <= lMax) {
+            val lp0 = map.get(word.substring(j - l, j))
+            val lp = if (lp0 != null) lp0.doubleValue()
+                     else if (l == 1) unkLogp
+                     else Double.NegativeInfinity
+            val sc = best(j - l) + lp
+            // strictly better, or equal score with a longer final piece
+            if (sc > best(j) || (sc == best(j) && l > back(j))) {
+              best(j) = sc; back(j) = l
+            }
+            l += 1
+          }
+          j += 1
+        }
+        // reconstruct (pieces come out reversed, then flipped in place)
+        val first = out.size()
+        var at = L
+        while (at > 0) {
+          out.add(UTF8String.fromString(word.substring(at - back(at), at)))
+          at -= back(at)
+        }
+        var lo = first
+        var hi = out.size() - 1
+        while (lo < hi) {
+          val t = out.get(lo); out.set(lo, out.get(hi)); out.set(hi, t)
+          lo += 1; hi -= 1
+        }
+      }
+      ws = we + 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Collapse runs of consecutively repeated word n-grams in
     * single-space-normalized text: any run of the same n-gram (n =
     * 1..maxN, smaller n collapsed first so "a a a a" never survives as

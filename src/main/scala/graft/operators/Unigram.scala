@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenizer training and deployment (the SentencePiece
+  * family, Kudo 2018) — the second tokenizer the pipeline needs next to
+  * [[Bpe]]: unigram models segment by GLOBAL likelihood instead of greedy
+  * merges, which is what multilingual production tokenizers ship.
+  *
+  * This is the deterministic hard-EM (Viterbi-EM) variant: the E-step
+  * re-segments under the current piece log-probs and counts the chosen
+  * pieces; the M-step renormalizes with add-1 smoothing and anneals the
+  * vocabulary linearly from the seed size down to `vocabSize`
+  * (single-character pieces are never pruned, so coverage is total and
+  * no `<unk>` is reachable for characters seen anywhere in training —
+  * unseen characters at ENCODE time take a fixed `UnkLogp` single-char
+  * fallback).
+  *
+  * Shape at scale (same adjudication as [[Bpe.trainMerges]] and the
+  * k-means/PQ codebooks): ONE corpus pass builds the (word, count)
+  * dictionary — the only data-sized job; seeding and every EM round run
+  * over that model-sized dict (bounded substring fan-out, bounded piece
+  * census), and only piece censuses (≤ seed-size rows) ever reach the
+  * driver. Encoding is one scan-speed kernel pass
+  * ([[graft.functions.TextKernels.unigramSegmentCol]]) with the model as
+  * plan literals — no shuffle, no join, no UDF.
+  */
+object Unigram {
+
+  /** Log-prob of an unknown single-character fallback at encode time —
+    * far below any trained piece so it is only taken when nothing in the
+    * model covers the character. */
+  val UnkLogp: Double = -30.0
+
+  /** A trained model: pieces with natural-log probabilities, ordered
+    * (logp desc, piece asc) — deterministic, export-ready. */
+  final case class Model(pieces: Seq[String], logps: Seq[Double]) {
+    require(pieces.length == logps.length, "pieces/logps must align")
+  }
+
+  /** All char-substring windows of a word up to `maxPieceLen`, as a
+    * Column (bounded fan-out: ≤ len·maxPieceLen per word). */
+  private def substrWindows(w: Column, maxPieceLen: Int): Column =
+    flatten(transform(sequence(lit(1), length(w)), i =>
+      transform(sequence(lit(1), least(lit(maxPieceLen), length(w) - i + 1)),
+        l => w.substr(i, l))))
+
+  private def wordDict(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(TextOps.normalize(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** Train a unigram model. `emIters` Viterbi-EM rounds over the word
+    * dictionary; vocabulary anneals linearly seed → `vocabSize`.
+    * Deterministic: every census orders (count desc, piece asc), all
+    * smoothing is closed-form. */
+  def train(
+      docs: DataFrame,
+      vocabSize: Int,
+      textCol: String = "text",
+      maxPieceLen: Int = 8,
+      seedMultiplier: Int = 4,
+      emIters: Int = 4): Model = {
+    require(vocabSize >= 2, "vocabSize must be >= 2")
+    require(maxPieceLen >= 1 && seedMultiplier >= 1 && emIters >= 0,
+      "bad maxPieceLen/seedMultiplier/emIters")
+    val words = wordDict(docs, textCol).persist()
+    try {
+      val seedSize = vocabSize * seedMultiplier
+      // seed census: substring occurrences weighted by word frequency
+      val seed = words
+        .select(explode(substrWindows(col("w"), maxPieceLen)).as("p"),
+          col("cnt"))
+        .groupBy("p").agg(sum("cnt").as("n"))
+        .orderBy(col("n").desc, col("p"))
+        .limit(seedSize)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      // single characters are the coverage floor: never pruned
+      val chars = words
+        .select(explode(split(col("w"), "")).as("p"))
+        .filter(col("p") =!= "").distinct()
+        .collect().map(_.getString(0)).toSet
+      def toModel(counts: Seq[(String, Long)]): Model = {
+        val total = counts.map(_._2).sum.toDouble
+        val v = counts.size
+        val scored = counts
+          .map { case (p, n) => (p, math.log((n + 1.0) / (total + v))) }
+          .sortBy { case (p, lp) => (-lp, p) }
+        Model(scored.map(_._1), scored.map(_._2))
+      }
+      def prune(counts: Seq[(String, Long)], keep: Int): Seq[(String, Long)] = {
+        val byCount = counts.sortBy { case (p, n) => (-n, p) }
+        val kept = scala.collection.mutable.LinkedHashSet[String]()
+        byCount.iterator.takeWhile(_ => kept.size < keep)
+          .foreach(pn => kept += pn._1)
+        val cm = counts.toMap
+        (kept ++ chars).toSeq.map(p => (p, cm.getOrElse(p, 0L)))
+      }
+      var counts: Seq[(String, Long)] =
+        prune(seed.toSeq, math.max(vocabSize, seedSize))
+      var model = toModel(counts)
+      var round = 1
+      while (round <= emIters) {
+        // E-step: Viterbi-segment the dict under the current model,
+        // count chosen pieces weighted by word frequency
+        val census = words
+          .select(explode(segment(col("w"), model)).as("p"), col("cnt"))
+          .groupBy("p").agg(sum("cnt").as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+        // M-step with linear vocabulary annealing toward vocabSize
+        val keep = math.max(vocabSize,
+          ((seedSize.toLong * (emIters - round) +
+            vocabSize.toLong * round) / emIters).toInt)
+        counts = prune(census, keep)
+        model = toModel(counts)
+        round += 1
+      }
+      model
+    } finally words.unpersist()
+  }
+
+  /** Viterbi segmentation of normalized text under `model` — one kernel
+    * expression, model as plan literals. */
+  def segment(normText: Column, model: Model): Column =
+    graft.functions.TextKernels.unigramSegmentCol(
+      normText, model.pieces, model.logps, UnkLogp)
+
+  /** Tokenize a corpus: adds `outCol` = flattened unigram pieces of the
+    * normalized text. Scan-speed, one scan, zero shuffle. */
+  def tokenize(
+      docs: DataFrame,
+      model: Model,
+      textCol: String = "text",
+      outCol: String = "unigram_pieces"): DataFrame =
+    docs.withColumn(outCol,
+      segment(TextOps.normalize(col(textCol)), model))
+
+  /** The model as a DataFrame (id, piece, logp) — the exportable
+    * artifact (ids are dense in (logp desc, piece asc) order). */
+  def vocabDf(spark: org.apache.spark.sql.SparkSession,
+      model: Model): DataFrame = {
+    import spark.implicits._
+    model.pieces.indices
+      .map(i => (i, model.pieces(i), model.logps(i)))
+      .toDF("id", "piece", "logp")
+  }
+
+  /** Mean corpus negative log-likelihood per word under `model` — the
+    * training-progress / tokenizer-health audit (lower = the model
+    * explains the corpus better). One dict pass. */
+  def corpusNll(docs: DataFrame, model: Model,
+      textCol: String = "text"): Double = {
+    val lp = typedLit(model.logps)
+    val idx = typedLit(model.pieces)
+    val pos = array_position(idx, col("p"))
+    val r = wordDict(docs, textCol)
+      .select(col("cnt"), explode(segment(col("w"), model)).as("p"))
+      .select(col("cnt"),
+        when(pos > 0, element_at(lp, pos.cast("int")))
+          .otherwise(lit(UnkLogp)).as("lp"))
+      .agg(sum(col("lp") * col("cnt")).as("ll"), sum("cnt").as("n"))
+      .head()
+    -r.getDouble(0) / r.getLong(1)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{SparkTestBase, Tables}
+
+/** Unigram-LM tokenizer: Viterbi decode rule, hard-EM training. */
+class UnigramSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val charModel: Seq[(String, Double)] =
+    ('a' to 'z').map(c => c.toString -> -5.0)
+
+  private def model(extra: (String, Double)*): Unigram.Model = {
+    val all = charModel ++ extra
+    Unigram.Model(all.map(_._1), all.map(_._2))
+  }
+
+  private def seg(text: String, m: Unigram.Model): Seq[String] =
+    Seq(text).toDF("text")
+      .select(Unigram.segment(TextOps.normalize(col("text")), m).as("p"))
+      .head().getSeq[String](0)
+
+  test("Viterbi picks the max-likelihood segmentation, not greedy prefixes") {
+    val m = model("foo" -> -2.0, "bar" -> -2.0, "foobar" -> -3.5,
+      "na" -> -2.5, "tion" -> -2.0)
+    assert(seg("foobar", m) == Seq("foobar"))           // -3.5 beats -4
+    assert(seg("nation", m) == Seq("na", "tion"))       // -4.5 beats chars
+    assert(seg("barfoo zebra", m) ==
+      Seq("bar", "foo", "z", "e", "b", "r", "a"))
+    // whole-word piece loses when the split is more likely
+    val m2 = model("foo" -> -2.0, "bar" -> -2.0, "foobar" -> -4.5)
+    assert(seg("foobar", m2) == Seq("foo", "bar"))
+  }
+
+  test("unknown characters fall back to single-char unk pieces; ties prefer the longer piece") {
+    assert(seg("xq7", model()) == Seq("x", "q", "7"))
+    // exact tie: "aa" at -10 equals a+a at -10 → longer piece wins
+    val m = model("aa" -> -10.0)
+    assert(seg("aa", m) == Seq("aa"))
+    assert(seg("", model()) == Seq.empty)
+  }
+
+  test("hard-EM training recovers planted composite pieces and is deterministic") {
+    val docs = Seq.fill(50)("ab ab cd").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val m = Unigram.train(docs, vocabSize = 6, maxPieceLen = 2, emIters = 3)
+    val top = m.pieces.zip(m.logps).sortBy(-_._2).take(2).map(_._1).toSet
+    assert(top == Set("ab", "cd"), m.pieces.zip(m.logps).toString)
+    // segmentation under the trained model uses the composites
+    assert(seg("abcd", m) == Seq("ab", "cd"))
+    // deterministic refit
+    val m2 = Unigram.train(docs, vocabSize = 6, maxPieceLen = 2, emIters = 3)
+    assert(m.pieces == m2.pieces && m.logps == m2.logps)
+    // the trained model explains the corpus better than its char baseline
+    val chars = Unigram.train(docs, vocabSize = 6, maxPieceLen = 1,
+      emIters = 1)
+    assert(Unigram.corpusNll(docs, m) < Unigram.corpusNll(docs, chars))
+  }
+
+  test("tokenize covers the corpus exactly: pieces concatenate back to the normalized words") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001")("documents")
+      .limit(100)
+    val m = Unigram.train(docs, vocabSize = 500, maxPieceLen = 4,
+      emIters = 2)
+    val bad = Unigram.tokenize(docs, m)
+      .select(
+        regexp_replace(TextOps.normalize(col("text")), " ", "").as("want"),
+        concat_ws("", col("unigram_pieces")).as("got"))
+      .where(col("want") =!= col("got"))
+    assert(bad.count() == 0)
+    // vocabDf exports the aligned model
+    val v = Unigram.vocabDf(spark, m)
+    assert(v.count() == m.pieces.size)
+    assert(v.where(col("logp") > 0).count() == 0)
+  }
+}
