@@ -136,6 +136,26 @@ object Unigram {
     docs.withColumn(outCol,
       segment(TextOps.normalize(col(textCol)), model))
 
+  /** Tokenize straight to integer ids: id = model position + 1, with 0
+    * reserved for the unknown-character fallback pieces the encoder can
+    * emit for characters unseen at training time (the same <unk>=0
+    * convention as [[Bpe.tokenizeIds]]; [[vocabDf]] ids are these minus
+    * 1). */
+  def tokenizeIds(
+      docs: DataFrame,
+      model: Model,
+      textCol: String = "text",
+      outCol: String = "token_ids"): DataFrame = {
+    val lookup = typedLit(
+      model.pieces.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap)
+    val tmp = Iterator.iterate("__pieces")(_ + "_")
+      .dropWhile(docs.columns.contains).next()
+    tokenize(docs, model, textCol, tmp)
+      .withColumn(outCol,
+        transform(col(tmp), p => coalesce(element_at(lookup, p), lit(0))))
+      .drop(tmp)
+  }
+
   /** The model as a DataFrame (id, piece, logp) — the exportable
     * artifact (ids are dense in (logp desc, piece asc) order). */
   def vocabDf(spark: org.apache.spark.sql.SparkSession,

@@ -74,5 +74,18 @@ class UnigramSpec extends AnyFunSuite {
     val v = Unigram.vocabDf(spark, m)
     assert(v.count() == m.pieces.size)
     assert(v.where(col("logp") > 0).count() == 0)
+
+    // ids round-trip: id k>0 names pieces(k-1); unk only for unseen chars
+    val ids = Unigram.tokenizeIds(docs, m)
+      .select(explode(col("token_ids")).as("id"))
+    assert(ids.where(col("id") === 0).count() == 0) // corpus chars all covered
+    val back = Unigram.tokenizeIds(docs, m)
+      .select(col("doc_id"),
+        transform(col("token_ids"),
+          i => element_at(typedLit(m.pieces), i)).as("p"))
+    val direct = Unigram.tokenize(docs, m)
+      .select(col("doc_id"), col("unigram_pieces").as("p"))
+    assert(back.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(back).count() == 0)
   }
 }
