@@ -463,4 +463,18 @@ object Packing {
     val sorted = parts.sortWithinPartitions(col("zkey"))
     if (keepKey) sorted else sorted.drop("zkey")
   }
+
+  /** Materialize the Z-ordered layout on disk — the write half of
+    * [[zorderBy]] (same discipline as [[writeShards]]): one range
+    * shuffle, one ordered file per partition, every clustering column
+    * carrying tight per-file min/max for scan pruning. */
+  def zorderWrite(
+      df: DataFrame,
+      path: String,
+      cols: Seq[String],
+      bits: Int = 8,
+      numParts: Int = 0,
+      format: String = "parquet"): Unit =
+    zorderBy(df, cols, bits, numParts)
+      .write.format(format).mode("overwrite").save(path)
 }

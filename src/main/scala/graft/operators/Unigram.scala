@@ -156,6 +156,56 @@ object Unigram {
       .drop(tmp)
   }
 
+  // ------------------------------------------------------ byte-level mode
+
+  private def proxyTmp(docs: DataFrame): String =
+    Iterator.iterate("__bytes")(_ + "_")
+      .dropWhile(docs.columns.contains).next()
+
+  /** [[train]] over the byte-proxy representation
+    * ([[Bpe.byteProxyText]]): pieces are byte sequences as proxy
+    * strings, the base alphabet is the 256 bytes, and `<unk>` fallback
+    * is unreachable for ANY input — the GPT-2-style byte-level twin,
+    * sharing the BPE byte machinery. */
+  def trainBytes(
+      docs: DataFrame,
+      vocabSize: Int,
+      textCol: String = "text",
+      maxPieceLen: Int = 8,
+      seedMultiplier: Int = 4,
+      emIters: Int = 4): Model = {
+    val tmp = proxyTmp(docs)
+    train(docs.withColumn(tmp, Bpe.byteProxyText(col(textCol))),
+      vocabSize, tmp, maxPieceLen, seedMultiplier, emIters)
+  }
+
+  /** [[tokenize]] over the byte-proxy representation (pieces are proxy
+    * strings; decode back via
+    * [[graft.functions.TextKernels.byteUnproxy]]). */
+  def tokenizeBytes(
+      docs: DataFrame,
+      model: Model,
+      textCol: String = "text",
+      outCol: String = "unigram_pieces"): DataFrame = {
+    val tmp = proxyTmp(docs)
+    tokenize(docs.withColumn(tmp, Bpe.byteProxyText(col(textCol))),
+      model, tmp, outCol).drop(tmp)
+  }
+
+  /** [[tokenizeIds]] over the byte-proxy representation — unk id 0 is
+    * unreachable when the model was trained with [[trainBytes]] on any
+    * corpus covering the byte alphabet (single bytes are never pruned).
+    */
+  def tokenizeIdsBytes(
+      docs: DataFrame,
+      model: Model,
+      textCol: String = "text",
+      outCol: String = "token_ids"): DataFrame = {
+    val tmp = proxyTmp(docs)
+    tokenizeIds(docs.withColumn(tmp, Bpe.byteProxyText(col(textCol))),
+      model, tmp, outCol).drop(tmp)
+  }
+
   /** The model as a DataFrame (id, piece, logp) — the exportable
     * artifact (ids are dense in (logp desc, piece asc) order). */
   def vocabDf(spark: org.apache.spark.sql.SparkSession,

@@ -80,6 +80,28 @@ class LayoutSpec extends AnyFunSuite {
       s"z-layout left partkey unclustered: ${pkSpans.toSeq} vs global $global")
   }
 
+  test("zorderWrite materializes a pruning-friendly layout: per-file spans tighten on every dimension") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toFile
+    val path = new java.io.File(dir, "li").getAbsolutePath
+    Packing.zorderWrite(li, path, Seq("l_partkey", "l_suppkey"),
+      bits = 8, numParts = 6)
+    val back = spark.read.parquet(path)
+    assert(back.count() == li.count())
+    assert(back.columns.toSet == li.columns.toSet) // zkey dropped
+    // per-FILE min/max on the first clustering dimension must be a
+    // strict subset of the global range for most files (the property
+    // parquet row-group pruning exploits)
+    val spans = back.select(input_file_name().as("f"), col("l_partkey"))
+      .groupBy("f").agg((max("l_partkey") - min("l_partkey")).as("span"))
+      .as[(String, Long)].collect().map(_._2)
+    val global = li.agg(max("l_partkey") - min("l_partkey"))
+      .head().getLong(0)
+    assert(spans.length >= 5, s"expected ~6 files, got ${spans.length}")
+    assert(spans.count(_ < global) >= 2,
+      s"no per-file tightening: ${spans.toSeq} vs $global")
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("zorderKey null and validation behavior") {
     val df = Seq((Some(1L), 2L), (None, 5L)).toDF("a", "b")
     val keys = Packing.zorderKey(df, Seq("a", "b"), bits = 4)

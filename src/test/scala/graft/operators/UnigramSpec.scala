@@ -88,4 +88,27 @@ class UnigramSpec extends AnyFunSuite {
     assert(back.exceptAll(direct).count() == 0 &&
       direct.exceptAll(back).count() == 0)
   }
+
+  test("byte-level mode: no unk on covered input, pieces decode back through the proxy") {
+    val docs = Seq((1L, "héllo héllo wörld"), (2L, "héllo wörld"))
+      .toDF("doc_id", "text")
+    val m = Unigram.trainBytes(docs, vocabSize = 40, maxPieceLen = 4,
+      emIters = 2)
+    val ids = Unigram.tokenizeIdsBytes(docs, m)
+      .select(explode(col("token_ids")).as("id"))
+    assert(ids.count() > 0 && ids.where(col("id") === 0).count() == 0)
+    // multi-byte words survive the proxy round trip piece-by-piece
+    val bad = Unigram.tokenizeBytes(docs, m)
+      .select(
+        regexp_replace(TextOps.normalize(col("text")), " ", "").as("want"),
+        graft.functions.TextKernels.byteUnproxyCol(
+          concat_ws("", col("unigram_pieces"))).as("got"))
+      .where(col("want") =!= col("got"))
+    assert(bad.count() == 0)
+    // characters whose bytes never appeared in training DO take unk
+    val unseen = Unigram.tokenizeIdsBytes(
+      Seq((9L, "zzz")).toDF("doc_id", "text"), m)
+      .select(explode(col("token_ids")).as("id"))
+    assert(unseen.where(col("id") === 0).count() > 0)
+  }
 }
