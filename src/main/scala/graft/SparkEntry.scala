@@ -1595,6 +1595,29 @@ object SparkEntry {
             (e, i) -> i <= 2 OR NOT (e = w[i-1] AND e = w[i-2])), ' ') AS cleaned
         FROM t""".stripMargin.trim)),
 
+    Q("q_collapse_phrases",
+      // multi-word phrase-run collapse (maxN=3, keep=1) over four planted
+      // shapes: bigram run, word run, word-run-inside-phrase-context, and
+      // a trigram run — the oracle is the hand-computed result table
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val m = pmod(col("doc_id"), lit(4))
+        val t = when(m === 0, lit("click here click here click here now"))
+          .when(m === 1, lit("a a a a b"))
+          .when(m === 2, lit("go go go stop go go go stop done"))
+          .otherwise(lit("one two three one two three one two three end"))
+        Tables.load(s, dir)("documents").select(col("doc_id"),
+          operators.TextOps.collapseRepeats(t, maxN = 3, keep = 1)
+            .as("cleaned"))
+      },
+      Some("""
+        SELECT doc_id, CASE doc_id % 4
+          WHEN 0 THEN 'click here now'
+          WHEN 1 THEN 'a b'
+          WHEN 2 THEN 'go stop done'
+          ELSE 'one two three end' END AS cleaned
+        FROM documents""".stripMargin.trim)),
+
     Q("q_repetition",
       // Gopher-style repetition signals (one-pass kernel)
       (s, dir) => operators.TextOps.repetitionMetrics(Tables.load(s, dir)("documents"))
@@ -1802,6 +1825,28 @@ object SparkEntry {
         FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
         ORDER BY round(coalesce(sc.s, 0.0), 6) DESC, d.doc_id
         LIMIT 40""".stripMargin)),
+
+    Q("q_gumbel_topk",
+      // Gumbel top-k weighted sampling without replacement: log-weight
+      // ln(n_chars) + derived Gumbel noise from the portable (seed, id)
+      // hash, 1e-6-quantized keys, deterministic tie order — the oracle
+      // replays noise, key and ranking verbatim
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        operators.Sampling.gumbelTopK(
+            Tables.load(s, dir)("documents"),
+            log(col("n_chars").cast("double")), k = 60)
+          .select("doc_id", "sample_key")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+            round(ln(n_chars::DOUBLE) - ln(-ln(
+              ((('0x' || substr(md5('42:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                % 1000000) + 0.5) / 1000000.0)), 6) AS sample_key
+          FROM documents)
+        SELECT doc_id, sample_key FROM t
+        ORDER BY sample_key DESC, doc_id LIMIT 60""".stripMargin.trim)),
 
     Q("q_sample_budget",
       // token-budget data mix: per-group keep rates min(1, frac·budget/T_g)

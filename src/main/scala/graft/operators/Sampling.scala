@@ -442,6 +442,35 @@ object Sampling {
       .drop("__gb")
   }
 
+  /** Weighted sampling WITHOUT replacement via the Gumbel top-k trick
+    * (Efraimidis–Spirakis reservoir equivalently): keep the k rows with
+    * the largest `logWeight + Gumbel(0,1)` — each row's selection
+    * probability is proportional to exp(logWeight), exactly, without a
+    * normalizing pass. The noise is DERIVED, not random: u from the
+    * portable md5 hash of (seed, id), g = −ln(−ln(u)) — so the sample is
+    * reproducible run-over-run, resharding-proof, engine-replayable (the
+    * repo-wide determinism contract), and re-seedable for fresh draws.
+    * Keys quantize to 1e-6 before ranking (ties then break on the id),
+    * and the rank is a top-k TakeOrderedAndProject: one scan,
+    * per-partition heaps, never a global sort. This is the resampling
+    * step the DSIR paper puts after [[importanceWeights]] — pass the
+    * dsir_score as the log-weight. */
+  def gumbelTopK(
+      df: DataFrame,
+      logWeight: Column,
+      k: Int,
+      idCol: String = "doc_id",
+      seed: Long = 42L,
+      keyCol: String = "sample_key"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (pmod(TextOps.portableHash60(
+        concat_ws(":", lit(seed.toString), col(idCol).cast("string"))),
+      lit(1000000L)).cast("double") + 0.5) / 1000000.0
+    df.withColumn(keyCol, round(logWeight - log(-log(u)), 6))
+      .orderBy(col(keyCol).desc, col(idCol))
+      .limit(k)
+  }
+
   /** The DSIR selection step: keep the `k` raw documents with the highest
     * importance weight. Scores are quantized to 1e-6 before ranking (ties
     * then break on the id), which makes the selected set reproducible

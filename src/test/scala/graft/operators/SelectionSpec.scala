@@ -45,6 +45,26 @@ class SelectionSpec extends AnyFunSuite {
     assert(again == picked)
   }
 
+  test("gumbelTopK: deterministic per seed, seed-sensitive, weight-faithful") {
+    val w = when(col("doc_id") === 7L, lit(10.0)).otherwise(lit(0.0))
+    def draw(seed: Long) = Sampling.gumbelTopK(docs, w, k = 20, seed = seed)
+      .select("doc_id").as[Long].collect().toSet
+    val a = draw(1L)
+    assert(a.size == 20)
+    assert(a == draw(1L)) // same seed → same sample
+    val seeds = (1L to 6L).map(draw)
+    assert(seeds.distinct.size > 1, "different seeds never changed the sample")
+    // a +10 log-weight (e^10 relative odds) row survives every draw
+    seeds.foreach(s => assert(s.contains(7L)))
+    // uniform weights: selection rate over seeds is roughly uniform —
+    // no doc should appear in every one of 12 independent 20-of-500 draws
+    val uni = (1L to 12L).map(s =>
+      Sampling.gumbelTopK(docs, lit(0.0), k = 20, seed = s)
+        .select("doc_id").as[Long].collect().toSet)
+    val always = uni.reduce(_ intersect _)
+    assert(always.isEmpty, s"docs selected in all 12 uniform draws: $always")
+  }
+
   test("corpusOverlap: sketch mode matches exact mode at fixture cardinality; slices behave") {
     val a = docs.where(col("doc_id") < 300)
     val b = docs.where(col("doc_id") >= 200)
