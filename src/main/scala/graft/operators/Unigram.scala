@@ -77,6 +77,8 @@ object Unigram {
         .limit(seedSize)
         .collect().map(r => r.getString(0) -> r.getLong(1))
       // single characters are the coverage floor: never pruned
+      require(seed.nonEmpty,
+        "unigram training needs a non-empty corpus (no words found)")
       val chars = words
         .select(explode(split(col("w"), "")).as("p"))
         .filter(col("p") =!= "").distinct()
