@@ -867,7 +867,25 @@ object TextKernels {
       if (we < 0) we = s.length
       if (we > ws) {
         val word = s.substring(ws, we)
-        val L = word.length
+        // DP over CODE POINTS (char offsets per position), so the
+        // single-char unk fallback consumes a whole code point — a
+        // UTF-16 walk would split an unseen supplementary character
+        // into two lone-surrogate "pieces". A piece of N chars spans
+        // ≤ N code points, so maxLen (chars) bounds the window safely.
+        var cpCount = 0
+        var ci = 0
+        while (ci < word.length) {
+          ci += Character.charCount(word.codePointAt(ci)); cpCount += 1
+        }
+        val off = new Array[Int](cpCount + 1)
+        ci = 0
+        var k = 0
+        while (k < cpCount) {
+          off(k) = ci
+          ci += Character.charCount(word.codePointAt(ci)); k += 1
+        }
+        off(cpCount) = word.length
+        val L = cpCount
         val best = new Array[Double](L + 1)
         val back = new Array[Int](L + 1)
         var j = 1
@@ -876,7 +894,7 @@ object TextKernels {
           var l = 1
           val lMax = math.min(maxLen, j)
           while (l <= lMax) {
-            val lp0 = map.get(word.substring(j - l, j))
+            val lp0 = map.get(word.substring(off(j - l), off(j)))
             val lp = if (lp0 != null) lp0.doubleValue()
                      else if (l == 1) unkLogp
                      else Double.NegativeInfinity
@@ -893,7 +911,8 @@ object TextKernels {
         val first = out.size()
         var at = L
         while (at > 0) {
-          out.add(UTF8String.fromString(word.substring(at - back(at), at)))
+          out.add(UTF8String.fromString(
+            word.substring(off(at - back(at)), off(at))))
           at -= back(at)
         }
         var lo = first

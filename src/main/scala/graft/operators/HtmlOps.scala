@@ -150,21 +150,29 @@ object HtmlOps {
     */
   def metaRobots(df: DataFrame, htmlCol: String = "html"): DataFrame = {
     val h = col(htmlCol)
-    def first(p1: String, p2: String): Column = {
-      val a = regexp_extract(h, p1, 1)
-      val b = regexp_extract(h, p2, 1)
-      when(a =!= "", a).when(b =!= "", b)
-    }
-    val content = lower(coalesce(first(
-      "(?is)<meta[^>]*name=\"robots\"[^>]*content=\"([^\"]*)\"",
-      "(?is)<meta[^>]*content=\"([^\"]*)\"[^>]*name=\"robots\""), lit("")))
+    // ALL tags of a kind in document order, then filter/extract per tag —
+    // attribute order stops mattering, multiple robots metas all count,
+    // and "first canonical" is genuinely first in the document (the
+    // two-pattern regexp_extract draft read one tag per PATTERN, so a
+    // second meta's directives were dropped and a later rel-first link
+    // outranked an earlier href-first one)
+    val robotsTags = filter(
+      regexp_extract_all(h, lit("(?is)<meta[^>]*>"), lit(0)),
+      t => t.rlike("(?is)name=\"robots\""))
+    val content = lower(array_join(
+      transform(robotsTags,
+        t => regexp_extract(t, "(?is)content=\"([^\"]*)\"", 1)), ","))
     def hasTok(t: String): Column =
-      content.rlike(s"(^|[ ,])[ ]*($t|none)[ ]*($$|[ ,])")
+      content.rlike(s"(^|[\\s,])[\\s]*($t|none)[\\s]*($$|[\\s,])")
+    val canonTags = filter(
+      regexp_extract_all(h, lit("(?is)<link[^>]*>"), lit(0)),
+      t => t.rlike("(?is)rel=\"canonical\""))
+    val canon = regexp_extract(
+      get(canonTags, lit(0)), "(?is)href=\"([^\"]*)\"", 1)
     df.withColumn("robots_noindex", hasTok("noindex"))
       .withColumn("robots_nofollow", hasTok("nofollow"))
-      .withColumn("canonical_url", first(
-        "(?is)<link[^>]*rel=\"canonical\"[^>]*href=\"([^\"]*)\"",
-        "(?is)<link[^>]*href=\"([^\"]*)\"[^>]*rel=\"canonical\""))
+      .withColumn("canonical_url",
+        when(size(canonTags) > 0 && canon =!= "", canon))
       .withColumn("n_nofollow_links",
         size(regexp_extract_all(h,
           lit("(?is)<a[^>]*rel=\"[^\"]*nofollow[^\"]*\"[^>]*>"), lit(0))))

@@ -422,6 +422,8 @@ object Packing {
         }): _*).head()
     val maxB = (1L << bits) - 1
     val buckets = cols.indices.map { i =>
+      require(!mm.isNullAt(2 * i),
+        s"column ${cols(i)} has no non-null values to cluster on")
       val lo = mm.getLong(2 * i); val hi = mm.getLong(2 * i + 1)
       require(hi - lo < (1L << 47),
         s"column ${cols(i)} range ${hi - lo} too wide for exact scaling")

@@ -328,9 +328,17 @@ object Sketches {
         hll_sketch_agg(keyA.cast("string"), lit(lgK)).as("sa"))
       val sb = b.agg(
         hll_sketch_agg(keyB.cast("string"), lit(lgK)).as("sb"))
-      val nA = hll_sketch_estimate(col("sa"))
-      val nB = hll_sketch_estimate(col("sb"))
-      val nU = hll_sketch_estimate(hll_union(col("sa"), col("sb"), allowDifferentLgConfigK = false))
+      // an EMPTY side aggregates to a NULL sketch; exact mode reports
+      // zeros there, so coalesce estimates (and route the union around
+      // the null sketch) to keep the two documented-equivalent modes
+      // equivalent
+      val nA = coalesce(hll_sketch_estimate(col("sa")), lit(0L))
+      val nB = coalesce(hll_sketch_estimate(col("sb")), lit(0L))
+      val nU = when(col("sa").isNull && col("sb").isNull, lit(0L))
+        .when(col("sa").isNull, nB)
+        .when(col("sb").isNull, nA)
+        .otherwise(hll_sketch_estimate(
+          hll_union(col("sa"), col("sb"), allowDifferentLgConfigK = false)))
       sa.crossJoin(sb)
         .select(nA.as("__a"), nB.as("__b"), nU.as("__u"))
         .select(out(col("__a"), col("__b"), col("__u"),

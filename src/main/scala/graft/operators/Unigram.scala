@@ -118,7 +118,11 @@ object Unigram {
         model = toModel(counts)
         round += 1
       }
-      model
+      // the last EM round anneals to exactly vocabSize; this final prune
+      // is a no-op there but enforces the contract for emIters = 0,
+      // which previously returned the whole seed-sized vocabulary
+      counts = prune(counts, vocabSize)
+      toModel(counts)
     } finally words.unpersist()
   }
 
@@ -218,21 +222,27 @@ object Unigram {
       .toDF("id", "piece", "logp")
   }
 
-  /** Mean corpus negative log-likelihood per word under `model` — the
+  /** Mean corpus negative log-likelihood per WORD under `model` — the
     * training-progress / tokenizer-health audit (lower = the model
-    * explains the corpus better). One dict pass. */
+    * explains the corpus better). The denominator is the corpus word
+    * count, NOT the piece count: dividing by pieces would dilute a
+    * high-fertility model's NLL by its own fertility and bias
+    * cross-model comparisons. Two passes over the (persisted) dict. */
   def corpusNll(docs: DataFrame, model: Model,
       textCol: String = "text"): Double = {
     val lp = typedLit(model.logps)
     val idx = typedLit(model.pieces)
     val pos = array_position(idx, col("p"))
-    val r = wordDict(docs, textCol)
-      .select(col("cnt"), explode(segment(col("w"), model)).as("p"))
-      .select(col("cnt"),
-        when(pos > 0, element_at(lp, pos.cast("int")))
-          .otherwise(lit(UnkLogp)).as("lp"))
-      .agg(sum(col("lp") * col("cnt")).as("ll"), sum("cnt").as("n"))
-      .head()
-    -r.getDouble(0) / r.getLong(1)
+    val dict = wordDict(docs, textCol).persist()
+    try {
+      val nWords = dict.agg(sum("cnt")).head().getLong(0)
+      val ll = dict
+        .select(col("cnt"), explode(segment(col("w"), model)).as("p"))
+        .select(col("cnt"),
+          when(pos > 0, element_at(lp, pos.cast("int")))
+            .otherwise(lit(UnkLogp)).as("lp"))
+        .agg(sum(col("lp") * col("cnt"))).head().getDouble(0)
+      -ll / nWords
+    } finally dict.unpersist()
   }
 }

@@ -67,7 +67,7 @@ object WebOps {
     df.withColumn("url_len", length(u))
       .withColumn("url_depth", pathDepth(u))
       .withColumn("n_params",
-        when(q === "", lit(0)).otherwise(size(split(q, "&"))))
+        size(filter(split(q, "&"), s => s =!= "")))
       .withColumn("n_host_labels",
         when(h.isNull, lit(null)).otherwise(size(split(h, "\\."))))
       .withColumn("digit_ratio",

@@ -127,6 +127,17 @@ class HtmlOpsSpec extends AnyFunSuite {
     val r5 = one("<meta id=\"m\" name=\"robots\" data-x=\"1\" content=\"none\">" +
       "<a class=\"c\" rel=\"me nofollow ugc\" href=\"/q\">q</a>")
     assert(r5.getBoolean(0) && r5.getBoolean(1) && r5.getInt(3) == 1)
+    // MULTIPLE robots metas all count (directives union)
+    val r6 = one("<meta name=\"robots\" content=\"nofollow\">" +
+      "<meta name=\"robots\" content=\"noindex\">")
+    assert(r6.getBoolean(0) && r6.getBoolean(1))
+    // first canonical in DOCUMENT order wins regardless of attribute order
+    val r7 = one("<link href=\"https://first.com/a\" rel=\"canonical\">" +
+      "<link rel=\"canonical\" href=\"https://second.com/b\">")
+    assert(r7.getString(2) == "https://first.com/a")
+    // whitespace-separated directive tokens (newline/tab) still match
+    val r8 = one("<meta name=\"robots\" content=\"noindex,\n\tnofollow\">")
+    assert(r8.getBoolean(0) && r8.getBoolean(1))
   }
 
   test("meanPool matches the per-dimension explode formulation and skips ragged vectors") {

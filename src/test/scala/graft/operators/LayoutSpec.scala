@@ -117,5 +117,11 @@ class LayoutSpec extends AnyFunSuite {
       Packing.zorderKey(li, Seq("l_partkey", "l_suppkey", "l_orderkey",
         "l_partkey"), bits = 16)
     }
+    // an all-NULL clustering column fails with a diagnostic, not an NPE
+    val allNull = Seq((None: Option[Long], 1L), (None, 2L)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Packing.zorderKey(allNull, Seq("a", "b"), bits = 4)
+    }
+    assert(e.getMessage.contains("no non-null values"))
   }
 }

@@ -64,5 +64,11 @@ class QualitySignalsSpec extends AnyFunSuite {
       Seq(("http://x.com/?last_utm_x=1&p=butm_z", 1L)).toDF("url", "id"))
       .head()
     assert(!g.getAs[Boolean]("has_tracking"))
+    // trailing/doubled '&' must not inflate the parameter count
+    val h = WebOps.urlFeatures(
+      Seq(("http://x.com/p?a=1&", 1L), ("http://x.com/p?a=1&&b=2", 2L))
+        .toDF("url", "id")).orderBy("id").collect()
+    assert(h(0).getAs[Int]("n_params") == 1)
+    assert(h(1).getAs[Int]("n_params") == 2)
   }
 }

@@ -89,5 +89,17 @@ class SelectionSpec extends AnyFunSuite {
     assert(same.getLong(0) == same.getLong(3))
     assert(same.getDouble(4) == 1.0 && same.getDouble(5) == 1.0 &&
       same.getDouble(6) == 1.0)
+    // an EMPTY side: sketch mode must report the same zeros exact does
+    // (a null HLL sketch must not leak null counts)
+    val empty = docs.where(col("doc_id") < 0)
+    val se = Sketches.corpusOverlap(empty, docs,
+      col("doc_id"), col("doc_id")).head()
+    val ee = Sketches.corpusOverlap(empty, docs,
+      col("doc_id"), col("doc_id"), exact = true).head()
+    (0 until 4).foreach(i => assert(se.getLong(i) == ee.getLong(i),
+      s"col $i: sketch ${se.getLong(i)} vs exact ${ee.getLong(i)}"))
+    val bothEmpty = Sketches.corpusOverlap(empty, empty,
+      col("doc_id"), col("doc_id")).head()
+    (0 until 4).foreach(i => assert(bothEmpty.getLong(i) == 0L))
   }
 }

@@ -40,6 +40,23 @@ class UnigramSpec extends AnyFunSuite {
     val m = model("aa" -> -10.0)
     assert(seg("aa", m) == Seq("aa"))
     assert(seg("", model()) == Seq.empty)
+    // an unseen SUPPLEMENTARY code point falls back as ONE piece (a
+    // UTF-16 walk would emit two lone surrogates); the word still
+    // concatenates back
+    val withEmoji = seg("a𝄞b", model())
+    assert(withEmoji == Seq("a", "𝄞", "b"))
+    assert(withEmoji.mkString("") == "a𝄞b")
+  }
+
+  test("corpusNll is per WORD and train(emIters = 0) still prunes to vocabSize") {
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    // hand model: chars at -5 → each word = 2 pieces = -10 → NLL/word 10
+    assert(math.abs(Unigram.corpusNll(docs, model()) - 10.0) < 1e-12)
+    val big = Seq.fill(20)("ab ab cd").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val m0 = Unigram.train(big, vocabSize = 5, maxPieceLen = 2, emIters = 0)
+    // ≤ vocabSize top pieces plus the never-pruned character floor
+    assert(m0.pieces.size <= 5 + 4, m0.pieces.toString)
   }
 
   test("hard-EM training recovers planted composite pieces and is deterministic") {
