@@ -3757,6 +3757,36 @@ object SparkEntry {
         SELECT l.event_id, l.user_id, l.value, r.purchase_value
         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin.trim)),
 
+    Q("q_event_paths",
+      // most-common event paths: 30-minute-gap sessions, first 4 event
+      // types per session in (ts, event_id) order, top-25 paths with
+      // session and distinct-user counts — the oracle replays
+      // sessionization, step ranking and the path census verbatim
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val ev = Tables.load(s, dir)("events")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("t"), col("event_type"))
+        operators.Events.topPaths(ev, Seq("user_id"), "t", "event_type",
+          gap = 1800000000L, tiebreak = "event_id", maxSteps = 4, k = 25)
+      },
+      Some("""
+        WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t, event_type FROM events),
+        s AS (SELECT *, CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+                 OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) > 1800000000
+               THEN 1 ELSE 0 END AS ns FROM e),
+        s2 AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_seq FROM s),
+        r AS (SELECT *, row_number() OVER (PARTITION BY user_id, session_seq
+                 ORDER BY t, event_id) AS step FROM s2),
+        p AS (SELECT user_id, session_seq,
+                array_to_string(list(event_type ORDER BY step), '>') AS path
+              FROM r WHERE step <= 4 GROUP BY user_id, session_seq)
+        SELECT path, count(*) AS n_sessions,
+          count(DISTINCT user_id) AS n_keys
+        FROM p GROUP BY path
+        ORDER BY n_sessions DESC, path LIMIT 25""".stripMargin.trim)),
+
     Q("q_sessionize",
       // row-level gap sessionization: 30-minute gap per user, every event
       // tagged with its session index

@@ -160,6 +160,54 @@ object Events {
       .drop("__ns")
   }
 
+  /** Most-common event paths: sessionize, take each session's first
+    * `maxSteps` event types in time order, and count identical paths
+    * corpus-wide — the "what do users actually do" sequence-mining read
+    * (and, over pipeline telemetry, the dominant-control-flow audit).
+    *
+    * Scale shape: [[sessionize]]'s one key shuffle, then one
+    * (keys, session) aggregation whose collected value is capped at
+    * `maxSteps` SHORT STRINGS per session (the ranked window runs over a
+    * slim (keys, session, ts, type) projection — payload columns never
+    * ride the sort), then a bounded path census (distinct paths ≤
+    * |types|^maxSteps in the worst case, in practice a heavy-hitter-
+    * shaped skew the partial agg collapses map-side). Ties at equal
+    * timestamps order by `tiebreak` — the same determinism contract as
+    * sessionize, which makes the DuckDB replay exact.
+    *
+    * @return (path, n_sessions, n_keys) — top `k` by count desc, path asc */
+  def topPaths(
+      events: DataFrame,
+      on: Seq[String],
+      tsCol: String,
+      typeCol: String,
+      gap: Long,
+      tiebreak: String,
+      maxSteps: Int = 5,
+      k: Int = 20): DataFrame = {
+    require(maxSteps >= 1 && k >= 1, "need maxSteps >= 1 and k >= 1")
+    val slim = sessionize(
+      events.select((on :+ tsCol :+ typeCol :+ tiebreak).distinct.map(col): _*),
+      on, tsCol, gap, tiebreak)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((on :+ "session_seq").map(col): _*)
+      .orderBy(col(tsCol).asc, col(tiebreak).asc)
+    slim
+      .withColumn("__step", row_number().over(w))
+      .filter(col("__step") <= maxSteps)
+      .groupBy((on :+ "session_seq").map(col): _*)
+      .agg(array_join(
+        transform(array_sort(collect_list(
+          struct(col("__step").as("s"), col(typeCol).as("t")))),
+          e => e("t")), ">").as("path"))
+      .withColumn("__key", concat_ws(" ", on.map(col): _*))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"),
+        count_distinct(col("__key")).as("n_keys"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
+
   /** Ordered conversion funnel: one output row per key with the earliest
     * completion time of each step, where step i counts only strictly after
     * step i-1 completed (one event can never complete two steps). Greedy
