@@ -536,6 +536,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!pl.contains("Join"), pl)
   }
 
+  test("topPaths: one event shuffle serves sessionize, step ranking and the session agg") {
+    val ev = tables("events")
+    val df = graft.operators.Events.topPaths(
+      ev.select(org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts")).as("t"),
+        org.apache.spark.sql.functions.col("event_type")),
+      Seq("user_id"), "t", "event_type",
+      gap = 1800000000L, tiebreak = "event_id", maxSteps = 4, k = 25)
+    val p = df.queryExecution.executedPlan.toString
+    // hashpartitioning(user_id) satisfies the (user_id, session_seq)
+    // window AND the session groupBy by subset clustering, so the raw
+    // event log shuffles exactly once; the remaining exchanges are the
+    // census-sized count_distinct phases ((path, key) then (path))
+    val ex = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(ex.count(l => l.contains("user_id") && !l.contains("path")) == 1,
+      s"event-sized exchanges != 1:\n$p")
+    assert(ex.count(_.contains("session_seq")) == 0,
+      s"derived-session re-shuffle present:\n$p")
+    assert(ex.size <= 3, s"${ex.size} hash exchanges:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
   test("sketch corpusOverlap never shuffle-joins the corpora") {
     val docs = tables("documents")
     val key = graft.operators.TextOps.normalize(
