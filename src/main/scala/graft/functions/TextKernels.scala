@@ -872,17 +872,12 @@ object TextKernels {
         // UTF-16 walk would split an unseen supplementary character
         // into two lone-surrogate "pieces". A piece of N chars spans
         // ≤ N code points, so maxLen (chars) bounds the window safely.
-        var cpCount = 0
+        val off = new Array[Int](word.length + 1) // upper bound; one pass
         var ci = 0
+        var cpCount = 0
         while (ci < word.length) {
+          off(cpCount) = ci
           ci += Character.charCount(word.codePointAt(ci)); cpCount += 1
-        }
-        val off = new Array[Int](cpCount + 1)
-        ci = 0
-        var k = 0
-        while (k < cpCount) {
-          off(k) = ci
-          ci += Character.charCount(word.codePointAt(ci)); k += 1
         }
         off(cpCount) = word.length
         val L = cpCount

@@ -175,6 +175,9 @@ object Events {
     * timestamps order by `tiebreak` — the same determinism contract as
     * sessionize, which makes the DuckDB replay exact.
     *
+    * @param sep joins the step types into the path string — pick one that
+    *   cannot occur inside a type value, or distinct step sequences can
+    *   render identically and merge in the census
     * @return (path, n_sessions, n_keys) — top `k` by count desc, path asc */
   def topPaths(
       events: DataFrame,
@@ -184,8 +187,10 @@ object Events {
       gap: Long,
       tiebreak: String,
       maxSteps: Int = 5,
-      k: Int = 20): DataFrame = {
+      k: Int = 20,
+      sep: String = ">"): DataFrame = {
     require(maxSteps >= 1 && k >= 1, "need maxSteps >= 1 and k >= 1")
+    require(sep.nonEmpty, "separator must be non-empty")
     val slim = sessionize(
       events.select((on :+ tsCol :+ typeCol :+ tiebreak).distinct.map(col): _*),
       on, tsCol, gap, tiebreak)
@@ -199,8 +204,10 @@ object Events {
       .agg(array_join(
         transform(array_sort(collect_list(
           struct(col("__step").as("s"), col(typeCol).as("t")))),
-          e => e("t")), ">").as("path"))
-      .withColumn("__key", concat_ws(" ", on.map(col): _*))
+          e => e("t")), sep).as("path"))
+      // distinct keys counted as a STRUCT: a concatenated string would
+      // collide composite keys on the separator and skip NULL parts
+      .withColumn("__key", struct(on.map(col): _*))
       .groupBy("path")
       .agg(count(lit(1)).as("n_sessions"),
         count_distinct(col("__key")).as("n_keys"))

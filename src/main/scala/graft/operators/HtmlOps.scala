@@ -159,14 +159,19 @@ object HtmlOps {
     val robotsTags = filter(
       regexp_extract_all(h, lit("(?is)<meta[^>]*>"), lit(0)),
       t => t.rlike("(?is)name=\"robots\""))
-    val content = lower(array_join(
+    // coalesce so a NULL html row reads as directive-free (false flags),
+    // not as NULL booleans a downstream !filter would silently drop
+    val content = coalesce(lower(array_join(
       transform(robotsTags,
-        t => regexp_extract(t, "(?is)content=\"([^\"]*)\"", 1)), ","))
+        t => regexp_extract(t, "(?is)content=\"([^\"]*)\"", 1)), ",")),
+      lit(""))
     def hasTok(t: String): Column =
       content.rlike(s"(^|[\\s,])[\\s]*($t|none)[\\s]*($$|[\\s,])")
+    // first canonical tag WITH an href (the documented contract): an
+    // href-less rel=canonical must not shadow a later complete one
     val canonTags = filter(
       regexp_extract_all(h, lit("(?is)<link[^>]*>"), lit(0)),
-      t => t.rlike("(?is)rel=\"canonical\""))
+      t => t.rlike("(?is)rel=\"canonical\"") && t.rlike("(?is)href=\""))
     val canon = regexp_extract(
       get(canonTags, lit(0)), "(?is)href=\"([^\"]*)\"", 1)
     df.withColumn("robots_noindex", hasTok("noindex"))

@@ -230,18 +230,20 @@ object Unigram {
     * cross-model comparisons. Two passes over the (persisted) dict. */
   def corpusNll(docs: DataFrame, model: Model,
       textCol: String = "text"): Double = {
-    val lp = typedLit(model.logps)
-    val idx = typedLit(model.pieces)
-    val pos = array_position(idx, col("p"))
     val dict = wordDict(docs, textCol).persist()
     try {
       val nWords = dict.agg(sum("cnt")).head().getLong(0)
-      val ll = dict
-        .select(col("cnt"), explode(segment(col("w"), model)).as("p"))
-        .select(col("cnt"),
-          when(pos > 0, element_at(lp, pos.cast("int")))
-            .otherwise(lit(UnkLogp)).as("lp"))
-        .agg(sum(col("lp") * col("cnt"))).head().getDouble(0)
+      // bounded piece census collected to the driver, logp looked up in
+      // an O(1) hash map there — a per-row array_position lookup would
+      // scan the whole vocabulary literal per exploded piece
+      val census = dict
+        .select(explode(segment(col("w"), model)).as("p"), col("cnt"))
+        .groupBy("p").agg(sum("cnt").as("n"))
+        .collect()
+      val lpMap = model.pieces.zip(model.logps).toMap
+      val ll = census.foldLeft(0.0) { (acc, r) =>
+        acc + lpMap.getOrElse(r.getString(0), UnkLogp) * r.getLong(1)
+      }
       -ll / nWords
     } finally dict.unpersist()
   }

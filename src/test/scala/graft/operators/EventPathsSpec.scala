@@ -32,6 +32,27 @@ class EventPathsSpec extends AnyFunSuite {
     assert(counts.sameElements(counts.sortBy(-_.toLong)))
   }
 
+  test("topPaths composite keys count as structs and the separator is configurable") {
+    // composite keys that a string concat would collide ("x y"+"z" vs
+    // "x"+"y z") must count as TWO distinct keys
+    val ev = Seq(
+      (1L, "x y", "z", 100L, "view"),
+      (2L, "x", "y z", 100L, "view"))
+      .toDF("event_id", "org", "user", "t", "event_type")
+    val got = Events.topPaths(ev, Seq("org", "user"), "t", "event_type",
+      gap = 10L, tiebreak = "event_id", maxSteps = 3, k = 5)
+      .head()
+    assert(got.getString(0) == "view" && got.getLong(1) == 2 &&
+      got.getLong(2) == 2, got.toString)
+    // custom separator for type alphabets that may contain '>'
+    val ev2 = Seq((1L, "U", 100L, "a>b"), (2L, "U", 110L, "c"))
+      .toDF("event_id", "user_id", "t", "event_type")
+    val p = Events.topPaths(ev2, Seq("user_id"), "t", "event_type",
+      gap = 100L, tiebreak = "event_id", maxSteps = 3, k = 3,
+      sep = " ").head().getString(0)
+    assert(p == "a>b c")
+  }
+
   test("topPaths ties at equal timestamps follow the tiebreak column") {
     val ev = Seq(
       (2L, "U", 100L, "second"), (1L, "U", 100L, "first"))

@@ -138,6 +138,15 @@ class HtmlOpsSpec extends AnyFunSuite {
     // whitespace-separated directive tokens (newline/tab) still match
     val r8 = one("<meta name=\"robots\" content=\"noindex,\n\tnofollow\">")
     assert(r8.getBoolean(0) && r8.getBoolean(1))
+    // NULL html reads directive-free (false flags), never NULL booleans
+    val r9 = HtmlOps.metaRobots(
+      Seq((1, null: String)).toDF("id", "html"))
+      .select("robots_noindex", "robots_nofollow", "canonical_url").head()
+    assert(!r9.getBoolean(0) && !r9.getBoolean(1) && r9.isNullAt(2))
+    // an href-less canonical tag never shadows a later complete one
+    val r10 = one("<link rel=\"canonical\">" +
+      "<link rel=\"canonical\" href=\"https://real.example/x\">")
+    assert(r10.getString(2) == "https://real.example/x")
   }
 
   test("meanPool matches the per-dimension explode formulation and skips ragged vectors") {
