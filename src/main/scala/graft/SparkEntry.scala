@@ -3654,16 +3654,20 @@ object SparkEntry {
     Q("q_corpus_overlap",
       // sketch-mode corpus overlap audit (the 100 TB path: one HLL pass
       // per side, union + inclusion-exclusion, NO join anywhere): two
-      // overlapping doc slices keyed by normalized text. At fixture
-      // cardinality the DataSketches HLL is still exact (same rationale
-      // as q_distinct_by_group), so the exact FULL-JOIN oracle pins the
-      // sketch path end-to-end
+      // overlapping doc slices keyed by normalized text. The slices are
+      // bounded on BOTH ends (< 300 / [200, 500)) so each side stays
+      // ≤ 300 distinct keys — far inside the DataSketches HLL's exact
+      // coupon range at ANY fixture SF (sf0.1's 5000 docs would push an
+      // unbounded side past coupon promotion and make this exact oracle
+      // fail spuriously); the exact FULL-JOIN oracle therefore pins the
+      // sketch path end-to-end at every scale Verify runs
       (s, dir) => {
         import org.apache.spark.sql.functions._
         val docs = Tables.load(s, dir)("documents")
         val key = operators.TextOps.normalize(col("text"))
         operators.Sketches.corpusOverlap(
-          docs.where(col("doc_id") < 300), docs.where(col("doc_id") >= 200),
+          docs.where(col("doc_id") < 300),
+          docs.where(col("doc_id") >= 200 && col("doc_id") < 500),
           key, key)
       },
       Some("""
@@ -3672,7 +3676,7 @@ object SparkEntry {
           FROM documents WHERE doc_id < 300 AND text IS NOT NULL
         ), b AS (
           SELECT DISTINCT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS k
-          FROM documents WHERE doc_id >= 200 AND text IS NOT NULL
+          FROM documents WHERE doc_id >= 200 AND doc_id < 500 AND text IS NOT NULL
         ), u AS (
           SELECT (a.k IS NOT NULL) AS ia, (b.k IS NOT NULL) AS ib
           FROM a FULL OUTER JOIN b ON a.k = b.k
@@ -4522,7 +4526,10 @@ object SparkEntry {
       // per-doc code-point and word entropy (bits) — the gibberish gate;
       // the oracle recomputes both distributions from scratch in DuckDB
       // (string_split('') yields code points, matching the kernel's
-      // codePointAt walk) with the identical -p·ln(p)/ln(2) fold
+      // codePointAt walk) with the identical -p·ln(p)/ln(2) fold.
+      // Edge contract pinned on both sides (fixture-independent): empty
+      // normalized text → 0.0 entropies (LEFT JOIN + coalesce replays
+      // the kernel's n=0 fold), NULL text → NULL entropies
       (s, dir) => {
         import org.apache.spark.sql.functions._
         operators.TextOps.entropyMetrics(Tables.load(s, dir)("documents"))
@@ -4553,10 +4560,13 @@ object SparkEntry {
             sum(-(c::DOUBLE / tot) * ln(c::DOUBLE / tot) / ln(2)) AS h
           FROM wg JOIN wt USING (doc_id) GROUP BY 1
         )
-        SELECT d.doc_id, round(ce.h, 6) AS char_entropy,
-          round(we.h, 6) AS word_entropy
-        FROM documents d JOIN ce ON ce.doc_id = d.doc_id
-        JOIN we ON we.doc_id = d.doc_id""".stripMargin.trim)),
+        SELECT n.doc_id,
+          CASE WHEN n.t IS NULL THEN NULL
+               ELSE round(coalesce(ce.h, 0.0), 6) END AS char_entropy,
+          CASE WHEN n.t IS NULL THEN NULL
+               ELSE round(coalesce(we.h, 0.0), 6) END AS word_entropy
+        FROM n LEFT JOIN ce ON ce.doc_id = n.doc_id
+        LEFT JOIN we ON we.doc_id = n.doc_id""".stripMargin.trim)),
 
     Q("q_url_features",
       // URL lexical features over decorated synthesized URLs; the oracle
@@ -4814,8 +4824,10 @@ object SparkEntry {
     Q("q_meta_robots",
       // page-level crawl directives over 5 planted page shapes (both
       // attribute orders, case-insensitivity, the 'none' token, nofollow
-      // link counting, a directive-free page); the oracle is the
-      // hand-computed decision table, independent of the regex chain
+      // link counting, a directive-free page that also plants
+      // <area>/<abbr> nofollow rels which must NOT count as anchor
+      // links); the oracle is the hand-computed decision table,
+      // independent of the regex chain
       (s, dir) => {
         import org.apache.spark.sql.functions._
         val m = pmod(col("doc_id"), lit(5))
@@ -4826,7 +4838,11 @@ object SparkEntry {
             "<a href=\"/a\" rel=\"external nofollow\">a</a>"))
           .when(m === 2, lit("<meta name=\"robots\" content=\"none\">" +
             "<a rel=\"nofollow\" href=\"/1\">1</a><a rel=\"nofollow\" href=\"/2\">2</a>"))
-          .when(m === 3, lit("<p>plain</p><a href=\"/z\">z</a>"))
+          // the <area>/<abbr> rows pin the tag-name boundary: a nofollow
+          // rel on a NON-anchor tag whose name starts with 'a' must not
+          // count as a nofollow link
+          .when(m === 3, lit("<p>plain</p><a href=\"/z\">z</a>" +
+            "<area href=\"/m\" rel=\"nofollow\"><abbr rel=\"nofollow\">t</abbr>"))
           .otherwise(lit("<META NAME=\"ROBOTS\" CONTENT=\"NOINDEX,NOFOLLOW\">" +
             "<link href=\"https://e.com/c4\" rel=\"canonical\">"))
         val d = Tables.load(s, dir)("documents").select(col("doc_id"), html.as("html"))

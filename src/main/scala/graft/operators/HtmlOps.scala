@@ -179,8 +179,10 @@ object HtmlOps {
       .withColumn("canonical_url",
         when(size(canonTags) > 0 && canon =!= "", canon))
       .withColumn("n_nofollow_links",
+        // <a must be followed by whitespace or / — '<a[^>]*' would also
+        // match <area>/<abbr>/<article> tags carrying a nofollow rel
         size(regexp_extract_all(h,
-          lit("(?is)<a[^>]*rel=\"[^\"]*nofollow[^\"]*\"[^>]*>"), lit(0))))
+          lit("(?is)<a[\\s/][^>]*rel=\"[^\"]*nofollow[^\"]*\"[^>]*>"), lit(0))))
   }
 
   /** Adds `text_extracted`, `title`, `n_tags`, `n_anchors`,

@@ -34,6 +34,13 @@ object Joins {
     * @param valueCols right columns carried onto the left rows; must not
     *                  collide with left column names — alias the right
     *                  side first if they do
+    * @param tieBreak  right column breaking ties among right rows sharing
+    *                  the same (key, timestamp): the HIGHEST tieBreak
+    *                  value wins (it is the running-last row in the merge
+    *                  walk). Default none — then right (key, ts) pairs
+    *                  must be unique for the result to be deterministic
+    *                  (the repo-wide determinism contract; sessionize
+    *                  imposes the same requirement)
     * @return the left rows (all columns, original values) + `valueCols` */
   def asof(
       left: DataFrame,
@@ -43,12 +50,15 @@ object Joins {
       rightTs: String = "ts",
       valueCols: Seq[String] = Seq("value"),
       toleranceSec: Double = 0.0,
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      tieBreak: Option[String] = None): DataFrame = {
     require(on.nonEmpty, "as-of join needs at least one equi key")
     require(valueCols.nonEmpty, "no right columns to carry")
     require(toleranceSec >= 0, "tolerance must be >= 0 (0 = unbounded)")
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
+    tieBreak.foreach(c => require(valueCols.contains(c),
+      s"tieBreak column '$c' must be one of valueCols so it can ride the merge"))
     val backward = direction == "backward"
     val collide = valueCols.filter(left.columns.contains)
     require(collide.isEmpty,
@@ -61,17 +71,28 @@ object Joins {
     val l2 = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
-    val r2 = right
+    val r2base = right
       .select(on.map(col) :+ col(rightTs).as("__ts") :+ vstruct.as("__v"): _*)
       .withColumn("__side", lit(0))
+    // the tiebreak rides as its own union column (left rows read NULL
+    // there, which never matters: at equal __ts every right row orders
+    // before every left row via __side, so __tb only ranks right rows
+    // against each other)
+    val r2 = tieBreak match {
+      case Some(c) => r2base.withColumn("__tb", col(s"__v.$c"))
+      case None    => r2base
+    }
     // right rows sort before left rows at equal __ts → equal-ts matches
     // forward = the same running-last walk over REVERSED time: at equal
     // __ts the right row still orders first, so the equal-ts match stays
-    // visible in both directions
+    // visible in both directions. Among right rows at the SAME (key, ts)
+    // the highest tieBreak orders last → it is the carried running-last
+    // in both directions.
+    val tieBreakOrd = tieBreak.map(_ => col("__tb").asc_nulls_first).toSeq
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(on.map(col): _*)
-      .orderBy(if (backward) col("__ts").asc else col("__ts").desc,
-        col("__side").asc)
+      .orderBy((if (backward) col("__ts").asc else col("__ts").desc) +:
+        col("__side").asc +: tieBreakOrd: _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     // timestamps cast to epoch seconds; plain numeric ts columns compare
     // in their own units

@@ -261,7 +261,14 @@ object Profile {
     * mergeable sketch otherwise), bounds are 6dp-rounded into plan
     * literals (the engine-portability convention), and the clamp is
     * scan-speed `greatest(least(...))`. NULLs pass through; each
-    * column's original type is preserved. */
+    * column's original type is preserved. Bounds are snapped INWARD to
+    * the column type's own precision first — integral columns clamp to
+    * [ceil(lo_q), floor(hi_q)], decimals to the scale-s ceiling/floor —
+    * so the cast back to the original type can never truncate a clamped
+    * value OUTSIDE the documented quantile range (a double clamp bound
+    * of 2.5 on an int column would otherwise cast 1 → 2, below the
+    * bound). Corner: when no representable value lies inside the range
+    * (ceil(lo) > floor(hi)) the raw bounds are used unsnapped. */
   def clipOutliers(
       df: DataFrame,
       cols: Seq[String],
@@ -285,12 +292,31 @@ object Profile {
         def r6(x: Double) =
           BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
         val t = d.schema(c).dataType
+        // snap bounds inward to the column type's representable grid so
+        // the final cast cannot push a clamped value outside [lo, hi]
+        def snap(x: Double, isUpper: Boolean): Double = t match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType =>
+            if (isUpper) math.floor(x) else math.ceil(x)
+          case dt: org.apache.spark.sql.types.DecimalType =>
+            BigDecimal(x).setScale(dt.scale,
+              if (isUpper) BigDecimal.RoundingMode.FLOOR
+              else BigDecimal.RoundingMode.CEILING).toDouble
+          case _ => x
+        }
+        val (rawLo, rawHi) = (r6(q(0)), r6(q(1)))
+        val (loB, hiB) = {
+          val (l, h) = (snap(rawLo, isUpper = false), snap(rawHi, isUpper = true))
+          if (l <= h) (l, h) else (rawLo, rawHi) // no representable value in range
+        }
         // greatest/least SKIP nulls (a null row would clamp to the bound)
         // — gate explicitly so nulls pass through
         d.withColumn(c,
           when(col(c).isNotNull,
-            greatest(least(col(c).cast("double"), lit(r6(q(1)))),
-              lit(r6(q(0))))).cast(t))
+            greatest(least(col(c).cast("double"), lit(hiB)),
+              lit(loB))).cast(t))
       }
     }
   }

@@ -743,7 +743,9 @@ object TextOps {
     * the gibberish gate the ratio features miss (base64 blobs and
     * keyboard mashing have unremarkable punct/alpha ratios but outlying
     * entropy; template boilerplate sits low on word entropy). One
-    * scan-speed kernel pass behind the pushdown barrier, zero shuffle. */
+    * scan-speed kernel pass behind the pushdown barrier, zero shuffle.
+    * Edge contract: empty normalized text → 0.0 for both entropies
+    * (the n=0 fold), NULL text → NULL — every input row emits a row. */
   def entropyMetrics(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val d = withKernelColumn(docs, "__ent",
       graft.functions.TextKernels.entropyStatsCol(normalize(col(textCol))))

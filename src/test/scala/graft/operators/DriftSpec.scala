@@ -155,4 +155,67 @@ class DriftSpec extends AnyFunSuite {
     val s2 = got(1L).map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(s2("l_quantity") > 0.25 && s2("l_discount") < 0.05, s2.toString)
   }
+
+  test("asof tieBreak: duplicate right (key, ts) rows resolve deterministically") {
+    // two purchases share (user 1, ts 100) — without a tiebreak the
+    // match is whichever shuffled row landed last; with tieBreak the
+    // HIGHEST seq wins, in both directions
+    val left = Seq((1L, 100L), (1L, 150L)).toDF("user_id", "ts")
+    val right = Seq((1L, 100L, 10.0, 1L), (1L, 100L, 20.0, 2L),
+        (1L, 100L, 15.0, 0L))
+      .toDF("user_id", "ts", "pv", "seq")
+    for (dir <- Seq("backward", "forward")) {
+      val expectRows = dir match {
+        case "backward" => Map(100L -> 20.0, 150L -> 20.0)
+        case _          => Map(100L -> 20.0, 150L -> Double.NaN)
+      }
+      (1 to 3).foreach { _ =>
+        val got = Joins.asof(left, right.repartition(8), Seq("user_id"),
+            valueCols = Seq("pv", "seq"), direction = dir,
+            tieBreak = Some("seq"))
+          .select("ts", "pv").collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) Double.NaN else r.getDouble(1))).toMap
+        expectRows.foreach { case (ts, pv) =>
+          if (pv.isNaN) assert(got(ts).isNaN, s"$dir ts=$ts")
+          else assert(got(ts) == pv, s"$dir ts=$ts got ${got(ts)}")
+        }
+      }
+    }
+    // a tieBreak column outside valueCols is a loud error, not a silent
+    // nondeterministic run
+    intercept[IllegalArgumentException] {
+      Joins.asof(left, right, Seq("user_id"), valueCols = Seq("pv"),
+        tieBreak = Some("seq")).collect()
+    }
+  }
+
+  test("clipOutliers: integral and decimal columns clamp inside the quantile range") {
+    // int column, p10/p90 land at fractional interpolated values —
+    // the clamp bounds must snap INWARD (ceil lo, floor hi) so the
+    // int cast cannot truncate a clamped value below lo or above hi
+    val d = (Seq.fill(8)(5) ++ Seq(-100, 1000)).zipWithIndex
+      .map { case (v, i) => (v, i.toLong) }.toDF("v", "id")
+    val c = Profile.clipOutliers(d, Seq("v"), lo = 0.05, hi = 0.95,
+      exact = true).cache()
+    val Seq(qlo, qhi) = d.select(
+      percentile(col("v").cast("double"), array(lit(0.05), lit(0.95))))
+      .head().getSeq[Double](0).toSeq
+    assert(c.schema("v").dataType == org.apache.spark.sql.types.IntegerType)
+    val vals = c.select("v").as[Int].collect()
+    vals.foreach(v => assert(v >= qlo && v <= qhi,
+      s"$v outside [$qlo, $qhi]"))
+    // decimal(4,1): bounds snap to one decimal place, inward
+    val dd = (Seq.fill(8)(BigDecimal("5.0")) ++
+        Seq(BigDecimal("-99.9"), BigDecimal("99.9"))).zipWithIndex
+      .map { case (v, i) => (v, i.toLong) }.toDF("v", "id")
+      .select(col("v").cast("decimal(4,1)").as("v"), col("id"))
+    val cd = Profile.clipOutliers(dd, Seq("v"), lo = 0.05, hi = 0.95,
+      exact = true)
+    val Seq(dlo, dhi) = dd.select(
+      percentile(col("v").cast("double"), array(lit(0.05), lit(0.95))))
+      .head().getSeq[Double](0).toSeq
+    cd.select(col("v").cast("double")).as[Double].collect()
+      .foreach(v => assert(v >= dlo && v <= dhi, s"$v outside [$dlo, $dhi]"))
+  }
 }

@@ -147,6 +147,12 @@ class HtmlOpsSpec extends AnyFunSuite {
     val r10 = one("<link rel=\"canonical\">" +
       "<link rel=\"canonical\" href=\"https://real.example/x\">")
     assert(r10.getString(2) == "https://real.example/x")
+    // tag-name boundary: <area>/<abbr>/<article> carrying a nofollow rel
+    // are NOT anchor links; a real <a> beside them still counts
+    val r11 = one("<area href=\"/m\" rel=\"nofollow\">" +
+      "<abbr rel=\"nofollow\">t</abbr><article rel=\"nofollow\"></article>" +
+      "<a href=\"/ok\" rel=\"nofollow\">ok</a>")
+    assert(r11.getInt(3) == 1, s"expected 1 nofollow link, got ${r11.getInt(3)}")
   }
 
   test("meanPool matches the per-dimension explode formulation and skips ragged vectors") {
