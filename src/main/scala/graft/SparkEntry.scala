@@ -5520,6 +5520,110 @@ object SparkEntry {
           (CAST(6 AS BIGINT), true, CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), true)
         ) AS t(media_id, exif_ok, orientation, captured_at, has_gps)""".stripMargin.trim)),
 
+    Q("q_multimodal_decode",
+      // REAL image pixel decode (JDK ImageIO — no native codec) over the
+      // deterministic image fixture: a hand-built BMP (every byte placed
+      // by the fixture), lossless PNG/GIF constructions, a solid JPEG
+      // (only the uniform-image hash contract is pinned — lossy means),
+      // corrupt bytes, and a WebP header (probes as webp, JDK has no
+      // reader → decode_ok=false). The oracle is the hand-computed
+      // feature table from the documented integer-luma + box-downsample
+      // + aHash/dHash spec — pixels are construction literals, so every
+      // non-JPEG value is closed-form
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        operators.Multimodal.imageFeatures(operators.Multimodal.imageFixture(s))
+          .select(col("media_id"), col("decode_ok"), col("format"),
+            col("width"), col("height"), col("ahash"), col("dhash"),
+            // JPEG channel means are codec-approximate: shaped out here,
+            // not in the operator
+            when(col("media_id") =!= 4, round(col("mean_r"), 6)).as("mean_r"),
+            when(col("media_id") =!= 4, round(col("gray_mean"), 6)).as("gray_mean"))
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), true, 'bmp', CAST(8 AS INTEGER), CAST(8 AS INTEGER),
+           CAST(-1085102592571150096 AS BIGINT), CAST(-72340172838076674 AS BIGINT),
+           CAST(56.0 AS DOUBLE), CAST(56.0 AS DOUBLE)),
+          (2, true, 'png', 16, 16, -4294967296, 0, 56.0, 56.0),
+          (3, true, 'gif', 8, 8, -1085102592571150096, 1157442765409226768, 127.5, 127.5),
+          (4, true, 'jpeg', 32, 16, 0, 0, NULL, NULL),
+          (5, false, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+          (6, false, 'webp', NULL, NULL, NULL, NULL, NULL, NULL)
+        ) AS t(media_id, decode_ok, format, width, height, ahash, dhash,
+               mean_r, gray_mean)""".stripMargin.trim)),
+
+    Q("q_image_neardup",
+      // perceptual image near-dup — the pixel twin of SimHash text dedup:
+      // aHash signatures from REAL decoded pixels, then the existing
+      // 16-bit pigeonhole banding + Hamming verify
+      // (Dedup.simHashPairsFromSignatures, full recall at dist ≤ 3). The
+      // fixture plants a 2-bit pair (one swapped cell pair preserving the
+      // mean) and a 0-bit pair (same luma grid via DIFFERENT formats and
+      // pixel dimensions — the recompressed-copy case). The oracle
+      // replays banding + bit_count(xor) from the hand-computed aHash
+      // literals, independent of the Scala chunking code
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val sigs = operators.Multimodal
+          .imageFeatures(operators.Multimodal.imageNearDupFixture(s))
+          .where(col("decode_ok"))
+          .select(col("media_id").as("doc_id"), col("ahash").as("sig"))
+        operators.Dedup.simHashPairsFromSignatures(sigs, maxDist = 3)
+      },
+      Some("""
+        WITH sigs(id, sig) AS (VALUES
+          (CAST(10 AS BIGINT), CAST(-1085102592571150096 AS BIGINT)),
+          (11, -1085102592571150111),
+          (12, -4294967296),
+          (13, -4294967296),
+          (14, -6172840429334713771)),
+        b AS (
+          SELECT id, sig, c, (sig >> (16 * c)) & 65535 AS key
+          FROM sigs, (SELECT unnest(range(4)) AS c)),
+        cand AS (
+          SELECT DISTINCT x.id AS doc_a, y.id AS doc_b, x.sig AS sa, y.sig AS sb
+          FROM b x JOIN b y ON x.c = y.c AND x.key = y.key AND x.id < y.id)
+        SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS dist
+        FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin.trim)),
+
+    Q("q_wav_decode",
+      // REAL WAV PCM sample decode (pure byte arithmetic): square waves
+      // of amplitude 1000·(1+id%3) and 10+(id%5) periods of 8 frames, so
+      // RMS = amplitude EXACTLY, crossings = 2·periods−1; plus an 8-bit
+      // variant, a stereo row (channel-0 stats — silent channel 1 must
+      // not dilute), an IEEE-float WAV and corrupt bytes (both refuse).
+      // The oracle is the closed-form table
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        operators.Multimodal.wavStats(operators.Multimodal.wavPcmFixture(s))
+          .select(col("media_id"), col("pcm_ok"), col("channels"),
+            col("sample_rate"), col("bits"), col("n_frames"),
+            col("duration_ms"), round(col("rms"), 6).as("rms"),
+            col("peak"), col("zero_crossings"))
+      },
+      Some("""
+        WITH sq AS (
+          SELECT id,
+            1000 * (1 + id % 3) AS amp,
+            10 + (id % 5) AS periods
+          FROM (SELECT unnest(range(20, 26)) AS id))
+        SELECT CAST(id AS BIGINT) AS media_id, true AS pcm_ok,
+          CAST(1 AS INTEGER) AS channels, CAST(8000 AS INTEGER) AS sample_rate,
+          CAST(16 AS INTEGER) AS bits, CAST(periods * 8 AS BIGINT) AS n_frames,
+          CAST(periods AS BIGINT) AS duration_ms, CAST(amp AS DOUBLE) AS rms,
+          CAST(amp AS INTEGER) AS peak, CAST(2 * periods - 1 AS BIGINT) AS zero_crossings
+        FROM sq
+        UNION ALL SELECT * FROM (VALUES
+          (CAST(26 AS BIGINT), true, CAST(1 AS INTEGER), CAST(8000 AS INTEGER),
+           CAST(8 AS INTEGER), CAST(80 AS BIGINT), CAST(10 AS BIGINT),
+           CAST(50.0 AS DOUBLE), CAST(50 AS INTEGER), CAST(19 AS BIGINT)),
+          (27, true, 2, 16000, 16, 96, 6, 3000.0, 3000, 23),
+          (28, false, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+          (29, false, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL)
+        ) AS t(media_id, pcm_ok, channels, sample_rate, bits, n_frames,
+               duration_ms, rms, peak, zero_crossings)""".stripMargin.trim)),
+
     Q("q_dup_spans",
       // cross-doc exact-substring duplication: fraction of each doc's
       // distinct 8-word windows shared with another document (Lee et al.

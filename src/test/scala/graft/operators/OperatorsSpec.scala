@@ -1137,6 +1137,83 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kinds == Set("image", "audio", "video"))
   }
 
+  test("imageFeatures: real pixel decode matches the hand-computed spec values") {
+    val got = Multimodal.imageFeatures(Multimodal.imageFixture(spark))
+      .orderBy("media_id").collect()
+    def row(id: Long) = got.find(_.getLong(0) == id).get
+    // 1: hand-built BMP, gray columns v=16x — every value closed-form
+    val r1 = row(1L)
+    assert(r1.getBoolean(1) && r1.getString(2) == "bmp")
+    assert(r1.getInt(3) == 8 && r1.getInt(4) == 8)
+    assert(r1.getLong(5) == 0xF0F0F0F0F0F0F0F0L, s"ahash ${r1.getLong(5).toHexString}")
+    assert(r1.getLong(6) == 0xFEFEFEFEFEFEFEFEL, s"dhash ${r1.getLong(6).toHexString}")
+    assert(r1.getDouble(7) == 56.0 && r1.getDouble(8) == 56.0 &&
+      r1.getDouble(9) == 56.0 && r1.getDouble(10) == 56.0)
+    // 2: PNG 16×16 band gradient — exact 2×2 block means
+    val r2 = row(2L)
+    assert(r2.getBoolean(1) && r2.getString(2) == "png")
+    assert(r2.getInt(3) == 16 && r2.getInt(4) == 16)
+    assert(r2.getLong(5) == 0xFFFFFFFF00000000L)
+    assert(r2.getLong(6) == 0L)
+    assert(r2.getDouble(7) == 56.0 && r2.getDouble(10) == 56.0)
+    // 3: GIF half/half — palette round-trip must be lossless
+    val r3 = row(3L)
+    assert(r3.getBoolean(1) && r3.getString(2) == "gif")
+    assert(r3.getLong(5) == 0xF0F0F0F0F0F0F0F0L)
+    assert(r3.getLong(6) == 0x1010101010101010L)
+    assert(r3.getDouble(7) == 127.5 && r3.getDouble(10) == 127.5)
+    // 4: solid JPEG — uniform decode → strictly-above-mean hashes are 0
+    val r4 = row(4L)
+    assert(r4.getBoolean(1) && r4.getString(2) == "jpeg")
+    assert(r4.getInt(3) == 32 && r4.getInt(4) == 16)
+    assert(r4.getLong(5) == 0L && r4.getLong(6) == 0L)
+    // 5: corrupt bytes cost a null row, never a task
+    val r5 = row(5L)
+    assert(!r5.getBoolean(1) && r5.isNullAt(2) && r5.isNullAt(5))
+    // 6: webp header probes as webp but the JDK has no reader
+    val r6 = row(6L)
+    assert(!r6.getBoolean(1) && r6.getString(2) == "webp" && r6.isNullAt(3))
+  }
+
+  test("image near-dup: aHash signatures + simhash banding find the planted pairs") {
+    import org.apache.spark.sql.functions.col
+    val sigs = Multimodal.imageFeatures(Multimodal.imageNearDupFixture(spark))
+      .where(col("decode_ok"))
+      .select(col("media_id").as("doc_id"), col("ahash").as("sig"))
+    val pairs = Dedup.simHashPairsFromSignatures(sigs, maxDist = 3)
+      .orderBy("doc_a").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((10L, 11L, 2), (12L, 13L, 0)), pairs.mkString(","))
+  }
+
+  test("decodeWavPcm: square-wave stats are closed-form; non-PCM and corrupt refuse") {
+    val got = Multimodal.wavStats(Multimodal.wavPcmFixture(spark))
+      .orderBy("media_id").collect()
+    def row(id: Long) = got.find(_.getLong(0) == id).get
+    (20L to 25L).foreach { id =>
+      val amp = 1000 * (1 + (id % 3).toInt)
+      val periods = 10 + (id % 5).toInt
+      val r = row(id)
+      assert(r.getBoolean(1), s"id $id")
+      assert(r.getInt(2) == 1 && r.getInt(3) == 8000 && r.getInt(4) == 16)
+      assert(r.getLong(5) == periods * 8L)
+      assert(r.getLong(6) == periods * 8L * 1000 / 8000)
+      assert(r.getDouble(7) == amp.toDouble, s"rms ${r.getDouble(7)} id $id")
+      assert(r.getInt(8) == amp)
+      assert(r.getLong(9) == 2L * periods - 1)
+    }
+    // 8-bit unsigned variant: samples ±50 around the 128 center
+    val r26 = row(26L)
+    assert(r26.getBoolean(1) && r26.getInt(4) == 8 && r26.getDouble(7) == 50.0 &&
+      r26.getInt(8) == 50 && r26.getLong(9) == 19L)
+    // stereo: stats read channel 0 (the silent channel 1 must not dilute)
+    val r27 = row(27L)
+    assert(r27.getBoolean(1) && r27.getInt(2) == 2 && r27.getDouble(7) == 3000.0)
+    // IEEE-float WAV and corrupt bytes refuse cleanly
+    assert(!row(28L).getBoolean(1) && row(28L).isNullAt(7))
+    assert(!row(29L).getBoolean(1))
+  }
+
   test("chunkDocs windows words with overlap; short docs yield one chunk") {
     val df = Seq(
       (1L, (1 to 50).map(i => s"w$i").mkString(" ")),
