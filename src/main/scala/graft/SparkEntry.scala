@@ -734,6 +734,56 @@ object SparkEntry {
         "'(\\p{L})-[ \\t]*\\n[ \\t]*(\\p{L})', '\\1\\2', 'g') AS dh " +
         "FROM documents WHERE doc_id < 100"),
 
+    gq("q_pipeline_funcs4",
+      // r13/r14 analytics kernels on the dialect surface: entropy gates
+      // (incl. in WHERE — analytic-grade functions must compose as
+      // filters), repetition collapse, registered-domain/URL-depth
+      // lexical features, page-level crawl directives. The oracle
+      // replays the entropy distributions from scratch (the q_entropy
+      // CTE) and derives everything else from the constructions
+      "SELECT doc_id, round(char_entropy(text), 6) AS ce, " +
+        "collapse_repeats(concat('go go go go stop ', cast(doc_id, 'string'))) AS cr, " +
+        "registered_domain(concat('http://www.', source, '.co.uk/a/b')) AS rd, " +
+        "url_depth(concat('http://', source, '.com/a/b/', cast(doc_id, 'string'))) AS ud, " +
+        "robots_noindex(CASE WHEN mod(doc_id, 2) = 0 " +
+        "THEN '<meta name=\"robots\" content=\"noindex\">' ELSE '<p>x</p>' END) AS rni, " +
+        "html_canonical('<link rel=\"canonical\" href=\"https://e.com/c\">') AS hc, " +
+        "nofollow_links('<a href=\"/a\" rel=\"nofollow\">a</a>" +
+        "<area href=\"/b\" rel=\"nofollow\">') AS nfl " +
+        "FROM documents WHERE word_entropy(text) > 2",
+      """
+        WITH n AS (
+          SELECT doc_id, source, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+          FROM documents
+        ), cg AS (
+          SELECT doc_id, ch, count(*) AS c
+          FROM (SELECT doc_id, unnest(string_split(t, '')) AS ch FROM n)
+          GROUP BY 1, 2
+        ), ct AS (SELECT doc_id, sum(c) AS tot FROM cg GROUP BY 1),
+        ce AS (
+          SELECT cg.doc_id,
+            sum(-(c::DOUBLE / tot) * ln(c::DOUBLE / tot) / ln(2)) AS h
+          FROM cg JOIN ct USING (doc_id) GROUP BY 1
+        ), wg AS (
+          SELECT doc_id, w, count(*) AS c
+          FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM n)
+          GROUP BY 1, 2
+        ), wt AS (SELECT doc_id, sum(c) AS tot FROM wg GROUP BY 1),
+        we AS (
+          SELECT wg.doc_id,
+            sum(-(c::DOUBLE / tot) * ln(c::DOUBLE / tot) / ln(2)) AS h
+          FROM wg JOIN wt USING (doc_id) GROUP BY 1
+        )
+        SELECT n.doc_id, round(ce.h, 6) AS ce,
+          'go go stop ' || n.doc_id AS cr,
+          n.source || '.co.uk' AS rd,
+          CAST(3 AS INTEGER) AS ud,
+          n.doc_id % 2 = 0 AS rni,
+          'https://e.com/c' AS hc,
+          CAST(1 AS INTEGER) AS nfl
+        FROM n JOIN ce ON ce.doc_id = n.doc_id JOIN we ON we.doc_id = n.doc_id
+        WHERE we.h > 2""".stripMargin.trim),
+
     gq("q_misc_funcs",
       // dialect log is base-10 (functions_math.go:419-436); bit ops on keys
       "SELECT l_orderkey, l_linenumber, round(log(l_quantity), 6) AS lg10, " +

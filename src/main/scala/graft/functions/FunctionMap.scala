@@ -203,6 +203,20 @@ object FunctionMap {
       case "nfc_normalize" => graft.operators.TextOps.nfcNormalize(a0)
       case "strip_invisible" => graft.operators.TextOps.stripInvisible(a0)
       case "dehyphenate" => graft.operators.TextOps.dehyphenate(a0)
+      // r13/r14 analytics kernels on the dialect surface (the SQL surface
+      // is the product — operators reachable only from Scala are
+      // second-class): entropy gates, repetition collapse, URL lexical
+      // features, page-level crawl directives
+      case "char_entropy" => graft.operators.TextOps.charEntropy(a0)
+      case "word_entropy" => graft.operators.TextOps.wordEntropy(a0)
+      case "collapse_repeats" => graft.operators.TextOps.collapseRepeats(a0)
+      case "url_depth" => graft.operators.WebOps.pathDepth(a0)
+      case "url_host" => graft.operators.WebOps.host(a0)
+      case "registered_domain" => graft.operators.WebOps.registeredDomain(a0)
+      case "robots_noindex" => graft.operators.HtmlOps.robotsDirective(a0, "noindex")
+      case "robots_nofollow" => graft.operators.HtmlOps.robotsDirective(a0, "nofollow")
+      case "html_canonical" => graft.operators.HtmlOps.canonicalLink(a0)
+      case "nofollow_links" => graft.operators.HtmlOps.nofollowLinkCount(a0)
 
       // ---- type predicates (functions_type.go) ----
       case "is_null" => a0.isNull

@@ -150,40 +150,51 @@ object HtmlOps {
     */
   def metaRobots(df: DataFrame, htmlCol: String = "html"): DataFrame = {
     val h = col(htmlCol)
-    // ALL tags of a kind in document order, then filter/extract per tag —
-    // attribute order stops mattering, multiple robots metas all count,
-    // and "first canonical" is genuinely first in the document (the
-    // two-pattern regexp_extract draft read one tag per PATTERN, so a
-    // second meta's directives were dropped and a later rel-first link
-    // outranked an earlier href-first one)
+    df.withColumn("robots_noindex", robotsDirective(h, "noindex"))
+      .withColumn("robots_nofollow", robotsDirective(h, "nofollow"))
+      .withColumn("canonical_url", canonicalLink(h))
+      .withColumn("n_nofollow_links", nofollowLinkCount(h))
+  }
+
+  /** Whether any `<meta name="robots">` content carries `token` (or the
+    * `none` umbrella) — Column form of the [[metaRobots]] flags, also on
+    * the dialect surface as `robots_noindex`/`robots_nofollow`.
+    * ALL tags of the kind are collected in document order, then
+    * filtered/extracted per tag — attribute order stops mattering and
+    * multiple robots metas all count (the two-pattern regexp_extract
+    * draft read one tag per PATTERN, dropping a second meta's
+    * directives). NULL html reads directive-free (false), never a NULL
+    * boolean a downstream !filter would silently drop. */
+  def robotsDirective(html: Column, token: String): Column = {
     val robotsTags = filter(
-      regexp_extract_all(h, lit("(?is)<meta[^>]*>"), lit(0)),
+      regexp_extract_all(html, lit("(?is)<meta[^>]*>"), lit(0)),
       t => t.rlike("(?is)name=\"robots\""))
-    // coalesce so a NULL html row reads as directive-free (false flags),
-    // not as NULL booleans a downstream !filter would silently drop
     val content = coalesce(lower(array_join(
       transform(robotsTags,
         t => regexp_extract(t, "(?is)content=\"([^\"]*)\"", 1)), ",")),
       lit(""))
-    def hasTok(t: String): Column =
-      content.rlike(s"(^|[\\s,])[\\s]*($t|none)[\\s]*($$|[\\s,])")
-    // first canonical tag WITH an href (the documented contract): an
-    // href-less rel=canonical must not shadow a later complete one
+    content.rlike(s"(^|[\\s,])[\\s]*($token|none)[\\s]*($$|[\\s,])")
+  }
+
+  /** First `<link rel="canonical">` WITH an href, in genuine document
+    * order (an href-less rel=canonical must not shadow a later complete
+    * one); NULL when absent. Dialect scalar `html_canonical`. */
+  def canonicalLink(html: Column): Column = {
     val canonTags = filter(
-      regexp_extract_all(h, lit("(?is)<link[^>]*>"), lit(0)),
+      regexp_extract_all(html, lit("(?is)<link[^>]*>"), lit(0)),
       t => t.rlike("(?is)rel=\"canonical\"") && t.rlike("(?is)href=\""))
     val canon = regexp_extract(
       get(canonTags, lit(0)), "(?is)href=\"([^\"]*)\"", 1)
-    df.withColumn("robots_noindex", hasTok("noindex"))
-      .withColumn("robots_nofollow", hasTok("nofollow"))
-      .withColumn("canonical_url",
-        when(size(canonTags) > 0 && canon =!= "", canon))
-      .withColumn("n_nofollow_links",
-        // <a must be followed by whitespace or / — '<a[^>]*' would also
-        // match <area>/<abbr>/<article> tags carrying a nofollow rel
-        size(regexp_extract_all(h,
-          lit("(?is)<a[\\s/][^>]*rel=\"[^\"]*nofollow[^\"]*\"[^>]*>"), lit(0))))
+    when(size(canonTags) > 0 && canon =!= "", canon)
   }
+
+  /** Count of `<a>` anchors whose `rel` contains `nofollow` — the tag
+    * name is boundary-anchored (`<a` + whitespace or /): `<a[^>]*` would
+    * also match <area>/<abbr>/<article> tags carrying a nofollow rel.
+    * Dialect scalar `nofollow_links`. */
+  def nofollowLinkCount(html: Column): Column =
+    size(regexp_extract_all(html,
+      lit("(?is)<a[\\s/][^>]*rel=\"[^\"]*nofollow[^\"]*\"[^>]*>"), lit(0)))
 
   /** Adds `text_extracted`, `title`, `n_tags`, `n_anchors`,
     * `link_density` next to `htmlCol` — one scan, zero shuffle.

@@ -746,6 +746,17 @@ object TextOps {
     * scan-speed kernel pass behind the pushdown barrier, zero shuffle.
     * Edge contract: empty normalized text → 0.0 for both entropies
     * (the n=0 fold), NULL text → NULL — every input row emits a row. */
+  /** Column form of [[entropyMetrics]]'s char entropy — the dialect
+    * scalar `char_entropy`. One kernel invocation per call site; the
+    * DataFrame operator shares a single pass for both entropies. */
+  def charEntropy(text: Column): Column =
+    element_at(graft.functions.TextKernels.entropyStatsCol(normalize(text)), 1)
+
+  /** Column form of [[entropyMetrics]]'s word entropy — dialect scalar
+    * `word_entropy`. */
+  def wordEntropy(text: Column): Column =
+    element_at(graft.functions.TextKernels.entropyStatsCol(normalize(text)), 2)
+
   def entropyMetrics(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val d = withKernelColumn(docs, "__ent",
       graft.functions.TextKernels.entropyStatsCol(normalize(col(textCol))))
