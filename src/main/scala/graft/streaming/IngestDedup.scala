@@ -47,9 +47,12 @@ import graft.operators.TextOps
   *
   * Scale: the store grows hashes-only (text never stored); reading
   * lists one directory level (cheap even at thousands of batches) and
-  * scans hash columns. Long-running streams can compact old `b*`
-  * subdirectories into the root seed files offline — the layout is
-  * just "root files + any subdirectories", nothing schema-level.
+  * scans hash columns. Long-running streams compact old `b*`
+  * subdirectories into the root seed via [[compactStoreInPlace]]
+  * (staged invisible write + manifest-completable swap, run it between
+  * micro-batches — contract on the method) or [[compactStore]] to a
+  * fresh root with a stream re-point; the layout is just "root files +
+  * any subdirectories", nothing schema-level.
   */
 object IngestDedup {
 
@@ -317,7 +320,13 @@ object IngestDedup {
     * key. Write the result as the new seed root and point the stream's
     * checkpointed query at it; reading a store is one directory listing
     * + a scan either way, so compaction is about long-tail file counts
-    * and store-side aggregation cost, not correctness. */
+    * and store-side aggregation cost, not correctness.
+    *
+    * CONCURRENCY CONTRACT (new-root form): writing to a fresh `outRoot`
+    * never mutates `root`, so a live stream reading `root` is
+    * unaffected; the re-point to `outRoot` is the caller's
+    * stop-the-stream step. For compaction WITHOUT a re-point, use
+    * [[compactStoreInPlace]] and its staged-swap contract. */
   def compactStore(
       spark: SparkSession,
       root: String,
@@ -326,6 +335,17 @@ object IngestDedup {
       countCol: Option[String] = None): Unit = {
     val inputs = storeInputs(spark, root, None)
     require(inputs.nonEmpty, s"nothing to compact at $root")
+    writeCompacted(spark, inputs, keyCols, countCol, outRoot,
+      mode = "errorifexists")
+  }
+
+  private def writeCompacted(
+      spark: SparkSession,
+      inputs: Seq[String],
+      keyCols: Seq[String],
+      countCol: Option[String],
+      out: String,
+      mode: String): Unit = {
     val all = spark.read.parquet(inputs: _*)
     val compacted = countCol match {
       case Some(c) => all.groupBy(keyCols.map(col): _*)
@@ -334,7 +354,101 @@ object IngestDedup {
           all.columns.filterNot(keyCols.contains)).distinct.map(col): _*)
         .dropDuplicates(keyCols)
     }
-    compacted.write.mode("errorifexists").parquet(outRoot)
+    compacted.write.mode(mode).parquet(out)
+  }
+
+  /** In-place store compaction with a STAGED SWAP — the long-running-
+    * stream maintenance path (no checkpoint re-point needed).
+    *
+    * Protocol, in order, with every intermediate state accounted for:
+    *   1. any interrupted prior swap is completed first (see manifest
+    *      below);
+    *   2. the compacted table is written to `root/.compact_tmp` —
+    *      dot-prefixed, so [[storeInputs]]/[[readStore]] NEVER list it:
+    *      staging is invisible to readers and a crash here costs
+    *      nothing;
+    *   3. a `.compact_manifest` (also invisible) records the swap —
+    *      stamp + the exact input files/dirs captured at step 2 — so
+    *      the swap is completable after any crash;
+    *   4. staged files move to the root as `compact-<stamp>-*` (one
+    *      rename each), THEN the old inputs are deleted, then
+    *      tmp + manifest are removed.
+    *
+    * Crash recovery: a crash before the manifest leaves only invisible
+    * staging (cleaned next run); a crash after it is completed by the
+    * next [[compactStoreInPlace]] call — remaining staged files move,
+    * listed old inputs delete, nothing is recomputed. The staged table
+    * is always the FULL compacted store, so recovery never double-sums
+    * a count store.
+    *
+    * Concurrent readers: the store is only ever mutated between steps 4's
+    * renames and deletes. A reader listing in that window sees old+new
+    * together — duplicate keys, harmless to a presence store's
+    * anti-join/dedup semantics but a transient double-count for count
+    * stores. A reader that listed BEFORE a delete and scans after fails
+    * its micro-batch (vanished input file). The SAFE contract is
+    * therefore: run in-place compaction BETWEEN micro-batches (e.g. from
+    * the foreachBatch callback's tail, or with the stream stopped); the
+    * swap ordering bounds the damage of a violated contract to one
+    * retryable batch, never a corrupted store. */
+  def compactStoreInPlace(
+      spark: SparkSession,
+      root: String,
+      keyCols: Seq[String],
+      countCol: Option[String] = None): Unit = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    recoverSwap(fs, rootPath) // step 1
+    val inputs = storeInputs(spark, root, None)
+    require(inputs.nonEmpty, s"nothing to compact at $root")
+    val tmp = new org.apache.hadoop.fs.Path(rootPath, CompactTmp)
+    fs.delete(tmp, true) // stale pre-manifest staging from a crashed run
+    writeCompacted(spark, inputs, keyCols, countCol, tmp.toString,
+      mode = "overwrite") // step 2: invisible staging
+    val stamp = java.lang.Long.toHexString(System.nanoTime())
+    val manifest = new org.apache.hadoop.fs.Path(rootPath, CompactManifest)
+    val os = fs.create(manifest, true) // step 3: swap becomes completable
+    os.write((stamp + "\n" + inputs.mkString("\n")).getBytes("UTF-8"))
+    os.close()
+    finishSwap(fs, rootPath, stamp, inputs) // step 4
+  }
+
+  private val CompactTmp = ".compact_tmp"
+  private val CompactManifest = ".compact_manifest"
+
+  /** Complete a swap: move remaining staged data files to the root under
+    * `compact-<stamp>-` names, delete the recorded old inputs, drop
+    * staging + manifest. Idempotent — every step tolerates having
+    * already happened. */
+  private def finishSwap(
+      fs: org.apache.hadoop.fs.FileSystem,
+      rootPath: org.apache.hadoop.fs.Path,
+      stamp: String,
+      oldInputs: Seq[String]): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(rootPath, CompactTmp)
+    if (fs.exists(tmp))
+      fs.listStatus(tmp).foreach { st =>
+        val n = st.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith("."))
+          fs.rename(st.getPath, new org.apache.hadoop.fs.Path(rootPath, s"compact-$stamp-$n"))
+      }
+    oldInputs.foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    fs.delete(tmp, true)
+    fs.delete(new org.apache.hadoop.fs.Path(rootPath, CompactManifest), false)
+  }
+
+  /** Complete an interrupted [[compactStoreInPlace]] swap, if any. */
+  private def recoverSwap(
+      fs: org.apache.hadoop.fs.FileSystem,
+      rootPath: org.apache.hadoop.fs.Path): Unit = {
+    val manifest = new org.apache.hadoop.fs.Path(rootPath, CompactManifest)
+    if (!fs.exists(manifest)) return
+    val in = fs.open(manifest)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val lines = txt.split("\n").toSeq
+    finishSwap(fs, rootPath, lines.head, lines.tail.filter(_.nonEmpty))
   }
 
   /** Streaming boilerplate-line filter against accumulated corpus line

@@ -984,6 +984,102 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("compactStoreInPlace between micro-batches: stream output parity, " +
+      "store view unchanged, interrupted swap recovers") {
+    import graft.operators.{Dedup, TextOps}
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    // two span-dedup runs over identical three-batch feeds — run B
+    // compacts the store in place between every micro-batch; emitted
+    // output must be identical (the compacted view IS the store)
+    val b1 = Seq((1L, "aa bb cc dd t1 t2"))
+    val b2 = Seq((2L, "aa bb cc dd u1 u2"), (3L, "v1 v2 v3 v4 v5 v6"))
+    val b3 = Seq((4L, "v1 v2 v3 v4 w1 w2"))
+    def run(compactBetween: Boolean): Map[Long, Map[Long, String]] = {
+      val dir = java.nio.file.Files.createTempDirectory("inplace").toFile
+      val sig = new java.io.File(dir, "sigs").getAbsolutePath
+      val got = scala.collection.mutable.Map[Long, Map[Long, String]]()
+      val mem = MemoryStream[(Long, String)]
+      val q = IngestDedup.spanDedupStream(
+        mem.toDF().toDF("doc_id", "text"), sig, n = 4) { (df, id) =>
+        got(id) = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      }.start()
+      Seq(b1, b2, b3).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+        if (compactBetween)
+          IngestDedup.compactStoreInPlace(spark, sig, Seq("span_hash"))
+      }
+      SparkTestBase.stopQuietly(q)
+      // after the final compaction the store is seed-files-only at the
+      // root (no b* subdirs), with the same distinct hash view
+      if (compactBetween) {
+        val names = new java.io.File(sig).listFiles().map(_.getName)
+        assert(!names.exists(_.startsWith("b")), names.mkString(","))
+        assert(!names.contains(".compact_manifest") &&
+          !names.contains(".compact_tmp"))
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      got.toMap
+    }
+    val plain = run(compactBetween = false)
+    val compacted = run(compactBetween = true)
+    assert(plain == compacted, s"$plain vs $compacted")
+
+    // count store: in-place compaction preserves summed frequencies
+    val dir = java.nio.file.Files.createTempDirectory("inplacecnt").toFile
+    val root = new java.io.File(dir, "lines").getAbsolutePath
+    Dedup.lineCounts(Seq((0L, "x\nshared")).toDF("doc_id", "text"))
+      .write.parquet(root)
+    Dedup.lineCounts(Seq((1L, "y\nshared")).toDF("doc_id", "text"))
+      .write.parquet(s"$root/b0")
+    Dedup.lineCounts(Seq((2L, "z\nshared")).toDF("doc_id", "text"))
+      .write.parquet(s"$root/b1")
+    IngestDedup.compactStoreInPlace(spark, root,
+      keyCols = Seq("line_hash"), countCol = Some("n_docs"))
+    val sharedHash = Dedup.lineCounts(Seq((0L, "shared")).toDF("doc_id", "text"))
+      .collect()(0).getLong(0)
+    val byHash = spark.read.parquet(
+        IngestDedup.storeInputs(spark, root, None): _*)
+      .groupBy("line_hash").sum("n_docs").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byHash(sharedHash) == 3L, byHash)
+    // idempotent double-compact
+    IngestDedup.compactStoreInPlace(spark, root,
+      keyCols = Seq("line_hash"), countCol = Some("n_docs"))
+    val byHash2 = spark.read.parquet(
+        IngestDedup.storeInputs(spark, root, None): _*)
+      .groupBy("line_hash").sum("n_docs").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byHash2(sharedHash) == 3L, byHash2)
+
+    // interrupted swap: hand-build the post-manifest crash state (staged
+    // table complete, manifest written, nothing moved/deleted yet) and
+    // assert the next compaction completes it without double-summing
+    Dedup.lineCounts(Seq((3L, "q\nshared")).toDF("doc_id", "text"))
+      .write.parquet(s"$root/b9")
+    val staged = new java.io.File(dir, "staged")
+    val inputsNow = IngestDedup.storeInputs(spark, root, None)
+    spark.read.parquet(inputsNow: _*)
+      .groupBy("line_hash").sum("n_docs")
+      .withColumnRenamed("sum(n_docs)", "n_docs")
+      .write.parquet(s"$root/.compact_tmp")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/.compact_manifest"),
+      "deadbeef\n" + inputsNow.mkString("\n"))
+    IngestDedup.compactStoreInPlace(spark, root,
+      keyCols = Seq("line_hash"), countCol = Some("n_docs"))
+    val byHash3 = spark.read.parquet(
+        IngestDedup.storeInputs(spark, root, None): _*)
+      .groupBy("line_hash").sum("n_docs").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byHash3(sharedHash) == 4L, byHash3)
+    val names = new java.io.File(root).listFiles().map(_.getName)
+    assert(!names.contains(".compact_manifest") &&
+      !names.contains(".compact_tmp"), names.mkString(","))
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("ingest store replay is idempotent: re-running a micro-batch after " +
       "its signature write emits identical output and never self-dedups") {
     import graft.operators.{Dedup, TextOps}
