@@ -3546,6 +3546,66 @@ object SparkEntry {
           round(sum(c)::DOUBLE / CASE WHEN sum(t) > 0 THEN sum(t) END, 6) AS chars_per_token
         FROM b GROUP BY source""".stripMargin.trim)),
 
+    Q("q_tokenizer_ab",
+      // BPE-vs-unigram selection table (Bpe.abReport): both tokenizers
+      // run over the SAME planted four-word corpus — the q_train_pipeline
+      // pinned 8-merge BPE table and the q_unigram_encode hand model —
+      // so every per-word piece count is hand-derivable and the oracle is
+      // closed-form in the doc_id%4 class counts. Unigram also reports
+      // corpusNll (mean Viterbi NLL per word: database -1.5, basedata
+      // -2, nation -4.5, zebra 5·-5, xq7 -5-5-30(unk)); merge-table BPE
+      // has no probability model → NULL, by design
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val mm = pmod(col("doc_id"), lit(4))
+        val txt = when(mm === 0, lit("database"))
+          .when(mm === 1, lit("basedata nation"))
+          .when(mm === 2, lit("zebra"))
+          .otherwise(lit("xq7"))
+        val d = Tables.load(s, dir)("documents")
+          .select(col("doc_id"), txt.as("text"))
+        val merges = Seq("e" -> "r", "e" -> "</w>", "n" -> "</w>",
+          "er" -> "</w>", "o" -> "w", "ow" -> "</w>", "o" -> "r", "s" -> "t")
+        val base = ('a' to 'z').map(c => c.toString -> -5.0)
+        val uni = operators.Unigram.Model(
+          (base ++ Seq("data" -> -1.0, "base" -> -1.0, "database" -> -1.5,
+            "na" -> -2.5, "tion" -> -2.0)).map(_._1),
+          (base ++ Seq("data" -> -1.0, "base" -> -1.0, "database" -> -1.5,
+            "na" -> -2.5, "tion" -> -2.0)).map(_._2))
+        val tokenized = operators.Unigram.tokenize(
+          operators.Bpe.tokenize(d, merges, "text", "bpe_pieces"),
+          uni, "text", "uni_pieces")
+        operators.Bpe.abReport(tokenized, Seq(
+          ("bpe", size(col("bpe_pieces")), None),
+          ("unigram", size(col("uni_pieces")),
+            Some(operators.Unigram.corpusNll(d, uni)))))
+      },
+      Some("""
+        WITH k AS (
+          SELECT count(*) FILTER (WHERE doc_id % 4 = 0) AS n0,
+            count(*) FILTER (WHERE doc_id % 4 = 1) AS n1,
+            count(*) FILTER (WHERE doc_id % 4 = 2) AS n2,
+            count(*) FILTER (WHERE doc_id % 4 = 3) AS n3,
+            count(*) AS nd
+          FROM documents),
+        v AS (
+          SELECT 'bpe' AS tokenizer,
+            8*n0 + 15*n1 + 6*n2 + 4*n3 AS t,
+            CAST(NULL AS DOUBLE) AS nll, n0, n1, n2, n3, nd FROM k
+          UNION ALL
+          SELECT 'unigram',
+            1*n0 + 4*n1 + 5*n2 + 3*n3,
+            round((1.5*n0 + 6.5*n1 + 25*n2 + 40*n3)
+              / (n0 + 2*n1 + n2 + n3), 6), n0, n1, n2, n3, nd FROM k)
+        SELECT tokenizer, CAST(nd AS BIGINT) AS n_docs,
+          CAST(n0 + 2*n1 + n2 + n3 AS BIGINT) AS n_words,
+          CAST(t AS BIGINT) AS n_tokens,
+          CAST(8*n0 + 14*n1 + 5*n2 + 3*n3 AS BIGINT) AS n_chars,
+          round(t::DOUBLE / (n0 + 2*n1 + n2 + n3), 6) AS tokens_per_word,
+          round((8*n0 + 14*n1 + 5*n2 + 3*n3)::DOUBLE / t, 6) AS chars_per_token,
+          nll AS nll_per_word
+        FROM v""".stripMargin.trim)),
+
     Q("q_lang_segments",
       // paragraph-level language segmentation over mixed-language synth
       // docs (a German and/or French paragraph appended to the English-ish

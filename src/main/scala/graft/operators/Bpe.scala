@@ -493,4 +493,33 @@ object Bpe {
         round(sum(col("__c")).cast("double") /
           when(sum(col("__t")) > 0, sum(col("__t"))), 6).as("chars_per_token"))
   }
+
+  /** Tokenizer A/B audit — the one-call selection table a vocab-size /
+    * tokenizer review reads: one [[fertilityReport]] row per variant
+    * over the SAME corpus (so n_docs/n_words/n_chars agree and only the
+    * token economics differ), labeled, plus each variant's
+    * model-reported mean NLL per word where its model defines one
+    * ([[Unigram.corpusNll]]; merge-table BPE has no probability model —
+    * NULL there, by design, not omission). Cost: one aggregation scan
+    * per variant over already-tokenized columns; the expensive part
+    * (tokenization itself) is whatever the caller already computed.
+    *
+    * @param variants (label, per-doc token count column, optional
+    *                 model NLL/word) — e.g.
+    *                 `("bpe", size($"bpe_pieces"), None)` */
+  def abReport(
+      docs: DataFrame,
+      variants: Seq[(String, Column, Option[Double])],
+      textCol: String = "text"): DataFrame = {
+    require(variants.nonEmpty, "need at least one tokenizer variant")
+    variants.map { case (label, tokens, nll) =>
+      fertilityReport(docs, tokens, Nil, textCol)
+        .drop("corpus")
+        .withColumn("tokenizer", lit(label))
+        .withColumn("nll_per_word",
+          nll.map(v => round(lit(v), 6)).getOrElse(lit(null).cast("double")))
+        .select("tokenizer", "n_docs", "n_words", "n_tokens", "n_chars",
+          "tokens_per_word", "chars_per_token", "nll_per_word")
+    }.reduce(_ unionByName _)
+  }
 }
