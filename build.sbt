@@ -27,14 +27,73 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 scalacOptions ++= Seq("-deprecation")
+// Default forked-JVM heap. SPARK_DRIVER_MEM always wins; without it the
+// default is no longer a flat 48g: r13 found this host serving
+// first-touch anonymous pages at 1.7-2 GB/s for only the first ~10 GB
+// and 10-40 MB/s beyond (degraded overcommit backend), so a 48 GB
+// -Xms=-Xmx JVM sits astride the cliff and every allocation-heavy stage
+// crawls 6-20x while the committed artifacts' calibrated runs (10 GB
+// heap) read quiet-box numbers. The probe below sizes the fast window
+// ONCE (cached 15 min in /tmp): it forks a tiny single-file Java
+// program under EpsilonGC (no collector noise) that first-touches 64
+// MiB chunks up to 14 GiB and reports the GiB count where the
+// per-chunk rate first drops under 200 MB/s (0 = no cliff → healthy →
+// 48g). Degraded hosts then get heap = max(6, window - 2) GiB — inside
+// the fast window, leaving room for metaspace/code cache — and Bench
+// self-downsizes its 20M pipe smoke on small heaps (disclosed in the
+// artifact). SPARK_GRAFT_HEAP_PROBE=0 skips the probe (flat 48g).
+val graftDefaultHeap: String = sys.env.get("SPARK_DRIVER_MEM").getOrElse {
+  if (sys.env.get("SPARK_GRAFT_HEAP_PROBE").contains("0")) "48g"
+  else try {
+    val cache = new File("/tmp/graft_fastwin_gb.cache")
+    val winGb: Int =
+      if (cache.exists &&
+          System.currentTimeMillis - cache.lastModified < 15 * 60 * 1000L)
+        IO.read(cache).trim.toInt
+      else {
+        val src = new File("/tmp/GraftFastWinProbe.java")
+        IO.write(src,
+          """public class GraftFastWinProbe {
+            |  public static void main(String[] a) {
+            |    final int CH = 1 << 26; // 64 MiB first-touch chunks
+            |    final long LIMIT = 14L << 30;
+            |    java.util.ArrayList<byte[]> keep = new java.util.ArrayList<>();
+            |    long touched = 0;
+            |    while (touched < LIMIT) {
+            |      long t0 = System.nanoTime();
+            |      byte[] b = new byte[CH];
+            |      for (int i = 0; i < CH; i += 4096) b[i] = 1;
+            |      keep.add(b);
+            |      touched += CH;
+            |      double mbps = (CH / 1048576.0) / ((System.nanoTime() - t0) / 1e9);
+            |      if (mbps < 200.0 && touched > (2L << 30)) {
+            |        System.out.println((touched - CH) >> 30);
+            |        return;
+            |      }
+            |    }
+            |    System.out.println(0);
+            |  }
+            |}
+            |""".stripMargin)
+        val out = scala.sys.process.Process(Seq("java",
+          "-XX:+UnlockExperimentalVMOptions", "-XX:+UseEpsilonGC",
+          "-Xmx15g", src.getAbsolutePath)).!!.trim
+        val g = out.linesIterator.toSeq.last.trim.toInt
+        IO.write(cache, g.toString)
+        g
+      }
+    if (winGb <= 0) "48g" else s"${math.max(6, winGb - 2)}g"
+  } catch { case _: Throwable => "48g" }
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // the 20M-row pipeline scale smoke (Bench) caches ~15 GB of synthetic
   // corpus + shingle intermediates in one local JVM; 8g OOM-kills the
   // whole bench run (Spark exits 52). The box has 128 GiB — a high max
-  // is safe (heap grows on demand) and still env-overridable.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // is safe ON A HEALTHY HOST; see graftDefaultHeap for the probe that
+  // right-sizes degraded hosts. Still env-overridable.
+  s"-Xmx$graftDefaultHeap",
   // pre-size the heap: growing from the tiny default to tens of GB
   // mid-pass costs repeated full GCs exactly once — on the FIRST heavy
   // execution — which made first-position 20M smoke numbers read 1.5-3x
@@ -42,7 +101,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // pass 546.5 s at default -Xms vs 343.5 s pre-sized; the pass after,
   // 416.8 s vs 153.4 s). Benchmarks must measure the operator, not the
   // heap ramp.
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xms$graftDefaultHeap",
 ) ++ (
   // OPT-IN heap pre-touch (SPARK_GRAFT_PRETOUCH=1): moves lazy heap
   // fault-in out of the first measured stages and into JVM startup.
