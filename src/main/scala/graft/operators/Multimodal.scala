@@ -472,12 +472,17 @@ object Multimodal {
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
     catch { case _: Throwable => None }
 
-  /** Integer luma grid of a decoded image: per pixel
-    * `(77·R + 150·G + 29·B) >> 8` (the classic integer BT.601
-    * approximation — EXACT integer arithmetic, so every downstream
-    * feature is bit-deterministic and hand-computable; R=G=B=v maps to
-    * exactly v). Returns (width, height, row-major luma 0..255). */
-  private[graft] def lumaGrid(img: java.awt.image.BufferedImage): (Int, Int, Array[Int]) = {
+  /** Decoded pixel grids: one `getRGB` pass yields the ARGB buffer AND
+    * the integer luma grid — per pixel `(77·R + 150·G + 29·B) >> 8`
+    * (the classic integer BT.601 approximation — EXACT integer
+    * arithmetic, so every downstream feature is bit-deterministic and
+    * hand-computable; R=G=B=v maps to exactly v). One buffer read per
+    * image: the decode path is the hot loop of an image-curation scan,
+    * and a second getRGB would double its largest allocation. */
+  private[graft] case class PixelGrids(
+      w: Int, h: Int, argb: Array[Int], luma: Array[Int])
+
+  private[graft] def pixelGrids(img: java.awt.image.BufferedImage): PixelGrids = {
     val w = img.getWidth; val h = img.getHeight
     val px = img.getRGB(0, 0, w, h, null, 0, w)
     val out = new Array[Int](px.length)
@@ -488,7 +493,12 @@ object Multimodal {
         29 * (p & 0xff)) >> 8
       i += 1
     }
-    (w, h, out)
+    PixelGrids(w, h, px, out)
+  }
+
+  private[graft] def lumaGrid(img: java.awt.image.BufferedImage): (Int, Int, Array[Int]) = {
+    val g = pixelGrids(img)
+    (g.w, g.h, g.luma)
   }
 
   /** Deterministic box-filter downsample of a luma grid to `tw`×`th`:
@@ -582,19 +592,18 @@ object Multimodal {
           val fmt = if (bytes == null) None else probeImage(bytes).map(_._1)
           (if (bytes == null) None else decodePixels(bytes)) match {
             case Some(img) =>
-              val (w, h, luma) = lumaGrid(img)
+              val g = pixelGrids(img)
               var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0L
-              val px = img.getRGB(0, 0, w, h, null, 0, w)
               var i = 0
-              while (i < px.length) {
-                val p = px(i)
+              while (i < g.argb.length) {
+                val p = g.argb(i)
                 sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-                sl += luma(i)
+                sl += g.luma(i)
                 i += 1
               }
-              val n = px.length.toDouble
-              (id, true, fmt, Some(w), Some(h),
-                Some(aHash64(w, h, luma)), Some(dHash64(w, h, luma)),
+              val n = g.argb.length.toDouble
+              (id, true, fmt, Some(g.w), Some(g.h),
+                Some(aHash64(g.w, g.h, g.luma)), Some(dHash64(g.w, g.h, g.luma)),
                 Some(sr / n), Some(sg / n), Some(sb / n), Some(sl / n))
             case None =>
               (id, false, fmt, None, None, None, None, None, None, None, None)
@@ -932,20 +941,19 @@ object Multimodal {
         // REAL content decode where a codec-free path exists
         val pixelFeats: Option[Array[Float]] =
           if (r.kind == "image") decodePixels(r.bytes).map { img =>
-            val (iw, ih, luma) = lumaGrid(img)
+            val g = pixelGrids(img)
             var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0L
-            val px = img.getRGB(0, 0, iw, ih, null, 0, iw)
             var i = 0
-            while (i < px.length) {
-              val p = px(i)
+            while (i < g.argb.length) {
+              val p = g.argb(i)
               sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-              sl += luma(i)
+              sl += g.luma(i)
               i += 1
             }
-            val n = px.length.toFloat
-            Array(sl / n, sr / n, sg / n, sb / n, iw.toFloat, ih.toFloat,
-              java.lang.Long.bitCount(aHash64(iw, ih, luma)).toFloat,
-              java.lang.Long.bitCount(dHash64(iw, ih, luma)).toFloat)
+            val n = g.argb.length.toFloat
+            Array(sl / n, sr / n, sg / n, sb / n, g.w.toFloat, g.h.toFloat,
+              java.lang.Long.bitCount(aHash64(g.w, g.h, g.luma)).toFloat,
+              java.lang.Long.bitCount(dHash64(g.w, g.h, g.luma)).toFloat)
           } else None
         val pcmFeats: Option[Array[Float]] =
           if (r.kind == "audio") decodeWavPcm(r.bytes).map { p =>
