@@ -5663,6 +5663,32 @@ object SparkEntry {
         ) AS t(media_id, decode_ok, format, width, height, ahash, dhash,
                mean_r, gray_mean)""".stripMargin.trim)),
 
+    Q("q_image_thumbnail",
+      // materialized resize: the 8×8 / 16×16 lossless fixture images
+      // box-resampled to 4×4 luma grids — the same pinned integer-floor
+      // kernel the hashes consume, so thumbnail and hash can never
+      // drift. Block means are closed-form in the constructions: the
+      // column gradient averages 2-col pairs to 8+32·(pos%4), the
+      // 16×16 row bands average 4-row blocks to 8+32·(pos/4), the
+      // half/half page to 0/0/255/255 per row. JPEG is lossy → excluded
+      // by construction (ids 1-3 only)
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        operators.Multimodal.imageThumbnail(
+            operators.Multimodal.imageFixture(s).where(col("media_id") <= 3), 4, 4)
+          .select(col("media_id"),
+            posexplode(col("thumb")).as(Seq("pos", "luma")))
+      },
+      Some("""
+        SELECT media_id, CAST(pos AS INTEGER) AS pos,
+          CASE media_id
+            WHEN 1 THEN CAST(8 + 32 * (pos % 4) AS DOUBLE)
+            WHEN 2 THEN CAST(8 + 32 * (pos // 4) AS DOUBLE)
+            ELSE CAST(CASE WHEN pos % 4 >= 2 THEN 255 ELSE 0 END AS DOUBLE)
+          END AS luma
+        FROM (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS media_id),
+             (SELECT unnest(range(16)) AS pos)""".stripMargin.trim)),
+
     Q("q_image_neardup",
       // perceptual image near-dup — the pixel twin of SimHash text dedup:
       // aHash signatures from REAL decoded pixels, then the existing

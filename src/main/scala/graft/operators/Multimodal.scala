@@ -614,6 +614,38 @@ object Multimodal {
         "dhash", "mean_r", "mean_g", "mean_b", "gray_mean")
   }
 
+  /** Materialized thumbnail: the decoded image's luma grid box-resampled
+    * to `tw`×`th` ([[boxDownsample]]'s pinned integer-floor spec — the
+    * same kernel the hashes use, so a thumbnail IS the hash's input and
+    * the two can never drift). Output rows: (idCol, decode_ok, thumb)
+    * with `thumb` a row-major tw·th double array (NULL when
+    * undecodable). The resize stage of an image-curation pipeline in
+    * partition-iterator shape — decode once, emit the model-input-sized
+    * grid, never ship original pixels downstream. */
+  def imageThumbnail(
+      media: DataFrame,
+      tw: Int,
+      th: Int,
+      bytesCol: String = "bytes",
+      idCol: String = "media_id"): DataFrame = {
+    require(tw > 0 && th > 0, "thumbnail dims must be positive")
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, bytes) =>
+          (if (bytes == null) None else decodePixels(bytes)) match {
+            case Some(img) =>
+              val g = pixelGrids(img)
+              (id, true, Some(boxDownsample(g.w, g.h, g.luma, tw, th)))
+            case None => (id, false, None)
+          }
+        }
+      }
+      .toDF(idCol, "decode_ok", "thumb")
+  }
+
   // ------------------------------------------------------ PCM decode (real)
 
   /** Decoded WAV PCM sample statistics: frame count, exact duration,
