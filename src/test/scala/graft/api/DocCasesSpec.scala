@@ -275,6 +275,33 @@ class DocCasesSpec extends AnyFunSuite {
     assert(s(2L) == (("pre0 post0", 4L)), s(2L)) // the span stage catches it
   }
 
+  test("image-curation end-to-end: probe gate → pixel decode → perceptual " +
+      "near-dup → canonical keep → thumbnails") {
+    // the image twin of the text curation chain: header probes reject
+    // undecodable/overlarge payloads BEFORE pixel decode, aHash
+    // signatures from real decoded pixels feed the SimHash banding
+    // machinery, each near-dup cluster keeps one canonical member, and
+    // survivors ship as model-input-sized luma thumbnails (never
+    // original bytes)
+    import graft.operators.{Dedup, Multimodal}
+    import org.apache.spark.sql.functions._
+    val media = Multimodal.imageNearDupFixture(spark) // 2-bit pair, 0-bit pair, 1 unique
+    val feats = Multimodal.imageFeatures(media).where(col("decode_ok")).cache()
+    assert(feats.count() == 5)
+    val pairs = Dedup.simHashPairsFromSignatures(
+      feats.select(col("media_id").as("doc_id"), col("ahash").as("sig")),
+      maxDist = 3)
+    val kept = Dedup.keepCanonical(
+      feats.withColumnRenamed("media_id", "doc_id"), pairs)
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(10L, 12L, 14L), ids) // min-id per cluster + the unique
+    val thumbs = Multimodal.imageThumbnail(
+      media.join(kept.select(col("doc_id").as("media_id")), "media_id"), 8, 8)
+    assert(thumbs.count() == 3 &&
+      thumbs.where(size(col("thumb")) === 64).count() == 3)
+    feats.unpersist()
+  }
+
   test("doc case: filter + unit conversion + CASE grading (EmitSync analog)") {
     // reference doc_cases_test.go:16-52 — same SQL, same expectations;
     // the out-of-range and null readings must be filtered, not errors
