@@ -116,8 +116,16 @@ object Bench {
     * (observed r13): HOST MEMORY-subsystem contention — sys-time-
     * dominated CPU, warm-up 6× quiet — while register-bound CPU
     * probes read normal; Spark is memory-bandwidth-bound, so the
-    * probe must be the workload itself, not a spin loop. */
-  private val QUIET_WARMUP_SEC = 120.0
+    * probe must be the workload itself, not a spin loop.
+    * Re-pinned r14: the headline set grew to 116 queries since the
+    * 120 s pin (train_pipeline, tokenizer_ab, the decode fixtures and
+    * the r13 batch all joined), and the r14 run A warm-up measured
+    * 287 s while its own headline section then timed at quiet-box
+    * per-query cost — the stale pin alone read as slow_factor 2.4 and
+    * shed headline fidelity on a near-quiet box. 240 s keeps the 2×
+    * shed threshold meaningful: a quiet box reads ~1.0-1.2, the
+    * r12-style degraded box (6× memory stalls) still reads ~7. */
+  private val QUIET_WARMUP_SEC = 240.0
 
   def main(args: Array[String]): Unit = {
     val benchT0 = System.nanoTime()
