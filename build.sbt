@@ -36,9 +36,12 @@ scalacOptions ++= Seq("-deprecation")
 // heap) read quiet-box numbers. The probe below sizes the fast window
 // ONCE (cached 15 min in /tmp): it forks a tiny single-file Java
 // program under EpsilonGC (no collector noise) that first-touches 64
-// MiB chunks up to 14 GiB and reports the GiB count where the
+// MiB chunks up to 24 GiB and reports the GiB count where the
 // per-chunk rate first drops under 200 MB/s (0 = no cliff → healthy →
-// 48g). Degraded hosts then get heap = max(6, window - 2) GiB — inside
+// 48g). 24 GiB, not 14: r13's probes put THIS host's cliff at ~16 GiB,
+// and two r14 full-20M runs read identical 6-7x contended heavy stages
+// while a 14 GiB-capped probe said "healthy" — the cap must clear the
+// cliff it is hunting. Degraded hosts then get heap = max(6, window - 2) GiB — inside
 // the fast window, leaving room for metaspace/code cache — and Bench
 // self-downsizes its 20M pipe smoke on small heaps (disclosed in the
 // artifact). SPARK_GRAFT_HEAP_PROBE=0 skips the probe (flat 48g).
@@ -56,7 +59,7 @@ val graftDefaultHeap: String = sys.env.get("SPARK_DRIVER_MEM").getOrElse {
           """public class GraftFastWinProbe {
             |  public static void main(String[] a) {
             |    final int CH = 1 << 26; // 64 MiB first-touch chunks
-            |    final long LIMIT = 14L << 30;
+            |    final long LIMIT = 24L << 30;
             |    java.util.ArrayList<byte[]> keep = new java.util.ArrayList<>();
             |    long touched = 0;
             |    while (touched < LIMIT) {
@@ -77,7 +80,7 @@ val graftDefaultHeap: String = sys.env.get("SPARK_DRIVER_MEM").getOrElse {
             |""".stripMargin)
         val out = scala.sys.process.Process(Seq("java",
           "-XX:+UnlockExperimentalVMOptions", "-XX:+UseEpsilonGC",
-          "-Xmx15g", src.getAbsolutePath)).!!.trim
+          "-Xmx25g", src.getAbsolutePath)).!!.trim
         val g = out.linesIterator.toSeq.last.trim.toInt
         IO.write(cache, g.toString)
         g
