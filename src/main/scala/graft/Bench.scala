@@ -495,7 +495,8 @@ object Bench {
       "q_entropy", "q_url_features", "q_clip", "q_join_asof_fwd",
       "q_unigram_encode", "q_gumbel_topk", "q_collapse_phrases",
       "q_event_paths", "q_multimodal_decode", "q_image_neardup",
-      "q_wav_decode", "q_tokenizer_ab", "q_image_thumbnail")
+      "q_wav_decode", "q_tokenizer_ab", "q_image_thumbnail",
+      "q_image_phash")
     val headline = benchOnly match {
       case Some(ps) => headline0.filter(n => ps.exists(n.startsWith))
       case None     => headline0

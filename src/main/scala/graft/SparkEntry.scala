@@ -5723,6 +5723,28 @@ object SparkEntry {
         SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS dist
         FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin.trim)),
 
+    Q("q_image_phash",
+      // DCT perceptual hash over the textured fixture: a rich 16×16
+      // texture and its 2× nearest-neighbor upscale hash IDENTICALLY
+      // (the 32×32 box downsample reproduces the same grid — the
+      // resize-robustness property pHash exists for), the checkerboard
+      // is distinct, the uniform image pins the all-AC-at-median → 0
+      // convention. Oracle literals come from an independent replica of
+      // the documented spec (box downsample, orthonormal DCT-II, 6dp
+      // coefficient quantization, strict-above-median bits)
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        operators.Multimodal.imageFeatures(operators.Multimodal.pHashFixture(s))
+          .select(col("media_id"), col("decode_ok"), col("phash"))
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (CAST(20 AS BIGINT), true, CAST(7160629319854493870 AS BIGINT)),
+          (21, true, 7160629319854493870),
+          (22, true, -6196766167432910336),
+          (23, true, 0)
+        ) AS t(media_id, decode_ok, phash)""".stripMargin.trim)),
+
     Q("q_wav_decode",
       // REAL WAV PCM sample decode (pure byte arithmetic): square waves
       // of amplitude 1000·(1+id%3) and 10+(id%5) periods of 8 frames, so

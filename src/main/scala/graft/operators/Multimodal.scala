@@ -566,6 +566,86 @@ object Multimodal {
     bits
   }
 
+  /** Perceptual DCT hash (pHash): 32×32 luma downsample ([[boxDownsample]]
+    * spec), orthonormal 2D DCT-II, the top-left 8×8 coefficient block,
+    * bit `v·8+u` set iff the coefficient is STRICTLY above the median of
+    * the 63 AC coefficients (DC is excluded from the median and its bit
+    * 0 is always 0 — pinned convention; a uniform image hashes to 0L).
+    * Coefficients are quantized to 6 decimal places (half-even) BEFORE
+    * the median/compare — the repo's plan-literal convention: it zeroes
+    * the ~1e-9 FP residue a brightness shift leaks into mathematically
+    * zero coefficients (whose exact-tie crowd otherwise sits right at
+    * the median on structured images) and makes the hash identical
+    * across any implementation of this spec regardless of summation
+    * order.
+    * Captures low-frequency structure, so it survives recompression,
+    * mild blur and resizing where aHash flips; invariances that follow
+    * from the algebra (and are spec-pinned): constant brightness shifts
+    * touch only the DC (hash unchanged), positive contrast scaling
+    * multiplies every AC coefficient and the median together (hash
+    * unchanged). Same 64-bit shape as aHash/SimHash — the banding
+    * machinery applies unchanged. */
+  private[graft] def pHash64(w: Int, h: Int, luma: Array[Int]): Long = {
+    val g = boxDownsample(w, h, luma, 32, 32)
+    // cos((2x+1)·u·π/64) for u in 0..7, x in 0..31
+    val cosT = Array.tabulate(8, 32)((u, x) =>
+      math.cos((2 * x + 1) * u * math.Pi / 64.0))
+    // separable DCT: rows first (only the 8 needed u per row), then cols
+    val rowPass = Array.ofDim[Double](32, 8)
+    var y = 0
+    while (y < 32) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < 32) { s += g(y * 32 + x) * cosT(u)(x); x += 1 }
+        rowPass(y)(u) = s
+        u += 1
+      }
+      y += 1
+    }
+    val coef = Array.ofDim[Double](8, 8)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var yy = 0
+        while (yy < 32) { s += rowPass(yy)(u) * cosT(v)(yy); yy += 1 }
+        val au = if (u == 0) math.sqrt(1.0 / 32) else math.sqrt(2.0 / 32)
+        val av = if (v == 0) math.sqrt(1.0 / 32) else math.sqrt(2.0 / 32)
+        coef(v)(u) = math.rint(au * av * s * 1e6) / 1e6
+        u += 1
+      }
+      v += 1
+    }
+    val ac = new Array[Double](63)
+    var k = 0
+    v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        if (u != 0 || v != 0) { ac(k) = coef(v)(u); k += 1 }
+        u += 1
+      }
+      v += 1
+    }
+    java.util.Arrays.sort(ac)
+    val median = ac(31) // 63 values: index 31 is the exact middle
+    var bits = 0L
+    v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        if ((u != 0 || v != 0) && coef(v)(u) > median)
+          bits |= 1L << (v * 8 + u)
+        u += 1
+      }
+      v += 1
+    }
+    bits
+  }
+
   /** Real pixel features over a (id, bytes) media table — the decoded
     * twin of the header probes: per row `decode_ok`, header `format`
     * ([[probeImage]]), decoded `width`/`height`, perceptual `ahash`/
@@ -604,14 +684,16 @@ object Multimodal {
               val n = g.argb.length.toDouble
               (id, true, fmt, Some(g.w), Some(g.h),
                 Some(aHash64(g.w, g.h, g.luma)), Some(dHash64(g.w, g.h, g.luma)),
-                Some(sr / n), Some(sg / n), Some(sb / n), Some(sl / n))
+                Some(sr / n), Some(sg / n), Some(sb / n), Some(sl / n),
+                Some(pHash64(g.w, g.h, g.luma)))
             case None =>
-              (id, false, fmt, None, None, None, None, None, None, None, None)
+              (id, false, fmt, None, None, None, None, None, None, None, None,
+                None)
           }
         }
       }
       .toDF(idCol, "decode_ok", "format", "width", "height", "ahash",
-        "dhash", "mean_r", "mean_g", "mean_b", "gray_mean")
+        "dhash", "mean_r", "mean_g", "mean_b", "gray_mean", "phash")
   }
 
   /** Materialized thumbnail: the decoded image's luma grid box-resampled
@@ -857,6 +939,29 @@ object Multimodal {
       13L -> encodeImage("gif", 8, 8, (_, y) => grayRgb(16 * y)),
       14L -> encodeImage("gif", 8, 8,
         (x, y) => grayRgb(if ((x + y) % 2 == 0) 255 else 0))
+    ).toDF("media_id", "bytes")
+  }
+
+  /** pHash fixture — rows whose DCT structure exercises what the
+    * gradient/near-dup fixtures cannot (pure 1-D gradients legitimately
+    * pHash to 0: every AC coefficient of a monotone ramp sits at or
+    * below the median):
+    *   20. hand-built BMP 16×16 rich texture g = (37x+101y+13xy) mod 256
+    *   21. its 2× NEAREST-NEIGHBOR upscale as a 32×32 BMP — the 32×32
+    *       box downsample reproduces row 20's grid exactly, so the two
+    *       resolutions hash IDENTICALLY (the resize-robustness property
+    *       pHash exists for)
+    *   22. GIF checkerboard (rich high-frequency spectrum)
+    *   23. uniform BMP (hashes to 0 — the pinned degenerate case). */
+  def pHashFixture(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    def tex(x: Int, y: Int): Int = (x * 37 + y * 101 + x * y * 13) % 256
+    Seq(
+      20L -> bmpGray(16, 16, tex),
+      21L -> bmpGray(32, 32, (x, y) => tex(x / 2, y / 2)),
+      22L -> encodeImage("gif", 8, 8,
+        (x, y) => grayRgb(if ((x + y) % 2 == 0) 255 else 0)),
+      23L -> bmpGray(8, 8, (_, _) => 77)
     ).toDF("media_id", "bytes")
   }
 

@@ -1186,6 +1186,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((10L, 11L, 2), (12L, 13L, 0)), pairs.mkString(","))
   }
 
+  test("pHash: spec literals, resize-copy equality, algebraic invariances") {
+    import org.apache.spark.sql.functions.col
+    // cross-implementation pin: an independent replica of the documented
+    // spec (32×32 box downsample → orthonormal DCT-II → 8×8 block, 6dp
+    // coefficient quantization, median of the 63 AC, strict >) produced
+    // these literals from the fixture's analytic pixel grids
+    val got = Multimodal.imageFeatures(Multimodal.pHashFixture(spark))
+      .where(col("decode_ok")).select("media_id", "phash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(20L) == 7160629319854493870L, got(20L).toHexString)
+    assert(got(21L) == 7160629319854493870L) // 2x nearest upscale == original
+    assert(got(22L) == -6196766167432910336L)
+    assert(got(23L) == 0L) // uniform: every AC at the median, no bits
+    // algebraic invariances, straight from the DCT: a constant
+    // brightness shift only moves the DC (excluded); a positive
+    // contrast scale multiplies every AC coefficient and the median
+    // together. Tested on a rich texture (no coefficient crowding at
+    // the median) with headroom so the +20 shift cannot clip; doubling
+    // is an exact integral positive scale
+    def ph(w: Int, vals: (Int, Int) => Int): Long = {
+      val luma = Array.tabulate(w * w)(i => vals(i % w, i / w))
+      Multimodal.pHash64(w, w, luma)
+    }
+    def tex(x: Int, y: Int): Int = (x * 37 + y * 101 + x * y * 13) % 100
+    val base = ph(16, tex)
+    assert(ph(16, (x, y) => tex(x, y) + 20) == base,
+      "brightness shift must not move pHash")
+    assert(ph(16, (x, y) => tex(x, y) * 2) == base,
+      "contrast scale must not move pHash")
+    // a pure 1-D gradient legitimately hashes to 0: a monotone ramp's
+    // AC spectrum lives in one row, so all 63 AC sit at/below the median
+    assert(ph(8, (x, _) => 16 * x) == 0L)
+  }
+
   test("decodeWavPcm: square-wave stats are closed-form; non-PCM and corrupt refuse") {
     val got = Multimodal.wavStats(Multimodal.wavPcmFixture(spark))
       .orderBy("media_id").collect()
