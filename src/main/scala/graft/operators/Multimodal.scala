@@ -942,6 +942,75 @@ object Multimodal {
     ).toDF("media_id", "bytes")
   }
 
+  /** Apply an EXIF display orientation (tag 0x0112, values 1-8) to a
+    * row-major luma grid — the normalization step BEFORE hashing or
+    * thumbnailing a camera image (two phone photos of the same scene
+    * often differ only by this tag; hashed un-normalized they read as
+    * distinct). Mapping per the TIFF/EXIF spec: 1 identity, 2 flip-H,
+    * 3 rotate 180, 4 flip-V, 5 transpose, 6 rotate 90 CW, 7 transverse,
+    * 8 rotate 270 CW; 5-8 swap the output dimensions. Unknown values
+    * pass through as identity. Returns (width, height, luma). */
+  private[graft] def orientLuma(
+      w: Int, h: Int, luma: Array[Int], orientation: Int): (Int, Int, Array[Int]) = {
+    if (orientation <= 1 || orientation > 8) return (w, h, luma)
+    val swap = orientation >= 5
+    val (ow, oh) = if (swap) (h, w) else (w, h)
+    val out = new Array[Int](luma.length)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // destination of source (x, y) under each orientation
+        val (dx, dy) = orientation match {
+          case 2 => (w - 1 - x, y)             // flip horizontal
+          case 3 => (w - 1 - x, h - 1 - y)     // rotate 180
+          case 4 => (x, h - 1 - y)             // flip vertical
+          case 5 => (y, x)                     // transpose
+          case 6 => (h - 1 - y, x)             // rotate 90 CW
+          case 7 => (h - 1 - y, w - 1 - x)     // transverse
+          case _ => (y, w - 1 - x)             // 8: rotate 270 CW
+        }
+        out(dy * ow + dx) = luma(y * w + x)
+        x += 1
+      }
+      y += 1
+    }
+    (ow, oh, out)
+  }
+
+  /** [[imageThumbnail]] with EXIF orientation normalization: each row's
+    * payload is probed for the orientation tag ([[probeExif]] — JPEG
+    * APP1 or standalone TIFF; absent/corrupt EXIF reads as identity)
+    * and the decoded luma grid is re-oriented BEFORE the box resample,
+    * so a sideways phone photo and its upright copy emit the same
+    * thumbnail (and, fed onward, the same perceptual hash). Same
+    * partition-iterator shape and adversarial-bytes contract. */
+  def imageThumbnailOriented(
+      media: DataFrame,
+      tw: Int,
+      th: Int,
+      bytesCol: String = "bytes",
+      idCol: String = "media_id"): DataFrame = {
+    require(tw > 0 && th > 0, "thumbnail dims must be positive")
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, bytes) =>
+          (if (bytes == null) None else decodePixels(bytes)) match {
+            case Some(img) =>
+              val g = pixelGrids(img)
+              val o = probeExif(bytes).flatMap(_.orientation).getOrElse(1)
+              val (ow, oh, oriented) = orientLuma(g.w, g.h, g.luma, o)
+              (id, true, o, Some(boxDownsample(ow, oh, oriented, tw, th)))
+            case None => (id, false, 1, None)
+          }
+        }
+      }
+      .toDF(idCol, "decode_ok", "orientation", "thumb")
+  }
+
   /** pHash fixture — rows whose DCT structure exercises what the
     * gradient/near-dup fixtures cannot (pure 1-D gradients legitimately
     * pHash to 0: every AC coefficient of a monotone ramp sits at or

@@ -1220,6 +1220,64 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ph(8, (x, _) => 16 * x) == 0L)
   }
 
+  test("orientLuma: all eight EXIF orientations match the hand table; " +
+      "EXIF-bearing JPEG thumbnails re-orient on the wire") {
+    import org.apache.spark.sql.functions.col
+    // 2×3 grid rows [1,2],[3,4],[5,6] — every orientation hand-computed
+    val g = Array(1, 2, 3, 4, 5, 6)
+    def o(n: Int) = Multimodal.orientLuma(2, 3, g, n)
+    assert(o(1) == ((2, 3, g)))
+    assert(o(2)._3.toSeq == Seq(2, 1, 4, 3, 6, 5)) // flip-H
+    assert(o(3)._3.toSeq == Seq(6, 5, 4, 3, 2, 1)) // rot 180
+    assert(o(4)._3.toSeq == Seq(5, 6, 3, 4, 1, 2)) // flip-V
+    assert(o(5)._1 == 3 && o(5)._3.toSeq == Seq(1, 3, 5, 2, 4, 6)) // transpose
+    assert(o(6)._1 == 3 && o(6)._3.toSeq == Seq(5, 3, 1, 6, 4, 2)) // rot 90 CW
+    assert(o(7)._1 == 3 && o(7)._3.toSeq == Seq(6, 4, 2, 5, 3, 1)) // transverse
+    assert(o(8)._1 == 3 && o(8)._3.toSeq == Seq(2, 4, 6, 1, 3, 5)) // rot 270
+    assert(o(0) == ((2, 3, g)) && o(9) == ((2, 3, g))) // unknown = identity
+    // wire path: a JPEG (left half dark, right half bright) with an
+    // APP1 Exif orientation tag spliced after SOI — orientation 6
+    // (rotate 90 CW) moves the dark half to the TOP of the thumbnail
+    def tiffOrient(ori: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + 2 + 12 + 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+      b.putShort(1)
+      b.putShort(0x0112).putShort(3).putInt(1).putShort(ori.toShort).putShort(0)
+      b.putInt(0)
+      b.array()
+    }
+    def withExif(jpeg: Array[Byte], ori: Int): Array[Byte] = {
+      val t = tiffOrient(ori)
+      val b = java.nio.ByteBuffer.allocate(jpeg.length + 4 + 6 + t.length)
+      b.put(jpeg, 0, 2) // SOI
+      b.put(0xff.toByte).put(0xe1.toByte)
+      b.putShort((2 + 6 + t.length).toShort)
+      b.put("Exif".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+      b.put(t)
+      b.put(jpeg, 2, jpeg.length - 2)
+      b.array()
+    }
+    val jpeg = Multimodal.encodeImage("jpg", 32, 16,
+      (x, _) => if (x < 16) (30 << 16) | (30 << 8) | 30
+                else (220 << 16) | (220 << 8) | 220)
+    val rows = Seq(40L -> withExif(jpeg, 6), 41L -> withExif(jpeg, 1),
+      42L -> jpeg).toDF("media_id", "bytes")
+    val got = Multimodal.imageThumbnailOriented(rows, 4, 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(2), r.getSeq[Double](3)))).toMap
+    assert(got(40L)._1 == 6 && got(41L)._1 == 1 && got(42L)._1 == 1)
+    def rowMean(t: Seq[Double], r: Int) = t.slice(r * 4, r * 4 + 4).sum / 4
+    def colMean(t: Seq[Double], c: Int) = (0 until 4).map(r => t(r * 4 + c)).sum / 4
+    val t6 = got(40L)._2
+    assert(rowMean(t6, 0) < 100 && rowMean(t6, 3) > 150,
+      s"rot90: dark top / bright bottom expected, got $t6")
+    val t1 = got(41L)._2
+    assert(colMean(t1, 0) < 100 && colMean(t1, 3) > 150,
+      s"identity: dark left / bright right expected, got $t1")
+    assert(got(41L)._2 == got(42L)._2) // exif-less ≡ orientation 1
+  }
+
   test("decodeWavPcm: square-wave stats are closed-form; non-PCM and corrupt refuse") {
     val got = Multimodal.wavStats(Multimodal.wavPcmFixture(spark))
       .orderBy("media_id").collect()
