@@ -534,8 +534,11 @@ object Multimodal {
 
   /** Average hash: 8×8 luma downsample, bit `y·8+x` set iff the cell is
     * STRICTLY above the 64-cell mean (a uniform image hashes to 0L —
-    * pinned convention). The standard perceptual near-dup signature:
-    * Hamming distance ≤ 3 ≈ same image up to recompression/resize. */
+    * pinned convention). The standard perceptual near-dup signature
+    * (aHash family popularized by Krawetz's "Looks Like It", 2011;
+    * the bit layout and strict-comparison convention here are this
+    * repo's own pinned spec): Hamming distance ≤ 3 ≈ same image up to
+    * recompression/resize. */
   private[graft] def aHash64(w: Int, h: Int, luma: Array[Int]): Long = {
     val g = boxDownsample(w, h, luma, 8, 8)
     var mean = 0.0
@@ -550,7 +553,9 @@ object Multimodal {
 
   /** Difference hash: 9×8 luma downsample, bit `y·8+x` set iff cell
     * (y, x+1) is strictly brighter than (y, x) — gradient-based, robust
-    * to global brightness shifts where aHash is not. */
+    * to global brightness shifts where aHash is not (dHash per
+    * Krawetz 2013; grid mapping and strict comparison are this repo's
+    * pinned spec). */
   private[graft] def dHash64(w: Int, h: Int, luma: Array[Int]): Long = {
     val g = boxDownsample(w, h, luma, 9, 8)
     var bits = 0L
@@ -566,7 +571,10 @@ object Multimodal {
     bits
   }
 
-  /** Perceptual DCT hash (pHash): 32×32 luma downsample ([[boxDownsample]]
+  /** Perceptual DCT hash (pHash, the DCT scheme described by Zauner,
+    * "Implementation and Benchmarking of Perceptual Image Hash
+    * Functions", 2010 — re-specified here exactly; no code consulted):
+    * 32×32 luma downsample ([[boxDownsample]]
     * spec), orthonormal 2D DCT-II, the top-left 8×8 coefficient block,
     * bit `v·8+u` set iff the coefficient is STRICTLY above the median of
     * the 63 AC coefficients (DC is excluded from the median and its bit
