@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.DataStreamWriter
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import graft.operators.TextOps
@@ -310,6 +310,82 @@ object IngestDedup {
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       docBatch(batch, batchId, sigPath, textCol, idCol, shingleN, bands,
         rows, threshold, maxBucket)(emit)
+    }
+
+  private[graft] def imageBatch(
+      batch: DataFrame,
+      batchId: Long,
+      sigPath: String,
+      bytesCol: String,
+      idCol: String,
+      maxDist: Int,
+      maxBucket: Int)(emit: (DataFrame, Long) => Unit): Unit = {
+    val spark = batch.sparkSession
+    val feats = graft.operators.Multimodal
+      .imageFeatures(batch, bytesCol, idCol)
+      .select(col(idCol), col("decode_ok"), col("ahash"))
+      .persist()
+    try {
+      val sigs = feats.where(col("decode_ok"))
+        .select(col(idCol).as("doc_id"), col("ahash").as("sig"))
+      // within-batch near-dup clusters collapse to their canonical
+      // (lowest id) FIRST; corpus ownership then propagates through the
+      // cluster: if the canonical is corpus-owned the whole cluster is
+      // (its members were near-dups of a corpus near-dup)
+      val within = graft.operators.Dedup.simHashPairsFromSignatures(
+        sigs, maxDist = maxDist, maxBucket = maxBucket)
+      val canon = graft.operators.Dedup.keepCanonical(sigs, within)
+      val inputs = storeInputs(spark, sigPath, Some(batchId))
+      val owned =
+        if (inputs.isEmpty)
+          canon.limit(0).select(col("doc_id").as("doc_new"))
+        else graft.operators.Dedup.simHashPairsAgainstSignatures(
+            canon, spark.read.parquet(inputs: _*)
+              .select(col(idCol).as("doc_id"), col("ahash").as("sig")),
+            maxDist = maxDist, maxBucket = maxBucket)
+          .select(col("doc_new")).distinct()
+      val kept = canon.join(owned,
+        canon("doc_id") === owned("doc_new"), "left_anti")
+      // undecodable payloads PASS flagged (no pixels → nothing to match;
+      // dropping them silently would gut corrupt-but-wanted rows, and a
+      // curation gate wants to route them, not lose them)
+      val keptOut = feats.where(!col("decode_ok"))
+        .select(col(idCol), col("decode_ok"),
+          lit(null).cast("long").as("ahash"))
+        .unionByName(kept.select(col("doc_id").as(idCol),
+          lit(true).as("decode_ok"), col("sig").as("ahash")))
+      emit(keptOut, batchId)
+      kept.select(col("doc_id").as(idCol), col("sig").as("ahash"))
+        .write.mode("overwrite").parquet(s"$sigPath/b$batchId")
+    } finally feats.unpersist()
+  }
+
+  /** Image-granularity member of the ingest family: each micro-batch
+    * decodes pixels ONCE ([[graft.operators.Multimodal.imageFeatures]]),
+    * drops images whose aHash is within `maxDist` Hamming bits of the
+    * accumulated corpus OR of a kept batch sibling (16-bit pigeonhole
+    * banding both ways — never an all-pairs comparison), and the store
+    * learns the survivors' signatures under the replay-idempotent
+    * `b<batchId>` layout (see [[IngestDedup]]). `emit` receives
+    * (idCol, decode_ok, ahash) for the kept rows — undecodable payloads
+    * pass with decode_ok=false and a NULL hash, by contract. Store rows
+    * are (idCol, ahash): 16 bytes per corpus image, text/pixels never
+    * stored.
+    *
+    * @param sigPath signature store root — seed it with the existing
+    *        corpus' (idCol, ahash) rows written to the root, or start
+    *        empty */
+  def imageDedupStream(
+      stream: DataFrame,
+      sigPath: String,
+      bytesCol: String = "bytes",
+      idCol: String = "media_id",
+      maxDist: Int = 3,
+      maxBucket: Int = 100000)(
+      emit: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      imageBatch(batch, batchId, sigPath, bytesCol, idCol, maxDist,
+        maxBucket)(emit)
     }
 
   /** Offline store maintenance: fold a store's accumulated per-batch

@@ -984,6 +984,60 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("imageDedupStream: perceptual near-dup gating across micro-batches, " +
+      "undecodable rows pass flagged, replay is idempotent") {
+    import graft.operators.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("imgdedup").toFile
+    val sig = new java.io.File(dir, "sigs").getAbsolutePath
+    def gradient = Multimodal.bmpGray(8, 8, (x, _) => 16 * x)
+    // the mean-preserving 2-bit tweak (same construction as the
+    // near-dup fixture's row 11)
+    def gradientTweak = Multimodal.bmpGray(8, 8, (x, y) =>
+      if (y == 0 && x == 0) 64 else if (y == 0 && x == 4) 0 else 16 * x)
+    def checkerGif = Multimodal.encodeImage("gif", 8, 8,
+      (x, y) => grayOf(if ((x + y) % 2 == 0) 255 else 0))
+    def grayOf(v: Int): Int = (v << 16) | (v << 8) | v
+    // 16×16 nearest-2x upscale of the checker as PNG: different format
+    // AND resolution, identical 8×8 luma means → aHash distance 0
+    def checkerPng16 = Multimodal.encodeImage("png", 16, 16,
+      (x, y) => grayOf(if ((x / 2 + y / 2) % 2 == 0) 255 else 0))
+    val corrupt = Array[Byte](1, 2, 3)
+    val batch1 = Seq(1L -> gradient, 2L -> gradientTweak, 3L -> checkerGif)
+    val batch2 = Seq(4L -> checkerPng16, 5L -> Multimodal.bmpGray(8, 8,
+      (x, y) => (x * 37 + y * 101 + x * y * 13) % 256), 6L -> corrupt)
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val src = mem.toDF().toDF("media_id", "bytes")
+    val got = scala.collection.mutable.Map[Long, Map[Long, Boolean]]()
+    val q = IngestDedup.imageDedupStream(src, sig) { (df, id) =>
+      got(id) = df.collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    }.start()
+    mem.addData(batch1: _*); q.processAllAvailable()
+    mem.addData(batch2: _*); q.processAllAvailable()
+    SparkTestBase.stopQuietly(q)
+    // batch 1: 2 is a within-batch near-dup of 1 (canonical keeps the
+    // lower id); batch 2: 4 is corpus-owned (checker already kept as 3),
+    // 5 is fresh, 6 is corrupt and passes flagged
+    assert(got(0L) == Map(1L -> true, 3L -> true), got(0L))
+    assert(got(1L) == Map(5L -> true, 6L -> false), got(1L))
+    // store holds exactly the survivors' signatures
+    val stored = spark.read.parquet(
+        IngestDedup.storeInputs(spark, sig, None): _*)
+      .collect().map(_.getLong(0)).toSet
+    assert(stored == Set(1L, 3L, 5L), stored)
+    // replaying batch 1 against the store (its own subdir excluded)
+    // re-emits identical output — the r12 self-dedup failure mode
+    var replay = Map.empty[Long, Boolean]
+    IngestDedup.imageBatch(batch1.toDF("media_id", "bytes"), 0L, sig,
+      "bytes", "media_id", 3, 100000) { (df, _) =>
+      replay = df.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    }
+    assert(replay == got(0L), s"$replay vs ${got(0L)}")
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("compactStoreInPlace between micro-batches: stream output parity, " +
       "store view unchanged, interrupted swap recovers") {
     import graft.operators.{Dedup, TextOps}
