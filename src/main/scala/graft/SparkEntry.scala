@@ -5782,6 +5782,90 @@ object SparkEntry {
         ) AS t(media_id, pcm_ok, channels, sample_rate, bits, n_frames,
                duration_ms, rms, peak, zero_crossings)""".stripMargin.trim)),
 
+    Q("q_media_funcs",
+      // the media kernels as DIALECT scalars (the SQL surface is the
+      // product): header probe (image_format/width/height — fills for
+      // codec-less WebP too, and gates the corrupt row in WHERE before
+      // any decode), perceptual hashes, and the hamming64 near-dup
+      // verify — over the same imageFixture whose feature literals
+      // q_multimodal_decode pinned. The oracle re-derives hd from the
+      // hash literals, so the dialect lowering chain (parse → UDF →
+      // getField → bit_count) is what's under test
+      (s, dir) => {
+        val t = Tables.load(s, dir) +
+          ("images" -> operators.Multimodal.imageFixture(s))
+        GraftEngine.sql(
+          "SELECT media_id, image_ok(bytes) AS ok, " +
+            "image_format(bytes) AS fmt, image_width(bytes) AS w, " +
+            "image_height(bytes) AS h, image_ahash(bytes) AS ah, " +
+            "image_dhash(bytes) AS dh, " +
+            "hamming64(image_ahash(bytes), image_dhash(bytes)) AS hd " +
+            "FROM images WHERE image_width(bytes) >= 8", t)
+      },
+      Some("""
+        WITH v(media_id, ok, fmt, w, h, ah, dh) AS (VALUES
+          (CAST(1 AS BIGINT), true, 'bmp', CAST(8 AS INTEGER), CAST(8 AS INTEGER),
+           CAST(-1085102592571150096 AS BIGINT), CAST(-72340172838076674 AS BIGINT)),
+          (2, true, 'png', 16, 16, -4294967296, 0),
+          (3, true, 'gif', 8, 8, -1085102592571150096, 1157442765409226768),
+          (4, true, 'jpeg', 32, 16, 0, 0),
+          (6, false, 'webp', 8, 8, NULL, NULL))
+        SELECT media_id, ok, fmt, w, h, ah, dh,
+          CAST(bit_count(xor(ah, dh)) AS INTEGER) AS hd
+        FROM v""".stripMargin.trim)),
+
+    Q("q_media_funcs2",
+      // WAV PCM dialect scalars with wav_ok as the WHERE gate (drops the
+      // float-format and corrupt rows before any stat is read); the
+      // square-wave fixture keeps every statistic closed-form
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val t = Tables.load(s, dir) +
+          ("wavs" -> operators.Multimodal.wavPcmFixture(s))
+        GraftEngine.sql(
+          "SELECT media_id, round(wav_rms(bytes), 6) AS rms, " +
+            "wav_peak(bytes) AS peak, wav_duration_ms(bytes) AS dur_ms, " +
+            "wav_crossings(bytes) AS zc FROM wavs WHERE wav_ok(bytes)", t)
+      },
+      Some("""
+        WITH sq AS (
+          SELECT id, 1000 * (1 + id % 3) AS amp, 10 + (id % 5) AS periods
+          FROM (SELECT unnest(range(20, 26)) AS id))
+        SELECT CAST(id AS BIGINT) AS media_id, CAST(amp AS DOUBLE) AS rms,
+          CAST(amp AS INTEGER) AS peak, CAST(periods AS BIGINT) AS dur_ms,
+          CAST(2 * periods - 1 AS BIGINT) AS zc
+        FROM sq
+        UNION ALL SELECT * FROM (VALUES
+          (CAST(26 AS BIGINT), CAST(50.0 AS DOUBLE), CAST(50 AS INTEGER),
+           CAST(10 AS BIGINT), CAST(19 AS BIGINT)),
+          (27, 3000.0, 3000, 6, 23)
+        ) AS t(media_id, rms, peak, dur_ms, zc)""".stripMargin.trim)),
+
+    Q("q_media_funcs3",
+      // image_phash and exif_orientation on the dialect surface, set-op
+      // composed: the pHash fixture's pinned literals (incl. the 2×
+      // resize-identity pair 20≡21) union the EXIF fixture's orientation
+      // table (JPEG APP1 walk incl. corrupt-IFD and no-APP1 rows → NULL)
+      (s, dir) => {
+        val t = Tables.load(s, dir) +
+          ("phimgs" -> operators.Multimodal.pHashFixture(s)) +
+          ("exifs" -> operators.Multimodal.exifBytesFixture(s))
+        GraftEngine.sql(
+          "SELECT media_id, image_phash(bytes) AS v FROM phimgs " +
+            "WHERE image_ok(bytes) " +
+            "UNION ALL " +
+            "SELECT media_id, cast(exif_orientation(bytes), 'bigint') AS v " +
+            "FROM exifs", t)
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (CAST(20 AS BIGINT), CAST(7160629319854493870 AS BIGINT)),
+          (21, 7160629319854493870),
+          (22, -6196766167432910336),
+          (23, 0),
+          (1, 6), (2, 1), (3, NULL), (4, NULL), (5, 3), (6, NULL)
+        ) AS t(media_id, v)""".stripMargin.trim)),
+
     Q("q_dup_spans",
       // cross-doc exact-substring duplication: fraction of each doc's
       // distinct 8-word windows shared with another document (Lee et al.

@@ -217,6 +217,46 @@ object FunctionMap {
       case "robots_nofollow" => graft.operators.HtmlOps.robotsDirective(a0, "nofollow")
       case "html_canonical" => graft.operators.HtmlOps.canonicalLink(a0)
       case "nofollow_links" => graft.operators.HtmlOps.nofollowLinkCount(a0)
+      // r14 multimodal scalars — crawled-media curation gates in dialect
+      // SQL. `image_features` decodes once and returns the whole struct;
+      // the single-feature forms extract from the SAME udf expression so
+      // Spark's subexpression elimination shares the decode within a
+      // projection. `image_format/width/height` are the header PROBE
+      // (no decode — the cheap pre-decode gate, fills for codec-less
+      // formats like WebP too).
+      case "image_features" => graft.operators.Multimodal.imageFeaturesCol(a0)
+      case "image_ok" =>
+        graft.operators.Multimodal.imageFeaturesCol(a0).getField("decode_ok")
+      case "image_ahash" =>
+        graft.operators.Multimodal.imageFeaturesCol(a0).getField("ahash")
+      case "image_dhash" =>
+        graft.operators.Multimodal.imageFeaturesCol(a0).getField("dhash")
+      case "image_phash" =>
+        graft.operators.Multimodal.imageFeaturesCol(a0).getField("phash")
+      case "image_gray_mean" =>
+        graft.operators.Multimodal.imageFeaturesCol(a0).getField("gray_mean")
+      case "image_format" =>
+        graft.operators.Multimodal.imageProbeCol(a0).getField("format")
+      case "image_width" =>
+        graft.operators.Multimodal.imageProbeCol(a0).getField("width")
+      case "image_height" =>
+        graft.operators.Multimodal.imageProbeCol(a0).getField("height")
+      case "exif_orientation" =>
+        graft.operators.Multimodal.exifOrientationCol(a0)
+      case "wav_stats" => graft.operators.Multimodal.wavStatsCol(a0)
+      case "wav_ok" =>
+        graft.operators.Multimodal.wavStatsCol(a0).isNotNull
+      case "wav_rms" =>
+        graft.operators.Multimodal.wavStatsCol(a0).getField("rms")
+      case "wav_peak" =>
+        graft.operators.Multimodal.wavStatsCol(a0).getField("peak")
+      case "wav_duration_ms" =>
+        graft.operators.Multimodal.wavStatsCol(a0).getField("durationMs")
+      case "wav_crossings" =>
+        graft.operators.Multimodal.wavStatsCol(a0).getField("zeroCrossings")
+      // 64-bit signature Hamming distance (aHash/dHash/pHash/SimHash
+      // near-dup verify as a WHERE gate) — pure builtins, codegen'd
+      case "hamming64" => bit_count(a0.bitwiseXOR(a1))
 
       // ---- type predicates (functions_type.go) ----
       case "is_null" => a0.isNull

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
@@ -396,6 +396,17 @@ object Multimodal {
     * hand-computable by an external oracle. Output: (media_id, exif_ok,
     * orientation, captured_at, has_gps). */
   def exifFixture(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    exifBytesFixture(spark).as[(Long, Array[Byte])].map { case (id, bs) =>
+      val e = probeExif(bs)
+      (id, e.isDefined, e.flatMap(_.orientation), e.flatMap(_.captured_at),
+        e.exists(_.has_gps))
+    }.toDF("media_id", "exif_ok", "orientation", "captured_at", "has_gps")
+  }
+
+  /** Raw (media_id, bytes) rows of [[exifFixture]] — the same six
+    * constructions before probing, for dialect-scalar oracle queries. */
+  def exifBytesFixture(spark: SparkSession): DataFrame = {
     def tiff(le: Boolean, orientation: Option[Int], dateTime: Option[String],
         dateTimeOriginal: Option[String], gps: Boolean): Array[Byte] = {
       val n0 = orientation.size + dateTime.size +
@@ -454,11 +465,7 @@ object Multimodal {
       5L -> jpegWrap(tiff(le = true, Some(3), None, None, gps = false)),
       6L -> tiff(le = true, None, None, None, gps = true))
     import spark.implicits._
-    rows.toDF("media_id", "bytes").as[(Long, Array[Byte])].map { case (id, bs) =>
-      val e = probeExif(bs)
-      (id, e.isDefined, e.flatMap(_.orientation), e.flatMap(_.captured_at),
-        e.exists(_.has_gps))
-    }.toDF("media_id", "exif_ok", "orientation", "captured_at", "has_gps")
+    rows.toDF("media_id", "bytes")
   }
 
   // ------------------------------------------------------ pixel decode (real)
@@ -1244,4 +1251,83 @@ object Multimodal {
       .toDF()
       .withColumn("feat_0", round(element_at(col("features"), 1), 6))
       .drop("features")
+
+  // ------------------------------------------- dialect Column surface
+  // Scalar-function forms of the media kernels, so curation gates like
+  // `WHERE image_ok(bytes) AND hamming64(image_ahash(bytes), ...) <= 3`
+  // run in dialect SQL. These are Scala UDFs by necessity (no Spark
+  // builtin decodes pixels); the decode-once partition-iterator shape
+  // ([[imageFeatures]]) remains the bulk path — the UDFs exist for SQL
+  // reachability, and `image_features(b)` returns ONE struct per call so
+  // a query needing several features pays one decode (Spark's
+  // subexpression elimination collapses repeated identical calls inside
+  // a project as well).
+
+  /** Struct returned by the `image_features` dialect scalar — the
+    * Column-shaped subset of [[imageFeatures]]'s row. */
+  case class ImageFeats(
+      decode_ok: Boolean,
+      format: Option[String],
+      width: Option[Int],
+      height: Option[Int],
+      ahash: Option[Long],
+      dhash: Option[Long],
+      phash: Option[Long],
+      gray_mean: Option[Double])
+
+  private def featsOf(bytes: Array[Byte]): ImageFeats = {
+    javax.imageio.ImageIO.setUseCache(false) // static flag; cheap to re-set
+    val fmt = if (bytes == null) None else probeImage(bytes).map(_._1)
+    (if (bytes == null) None else decodePixels(bytes)) match {
+      case Some(img) =>
+        val g = pixelGrids(img)
+        var sl = 0L
+        var i = 0
+        while (i < g.luma.length) { sl += g.luma(i); i += 1 }
+        ImageFeats(decode_ok = true, fmt, Some(g.w), Some(g.h),
+          Some(aHash64(g.w, g.h, g.luma)), Some(dHash64(g.w, g.h, g.luma)),
+          Some(pHash64(g.w, g.h, g.luma)),
+          Some(sl.toDouble / g.luma.length))
+      case None =>
+        ImageFeats(decode_ok = false, fmt, None, None, None, None, None, None)
+    }
+  }
+
+  /** `image_features(bytes)` → struct(decode_ok, format, width, height,
+    * ahash, dhash, phash, gray_mean). Decoded width/height; `format`
+    * is the header probe (fills even when decode fails, e.g. WebP). */
+  lazy val imageFeaturesCol: Column => Column = {
+    val u = udf(featsOf _)
+    c => u(c)
+  }
+
+  /** Header-probe struct (NO pixel decode — bytes-bounded header walk,
+    * the cheap pre-decode gate): `(format, width, height)` as DECLARED
+    * by the container, or NULL when no known signature matches. */
+  case class ImageProbe(format: String, width: Int, height: Int)
+
+  lazy val imageProbeCol: Column => Column = {
+    val u = udf((b: Array[Byte]) =>
+      if (b == null) None
+      else probeImage(b).map { case (f, w, h) => ImageProbe(f, w, h) })
+    c => u(c)
+  }
+
+  /** `exif_orientation(bytes)` → the TIFF/EXIF display orientation
+    * (1-8) from a JPEG APP1 or standalone TIFF header, NULL when absent
+    * or unparseable ([[probeExif]]'s bounds-checked walk). */
+  lazy val exifOrientationCol: Column => Column = {
+    val u = udf((b: Array[Byte]) =>
+      if (b == null) None else probeExif(b).flatMap(_.orientation))
+    c => u(c)
+  }
+
+  /** `wav_stats(bytes)` → struct(channels, sampleRate, bitsPerSample,
+    * nFrames, durationMs, rms, peak, zeroCrossings), NULL for non-PCM
+    * payloads ([[decodeWavPcm]]'s contract). */
+  lazy val wavStatsCol: Column => Column = {
+    val u = udf((b: Array[Byte]) =>
+      if (b == null) None else decodeWavPcm(b))
+    c => u(c)
+  }
 }
