@@ -319,15 +319,18 @@ object IngestDedup {
       bytesCol: String,
       idCol: String,
       maxDist: Int,
-      maxBucket: Int)(emit: (DataFrame, Long) => Unit): Unit = {
+      maxBucket: Int,
+      sigCol: String = "ahash")(emit: (DataFrame, Long) => Unit): Unit = {
+    require(Set("ahash", "dhash", "phash")(sigCol),
+      s"sigCol must be one of ahash/dhash/phash, got '$sigCol'")
     val spark = batch.sparkSession
     val feats = graft.operators.Multimodal
       .imageFeatures(batch, bytesCol, idCol)
-      .select(col(idCol), col("decode_ok"), col("ahash"))
+      .select(col(idCol), col("decode_ok"), col(sigCol))
       .persist()
     try {
       val sigs = feats.where(col("decode_ok"))
-        .select(col(idCol).as("doc_id"), col("ahash").as("sig"))
+        .select(col(idCol).as("doc_id"), col(sigCol).as("sig"))
       // within-batch near-dup clusters collapse to their canonical
       // (lowest id) FIRST; corpus ownership then propagates through the
       // cluster: if the canonical is corpus-owned the whole cluster is
@@ -341,7 +344,7 @@ object IngestDedup {
           canon.limit(0).select(col("doc_id").as("doc_new"))
         else graft.operators.Dedup.simHashPairsAgainstSignatures(
             canon, spark.read.parquet(inputs: _*)
-              .select(col(idCol).as("doc_id"), col("ahash").as("sig")),
+              .select(col(idCol).as("doc_id"), col(sigCol).as("sig")),
             maxDist = maxDist, maxBucket = maxBucket)
           .select(col("doc_new")).distinct()
       val kept = canon.join(owned,
@@ -351,41 +354,51 @@ object IngestDedup {
       // curation gate wants to route them, not lose them)
       val keptOut = feats.where(!col("decode_ok"))
         .select(col(idCol), col("decode_ok"),
-          lit(null).cast("long").as("ahash"))
+          lit(null).cast("long").as(sigCol))
         .unionByName(kept.select(col("doc_id").as(idCol),
-          lit(true).as("decode_ok"), col("sig").as("ahash")))
+          lit(true).as("decode_ok"), col("sig").as(sigCol)))
       emit(keptOut, batchId)
-      kept.select(col("doc_id").as(idCol), col("sig").as("ahash"))
+      kept.select(col("doc_id").as(idCol), col("sig").as(sigCol))
         .write.mode("overwrite").parquet(s"$sigPath/b$batchId")
     } finally feats.unpersist()
   }
 
   /** Image-granularity member of the ingest family: each micro-batch
     * decodes pixels ONCE ([[graft.operators.Multimodal.imageFeatures]]),
-    * drops images whose aHash is within `maxDist` Hamming bits of the
-    * accumulated corpus OR of a kept batch sibling (16-bit pigeonhole
-    * banding both ways — never an all-pairs comparison), and the store
-    * learns the survivors' signatures under the replay-idempotent
-    * `b<batchId>` layout (see [[IngestDedup]]). `emit` receives
-    * (idCol, decode_ok, ahash) for the kept rows — undecodable payloads
-    * pass with decode_ok=false and a NULL hash, by contract. Store rows
-    * are (idCol, ahash): 16 bytes per corpus image, text/pixels never
-    * stored.
+    * drops images whose perceptual hash is within `maxDist` Hamming bits
+    * of the accumulated corpus OR of a kept batch sibling (16-bit
+    * pigeonhole banding both ways — never an all-pairs comparison), and
+    * the store learns the survivors' signatures under the
+    * replay-idempotent `b<batchId>` layout (see [[IngestDedup]]). `emit`
+    * receives (idCol, decode_ok, sigCol) for the kept rows — undecodable
+    * payloads pass with decode_ok=false and a NULL hash, by contract.
+    * Store rows are (idCol, sigCol): 16 bytes per corpus image,
+    * text/pixels never stored.
     *
     * @param sigPath signature store root — seed it with the existing
-    *        corpus' (idCol, ahash) rows written to the root, or start
-    *        empty */
+    *        corpus' (idCol, sigCol) rows written to the root, or start
+    *        empty
+    * @param sigCol which perceptual hash gates: "ahash" (default —
+    *        recompression/resize dups), "dhash" (local gradient
+    *        structure) or "phash" (DCT frequency structure — more
+    *        discriminative on low-detail images, where many aHash cells
+    *        sit near the global mean and flip under small
+    *        perturbations). One store = one sigCol: the stored
+    *        signature column is named after it, so mixing variants
+    *        against the same sigPath fails loudly on read rather than
+    *        silently comparing incompatible hash spaces */
   def imageDedupStream(
       stream: DataFrame,
       sigPath: String,
       bytesCol: String = "bytes",
       idCol: String = "media_id",
       maxDist: Int = 3,
-      maxBucket: Int = 100000)(
+      maxBucket: Int = 100000,
+      sigCol: String = "ahash")(
       emit: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       imageBatch(batch, batchId, sigPath, bytesCol, idCol, maxDist,
-        maxBucket)(emit)
+        maxBucket, sigCol)(emit)
     }
 
   /** Offline store maintenance: fold a store's accumulated per-batch

@@ -1038,6 +1038,44 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("imageDedupStream sigCol=phash: DCT-hash gating, store column " +
+      "named after the variant") {
+    import graft.operators.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("imgphash").toFile
+    val sig = new java.io.File(dir, "sigs").getAbsolutePath
+    // pHashFixture's pinned resize-identity pair: the 16×16 texture and
+    // its 2× nearest-neighbor upscale box-downsample to the SAME 32×32
+    // grid → pHash distance 0; the checkerboard is distinct
+    def tex(x: Int, y: Int): Int = (x * 37 + y * 101 + x * y * 13) % 256
+    val texture = Multimodal.bmpGray(16, 16, tex)
+    val texture2x = Multimodal.bmpGray(32, 32, (x, y) => tex(x / 2, y / 2))
+    def grayOf(v: Int): Int = (v << 16) | (v << 8) | v
+    val checker = Multimodal.encodeImage("gif", 8, 8,
+      (x, y) => grayOf(if ((x + y) % 2 == 0) 255 else 0))
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val src = mem.toDF().toDF("media_id", "bytes")
+    val got = scala.collection.mutable.Map[Long, Set[Long]]()
+    val q = IngestDedup.imageDedupStream(src, sig, sigCol = "phash") {
+      (df, id) => got(id) = df.collect().map(_.getLong(0)).toSet
+    }.start()
+    mem.addData(1L -> texture, 2L -> checker); q.processAllAvailable()
+    mem.addData(3L -> texture2x); q.processAllAvailable()
+    SparkTestBase.stopQuietly(q)
+    assert(got(0L) == Set(1L, 2L), got(0L))
+    assert(got(1L) == Set.empty[Long], got(1L)) // 2× upscale is corpus-owned
+    val stored = spark.read.parquet(
+      IngestDedup.storeInputs(spark, sig, None): _*)
+    assert(stored.columns.toSeq == Seq("media_id", "phash"), stored.columns.toSeq)
+    assert(stored.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    intercept[IllegalArgumentException] {
+      IngestDedup.imageBatch(Seq(9L -> checker).toDF("media_id", "bytes"),
+        9L, sig, "bytes", "media_id", 3, 100000, sigCol = "luma")(( _, _) => ())
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("compactStoreInPlace between micro-batches: stream output parity, " +
       "store view unchanged, interrupted swap recovers") {
     import graft.operators.{Dedup, TextOps}
