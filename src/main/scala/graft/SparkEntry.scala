@@ -5849,13 +5849,16 @@ object SparkEntry {
       (s, dir) => {
         val t = Tables.load(s, dir) +
           ("phimgs" -> operators.Multimodal.pHashFixture(s)) +
-          ("exifs" -> operators.Multimodal.exifBytesFixture(s))
+          ("exifs" -> operators.Multimodal.exifBytesFixture(s)) +
+          ("envwavs" -> operators.Multimodal.wavEnvelopeFixture(s))
         GraftEngine.sql(
           "SELECT media_id, image_phash(bytes) AS v FROM phimgs " +
             "WHERE image_ok(bytes) " +
             "UNION ALL " +
             "SELECT media_id, cast(exif_orientation(bytes), 'bigint') AS v " +
-            "FROM exifs", t)
+            "FROM exifs " +
+            "UNION ALL " +
+            "SELECT media_id, wav_envelope_hash(bytes) AS v FROM envwavs", t)
       },
       Some("""
         SELECT * FROM (VALUES
@@ -5863,8 +5866,44 @@ object SparkEntry {
           (21, 7160629319854493870),
           (22, -6196766167432910336),
           (23, 0),
-          (1, 6), (2, 1), (3, NULL), (4, NULL), (5, 3), (6, NULL)
+          (1, 6), (2, 1), (3, NULL), (4, NULL), (5, 3), (6, NULL),
+          (30, 4294967295), (31, 4294967295), (32, -4294967296),
+          (33, 12884901887), (34, 0)
         ) AS t(media_id, v)""".stripMargin.trim)),
+
+    Q("q_audio_neardup",
+      // the audio member of the perceptual near-dup family: waveform
+      // envelope hashes ([[Multimodal.envHash64]] — closed-form over the
+      // amplitude-modulated square fixture) through the SAME 16-bit
+      // pigeonhole banding as image aHash and text SimHash. The planted
+      // pairs: a resampled/regained copy at distance 0, a one-bucket
+      // perturbation at distance 1; the staircase and constant rows band
+      // into candidates (zero halves collide) but fail the Hamming
+      // verify. Oracle replays banding + bit_count(xor) from the
+      // closed-form hash literals
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val sigs = operators.Multimodal
+          .wavEnvelopeSigs(operators.Multimodal.wavEnvelopeFixture(s))
+          .where(col("pcm_ok"))
+          .select(col("media_id").as("doc_id"), col("env_hash").as("sig"))
+        operators.Dedup.simHashPairsFromSignatures(sigs, maxDist = 1)
+      },
+      Some("""
+        WITH sigs(id, sig) AS (VALUES
+          (CAST(30 AS BIGINT), CAST(4294967295 AS BIGINT)),
+          (31, 4294967295),
+          (32, -4294967296),
+          (33, 12884901887),
+          (34, 0)),
+        b AS (
+          SELECT id, sig, c, (sig >> (16 * c)) & 65535 AS key
+          FROM sigs, (SELECT unnest(range(4)) AS c)),
+        cand AS (
+          SELECT DISTINCT x.id AS doc_a, y.id AS doc_b, x.sig AS sa, y.sig AS sb
+          FROM b x JOIN b y ON x.c = y.c AND x.key = y.key AND x.id < y.id)
+        SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS dist
+        FROM cand WHERE bit_count(xor(sa, sb)) <= 1""".stripMargin.trim)),
 
     Q("q_dup_spans",
       // cross-doc exact-substring duplication: fraction of each doc's

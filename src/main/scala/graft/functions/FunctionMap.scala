@@ -254,6 +254,8 @@ object FunctionMap {
         graft.operators.Multimodal.wavStatsCol(a0).getField("durationMs")
       case "wav_crossings" =>
         graft.operators.Multimodal.wavStatsCol(a0).getField("zeroCrossings")
+      case "wav_envelope_hash" =>
+        graft.operators.Multimodal.wavEnvelopeHashCol(a0)
       // 64-bit signature Hamming distance (aHash/dHash/pHash/SimHash
       // near-dup verify as a WHERE gate) — pure builtins, codegen'd
       case "hamming64" => bit_count(a0.bitwiseXOR(a1))

@@ -771,6 +771,44 @@ object Multimodal {
     @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
     @inline def le32(i: Int): Long =
       (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)).toLong & 0xffffffffL
+    wavPcmLayout(b) match {
+      case Some((ch, rate, bits, dataOff, nFrames)) =>
+        val bytesPerFrame = ch * bits / 8
+        var sumSq = 0.0
+        var peak = 0
+        var zc = 0L
+        var prevNeg = false
+        var f = 0L
+        while (f < nFrames) {
+          val o = dataOff + (f * bytesPerFrame).toInt // channel 0 sample
+          val s =
+            if (bits == 16) (le16(o) << 16) >> 16 // sign-extend
+            else u8(o) - 128
+          sumSq += s.toDouble * s
+          if (math.abs(s) > peak) peak = math.abs(s)
+          val neg = s < 0
+          if (f > 0 && neg != prevNeg) zc += 1
+          prevNeg = neg
+          f += 1
+        }
+        Some(PcmStats(ch, rate, bits, nFrames,
+          nFrames * 1000L / rate,
+          if (nFrames > 0) math.sqrt(sumSq / nFrames) else 0.0,
+          peak, zc))
+      case None => None
+    }
+  }
+
+  /** RIFF/fmt/data chunk walk shared by the PCM decoders:
+    * (channels, rate, bits, dataOffset, nFrames) for integer-PCM WAVs
+    * (16-bit signed / 8-bit unsigned), None for anything else. A
+    * declared data length past the buffer clamps to the available bytes
+    * (truncated uploads are data, not errors). */
+  private def wavPcmLayout(b: Array[Byte]): Option[(Int, Int, Int, Int, Long)] = {
+    @inline def u8(i: Int): Int = b(i) & 0xff
+    @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    @inline def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)).toLong & 0xffffffffL
     if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
         b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
     var i = 12
@@ -793,29 +831,92 @@ object Multimodal {
         val avail = math.min(dataLen, (b.length - dataOff).toLong)
         val bytesPerFrame = ch * bits / 8
         val nFrames = if (bytesPerFrame > 0) avail / bytesPerFrame else 0L
-        var sumSq = 0.0
-        var peak = 0
-        var zc = 0L
-        var prevNeg = false
-        var f = 0L
-        while (f < nFrames) {
-          val o = dataOff + (f * bytesPerFrame).toInt // channel 0 sample
-          val s =
-            if (bits == 16) (le16(o) << 16) >> 16 // sign-extend
-            else u8(o) - 128
-          sumSq += s.toDouble * s
-          if (math.abs(s) > peak) peak = math.abs(s)
-          val neg = s < 0
-          if (f > 0 && neg != prevNeg) zc += 1
-          prevNeg = neg
-          f += 1
-        }
-        Some(PcmStats(ch, rate, bits, nFrames,
-          nFrames * 1000L / rate,
-          if (nFrames > 0) math.sqrt(sumSq / nFrames) else 0.0,
-          peak, zc))
+        Some((ch, rate, bits, dataOff, nFrames))
       case _ => None
     }
+  }
+
+  /** Channel-0 samples of an integer-PCM WAV as signed ints, with the
+    * sample rate — the raw-material form for waveform-level signatures
+    * ([[envHash64]]). Same accept/refuse contract as [[decodeWavPcm]]. */
+  def decodeWavChannel0(b: Array[Byte]): Option[(Int, Array[Int])] =
+    wavPcmLayout(b).map { case (ch, rate, bits, dataOff, nFrames) =>
+      @inline def u8(i: Int): Int = b(i) & 0xff
+      @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      val bytesPerFrame = ch * bits / 8
+      val n = math.min(nFrames, Int.MaxValue.toLong).toInt
+      val out = new Array[Int](n)
+      var f = 0
+      while (f < n) {
+        val o = dataOff + f * bytesPerFrame
+        out(f) = if (bits == 16) (le16(o) << 16) >> 16 else u8(o) - 128
+        f += 1
+      }
+      (rate, out)
+    }
+
+  /** 64-bucket waveform-envelope hash — the audio member of the
+    * perceptual-signature family (aHash's construction applied to the
+    * |sample| sequence): channel-0 |samples| mean-pool into 64 buckets
+    * with the SAME integer-floor boundary spec as [[boxDownsample]]
+    * (bucket i covers sample index [i·n/64, (i+1)·n/64), at least one
+    * sample), and bit i is set iff bucket i's mean is STRICTLY above
+    * the mean of the 64 bucket means (an amplitude-constant clip hashes
+    * to 0L — pinned convention, same as aHash's uniform image).
+    *
+    * Invariances (exact, by construction): positive amplitude scaling
+    * (all buckets and their mean scale together; strict comparison
+    * preserved) and sample-duplication resampling (each bucket's time
+    * fraction is unchanged). NOT time-shift invariant — this signature
+    * catches re-encoded/resampled/regained COPIES, not clipped excerpts
+    * (the same contract as the image hashes, which don't survive
+    * cropping). Pair with
+    * [[graft.operators.Dedup.simHashPairsFromSignatures]] for audio
+    * near-dup candidate pairs at a Hamming threshold. */
+  private[graft] def envHash64(samples: Array[Int]): Long = {
+    if (samples.length == 0) return 0L
+    val abs = new Array[Int](samples.length)
+    var i = 0
+    while (i < samples.length) {
+      abs(i) = math.abs(samples(i)); i += 1
+    }
+    val env = boxDownsample(samples.length, 1, abs, 64, 1)
+    var mean = 0.0
+    var k = 0
+    while (k < 64) { mean += env(k); k += 1 }
+    mean /= 64.0
+    var bits = 0L
+    k = 0
+    while (k < 64) {
+      if (env(k) > mean) bits |= 1L << k
+      k += 1
+    }
+    bits
+  }
+
+  /** [[envHash64]] over a WAV payload: None for non-PCM bytes. */
+  def wavEnvelopeHash(b: Array[Byte]): Option[Long] =
+    decodeWavChannel0(b).map { case (_, s) => envHash64(s) }
+
+  /** Envelope signatures over a (id, bytes) audio table —
+    * (idCol, pcm_ok, env_hash), partition-iterator shape; feed the
+    * `env_hash` column to
+    * [[graft.operators.Dedup.simHashPairsFromSignatures]] for the audio
+    * twin of image aHash near-dup. */
+  def wavEnvelopeSigs(
+      media: DataFrame,
+      bytesCol: String = "bytes",
+      idCol: String = "media_id"): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (if (bytes == null) None else wavEnvelopeHash(bytes)) match {
+          case Some(h) => (id, true, Some(h))
+          case None    => (id, false, None)
+        }
+      })
+      .toDF(idCol, "pcm_ok", "env_hash")
   }
 
   /** Channel-0 PCM statistics over a (id, bytes) audio table — the
@@ -1059,17 +1160,7 @@ object Multimodal {
     * format WAV (pcm_ok=false: not integer PCM), row 29 corrupt. */
   def wavPcmFixture(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    def wav(ch: Int, rate: Int, bits: Int, fmt: Int, data: Array[Byte]): Array[Byte] = {
-      val b = java.nio.ByteBuffer.allocate(44 + data.length)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
-      b.put("WAVE".getBytes("US-ASCII"))
-      b.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(fmt.toShort)
-      b.putShort(ch.toShort).putInt(rate).putInt(rate * ch * bits / 8)
-      b.putShort((ch * bits / 8).toShort).putShort(bits.toShort)
-      b.put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
-      b.array()
-    }
+    def wav = wavBytes _
     def square16(ch: Int, amp: Int, periods: Int): Array[Byte] = {
       val b = java.nio.ByteBuffer.allocate(periods * 8 * ch * 2)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -1097,6 +1188,69 @@ object Multimodal {
       28L -> wav(1, 8000, 32, 3, new Array[Byte](64)), // IEEE float fmt
       29L -> Array[Byte]('R', 'I', 'F', 'F', 0, 0))
     (base ++ extras).toDF("media_id", "bytes")
+  }
+
+  /** Minimal canonical-layout WAV (RIFF + fmt + data) around a raw
+    * sample payload — every byte placed by this code. */
+  private[graft] def wavBytes(
+      ch: Int, rate: Int, bits: Int, fmt: Int, data: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(fmt.toShort)
+    b.putShort(ch.toShort).putInt(rate).putInt(rate * ch * bits / 8)
+    b.putShort((ch * bits / 8).toShort).putShort(bits.toShort)
+    b.put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+    b.array()
+  }
+
+  /** 16-bit mono WAV from a per-sample |amplitude| function applied over
+    * `n` samples with alternating sign every 4 frames (so the envelope
+    * is `amp` while statistics stay square-wave-shaped). */
+  private[graft] def wavEnvelope16(
+      rate: Int, n: Int, amp: Int => Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var f = 0
+    while (f < n) {
+      val a = amp(f)
+      b.putShort((if (f % 8 < 4) a else -a).toShort)
+      f += 1
+    }
+    wavBytes(1, rate, 16, 1, b.array())
+  }
+
+  /** Envelope near-dup fixture — five clips whose [[envHash64]] values
+    * are closed-form in the bucket construction (640 samples → bucket i
+    * covers samples [10·i, 10·i+10) exactly; the 1280-sample row is the
+    * sample-duplication "resample"):
+    *   30. amplitude-modulated square: A=2000 for the first half, A/2
+    *       after → buckets 0-31 read 2000, 32-63 read 1000, mean 1500 →
+    *       hash = bits 0-31 = 4294967295
+    *   31. the SAME envelope shape at 2× the sample count and rate and
+    *       1/4 the amplitude (500/250) → every bucket's time fraction
+    *       unchanged, all buckets and mean scaled together — hash
+    *       IDENTICAL to #30 (distance 0: the resampled/regained-copy
+    *       case)
+    *   32. ascending staircase A/4, A/2, 3A/4, A per quarter → buckets
+    *       32-63 above the 0.625·A mean → hash = bits 32-63
+    *       = -4294967296 (distance 64 from #30)
+    *   33. #30 with bucket 33 loud (back to A) → mean 1515.625; bits
+    *       0-31 and 33 → hash = 4294967295 | 2^33 (distance 1 from #30)
+    *   34. constant amplitude (plain square) → every bucket at the mean
+    *       → hash 0 (the pinned degenerate case). */
+  def wavEnvelopeFixture(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val A = 2000
+    Seq(
+      30L -> wavEnvelope16(8000, 640, f => if (f < 320) A else A / 2),
+      31L -> wavEnvelope16(16000, 1280, f => if (f < 640) A / 4 else A / 8),
+      32L -> wavEnvelope16(8000, 640, f => A / 4 * (1 + f / 160)),
+      33L -> wavEnvelope16(8000, 640,
+        f => if (f >= 330 && f < 340) A else if (f < 320) A else A / 2),
+      34L -> wavEnvelope16(8000, 640, _ => A)
+    ).toDF("media_id", "bytes")
   }
 
   /** Deterministic content-fingerprint pseudo-embedding — the fallback
@@ -1328,6 +1482,14 @@ object Multimodal {
   lazy val wavStatsCol: Column => Column = {
     val u = udf((b: Array[Byte]) =>
       if (b == null) None else decodeWavPcm(b))
+    c => u(c)
+  }
+
+  /** `wav_envelope_hash(bytes)` → [[envHash64]] of the channel-0
+    * samples; NULL for non-PCM payloads. */
+  lazy val wavEnvelopeHashCol: Column => Column = {
+    val u = udf((b: Array[Byte]) =>
+      if (b == null) None else wavEnvelopeHash(b))
     c => u(c)
   }
 }

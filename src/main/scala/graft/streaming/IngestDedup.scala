@@ -312,24 +312,25 @@ object IngestDedup {
         rows, threshold, maxBucket)(emit)
     }
 
-  private[graft] def imageBatch(
-      batch: DataFrame,
+  /** Shared per-batch body of the perceptual-media ingest members
+    * ([[imageDedupStream]]/[[audioDedupStream]]): `feats` must carry
+    * (idCol, okCol boolean, sigCol long). Within-batch near-dup
+    * clusters collapse to their canonical first, the canonicals gate
+    * against the accumulated store (16-bit pigeonhole banding both
+    * ways), survivors' signatures land in the `b<batchId>` subdir. */
+  private[graft] def mediaSigBatch(
+      feats0: DataFrame,
       batchId: Long,
       sigPath: String,
-      bytesCol: String,
       idCol: String,
+      okCol: String,
+      sigCol: String,
       maxDist: Int,
-      maxBucket: Int,
-      sigCol: String = "ahash")(emit: (DataFrame, Long) => Unit): Unit = {
-    require(Set("ahash", "dhash", "phash")(sigCol),
-      s"sigCol must be one of ahash/dhash/phash, got '$sigCol'")
-    val spark = batch.sparkSession
-    val feats = graft.operators.Multimodal
-      .imageFeatures(batch, bytesCol, idCol)
-      .select(col(idCol), col("decode_ok"), col(sigCol))
-      .persist()
+      maxBucket: Int)(emit: (DataFrame, Long) => Unit): Unit = {
+    val spark = feats0.sparkSession
+    val feats = feats0.persist()
     try {
-      val sigs = feats.where(col("decode_ok"))
+      val sigs = feats.where(col(okCol))
         .select(col(idCol).as("doc_id"), col(sigCol).as("sig"))
       // within-batch near-dup clusters collapse to their canonical
       // (lowest id) FIRST; corpus ownership then propagates through the
@@ -349,18 +350,35 @@ object IngestDedup {
           .select(col("doc_new")).distinct()
       val kept = canon.join(owned,
         canon("doc_id") === owned("doc_new"), "left_anti")
-      // undecodable payloads PASS flagged (no pixels → nothing to match;
-      // dropping them silently would gut corrupt-but-wanted rows, and a
-      // curation gate wants to route them, not lose them)
-      val keptOut = feats.where(!col("decode_ok"))
-        .select(col(idCol), col("decode_ok"),
+      // undecodable payloads PASS flagged (no samples/pixels → nothing
+      // to match; dropping them silently would gut corrupt-but-wanted
+      // rows, and a curation gate wants to route them, not lose them)
+      val keptOut = feats.where(!col(okCol))
+        .select(col(idCol), col(okCol),
           lit(null).cast("long").as(sigCol))
         .unionByName(kept.select(col("doc_id").as(idCol),
-          lit(true).as("decode_ok"), col("sig").as(sigCol)))
+          lit(true).as(okCol), col("sig").as(sigCol)))
       emit(keptOut, batchId)
       kept.select(col("doc_id").as(idCol), col("sig").as(sigCol))
         .write.mode("overwrite").parquet(s"$sigPath/b$batchId")
     } finally feats.unpersist()
+  }
+
+  private[graft] def imageBatch(
+      batch: DataFrame,
+      batchId: Long,
+      sigPath: String,
+      bytesCol: String,
+      idCol: String,
+      maxDist: Int,
+      maxBucket: Int,
+      sigCol: String = "ahash")(emit: (DataFrame, Long) => Unit): Unit = {
+    require(Set("ahash", "dhash", "phash")(sigCol),
+      s"sigCol must be one of ahash/dhash/phash, got '$sigCol'")
+    mediaSigBatch(
+      graft.operators.Multimodal.imageFeatures(batch, bytesCol, idCol)
+        .select(col(idCol), col("decode_ok"), col(sigCol)),
+      batchId, sigPath, idCol, "decode_ok", sigCol, maxDist, maxBucket)(emit)
   }
 
   /** Image-granularity member of the ingest family: each micro-batch
@@ -399,6 +417,33 @@ object IngestDedup {
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       imageBatch(batch, batchId, sigPath, bytesCol, idCol, maxDist,
         maxBucket, sigCol)(emit)
+    }
+
+  /** Audio-granularity member of the ingest family — the waveform twin
+    * of [[imageDedupStream]]: each micro-batch decodes WAV PCM samples
+    * once ([[graft.operators.Multimodal.wavEnvelopeSigs]]), drops clips
+    * whose 64-bucket envelope hash is within `maxDist` Hamming bits of
+    * the accumulated corpus OR of a kept batch sibling, and the store
+    * learns the survivors' signatures. The envelope hash is exactly
+    * amplitude-scale and resample invariant (a regained/resampled
+    * re-encode of a stored clip gates at distance 0) but NOT time-shift
+    * invariant — excerpts pass. Non-PCM payloads pass flagged
+    * (pcm_ok=false, NULL hash), same routing contract as the image
+    * member. Default `maxDist = 1`: envelope buckets are coarse, so a
+    * 64-bit signature flips few bits under benign re-encoding. */
+  def audioDedupStream(
+      stream: DataFrame,
+      sigPath: String,
+      bytesCol: String = "bytes",
+      idCol: String = "media_id",
+      maxDist: Int = 1,
+      maxBucket: Int = 100000)(
+      emit: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      mediaSigBatch(
+        graft.operators.Multimodal.wavEnvelopeSigs(batch, bytesCol, idCol),
+        batchId, sigPath, idCol, "pcm_ok", "env_hash", maxDist,
+        maxBucket)(emit)
     }
 
   /** Offline store maintenance: fold a store's accumulated per-batch

@@ -1306,6 +1306,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!row(29L).getBoolean(1))
   }
 
+  test("envHash64: closed-form bits, scale/resample invariance, edge shapes") {
+    // fixture closed forms (same literals as the q_media_funcs3 oracle)
+    val sigs = Multimodal.wavEnvelopeSigs(Multimodal.wavEnvelopeFixture(spark))
+      .orderBy("media_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    assert(sigs(30L) == Some(4294967295L))
+    assert(sigs(31L) == Some(4294967295L)) // 2x samples, 1/4 amplitude
+    assert(sigs(32L) == Some(-4294967296L))
+    assert(sigs(33L) == Some(4294967295L | (1L << 33)))
+    assert(sigs(34L) == Some(0L)) // constant envelope → pinned 0
+    // fewer samples than buckets: buckets repeat samples (boxDownsample's
+    // at-least-one-pixel rule) — a 2-sample loud/quiet clip splits 32/32
+    assert(Multimodal.envHash64(Array(100, 0)) == 4294967295L)
+    assert(Multimodal.envHash64(Array(7)) == 0L) // single sample: constant
+    assert(Multimodal.envHash64(Array.empty[Int]) == 0L)
+    // sign never matters (envelope reads |s|)
+    assert(Multimodal.envHash64(Array(-100, 100, 0, 0)) == 4294967295L)
+    // non-PCM refuses through the WAV path
+    assert(Multimodal.wavEnvelopeHash(Array[Byte](1, 2, 3)).isEmpty)
+    // 8-bit path: loud first half (178/78 are ±50 around the 128 center,
+    // envelope 50) then silence (128 → 0)
+    val d8 = Array.tabulate(160)(f =>
+      (if (f < 80) { if (f % 8 < 4) 178 else 78 } else 128).toByte)
+    assert(Multimodal.wavEnvelopeHash(Multimodal.wavBytes(1, 8000, 8, 1, d8))
+      .contains(4294967295L))
+  }
+
   test("chunkDocs windows words with overlap; short docs yield one chunk") {
     val df = Seq(
       (1L, (1 to 50).map(i => s"w$i").mkString(" ")),

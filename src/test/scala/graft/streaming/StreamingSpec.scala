@@ -1076,6 +1076,48 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("audioDedupStream: envelope near-dup gating across micro-batches, " +
+      "within-batch cluster ownership propagates, non-PCM passes flagged") {
+    import graft.operators.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("auddedup").toFile
+    val sig = new java.io.File(dir, "sigs").getAbsolutePath
+    val A = 2000
+    // the wavEnvelopeFixture constructions: 30 loud-then-quiet, 31 its
+    // resampled/regained copy (hash-identical), 32 ascending staircase
+    // (distance 64), 33 a one-bucket perturbation of 30 (distance 1),
+    // 34 constant (hash 0)
+    def am = Multimodal.wavEnvelope16(8000, 640, f => if (f < 320) A else A / 2)
+    def amCopy = Multimodal.wavEnvelope16(16000, 1280,
+      f => if (f < 640) A / 4 else A / 8)
+    def stairs = Multimodal.wavEnvelope16(8000, 640, f => A / 4 * (1 + f / 160))
+    def amTweak = Multimodal.wavEnvelope16(8000, 640,
+      f => if (f >= 330 && f < 340) A else if (f < 320) A else A / 2)
+    val corrupt = Array[Byte]('R', 'I', 'F', 'F', 0, 0)
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val src = mem.toDF().toDF("media_id", "bytes")
+    val got = scala.collection.mutable.Map[Long, Map[Long, Boolean]]()
+    val q = IngestDedup.audioDedupStream(src, sig) { (df, id) =>
+      got(id) = df.collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    }.start()
+    mem.addData(30L -> am, 32L -> stairs); q.processAllAvailable()
+    // batch 2: 31 and 33 are BOTH near-dups of stored 30 (and of each
+    // other within the batch: canonical 31 carries the cluster, corpus
+    // ownership propagates to 33 through it); corrupt passes flagged
+    mem.addData(31L -> amCopy, 33L -> amTweak, 60L -> corrupt)
+    q.processAllAvailable()
+    SparkTestBase.stopQuietly(q)
+    assert(got(0L) == Map(30L -> true, 32L -> true), got(0L))
+    assert(got(1L) == Map(60L -> false), got(1L))
+    val stored = spark.read.parquet(
+      IngestDedup.storeInputs(spark, sig, None): _*)
+    assert(stored.columns.toSeq == Seq("media_id", "env_hash"))
+    assert(stored.collect().map(_.getLong(0)).toSet == Set(30L, 32L))
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("compactStoreInPlace between micro-batches: stream output parity, " +
       "store view unchanged, interrupted swap recovers") {
     import graft.operators.{Dedup, TextOps}
