@@ -5931,6 +5931,34 @@ object SparkEntry {
           (43, false, NULL, NULL, NULL, NULL)
         ) AS t(media_id, mp4_ok, sample, time_ms, "offset", size)""".stripMargin.trim)),
 
+    Q("q_mp3_frames",
+      // MP3 frame INDEX (pure header arithmetic — bitrate table +
+      // padding slot give each frame's exact byte length, sample counts
+      // give exact VBR times). Fixture rows are construction literals:
+      // CBR×4, VBR behind an ID3 tag with a padded frame + trailing
+      // junk (walk stops), a truncated final frame (not indexed), and
+      // a no-sync buffer (flagged)
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        operators.Multimodal.mp3FramePlan(operators.Multimodal.mp3Fixture(s))
+          .select(col("media_id"), col("mp3_ok"), col("frame"),
+            col("time_ms"), col("offset"), col("size"), col("kbps"))
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (CAST(50 AS BIGINT), true, CAST(1 AS INTEGER), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(192 AS INTEGER), CAST(64 AS INTEGER)),
+          (50, true, 2, 24, 192, 192, 64),
+          (50, true, 3, 48, 384, 192, 64),
+          (50, true, 4, 72, 576, 192, 64),
+          (51, true, 1, 0, 30, 192, 64),
+          (51, true, 2, 24, 222, 288, 96),
+          (51, true, 3, 48, 510, 97, 32),
+          (52, true, 1, 0, 0, 192, 64),
+          (52, true, 2, 24, 192, 192, 64),
+          (53, false, NULL, NULL, NULL, NULL, NULL)
+        ) AS t(media_id, mp3_ok, frame, time_ms, "offset", size, kbps)""".stripMargin.trim)),
+
     Q("q_dup_spans",
       // cross-doc exact-substring duplication: fraction of each doc's
       // distinct 8-word windows shared with another document (Lee et al.

@@ -206,6 +206,33 @@ object Multimodal {
       off = 10 + size
       if (off >= b.length - 4) return None
     }
+    val limit = math.min(b.length - 4, off + 65536)
+    var i = off
+    while (i <= limit && i + 3 < b.length) {
+      mp3HeaderAt(b, i) match {
+        case Some(h) =>
+          // ms = bytes*8 bits / (kbps*1000 bits/s) * 1000 = bytes*8/kbps
+          return Some((h.channels, h.rate, (b.length - i).toLong * 8L / h.kbps))
+        case None => i += 1
+      }
+    }
+    None
+  }
+
+  /** Parsed MPEG audio frame header at a byte offset. */
+  private[graft] case class Mp3Header(
+      channels: Int, kbps: Int, rate: Int, samples: Int, frameLen: Int)
+
+  /** MPEG-1/2/2.5 Layer I-III frame-header parse at offset `i` — the
+    * four header bytes fully determine the frame's byte length (bitrate
+    * table + padding slot) and sample count, which is what makes a
+    * codec-free frame INDEX possible. None for anything that is not a
+    * valid header (bad sync, reserved version/layer, free/invalid
+    * bitrate, reserved sample rate). */
+  private[graft] def mp3HeaderAt(b: Array[Byte], i: Int): Option[Mp3Header] = {
+    @inline def u8(k: Int): Int = b(k) & 0xff
+    if (i < 0 || i + 3 >= b.length) return None
+    if (u8(i) != 0xff || (u8(i + 1) & 0xe0) != 0xe0) return None
     // bitrate (kbps) tables indexed by the 4-bit header field; 0 = "free"
     // and 15 = invalid are both rejected below
     val v1l1 = Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448, 0)
@@ -213,35 +240,117 @@ object Multimodal {
     val v1l3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
     val v2l1 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256, 0)
     val v2l23 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+    val ver = (u8(i + 1) >> 3) & 3 // 0=MPEG2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+    val layer = (u8(i + 1) >> 1) & 3 // 1=III, 2=II, 3=I
+    val brIdx = (u8(i + 2) >> 4) & 0xf
+    val srIdx = (u8(i + 2) >> 2) & 3
+    val pad = (u8(i + 2) >> 1) & 1
+    if (ver == 1 || layer == 0 || brIdx == 0 || brIdx == 15 || srIdx == 3)
+      return None
+    val rate = (ver match {
+      case 3 => Array(44100, 48000, 32000)
+      case 2 => Array(22050, 24000, 16000)
+      case _ => Array(11025, 12000, 8000)
+    })(srIdx)
+    val kbps = (ver, layer) match {
+      case (3, 3) => v1l1(brIdx)
+      case (3, 2) => v1l2(brIdx)
+      case (3, 1) => v1l3(brIdx)
+      case (_, 3) => v2l1(brIdx)
+      case _      => v2l23(brIdx)
+    }
+    val ch = if (((u8(i + 3) >> 6) & 3) == 3) 1 else 2
+    val samples = layer match {
+      case 3 => 384 // Layer I
+      case 2 => 1152 // Layer II
+      case _ => if (ver == 3) 1152 else 576 // Layer III
+    }
+    val frameLen = layer match {
+      case 3 => (12 * kbps * 1000 / rate + pad) * 4
+      case 2 => 144 * kbps * 1000 / rate + pad
+      case _ => (if (ver == 3) 144 else 72) * kbps * 1000 / rate + pad
+    }
+    Some(Mp3Header(ch, kbps, rate, samples, frameLen))
+  }
+
+  /** One entry of an MP3 frame index: 1-based frame number, start time,
+    * absolute byte offset/length, and the frame's own bitrate (VBR
+    * streams vary it per frame). */
+  case class Mp3Frame(
+      frame: Int, time_ms: Long, offset: Long, size: Int, kbps: Int)
+
+  /** Codec-free MP3 frame INDEX — the audio twin of [[mp4Keyframes]]:
+    * skips an ID3v2 tag, resyncs to the first valid frame header
+    * (within the same 64 KiB window as [[probeMp3]]), then walks
+    * STRICTLY frame-to-frame (each header's bitrate table + padding bit
+    * determines its length exactly, so the next header's position is
+    * arithmetic, not search). The walk stops at the first position that
+    * is not a valid header, and only COMPLETE frames index — a decode
+    * plan must never claim a byte range past the buffer, so trailing
+    * junk and truncated tails cost the remainder, never garbage
+    * entries; a stream with no complete first frame returns None.
+    * `maxFrames` is a loud cap: exceeding it returns None rather than
+    * a silently short index. Per-frame times accumulate sample counts
+    * (exact under VBR, where byte-proportional estimates drift). */
+  def mp3FrameIndex(b: Array[Byte], maxFrames: Int = 100000): Option[Vector[Mp3Frame]] = {
+    if (b == null || b.length < 4) return None
+    @inline def u8(i: Int): Int = b(i) & 0xff
+    var off = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val size = ((u8(6) & 0x7f) << 21) | ((u8(7) & 0x7f) << 14) |
+        ((u8(8) & 0x7f) << 7) | (u8(9) & 0x7f)
+      off = 10 + size
+      if (off >= b.length - 4) return None
+    }
     val limit = math.min(b.length - 4, off + 65536)
+    var first = -1
     var i = off
-    while (i <= limit && i + 3 < b.length) {
-      if (u8(i) == 0xff && (u8(i + 1) & 0xe0) == 0xe0) {
-        val ver = (u8(i + 1) >> 3) & 3 // 0=MPEG2.5, 1=reserved, 2=MPEG2, 3=MPEG1
-        val layer = (u8(i + 1) >> 1) & 3 // 1=III, 2=II, 3=I
-        val brIdx = (u8(i + 2) >> 4) & 0xf
-        val srIdx = (u8(i + 2) >> 2) & 3
-        if (ver != 1 && layer != 0 && brIdx != 0 && brIdx != 15 && srIdx != 3) {
-          val rate = (ver match {
-            case 3 => Array(44100, 48000, 32000)
-            case 2 => Array(22050, 24000, 16000)
-            case _ => Array(11025, 12000, 8000)
-          })(srIdx)
-          val kbps = (ver, layer) match {
-            case (3, 3) => v1l1(brIdx)
-            case (3, 2) => v1l2(brIdx)
-            case (3, 1) => v1l3(brIdx)
-            case (_, 3) => v2l1(brIdx)
-            case _      => v2l23(brIdx)
-          }
-          val ch = if (((u8(i + 3) >> 6) & 3) == 3) 1 else 2
-          // ms = bytes*8 bits / (kbps*1000 bits/s) * 1000 = bytes*8/kbps
-          return Some((ch, rate, (b.length - i).toLong * 8L / kbps))
+    while (first < 0 && i <= limit) {
+      if (mp3HeaderAt(b, i).isDefined) first = i else i += 1
+    }
+    if (first < 0) return None
+    val out = Vector.newBuilder[Mp3Frame]
+    var n = 0
+    var samples = 0L
+    var pos = first
+    var h = mp3HeaderAt(b, pos)
+    while (h.isDefined) {
+      val hd = h.get
+      if (hd.frameLen <= 0 || pos + hd.frameLen > b.length) {
+        h = None // truncated frame: header present, body cut — not indexed
+      } else {
+        if (n >= maxFrames) return None // loud cap, never a short index
+        n += 1
+        out += Mp3Frame(n, samples * 1000L / hd.rate, pos, hd.frameLen, hd.kbps)
+        samples += hd.samples
+        pos += hd.frameLen
+        h = mp3HeaderAt(b, pos)
+      }
+    }
+    val fs = out.result()
+    if (fs.isEmpty) None else Some(fs)
+  }
+
+  /** Frame indexes over a (id, bytes) audio table — (idCol, mp3_ok,
+    * frame, time_ms, offset, size, kbps), one row per frame,
+    * partition-iterator shape; unparseable rows emit a single flagged
+    * row (same routing contract as the other media decoders). */
+  def mp3FramePlan(
+      media: DataFrame,
+      bytesCol: String = "bytes",
+      idCol: String = "media_id",
+      maxFrames: Int = 100000): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        (if (bytes == null) None else mp3FrameIndex(bytes, maxFrames)) match {
+          case Some(fs) => fs.map(f => (id, true, Some(f.frame),
+            Some(f.time_ms), Some(f.offset), Some(f.size), Some(f.kbps)))
+          case None => Seq((id, false, None, None, None, None, None))
         }
       }
-      i += 1
-    }
-    None
+      .toDF(idCol, "mp3_ok", "frame", "time_ms", "offset", "size", "kbps")
   }
 
   /** MP4/ISO-BMFF duration probe: walks top-level boxes to `moov`, then its
@@ -1448,6 +1557,42 @@ object Multimodal {
       41L -> v41,
       42L -> a42,
       43L -> Array[Byte](0, 0, 0, 9, 'f', 'r', 'e', 'e', 0)
+    ).toDF("media_id", "bytes")
+  }
+
+  /** MP3 frame-index fixture — hand-built MPEG2 Layer III streams
+    * (24 kHz, 576 samples/frame → exactly 24 ms/frame, so every index
+    * entry is a construction literal):
+    *   50. CBR 64 kbps, 4 exact frames (192 B each, no trailer)
+    *   51. VBR behind a 20-byte ID3v2 tag: 64 kbps (192 B), 96 kbps
+    *       (288 B), 32 kbps with the PADDING slot (97 B), then trailing
+    *       junk — the strict walk stops there
+    *   52. CBR with a truncated third frame (header present, body cut
+    *       at 100 of 192 B) — only the two complete frames index
+    *   53. no frame sync anywhere (flagged, not dropped). */
+  def mp3Fixture(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    // MPEG2 Layer III 24 kHz stereo: FF F3, byte2 = brIdx<<4 | srIdx 1<<2 | pad<<1
+    def frame(brIdx: Int, len: Int, pad: Int = 0, cut: Int = 0): Array[Byte] = {
+      val b = new Array[Byte](len + pad - cut)
+      b(0) = 0xff.toByte; b(1) = 0xf3.toByte
+      b(2) = ((brIdx << 4) | (1 << 2) | (pad << 1)).toByte
+      b
+    }
+    def id3(payload: Int): Array[Byte] = {
+      val b = new Array[Byte](10 + payload)
+      "ID3".getBytes("US-ASCII").copyToArray(b, 0)
+      b(9) = payload.toByte // payload < 128 fits the low syncsafe byte
+      b
+    }
+    val f64 = frame(8, 192) // 72*64000/24000 = 192
+    val f96 = frame(10, 288) // 72*96000/24000 = 288
+    val f32p = frame(4, 96, pad = 1) // 72*32000/24000 + padding slot = 97
+    Seq(
+      50L -> (f64 ++ f64 ++ f64 ++ f64),
+      51L -> (id3(20) ++ f64 ++ f96 ++ f32p ++ "JUNKJUNK".getBytes("US-ASCII")),
+      52L -> (f64 ++ f64 ++ frame(8, 192, cut = 92)),
+      53L -> "no frame sync anywhere in this buffer".getBytes("US-ASCII")
     ).toDF("media_id", "bytes")
   }
 

@@ -1366,6 +1366,32 @@ class OperatorsSpec extends AnyFunSuite {
       Multimodal.mp4Keyframes(v40.take(v40.length / 2)).get.isEmpty)
   }
 
+  test("mp3FrameIndex: strict header walk, exact VBR times, complete " +
+      "frames only, loud cap") {
+    val rows = Multimodal.mp3Fixture(spark).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    def idx(id: Long) = Multimodal.mp3FrameIndex(rows(id))
+      .map(_.map(f => (f.frame, f.time_ms, f.offset, f.size, f.kbps)))
+    // CBR: 4 frames, 24 ms apart, uniform 192 B
+    assert(idx(50L).get == Vector((1, 0L, 0L, 192, 64), (2, 24L, 192L, 192, 64),
+      (3, 48L, 384L, 192, 64), (4, 72L, 576L, 192, 64)))
+    // VBR behind ID3: per-frame bitrates and the padding slot land in
+    // size/kbps; the walk stops at the trailing junk, times stay exact
+    // (sample accumulation, not byte proportion)
+    assert(idx(51L).get == Vector((1, 0L, 30L, 192, 64), (2, 24L, 222L, 288, 96),
+      (3, 48L, 510L, 97, 32)))
+    // truncated third frame: header present but body cut → NOT indexed
+    assert(idx(52L).get == Vector((1, 0L, 0L, 192, 64), (2, 24L, 192L, 192, 64)))
+    assert(idx(53L).isEmpty)
+    // the cap refuses outright rather than silently truncating
+    assert(Multimodal.mp3FrameIndex(rows(50L), maxFrames = 3).isEmpty)
+    assert(Multimodal.mp3FrameIndex(rows(50L), maxFrames = 4).isDefined)
+    // a stream whose ONLY frame is truncated has no indexable frames
+    assert(Multimodal.mp3FrameIndex(rows(50L).take(100)).isEmpty)
+    // probeMp3 still rides the shared header parser (regression guard)
+    assert(Multimodal.probeMp3(rows(50L)).contains((2, 24000, 96L)))
+  }
+
   test("chunkDocs windows words with overlap; short docs yield one chunk") {
     val df = Seq(
       (1L, (1 to 50).map(i => s"w$i").mkString(" ")),
