@@ -5871,6 +5871,41 @@ object SparkEntry {
           (33, 12884901887), (34, 0)
         ) AS t(media_id, v)""".stripMargin.trim)),
 
+    Q("q_media_funcs4",
+      // the codec-free audio/video header probes as dialect scalars:
+      // audio_* (WAV→FLAC→MP3 chain — format routing + channel/rate/
+      // length gates with zero sample access), mp3_frame_count (strict
+      // complete-frame walk), mp4_duration_ms (mvhd). The cross-
+      // container rows are part of the test: every probe must return
+      // NULL on a foreign/corrupt container, never garbage
+      (s, dir) => {
+        val t = Tables.load(s, dir) +
+          ("mp3s" -> operators.Multimodal.mp3Fixture(s)) +
+          ("mp4s" -> operators.Multimodal.mp4Fixture(s))
+        GraftEngine.sql(
+          "SELECT media_id, audio_format(bytes) AS fmt, " +
+            "audio_channels(bytes) AS ch, audio_rate(bytes) AS rate, " +
+            "audio_duration_ms(bytes) AS dur_ms, " +
+            "mp3_frame_count(bytes) AS frames FROM mp3s " +
+            "UNION ALL " +
+            "SELECT media_id, audio_format(bytes) AS fmt, " +
+            "audio_channels(bytes) AS ch, audio_rate(bytes) AS rate, " +
+            "mp4_duration_ms(bytes) AS dur_ms, " +
+            "mp3_frame_count(bytes) AS frames FROM mp4s", t)
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (CAST(50 AS BIGINT), 'mp3', CAST(2 AS INTEGER),
+           CAST(24000 AS INTEGER), CAST(96 AS BIGINT), CAST(4 AS INTEGER)),
+          (51, 'mp3', 2, 24000, 73, 3),
+          (52, 'mp3', 2, 24000, 60, 2),
+          (53, NULL, NULL, NULL, NULL, NULL),
+          (40, NULL, NULL, NULL, 800, NULL),
+          (41, NULL, NULL, NULL, 1200, NULL),
+          (42, NULL, NULL, NULL, 12, NULL),
+          (43, NULL, NULL, NULL, NULL, NULL)
+        ) AS t(media_id, fmt, ch, rate, dur_ms, frames)""".stripMargin.trim)),
+
     Q("q_audio_neardup",
       // the audio member of the perceptual near-dup family: waveform
       // envelope hashes ([[Multimodal.envHash64]] — closed-form over the

@@ -256,6 +256,21 @@ object FunctionMap {
         graft.operators.Multimodal.wavStatsCol(a0).getField("zeroCrossings")
       case "wav_envelope_hash" =>
         graft.operators.Multimodal.wavEnvelopeHashCol(a0)
+      // codec-free audio/video header probes: the pre-decode gates
+      // (format routing, channel/rate/length filters with zero sample
+      // access). Single-field forms share the one probe expression via
+      // subexpression elimination, like the image_* family above.
+      case "audio_probe" => graft.operators.Multimodal.audioProbeCol(a0)
+      case "audio_format" =>
+        graft.operators.Multimodal.audioProbeCol(a0).getField("format")
+      case "audio_channels" =>
+        graft.operators.Multimodal.audioProbeCol(a0).getField("channels")
+      case "audio_rate" =>
+        graft.operators.Multimodal.audioProbeCol(a0).getField("rate")
+      case "audio_duration_ms" =>
+        graft.operators.Multimodal.audioProbeCol(a0).getField("duration_ms")
+      case "mp4_duration_ms" => graft.operators.Multimodal.mp4DurationCol(a0)
+      case "mp3_frame_count" => graft.operators.Multimodal.mp3FrameCountCol(a0)
       // 64-bit signature Hamming distance (aHash/dHash/pHash/SimHash
       // near-dup verify as a WHERE gate) — pure builtins, codegen'd
       case "hamming64" => bit_count(a0.bitwiseXOR(a1))

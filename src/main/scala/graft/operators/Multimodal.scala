@@ -1540,17 +1540,21 @@ object Multimodal {
       mp4Be32(0), mp4Be32(offs.length), offs.toArray.flatMap(mp4Be64))
     def stss(ks: Long*) = mp4Box("stss",
       mp4Be32(0), mp4Be32(ks.length), ks.toArray.flatMap(mp4Be32))
-    def movie(handler: String, md: Array[Byte], tables: Array[Byte]*) =
-      ftyp ++ mp4Box("moov", mp4Box("trak", mp4Box("mdia",
+    def mvhd(timescale: Long, dur: Long) = mp4Box("mvhd",
+      mp4Be32(0), mp4Be32(0), mp4Be32(0), mp4Be32(timescale), mp4Be32(dur),
+      mp4Be32(0))
+    def movie(handler: String, mv: Array[Byte], md: Array[Byte],
+        tables: Array[Byte]*) =
+      ftyp ++ mp4Box("moov", mv, mp4Box("trak", mp4Box("mdia",
         md, hdlr(handler),
         mp4Box("minf", mp4Box("stbl", tables: _*)))))
-    val v40 = movie("vide", mdhd(1000, 800),
+    val v40 = movie("vide", mvhd(1000, 800), mdhd(1000, 800),
       stts(8L -> 100L), stszTable(10, 20, 30, 40, 50, 60, 70, 80),
       stsc(1L -> 3L, 2L -> 5L), stco(1000, 2000), stss(1, 5))
-    val v41 = movie("vide", mdhd(100, 120),
+    val v41 = movie("vide", mvhd(100, 120), mdhd(100, 120),
       stts(3L -> 40L), stszUniform(500, 3), stsc(1L -> 2L),
       co64(5000, 9000))
-    val a42 = movie("soun", mdhd(8000, 100),
+    val a42 = movie("soun", mvhd(8000, 100), mdhd(8000, 100),
       stts(2L -> 10L), stszUniform(100, 2), stsc(1L -> 2L), stco(100))
     Seq(
       40L -> v40,
@@ -1896,6 +1900,45 @@ object Multimodal {
   lazy val wavEnvelopeHashCol: Column => Column = {
     val u = udf((b: Array[Byte]) =>
       if (b == null) None else wavEnvelopeHash(b))
+    c => u(c)
+  }
+
+  /** Container-declared audio facts (codec-free header probes):
+    * `(format, channels, rate, duration_ms)`; duration −1 when the
+    * container declares no length, NULL struct when no signature
+    * matches. */
+  case class AudioProbe(
+      format: String, channels: Int, rate: Int, duration_ms: Long)
+
+  /** `audio_probe(bytes)` → the WAV → FLAC → MP3 header-probe chain
+    * (same order [[extractFeatures]] uses) as one struct — the
+    * pre-decode audio gate (channel/rate/length filters with zero
+    * sample access). */
+  lazy val audioProbeCol: Column => Column = {
+    val u = udf { (b: Array[Byte]) =>
+      if (b == null) None
+      else probeWav(b).map(t => ("wav", t))
+        .orElse(probeFlac(b).map(t => ("flac", t)))
+        .orElse(probeMp3(b).map(t => ("mp3", t)))
+        .map { case (f, (ch, rate, ms)) => AudioProbe(f, ch, rate, ms) }
+    }
+    c => u(c)
+  }
+
+  /** `mp4_duration_ms(bytes)` → [[probeMp4Duration]] (mvhd header walk,
+    * no codec), NULL when not parseable ISO-BMFF. */
+  lazy val mp4DurationCol: Column => Column = {
+    val u = udf((b: Array[Byte]) =>
+      if (b == null) None else probeMp4Duration(b))
+    c => u(c)
+  }
+
+  /** `mp3_frame_count(bytes)` → number of COMPLETE frames
+    * [[mp3FrameIndex]] walks (strict header-to-header), NULL when no
+    * complete frame indexes. */
+  lazy val mp3FrameCountCol: Column => Column = {
+    val u = udf((b: Array[Byte]) =>
+      if (b == null) None else mp3FrameIndex(b).map(_.length))
     c => u(c)
   }
 }
