@@ -5906,6 +5906,29 @@ object SparkEntry {
           (43, NULL, NULL, NULL, NULL, NULL)
         ) AS t(media_id, fmt, ch, rate, dur_ms, frames)""".stripMargin.trim)),
 
+    Q("q_media_funcs5",
+      // the animated-vs-static GIF gate as dialect scalars over the
+      // hand-placed block fixture (delays 5/10/20 cs, NETSCAPE loop 0;
+      // single static frame; truncated and non-GIF rows refuse to
+      // NULL). gif_frames also runs as a WHERE gate — the actual
+      // curation shape ("drop multi-frame GIFs from the image corpus")
+      (s, dir) => {
+        val t = Tables.load(s, dir) +
+          ("gifs" -> operators.Multimodal.gifAnimFixture(s))
+        GraftEngine.sql(
+          "SELECT media_id, gif_frames(bytes) AS frames, " +
+            "gif_duration_ms(bytes) AS dur_ms, gif_loops(bytes) AS loops, " +
+            "gif_frames(bytes) > 1 AS animated FROM gifs", t)
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (CAST(60 AS BIGINT), CAST(3 AS INTEGER), CAST(350 AS BIGINT),
+           CAST(0 AS INTEGER), true),
+          (61, 1, 0, NULL, false),
+          (62, NULL, NULL, NULL, NULL),
+          (63, NULL, NULL, NULL, NULL)
+        ) AS t(media_id, frames, dur_ms, loops, animated)""".stripMargin.trim)),
+
     Q("q_audio_neardup",
       // the audio member of the perceptual near-dup family: waveform
       // envelope hashes ([[Multimodal.envHash64]] — closed-form over the

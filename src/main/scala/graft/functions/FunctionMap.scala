@@ -271,6 +271,13 @@ object FunctionMap {
         graft.operators.Multimodal.audioProbeCol(a0).getField("duration_ms")
       case "mp4_duration_ms" => graft.operators.Multimodal.mp4DurationCol(a0)
       case "mp3_frame_count" => graft.operators.Multimodal.mp3FrameCountCol(a0)
+      case "gif_anim" => graft.operators.Multimodal.gifAnimCol(a0)
+      case "gif_frames" =>
+        graft.operators.Multimodal.gifAnimCol(a0).getField("frames")
+      case "gif_duration_ms" =>
+        graft.operators.Multimodal.gifAnimCol(a0).getField("duration_ms")
+      case "gif_loops" =>
+        graft.operators.Multimodal.gifAnimCol(a0).getField("loops")
       // 64-bit signature Hamming distance (aHash/dHash/pHash/SimHash
       // near-dup verify as a WHERE gate) — pure builtins, codegen'd
       case "hamming64" => bit_count(a0.bitwiseXOR(a1))

@@ -132,6 +132,105 @@ object Multimodal {
     } else None
   }
 
+  /** GIF animation facts: frame count, DECLARED duration (sum of the
+    * Graphic Control Extension delays; frames without a GCE contribute
+    * 0 — renderers clamp tiny delays upward, we report what the file
+    * says), and the NETSCAPE2.0 loop count (0 = infinite, None when the
+    * extension is absent = play once). */
+  case class GifAnim(frames: Int, duration_ms: Long, loops: Option[Int])
+
+  /** Codec-free GIF block walk — the animated-vs-static gate an image
+    * curation pipeline runs BEFORE any pixel decode (an "image" column
+    * hiding thousand-frame GIFs is a classic poisoned-input shape).
+    * Walks the logical screen descriptor, color tables, extension and
+    * image-descriptor blocks by their declared lengths without touching
+    * LZW content; refuses (None) on unknown block types, truncation
+    * before the trailer, or more than `maxFrames` frames — never
+    * guesses. */
+  def gifAnimation(b: Array[Byte], maxFrames: Int = 100000): Option[GifAnim] = {
+    @inline def u8(i: Int): Int = b(i) & 0xff
+    @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    if (b == null || b.length < 14 || b(0) != 'G' || b(1) != 'I' ||
+        b(2) != 'F' || b(3) != '8' || (b(4) != '7' && b(4) != '9') ||
+        b(5) != 'a') return None
+    var i = 13 // 6-byte header + 7-byte logical screen descriptor
+    if ((u8(10) & 0x80) != 0) i += 3 * (1 << ((u8(10) & 7) + 1))
+    var frames = 0
+    var durMs = 0L
+    var loops: Option[Int] = None
+    // data sub-blocks: (len, bytes)* then a 0 terminator; returns the
+    // position after the terminator, -1 on truncation
+    def skipSubBlocks(k0: Int): Int = {
+      var k = k0
+      while (k < b.length && u8(k) != 0) k += 1 + u8(k)
+      if (k >= b.length) -1 else k + 1
+    }
+    while (i < b.length) {
+      u8(i) match {
+        case 0x3b => return Some(GifAnim(frames, durMs, loops)) // trailer
+        case 0x21 => // extension introducer + label + sub-blocks
+          if (i + 1 >= b.length) return None
+          val label = u8(i + 1)
+          if (label == 0xf9 && i + 7 < b.length && u8(i + 2) == 4)
+            durMs += le16(i + 4) * 10L // GCE delay is in 1/100 s
+          if (label == 0xff && i + 13 < b.length && u8(i + 2) == 11 &&
+              new String(b, i + 3, 11, "US-ASCII") == "NETSCAPE2.0") {
+            val k = i + 14
+            if (k + 3 < b.length && u8(k) == 3 && u8(k + 1) == 1)
+              loops = Some(le16(k + 2))
+          }
+          val after = skipSubBlocks(i + 2)
+          if (after < 0) return None
+          i = after
+        case 0x2c => // image descriptor (+ local color table + LZW blocks)
+          if (i + 10 >= b.length) return None
+          frames += 1
+          if (frames > maxFrames) return None // loud cap
+          val packed = u8(i + 9)
+          var k = i + 10
+          if ((packed & 0x80) != 0) k += 3 * (1 << ((packed & 7) + 1))
+          k += 1 // LZW minimum code size byte
+          if (k > b.length) return None
+          val after = skipSubBlocks(k)
+          if (after < 0) return None
+          i = after
+        case _ => return None // unknown block type — refuse, never guess
+      }
+    }
+    None // ran off the end without a trailer
+  }
+
+  /** GIF animation fixture — hand-placed blocks, every fact a
+    * construction literal:
+    *   60. 3 frames with GCE delays 5/10/20 cs (→ 350 ms) + NETSCAPE
+    *       loop 0 (infinite)
+    *   61. single frame, no extensions → (1, 0, no loop ext)
+    *   62. truncated before the trailer → refused
+    *   63. not a GIF at all. */
+  def gifAnimFixture(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val hdr = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](2, 0, 2, 0, 0x80.toByte, 0, 0) ++ // LSD: 2×2, 2-color GCT
+      new Array[Byte](6) // global color table
+    def gce(delayCs: Int) = Array[Byte](0x21, 0xf9.toByte, 4, 0,
+      (delayCs & 0xff).toByte, ((delayCs >> 8) & 0xff).toByte, 0, 0)
+    // descriptor (no local table) + min code size + one 2-byte data block
+    val frame = Array[Byte](0x2c, 0, 0, 0, 0, 2, 0, 2, 0, 0, 2, 2, 1, 1, 0)
+    def netscape(loops: Int) =
+      Array[Byte](0x21, 0xff.toByte, 11) ++
+        "NETSCAPE2.0".getBytes("US-ASCII") ++
+        Array[Byte](3, 1, (loops & 0xff).toByte, ((loops >> 8) & 0xff).toByte, 0)
+    val trailer = Array[Byte](0x3b)
+    val anim = hdr ++ netscape(0) ++ gce(5) ++ frame ++ gce(10) ++ frame ++
+      gce(20) ++ frame ++ trailer
+    Seq(
+      60L -> anim,
+      61L -> (hdr ++ frame ++ trailer),
+      62L -> (hdr ++ frame), // no trailer
+      63L -> "definitely not a gif".getBytes("US-ASCII")
+    ).toDF("media_id", "bytes")
+  }
+
   /** Audio header probe, the WAV twin of [[probeImage]] — RIFF/WAVE fmt
     * chunk: (channels, sampleRate, durationMs estimated from the data
     * chunk). Pure byte inspection; duration-based curation filters run
@@ -1939,6 +2038,14 @@ object Multimodal {
   lazy val mp3FrameCountCol: Column => Column = {
     val u = udf((b: Array[Byte]) =>
       if (b == null) None else mp3FrameIndex(b).map(_.length))
+    c => u(c)
+  }
+
+  /** `gif_anim(bytes)` → [[gifAnimation]] as a struct (frames,
+    * duration_ms, loops); NULL when not a well-formed GIF. */
+  lazy val gifAnimCol: Column => Column = {
+    val u = udf((b: Array[Byte]) =>
+      if (b == null) None else gifAnimation(b))
     c => u(c)
   }
 }

@@ -1392,6 +1392,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.probeMp3(rows(50L)).contains((2, 24000, 96L)))
   }
 
+  test("gifAnimation: block walk reads frames/delays/loops, refuses " +
+      "truncation and unknown blocks, parses real ImageIO output") {
+    val rows = Multimodal.gifAnimFixture(spark).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(Multimodal.gifAnimation(rows(60L))
+      .contains(Multimodal.GifAnim(3, 350L, Some(0))))
+    assert(Multimodal.gifAnimation(rows(61L))
+      .contains(Multimodal.GifAnim(1, 0L, None)))
+    assert(Multimodal.gifAnimation(rows(62L)).isEmpty) // no trailer
+    assert(Multimodal.gifAnimation(rows(63L)).isEmpty)
+    // loud frame cap refuses rather than truncating
+    assert(Multimodal.gifAnimation(rows(60L), maxFrames = 2).isEmpty)
+    // corrupting a block introducer to an unknown type refuses outright
+    val evil = rows(61L).clone()
+    evil(19) = 0x7e // the lone image descriptor's 0x2C introducer
+    assert(evil.length == 19 + 15 + 1) // fixture layout guard for the index
+    assert(Multimodal.gifAnimation(evil).isEmpty)
+    // a real encoder's output (JDK ImageIO static GIF) walks cleanly
+    val real = Multimodal.encodeImage("gif", 8, 8, (x, _) =>
+      if (x < 4) 0 else 0xffffff)
+    val parsed = Multimodal.gifAnimation(real)
+    assert(parsed.exists(_.frames == 1))
+  }
+
   test("chunkDocs windows words with overlap; short docs yield one chunk") {
     val df = Seq(
       (1L, (1 to 50).map(i => s"w$i").mkString(" ")),
