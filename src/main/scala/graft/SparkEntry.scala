@@ -5929,6 +5929,47 @@ object SparkEntry {
           (63, NULL, NULL, NULL, NULL)
         ) AS t(media_id, frames, dur_ms, loops, animated)""".stripMargin.trim)),
 
+    Q("q_pdf_extract",
+      // scan-based PDF text extraction (PdfOps): stream framing, real
+      // FlateDecode via the JDK Inflater, BT..ET text operators (Tj
+      // chains, octal escapes, kerned TJ array, T* line break, hex
+      // string), a /DCTDecode image stream counted-but-skipped, a
+      // corrupt-deflate stream skipped with pages still read, and a
+      // non-PDF row flagged. Every value is a construction literal
+      (s, dir) => operators.PdfOps.pdfTextPlan(operators.PdfOps.pdfFixture(s)),
+      Some("""
+        SELECT * FROM (VALUES
+          (CAST(70 AS BIGINT), true, CAST(2 AS INTEGER), CAST(3 AS INTEGER),
+           CAST(2 AS INTEGER),
+           'Hello World(!)' || chr(10) || 'Second line' || chr(10) || 'Hello2'),
+          (71, true, 1, 1, 0, ''),
+          (72, false, NULL, NULL, NULL, NULL),
+          (73, true, 1, 1, 0, '')
+        ) AS t(doc_id, pdf_ok, pages, n_streams, n_text_streams, text)""".stripMargin.trim)),
+
+    Q("q_pdf_funcs",
+      // the PDF extractor as dialect scalars, pdf_ok as the WHERE gate
+      // (the crawl-routing shape: non-PDF payloads drop before any
+      // inflate); pdf_text composes with the text kernels — token count
+      // over the extracted text proves the chain feeds the pipeline
+      (s, dir) => {
+        val t = Tables.load(s, dir) +
+          ("pdfs" -> operators.PdfOps.pdfFixture(s))
+        GraftEngine.sql(
+          "SELECT doc_id, pdf_pages(bytes) AS pages, " +
+            "pdf_text(bytes) AS text, " +
+            "token_count(pdf_text(bytes)) AS toks " +
+            "FROM pdfs WHERE pdf_ok(bytes)", t)
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (CAST(70 AS BIGINT), CAST(2 AS INTEGER),
+           'Hello World(!)' || chr(10) || 'Second line' || chr(10) || 'Hello2',
+           CAST(5 AS INTEGER)),
+          (71, 1, '', 0),
+          (73, 1, '', 0)
+        ) AS t(doc_id, pages, text, toks)""".stripMargin.trim)),
+
     Q("q_audio_neardup",
       // the audio member of the perceptual near-dup family: waveform
       // envelope hashes ([[Multimodal.envHash64]] — closed-form over the

@@ -271,6 +271,15 @@ object FunctionMap {
         graft.operators.Multimodal.audioProbeCol(a0).getField("duration_ms")
       case "mp4_duration_ms" => graft.operators.Multimodal.mp4DurationCol(a0)
       case "mp3_frame_count" => graft.operators.Multimodal.mp3FrameCountCol(a0)
+      // scan-based PDF text extraction (FlateDecode via the JDK's own
+      // Inflater — PDFs are a first-class crawl source, like HTML)
+      case "pdf_struct" => graft.operators.PdfOps.pdfTextStructCol(a0)
+      case "pdf_ok" =>
+        graft.operators.PdfOps.pdfTextStructCol(a0).isNotNull
+      case "pdf_text" =>
+        graft.operators.PdfOps.pdfTextStructCol(a0).getField("text")
+      case "pdf_pages" =>
+        graft.operators.PdfOps.pdfTextStructCol(a0).getField("pages")
       case "gif_anim" => graft.operators.Multimodal.gifAnimCol(a0)
       case "gif_frames" =>
         graft.operators.Multimodal.gifAnimCol(a0).getField("frames")
