@@ -302,6 +302,51 @@ class DocCasesSpec extends AnyFunSuite {
     feats.unpersist()
   }
 
+  test("mixed-content crawl: WARC → content-type routing → HTML/PDF text " +
+      "extraction → one text corpus") {
+    // a real crawl archive is not all HTML: route records by declared
+    // Content-Type, extract text per format (HtmlOps for pages, PdfOps
+    // for documents — binary payloads round-trip the WARC string leg as
+    // Latin-1), skip what has no extractor, and land everything in one
+    // (doc_id, url, text) corpus the curation chain consumes
+    import graft.operators.{HtmlOps, PdfOps}
+    import graft.sources.Ingest
+    import org.apache.spark.sql.functions._
+    val pdfBytes = PdfOps.pdfFixture(spark).collect()
+      .find(_.getLong(0) == 70L).get.getAs[Array[Byte]](1)
+    val recs = Seq(
+      ("http://a.com/page", "text/html",
+        "<html><title>t</title><body><p>hello crawl world</p></body></html>"),
+      ("http://b.com/doc.pdf", "application/pdf",
+        new String(pdfBytes, java.nio.charset.StandardCharsets.ISO_8859_1)),
+      ("http://c.com/pic.jpg", "image/jpeg", "ÿØbinary junk"))
+      .toDF("url", "ctype", "body")
+    val warcFile = recs
+      .withColumn("rec", Ingest.warcRecord(lit("response"), col("url"),
+        lit("2026-01-01T00:00:00Z"), col("body"), col("ctype")))
+      .agg(array_join(array_sort(collect_list(col("rec"))), "").as("content"))
+    val crawl = Ingest.warc(warcFile, "content").cache()
+    assert(crawl.count() == 3)
+    // binary payloads survive the string leg byte-for-byte
+    val back = crawl.where(col("content_type") === "application/pdf")
+      .select(encode(col("payload"), "ISO-8859-1")).head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(back, pdfBytes))
+    val routed = crawl.withColumn("text",
+      when(col("content_type").startsWith("text/html"),
+        HtmlOps.extractText(col("payload")))
+        .when(col("content_type") === "application/pdf",
+          PdfOps.pdfTextStructCol(encode(col("payload"), "ISO-8859-1"))
+            .getField("text")))
+      .select(col("rec_index").as("doc_id"), col("target_uri").as("url"),
+        col("text"))
+    val byUrl = routed.collect().map(r => r.getString(1) -> Option(r.getString(2))).toMap
+    assert(byUrl("http://a.com/page").exists(_.contains("hello crawl world")))
+    assert(byUrl("http://b.com/doc.pdf")
+      .contains("Hello World(!)\nSecond line\nHello2"))
+    assert(byUrl("http://c.com/pic.jpg").isEmpty) // no extractor → NULL text
+    crawl.unpersist()
+  }
+
   test("doc case: filter + unit conversion + CASE grading (EmitSync analog)") {
     // reference doc_cases_test.go:16-52 — same SQL, same expectations;
     // the out-of-range and null readings must be filtered, not errors
