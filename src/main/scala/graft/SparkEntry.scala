@@ -6058,6 +6058,34 @@ object SparkEntry {
           (53, false, NULL, NULL, NULL, NULL, NULL)
         ) AS t(media_id, mp3_ok, frame, time_ms, "offset", size, kbps)""".stripMargin.trim)),
 
+    Q("q_flac_frames",
+      // FLAC frame INDEX (CRC-8-gated sync scan — a FLAC header does
+      // not encode its frame length, so sizes come from successive
+      // validated syncs). Fixture literals: fixed blocking with a
+      // short last block + STREAMINFO-rate code, variable blocking
+      // with a 2-byte coded sample number, a frameless stream and a
+      // non-FLAC row (both flagged)
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        operators.Multimodal.flacFramePlan(operators.Multimodal.flacFixture(s))
+          .select(col("media_id"), col("flac_ok"), col("frame"),
+            col("number"), col("block_size"), col("rate"), col("time_ms"),
+            col("offset"), col("size"))
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (CAST(80 AS BIGINT), true, CAST(1 AS INTEGER), CAST(0 AS BIGINT),
+           CAST(192 AS INTEGER), CAST(24000 AS INTEGER), CAST(0 AS BIGINT),
+           CAST(42 AS BIGINT), CAST(26 AS BIGINT)),
+          (80, true, 2, 1, 192, 24000, 8, 68, 26),
+          (80, true, 3, 2, 100, 24000, 16, 94, 17),
+          (81, true, 1, 0, 256, 44100, 0, 42, 21),
+          (81, true, 2, 256, 256, 44100, 5, 63, 16),
+          (82, false, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+          (83, false, NULL, NULL, NULL, NULL, NULL, NULL, NULL)
+        ) AS t(media_id, flac_ok, frame, number, block_size, rate,
+               time_ms, "offset", size)""".stripMargin.trim)),
+
     Q("q_dup_spans",
       // cross-doc exact-substring duplication: fraction of each doc's
       // distinct 8-word windows shared with another document (Lee et al.

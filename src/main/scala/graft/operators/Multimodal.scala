@@ -286,6 +286,200 @@ object Multimodal {
     else Some((ch, rate, if (samples > 0) samples * 1000L / rate else -1L))
   }
 
+  /** CRC-8 (poly x^8+x^2+x+1 = 0x07, init 0) over `[from, until)` —
+    * the checksum FLAC frame headers carry; validating it makes a
+    * sync-scan frame index reliable without touching entropy-coded
+    * content. */
+  private[graft] def crc8(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (b(i) & 0xff)
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff
+        else (crc << 1) & 0xff
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** FLAC's UTF-8-style coded number (frame or sample number, up to
+    * 36 bits / 7 bytes) at offset `i` → (value, index after), or None
+    * on malformed coding. */
+  private[graft] def flacCodedNumber(b: Array[Byte], i: Int): Option[(Long, Int)] = {
+    @inline def u8(k: Int): Int = b(k) & 0xff
+    if (i >= b.length) return None
+    val lead = u8(i)
+    val extra =
+      if ((lead & 0x80) == 0) 0
+      else if ((lead & 0xe0) == 0xc0) 1
+      else if ((lead & 0xf0) == 0xe0) 2
+      else if ((lead & 0xf8) == 0xf0) 3
+      else if ((lead & 0xfc) == 0xf8) 4
+      else if ((lead & 0xfe) == 0xfc) 5
+      else if (lead == 0xfe) 6
+      else return None
+    if (i + extra >= b.length) return None
+    var v: Long = if (extra == 0) lead else lead & (0x7f >> extra)
+    var k = 1
+    while (k <= extra) {
+      val c = u8(i + k)
+      if ((c & 0xc0) != 0x80) return None
+      v = (v << 6) | (c & 0x3f)
+      k += 1
+    }
+    Some((v, i + extra + 1))
+  }
+
+  /** Parsed FLAC frame header: blocking strategy, the coded frame (fixed)
+    * or sample (variable) number, block size in samples, sample rate,
+    * channels, and total header length including the CRC-8 byte. */
+  private[graft] case class FlacHeader(
+      variable: Boolean, number: Long, blockSize: Int, rate: Int,
+      channels: Int, len: Int)
+
+  /** FLAC frame-header parse at offset `i`, CRC-8-validated; `streamRate`
+    * fills the "from STREAMINFO" rate code. None for bad sync, reserved
+    * codes, malformed coded numbers, or a CRC mismatch — the checksum is
+    * what makes false syncs in entropy-coded content vanishingly
+    * unlikely. */
+  private[graft] def flacHeaderAt(
+      b: Array[Byte], i: Int, streamRate: Int): Option[FlacHeader] = {
+    @inline def u8(k: Int): Int = b(k) & 0xff
+    if (i < 0 || i + 4 >= b.length) return None
+    if (u8(i) != 0xff || (u8(i + 1) & 0xfe) != 0xf8) return None
+    val variable = (u8(i + 1) & 1) == 1
+    val bsCode = u8(i + 2) >> 4
+    val srCode = u8(i + 2) & 0xf
+    if (bsCode == 0 || srCode == 15) return None
+    val chCode = u8(i + 3) >> 4
+    val ssCode = (u8(i + 3) >> 1) & 7
+    if (chCode > 10 || ssCode == 3 || (u8(i + 3) & 1) != 0) return None
+    val channels = if (chCode < 8) chCode + 1 else 2
+    flacCodedNumber(b, i + 4).flatMap { case (num, afterNum) =>
+      var j = afterNum
+      val blockSize = bsCode match {
+        case 1 => 192
+        case c if c >= 2 && c <= 5 => 576 << (c - 2)
+        case 6 =>
+          if (j >= b.length) return None
+          val v = u8(j) + 1; j += 1; v
+        case 7 =>
+          if (j + 1 >= b.length) return None
+          val v = ((u8(j) << 8) | u8(j + 1)) + 1; j += 2; v
+        case c => 256 << (c - 8)
+      }
+      val rate = srCode match {
+        case 0 => streamRate
+        case c if c >= 1 && c <= 11 =>
+          Array(0, 88200, 176400, 192000, 8000, 16000, 22050, 24000,
+            32000, 44100, 48000, 96000)(c)
+        case 12 =>
+          if (j >= b.length) return None
+          val v = u8(j) * 1000; j += 1; v
+        case 13 =>
+          if (j + 1 >= b.length) return None
+          val v = (u8(j) << 8) | u8(j + 1); j += 2; v
+        case _ => // 14: Hz/10
+          if (j + 1 >= b.length) return None
+          val v = ((u8(j) << 8) | u8(j + 1)) * 10; j += 2; v
+      }
+      if (rate <= 0 || j >= b.length) None
+      else if (crc8(b, i, j) != u8(j)) None
+      else Some(FlacHeader(variable, num, blockSize, rate, channels, j - i + 1))
+    }
+  }
+
+  /** One FLAC frame-index entry: 1-based frame position in the walk, the
+    * header's own coded frame/sample number, block size, sample rate,
+    * byte offset/length, start time. */
+  case class FlacFrame(
+      frame: Int, number: Long, block_size: Int, rate: Int,
+      time_ms: Long, offset: Long, size: Long)
+
+  /** Codec-free FLAC frame INDEX — the lossless-audio member of the
+    * [[mp4Keyframes]]/[[mp3FrameIndex]] trio. Walks the metadata blocks
+    * (reading STREAMINFO's rate for rate-code 0), then SCANS for frame
+    * syncs, accepting only headers whose CRC-8 validates — unlike MP3,
+    * a FLAC header does not encode its frame's byte length (content is
+    * entropy-coded), so frame sizes come from successive validated sync
+    * positions and the final frame runs to end-of-stream. Start times
+    * accumulate block sizes (exact; the last block of a fixed-blocksize
+    * stream is legitimately short). None when the signature or first
+    * validated frame is missing; `maxFrames` refuses loudly. */
+  def flacFrameIndex(b: Array[Byte], maxFrames: Int = 100000): Option[Vector[FlacFrame]] = {
+    @inline def u8(i: Int): Int = b(i) & 0xff
+    if (b == null || b.length < 42 || b(0) != 'f' || b(1) != 'L' ||
+        b(2) != 'a' || b(3) != 'C') return None
+    // metadata block walk; STREAMINFO (type 0) carries the default rate
+    var p = 4
+    var streamRate = 0
+    var last = false
+    while (!last) {
+      if (p + 4 > b.length) return None
+      last = (u8(p) & 0x80) != 0
+      val typ = u8(p) & 0x7f
+      val len = (u8(p + 1) << 16) | (u8(p + 2) << 8) | u8(p + 3)
+      if (typ == 0 && len >= 34 && p + 4 + 34 <= b.length) {
+        val o = p + 4 + 10
+        streamRate = (u8(o) << 12) | (u8(o + 1) << 4) | (u8(o + 2) >> 4)
+      }
+      if (len > b.length - p - 4) return None
+      p += 4 + len
+    }
+    // sync scan: collect CRC-validated header positions
+    val heads = Vector.newBuilder[(Int, FlacHeader)]
+    var n = 0
+    var i = p
+    while (i + 4 < b.length) {
+      flacHeaderAt(b, i, streamRate) match {
+        case Some(h) =>
+          n += 1
+          if (n > maxFrames) return None // loud cap
+          heads += ((i, h))
+          i += h.len // content scan resumes after the header
+        case None => i += 1
+      }
+    }
+    val hs = heads.result()
+    if (hs.isEmpty) return None
+    var samples = 0L
+    val out = hs.zipWithIndex.map { case ((off, h), idx) =>
+      val end = if (idx + 1 < hs.length) hs(idx + 1)._1 else b.length
+      val f = FlacFrame(idx + 1, h.number, h.blockSize, h.rate,
+        samples * 1000L / h.rate, off, (end - off).toLong)
+      samples += h.blockSize
+      f
+    }
+    Some(out)
+  }
+
+  /** Frame indexes over a (id, bytes) audio table — the FLAC twin of
+    * [[mp3FramePlan]]; unparseable rows emit a single flagged row. */
+  def flacFramePlan(
+      media: DataFrame,
+      bytesCol: String = "bytes",
+      idCol: String = "media_id",
+      maxFrames: Int = 100000): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        (if (bytes == null) None else flacFrameIndex(bytes, maxFrames)) match {
+          case Some(fs) => fs.map(f => (id, true, Some(f.frame),
+            Some(f.number), Some(f.block_size), Some(f.rate),
+            Some(f.time_ms), Some(f.offset), Some(f.size)))
+          case None =>
+            Seq((id, false, None, None, None, None, None, None, None))
+        }
+      }
+      .toDF(idCol, "flac_ok", "frame", "number", "block_size", "rate",
+        "time_ms", "offset", "size")
+  }
+
   /** MP3 frame-header probe: skips a leading ID3v2 tag, finds the first
     * valid frame sync within the next 64 KiB, and reads (channels,
     * sampleRate, durationMs) from the header fields alone — duration is
@@ -1696,6 +1890,43 @@ object Multimodal {
       51L -> (id3(20) ++ f64 ++ f96 ++ f32p ++ "JUNKJUNK".getBytes("US-ASCII")),
       52L -> (f64 ++ f64 ++ frame(8, 192, cut = 92)),
       53L -> "no frame sync anywhere in this buffer".getBytes("US-ASCII")
+    ).toDF("media_id", "bytes")
+  }
+
+  /** FLAC frame-index fixture — hand-placed metadata + frame headers
+    * (payloads are zero bytes: the index never reads content, and zeros
+    * contain no false sync). Construction literals:
+    *   80. fixed blocking, 3 frames: two 192-sample frames (rate code 7
+    *       = 24000), then a SHORT last frame (block size 100 via the
+    *       8-bit end-of-header code, rate code 0 = from STREAMINFO)
+    *   81. variable blocking, 2 frames of 256 samples at 44100 — the
+    *       second frame's sample number (256) takes the 2-byte coded
+    *       form
+    *   82. valid fLaC signature + STREAMINFO but no frame
+    *   83. not FLAC. */
+  def flacFixture(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    def withCrc(hdr: Array[Byte]): Array[Byte] =
+      hdr :+ crc8(hdr, 0, hdr.length).toByte
+    // STREAMINFO (last-block flag set): rate 24000, 2 ch, 16 bps
+    val streaminfo = Array(0x80, 0, 0, 34).map(_.toByte) ++
+      Array(0x00, 0xc0, 0x00, 0xc0, 0, 0, 0, 0, 0, 0).map(_.toByte) ++
+      Array(0x05, 0xdc, 0x02, 0xf0).map(_.toByte) ++ new Array[Byte](4 + 16)
+    val magic = "fLaC".getBytes("US-ASCII") ++ streaminfo
+    def fx(hdr: Int*)(pay: Int): Array[Byte] =
+      withCrc(hdr.toArray.map(_.toByte)) ++ new Array[Byte](pay)
+    val v80 = magic ++
+      fx(0xff, 0xf8, 0x17, 0x18, 0x00)(20) ++ // frame 0, bs 192, 24 kHz
+      fx(0xff, 0xf8, 0x17, 0x18, 0x01)(20) ++ // frame 1
+      fx(0xff, 0xf8, 0x60, 0x18, 0x02, 0x63)(10) // frame 2: bs 100, sr code 0
+    val v81 = magic ++
+      fx(0xff, 0xf9, 0x89, 0x18, 0x00)(15) ++ // sample 0, bs 256, 44.1 kHz
+      fx(0xff, 0xf9, 0x89, 0x18, 0xc4, 0x80)(9) // sample 256, 2-byte coding
+    Seq(
+      80L -> v80,
+      81L -> v81,
+      82L -> magic,
+      83L -> "certainly not a flac stream".getBytes("US-ASCII")
     ).toDF("media_id", "bytes")
   }
 

@@ -1392,6 +1392,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.probeMp3(rows(50L)).contains((2, 24000, 96L)))
   }
 
+  test("flacFrameIndex: CRC-8-gated sync scan, coded numbers, short last " +
+      "block, variable blocking") {
+    // CRC-8 poly 0x07 init 0: published check value for "123456789"
+    assert(Multimodal.crc8("123456789".getBytes("US-ASCII"), 0, 9) == 0xf4)
+    // coded-number forms: 1-byte, the fixture's 2-byte (256), a 3-byte
+    // (4608), and a rejected bare continuation byte
+    assert(Multimodal.flacCodedNumber(Array(0x2a).map(_.toByte), 0)
+      .contains((42L, 1)))
+    assert(Multimodal.flacCodedNumber(Array(0xc4, 0x80).map(_.toByte), 0)
+      .contains((256L, 2)))
+    assert(Multimodal.flacCodedNumber(Array(0xe1, 0x88, 0x80).map(_.toByte), 0)
+      .contains((4608L, 3)))
+    assert(Multimodal.flacCodedNumber(Array(0x80).map(_.toByte), 0).isEmpty)
+    val rows = Multimodal.flacFixture(spark).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    def idx(id: Long) = Multimodal.flacFrameIndex(rows(id)).map(_.map(f =>
+      (f.frame, f.number, f.block_size, f.rate, f.time_ms, f.offset, f.size)))
+    assert(idx(80L).get == Vector(
+      (1, 0L, 192, 24000, 0L, 42L, 26L),
+      (2, 1L, 192, 24000, 8L, 68L, 26L),
+      (3, 2L, 100, 24000, 16L, 94L, 17L)))
+    assert(idx(81L).get == Vector(
+      (1, 0L, 256, 44100, 0L, 42L, 21L),
+      (2, 256L, 256, 44100, 5L, 63L, 16L)))
+    assert(idx(82L).isEmpty && idx(83L).isEmpty)
+    // loud cap; truncating the last frame's header drops only that frame
+    assert(Multimodal.flacFrameIndex(rows(80L), maxFrames = 2).isEmpty)
+    assert(Multimodal.flacFrameIndex(rows(80L).take(95)).get.length == 2)
+    // a corrupted CRC rejects the frame (header otherwise valid)
+    val evil = rows(81L).clone()
+    evil(42 + 5) = (evil(42 + 5) ^ 0x01).toByte // frame 1's CRC byte
+    assert(Multimodal.flacFrameIndex(evil).get.map(_.number) == Vector(256L))
+  }
+
   test("gifAnimation: block walk reads frames/delays/loops, refuses " +
       "truncation and unknown blocks, parses real ImageIO output") {
     val rows = Multimodal.gifAnimFixture(spark).collect()
