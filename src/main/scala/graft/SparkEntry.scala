@@ -5970,6 +5970,69 @@ object SparkEntry {
           (73, 1, '', 0)
         ) AS t(doc_id, pages, text, toks)""".stripMargin.trim)),
 
+    Q("q_zip_entries",
+      // bounded zip entry listing (JDK ZipInputStream walk): names,
+      // dir flags and UNCOMPRESSED sizes counted from the inflate —
+      // nothing materialized; corrupt/non-zip rows flag. Sizes replay
+      // as length() of the same construction literals
+      (s, dir) => operators.ArchiveOps.zipListPlan(
+        operators.ArchiveOps.zipFixture(s)),
+      Some("""
+        SELECT * FROM (VALUES
+          (CAST(90 AS BIGINT), true, 'mimetype', false, CAST(20 AS BIGINT)),
+          (90, true, 'META-INF/container.xml', false,
+           length('<?xml version="1.0"?><container><rootfiles><rootfile full-path="OEBPS/content.opf"/></rootfiles></container>')),
+          (90, true, 'OEBPS/content.opf', false,
+           length('<package><manifest><item id="c1" href="ch1.xhtml"/><item id="c2" href="ch2.xhtml"/><item id="im" href="img.png"/></manifest><spine><itemref idref="c2"/><itemref idref="c1"/></spine></package>')),
+          (90, true, 'OEBPS/ch1.xhtml', false,
+           length('<html><body><p>Chapter one text</p></body></html>')),
+          (90, true, 'OEBPS/ch2.xhtml', false,
+           length('<html><body><p>Chapter two text</p></body></html>')),
+          (90, true, 'OEBPS/img.png', false, 8),
+          (91, true, 'a.html', false, 12),
+          (91, true, 'b.html', false, 11),
+          (92, false, NULL, NULL, NULL),
+          (93, false, NULL, NULL, NULL)
+        ) AS t(doc_id, zip_ok, entry, is_dir, size)""".stripMargin.trim)),
+
+    Q("q_epub_extract",
+      // EPUB → reading-order text: container.xml → OPF spine (which
+      // orders chapter 2 BEFORE chapter 1 — reading order must beat
+      // archive order), html-to-text through the SAME extractor chain
+      // as q_html_extract; the plain zip row exercises the no-OPF
+      // archive-order fallback
+      (s, dir) => operators.ArchiveOps.epubTextPlan(
+        operators.ArchiveOps.zipFixture(s)),
+      Some("""
+        SELECT * FROM (VALUES
+          (CAST(90 AS BIGINT), true, CAST(6 AS INTEGER), CAST(2 AS INTEGER),
+           'Chapter two text' || chr(10) || 'Chapter one text'),
+          (91, true, 2, 2, 'alpha' || chr(10) || 'beta'),
+          (92, false, NULL, NULL, NULL),
+          (93, false, NULL, NULL, NULL)
+        ) AS t(doc_id, epub_ok, n_entries, n_docs, text)""".stripMargin.trim)),
+
+    Q("q_epub_funcs",
+      // the archive scalars on the dialect surface, zip_ok as the
+      // WHERE gate; token_count over epub_text proves the books front
+      // door feeds the text pipeline like any other source
+      (s, dir) => {
+        val t = Tables.load(s, dir) +
+          ("zips" -> operators.ArchiveOps.zipFixture(s))
+        GraftEngine.sql(
+          "SELECT doc_id, epub_docs(bytes) AS docs, " +
+            "epub_text(bytes) AS text, " +
+            "token_count(epub_text(bytes)) AS toks " +
+            "FROM zips WHERE zip_ok(bytes)", t)
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (CAST(90 AS BIGINT), CAST(2 AS INTEGER),
+           'Chapter two text' || chr(10) || 'Chapter one text',
+           CAST(6 AS INTEGER)),
+          (91, 2, 'alpha' || chr(10) || 'beta', 2)
+        ) AS t(doc_id, docs, text, toks)""".stripMargin.trim)),
+
     Q("q_audio_neardup",
       // the audio member of the perceptual near-dup family: waveform
       // envelope hashes ([[Multimodal.envHash64]] — closed-form over the

@@ -280,6 +280,13 @@ object FunctionMap {
         graft.operators.PdfOps.pdfTextStructCol(a0).getField("text")
       case "pdf_pages" =>
         graft.operators.PdfOps.pdfTextStructCol(a0).getField("pages")
+      // zip/EPUB archive scalars (JDK ZipInputStream; the books-corpus
+      // front door — epub_text reuses the html extractor chain)
+      case "zip_ok" =>
+        graft.operators.ArchiveOps.epubSpineCol(a0).isNotNull
+      case "epub_text" => graft.operators.ArchiveOps.epubText(a0)
+      case "epub_docs" =>
+        graft.operators.ArchiveOps.epubSpineCol(a0).getField("n_docs")
       case "gif_anim" => graft.operators.Multimodal.gifAnimCol(a0)
       case "gif_frames" =>
         graft.operators.Multimodal.gifAnimCol(a0).getField("frames")

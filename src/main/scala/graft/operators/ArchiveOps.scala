@@ -1,0 +1,258 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Zip-archive ingestion via the JDK's own `ZipInputStream` — no
+  * external library, the same no-new-dependency stance as
+  * [[PdfOps]]/[[Multimodal]]. Zip is the container under EPUB (books
+  * corpora), DOCX, and plain `.zip` bundles of pages; the operators here
+  * surface (1) a bounded entry LISTING and (2) EPUB/bundle text via the
+  * spine-ordered XHTML concatenation, with the actual HTML→text step
+  * delegated to [[HtmlOps.extractText]] so there is exactly ONE
+  * extraction implementation (and its oracle) in the engine.
+  *
+  * Bomb posture: every walk is bounded — entry count, per-kept-entry
+  * bytes, and TOTAL inflated bytes (skimmed entries are drained counted,
+  * never materialized); exceeding any bound refuses the whole archive
+  * loudly (None), the same refuse-don't-guess contract as the media
+  * probes. */
+object ArchiveOps {
+
+  /** One walked entry: name, directory flag, UNCOMPRESSED size (counted
+    * from the inflate, deterministic — declared sizes can lie), and the
+    * bytes when the caller's `keep` predicate selected the entry. */
+  case class ZipEntryData(
+      name: String, dir: Boolean, size: Long, bytes: Option[Array[Byte]])
+
+  /** Walk a zip byte array in archive order. `keep` selects which
+    * entries to materialize; the rest are drained to count their
+    * inflated size. None for a non-zip signature, corrupt archive, or
+    * any exceeded bound. */
+  def zipEntries(
+      b: Array[Byte],
+      keep: String => Boolean = _ => true,
+      maxEntries: Int = 10000,
+      maxEntryBytes: Int = 1 << 26,
+      maxTotalBytes: Long = 1L << 28): Option[Vector[ZipEntryData]] = {
+    if (b == null || b.length < 4 ||
+        !(b(0) == 'P' && b(1) == 'K' && b(2) == 3 && b(3) == 4)) return None
+    val zis = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      val out = Vector.newBuilder[ZipEntryData]
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      var n = 0
+      var e = zis.getNextEntry
+      while (e != null) {
+        n += 1
+        if (n > maxEntries) return None
+        if (e.isDirectory) out += ZipEntryData(e.getName, dir = true, 0L, None)
+        else {
+          val wanted = keep(e.getName)
+          val bos = if (wanted) new java.io.ByteArrayOutputStream() else null
+          var size = 0L
+          var r = zis.read(buf)
+          while (r > 0) {
+            size += r
+            total += r
+            if (total > maxTotalBytes) return None
+            if (wanted) {
+              if (size > maxEntryBytes) return None
+              bos.write(buf, 0, r)
+            }
+            r = zis.read(buf)
+          }
+          out += ZipEntryData(e.getName, dir = false, size,
+            if (wanted) Some(bos.toByteArray) else None)
+        }
+        e = zis.getNextEntry
+      }
+      Some(out.result())
+    } catch {
+      case _: java.util.zip.ZipException | _: java.io.IOException |
+          _: IllegalArgumentException => None // corrupt framing / bad names
+    } finally zis.close()
+  }
+
+  /** Entry listing over a (id, bytes) table — (idCol, zip_ok, entry,
+    * is_dir, size), one row per entry, nothing materialized (every
+    * entry is skimmed); unreadable archives flag, never drop. */
+  def zipListPlan(
+      df: DataFrame,
+      bytesCol: String = "bytes",
+      idCol: String = "doc_id"): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        zipEntries(bytes, keep = _ => false) match {
+          case Some(es) if es.nonEmpty =>
+            es.map(e => (id, true, Some(e.name), Some(e.dir), Some(e.size)))
+          case Some(_) => Seq((id, true, None, None, None)) // empty archive
+          case None => Seq((id, false, None, None, None))
+        }
+      }
+      .toDF(idCol, "zip_ok", "entry", "is_dir", "size")
+  }
+
+  /** Spine resolution result: entry count, how many documents feed the
+    * text, and their XHTML joined in reading order (to be fed to
+    * [[HtmlOps.extractText]]). */
+  case class EpubSpine(n_entries: Int, n_docs: Int, xhtml: String)
+
+  private val fullPathPat =
+    java.util.regex.Pattern.compile("full-path\\s*=\\s*[\"']([^\"']+)[\"']")
+  private val itemPat = java.util.regex.Pattern.compile("<item\\b[^>]*>")
+  private val itemrefPat = java.util.regex.Pattern.compile("<itemref\\b[^>]*>")
+  private def attr(tag: String, name: String): Option[String] = {
+    val m = java.util.regex.Pattern
+      .compile(name + "\\s*=\\s*[\"']([^\"']+)[\"']").matcher(tag)
+    if (m.find()) Some(m.group(1)) else None
+  }
+  private def normPath(p: String): String =
+    p.split('/').foldLeft(List.empty[String]) {
+      case (acc, "..") => if (acc.nonEmpty) acc.tail else acc
+      case (acc, ".") => acc
+      case (acc, "") => acc
+      case (acc, s) => s :: acc
+    }.reverse.mkString("/")
+
+  /** EPUB (or zip-of-pages) → reading-order XHTML: resolves
+    * `META-INF/container.xml` → the OPF's manifest + spine and joins
+    * the spine documents with '\n'; an archive WITHOUT an OPF falls
+    * back to its `.xhtml/.html/.htm` entries in archive order (a plain
+    * zip of crawled pages rides the same operator). Lenient by design:
+    * the `mimetype` entry is not required (many real EPUBs get it
+    * wrong); href percent-encoding is not decoded (disclosed). None
+    * only when the archive itself is unreadable. */
+  def epubSpineXhtml(b: Array[Byte]): Option[EpubSpine] = {
+    def isDoc(n: String) = {
+      val l = n.toLowerCase(java.util.Locale.ROOT)
+      l.endsWith(".xhtml") || l.endsWith(".html") || l.endsWith(".htm")
+    }
+    def isKept(n: String) = isDoc(n) ||
+      n == "META-INF/container.xml" ||
+      n.toLowerCase(java.util.Locale.ROOT).endsWith(".opf")
+    zipEntries(b, keep = isKept).map { es =>
+      val files = es.filter(e => !e.dir)
+      val byName = files.collect {
+        case e if e.bytes.isDefined =>
+          e.name -> new String(e.bytes.get,
+            java.nio.charset.StandardCharsets.UTF_8)
+      }.toMap
+      val spineNames: Seq[String] = (for {
+        container <- byName.get("META-INF/container.xml")
+        opfPath <- { val m = fullPathPat.matcher(container)
+          if (m.find()) Some(m.group(1)) else None }
+        opf <- byName.get(normPath(opfPath))
+      } yield {
+        val dir = normPath(opfPath).lastIndexOf('/') match {
+          case -1 => ""
+          case i => normPath(opfPath).substring(0, i + 1)
+        }
+        val idToHref = {
+          val m = itemPat.matcher(opf)
+          val pairs = Iterator.continually(m)
+            .takeWhile(_.find()).map(_.group(0))
+            .flatMap(t => for (i <- attr(t, "id"); h <- attr(t, "href"))
+              yield i -> h)
+            .toList
+          pairs.toMap
+        }
+        val m = itemrefPat.matcher(opf)
+        Iterator.continually(m).takeWhile(_.find()).map(_.group(0))
+          .flatMap(t => attr(t, "idref"))
+          .flatMap(idToHref.get)
+          .map(h => normPath(dir + h))
+          .toList
+      }).getOrElse(Nil)
+      val docNames =
+        if (spineNames.nonEmpty) spineNames.filter(byName.contains)
+        else files.collect { case e if isDoc(e.name) => e.name }
+      val docs = docNames.flatMap(byName.get)
+      EpubSpine(files.length, docs.length, docs.mkString("\n"))
+    }
+  }
+
+  /** `epub_struct(bytes)` → struct(n_entries, n_docs, xhtml); NULL for
+    * an unreadable archive. Compose `epub_text` as
+    * `HtmlOps.extractText(...getField("xhtml"))` — one extractor. */
+  lazy val epubSpineCol: Column => Column = {
+    val u = udf((b: Array[Byte]) => epubSpineXhtml(b))
+    c => u(c)
+  }
+
+  /** Extracted reading-order text of an EPUB/zip-of-pages column. */
+  def epubText(bytes: Column): Column =
+    HtmlOps.extractText(epubSpineCol(bytes).getField("xhtml"))
+
+  /** Extraction over a (id, bytes) table — (idCol, epub_ok, n_entries,
+    * n_docs, text); the HTML→text step runs as the SAME Catalyst
+    * expression chain as [[HtmlOps.extractText]] everywhere else. */
+  def epubTextPlan(
+      df: DataFrame,
+      bytesCol: String = "bytes",
+      idCol: String = "doc_id"): DataFrame = {
+    val s = epubSpineCol(col(bytesCol))
+    df.select(
+      col(idCol).cast("long").as(idCol),
+      s.isNotNull.as("epub_ok"),
+      s.getField("n_entries").as("n_entries"),
+      s.getField("n_docs").as("n_docs"),
+      when(s.isNotNull, HtmlOps.extractText(s.getField("xhtml"))).as("text"))
+  }
+
+  /** Zip/EPUB fixture — archives built entry-by-entry with the JDK's
+    * own ZipOutputStream; contents are construction literals:
+    *   90. a well-formed EPUB: mimetype, container.xml → OPF whose
+    *       SPINE ORDERS ch2 BEFORE ch1 (reading order must beat archive
+    *       order), two XHTML chapters, and a binary image entry that is
+    *       skimmed, never materialized
+    *   91. a plain zip of two HTML pages (no OPF) → archive-order
+    *       fallback
+    *   92. a PK signature followed by garbage → refused
+    *   93. not a zip at all. */
+  def zipFixture(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    def zip(entries: (String, Array[Byte])*): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(bos)
+      entries.foreach { case (name, data) =>
+        zos.putNextEntry(new java.util.zip.ZipEntry(name))
+        zos.write(data)
+        zos.closeEntry()
+      }
+      zos.close()
+      bos.toByteArray
+    }
+    def s(x: String) = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val container = "<?xml version=\"1.0\"?><container><rootfiles>" +
+      "<rootfile full-path=\"OEBPS/content.opf\"/></rootfiles></container>"
+    val opf = "<package><manifest>" +
+      "<item id=\"c1\" href=\"ch1.xhtml\"/>" +
+      "<item id=\"c2\" href=\"ch2.xhtml\"/>" +
+      "<item id=\"im\" href=\"img.png\"/></manifest>" +
+      "<spine><itemref idref=\"c2\"/><itemref idref=\"c1\"/></spine></package>"
+    val ch1 = "<html><body><p>Chapter one text</p></body></html>"
+    val ch2 = "<html><body><p>Chapter two text</p></body></html>"
+    val epub = zip(
+      "mimetype" -> s("application/epub+zip"),
+      "META-INF/container.xml" -> s(container),
+      "OEBPS/content.opf" -> s(opf),
+      "OEBPS/ch1.xhtml" -> s(ch1),
+      "OEBPS/ch2.xhtml" -> s(ch2),
+      "OEBPS/img.png" -> Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))
+    val pages = zip(
+      "a.html" -> s("<p>alpha</p>"),
+      "b.html" -> s("<p>beta</p>"))
+    Seq(
+      90L -> epub,
+      91L -> pages,
+      92L -> ("PK\u0003\u0004 then garbage that is not a zip record"
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)),
+      93L -> s("just some text")
+    ).toDF("doc_id", "bytes")
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** Zip/EPUB ingestion semantics ([[ArchiveOps]]). */
+class ArchiveOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def fixture = ArchiveOps.zipFixture(spark).collect()
+    .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+
+  test("zipEntries: archive-order walk, skim vs keep, refusal on corrupt") {
+    val rows = fixture
+    val es = ArchiveOps.zipEntries(rows(90L), keep = _.endsWith(".xhtml")).get
+    assert(es.map(_.name) == Vector("mimetype", "META-INF/container.xml",
+      "OEBPS/content.opf", "OEBPS/ch1.xhtml", "OEBPS/ch2.xhtml",
+      "OEBPS/img.png"))
+    // kept entries materialize, skimmed ones still count exact sizes
+    assert(es.count(_.bytes.isDefined) == 2)
+    assert(es.find(_.name == "mimetype").get.size == 20 &&
+      es.find(_.name == "mimetype").get.bytes.isEmpty)
+    assert(es.find(_.name == "OEBPS/img.png").get.size == 8)
+    assert(new String(es.find(_.name == "OEBPS/ch1.xhtml").get.bytes.get,
+      "UTF-8").contains("Chapter one"))
+    assert(ArchiveOps.zipEntries(rows(92L)).isEmpty)
+    assert(ArchiveOps.zipEntries(rows(93L)).isEmpty)
+    // bounds refuse loudly
+    assert(ArchiveOps.zipEntries(rows(90L), maxEntries = 3).isEmpty)
+    assert(ArchiveOps.zipEntries(rows(90L), maxTotalBytes = 100).isEmpty)
+    assert(ArchiveOps.zipEntries(rows(90L),
+      keep = _ => true, maxEntryBytes = 10).isEmpty)
+  }
+
+  test("epubSpineXhtml: OPF spine order beats archive order; plain zips " +
+      "fall back to archive order") {
+    val rows = fixture
+    val s90 = ArchiveOps.epubSpineXhtml(rows(90L)).get
+    assert(s90.n_entries == 6 && s90.n_docs == 2)
+    assert(s90.xhtml ==
+      "<html><body><p>Chapter two text</p></body></html>\n" +
+        "<html><body><p>Chapter one text</p></body></html>")
+    val s91 = ArchiveOps.epubSpineXhtml(rows(91L)).get
+    assert(s91.n_docs == 2 && s91.xhtml == "<p>alpha</p>\n<p>beta</p>")
+    assert(ArchiveOps.epubSpineXhtml(rows(92L)).isEmpty)
+  }
+
+  test("epubTextPlan: reading-order text through the shared html " +
+      "extractor; unreadable rows flag") {
+    val out = ArchiveOps.epubTextPlan(ArchiveOps.zipFixture(spark))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getBoolean(1)).toSeq == Seq(true, true, false, false))
+    assert(out(0).getString(4) == "Chapter two text\nChapter one text")
+    assert(out(1).getString(4) == "alpha\nbeta")
+    assert(out(2).isNullAt(4) && out(3).isNullAt(2))
+  }
+
+  test("normPath collapses dot segments inside the archive namespace") {
+    val deep = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(bos)
+      def put(n: String, d: String): Unit = {
+        zos.putNextEntry(new java.util.zip.ZipEntry(n))
+        zos.write(d.getBytes("UTF-8")); zos.closeEntry()
+      }
+      put("META-INF/container.xml",
+        "<rootfile full-path=\"a/b/pkg.opf\"/>")
+      put("a/b/pkg.opf", "<item id=\"x\" href=\"../c/./d.xhtml\"/>" +
+        "<spine><itemref idref=\"x\"/></spine>")
+      put("a/c/d.xhtml", "<p>deep</p>")
+      zos.close(); bos.toByteArray
+    }
+    val s = ArchiveOps.epubSpineXhtml(deep).get
+    assert(s.n_docs == 1 && s.xhtml == "<p>deep</p>")
+  }
+}
