@@ -5970,6 +5970,40 @@ object SparkEntry {
           (73, 1, '', 0)
         ) AS t(doc_id, pages, text, toks)""".stripMargin.trim)),
 
+    Q("q_wiki_extract",
+      // wikitext → text on the dialect surface (Wikipedia-dump corpora):
+      // nested template/table strip, link-label rewrite, File-link drop
+      // incl. a nested caption link, ref removal, heading fences and
+      // list markers to plain lines — then the shared html extractor
+      // chain. The walk is nesting-aware (not regex-expressible), so
+      // the oracle pins construction-literal outputs, like q_pdf_extract
+      (s, dir) => {
+        import s.implicits._
+        val wiki = Seq(
+          (1L, "'''Alpha''' is a [[Greek alphabet|letter]]." +
+            "{{Infobox|a=1|b={{nested}}}} See [[beta]]." +
+            "<ref name=\"x\">cite</ref>\n== History ==\n* item one\n" +
+            "* item two\n{| class=\"t\"\n|cell\n|}\n" +
+            "External [http://e.com/x site] and " +
+            "[[File:Pic.png|thumb|A [[caption]] here]] done."),
+          (2L, "a{{unclosed template c"),
+          (3L, "* one\n* two\n== H ==\n''x''")
+        ).toDF("doc_id", "text")
+        val t = Tables.load(s, dir) + ("wiki" -> wiki)
+        GraftEngine.sql(
+          "SELECT doc_id, wiki_text(text) AS text, " +
+            "token_count(wiki_text(text)) AS toks FROM wiki", t)
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT),
+           'Alpha is a letter. See beta.' || chr(10) || 'History' ||
+           chr(10) || 'item one' || chr(10) || 'item two' || chr(10) ||
+           'External site and done.', CAST(15 AS INTEGER)),
+          (2, 'a', 1),
+          (3, 'one' || chr(10) || 'two' || chr(10) || 'H' || chr(10) || 'x', 4)
+        ) AS t(doc_id, text, toks)""".stripMargin.trim)),
+
     Q("q_zip_entries",
       // bounded zip entry listing (JDK ZipInputStream walk): names,
       // dir flags and UNCOMPRESSED sizes counted from the inflate —

@@ -280,6 +280,8 @@ object FunctionMap {
         graft.operators.PdfOps.pdfTextStructCol(a0).getField("text")
       case "pdf_pages" =>
         graft.operators.PdfOps.pdfTextStructCol(a0).getField("pages")
+      // wikitext → text (Wikipedia-dump corpora)
+      case "wiki_text" => graft.operators.TextOps.wikiText(a0)
       // zip/EPUB archive scalars (JDK ZipInputStream; the books-corpus
       // front door — epub_text reuses the html extractor chain)
       case "zip_ok" =>

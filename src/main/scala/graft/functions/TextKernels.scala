@@ -693,6 +693,155 @@ object TextKernels {
     UTF8String.fromBytes(out.toByteArray)
   }
 
+  // ------------------------------------------------------------ wikitext
+
+  def wikiStripCol(text: Column): Column = GraftColumnBridge.column(
+    StaticInvoke(
+      TextKernels.getClass, StringType, "wikiStrip",
+      Seq(GraftColumnBridge.expression(text)), Seq(StringType),
+      returnNullable = false))
+
+  /** Wiki-markup STRUCTURAL strip — the nesting-aware half wikitext→text
+    * needs that no RE2 regex can express (templates, tables and file
+    * links nest): one char walk dropping `{{…}}` templates and `{|…|}`
+    * tables (nested, unclosed swallows the tail — leaking template soup
+    * would be worse, the `<script` contract), `<!--…-->` comments and
+    * `<ref…>…</ref>`/`<ref…/>` citations; rewriting `[[target|label]]` →
+    * label, `[[target]]` → target (File/Image/Category links drop whole,
+    * including nested caption links), `[scheme://url label]` → label;
+    * skipping `''…'''''` emphasis runs, line-leading `*#:;` list markers
+    * and `----` rules, and `=` heading fences (line-leading runs, and
+    * mid-line runs that close the line). Residual HTML tags/entities are
+    * NOT handled here — compose with [[graft.operators.HtmlOps.extractText]]
+    * (one extractor chain in the engine); labels re-enter the walk
+    * (depth-capped) so markup inside link labels strips too. */
+  def wikiStrip(t: UTF8String): UTF8String = {
+    val s = t.toString
+    val sb = new java.lang.StringBuilder(s.length)
+    wikiWalk(s, 0, s.length, sb, 0)
+    UTF8String.fromString(sb.toString)
+  }
+
+  private def wikiIndexOfIc(s: String, pat: String, from: Int): Int = {
+    var i = from
+    val last = s.length - pat.length
+    while (i <= last) {
+      if (s.regionMatches(true, i, pat, 0, pat.length)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Index after the matching closer of the 2-char `open` at `i`
+    * (nesting-aware); `until` when unclosed. */
+  private def wikiSkipPaired(
+      s: String, i: Int, until: Int, open: String, close: String): Int = {
+    var depth = 1
+    var j = i + 2
+    while (j + 1 < until) {
+      if (s.regionMatches(j, open, 0, 2)) { depth += 1; j += 2 }
+      else if (s.regionMatches(j, close, 0, 2)) {
+        depth -= 1; j += 2
+        if (depth == 0) return j
+      } else j += 1
+    }
+    until
+  }
+
+  private def wikiWalk(
+      s: String, from: Int, until: Int,
+      sb: java.lang.StringBuilder, depth: Int): Unit = {
+    @inline def atLineStart(i: Int): Boolean =
+      i == 0 || s.charAt(i - 1) == '\n'
+    var i = from
+    while (i < until) {
+      val c = s.charAt(i)
+      if (c == '{' && i + 1 < until &&
+          (s.charAt(i + 1) == '{' || s.charAt(i + 1) == '|')) {
+        i =
+          if (s.charAt(i + 1) == '{') wikiSkipPaired(s, i, until, "{{", "}}")
+          else wikiSkipPaired(s, i, until, "{|", "|}")
+      } else if (c == '<' && s.regionMatches(i, "<!--", 0, 4)) {
+        val e = s.indexOf("-->", i + 4)
+        i = if (e < 0 || e + 3 > until) until else e + 3
+      } else if (c == '<' && s.regionMatches(true, i, "<ref", 0, 4) &&
+          (i + 4 >= until || !Character.isLetterOrDigit(s.charAt(i + 4)))) {
+        val gt = s.indexOf('>', i + 4)
+        if (gt < 0 || gt >= until) i = until
+        else if (s.charAt(gt - 1) == '/') i = gt + 1
+        else {
+          val e = wikiIndexOfIc(s, "</ref>", gt + 1)
+          i = if (e < 0 || e + 6 > until) until else e + 6
+        }
+      } else if (c == '[' && i + 1 < until && s.charAt(i + 1) == '[') {
+        val e = wikiSkipPaired(s, i, until, "[[", "]]")
+        if (e >= until && !s.substring(i + 2, until).contains("]]")) {
+          sb.append(c); i += 1 // unmatched [[ is literal text
+        } else {
+          val inner = s.substring(i + 2, math.max(i + 2, e - 2))
+          val colon = inner.indexOf(':')
+          val ns =
+            if (colon > 0)
+              inner.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
+            else ""
+          if (ns != "file" && ns != "image" && ns != "category") {
+            val p = inner.lastIndexOf('|')
+            val label = if (p >= 0) inner.substring(p + 1) else inner
+            if (depth < 4) wikiWalk(label, 0, label.length, sb, depth + 1)
+            else sb.append(label)
+          }
+          i = e
+        }
+      } else if (c == '[' && (s.regionMatches(true, i + 1, "http://", 0, 7) ||
+          s.regionMatches(true, i + 1, "https://", 0, 8) ||
+          s.regionMatches(true, i + 1, "ftp://", 0, 6) ||
+          s.regionMatches(i + 1, "//", 0, 2))) {
+        val e = s.indexOf(']', i + 1)
+        if (e < 0 || e >= until) { sb.append(c); i += 1 }
+        else {
+          val inner = s.substring(i + 1, e)
+          val sp = inner.indexOf(' ')
+          if (sp >= 0) {
+            val label = inner.substring(sp + 1)
+            if (depth < 4) wikiWalk(label, 0, label.length, sb, depth + 1)
+            else sb.append(label)
+          }
+          i = e + 1
+        }
+      } else if (c == '\'' && i + 1 < until && s.charAt(i + 1) == '\'') {
+        var j = i
+        while (j < until && s.charAt(j) == '\'') j += 1
+        i = j // runs of 2+ apostrophes are emphasis fences
+      } else if (c == '=' && atLineStart(i)) {
+        var j = i
+        while (j < until && s.charAt(j) == '=') j += 1
+        while (j < until && s.charAt(j) == ' ') j += 1
+        i = j
+      } else if (c == '=') {
+        // a mid-line '=' run closing the line is a heading fence
+        var j = i
+        while (j < until && s.charAt(j) == '=') j += 1
+        var k = j
+        while (k < until && s.charAt(k) == ' ') k += 1
+        if (j - i >= 2 && (k >= until || s.charAt(k) == '\n')) i = k
+        else { sb.append(c); i += 1 }
+      } else if (atLineStart(i) && (c == '*' || c == '#' || c == ':' || c == ';')) {
+        var j = i
+        while (j < until && (s.charAt(j) == '*' || s.charAt(j) == '#' ||
+            s.charAt(j) == ':' || s.charAt(j) == ';')) j += 1
+        if (j < until && s.charAt(j) == ' ') j += 1
+        i = j
+      } else if (atLineStart(i) && c == '-' && s.regionMatches(i, "----", 0, 4)) {
+        var j = i
+        while (j < until && s.charAt(j) == '-') j += 1
+        i = j
+      } else {
+        sb.append(c)
+        i += 1
+      }
+    }
+  }
+
   // ------------------------------------------------------------ WARC split
 
   def warcSplitCol(content: Column): Column = GraftColumnBridge.column(

@@ -765,6 +765,15 @@ object TextOps {
       .drop("__ent")
   }
 
+  /** Wikitext → visible text (Wikipedia-dump corpora): the nesting-aware
+    * structural strip ([[graft.functions.TextKernels.wikiStrip]] —
+    * templates, tables, refs, wiki links, emphasis, heading fences, list
+    * markers) followed by the SAME HTML extractor chain every other
+    * markup source uses (residual html tags, entities, whitespace/line
+    * normalization). Scan-speed, zero shuffle. */
+  def wikiText(text: Column): Column =
+    HtmlOps.extractText(graft.functions.TextKernels.wikiStripCol(text))
+
   /** Collapse consecutively repeated word n-grams to their first `keep`
     * copies ("click here click here click here …" → "click here click
     * here") — the degenerate-repetition cleanup for LM-generated spam

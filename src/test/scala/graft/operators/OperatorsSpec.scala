@@ -1392,6 +1392,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.probeMp3(rows(50L)).contains((2, 24000, 96L)))
   }
 
+  test("wikiText: nested templates/tables/file-links strip, link labels " +
+      "survive, headings and list markers become plain lines") {
+    val src = "'''Alpha''' is a [[Greek alphabet|letter]]." +
+      "{{Infobox|a=1|b={{nested}}}} See [[beta]].<ref name=\"x\">cite</ref>\n" +
+      "== History ==\n* item one\n* item two\n" +
+      "{| class=\"t\"\n|cell\n|}\n" +
+      "External [http://e.com/x site] and " +
+      "[[File:Pic.png|thumb|A [[caption]] here]] done."
+    val out = Seq(src).toDF("w")
+      .select(TextOps.wikiText(col("w"))).head.getString(0)
+    assert(out == "Alpha is a letter. See beta.\nHistory\nitem one\n" +
+      "item two\nExternal site and done.", out)
+    def one(s: String): String = Seq(s).toDF("w")
+      .select(TextOps.wikiText(col("w"))).head.getString(0)
+    assert(one("a{{unclosed template c") == "a") // swallow-tail contract
+    assert(one("see [not a link] here") == "see [not a link] here")
+    assert(one("''italic'' and '''''bold-italic'''''") ==
+      "italic and bold-italic")
+    assert(one("bare [http://x.com/y] citation") == "bare citation")
+    assert(one("2+2=4 stays, = at line start goes") == "2+2=4 stays, = at line start goes")
+    assert(one("[//proto.rel/x rel label]") == "rel label")
+    assert(one("[[Category:Things]]tail") == "tail")
+    // tag-boundary guard: <refx> is NOT a ref (its tags strip as plain
+    // html in the extractor, its text survives)
+    assert(one("<REF>upper</REF>x<refx>not a ref</refx>") == "xnot a ref")
+  }
+
   test("flacFrameIndex: CRC-8-gated sync scan, coded numbers, short last " +
       "block, variable blocking") {
     // CRC-8 poly 0x07 init 0: published check value for "123456789"
