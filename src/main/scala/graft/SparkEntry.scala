@@ -6067,6 +6067,45 @@ object SparkEntry {
           (91, 2, 'alpha' || chr(10) || 'beta', 2)
         ) AS t(doc_id, docs, text, toks)""".stripMargin.trim)),
 
+    Q("q_tar_entries",
+      // checksum-validated tar walk behind signature-detected gzip
+      // (tar.gz and raw tar list identically); corrupt checksum,
+      // plain-gzip-not-tar, and non-archive rows all flag
+      (s, dir) => operators.ArchiveOps.tarListPlan(
+        operators.ArchiveOps.tarFixture(s)),
+      Some("""
+        SELECT * FROM (VALUES
+          (CAST(95 AS BIGINT), true, 'a/', true, CAST(0 AS BIGINT)),
+          (95, true, 'a/doc1.txt', false, 9),
+          (95, true, 'doc2.txt', false, 5),
+          (96, true, 'a/', true, 0),
+          (96, true, 'a/doc1.txt', false, 9),
+          (96, true, 'doc2.txt', false, 5),
+          (97, false, NULL, NULL, NULL),
+          (98, false, NULL, NULL, NULL),
+          (99, false, NULL, NULL, NULL)
+        ) AS t(doc_id, tar_ok, entry, is_dir, size)""".stripMargin.trim)),
+
+    Q("q_gzip_funcs",
+      // gzip dialect scalars: gzip_ok as the routing gate, gunzip_text
+      // feeding the text pipeline (token_count over the inflated
+      // member) — the compressed-payload shape crawl archives actually
+      // ship
+      (s, dir) => {
+        val t = Tables.load(s, dir) +
+          ("gzs" -> operators.ArchiveOps.tarFixture(s))
+        GraftEngine.sql(
+          "SELECT doc_id, gzip_ok(bytes) AS ok, " +
+            "gunzip_text(bytes) AS text, " +
+            "token_count(if_null(gunzip_text(bytes), '')) AS toks " +
+            "FROM gzs WHERE doc_id IN (98, 99)", t)
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (CAST(98 AS BIGINT), true, 'plain gzip text', CAST(3 AS INTEGER)),
+          (99, false, NULL, 0)
+        ) AS t(doc_id, ok, text, toks)""".stripMargin.trim)),
+
     Q("q_audio_neardup",
       // the audio member of the perceptual near-dup family: waveform
       // envelope hashes ([[Multimodal.envHash64]] — closed-form over the

@@ -282,6 +282,11 @@ object FunctionMap {
         graft.operators.PdfOps.pdfTextStructCol(a0).getField("pages")
       // wikitext → text (Wikipedia-dump corpora)
       case "wiki_text" => graft.operators.TextOps.wikiText(a0)
+      // gzip members (compressed WARC/JSONL payloads; bombs refuse to NULL)
+      case "gunzip" => graft.operators.ArchiveOps.gunzipCol(a0)
+      case "gunzip_text" => graft.operators.ArchiveOps.gunzipText(a0)
+      case "gzip_ok" =>
+        graft.operators.ArchiveOps.gunzipCol(a0).isNotNull
       // zip/EPUB archive scalars (JDK ZipInputStream; the books-corpus
       // front door — epub_text reuses the html extractor chain)
       case "zip_ok" =>

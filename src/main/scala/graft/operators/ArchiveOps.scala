@@ -204,6 +204,138 @@ object ArchiveOps {
       when(s.isNotNull, HtmlOps.extractText(s.getField("xhtml"))).as("text"))
   }
 
+  // ------------------------------------------------------------ gzip
+
+  /** Inflate one gzip byte array (multi-member streams per the JDK's
+    * GZIPInputStream). None for a non-gzip signature, corrupt stream, or
+    * inflated output past `maxBytes` (bomb guard — one bounded buffer,
+    * never the executor). */
+  def gunzip(b: Array[Byte], maxBytes: Int = 1 << 28): Option[Array[Byte]] = {
+    if (b == null || b.length < 3 || (b(0) & 0xff) != 0x1f ||
+        (b(1) & 0xff) != 0x8b) return None
+    try {
+      val gis = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        val out = new java.io.ByteArrayOutputStream(math.min(maxBytes, 1 << 16))
+        val buf = new Array[Byte](8192)
+        var r = gis.read(buf)
+        while (r > 0) {
+          out.write(buf, 0, r)
+          if (out.size() > maxBytes) return None
+          r = gis.read(buf)
+        }
+        Some(out.toByteArray)
+      } finally gis.close()
+    } catch {
+      case _: java.util.zip.ZipException | _: java.io.IOException => None
+    }
+  }
+
+  /** `gunzip(bytes)` → inflated bytes, NULL for non-gzip/corrupt input. */
+  lazy val gunzipCol: Column => Column = {
+    val u = udf((b: Array[Byte]) => gunzip(b))
+    c => u(c)
+  }
+
+  /** `gunzip_text(bytes)` → inflated bytes decoded as UTF-8 — the
+    * compressed-text-payload shape (gzip WARC/JSONL members). */
+  def gunzipText(bytes: Column): Column = decode(gunzipCol(bytes), "UTF-8")
+
+  // ------------------------------------------------------------- tar
+
+  /** Walk a tar (ustar/pre-POSIX) byte array: 512-byte headers, octal
+    * sizes, content padded to block alignment. Same keep/skim + bound
+    * semantics as [[zipEntries]]; for `.tar.gz` compose with [[gunzip]].
+    * The walk stops at the end-of-archive zero block; a malformed header
+    * refuses (None) — tar has no magic at offset 0, so the all-zero and
+    * checksum fields are the validity signal. */
+  def tarEntries(
+      b: Array[Byte],
+      keep: String => Boolean = _ => true,
+      maxEntries: Int = 10000,
+      maxEntryBytes: Int = 1 << 26): Option[Vector[ZipEntryData]] = {
+    if (b == null || b.length < 512) return None
+    def str(off: Int, len: Int): String = {
+      var e = off
+      val lim = off + len
+      while (e < lim && b(e) != 0) e += 1
+      new String(b, off, e - off, java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+    def octal(off: Int, len: Int): Long = {
+      val s = str(off, len).trim
+      if (s.isEmpty) 0L
+      else try java.lang.Long.parseLong(s, 8)
+      catch { case _: NumberFormatException => -1L }
+    }
+    val out = Vector.newBuilder[ZipEntryData]
+    var p = 0
+    var n = 0
+    while (p + 512 <= b.length) {
+      if (b(p) == 0) {
+        // end-of-archive zero block: require it actually be all zero
+        var z = p
+        val lim = math.min(p + 512, b.length)
+        while (z < lim && b(z) == 0) z += 1
+        return if (z == lim) Some(out.result()) else None
+      }
+      n += 1
+      if (n > maxEntries) return None
+      val name = str(p, 100)
+      val size = octal(p + 124, 12)
+      val typ = b(p + 156).toChar
+      // header checksum: bytes sum with the checksum field as spaces
+      val declared = octal(p + 148, 8)
+      var sum = 0L
+      var k = p
+      while (k < p + 512) {
+        sum += (if (k >= p + 148 && k < p + 156) ' '.toInt else b(k) & 0xff)
+        k += 1
+      }
+      if (size < 0 || declared != sum) return None
+      val dir = typ == '5' || name.endsWith("/")
+      val dataEnd = p + 512 + size
+      if (dataEnd > b.length) return None // truncated member
+      if (dir) out += ZipEntryData(name, dir = true, 0L, None)
+      else {
+        val wanted = keep(name) && typ != '1' && typ != '2' // not link types
+        if (wanted && size > maxEntryBytes) return None
+        out += ZipEntryData(name, dir = false, size,
+          if (wanted)
+            Some(java.util.Arrays.copyOfRange(b, p + 512, dataEnd.toInt))
+          else None)
+      }
+      p = (dataEnd + 511).toInt / 512 * 512
+    }
+    Some(out.result()) // no terminator block: tolerated at end-of-buffer
+  }
+
+  /** Entry listing over a (id, bytes) table of tar or tar.gz archives —
+    * gzip members inflate first (signature-detected); same shape as
+    * [[zipListPlan]]. */
+  def tarListPlan(
+      df: DataFrame,
+      bytesCol: String = "bytes",
+      idCol: String = "doc_id",
+      maxGzipBytes: Int = 1 << 28): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val raw =
+          if (bytes != null && bytes.length > 2 && (bytes(0) & 0xff) == 0x1f &&
+              (bytes(1) & 0xff) == 0x8b) gunzip(bytes, maxGzipBytes)
+          else Option(bytes)
+        raw.flatMap(r => tarEntries(r, keep = _ => false)) match {
+          case Some(es) if es.nonEmpty =>
+            es.map(e => (id, true, Some(e.name), Some(e.dir), Some(e.size)))
+          case Some(_) => Seq((id, true, None, None, None))
+          case None => Seq((id, false, None, None, None))
+        }
+      }
+      .toDF(idCol, "tar_ok", "entry", "is_dir", "size")
+  }
+
   /** Zip/EPUB fixture — archives built entry-by-entry with the JDK's
     * own ZipOutputStream; contents are construction literals:
     *   90. a well-formed EPUB: mimetype, container.xml → OPF whose
@@ -253,6 +385,62 @@ object ArchiveOps {
       92L -> ("PK\u0003\u0004 then garbage that is not a zip record"
         .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)),
       93L -> s("just some text")
+    ).toDF("doc_id", "bytes")
+  }
+
+  /** tar / tar.gz / gzip fixture — headers hand-placed (ustar layout,
+    * checksum computed the spec's way: checksum field as spaces):
+    *   95. tar.gz: a directory entry + two files, gzipped
+    *   96. the same tar uncompressed
+    *   97. the same tar with one checksum byte corrupted → refused
+    *   98. a plain gzip text member (valid gzip, not a tar)
+    *   99. not gzip and not tar. */
+  def tarFixture(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    def s(x: String) = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def header(name: String, size: Long, typ: Char): Array[Byte] = {
+      val h = new Array[Byte](512)
+      name.getBytes("US-ASCII").copyToArray(h, 0)
+      def oct(v: Long, off: Int, len: Int): Unit = {
+        val o = java.lang.Long.toOctalString(v)
+        ("0" * (len - 1 - o.length) + o).getBytes("US-ASCII").copyToArray(h, off)
+      }
+      oct(420, 100, 8) // mode 0644
+      oct(0, 108, 8); oct(0, 116, 8) // uid/gid
+      oct(size, 124, 12)
+      oct(0, 136, 12) // mtime
+      h(156) = typ.toByte
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      var sum = 0L
+      h.foreach(x => sum += x & 0xff)
+      val cs = java.lang.Long.toOctalString(sum)
+      ("0" * (6 - cs.length) + cs + "  ")
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        .copyToArray(h, 148)
+      h
+    }
+    def file(name: String, data: Array[Byte]): Array[Byte] = {
+      val pad = (512 - data.length % 512) % 512
+      header(name, data.length, '0') ++ data ++ new Array[Byte](pad)
+    }
+    val tar = header("a/", 0, '5') ++
+      file("a/doc1.txt", s("hello tar")) ++
+      file("doc2.txt", s("world")) ++
+      new Array[Byte](1024) // end-of-archive zero blocks
+    def gz(data: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gos = new java.util.zip.GZIPOutputStream(bos)
+      gos.write(data); gos.close()
+      bos.toByteArray
+    }
+    val corrupt = tar.clone()
+    corrupt(148) = '7' // first checksum digit of the dir header
+    Seq(
+      95L -> gz(tar),
+      96L -> tar,
+      97L -> corrupt,
+      98L -> gz(s("plain gzip text")),
+      99L -> s("neither gzip nor tar, and shorter than a block")
     ).toDF("doc_id", "bytes")
   }
 }

@@ -55,6 +55,49 @@ class ArchiveOpsSpec extends AnyFunSuite {
     assert(out(2).isNullAt(4) && out(3).isNullAt(2))
   }
 
+  test("gunzip: multi-member aware, signature-gated, bomb-capped") {
+    val rows = ArchiveOps.tarFixture(spark).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(new String(ArchiveOps.gunzip(rows(98L)).get, "UTF-8") ==
+      "plain gzip text")
+    assert(ArchiveOps.gunzip(rows(99L)).isEmpty) // no signature
+    assert(ArchiveOps.gunzip(rows(96L)).isEmpty) // raw tar is not gzip
+    assert(ArchiveOps.gunzip(rows(95L), maxBytes = 100).isEmpty) // cap
+    // corrupt deflate body behind a valid signature
+    val broken = rows(98L).clone()
+    broken(broken.length / 2) = (broken(broken.length / 2) ^ 0x55).toByte
+    assert(ArchiveOps.gunzip(broken).isEmpty)
+    // two concatenated members inflate as one stream (JDK multi-member)
+    assert(new String(
+      ArchiveOps.gunzip(rows(98L) ++ rows(98L)).get, "UTF-8") ==
+      "plain gzip textplain gzip text")
+  }
+
+  test("tarEntries: checksum-validated ustar walk, dir/file types, " +
+      "keep vs skim, refusal on corruption and truncation") {
+    val rows = ArchiveOps.tarFixture(spark).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val tar = rows(96L)
+    val es = ArchiveOps.tarEntries(tar, keep = _.endsWith(".txt")).get
+    assert(es.map(e => (e.name, e.dir, e.size)) == Vector(
+      ("a/", true, 0L), ("a/doc1.txt", false, 9L), ("doc2.txt", false, 5L)))
+    assert(new String(es(1).bytes.get, "UTF-8") == "hello tar")
+    assert(ArchiveOps.tarEntries(rows(97L)).isEmpty) // checksum mismatch
+    assert(ArchiveOps.tarEntries(rows(99L)).isEmpty)
+    assert(ArchiveOps.tarEntries(tar, maxEntries = 2).isEmpty)
+    assert(ArchiveOps.tarEntries(tar, maxEntryBytes = 4).isEmpty)
+    // truncation mid-member refuses rather than inventing a short file
+    assert(ArchiveOps.tarEntries(tar.take(512 + 512 + 4)).isEmpty)
+    // tar.gz rides the listing plan via signature detection
+    val plan = ArchiveOps.tarListPlan(ArchiveOps.tarFixture(spark))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) null else r.getString(2)))
+    assert(plan.count(_._1 == 95L) == 3 &&
+      plan.filter(_._1 == 95L).forall(_._2))
+    assert(plan.filter(_._1 == 97L).map(_._2).toSeq == Seq(false))
+    assert(plan.filter(_._1 == 98L).map(_._2).toSeq == Seq(false)) // gzip, not tar
+  }
+
   test("normPath collapses dot segments inside the archive namespace") {
     val deep = {
       val bos = new java.io.ByteArrayOutputStream()
