@@ -6067,6 +6067,43 @@ object SparkEntry {
           (91, 2, 'alpha' || chr(10) || 'beta', 2)
         ) AS t(doc_id, docs, text, toks)""".stripMargin.trim)),
 
+    Q("q_subtitles",
+      // SRT/WebVTT cue parsing (the text⇄media alignment layer): CRLF
+      // SRT with multi-line cues and tags, VTT with header/NOTE blocks,
+      // cue ids, per-cue settings, optional hours; walk-order cue
+      // numbering; the no-timing row flags
+      (s, dir) => operators.SubtitleOps.cuePlan(
+        operators.SubtitleOps.subtitleFixture(s)),
+      Some("""
+        SELECT * FROM (VALUES
+          (CAST(100 AS BIGINT), true, CAST(1 AS INTEGER),
+           CAST(1000 AS BIGINT), CAST(4500 AS BIGINT), 'Hello there.'),
+          (100, true, 2, 5250, 7000, 'Two lines' || chr(10) || 'of text'),
+          (101, true, 1, 65000, 67500, 'Styled cue'),
+          (101, true, 2, 3600000, 3602000, 'With hours'),
+          (102, false, NULL, NULL, NULL, NULL)
+        ) AS t(media_id, sub_ok, cue, start_ms, end_ms, text)""".stripMargin.trim)),
+
+    Q("q_subtitle_funcs",
+      // subtitles as a text DOCUMENT on the dialect surface: cue text
+      // joined in order feeds token counting like any other source
+      (s, dir) => {
+        val t = Tables.load(s, dir) +
+          ("subs" -> operators.SubtitleOps.subtitleFixture(s))
+        GraftEngine.sql(
+          "SELECT media_id, subtitle_text(content) AS text, " +
+            "token_count(if_null(subtitle_text(content), '')) AS toks " +
+            "FROM subs", t)
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (CAST(100 AS BIGINT),
+           'Hello there.' || chr(10) || 'Two lines' || chr(10) || 'of text',
+           CAST(6 AS INTEGER)),
+          (101, 'Styled cue' || chr(10) || 'With hours', 4),
+          (102, NULL, 0)
+        ) AS t(media_id, text, toks)""".stripMargin.trim)),
+
     Q("q_tar_entries",
       // checksum-validated tar walk behind signature-detected gzip
       // (tar.gz and raw tar list identically); corrupt checksum,

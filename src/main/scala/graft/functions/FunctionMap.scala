@@ -282,6 +282,9 @@ object FunctionMap {
         graft.operators.PdfOps.pdfTextStructCol(a0).getField("pages")
       // wikitext → text (Wikipedia-dump corpora)
       case "wiki_text" => graft.operators.TextOps.wikiText(a0)
+      // SRT/WebVTT subtitles as a text document
+      case "subtitle_text" =>
+        graft.operators.SubtitleOps.subtitleTextCol(a0)
       // gzip members (compressed WARC/JSONL payloads; bombs refuse to NULL)
       case "gunzip" => graft.operators.ArchiveOps.gunzipCol(a0)
       case "gunzip_text" => graft.operators.ArchiveOps.gunzipText(a0)

@@ -347,6 +347,34 @@ class DocCasesSpec extends AnyFunSuite {
     crawl.unpersist()
   }
 
+  test("video corpus alignment: subtitle cues → nearest-preceding MP4 " +
+      "keyframe byte ranges via as-of join") {
+    // the multimodal pairing shape: caption text aligns to the keyframe
+    // a GPU decoder would actually read (codec-free on both sides —
+    // cue times from SubtitleOps, byte ranges from the sample tables)
+    import graft.operators.{Joins, Multimodal, SubtitleOps}
+    import org.apache.spark.sql.functions._
+    val keyframes = Multimodal.mp4KeyframePlan(Multimodal.mp4Fixture(spark))
+      .where(col("mp4_ok"))
+      .select(col("media_id"), col("time_ms").as("kf_time"),
+        col("offset").as("kf_offset"), col("size").as("kf_size"))
+    // cues authored against media 40 (keyframes at t=0 and t=400)
+    val cues = Seq(
+      (40L, 50L, "opening line"), (40L, 380L, "still scene one"),
+      (40L, 450L, "scene two starts"))
+      .toDF("media_id", "cue_start", "caption")
+    val aligned = Joins.asof(
+      cues, keyframes.where(col("media_id") === 40L),
+      on = Seq("media_id"), leftTs = "cue_start", rightTs = "kf_time",
+      valueCols = Seq("kf_offset", "kf_size"))
+      .orderBy("cue_start").collect()
+    assert(aligned.map(r => (r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSeq == Seq(
+      ("opening line", 1000L, 10L), // keyframe 1 @ t=0
+      ("still scene one", 1000L, 10L),
+      ("scene two starts", 2040L, 50L))) // keyframe 5 @ t=400
+  }
+
   test("doc case: filter + unit conversion + CASE grading (EmitSync analog)") {
     // reference doc_cases_test.go:16-52 — same SQL, same expectations;
     // the out-of-range and null readings must be filtered, not errors
