@@ -6104,6 +6104,26 @@ object SparkEntry {
           (102, NULL, 0)
         ) AS t(media_id, text, toks)""".stripMargin.trim)),
 
+    Q("q_docx_funcs",
+      // DOCX → text on the dialect surface: the OOXML document member
+      // through the shared extractor, paragraph closes as line breaks;
+      // a zip without the member and a non-zip both null out
+      (s, dir) => {
+        val t = Tables.load(s, dir) +
+          ("docs" -> operators.ArchiveOps.docxFixture(s))
+        GraftEngine.sql(
+          "SELECT doc_id, docx_text(bytes) AS text, " +
+            "token_count(if_null(docx_text(bytes), '')) AS toks " +
+            "FROM docs", t)
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (CAST(94 AS BIGINT),
+           'Para one & more' || chr(10) || 'Para two', CAST(6 AS INTEGER)),
+          (95, NULL, 0),
+          (96, NULL, 0)
+        ) AS t(doc_id, text, toks)""".stripMargin.trim)),
+
     Q("q_tar_entries",
       // checksum-validated tar walk behind signature-detected gzip
       // (tar.gz and raw tar list identically); corrupt checksum,

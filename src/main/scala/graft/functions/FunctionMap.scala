@@ -297,6 +297,7 @@ object FunctionMap {
       case "epub_text" => graft.operators.ArchiveOps.epubText(a0)
       case "epub_docs" =>
         graft.operators.ArchiveOps.epubSpineCol(a0).getField("n_docs")
+      case "docx_text" => graft.operators.ArchiveOps.docxText(a0)
       case "gif_anim" => graft.operators.Multimodal.gifAnimCol(a0)
       case "gif_frames" =>
         graft.operators.Multimodal.gifAnimCol(a0).getField("frames")

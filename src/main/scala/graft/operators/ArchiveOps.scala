@@ -204,6 +204,58 @@ object ArchiveOps {
       when(s.isNotNull, HtmlOps.extractText(s.getField("xhtml"))).as("text"))
   }
 
+  // ------------------------------------------------------------ docx
+
+  /** The `word/document.xml` member of a DOCX (OOXML zip), as a string;
+    * NULL when the archive is unreadable or the member is absent. */
+  lazy val docxXmlCol: Column => Column = {
+    val u = udf((b: Array[Byte]) =>
+      zipEntries(b, keep = _ == "word/document.xml").flatMap(
+        _.find(_.name == "word/document.xml").flatMap(_.bytes)
+          .map(new String(_, java.nio.charset.StandardCharsets.UTF_8))))
+    c => u(c)
+  }
+
+  /** DOCX → text: paragraph closes (`</w:p>`) become line breaks, then
+    * the shared HTML extractor chain strips the remaining XML tags and
+    * decodes entities. Scope disclosed: text outside `<w:t>` runs that
+    * is still element text (field instructions, deleted-tracked runs)
+    * is not filtered — the scan-path tradeoff, same spirit as
+    * [[PdfOps]]. */
+  def docxText(bytes: Column): Column =
+    HtmlOps.extractText(
+      regexp_replace(docxXmlCol(bytes), "</w:p>", "\n"))
+
+  /** DOCX fixture:
+    *   94. two paragraphs (one with an XML entity) in the OOXML layout
+    *   95. a zip without `word/document.xml`
+    *   96. not a zip. */
+  def docxFixture(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    def s(x: String) = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def zip(entries: (String, Array[Byte])*): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(bos)
+      entries.foreach { case (name, data) =>
+        zos.putNextEntry(new java.util.zip.ZipEntry(name))
+        zos.write(data)
+        zos.closeEntry()
+      }
+      zos.close()
+      bos.toByteArray
+    }
+    val doc = "<?xml version=\"1.0\"?><w:document><w:body>" +
+      "<w:p><w:r><w:t>Para one &amp; more</w:t></w:r></w:p>" +
+      "<w:p><w:r><w:t>Para two</w:t></w:r></w:p>" +
+      "</w:body></w:document>"
+    Seq(
+      94L -> zip("[Content_Types].xml" -> s("<Types/>"),
+        "word/document.xml" -> s(doc)),
+      95L -> zip("other.txt" -> s("nope")),
+      96L -> s("not a zip")
+    ).toDF("doc_id", "bytes")
+  }
+
   // ------------------------------------------------------------ gzip
 
   /** Inflate one gzip byte array (multi-member streams per the JDK's

@@ -98,6 +98,16 @@ class ArchiveOpsSpec extends AnyFunSuite {
     assert(plan.filter(_._1 == 98L).map(_._2).toSeq == Seq(false)) // gzip, not tar
   }
 
+  test("docxText: paragraphs become lines, entities decode, absent " +
+      "member and non-zip rows null out") {
+    import org.apache.spark.sql.functions._
+    val out = ArchiveOps.docxFixture(spark)
+      .select(col("doc_id"), ArchiveOps.docxText(col("bytes")).as("t"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "Para one & more\nPara two")
+    assert(out(1).isNullAt(1) && out(2).isNullAt(1))
+  }
+
   test("normPath collapses dot segments inside the archive namespace") {
     val deep = {
       val bos = new java.io.ByteArrayOutputStream()
