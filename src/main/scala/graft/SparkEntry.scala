@@ -6067,6 +6067,54 @@ object SparkEntry {
           (91, 2, 'alpha' || chr(10) || 'beta', 2)
         ) AS t(doc_id, docs, text, toks)""".stripMargin.trim)),
 
+    Q("q_auto_extract",
+      // the one-call front door on the dialect surface: magic-byte
+      // sniffing (content-type labels lie) routing to the matching
+      // extractor — html, pdf, epub, docx, vtt, gzip-then-reroute
+      // (one level; double-gzip nulls), textless mp4 keeps its label
+      // with NULL text, plain text normalizes
+      (s, dir) => {
+        import s.implicits._
+        def row(df: DataFrame, id: Long): Array[Byte] =
+          df.collect().find(_.getLong(0) == id).get.getAs[Array[Byte]](1)
+        def gz(data: Array[Byte]): Array[Byte] = {
+          val bos = new java.io.ByteArrayOutputStream()
+          val gos = new java.util.zip.GZIPOutputStream(bos)
+          gos.write(data); gos.close()
+          bos.toByteArray
+        }
+        def utf8(x: String) =
+          x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val mixed = Seq(
+          (1L, utf8("<html><body><p>web page</p></body></html>")),
+          (2L, row(operators.PdfOps.pdfFixture(s), 70L)),
+          (3L, row(operators.ArchiveOps.zipFixture(s), 90L)),
+          (4L, row(operators.ArchiveOps.docxFixture(s), 94L)),
+          (5L, utf8("WEBVTT\n\n00:01.000 --> 00:02.000\ncaption line")),
+          (6L, gz(utf8("<html><body><p>gzipped page</p></body></html>"))),
+          (7L, gz(gz(utf8("double gzip")))),
+          (8L, row(operators.Multimodal.mp4Fixture(s), 40L)),
+          (9L, utf8("plain text stays  itself"))
+        ).toDF("doc_id", "bytes")
+        val t = Tables.load(s, dir) + ("mixed" -> mixed)
+        GraftEngine.sql(
+          "SELECT doc_id, sniff_format(bytes) AS format, " +
+            "auto_text(bytes) AS text FROM mixed", t)
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), 'html', 'web page'),
+          (2, 'pdf', 'Hello World(!)' || chr(10) || 'Second line' ||
+           chr(10) || 'Hello2'),
+          (3, 'epub', 'Chapter two text' || chr(10) || 'Chapter one text'),
+          (4, 'docx', 'Para one & more' || chr(10) || 'Para two'),
+          (5, 'vtt', 'caption line'),
+          (6, 'gzip', 'gzipped page'),
+          (7, 'gzip', NULL),
+          (8, 'mp4', NULL),
+          (9, 'text', 'plain text stays itself')
+        ) AS t(doc_id, format, text)""".stripMargin.trim)),
+
     Q("q_subtitles",
       // SRT/WebVTT cue parsing (the text⇄media alignment layer): CRLF
       // SRT with multi-line cues and tags, VTT with header/NOTE blocks,

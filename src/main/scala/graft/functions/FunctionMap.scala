@@ -298,6 +298,10 @@ object FunctionMap {
       case "epub_docs" =>
         graft.operators.ArchiveOps.epubSpineCol(a0).getField("n_docs")
       case "docx_text" => graft.operators.ArchiveOps.docxText(a0)
+      // magic-byte sniffing + the one-call routed extractor (declared
+      // content types lie; the router reads signatures)
+      case "sniff_format" => graft.operators.Extract.sniffFormatCol(a0)
+      case "auto_text" => graft.operators.Extract.autoText(a0)
       case "gif_anim" => graft.operators.Multimodal.gifAnimCol(a0)
       case "gif_frames" =>
         graft.operators.Multimodal.gifAnimCol(a0).getField("frames")

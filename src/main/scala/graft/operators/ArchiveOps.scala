@@ -362,6 +362,26 @@ object ArchiveOps {
     Some(out.result()) // no terminator block: tolerated at end-of-buffer
   }
 
+  /** First-header checksum validity — the tar SNIFF signal (pre-POSIX
+    * tars have no magic; the spec's spaces-for-checksum sum over block 0
+    * is the reliable tell). */
+  private[graft] def tarFirstHeader(b: Array[Byte]): Boolean = {
+    if (b == null || b.length < 512 || b(0) == 0) return false
+    val cs = new String(b, 148, 8,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+      .takeWhile(c => c != 0 && c != ' ').trim
+    val declared =
+      try java.lang.Long.parseLong(cs, 8)
+      catch { case _: NumberFormatException => return false }
+    var sum = 0L
+    var k = 0
+    while (k < 512) {
+      sum += (if (k >= 148 && k < 156) ' '.toInt else b(k) & 0xff)
+      k += 1
+    }
+    declared == sum
+  }
+
   /** Entry listing over a (id, bytes) table of tar or tar.gz archives —
     * gzip members inflate first (signature-detected); same shape as
     * [[zipListPlan]]. */

@@ -23,7 +23,7 @@ object SubtitleOps {
   /** One cue: 1-based walk order, times in ms, markup-stripped text. */
   case class Cue(cue: Int, start_ms: Long, end_ms: Long, text: String)
 
-  private val timingPat = java.util.regex.Pattern.compile(
+  private[graft] val timingPat = java.util.regex.Pattern.compile(
     "(?:(\\d+):)?(\\d{1,2}):(\\d{1,2})[.,](\\d{1,3})\\s*-->\\s*" +
       "(?:(\\d+):)?(\\d{1,2}):(\\d{1,2})[.,](\\d{1,3})")
   private val tagPat = java.util.regex.Pattern.compile("<[^>]*>")
