@@ -141,6 +141,34 @@ object Curation {
       "text", idCol, ccMaxIter, ccLocalThreshold, lineMaxDf)
   }
 
+  /** Raw-BYTES curation — the widest front door: magic-byte sniffing
+    * routes every payload to its extractor ([[Extract.autoTextPlan]] —
+    * html/pdf/epub/docx/subtitles/gzip/plain text), rows that yielded
+    * no text drop WITH the format census preserved for the audit, and
+    * the survivors run the standard text [[curate]] chain. One extra
+    * scan versus curate; everything else shares its plan. */
+  def curateBytes(
+      docs: DataFrame,
+      bytesCol: String = "bytes",
+      langs: Seq[String] = Seq("en"),
+      minQuality: Double = 0.7,
+      minTokens: Int = 5,
+      maxTokens: Int = 100000,
+      jaccardThreshold: Double = 0.7,
+      idCol: String = "doc_id",
+      ccMaxIter: Int = 20,
+      ccLocalThreshold: Long = 1000000L,
+      lineMaxDf: Int = 0): DataFrame = {
+    val routed = docs
+      .withColumn("format", Extract.sniffFormatCol(col(bytesCol)))
+      .withColumn("text", Extract.autoText(col(bytesCol)))
+      .drop(bytesCol)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+    curate(routed, langs, minQuality, minTokens, maxTokens,
+      jaccardThreshold, "text", idCol, ccMaxIter, ccLocalThreshold,
+      lineMaxDf)
+  }
+
   /** Embedding-level (SemDeDup) curation: semantic near-dup pairs within
     * spherical-kmeans cells ([[Similarity.semanticPairs]]) → diameter-bounded
     * connected components → each semantic cluster keeps its best member by

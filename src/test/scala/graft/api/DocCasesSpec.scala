@@ -375,6 +375,39 @@ class DocCasesSpec extends AnyFunSuite {
       ("scene two starts", 2040L, 50L))) // keyframe 5 @ t=400
   }
 
+  test("multi-format corpus curation: raw bytes → sniff/route → text " +
+      "curate chain in one call") {
+    import graft.operators.{ArchiveOps, Curation, Multimodal, PdfOps}
+    import org.apache.spark.sql.functions._
+    def utf8(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def gz(data: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gos = new java.util.zip.GZIPOutputStream(bos)
+      gos.write(data); gos.close()
+      bos.toByteArray
+    }
+    def row(df: org.apache.spark.sql.DataFrame, id: Long): Array[Byte] =
+      df.collect().find(_.getLong(0) == id).get.getAs[Array[Byte]](1)
+    def page(body: String) = utf8(s"<html><body><p>$body</p></body></html>")
+    val mixed = Seq(
+      (1L, page("the quick brown fox jumps over the lazy dog")),
+      (2L, row(PdfOps.pdfFixture(spark), 70L)),
+      (3L, row(ArchiveOps.docxFixture(spark), 94L)),
+      (4L, gz(page("a completely different english document about pipelines"))),
+      (5L, row(Multimodal.mp4Fixture(spark), 40L)), // textless → dropped
+      (6L, utf8("tiny")), // under minTokens → dropped
+      (7L, page("the quick brown fox jumps over the lazy hound"))) // near-dup of 1
+      .toDF("doc_id", "bytes")
+    val kept = Curation.curateBytes(mixed, langs = Seq("en", "und"),
+      minQuality = 0.0, minTokens = 3, jaccardThreshold = 0.5)
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L, 4L), ids) // 7 deduped into 1's cluster
+    // the format census column survives curation for the audit
+    assert(kept.columns.contains("format"))
+    assert(kept.where(col("doc_id") === 2L).select("format")
+      .head.getString(0) == "pdf")
+  }
+
   test("doc case: filter + unit conversion + CASE grading (EmitSync analog)") {
     // reference doc_cases_test.go:16-52 — same SQL, same expectations;
     // the out-of-range and null readings must be filtered, not errors
