@@ -55,12 +55,14 @@ object Extract {
     val head = new String(b, 0,
       math.min(b.length, 1024), java.nio.charset.StandardCharsets.UTF_8)
     if (head.startsWith("WEBVTT")) return Some("vtt")
-    if (SubtitleOps.timingPat.matcher(
-        head.substring(0, math.min(head.length, 300))).find())
-      return Some("srt")
+    // html BEFORE the srt timing heuristic: a page can quote a literal
+    // "00:00:01,000 --> …" in its first bytes, an SRT never embeds <html
     val lower = head.toLowerCase(java.util.Locale.ROOT)
     if (lower.contains("<html") || lower.startsWith("<!doctype html"))
       return Some("html")
+    if (SubtitleOps.timingPat.matcher(
+        head.substring(0, math.min(head.length, 300))).find())
+      return Some("srt")
     Some(textOrBin(b))
   }
 

@@ -75,9 +75,12 @@ object PdfOps {
           var de = ei
           if (de > ds && raw.charAt(de - 1) == '\n') de -= 1
           if (de > ds && raw.charAt(de - 1) == '\r') de -= 1
+          val flate = flatePat.matcher(dict).find()
           decodeStream(b, ds, de, dict, maxStreamBytes) match {
             case Some(cs) =>
-              pages += countPages(cs)
+              // raw (no-filter) stream bytes are already part of the
+              // whole-file page census — only INFLATED content adds
+              if (flate) pages += countPages(cs)
               contentText(cs) match {
                 case Some(t) =>
                   nText += 1

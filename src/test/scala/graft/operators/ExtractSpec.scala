@@ -30,6 +30,10 @@ class ExtractSpec extends AnyFunSuite {
     assert(sniff(utf8("1\n00:00:01,000 --> 00:00:02,000\nx")) == "srt")
     assert(sniff(utf8("<!DOCTYPE html><html><body>hi</body></html>")) == "html")
     assert(sniff(utf8("plain prose, nothing special about it")) == "text")
+    // an html page QUOTING a subtitle timestamp early stays html — the
+    // signature check outranks the srt timing heuristic
+    assert(sniff(utf8("<html><body>cue 00:00:01,000 --> 00:00:02,000" +
+      "</body></html>")) == "html")
     assert(sniff(Array[Byte](0, 1, 2, 3, 4, 5, -1, -2)) == "bin")
     assert(Extract.sniffFormat(null).isEmpty)
   }

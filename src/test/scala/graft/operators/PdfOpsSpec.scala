@@ -68,6 +68,17 @@ class PdfOpsSpec extends AnyFunSuite {
     assert(PdfOps.extractPdfText(pdf).get.n_streams == 1)
   }
 
+  test("page census counts a raw stream's dict text exactly once (raw " +
+      "bytes are already in the whole-file scan)") {
+    val body = "BT (x) Tj ET with a literal /Type /Page inside"
+    val pdf = ("%PDF-1.4\n3 0 obj\n<< /Type /Page >>\nendobj\n" +
+      s"5 0 obj\n<< /Length ${body.length} >>\nstream\n$body\nendstream\n" +
+      "endobj\ntrailer\n%%EOF\n").getBytes("ISO-8859-1")
+    val r = PdfOps.extractPdfText(pdf).get
+    assert(r.pages == 2) // the real page object + the literal, once each
+    assert(r.n_text_streams == 1 && r.text == "x")
+  }
+
   test("pdfTextPlan flags non-PDF rows and keeps the plan distributed") {
     val out = PdfOps.pdfTextPlan(PdfOps.pdfFixture(spark))
       .orderBy("doc_id").collect()
