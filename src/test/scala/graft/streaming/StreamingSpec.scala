@@ -1302,6 +1302,35 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(docDir)
   }
 
+  test("auto_text front door runs at-ingest: sniff/route/extract as a " +
+      "stateless streaming projection") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val src = mem.toDF().toDF("doc_id", "bytes")
+    val out = graft.operators.Extract.autoTextPlan(src)
+    val q = out.writeStream.format("memory").queryName("auto_text_stream")
+      .outputMode("append").start()
+    def gz(data: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gos = new java.util.zip.GZIPOutputStream(bos)
+      gos.write(data); gos.close()
+      bos.toByteArray
+    }
+    mem.addData(
+      (1L, "<html><body><p>streamed page</p></body></html>".getBytes("UTF-8")),
+      (2L, gz("plain member".getBytes("UTF-8"))),
+      (3L, Array[Byte](0, 1, 2, 3, -1, -2, -3, -4)))
+    q.processAllAvailable()
+    SparkTestBase.stopQuietly(q)
+    val rows = spark.table("auto_text_stream")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+    assert(rows.toSeq == Seq(
+      (1L, "html", Some("streamed page")),
+      (2L, "gzip", Some("plain member")),
+      (3L, "bin", None)))
+  }
+
   test("streaming decontamination flags docs sharing a benchmark n-gram, once per doc") {
     implicit val sqlCtx = spark.sqlContext
     val bench = Seq((1L, "the secret holdout answer key")).toDF("bid", "text").cache()
