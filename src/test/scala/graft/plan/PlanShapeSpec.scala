@@ -16,6 +16,19 @@ class PlanShapeSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  test("the multi-format extraction front door is one shuffle-free stage") {
+    // sniff + routed extraction over raw bytes must stay a per-row
+    // projection: at 100 TB its cost is exactly one pass over the
+    // bytes, no exchange, no materialization between route and extract
+    import spark.implicits._
+    val df = graft.operators.Extract.autoTextPlan(
+      Seq((1L, "<html><body>x</body></html>".getBytes("UTF-8")))
+        .toDF("doc_id", "bytes"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Sort"), p)
+  }
+
   test("filters and column pruning reach the parquet scan") {
     val p = planOf("SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 45")
     assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"), p)
