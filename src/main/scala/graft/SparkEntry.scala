@@ -6067,6 +6067,29 @@ object SparkEntry {
           (91, 2, 'alpha' || chr(10) || 'beta', 2)
         ) AS t(doc_id, docs, text, toks)""".stripMargin.trim)),
 
+    Q("q_wav_segments",
+      // energy segmentation of decoded PCM (the speech-span extractor
+      // that pairs with subtitle transcripts): relative threshold,
+      // window-granular spans, the fixture's 150 ms gap merges under
+      // the default 200 ms floor, active-only rms replayed closed-form
+      // (sqrt((20·1000² + 10·2000²)/30)); all-silence decodes to a
+      // NULL-segment row, corrupt flags
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        operators.Multimodal.wavSegmentPlan(operators.Multimodal.wavSegFixture(s))
+          .select(col("media_id"), col("pcm_ok"), col("segment"),
+            col("start_ms"), col("end_ms"), col("active_ms"),
+            round(col("rms"), 6).as("rms"))
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (CAST(110 AS BIGINT), true, CAST(1 AS INTEGER),
+           CAST(100 AS BIGINT), CAST(550 AS BIGINT), CAST(300 AS BIGINT),
+           round(sqrt(2000000.0), 6)),
+          (111, true, NULL, NULL, NULL, NULL, NULL),
+          (112, false, NULL, NULL, NULL, NULL, NULL)
+        ) AS t(media_id, pcm_ok, segment, start_ms, end_ms, active_ms, rms)""".stripMargin.trim)),
+
     Q("q_auto_extract",
       // the one-call front door on the dialect surface: magic-byte
       // sniffing (content-type labels lie) routing to the matching

@@ -1493,6 +1493,140 @@ object Multimodal {
   def wavEnvelopeHash(b: Array[Byte]): Option[Long] =
     decodeWavChannel0(b).map { case (_, s) => envHash64(s) }
 
+  /** One energy segment: 1-based index, window-granular span, how much
+    * of it was ACTIVE, and the RMS over the active windows only (so a
+    * constant-amplitude tone reads its exact amplitude regardless of
+    * bridged silence). */
+  case class WavSegment(
+      segment: Int, start_ms: Long, end_ms: Long, active_ms: Long,
+      rms: Double)
+
+  /** Energy segmentation of channel-0 PCM — the speech/sound-span
+    * extractor that pairs with [[SubtitleOps]] transcripts and feeds
+    * silence trimming: frame into `frameMs` windows, a window is ACTIVE
+    * iff its RMS exceeds `thresholdFrac` of the clip's peak amplitude
+    * (relative, so the gate is bit-depth- and gain-free), merge active
+    * runs separated by less than `minSilenceMs` of quiet. Spans are
+    * window-granular (start/end are multiples of `frameMs`). None for
+    * non-PCM payloads; a decodable clip with no active window yields an
+    * empty vector (all silence ≠ unparseable). */
+  def wavSegments(
+      b: Array[Byte],
+      frameMs: Int = 10,
+      thresholdFrac: Double = 0.1,
+      minSilenceMs: Int = 200): Option[Vector[WavSegment]] = {
+    require(frameMs > 0 && thresholdFrac >= 0 && minSilenceMs >= 0,
+      "need frameMs > 0, thresholdFrac >= 0, minSilenceMs >= 0")
+    decodeWavChannel0(b).map { case (rate, samples) =>
+      val spf = math.max(1, rate * frameMs / 1000)
+      val nWin = (samples.length + spf - 1) / spf
+      if (nWin == 0) Vector.empty
+      else {
+      var peak = 0
+      var i = 0
+      while (i < samples.length) {
+        val a = math.abs(samples(i)); if (a > peak) peak = a; i += 1
+      }
+      val threshold = thresholdFrac * peak
+      val meanSq = new Array[Double](nWin)
+      val active = new Array[Boolean](nWin)
+      var w = 0
+      while (w < nWin) {
+        val from = w * spf
+        val until = math.min(from + spf, samples.length)
+        var ss = 0.0
+        var k = from
+        while (k < until) { ss += samples(k).toDouble * samples(k); k += 1 }
+        meanSq(w) = ss / math.max(1, until - from)
+        active(w) = peak > 0 && math.sqrt(meanSq(w)) > threshold
+        w += 1
+      }
+      val gapWins = minSilenceMs / frameMs
+      val out = Vector.newBuilder[WavSegment]
+      var n = 0
+      var segStart = -1
+      var lastActive = -1
+      def close(): Unit = if (segStart >= 0) {
+        n += 1
+        var ss = 0.0
+        var act = 0L
+        var k = segStart
+        while (k <= lastActive) {
+          if (active(k)) { ss += meanSq(k); act += 1 }
+          k += 1
+        }
+        out += WavSegment(n, segStart.toLong * frameMs,
+          (lastActive + 1).toLong * frameMs, act * frameMs,
+          math.sqrt(ss / act))
+        segStart = -1
+      }
+      w = 0
+      while (w < nWin) {
+        if (active(w)) {
+          if (segStart < 0) segStart = w
+          else if (w - lastActive - 1 >= gapWins) { close(); segStart = w }
+          lastActive = w
+        }
+        w += 1
+      }
+      close()
+      out.result()
+      }
+    }
+  }
+
+  /** Segments over a (id, bytes) audio table — (idCol, pcm_ok, segment,
+    * start_ms, end_ms, active_ms, rms); all-silence clips emit one
+    * NULL-segment row (decoded, nothing active), non-PCM rows flag. */
+  def wavSegmentPlan(
+      media: DataFrame,
+      bytesCol: String = "bytes",
+      idCol: String = "media_id",
+      frameMs: Int = 10,
+      thresholdFrac: Double = 0.1,
+      minSilenceMs: Int = 200): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        (if (bytes == null) None
+         else wavSegments(bytes, frameMs, thresholdFrac, minSilenceMs)) match {
+          case Some(ss) if ss.nonEmpty => ss.map(s => (id, true,
+            Some(s.segment), Some(s.start_ms), Some(s.end_ms),
+            Some(s.active_ms), Some(s.rms)))
+          case Some(_) => Seq((id, true, None, None, None, None, None))
+          case None => Seq((id, false, None, None, None, None, None))
+        }
+      }
+      .toDF(idCol, "pcm_ok", "segment", "start_ms", "end_ms", "active_ms",
+        "rms")
+  }
+
+  /** Segmentation fixture (8 kHz mono 16-bit, every span a construction
+    * literal): 110. 100 ms silence, 200 ms square at ±1000, 150 ms
+    * silence, 100 ms square at ±2000, 50 ms silence — the 150 ms gap
+    * merges under the default 200 ms silence floor; 111. all silence;
+    * 112. not a WAV. */
+  def wavSegFixture(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    def square(amp: Int, samples: Int): Array[Short] =
+      Array.tabulate(samples)(i => (if (i % 8 < 4) amp else -amp).toShort)
+    def silence(samples: Int): Array[Short] = new Array[Short](samples)
+    def pcm(parts: Array[Short]*): Array[Byte] = {
+      val all = parts.flatten.toArray
+      val bb = java.nio.ByteBuffer.allocate(all.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      all.foreach(bb.putShort)
+      wavBytes(1, 8000, 16, 1, bb.array())
+    }
+    Seq(
+      110L -> pcm(silence(800), square(1000, 1600), silence(1200),
+        square(2000, 800), silence(400)),
+      111L -> pcm(silence(1000)),
+      112L -> "no RIFF here".getBytes("US-ASCII")
+    ).toDF("media_id", "bytes")
+  }
+
   /** Envelope signatures over a (id, bytes) audio table —
     * (idCol, pcm_ok, env_hash), partition-iterator shape; feed the
     * `env_hash` column to

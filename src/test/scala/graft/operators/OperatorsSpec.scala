@@ -1453,6 +1453,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.flacFrameIndex(evil).get.map(_.number) == Vector(256L))
   }
 
+  test("wavSegments: relative-threshold energy spans, silence-gap merge, " +
+      "all-silence is empty not unparseable") {
+    val rows = Multimodal.wavSegFixture(spark).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    // default 200 ms silence floor: the 150 ms gap merges, active-only
+    // rms = sqrt((20·1000² + 10·2000²)/30) = sqrt(2e6)
+    val merged = Multimodal.wavSegments(rows(110L)).get
+    assert(merged.map(s => (s.segment, s.start_ms, s.end_ms, s.active_ms)) ==
+      Vector((1, 100L, 550L, 300L)))
+    assert(math.abs(merged.head.rms - math.sqrt(2e6)) < 1e-9)
+    // a 100 ms floor splits them; constant tones read their amplitude
+    val split = Multimodal.wavSegments(rows(110L), minSilenceMs = 100).get
+    assert(split == Vector(
+      Multimodal.WavSegment(1, 100L, 300L, 200L, 1000.0),
+      Multimodal.WavSegment(2, 450L, 550L, 100L, 2000.0)))
+    assert(Multimodal.wavSegments(rows(111L)).get.isEmpty)
+    assert(Multimodal.wavSegments(rows(112L)).isEmpty)
+    // plan routing: all-silence keeps its decoded row, corrupt flags
+    val plan = Multimodal.wavSegmentPlan(Multimodal.wavSegFixture(spark))
+      .orderBy("media_id").collect()
+    assert(plan.length == 3)
+    assert(plan(1).getBoolean(1) && plan(1).isNullAt(2))
+    assert(!plan(2).getBoolean(1))
+  }
+
   test("gifAnimation: block walk reads frames/delays/loops, refuses " +
       "truncation and unknown blocks, parses real ImageIO output") {
     val rows = Multimodal.gifAnimFixture(spark).collect()
