@@ -6214,6 +6214,29 @@ object SparkEntry {
           (99, false, NULL, NULL, NULL)
         ) AS t(doc_id, tar_ok, entry, is_dir, size)""".stripMargin.trim)),
 
+    Q("q_archive_extract",
+      // member EXPLOSION: one archive row in, one row per regex-matched
+      // member out (zip, tar and tar.gz through one plan) — the corpus
+      // shape feeding auto_text; corrupt archives and the
+      // gzip-but-not-tar row keep a flagged row
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        operators.ArchiveOps.archiveExtractPlan(
+          operators.ArchiveOps.tarFixture(s), ".*\\.txt")
+          .select(col("doc_id"), col("archive_ok"), col("entry"),
+            decode(col("entry_bytes"), "UTF-8").as("text"))
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (CAST(95 AS BIGINT), true, 'a/doc1.txt', 'hello tar'),
+          (95, true, 'doc2.txt', 'world'),
+          (96, true, 'a/doc1.txt', 'hello tar'),
+          (96, true, 'doc2.txt', 'world'),
+          (97, false, NULL, NULL),
+          (98, false, NULL, NULL),
+          (99, false, NULL, NULL)
+        ) AS t(doc_id, archive_ok, entry, text)""".stripMargin.trim)),
+
     Q("q_gzip_funcs",
       // gzip dialect scalars: gzip_ok as the routing gate, gunzip_text
       // feeding the text pipeline (token_count over the inflated

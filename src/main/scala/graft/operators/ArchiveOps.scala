@@ -97,6 +97,52 @@ object ArchiveOps {
       .toDF(idCol, "zip_ok", "entry", "is_dir", "size")
   }
 
+  /** EXPLODE an archive column into (id, entry, bytes) rows for the
+    * entries whose names match `namePattern` (a Java regex, full
+    * match) — the corpus shape: one tar.gz/zip of documents in, one row
+    * per member document out, ready for [[Extract.autoTextPlan]] or any
+    * per-document operator. Unreadable archives and archives with no
+    * matching member both yield a single flagged/empty row so the audit
+    * never loses an input row. gzip-wrapped tars are signature-detected
+    * like [[tarListPlan]]. */
+  def archiveExtractPlan(
+      df: DataFrame,
+      namePattern: String,
+      bytesCol: String = "bytes",
+      idCol: String = "doc_id",
+      maxEntryBytes: Int = 1 << 26,
+      maxGzipBytes: Int = 1 << 28): DataFrame = {
+    import df.sparkSession.implicits._
+    val pat = namePattern // capture the string, compile per partition row
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val p = java.util.regex.Pattern.compile(pat)
+        def keep(n: String) = p.matcher(n).matches()
+        val es: Option[Vector[ZipEntryData]] =
+          if (bytes != null && bytes.length > 3 && bytes(0) == 'P' &&
+              bytes(1) == 'K' && bytes(2) == 3 && bytes(3) == 4)
+            zipEntries(bytes, keep, maxEntryBytes = maxEntryBytes)
+          else {
+            val raw =
+              if (bytes != null && bytes.length > 2 &&
+                  (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
+                gunzip(bytes, maxGzipBytes)
+              else Option(bytes)
+            raw.flatMap(r =>
+              tarEntries(r, keep, maxEntryBytes = maxEntryBytes))
+          }
+        es match {
+          case Some(entries) =>
+            val kept = entries.filter(_.bytes.isDefined)
+            if (kept.isEmpty) Seq((id, true, None, None))
+            else kept.map(e => (id, true, Some(e.name), e.bytes))
+          case None => Seq((id, false, None, None))
+        }
+      }
+      .toDF(idCol, "archive_ok", "entry", "entry_bytes")
+  }
+
   /** Spine resolution result: entry count, how many documents feed the
     * text, and their XHTML joined in reading order (to be fed to
     * [[HtmlOps.extractText]]). */

@@ -408,6 +408,63 @@ class DocCasesSpec extends AnyFunSuite {
       .head.getString(0) == "pdf")
   }
 
+  test("archive-to-training: tar.gz corpus → member explosion → routed " +
+      "extraction → curate") {
+    // books/dumps ship as archives: one tar.gz in, per-member documents
+    // out, the same sniff/route/curate chain as loose files
+    import graft.operators.{ArchiveOps, Curation, Extract, PdfOps}
+    import org.apache.spark.sql.functions._
+    def utf8(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def page(body: String) = utf8(s"<html><body><p>$body</p></body></html>")
+    // hand-rolled ustar members via the fixture's writer shape
+    val members = Seq(
+      "site/a.html" -> page("the quick brown fox jumps over the lazy dog"),
+      "site/b.html" -> page("an entirely different english page about archives"),
+      "docs/c.pdf" -> PdfOps.pdfFixture(spark).collect()
+        .find(_.getLong(0) == 70L).get.getAs[Array[Byte]](1),
+      "junk/d.bin" -> Array[Byte](0, 1, 2, -1, -2))
+    val tarBytes = {
+      def header(name: String, size: Long): Array[Byte] = {
+        val h = new Array[Byte](512)
+        name.getBytes("US-ASCII").copyToArray(h, 0)
+        def oct(v: Long, off: Int, len: Int): Unit = {
+          val o = java.lang.Long.toOctalString(v)
+          ("0" * (len - 1 - o.length) + o).getBytes("US-ASCII")
+            .copyToArray(h, off)
+        }
+        oct(420, 100, 8); oct(0, 108, 8); oct(0, 116, 8)
+        oct(size, 124, 12); oct(0, 136, 12)
+        h(156) = '0'.toByte
+        java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+        var sum = 0L; h.foreach(x => sum += x & 0xff)
+        val cs = java.lang.Long.toOctalString(sum)
+        ("0" * (6 - cs.length) + cs + "  ").getBytes("ISO-8859-1")
+          .copyToArray(h, 148)
+        h
+      }
+      members.toArray.flatMap { case (n, d) =>
+        header(n, d.length) ++ d ++ new Array[Byte]((512 - d.length % 512) % 512)
+      } ++ new Array[Byte](1024)
+    }
+    val gz = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gos = new java.util.zip.GZIPOutputStream(bos)
+      gos.write(tarBytes); gos.close(); bos.toByteArray
+    }
+    val exploded = ArchiveOps.archiveExtractPlan(
+      Seq(1L -> gz).toDF("doc_id", "bytes"), ".*\\.(html|pdf)")
+      .where(col("entry").isNotNull)
+      .select(
+        abs(xxhash64(col("doc_id"), col("entry"))).as("doc_id"),
+        col("entry"), col("entry_bytes").as("bytes"))
+    assert(exploded.count() == 3) // d.bin filtered by the name pattern
+    val curated = Curation.curateBytes(exploded, langs = Seq("en", "und"),
+      minQuality = 0.0, minTokens = 3)
+    assert(curated.count() == 3) // both pages + the pdf text survive
+    assert(curated.select("format").collect().map(_.getString(0)).toSet ==
+      Set("html", "pdf"))
+  }
+
   test("doc case: filter + unit conversion + CASE grading (EmitSync analog)") {
     // reference doc_cases_test.go:16-52 — same SQL, same expectations;
     // the out-of-range and null readings must be filtered, not errors

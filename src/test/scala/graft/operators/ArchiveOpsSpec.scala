@@ -108,6 +108,35 @@ class ArchiveOpsSpec extends AnyFunSuite {
     assert(out(1).isNullAt(1) && out(2).isNullAt(1))
   }
 
+  test("archiveExtractPlan explodes matching members across zip, tar " +
+      "and tar.gz; empty matches and corrupt archives keep their row") {
+    import org.apache.spark.sql.functions._
+    val out = ArchiveOps.archiveExtractPlan(
+      ArchiveOps.tarFixture(spark), ".*\\.txt", idCol = "doc_id")
+      .withColumn("text", decode(col("entry_bytes"), "UTF-8"))
+      .orderBy("doc_id", "entry").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) null else r.getString(2),
+        if (r.isNullAt(4)) null else r.getString(4)))
+    assert(out.toSeq == Seq(
+      (95L, true, "a/doc1.txt", "hello tar"),
+      (95L, true, "doc2.txt", "world"),
+      (96L, true, "a/doc1.txt", "hello tar"),
+      (96L, true, "doc2.txt", "world"),
+      (97L, false, null, null),
+      (98L, false, null, null), // plain gzip member: not a tar
+      (99L, false, null, null)))
+    // a zip rides the same plan; a pattern matching nothing keeps the row
+    val zips = ArchiveOps.archiveExtractPlan(
+      ArchiveOps.zipFixture(spark), ".*\\.xhtml")
+      .orderBy("doc_id", "entry").collect()
+    assert(zips.count(r => r.getBoolean(1) && !r.isNullAt(2)) == 2) // ch1, ch2
+    val none = ArchiveOps.archiveExtractPlan(
+      ArchiveOps.zipFixture(spark), "nothing-matches")
+      .where(col("doc_id") === 90L).collect()
+    assert(none.length == 1 && none(0).getBoolean(1) && none(0).isNullAt(2))
+  }
+
   test("normPath collapses dot segments inside the archive namespace") {
     val deep = {
       val bos = new java.io.ByteArrayOutputStream()
