@@ -6004,6 +6004,41 @@ object SparkEntry {
           (3, 'one' || chr(10) || 'two' || chr(10) || 'H' || chr(10) || 'x', 4)
         ) AS t(doc_id, text, toks)""".stripMargin.trim)),
 
+    Q("q_latex_extract",
+      // LaTeX → text on the dialect surface (arXiv corpora): preamble/
+      // reference commands and math/float environments drop, sectioning
+      // arguments become lines, unknown commands keep braced content,
+      // escaped specials survive. Nesting-aware walk → literal oracle,
+      // like q_wiki_extract
+      (s, dir) => {
+        import s.implicits._
+        val tex = Seq(
+          (1L, "\\documentclass{article}\n\\title{A Study of Things}\n" +
+            "\\begin{document}\n\\section{Intro}\n" +
+            "We study $x^2 + y$ things~\\cite{smith2020}.\n" +
+            "\\textbf{Bold claim} holds.\n% comment\n" +
+            "\\begin{equation}\nE = mc^2\n\\end{equation}\n" +
+            "The result is 42\\%.\n" +
+            "See \\href{http://x.org}{the site}.\n\\end{document}\n"),
+          (2L, "broken $math never closes"),
+          (3L, "row one\\\\row two")
+        ).toDF("doc_id", "text")
+        val t = Tables.load(s, dir) + ("tex" -> tex)
+        GraftEngine.sql(
+          "SELECT doc_id, latex_text(text) AS text, " +
+            "token_count(latex_text(text)) AS toks FROM tex", t)
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT),
+           'A Study of Things' || chr(10) || 'Intro' || chr(10) ||
+           'We study things .' || chr(10) || 'Bold claim holds.' ||
+           chr(10) || 'The result is 42%.' || chr(10) || 'See the site.',
+           CAST(19 AS INTEGER)),
+          (2, 'broken', 1),
+          (3, 'row one' || chr(10) || 'row two', 4)
+        ) AS t(doc_id, text, toks)""".stripMargin.trim)),
+
     Q("q_zip_entries",
       // bounded zip entry listing (JDK ZipInputStream walk): names,
       // dir flags and UNCOMPRESSED sizes counted from the inflate —

@@ -282,6 +282,8 @@ object FunctionMap {
         graft.operators.PdfOps.pdfTextStructCol(a0).getField("pages")
       // wikitext → text (Wikipedia-dump corpora)
       case "wiki_text" => graft.operators.TextOps.wikiText(a0)
+      // LaTeX source → text (arXiv corpora)
+      case "latex_text" => graft.operators.TextOps.latexText(a0)
       // SRT/WebVTT subtitles as a text document
       case "subtitle_text" =>
         graft.operators.SubtitleOps.subtitleTextCol(a0)

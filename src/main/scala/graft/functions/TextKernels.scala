@@ -842,6 +842,170 @@ object TextKernels {
     }
   }
 
+  // ------------------------------------------------------------- latex
+
+  def latexStripCol(text: Column): Column = GraftColumnBridge.column(
+    StaticInvoke(
+      TextKernels.getClass, StringType, "latexStrip",
+      Seq(GraftColumnBridge.expression(text)), Seq(StringType),
+      returnNullable = false))
+
+  private val latexDropEnvs = Set(
+    "equation", "equation*", "align", "align*", "eqnarray", "eqnarray*",
+    "figure", "figure*", "table", "table*", "tabular", "tikzpicture",
+    "verbatim", "lstlisting", "displaymath", "math", "gather", "gather*",
+    "multline", "multline*", "thebibliography")
+  private val latexDropCmds = Set(
+    "cite", "citep", "citet", "ref", "eqref", "autoref", "label",
+    "includegraphics", "usepackage", "documentclass", "bibliography",
+    "bibliographystyle", "input", "include", "url", "vspace", "hspace",
+    "pagestyle", "thispagestyle")
+  private val latexLineCmds = Set(
+    "section", "section*", "subsection", "subsection*", "subsubsection",
+    "subsubsection*", "paragraph", "chapter", "chapter*", "title")
+
+  /** LaTeX structural strip (arXiv-source corpora) — scope pinned:
+    * `%` comments to EOL (`\%` literal survives); inline/display math
+    * (`$…$`, `$$…$$`, `\(...\)`, `\[...\]`) DROPS — math tokens are
+    * noise to a text LM and unrenderable without TeX; `\begin{env}…
+    * \end{env}` drops whole for math/float/verbatim envs, marker-only
+    * for text envs; sectioning commands emit their argument as its own
+    * line; `\href{url}{text}` keeps text; reference/label/preamble
+    * commands drop with one argument; UNKNOWN commands drop their name
+    * and `[...]` options but keep braced content (most are formatting —
+    * `\textbf{x}` → x via the grouping-brace rule); `\\` is a line
+    * break, `~` a space, `\%`/`\&`/`\_`/`\$`/`\#`/`\{`/`\}` their
+    * literal characters. Compose with
+    * [[graft.operators.HtmlOps.normalizeWs]] for final whitespace/line
+    * shape. */
+  def latexStrip(t: UTF8String): UTF8String = {
+    val s = t.toString
+    val sb = new java.lang.StringBuilder(s.length)
+    latexWalk(s, 0, s.length, sb, 0)
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** (contentStart, contentEnd, afterClose) of the balanced `{…}` group
+    * at `i`, nesting-aware with `\X` atoms; None when `i` is not at a
+    * brace or the group never closes. */
+  private def latexBraceGroup(
+      s: String, i: Int, until: Int): Option[(Int, Int, Int)] = {
+    if (i >= until || s.charAt(i) != '{') return None
+    var depth = 1
+    var j = i + 1
+    while (j < until) {
+      s.charAt(j) match {
+        case '\\' => j += 2
+        case '{' => depth += 1; j += 1
+        case '}' =>
+          depth -= 1
+          if (depth == 0) return Some((i + 1, j, j + 1))
+          j += 1
+        case _ => j += 1
+      }
+    }
+    None
+  }
+
+  private def latexWalk(
+      s: String, from: Int, until: Int,
+      sb: java.lang.StringBuilder, depth: Int): Unit = {
+    var i = from
+    while (i < until) {
+      val c = s.charAt(i)
+      if (c == '%') {
+        while (i < until && s.charAt(i) != '\n') i += 1
+      } else if (c == '$') {
+        // $$…$$ or $…$: drop the math content
+        val dbl = i + 1 < until && s.charAt(i + 1) == '$'
+        var j = i + (if (dbl) 2 else 1)
+        var e = -1
+        while (e < 0 && j < until) {
+          s.charAt(j) match {
+            case '\\' => j += 2
+            case '$' =>
+              if (!dbl) e = j + 1
+              else if (j + 1 < until && s.charAt(j + 1) == '$') e = j + 2
+              else j += 1
+            case _ => j += 1
+          }
+        }
+        i = if (e < 0) until else e // unclosed math swallows the tail
+      } else if (c == '\\' && i + 1 < until) {
+        val nx = s.charAt(i + 1)
+        if (nx == '\\') { sb.append('\n'); i += 2 }
+        else if (nx == '[') {
+          val e = s.indexOf("\\]", i + 2)
+          i = if (e < 0 || e + 2 > until) until else e + 2
+        } else if (nx == '(') {
+          val e = s.indexOf("\\)", i + 2)
+          i = if (e < 0 || e + 2 > until) until else e + 2
+        } else if ("%&_$#{}".indexOf(nx) >= 0) { sb.append(nx); i += 2 }
+        else if (Character.isLetter(nx)) {
+          var j = i + 1
+          while (j < until && Character.isLetter(s.charAt(j))) j += 1
+          var name = s.substring(i + 1, j)
+          if (j < until && s.charAt(j) == '*') { name += "*"; j += 1 }
+          // optional [...] groups
+          def skipOpts(k0: Int): Int = {
+            var k = k0
+            while (k < until && s.charAt(k) == '[') {
+              while (k < until && s.charAt(k) != ']') k += 1
+              if (k < until) k += 1
+            }
+            k
+          }
+          if (name == "begin" || name == "end") {
+            latexBraceGroup(s, j, until) match {
+              case Some((es, ee, after)) =>
+                val env = s.substring(es, ee)
+                if (name == "begin" && latexDropEnvs.contains(env)) {
+                  val close = s.indexOf(s"\\end{$env}", after)
+                  i = if (close < 0) until
+                  else math.min(until, close + 6 + env.length)
+                } else i = after // text env: markers vanish
+              case None => i = j
+            }
+            if (name == "end") sb.append('\n') // env close ends its line
+          } else if (name == "item") {
+            sb.append('\n'); i = skipOpts(j)
+          } else if (name == "href") {
+            latexBraceGroup(s, j, until) match {
+              case Some((_, _, afterUrl)) =>
+                latexBraceGroup(s, afterUrl, until) match {
+                  case Some((ts, te, after)) =>
+                    if (depth < 6)
+                      latexWalk(s, ts, te, sb, depth + 1)
+                    i = after
+                  case None => i = afterUrl
+                }
+              case None => i = j
+            }
+          } else if (latexLineCmds.contains(name)) {
+            val k = skipOpts(j)
+            latexBraceGroup(s, k, until) match {
+              case Some((ts, te, after)) =>
+                sb.append('\n')
+                if (depth < 6) latexWalk(s, ts, te, sb, depth + 1)
+                sb.append('\n')
+                i = after
+              case None => i = k
+            }
+          } else if (latexDropCmds.contains(name)) {
+            val k = skipOpts(j)
+            i = latexBraceGroup(s, k, until).map(_._3).getOrElse(k)
+          } else {
+            // unknown command: name and options drop; braced content
+            // survives via the grouping-brace rule below
+            i = skipOpts(j)
+          }
+        } else i += 2 // \<symbol>: drop (accents, spacing)
+      } else if (c == '{' || c == '}') i += 1
+      else if (c == '~') { sb.append(' '); i += 1 }
+      else { sb.append(c); i += 1 }
+    }
+  }
+
   // ------------------------------------------------------------ WARC split
 
   def warcSplitCol(content: Column): Column = GraftColumnBridge.column(

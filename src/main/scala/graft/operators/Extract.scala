@@ -63,6 +63,8 @@ object Extract {
     if (SubtitleOps.timingPat.matcher(
         head.substring(0, math.min(head.length, 300))).find())
       return Some("srt")
+    if (head.contains("\\documentclass") || head.contains("\\begin{document}"))
+      return Some("latex")
     Some(textOrBin(b))
   }
 
@@ -98,6 +100,7 @@ object Extract {
     def decoded = decode(bytes, "UTF-8")
     when(fmt === "html", HtmlOps.extractText(decoded))
       .when(fmt === "text", HtmlOps.normalizeWs(decoded))
+      .when(fmt === "latex", TextOps.latexText(decoded))
       .when(fmt === "pdf",
         PdfOps.pdfTextStructCol(bytes).getField("text"))
       .when(fmt === "epub" || fmt === "zip", ArchiveOps.epubText(bytes))
@@ -113,6 +116,7 @@ object Extract {
     def decoded = decode(bytes, "UTF-8")
     when(fmt === "html", HtmlOps.extractText(decoded))
       .when(fmt === "text", HtmlOps.normalizeWs(decoded))
+      .when(fmt === "latex", TextOps.latexText(decoded))
       .when(fmt === "pdf",
         PdfOps.pdfTextStructCol(bytes).getField("text"))
       .when(fmt === "epub" || fmt === "zip", ArchiveOps.epubText(bytes))

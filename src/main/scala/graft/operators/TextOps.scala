@@ -774,6 +774,14 @@ object TextOps {
   def wikiText(text: Column): Column =
     HtmlOps.extractText(graft.functions.TextKernels.wikiStripCol(text))
 
+  /** LaTeX source → visible text (arXiv corpora): the structural strip
+    * kernel ([[graft.functions.TextKernels.latexStrip]] — comments,
+    * math, float/verbatim environments, reference commands; sectioning
+    * arguments become their own lines) plus whitespace/line
+    * normalization. Scan-speed, zero shuffle. */
+  def latexText(text: Column): Column =
+    HtmlOps.normalizeWs(graft.functions.TextKernels.latexStripCol(text))
+
   /** Collapse consecutively repeated word n-grams to their first `keep`
     * copies ("click here click here click here …" → "click here click
     * here") — the degenerate-repetition cleanup for LM-generated spam

@@ -30,6 +30,8 @@ class ExtractSpec extends AnyFunSuite {
     assert(sniff(utf8("1\n00:00:01,000 --> 00:00:02,000\nx")) == "srt")
     assert(sniff(utf8("<!DOCTYPE html><html><body>hi</body></html>")) == "html")
     assert(sniff(utf8("plain prose, nothing special about it")) == "text")
+    assert(sniff(utf8("\\documentclass{article}\\begin{document}hi" +
+      "\\end{document}")) == "latex")
     // an html page QUOTING a subtitle timestamp early stays html — the
     // signature check outranks the srt timing heuristic
     assert(sniff(utf8("<html><body>cue 00:00:01,000 --> 00:00:02,000" +
@@ -59,7 +61,9 @@ class ExtractSpec extends AnyFunSuite {
       (6L, gz(utf8("<html><body><p>gzipped page</p></body></html>"))),
       (7L, gz(gz(utf8("double gzip")))), // one-level rule → null text
       (8L, row(Multimodal.mp4Fixture(spark), 40L)), // textless format
-      (9L, utf8("plain text stays  itself")))
+      (9L, utf8("plain text stays  itself")),
+      (10L, utf8("\\documentclass{article}\\begin{document}" +
+        "\\section{A}body text $x$\\end{document}")))
       .toDF("doc_id", "bytes")
     val out = Extract.autoTextPlan(mixed).orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
@@ -74,5 +78,6 @@ class ExtractSpec extends AnyFunSuite {
     assert(out(6) == ((7L, "gzip", None)))
     assert(out(7) == ((8L, "mp4", None)))
     assert(out(8) == ((9L, "text", Some("plain text stays itself"))))
+    assert(out(9) == ((10L, "latex", Some("A\nbody text"))))
   }
 }

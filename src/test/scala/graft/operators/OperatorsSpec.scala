@@ -1453,6 +1453,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.flacFrameIndex(evil).get.map(_.number) == Vector(256L))
   }
 
+  test("latexText: comments/math/floats drop, sections become lines, " +
+      "unknown commands keep braced content, escapes survive") {
+    def one(s: String): String = Seq(s).toDF("w")
+      .select(TextOps.latexText(col("w"))).head.getString(0)
+    val src = "\\documentclass{article}\n\\usepackage{amsmath}\n" +
+      "\\title{A Study of Things}\n\\begin{document}\n\\maketitle\n" +
+      "\\section{Intro}\nWe study $x^2 + y$ things~\\cite{smith2020}.\n" +
+      "\\textbf{Bold claim} holds.\n% a comment line\n" +
+      "\\begin{equation}\nE = mc^2\n\\end{equation}\n" +
+      "The result is 42\\%.\n\\begin{itemize}\n\\item first point\n" +
+      "\\item second point\n\\end{itemize}\n" +
+      "See \\href{http://x.org}{the site}.\n\\end{document}\n"
+    assert(one(src) == "A Study of Things\nIntro\nWe study things .\n" +
+      "Bold claim holds.\nThe result is 42%.\nfirst point\nsecond point\n" +
+      "See the site.", one(src).replace("\n", "\\n"))
+    assert(one("inline \\(a+b\\) and display \\[x=1\\] both drop") ==
+      "inline and display both drop")
+    assert(one("a $$e=mc^2$$ b") == "a b")
+    assert(one("escaped \\$5 and \\& and \\{x\\}") == "escaped $5 and & and {x}")
+    assert(one("broken $math never closes") == "broken")
+    assert(one("\\unknowncmd[opt]{kept text}") == "kept text")
+    assert(one("row one\\\\row two") == "row one\nrow two")
+  }
+
   test("wavSegments: relative-threshold energy spans, silence-gap merge, " +
       "all-silence is empty not unparseable") {
     val rows = Multimodal.wavSegFixture(spark).collect()
