@@ -97,9 +97,13 @@ class ParserFuzzSpec extends AnyFunSuite {
     val pathological = Seq(
       "{{" * 2000, "[[" * 2000, "{|" * 2000, "((((" * 1000, "<" * 4000,
       "''" * 3000, "[[a|" * 1500, "<ref>" * 800, "=" * 4000,
+      "\\" * 4000, "$" * 3000, "\\begin{x}" * 800, "{" * 4000,
+      "\\href{" * 1000, "\\section{" * 1000, "%" + "a" * 3000,
       Vector.fill(2000)(rnd.nextPrintableChar()).mkString)
     pathological.foreach { s =>
       graft.functions.TextKernels.wikiStrip(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      graft.functions.TextKernels.latexStrip(
         org.apache.spark.unsafe.types.UTF8String.fromString(s))
       PdfOps.literalString("(" + s + ")", 0)
       PdfOps.hexString("<" + s + ">", 0)
