@@ -6152,7 +6152,9 @@ object SparkEntry {
           (6L, gz(utf8("<html><body><p>gzipped page</p></body></html>"))),
           (7L, gz(gz(utf8("double gzip")))),
           (8L, row(operators.Multimodal.mp4Fixture(s), 40L)),
-          (9L, utf8("plain text stays  itself"))
+          (9L, utf8("plain text stays  itself")),
+          (10L, utf8("\\documentclass{article}\\begin{document}" +
+            "\\section{A}body text $x$\\end{document}"))
         ).toDF("doc_id", "bytes")
         val t = Tables.load(s, dir) + ("mixed" -> mixed)
         GraftEngine.sql(
@@ -6170,8 +6172,59 @@ object SparkEntry {
           (6, 'gzip', 'gzipped page'),
           (7, 'gzip', NULL),
           (8, 'mp4', NULL),
-          (9, 'text', 'plain text stays itself')
+          (9, 'text', 'plain text stays itself'),
+          (10, 'latex', 'A' || chr(10) || 'body text')
         ) AS t(doc_id, format, text)""".stripMargin.trim)),
+
+    Q("q_extract_report",
+      // the per-format ingestion audit over the same mixed batch: one
+      // routed scan + one tiny-key aggregation; the oracle DERIVES the
+      // report by aggregating the q_auto_extract literals — the two
+      // views can never drift
+      (s, dir) => {
+        import s.implicits._
+        def row(df: DataFrame, id: Long): Array[Byte] =
+          df.collect().find(_.getLong(0) == id).get.getAs[Array[Byte]](1)
+        def gz(data: Array[Byte]): Array[Byte] = {
+          val bos = new java.io.ByteArrayOutputStream()
+          val gos = new java.util.zip.GZIPOutputStream(bos)
+          gos.write(data); gos.close()
+          bos.toByteArray
+        }
+        def utf8(x: String) =
+          x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val mixed = Seq(
+          (1L, utf8("<html><body><p>web page</p></body></html>")),
+          (2L, row(operators.PdfOps.pdfFixture(s), 70L)),
+          (3L, row(operators.ArchiveOps.zipFixture(s), 90L)),
+          (4L, row(operators.ArchiveOps.docxFixture(s), 94L)),
+          (5L, utf8("WEBVTT\n\n00:01.000 --> 00:02.000\ncaption line")),
+          (6L, gz(utf8("<html><body><p>gzipped page</p></body></html>"))),
+          (7L, gz(gz(utf8("double gzip")))),
+          (8L, row(operators.Multimodal.mp4Fixture(s), 40L)),
+          (9L, utf8("plain text stays  itself")),
+          (10L, utf8("\\documentclass{article}\\begin{document}" +
+            "\\section{A}body text $x$\\end{document}"))
+        ).toDF("doc_id", "bytes")
+        operators.Extract.extractionReport(mixed)
+      },
+      Some("""
+        SELECT format, count(*) AS n_docs, count(text) AS n_extracted,
+          coalesce(sum(length(text)), 0) AS text_chars
+        FROM (VALUES
+          (CAST(1 AS BIGINT), 'html', 'web page'),
+          (2, 'pdf', 'Hello World(!)' || chr(10) || 'Second line' ||
+           chr(10) || 'Hello2'),
+          (3, 'epub', 'Chapter two text' || chr(10) || 'Chapter one text'),
+          (4, 'docx', 'Para one & more' || chr(10) || 'Para two'),
+          (5, 'vtt', 'caption line'),
+          (6, 'gzip', 'gzipped page'),
+          (7, 'gzip', NULL),
+          (8, 'mp4', NULL),
+          (9, 'text', 'plain text stays itself'),
+          (10, 'latex', 'A' || chr(10) || 'body text')
+        ) AS t(doc_id, format, text)
+        GROUP BY format""".stripMargin.trim)),
 
     Q("q_subtitles",
       // SRT/WebVTT cue parsing (the text⇄media alignment layer): CRLF

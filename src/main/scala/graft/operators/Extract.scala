@@ -136,4 +136,18 @@ object Extract {
     df.select(col(idCol).cast("long").as(idCol),
       sniffFormatCol(col(bytesCol)).as("format"),
       autoText(col(bytesCol)).as("text"))
+
+  /** Per-format ingestion audit of a raw-bytes batch — (format, n_docs,
+    * n_extracted, text_chars): the release-gate table answering "what
+    * did the crawl contain and how much of it became text". One routed
+    * scan + one partial-agg shuffle over a format-sized key space. */
+  def extractionReport(
+      df: DataFrame,
+      bytesCol: String = "bytes",
+      idCol: String = "doc_id"): DataFrame =
+    autoTextPlan(df, bytesCol, idCol)
+      .groupBy("format")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("text")).as("n_extracted"),
+        coalesce(sum(length(col("text"))), lit(0L)).as("text_chars"))
 }

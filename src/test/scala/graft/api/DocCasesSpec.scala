@@ -465,6 +465,36 @@ class DocCasesSpec extends AnyFunSuite {
       Set("html", "pdf"))
   }
 
+  test("subtitle QA: cue starts range-join against audio energy spans — " +
+      "captions with no sound flag for review") {
+    // the a/v-text validation shape: a cue whose start falls inside no
+    // energy segment is a timing or transcription defect; both sides
+    // are codec-free (SubtitleOps times, wavSegments spans)
+    import graft.operators.{Joins, Multimodal}
+    import org.apache.spark.sql.functions._
+    val spans = Multimodal.wavSegmentPlan(Multimodal.wavSegFixture(spark))
+      .where(col("segment").isNotNull)
+      .select(col("media_id"), col("start_ms").as("seg_start"),
+        col("end_ms").as("seg_end"))
+    // media 110's merged span is [100, 550]
+    val cues = Seq(
+      (110L, 120L, "inside the span"),
+      (110L, 560L, "after all sound"),
+      (110L, 20L, "before any sound"))
+      .toDF("media_id", "cue_start", "caption")
+    val voiced = Joins.range(cues, spans, on = Seq("media_id"),
+      pointCol = "cue_start", startCol = "seg_start", endCol = "seg_end",
+      bucketWidth = 100L)
+      .select("caption").collect().map(_.getString(0)).toSet
+    assert(voiced == Set("inside the span"))
+    val silent = cues.join(
+      Joins.range(cues, spans, Seq("media_id"), "cue_start", "seg_start",
+        "seg_end", 100L).select("media_id", "cue_start"),
+      Seq("media_id", "cue_start"), "left_anti")
+      .select("caption").collect().map(_.getString(0)).toSet
+    assert(silent == Set("after all sound", "before any sound"))
+  }
+
   test("doc case: filter + unit conversion + CASE grading (EmitSync analog)") {
     // reference doc_cases_test.go:16-52 — same SQL, same expectations;
     // the out-of-range and null readings must be filtered, not errors
