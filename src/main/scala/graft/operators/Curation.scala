@@ -161,7 +161,7 @@ object Curation {
       lineMaxDf: Int = 0): DataFrame = {
     val routed = docs
       .withColumn("format", Extract.sniffFormatCol(col(bytesCol)))
-      .withColumn("text", Extract.autoText(col(bytesCol)))
+      .withColumn("text", Extract.autoTextFor(col("format"), col(bytesCol)))
       .drop(bytesCol)
       .filter(col("text").isNotNull && length(col("text")) > 0)
     curate(routed, langs, minQuality, minTokens, maxTokens,

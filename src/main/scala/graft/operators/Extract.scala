@@ -88,15 +88,21 @@ object Extract {
 
   /** One-call bytes → text across every text-bearing format the engine
     * extracts: html/text decode (UTF-8), pdf, epub (and zips of pages),
-    * docx, srt/vtt, wikitext is NOT guessed (no reliable signature —
-    * call [[TextOps.wikiText]] when provenance says wiki), gzip inflates
-    * then re-routes ONE level (a .txt.gz / .html.gz member; gzip-in-gzip
-    * returns null rather than recursing). Formats with no text semantics
-    * (images, audio, video, tar, warc — multi-record, route records via
-    * [[graft.sources.Ingest.warc]]) → null. The router is a lazy CASE:
-    * only the matched branch's extractor runs per row. */
-  def autoText(bytes: Column): Column = {
-    val fmt = sniffFormatCol(bytes)
+    * docx, latex, srt/vtt, wikitext is NOT guessed (no reliable
+    * signature — call [[TextOps.wikiText]] when provenance says wiki),
+    * gzip inflates then re-routes ONE level (a .txt.gz / .html.gz
+    * member; gzip-in-gzip returns null rather than recursing). Formats
+    * with no text semantics (images, audio, video, tar, warc —
+    * multi-record, route records via [[graft.sources.Ingest.warc]]) →
+    * null. The router is a lazy CASE: only the matched branch's
+    * extractor runs per row. */
+  def autoText(bytes: Column): Column =
+    autoTextFor(sniffFormatCol(bytes), bytes)
+
+  /** The router given an ALREADY-SNIFFED format column — use when the
+    * plan carries `sniff_format` as its own column so the (zip-walking)
+    * sniff runs exactly once per row ([[autoTextPlan]] does this). */
+  def autoTextFor(fmt: Column, bytes: Column): Column = {
     def decoded = decode(bytes, "UTF-8")
     when(fmt === "html", HtmlOps.extractText(decoded))
       .when(fmt === "text", HtmlOps.normalizeWs(decoded))
@@ -134,8 +140,10 @@ object Extract {
       bytesCol: String = "bytes",
       idCol: String = "doc_id"): DataFrame =
     df.select(col(idCol).cast("long").as(idCol),
-      sniffFormatCol(col(bytesCol)).as("format"),
-      autoText(col(bytesCol)).as("text"))
+        col(bytesCol).as("__bytes"),
+        sniffFormatCol(col(bytesCol)).as("format"))
+      .select(col(idCol), col("format"),
+        autoTextFor(col("format"), col("__bytes")).as("text"))
 
   /** Per-format ingestion audit of a raw-bytes batch — (format, n_docs,
     * n_extracted, text_chars): the release-gate table answering "what
