@@ -1331,6 +1331,48 @@ class StreamingSpec extends AnyFunSuite {
       (3L, "bin", None)))
   }
 
+  test("bytes-at-ingest curation: auto_text front door feeding " +
+      "curateStream — the full streaming crawl shape") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Curation, Extract}
+    val corpus = Seq((100L, "some unrelated stored corpus document text"))
+      .toDF("doc_id", "text").cache()
+    val bench = Seq((1L, "the secret holdout benchmark answer key riddle"))
+      .toDF("bid", "text").cache()
+    val mem = MemoryStream[(Long, Array[Byte], Long)]
+    val src = mem.toDF().toDF("doc_id", "bytes", "tsm")
+      .withColumn("ts", timestamp_millis(col("tsm"))).drop("tsm")
+    // the stateless front door composes straight into the stateful chain
+    val routed = src
+      .withColumn("format", Extract.sniffFormatCol(col("bytes")))
+      .withColumn("text", Extract.autoTextFor(col("format"), col("bytes")))
+      .where(col("text").isNotNull && length(col("text")) > 0)
+      .drop("bytes")
+    val (kept, _, contamination) = Curation.curateStream(
+      routed, corpus, bench, "ts", "10 seconds",
+      langs = Seq("en", "und"), minQuality = 0.0, minTokens = 3,
+      contaminationN = 5)
+    val q1 = kept.writeStream.format("memory").queryName("bytes_kept")
+      .outputMode("append").start()
+    val q2 = contamination.writeStream.format("memory")
+      .queryName("bytes_contam").outputMode("append").start()
+    def page(body: String) =
+      s"<html><body><p>$body</p></body></html>".getBytes("UTF-8")
+    mem.addData(
+      (1L, page("a perfectly ordinary english crawl page"), 1000L),
+      (1L, page("a perfectly ordinary english crawl page"), 1000L), // exact dup
+      (2L, page("contains the secret holdout benchmark answer key riddle"), 1000L),
+      (3L, Array[Byte](0, 1, 2, -1), 1000L)) // binary: no text, dropped
+    q1.processAllAvailable(); q2.processAllAvailable()
+    SparkTestBase.stopQuietly(q1); SparkTestBase.stopQuietly(q2)
+    val keptIds = spark.table("bytes_kept").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptIds == Seq(1L, 2L)) // dup row collapsed, binary dropped
+    assert(spark.table("bytes_contam").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    corpus.unpersist(); bench.unpersist()
+  }
+
   test("streaming decontamination flags docs sharing a benchmark n-gram, once per doc") {
     implicit val sqlCtx = spark.sqlContext
     val bench = Seq((1L, "the secret holdout answer key")).toDF("bid", "text").cache()
