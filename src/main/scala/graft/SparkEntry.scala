@@ -2834,6 +2834,49 @@ object SparkEntry {
           pack_bucket * 1099511627776 + bin AS seq_id
         FROM r""".stripMargin.trim)),
 
+    Q("q_compaction",
+      // small-file compaction planning (the lakehouse maintenance
+      // shape): greedy byte-budget bin assignment over a file census,
+      // whole files only, oversized files alone in their bin; oracle
+      // replays the per-bucket fold as the same linear recursion as
+      // q_pack_greedy, keyed on the path hash
+      (s, dir) => {
+        import s.implicits._
+        val files = Seq(
+          ("part-000", 90L), ("part-001", 40L), ("part-002", 200L),
+          ("part-003", 10L), ("part-004", 60L), ("part-005", 128L),
+          ("part-006", 5L), ("part-007", 70L)
+        ).toDF("path", "bytes")
+        operators.Packing.compactionPlan(files, targetBytes = 128, buckets = 4)
+      },
+      Some("""
+        WITH RECURSIVE t AS (
+          SELECT path,
+            ('0x' || substr(md5(path), 1, 15))::BIGINT % 4 AS pack_bucket,
+            bytes,
+            row_number() OVER (
+              PARTITION BY ('0x' || substr(md5(path), 1, 15))::BIGINT % 4
+              ORDER BY path) AS rn
+          FROM (VALUES
+            ('part-000', CAST(90 AS BIGINT)), ('part-001', 40),
+            ('part-002', 200), ('part-003', 10), ('part-004', 60),
+            ('part-005', 128), ('part-006', 5), ('part-007', 70)
+          ) AS f(path, bytes)
+        ), r AS (
+          SELECT path, pack_bucket, bytes, rn, 0::BIGINT AS bin,
+            bytes AS fill
+          FROM t WHERE rn = 1
+          UNION ALL
+          SELECT t.path, t.pack_bucket, t.bytes, t.rn,
+            CASE WHEN r.fill + t.bytes > 128 THEN r.bin + 1 ELSE r.bin END,
+            CASE WHEN r.fill + t.bytes > 128 THEN t.bytes
+                 ELSE r.fill + t.bytes END
+          FROM r JOIN t ON t.pack_bucket = r.pack_bucket AND t.rn = r.rn + 1
+        )
+        SELECT path, bytes, pack_bucket,
+          pack_bucket * 1099511627776 + bin AS bin_id
+        FROM r""".stripMargin.trim)),
+
     Q("q_pack_emit",
       // materialized packed training sequences: token ids are a
       // SQL-replayable word-hash mapping (the BPE-id path is pinned by

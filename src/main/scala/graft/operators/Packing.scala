@@ -98,6 +98,25 @@ object Packing {
     *
     * @return (idCol, token_count, pack_bucket, seq_id) — seq_id globally
     *   unique as bucket * 2^40 + sequence-index-within-bucket */
+  /** Small-file COMPACTION plan — the lakehouse maintenance shape: a
+    * (path, bytes) file census in, bin assignments out, each bin one
+    * rewrite task targeting `targetBytes`. Exactly [[packGreedy]]'s
+    * bucketed whole-item fold with bytes as the budget unit: files
+    * never split, oversized files take a bin alone, assignment moves
+    * only (path, bytes, bucket) through one slim shuffle — a 10M-file
+    * census plans in seconds. Output: (pathCol, bytes, pack_bucket,
+    * bin_id). */
+  def compactionPlan(
+      files: DataFrame,
+      targetBytes: Int,
+      pathCol: String = "path",
+      sizeCol: String = "bytes",
+      buckets: Int = 4096): DataFrame =
+    packGreedy(files, targetBytes, textCol = pathCol, idCol = pathCol,
+      buckets = buckets, tokens = Some(col(sizeCol)))
+      .withColumnRenamed("token_count", "bytes")
+      .withColumnRenamed("seq_id", "bin_id")
+
   def packGreedy(
       docs: DataFrame,
       budget: Int,
