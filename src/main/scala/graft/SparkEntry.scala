@@ -2834,6 +2834,79 @@ object SparkEntry {
           pack_bucket * 1099511627776 + bin AS seq_id
         FROM r""".stripMargin.trim)),
 
+    Q("q_license_gate",
+      // SPDX license identification from canonical license phrases (the
+      // code-corpus permissive gate); the oracle replays the normalized
+      // contains-chain verbatim — unknown reads NULL and is NOT
+      // permission
+      (s, dir) => {
+        import s.implicits._
+        val docs = Seq(
+          (1L, "Licensed under the Apache License, Version 2.0 (the " +
+            "\"License\"); you may not use this file except in compliance"),
+          (2L, "Permission is hereby granted, free of charge, to any " +
+            "person obtaining a copy of this software"),
+          (3L, "Redistribution and use in source and binary forms are " +
+            "permitted provided that ... Neither the name of the " +
+            "copyright holder may be used"),
+          (4L, "Redistribution and use in source and binary forms, with " +
+            "or without modification, are permitted"),
+          (5L, "This program is free software: you can redistribute it " +
+            "under the terms of the GNU General Public License, either " +
+            "version 3 of the License"),
+          (6L, "under the GNU Lesser General Public License as published " +
+            "by the Free Software Foundation; either version 2.1"),
+          (7L, "This work is licensed under " +
+            "https://creativecommons.org/licenses/by-sa/4.0/"),
+          (8L, "just ordinary source code with no license header at all")
+        ).toDF("doc_id", "text")
+        val t = Tables.load(s, dir) + ("code" -> docs)
+        GraftEngine.sql(
+          "SELECT doc_id, license_id(text) AS license, " +
+            "license_permissive(text) AS permissive FROM code", t)
+      },
+      Some("""
+        WITH n AS (
+          SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+          FROM (VALUES
+            (CAST(1 AS BIGINT), 'Licensed under the Apache License, Version 2.0 (the "License"); you may not use this file except in compliance'),
+            (2, 'Permission is hereby granted, free of charge, to any person obtaining a copy of this software'),
+            (3, 'Redistribution and use in source and binary forms are permitted provided that ... Neither the name of the copyright holder may be used'),
+            (4, 'Redistribution and use in source and binary forms, with or without modification, are permitted'),
+            (5, 'This program is free software: you can redistribute it under the terms of the GNU General Public License, either version 3 of the License'),
+            (6, 'under the GNU Lesser General Public License as published by the Free Software Foundation; either version 2.1'),
+            (7, 'This work is licensed under https://creativecommons.org/licenses/by-sa/4.0/'),
+            (8, 'just ordinary source code with no license header at all')
+          ) AS d(doc_id, text)
+        ), lic AS (
+          SELECT doc_id, CASE
+            WHEN t LIKE '%apache license, version 2.0%' OR
+                 t LIKE '%licensed under the apache license%' THEN 'apache-2.0'
+            WHEN t LIKE '%permission is hereby granted, free of charge%' THEN 'mit'
+            WHEN t LIKE '%permission to use, copy, modify, and/or distribute%' THEN 'isc'
+            WHEN t LIKE '%redistribution and use in source and binary forms%' THEN
+              CASE WHEN t LIKE '%neither the name%' THEN 'bsd-3-clause'
+                   ELSE 'bsd-2-clause' END
+            WHEN t LIKE '%gnu lesser general public license%' THEN
+              CASE WHEN t LIKE '%version 3%' THEN 'lgpl-3.0' ELSE 'lgpl-2.1' END
+            WHEN t LIKE '%gnu general public license%' THEN
+              CASE WHEN t LIKE '%version 3%' THEN 'gpl-3.0' ELSE 'gpl-2.0' END
+            WHEN t LIKE '%gnu affero general public license%' THEN 'agpl-3.0'
+            WHEN t LIKE '%mozilla public license%' THEN 'mpl-2.0'
+            WHEN t LIKE '%this is free and unencumbered software%' THEN 'unlicense'
+            WHEN t LIKE '%creativecommons.org/publicdomain/zero%' THEN 'cc0-1.0'
+            WHEN t LIKE '%creativecommons.org/licenses/by-nc%' THEN 'cc-by-nc-4.0'
+            WHEN t LIKE '%creativecommons.org/licenses/by-sa%' THEN 'cc-by-sa-4.0'
+            WHEN t LIKE '%creativecommons.org/licenses/by%' THEN 'cc-by-4.0'
+            END AS license
+          FROM n
+        )
+        SELECT doc_id, license,
+          coalesce(license IN ('apache-2.0','mit','isc','bsd-3-clause',
+            'bsd-2-clause','mpl-2.0','unlicense','cc0-1.0','cc-by-4.0'),
+            false) AS permissive
+        FROM lic""".stripMargin.trim)),
+
     Q("q_compaction",
       // small-file compaction planning (the lakehouse maintenance
       // shape): greedy byte-budget bin assignment over a file census,

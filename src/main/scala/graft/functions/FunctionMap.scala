@@ -284,6 +284,10 @@ object FunctionMap {
       case "wiki_text" => graft.operators.TextOps.wikiText(a0)
       // LaTeX source → text (arXiv corpora)
       case "latex_text" => graft.operators.TextOps.latexText(a0)
+      // license gating for code corpora
+      case "license_id" => graft.operators.TextOps.licenseId(a0)
+      case "license_permissive" =>
+        graft.operators.TextOps.licensePermissive(a0)
       // SRT/WebVTT subtitles as a text document
       case "subtitle_text" =>
         graft.operators.SubtitleOps.subtitleTextCol(a0)

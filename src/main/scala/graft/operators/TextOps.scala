@@ -774,6 +774,48 @@ object TextOps {
   def wikiText(text: Column): Column =
     HtmlOps.extractText(graft.functions.TextKernels.wikiStripCol(text))
 
+  /** SPDX-style license identification from characteristic license-text
+    * phrases (the code-corpus curation gate: train only on permissive
+    * sources). Matches the NORMALIZED text (lowercased, whitespace
+    * collapsed) against each family's canonical sentence — phrases, not
+    * filenames, so it works on file headers, LICENSE files and README
+    * blurbs alike. Returns the SPDX id or NULL when nothing matches;
+    * check order puts the more specific marker first (BSD 3 before 2,
+    * GPL version before bare GPL, CC variants before plain BY). Pure
+    * Column expressions — scan-speed, oracle-replayable. */
+  def licenseId(text: Column): Column = {
+    val t = regexp_replace(lower(text), "\\s+", " ")
+    when(t.contains("apache license, version 2.0") ||
+      t.contains("licensed under the apache license"), "apache-2.0")
+      .when(t.contains("permission is hereby granted, free of charge"), "mit")
+      .when(t.contains("permission to use, copy, modify, and/or distribute"),
+        "isc")
+      .when(t.contains("redistribution and use in source and binary forms"),
+        when(t.contains("neither the name"), "bsd-3-clause")
+          .otherwise("bsd-2-clause"))
+      .when(t.contains("gnu lesser general public license"),
+        when(t.contains("version 3"), "lgpl-3.0").otherwise("lgpl-2.1"))
+      .when(t.contains("gnu general public license"),
+        when(t.contains("version 3"), "gpl-3.0").otherwise("gpl-2.0"))
+      .when(t.contains("gnu affero general public license"), "agpl-3.0")
+      .when(t.contains("mozilla public license"), "mpl-2.0")
+      .when(t.contains("this is free and unencumbered software"), "unlicense")
+      .when(t.contains("creativecommons.org/publicdomain/zero"), "cc0-1.0")
+      .when(t.contains("creativecommons.org/licenses/by-nc"), "cc-by-nc-4.0")
+      .when(t.contains("creativecommons.org/licenses/by-sa"), "cc-by-sa-4.0")
+      .when(t.contains("creativecommons.org/licenses/by"), "cc-by-4.0")
+  }
+
+  private val permissiveLicenses = Seq(
+    "apache-2.0", "mit", "isc", "bsd-3-clause", "bsd-2-clause", "mpl-2.0",
+    "unlicense", "cc0-1.0", "cc-by-4.0")
+
+  /** true when [[licenseId]] resolves to a permissive family (the
+    * train-on-it gate; copyleft/NC variants and UNKNOWN read false —
+    * unknown is not permission). */
+  def licensePermissive(text: Column): Column =
+    coalesce(licenseId(text).isin(permissiveLicenses: _*), lit(false))
+
   /** LaTeX source → visible text (arXiv corpora): the structural strip
     * kernel ([[graft.functions.TextKernels.latexStrip]] — comments,
     * math, float/verbatim environments, reference commands; sectioning
