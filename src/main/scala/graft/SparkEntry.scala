@@ -2907,6 +2907,52 @@ object SparkEntry {
             false) AS permissive
         FROM lic""".stripMargin.trim)),
 
+    Q("q_code_file_gates",
+      // The-Stack-style code-file keep gates: line-length bounds kill
+      // minified bundles, alnum fraction kills blob/art files, autogen
+      // banners kill generated code; every stat replays in SQL (all-
+      // lines split pinned, 6dp rounding)
+      (s, dir) => {
+        import s.implicits._
+        val code = Seq(
+          (1L, "def f(x):\n    return x + 1\n\nprint(f(2))"),
+          (2L, "var a=1;" + "x".repeat(2000) + ";\nshort"),
+          (3L, "/* AUTO-GENERATED, DO NOT EDIT */\nint main() { return 0; }"),
+          (4L, ";;;;;;;;;;\n(((())))\n[[[[]]]]"),
+          (5L, "")
+        ).toDF("doc_id", "text")
+        operators.TextOps.codeFileStats(code)
+      },
+      Some("""
+        WITH d(doc_id, text) AS (VALUES
+          (CAST(1 AS BIGINT), 'def f(x):' || chr(10) ||
+           '    return x + 1' || chr(10) || chr(10) || 'print(f(2))'),
+          (2, 'var a=1;' || repeat('x', 2000) || ';' || chr(10) || 'short'),
+          (3, '/* AUTO-GENERATED, DO NOT EDIT */' || chr(10) ||
+           'int main() { return 0; }'),
+          (4, ';;;;;;;;;;' || chr(10) || '(((())))' || chr(10) || '[[[[]]]]'),
+          (5, '')
+        ), s AS (
+          SELECT doc_id, text,
+            string_split(text, chr(10)) AS lines,
+            CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS BIGINT) AS alnum
+          FROM d
+        ), m AS (
+          SELECT doc_id, text,
+            CAST(coalesce(list_max(list_transform(lines, x -> length(x))), 0) AS INTEGER) AS max_line_len,
+            round(CAST(list_sum(list_transform(lines, x -> length(x))) AS DOUBLE) / len(lines), 6) AS avg_line_len,
+            CASE WHEN length(text) > 0
+              THEN round(CAST(alnum AS DOUBLE) / length(text), 6)
+              ELSE 0.0 END AS alnum_frac,
+            regexp_matches(lower(text), 'auto-?generated|do not edit|generated by') AS flag_autogen
+          FROM s
+        )
+        SELECT doc_id, text, max_line_len, avg_line_len, alnum_frac,
+          flag_autogen,
+          (max_line_len <= 1000 AND avg_line_len <= 100.0 AND
+           alnum_frac >= 0.25 AND NOT flag_autogen) AS flag_code_keep
+        FROM m""".stripMargin.trim)),
+
     Q("q_compaction",
       // small-file compaction planning (the lakehouse maintenance
       // shape): greedy byte-budget bin assignment over a file census,

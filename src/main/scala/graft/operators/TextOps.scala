@@ -583,6 +583,45 @@ object TextOps {
           col("symbol_frac") >= minSymbols)
   }
 
+  /** Code-FILE keep gates (the filters The-Stack-style code corpora
+    * apply after routing): per document, at scan speed,
+    *
+    *   - `max_line_len` / `avg_line_len` — minified bundles and data
+    *     blobs have kilobyte lines; real source does not
+    *   - `alnum_frac` — binary-ish / art / table files read low
+    *   - `flag_autogen` — generated-file banners ("auto-generated",
+    *     "do not edit", "generated by")
+    *   - `flag_code_keep` — the gate: every bound holds and no
+    *     autogen banner
+    *
+    * Lines split on '\n' (all lines, blank included — a pinned, oracle-
+    * replayable definition); fractions/averages round to 6dp. */
+  def codeFileStats(
+      docs: DataFrame,
+      textCol: String = "text",
+      maxLineLen: Int = 1000,
+      maxAvgLineLen: Double = 100.0,
+      minAlnumFrac: Double = 0.25): DataFrame = {
+    val lines = split(coalesce(col(textCol), lit("")), "\n")
+    val lens = transform(lines, l => length(l))
+    val alnum = regexp_count(col(textCol), lit("[A-Za-z0-9]"))
+    val autogenRe = "(?i)auto-?generated|do not edit|generated by"
+    docs
+      .withColumn("max_line_len",
+        coalesce(array_max(lens), lit(0)).cast("int"))
+      .withColumn("avg_line_len",
+        round(coalesce(aggregate(lens, lit(0L), (a, x) => a + x), lit(0L))
+          .cast("double") / size(lines), 6))
+      .withColumn("alnum_frac",
+        when(length(col(textCol)) > 0,
+          round(alnum / length(col(textCol)), 6)).otherwise(0.0))
+      .withColumn("flag_autogen", col(textCol).rlike(autogenRe))
+      .withColumn("flag_code_keep",
+        col("max_line_len") <= maxLineLen &&
+          col("avg_line_len") <= maxAvgLineLen &&
+          col("alnum_frac") >= minAlnumFrac && !col("flag_autogen"))
+  }
+
   /** Markdown → visible text at scan speed — the extraction step for
     * README/docs/issue corpora (the markdown sibling of
     * [[HtmlOps.extractText]]): fenced code blocks drop whole (code is a
