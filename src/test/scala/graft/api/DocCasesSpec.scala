@@ -495,6 +495,31 @@ class DocCasesSpec extends AnyFunSuite {
     assert(silent == Set("after all sound", "before any sound"))
   }
 
+  test("code-corpus curation: license gate + file gates + router + " +
+      "exact dedup in one chain") {
+    import graft.operators.{Dedup, TextOps}
+    import org.apache.spark.sql.functions._
+    val mit = "/* Permission is hereby granted, free of charge */\n"
+    val gpl = "/* under the GNU General Public License, version 3 */\n"
+    val body = "def f(x):\n    return x + 1\n\nprint(f(2))\n"
+    val files = Seq(
+      (1L, mit + body), // permissive, clean → kept
+      (2L, gpl + body), // copyleft → dropped
+      (3L, mit + body), // exact dup of 1 → dropped
+      (4L, mit + "x".repeat(3000)), // minified line → dropped
+      (5L, mit + "// AUTO-GENERATED do not edit\n" + body), // autogen → dropped
+      (6L, "no license header\n" + body)) // unknown license → dropped
+      .toDF("doc_id", "text")
+    val gated = TextOps.codeFileStats(
+      files.withColumn("license", TextOps.licenseId(col("text")))
+        .withColumn("permissive", TextOps.licensePermissive(col("text"))))
+      .where(col("permissive") && col("flag_code_keep"))
+    val kept = Dedup.exactBy(gated, col("text"), "doc_id")
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L), ids)
+    assert(kept.head.getAs[String]("license") == "mit")
+  }
+
   test("doc case: filter + unit conversion + CASE grading (EmitSync analog)") {
     // reference doc_cases_test.go:16-52 — same SQL, same expectations;
     // the out-of-range and null readings must be filtered, not errors
