@@ -2953,6 +2953,42 @@ object SparkEntry {
            alnum_frac >= 0.25 AND NOT flag_autogen) AS flag_code_keep
         FROM m""".stripMargin.trim)),
 
+    Q("q_json_census",
+      // JSONL corpus audit before any schema is imposed: top-level key
+      // frequencies with invalid/empty rows as the NULL-key row; the
+      // oracle replays via DuckDB's json extension (json_type gates
+      // non-objects the way Spark's json_object_keys nulls them)
+      (s, dir) => {
+        import s.implicits._
+        val docs = Seq(
+          (1L, """{"a":1,"b":"x"}"""),
+          (2L, """{"a":2,"c":[1,2]}"""),
+          (3L, "not json at all"),
+          (4L, """{"a":3}"""),
+          (5L, "{}")
+        ).toDF("doc_id", "json")
+        operators.Profile.jsonKeyCensus(docs)
+      },
+      Some("""
+        WITH d(doc_id, j) AS (VALUES
+          (CAST(1 AS BIGINT), '{"a":1,"b":"x"}'),
+          (2, '{"a":2,"c":[1,2]}'),
+          (3, 'not json at all'),
+          (4, '{"a":3}'),
+          (5, '{}')
+        ), k AS (
+          SELECT CASE WHEN json_valid(j) AND json_type(j) = 'OBJECT'
+            THEN json_keys(j) ELSE NULL END AS ks
+          FROM d
+        ), e AS (
+          SELECT unnest(CASE WHEN ks IS NULL OR len(ks) = 0
+            THEN list_value(NULL::VARCHAR) ELSE ks END) AS key
+          FROM k
+        )
+        SELECT key, count(*) AS n_docs,
+          round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM d), 6) AS frac
+        FROM e GROUP BY key""".stripMargin.trim)),
+
     Q("q_compaction",
       // small-file compaction planning (the lakehouse maintenance
       // shape): greedy byte-budget bin assignment over a file census,

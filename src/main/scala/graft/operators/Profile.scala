@@ -20,6 +20,26 @@ import org.apache.spark.sql.types.NumericType
   * reserve it for small tables and oracles. */
 object Profile {
 
+  /** Top-level key census of a JSON-string column — the JSONL corpus
+    * audit before any schema is imposed: which keys exist, in how many
+    * rows, and what fraction of the batch that is. Rows that are not a
+    * JSON object — or are the empty object — surface as the NULL key
+    * (invalid input is a row in the audit, not a dropped row). One
+    * explode + one partial-agg shuffle
+    * over a key-sized space; the batch total rides a broadcast
+    * one-row aggregate, no driver action. */
+  def jsonKeyCensus(
+      docs: DataFrame, jsonCol: String = "json"): DataFrame = {
+    val keys = docs.select(
+      explode_outer(json_object_keys(col(jsonCol))).as("key"))
+    val total = docs.agg(count(lit(1)).as("__total"))
+    keys.groupBy("key")
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(total))
+      .withColumn("frac", round(col("n_docs") / col("__total"), 6))
+      .drop("__total")
+  }
+
   /** One row per profiled column: `col_name`, `n_rows`, `n_nulls`,
     * `n_distinct`, `min`, `max` (rendered as strings — min/max are
     * computed on the native type, THEN cast, so numeric columns do not
