@@ -104,6 +104,15 @@ object PdfOps {
     n
   }
 
+  // Inflater wraps native zlib state — construction dominates small
+  // streams, and a 100 TB PDF corpus inflates millions of them; one
+  // per executor thread, reset between streams (the same pattern as
+  // TextKernels' ThreadLocal Deflater for the compression window)
+  private val inflaters = new ThreadLocal[java.util.zip.Inflater] {
+    override def initialValue(): java.util.zip.Inflater =
+      new java.util.zip.Inflater()
+  }
+
   /** Stream payload → content characters: raw when the dict declares no
     * filter, inflate when FlateDecode, None for any other filter, a
     * failed inflate, or output past the cap. */
@@ -116,7 +125,8 @@ object PdfOps {
     if (!flate)
       return Some(new String(b, from, until - from,
         java.nio.charset.StandardCharsets.ISO_8859_1))
-    val inf = new java.util.zip.Inflater()
+    val inf = inflaters.get()
+    inf.reset()
     try {
       inf.setInput(b, from, until - from)
       val out = new java.io.ByteArrayOutputStream(math.min(cap, 1 << 16))
@@ -131,7 +141,7 @@ object PdfOps {
       Some(out.toString("ISO-8859-1"))
     } catch {
       case _: java.util.zip.DataFormatException => None
-    } finally inf.end()
+    } finally inf.reset()
   }
 
   /** Text shown by a content stream's BT…ET blocks, or None when the
