@@ -275,7 +275,12 @@ object FunctionMap {
       // Inflater — PDFs are a first-class crawl source, like HTML)
       case "pdf_struct" => graft.operators.PdfOps.pdfTextStructCol(a0)
       case "pdf_ok" =>
-        graft.operators.PdfOps.pdfTextStructCol(a0).isNotNull
+        // cheap signature gate, EQUIVALENT to the full parse's None
+        // condition (extractPdfText refuses only on a missing %PDF-
+        // signature / short buffer): a WHERE pdf_ok(bytes) filter must
+        // not pay the full inflate+scan the projection will pay again
+        coalesce(length(a0) >= 8 &&
+          decode(substring(a0, 1, 5), "UTF-8") === "%PDF-", lit(false))
       case "pdf_text" =>
         graft.operators.PdfOps.pdfTextStructCol(a0).getField("text")
       case "pdf_pages" =>
@@ -298,6 +303,10 @@ object FunctionMap {
         graft.operators.ArchiveOps.gunzipCol(a0).isNotNull
       // zip/EPUB archive scalars (JDK ZipInputStream; the books-corpus
       // front door — epub_text reuses the html extractor chain)
+      // zip_ok / gzip_ok deliberately validate by the FULL walk (a PK
+      // signature with a corrupt body must gate false) — unlike pdf_ok
+      // there is no cheap equivalent, so a WHERE+SELECT pair pays the
+      // walk twice; carry sniff_format as a column when that matters
       case "zip_ok" =>
         graft.operators.ArchiveOps.epubSpineCol(a0).isNotNull
       case "epub_text" => graft.operators.ArchiveOps.epubText(a0)

@@ -76,6 +76,47 @@ object ArchiveOps {
     } finally zis.close()
   }
 
+  /** Entry NAMES from the zip CENTRAL DIRECTORY — pure byte arithmetic
+    * at the end of the archive, nothing inflated: the sniffing path's
+    * way to refine zip → epub/docx without paying a decompression walk
+    * over every member. None for a malformed/absent end-of-central-
+    * directory record or zip64 markers (the caller falls back to the
+    * generic label, never to garbage). */
+  private[graft] def zipCentralNames(
+      b: Array[Byte], maxEntries: Int = 10000): Option[Vector[String]] = {
+    if (b == null || b.length < 22) return None
+    @inline def u8(i: Int): Int = b(i) & 0xff
+    @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    @inline def le32(i: Int): Long =
+      (le16(i).toLong | (le16(i + 2).toLong << 16)) & 0xffffffffL
+    var e = b.length - 22
+    val stop = math.max(0, b.length - 22 - 65535)
+    while (e >= stop && !(b(e) == 'P' && b(e + 1) == 'K' &&
+        u8(e + 2) == 5 && u8(e + 3) == 6)) e -= 1
+    if (e < stop) return None
+    val n = le16(e + 10)
+    val cdOff = le32(e + 16)
+    if (n == 0xffff || cdOff == 0xffffffffL) return None // zip64
+    if (n > maxEntries) return None
+    var p = cdOff.toInt
+    if (p < 0 || p >= b.length) return None
+    val out = Vector.newBuilder[String]
+    var k = 0
+    while (k < n) {
+      if (p + 46 > b.length || !(b(p) == 'P' && b(p + 1) == 'K' &&
+          u8(p + 2) == 1 && u8(p + 3) == 2)) return None
+      val nameLen = le16(p + 28)
+      val extraLen = le16(p + 30)
+      val cmtLen = le16(p + 32)
+      if (p + 46 + nameLen > b.length) return None
+      out += new String(b, p + 46, nameLen,
+        java.nio.charset.StandardCharsets.UTF_8)
+      p += 46 + nameLen + extraLen + cmtLen
+      k += 1
+    }
+    Some(out.result())
+  }
+
   /** Entry listing over a (id, bytes) table — (idCol, zip_ok, entry,
     * is_dir, size), one row per entry, nothing materialized (every
     * entry is skimmed); unreadable archives flag, never drop. */
@@ -113,11 +154,11 @@ object ArchiveOps {
       maxEntryBytes: Int = 1 << 26,
       maxGzipBytes: Int = 1 << 28): DataFrame = {
     import df.sparkSession.implicits._
-    val pat = namePattern // capture the string, compile per partition row
+    // Pattern is Serializable: compile once, ship compiled
+    val p = java.util.regex.Pattern.compile(namePattern)
     df.select(col(idCol).cast("long"), col(bytesCol))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        val p = java.util.regex.Pattern.compile(pat)
         def keep(n: String) = p.matcher(n).matches()
         val es: Option[Vector[ZipEntryData]] =
           if (bytes != null && bytes.length > 3 && bytes(0) == 'P' &&
@@ -379,7 +420,14 @@ object ArchiveOps {
       }
       n += 1
       if (n > maxEntries) return None
-      val name = str(p, 100)
+      // POSIX ustar splits paths over 100 chars: prefix field (155 B at
+      // +345) + '/' + name — ignoring it would strip deep directories
+      // and collide distinct members onto one name
+      val name0 = str(p, 100)
+      val name =
+        if (b.length >= p + 350 && str(p + 257, 5) == "ustar" &&
+            b(p + 345) != 0) str(p + 345, 155) + "/" + name0
+        else name0
       val size = octal(p + 124, 12)
       val typ = b(p + 156).toChar
       // header checksum: bytes sum with the checksum field as spaces

@@ -28,8 +28,10 @@ object Extract {
         s.indices.forall(k => b(off + k) == s.charAt(k).toByte)
     if (ascii(0, "%PDF-")) return Some("pdf")
     if (b(0) == 'P' && b(1) == 'K' && b(2) == 3 && b(3) == 4) {
-      val names = ArchiveOps.zipEntries(b, keep = _ => false)
-        .map(_.map(_.name)).getOrElse(Vector.empty)
+      // refine by member NAMES from the central directory — byte
+      // arithmetic only; sniffing must not pay (or repeat) the member
+      // inflation the extractor will do
+      val names = ArchiveOps.zipCentralNames(b).getOrElse(Vector.empty)
       return Some(
         if (names.contains("META-INF/container.xml")) "epub"
         else if (names.contains("word/document.xml")) "docx"
@@ -46,12 +48,15 @@ object Extract {
     }
     if (ascii(0, "RIFF") && ascii(8, "WAVE")) return Some("wav")
     if (b.length > 11 && ascii(4, "ftyp")) return Some("mp4")
-    if ((b(0) == 'I' && b(1) == 'D' && b(2) == '3') ||
-        Multimodal.probeMp3(b).isDefined) return Some("mp3")
-    // TIFF (not covered by probeImage): II*\0 or MM\0*
+    // TIFF magic BEFORE the mp3 scan: tiff is definitive 4 bytes, the
+    // mp3 check is a heuristic scan
     if ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
         (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42))
       return Some("tiff")
+    // an ID3 tag or a CHAINED frame pair — a lone header pattern
+    // matches random binary every few KB (probeMp3 alone would call
+    // most 'bin' payloads mp3)
+    if (Multimodal.looksLikeMp3(b)) return Some("mp3")
     val head = new String(b, 0,
       math.min(b.length, 1024), java.nio.charset.StandardCharsets.UTF_8)
     if (head.startsWith("WEBVTT")) return Some("vtt")
@@ -103,22 +108,15 @@ object Extract {
     * plan carries `sniff_format` as its own column so the (zip-walking)
     * sniff runs exactly once per row ([[autoTextPlan]] does this). */
   def autoTextFor(fmt: Column, bytes: Column): Column = {
-    def decoded = decode(bytes, "UTF-8")
-    when(fmt === "html", HtmlOps.extractText(decoded))
-      .when(fmt === "text", HtmlOps.normalizeWs(decoded))
-      .when(fmt === "latex", TextOps.latexText(decoded))
-      .when(fmt === "pdf",
-        PdfOps.pdfTextStructCol(bytes).getField("text"))
-      .when(fmt === "epub" || fmt === "zip", ArchiveOps.epubText(bytes))
-      .when(fmt === "docx", ArchiveOps.docxText(bytes))
-      .when(fmt === "vtt" || fmt === "srt",
-        SubtitleOps.subtitleTextCol(bytes.cast("string")))
-      .when(fmt === "gzip", autoTextOnce(ArchiveOps.gunzipCol(bytes)))
+    val inner = ArchiveOps.gunzipCol(bytes)
+    route(fmt, bytes)
+      .when(fmt === "gzip", route(sniffFormatCol(inner), inner))
   }
 
-  /** The non-gzip half of the router, applied to inflated members. */
-  private def autoTextOnce(bytes: Column): Column = {
-    val fmt = sniffFormatCol(bytes)
+  /** ONE format→extractor table (a new text-bearing format is added
+    * exactly here); gzip re-routing composes on top in
+    * [[autoTextFor]]. */
+  private def route(fmt: Column, bytes: Column): Column = {
     def decoded = decode(bytes, "UTF-8")
     when(fmt === "html", HtmlOps.extractText(decoded))
       .when(fmt === "text", HtmlOps.normalizeWs(decoded))

@@ -410,7 +410,7 @@ object Multimodal {
     * accumulate block sizes (exact; the last block of a fixed-blocksize
     * stream is legitimately short). None when the signature or first
     * validated frame is missing; `maxFrames` refuses loudly. */
-  def flacFrameIndex(b: Array[Byte], maxFrames: Int = 100000): Option[Vector[FlacFrame]] = {
+  def flacFrameIndex(b: Array[Byte], maxFrames: Int = 2000000): Option[Vector[FlacFrame]] = {
     @inline def u8(i: Int): Int = b(i) & 0xff
     if (b == null || b.length < 42 || b(0) != 'f' || b(1) != 'L' ||
         b(2) != 'a' || b(3) != 'C') return None
@@ -463,7 +463,7 @@ object Multimodal {
       media: DataFrame,
       bytesCol: String = "bytes",
       idCol: String = "media_id",
-      maxFrames: Int = 100000): DataFrame = {
+      maxFrames: Int = 2000000): DataFrame = {
     import media.sparkSession.implicits._
     media.select(col(idCol).cast("long"), col(bytesCol))
       .as[(Long, Array[Byte])]
@@ -566,6 +566,31 @@ object Multimodal {
     Some(Mp3Header(ch, kbps, rate, samples, frameLen))
   }
 
+  /** STRONG MP3 evidence for format SNIFFING: a leading ID3v2 tag, or
+    * two arithmetically-CONSECUTIVE valid frame headers (the second
+    * exactly where the first's length arithmetic lands). A lone header
+    * pattern matches random bytes every few KB — [[probeMp3]] alone
+    * would label most binary blobs "mp3"; a chained pair is ~2^-30 per
+    * offset. Candidates that fail to chain are skipped and the scan
+    * continues (a junk prefix before a real stream still sniffs). */
+  private[graft] def looksLikeMp3(b: Array[Byte]): Boolean = {
+    if (b == null || b.length < 4) return false
+    if (b(0) == 'I' && b(1) == 'D' && b(2) == '3') return true
+    var i = 0
+    val limit = math.min(b.length - 4, 65536)
+    while (i <= limit) {
+      mp3HeaderAt(b, i) match {
+        case Some(h) =>
+          val j = i + h.frameLen
+          if (h.frameLen > 0 &&
+              (j == b.length || mp3HeaderAt(b, j).isDefined)) return true
+          i += 1
+        case None => i += 1
+      }
+    }
+    false
+  }
+
   /** One entry of an MP3 frame index: 1-based frame number, start time,
     * absolute byte offset/length, and the frame's own bitrate (VBR
     * streams vary it per frame). */
@@ -585,7 +610,7 @@ object Multimodal {
     * `maxFrames` is a loud cap: exceeding it returns None rather than
     * a silently short index. Per-frame times accumulate sample counts
     * (exact under VBR, where byte-proportional estimates drift). */
-  def mp3FrameIndex(b: Array[Byte], maxFrames: Int = 100000): Option[Vector[Mp3Frame]] = {
+  def mp3FrameIndex(b: Array[Byte], maxFrames: Int = 2000000): Option[Vector[Mp3Frame]] = {
     if (b == null || b.length < 4) return None
     @inline def u8(i: Int): Int = b(i) & 0xff
     var off = 0
@@ -632,7 +657,7 @@ object Multimodal {
       media: DataFrame,
       bytesCol: String = "bytes",
       idCol: String = "media_id",
-      maxFrames: Int = 100000): DataFrame = {
+      maxFrames: Int = 2000000): DataFrame = {
     import media.sparkSession.implicits._
     media.select(col(idCol).cast("long"), col(bytesCol))
       .as[(Long, Array[Byte])]
@@ -1506,10 +1531,13 @@ object Multimodal {
     * silence trimming: frame into `frameMs` windows, a window is ACTIVE
     * iff its RMS exceeds `thresholdFrac` of the clip's peak amplitude
     * (relative, so the gate is bit-depth- and gain-free), merge active
-    * runs separated by less than `minSilenceMs` of quiet. Spans are
-    * window-granular (start/end are multiples of `frameMs`). None for
-    * non-PCM payloads; a decodable clip with no active window yields an
-    * empty vector (all silence ≠ unparseable). */
+    * runs separated by less than `minSilenceMs` of quiet (adjacent
+    * active windows never split). Spans are window-granular with
+    * SAMPLE-exact times (window boundary sample × 1000 / rate — never
+    * the truncated window-count ms, which drifts at rates like
+    * 11025 Hz). None for non-PCM payloads; a decodable clip with no
+    * active window yields an empty vector (all silence ≠
+    * unparseable). */
   def wavSegments(
       b: Array[Byte],
       frameMs: Int = 10,
@@ -1541,11 +1569,19 @@ object Multimodal {
         active(w) = peak > 0 && math.sqrt(meanSq(w)) > threshold
         w += 1
       }
-      val gapWins = minSilenceMs / frameMs
+      // adjacent active windows (gap 0) NEVER split, whatever the
+      // floor — a split needs actual silence; floor below one frame
+      // means "any silence splits"
+      val gapWins = math.max(1, minSilenceMs / frameMs)
       val out = Vector.newBuilder[WavSegment]
       var n = 0
       var segStart = -1
       var lastActive = -1
+      // times derive from SAMPLE positions, not window*frameMs: when
+      // rate*frameMs/1000 truncates (e.g. 11025 Hz), window-count ms
+      // would drift from audio time by the truncated remainder per
+      // window — ruinous for the cue-alignment join this feeds
+      @inline def winMs(win: Long): Long = win * spf * 1000L / rate
       def close(): Unit = if (segStart >= 0) {
         n += 1
         var ss = 0.0
@@ -1555,8 +1591,8 @@ object Multimodal {
           if (active(k)) { ss += meanSq(k); act += 1 }
           k += 1
         }
-        out += WavSegment(n, segStart.toLong * frameMs,
-          (lastActive + 1).toLong * frameMs, act * frameMs,
+        out += WavSegment(n, winMs(segStart.toLong),
+          winMs(lastActive + 1L), winMs(act),
           math.sqrt(ss / act))
         segStart = -1
       }

@@ -79,25 +79,6 @@ object Packing {
         Seq(col("pack_bucket"), col("token_count"), col("seq_id"), col("seq_offset")): _*)
   }
 
-  /** Whole-document greedy packing: unlike [[packSequences]] (which may
-    * split a document across a sequence boundary) every document lands
-    * entirely in ONE training sequence; the open sequence closes as soon
-    * as the next document does not fit, and an over-budget document gets a
-    * singleton sequence. Same deterministic layout contract as
-    * [[packSequences]]: bucket = portable md5 id hash, order = id — an
-    * ANSI engine replays the exact layout with a linear recursion over
-    * each bucket.
-    *
-    * Scale shape: one shuffle on the bucket key, spillable partition sort,
-    * then a per-partition streaming fold with O(1) state (the open
-    * sequence's fill) — no window, no per-bucket buffering. Greedy-no-split
-    * waste is < budget per closed sequence in the worst case; keeping id
-    * order (rather than first-fit-decreasing) is what makes the layout
-    * stable run-over-run and oracle-replayable — callers wanting tighter
-    * packing can pre-sort by length and re-id.
-    *
-    * @return (idCol, token_count, pack_bucket, seq_id) — seq_id globally
-    *   unique as bucket * 2^40 + sequence-index-within-bucket */
   /** Small-file COMPACTION plan — the lakehouse maintenance shape: a
     * (path, bytes) file census in, bin assignments out, each bin one
     * rewrite task targeting `targetBytes`. Exactly [[packGreedy]]'s
@@ -117,6 +98,25 @@ object Packing {
       .withColumnRenamed("token_count", "bytes")
       .withColumnRenamed("seq_id", "bin_id")
 
+  /** Whole-document greedy packing: unlike [[packSequences]] (which may
+    * split a document across a sequence boundary) every document lands
+    * entirely in ONE training sequence; the open sequence closes as soon
+    * as the next document does not fit, and an over-budget document gets a
+    * singleton sequence. Same deterministic layout contract as
+    * [[packSequences]]: bucket = portable md5 id hash, order = id — an
+    * ANSI engine replays the exact layout with a linear recursion over
+    * each bucket.
+    *
+    * Scale shape: one shuffle on the bucket key, spillable partition sort,
+    * then a per-partition streaming fold with O(1) state (the open
+    * sequence's fill) — no window, no per-bucket buffering. Greedy-no-split
+    * waste is < budget per closed sequence in the worst case; keeping id
+    * order (rather than first-fit-decreasing) is what makes the layout
+    * stable run-over-run and oracle-replayable — callers wanting tighter
+    * packing can pre-sort by length and re-id.
+    *
+    * @return (idCol, token_count, pack_bucket, seq_id) — seq_id globally
+    *   unique as bucket * 2^40 + sequence-index-within-bucket */
   def packGreedy(
       docs: DataFrame,
       budget: Int,

@@ -137,6 +137,45 @@ class ArchiveOpsSpec extends AnyFunSuite {
     assert(none.length == 1 && none(0).getBoolean(1) && none(0).isNullAt(2))
   }
 
+  test("ustar prefix field: paths over 100 chars reassemble as " +
+      "prefix/name") {
+    val longDir = "very/" + ("deep/" * 22) + "dir" // prefix > 100 chars
+    val h = new Array[Byte](512)
+    "file.txt".getBytes("US-ASCII").copyToArray(h, 0)
+    def oct(v: Long, off: Int, len: Int): Unit = {
+      val o = java.lang.Long.toOctalString(v)
+      ("0" * (len - 1 - o.length) + o).getBytes("US-ASCII").copyToArray(h, off)
+    }
+    oct(420, 100, 8); oct(0, 108, 8); oct(0, 116, 8)
+    oct(2, 124, 12); oct(0, 136, 12)
+    h(156) = '0'.toByte
+    "ustar".getBytes("US-ASCII").copyToArray(h, 257)
+    longDir.getBytes("US-ASCII").copyToArray(h, 345)
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    var sum = 0L; h.foreach(x => sum += x & 0xff)
+    val cs = java.lang.Long.toOctalString(sum)
+    ("0" * (6 - cs.length) + cs + "  ").getBytes("ISO-8859-1")
+      .copyToArray(h, 148)
+    val tar = h ++ "hi".getBytes ++ new Array[Byte](510) ++
+      new Array[Byte](1024)
+    val es = ArchiveOps.tarEntries(tar).get
+    assert(es.map(_.name) == Vector(s"$longDir/file.txt"))
+  }
+
+  test("zipCentralNames: names from the central directory with zero " +
+      "inflation; malformed tails refuse") {
+    val rows = ArchiveOps.zipFixture(spark).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(ArchiveOps.zipCentralNames(rows(90L)).get == Vector(
+      "mimetype", "META-INF/container.xml", "OEBPS/content.opf",
+      "OEBPS/ch1.xhtml", "OEBPS/ch2.xhtml", "OEBPS/img.png"))
+    assert(ArchiveOps.zipCentralNames(rows(92L)).isEmpty) // no EOCD
+    assert(ArchiveOps.zipCentralNames(rows(93L)).isEmpty)
+    // truncating the central directory refuses rather than mis-listing
+    val cut = rows(90L).dropRight(30)
+    assert(ArchiveOps.zipCentralNames(cut).isEmpty)
+  }
+
   test("normPath collapses dot segments inside the archive namespace") {
     val deep = {
       val bos = new java.io.ByteArrayOutputStream()

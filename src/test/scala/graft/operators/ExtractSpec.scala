@@ -37,6 +37,15 @@ class ExtractSpec extends AnyFunSuite {
     assert(sniff(utf8("<html><body>cue 00:00:01,000 --> 00:00:02,000" +
       "</body></html>")) == "html")
     assert(sniff(Array[Byte](0, 1, 2, 3, 4, 5, -1, -2)) == "bin")
+    // TIFF magic outranks the mp3 heuristic scan
+    assert(sniff(Array[Byte]('I', 'I', 42, 0, 1, 2, 3, 4, 5, 6)) == "tiff")
+    // one lone frame-header PATTERN is not mp3 evidence — a chained
+    // pair is required (a single pattern matches random binary)
+    val lone = new Array[Byte](104)
+    Array(0xff, 0xfb, 0x90, 0x00).map(_.toByte).copyToArray(lone, 0)
+    assert(sniff(lone) == "bin")
+    // a true 2-frame chain still sniffs (fixture row 50)
+    assert(sniff(row(Multimodal.mp3Fixture(spark), 52L)) == "mp3")
     assert(Extract.sniffFormat(null).isEmpty)
   }
 

@@ -1494,6 +1494,22 @@ class OperatorsSpec extends AnyFunSuite {
       Multimodal.WavSegment(2, 450L, 550L, 100L, 2000.0)))
     assert(Multimodal.wavSegments(rows(111L)).get.isEmpty)
     assert(Multimodal.wavSegments(rows(112L)).isEmpty)
+    // a silence floor below one frame must NOT split adjacent active
+    // windows — only actual silence splits (regression: gapWins=0)
+    assert(Multimodal.wavSegments(rows(110L), minSilenceMs = 5).get
+      .map(_.segment) == Vector(1, 2))
+    // times are sample-exact: at 11025 Hz spf truncates to 110 and the
+    // 20th window starts at sample 2200 → 199 ms (window-count ms would
+    // claim 200 and drift ~2.3 s/min)
+    val odd = {
+      val d = Array.tabulate(11025)(i =>
+        (if (i < 2200) 0 else if (i % 8 < 4) 1000 else -1000).toShort)
+      val bb = java.nio.ByteBuffer.allocate(d.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      d.foreach(bb.putShort)
+      Multimodal.wavBytes(1, 11025, 16, 1, bb.array())
+    }
+    assert(Multimodal.wavSegments(odd).get.head.start_ms == 2200L * 1000 / 11025)
     // plan routing: all-silence keeps its decoded row, corrupt flags
     val plan = Multimodal.wavSegmentPlan(Multimodal.wavSegFixture(spark))
       .orderBy("media_id").collect()
