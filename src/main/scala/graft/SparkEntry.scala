@@ -6408,7 +6408,7 @@ object SparkEntry {
       },
       Some("""
         SELECT format, count(*) AS n_docs, count(text) AS n_extracted,
-          coalesce(sum(length(text)), 0) AS text_chars
+          CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS text_chars
         FROM (VALUES
           (CAST(1 AS BIGINT), 'html', 'web page'),
           (2, 'pdf', 'Hello World(!)' || chr(10) || 'Second line' ||
