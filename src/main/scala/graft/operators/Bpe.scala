@@ -81,11 +81,19 @@ object Bpe {
       minCount: Long = 2L,
       localThreshold: Long = 2000000L): Seq[(String, String)] = {
     require(numMerges > 0, "numMerges must be positive")
-    // the one corpus-sized job: normalized word frequencies
+    // the one corpus-sized job: normalized word frequencies. Persisted:
+    // the census is read twice (count to pick the local-vs-distributed
+    // path, then collect or the initial-dict build) and without the
+    // persist EACH read re-runs the corpus scan + explode + aggregation
+    // — the only corpus-sized work in the trainer, paid double for a
+    // vocab-sized result (guide §1.2: don't compute things twice).
+    // The cached table is the VOCABULARY (model-sized, bounded), never
+    // the corpus.
     val words = docs
       .select(explode(split(TextOps.normalize(col(textCol)), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // the dict row count is the corpus VOCABULARY — a model-sized table,
     // not a data-sized one (the same adjudication as k-means centroids
     // and Dedup.connectedComponents' localThreshold union-find): when it
@@ -97,6 +105,7 @@ object Bpe {
     val vocab = words.count()
     if (vocab <= localThreshold && vocab > 0) {
       val w = words.collect().map(r => (r.getString(0), r.getLong(1)))
+      words.unpersist(false)
       return trainMergesLocal(w, numMerges, minCount)
     }
     val dictParts = partsFor(vocab)
@@ -104,6 +113,7 @@ object Bpe {
     var (dict, dictRdd) = pin(words
       .select(concat(split(col("w"), ""), array(lit(EndOfWord))).as("syms"),
         col("cnt")), dictParts)
+    words.unpersist(false) // dict is pinned; the census is no longer read
     // standing pair counts — built ONCE by full aggregation, then patched
     // with per-merge deltas
     var (pairs, pairsRdd) = pin(dict
@@ -269,35 +279,34 @@ object Bpe {
     * flattened BPE pieces of the normalized text. Scan-speed (per-row
     * expressions only), one scan, no shuffle.
     *
-    * Small tables (≤16 ranks) stay on the pure-Catalyst fold unrolling;
-    * larger tables — now trainable in the thousands — switch to the
-    * [[graft.functions.TextKernels.bpeSegmentCol]] single-pass kernel
-    * (min-rank greedy apply), because one nested `aggregate` HOF per rank
-    * stops being analyzable/compilable around a few dozen ranks. The spec
-    * suite pins both paths equal.
+    * Always the [[graft.functions.TextKernels.bpeSegmentCol]] single-pass
+    * kernel (min-rank greedy apply). The pure-Catalyst fold unrolling
+    * ([[segmentCol]], one nested `aggregate` HOF per rank) is kept as the
+    * reference implementation the kernel is spec-pinned against, but it
+    * no longer serves production tokenize at ANY table size: nested
+    * `aggregate` HOFs are interpreted (never whole-stage-codegen'd), so
+    * even an 8-rank table paid ~10× per row over the compiled kernel —
+    * r14 measured q_train_pipeline, whose plan tokenizes the corpus on
+    * both sides of the packing join, at 17 s quiet-box with the fold vs
+    * ~3 s with the kernel (guide §1.2 step 2 / §4.1: prefer compiled
+    * kernels over interpreted expression trees in the hot path).
     *
     * The two algorithms are equivalent only for WELL-FORMED tables — ones
     * where each merge's symbols are derivable from earlier ranks, which
     * is what [[trainMerges]] produces by construction. A hand-crafted
     * table whose later-rank product participates in an earlier-rank pair
     * (e.g. rank 1 = ("bc","d") with "bc" only produced by rank 2) can
-    * segment differently under min-rank apply vs rank-order replay, so
-    * the ≤16 size switch would then change results: pass trained tables
-    * only. */
+    * segment differently under min-rank apply vs rank-order replay: pass
+    * trained tables only (contract unchanged — the old ≤16 fold path had
+    * the same caveat in reverse). */
   def tokenize(
       docs: DataFrame,
       merges: Seq[(String, String)],
       textCol: String = "text",
       outCol: String = "bpe_pieces"): DataFrame =
-    if (merges.size <= 16)
-      docs.withColumn(outCol,
-        flatten(transform(
-          filter(split(TextOps.normalize(col(textCol)), " "), w => w =!= ""),
-          w => segmentCol(w, merges))))
-    else
-      docs.withColumn(outCol, graft.functions.TextKernels.bpeSegmentCol(
-        TextOps.normalize(col(textCol)),
-        merges.map(_._1), merges.map(_._2), EndOfWord))
+    docs.withColumn(outCol, graft.functions.TextKernels.bpeSegmentCol(
+      TextOps.normalize(col(textCol)),
+      merges.map(_._1), merges.map(_._2), EndOfWord))
 
   /** The learned merge table as a DataFrame (rank, left, right) — the
     * exportable artifact, and the Verify surface for the trainer. */
