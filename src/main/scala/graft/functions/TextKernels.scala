@@ -1284,4 +1284,239 @@ object TextKernels {
     }
     UTF8String.fromString(words.mkString(" "))
   }
+
+  // ------------------------------------------------- simhash / hashed counts
+
+  /** 64-bit SimHash of single-space-normalized text in ONE compiled pass —
+    * the kernel twin of the `TextOps.simHash` HOF reference (which folds a
+    * 64-element `zip_with` per token, interpreted: never whole-stage-
+    * codegen'd, O(words x 64) boxed array rebuilds). Token universe is
+    * `split(norm, " ")` with Java `split` limit -1 semantics (an empty
+    * normalized text contributes ONE empty token, exactly like the
+    * reference); per token the hash is Spark's `xxhash64` (seed 42) or the
+    * md5-derived 60-bit `portableHash60`, bit i contributes +1 when set
+    * else -1, and the signature sets bit i when its count is >= 0. The
+    * spec suite pins kernel == HOF on both hash paths. */
+  def simHash64Col(normText: Column, portable: Boolean): Column =
+    GraftColumnBridge.column(
+      StaticInvoke(
+        TextKernels.getClass, LongType, "simHash64",
+        Seq(GraftColumnBridge.expression(normText), Literal(portable)),
+        Seq(StringType, BooleanType),
+        returnNullable = false))
+
+  def simHash64(norm: UTF8String, portable: Boolean): Long = {
+    val bytes = norm.getBytes
+    val counts = new Array[Int](64)
+    val md =
+      if (portable) java.security.MessageDigest.getInstance("MD5") else null
+    var start = 0
+    var done = false
+    while (!done) {
+      var end = start
+      while (end < bytes.length && bytes(end) != ' ') end += 1
+      // token = bytes[start, end): hash exactly like the Column paths
+      val h =
+        if (portable) {
+          md.reset()
+          md.update(bytes, start, end - start)
+          val d = md.digest()
+          // first 15 hex chars = 60 bits (portableHash60 parity)
+          var v = 0L
+          var b = 0
+          while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+          (v << 4) | ((d(7) & 0xf0L) >>> 4)
+        } else XXH64.hashUnsafeBytes(bytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start,
+          end - start, 42L)
+      var i = 0
+      while (i < 64) {
+        counts(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1)
+        i += 1
+      }
+      if (end >= bytes.length) done = true else start = end + 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (counts(i) >= 0) sig |= (1L << i); i += 1 }
+    sig
+  }
+
+  /** Hashed n-gram count vector in ONE compiled pass — the kernel twin of
+    * the `TextOps.hashedNgramFeatures` HOF fold (which rebuilds a
+    * `dim`-element array per gram, interpreted: O(grams x dim)). Grams are
+    * [[ngrams]] of the normalized text (non-distinct, document order; fewer
+    * than n words -> all-zero vector); per gram the bucket is
+    * pmod(portableHash60, dim) or pmod(xxhash64 seed 42, dim). The spec
+    * suite pins kernel == HOF on both hash paths. */
+  def hashedCountsCol(normText: Column, dim: Int, n: Int,
+      portable: Boolean): Column =
+    GraftColumnBridge.column(
+      StaticInvoke(
+        TextKernels.getClass, ArrayType(IntegerType, containsNull = false),
+        "hashedCounts",
+        Seq(GraftColumnBridge.expression(normText), Literal(dim), Literal(n),
+          Literal(portable)),
+        Seq(StringType, IntegerType, IntegerType, BooleanType),
+        returnNullable = false))
+
+  def hashedCounts(norm: UTF8String, dim: Int, n: Int,
+      portable: Boolean): ArrayData = {
+    val counts = new Array[Int](dim)
+    val bytes = norm.getBytes
+    // word start offsets (byte positions; space is single-byte in UTF-8)
+    val starts = new java.util.ArrayList[Integer]()
+    starts.add(0)
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') starts.add(i + 1)
+      i += 1
+    }
+    val words = starts.size()
+    if (words >= n) {
+      val md =
+        if (portable) java.security.MessageDigest.getInstance("MD5") else null
+      var w = 0
+      while (w + n <= words) {
+        val from = starts.get(w)
+        val until = if (w + n == words) bytes.length else starts.get(w + n) - 1
+        val b =
+          if (portable) {
+            md.reset()
+            md.update(bytes, from, until - from)
+            val d = md.digest()
+            var v = 0L
+            var p = 0
+            while (p < 7) { v = (v << 8) | (d(p) & 0xffL); p += 1 }
+            v = (v << 4) | ((d(7) & 0xf0L) >>> 4)
+            (v % dim).toInt // 60-bit value is non-negative: % == pmod
+          } else {
+            val h = XXH64.hashUnsafeBytes(bytes,
+              org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from,
+              until - from, 42L)
+            val m = (h % dim).toInt
+            if (m < 0) m + dim else m // pmod semantics for signed xxhash64
+          }
+        counts(b) += 1
+        w += 1
+      }
+    }
+    new GenericArrayData(counts)
+  }
+
+  // ------------------------------------------------------------ DSIR kernels
+
+  /** Hashed uni+bigram bucket ids of single-space-normalized text in ONE
+    * compiled pass — the kernel twin of the DSIR featurizer's HOF form
+    * (`transform(filter(concat(ngrams(1), ngrams(2)), len>0), md5-bucket)`),
+    * which materializes two gram arrays, a concat, a filter and a
+    * UTF8String per gram before hashing. Order contract (pinned): all
+    * unigrams in document order, then all bigrams in document order —
+    * identical to the Column concat. Empty grams (empty normalized text)
+    * are skipped, like the reference's length filter. */
+  def dsirGramBucketsCol(normText: Column, buckets: Int,
+      portable: Boolean): Column =
+    GraftColumnBridge.column(
+      StaticInvoke(
+        TextKernels.getClass, ArrayType(IntegerType, containsNull = false),
+        "dsirGramBuckets",
+        Seq(GraftColumnBridge.expression(normText), Literal(buckets),
+          Literal(portable)),
+        Seq(StringType, IntegerType, BooleanType),
+        returnNullable = false))
+
+  private def dsirBucketsOf(bytes: Array[Byte], buckets: Int,
+      portable: Boolean): Array[Int] = {
+    // word start offsets (byte positions; space is single-byte in UTF-8)
+    val starts = new java.util.ArrayList[Integer]()
+    starts.add(0)
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') starts.add(i + 1)
+      i += 1
+    }
+    val words = starts.size()
+    val md =
+      if (portable) java.security.MessageDigest.getInstance("MD5") else null
+    def bucketOf(from: Int, until: Int): Int =
+      if (portable) {
+        md.reset()
+        md.update(bytes, from, until - from)
+        val d = md.digest()
+        var v = 0L
+        var p = 0
+        while (p < 7) { v = (v << 8) | (d(p) & 0xffL); p += 1 }
+        v = (v << 4) | ((d(7) & 0xf0L) >>> 4)
+        (v % buckets).toInt // 60-bit non-negative: % == pmod
+      } else {
+        val h = XXH64.hashUnsafeBytes(bytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from,
+          until - from, 42L)
+        val m = (h % buckets).toInt
+        if (m < 0) m + buckets else m
+      }
+    val uni = words
+    val bi = if (words >= 2) words - 1 else 0
+    val out = new java.util.ArrayList[Integer](uni + bi)
+    // unigrams in document order (skip empty grams, like the len>0 filter)
+    var w = 0
+    while (w < words) {
+      val from = starts.get(w)
+      val until = if (w + 1 == words) bytes.length else starts.get(w + 1) - 1
+      if (until > from) out.add(bucketOf(from, until))
+      w += 1
+    }
+    // then bigrams in document order
+    w = 0
+    while (w + 2 <= words) {
+      val from = starts.get(w)
+      val until = if (w + 2 == words) bytes.length else starts.get(w + 2) - 1
+      if (until > from) out.add(bucketOf(from, until))
+      w += 1
+    }
+    val arr = new Array[Int](out.size())
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
+    arr
+  }
+
+  def dsirGramBuckets(norm: UTF8String, buckets: Int,
+      portable: Boolean): ArrayData = {
+    val arr = dsirBucketsOf(norm.getBytes, buckets, portable)
+    val out = new Array[Any](arr.length)
+    var i = 0
+    while (i < arr.length) { out(i) = arr(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Fused DSIR scorer: (n_grams, Σ λ(bucket)) of one document in one
+    * compiled pass — the kernel twin of
+    * `aggregate(gramBuckets, 0.0, (acc, b) => acc + element_at(lam, b+1))`
+    * over [[dsirGramBucketsCol]]. The summation order is the gram order
+    * (unigrams then bigrams, document order), so the double result is
+    * bit-identical to the HOF fold. λ rides in as one plan literal. */
+  val dsirScoreType: StructType = StructType(Seq(
+    StructField("n_grams", IntegerType, nullable = false),
+    StructField("score", DoubleType, nullable = false)))
+
+  def dsirScoreCol(normText: Column, lam: Seq[Double], buckets: Int,
+      portable: Boolean): Column =
+    GraftColumnBridge.column(
+      StaticInvoke(
+        TextKernels.getClass, dsirScoreType, "dsirScore",
+        Seq(GraftColumnBridge.expression(normText),
+          Literal.create(lam, ArrayType(DoubleType, containsNull = false)),
+          Literal(buckets), Literal(portable)),
+        Seq(StringType, ArrayType(DoubleType, containsNull = false),
+          IntegerType, BooleanType),
+        returnNullable = false))
+
+  def dsirScore(norm: UTF8String, lam: ArrayData, buckets: Int,
+      portable: Boolean): InternalRow = {
+    val bs = dsirBucketsOf(norm.getBytes, buckets, portable)
+    var acc = 0.0
+    var i = 0
+    while (i < bs.length) { acc += lam.getDouble(bs(i)); i += 1 }
+    new GenericInternalRow(Array[Any](bs.length, acc))
+  }
 }

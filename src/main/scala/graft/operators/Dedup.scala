@@ -681,11 +681,11 @@ object Dedup {
       maxBucket: Int = 100000): DataFrame = {
     val chunks = maxDist + 1
     val bitsPer = 64 / chunks
-    val tokenHash: Column => Column =
-      if (portableHash) TextOps.portableHash60 else (t => xxhash64(t))
-    // signatures computed once and persisted; banded join stays slim
+    // signatures computed once and persisted; banded join stays slim.
+    // Compiled single-pass kernel (r14) — the HOF fold reference stays
+    // spec-pinned equal; see TextOps.simHashFast.
     val sigs = docs.select(col(idCol).as("id"),
-        TextOps.simHash(col(textCol), tokenHash).as("sig"))
+        TextOps.simHashFast(col(textCol), portableHash).as("sig"))
       .persist()
 
     val banded = sigs.select(col("id"),
@@ -715,10 +715,8 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       portableHash: Boolean = false): DataFrame = {
-    val tokenHash: Column => Column =
-      if (portableHash) TextOps.portableHash60 else (t => xxhash64(t))
     docs.select(col(idCol).as("doc_id"),
-      TextOps.simHash(col(textCol), tokenHash).as("sig"))
+      TextOps.simHashFast(col(textCol), portableHash).as("sig"))
   }
 
   /** SimHash near-dup pairs from STORED signatures — the pigeonhole

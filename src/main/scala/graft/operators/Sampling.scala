@@ -379,15 +379,13 @@ object Sampling {
     * frequency featurization, not a set sketch), each mapped to
     * `[0, buckets)` by the portable 60-bit md5 hash. Empty grams (blank
     * documents normalize to "") are dropped. */
-  private def gramBuckets(text: Column, buckets: Int): Column = {
-    val norm = TextOps.normalize(text)
-    val grams = filter(
-      concat(graft.functions.TextKernels.ngramsCol(norm, 1),
-        graft.functions.TextKernels.ngramsCol(norm, 2)),
-      g => length(g) > 0)
-    transform(grams,
-      g => pmod(TextOps.portableHash60(g), lit(buckets)).cast("int"))
-  }
+  private def gramBuckets(text: Column, buckets: Int): Column =
+    // ONE compiled pass (r14): the HOF form materialized two gram
+    // arrays + concat + filter + a UTF8String per gram before hashing;
+    // the kernel hashes word slices in place (spec-pinned equal,
+    // including the unigrams-then-bigrams order)
+    graft.functions.TextKernels.dsirGramBucketsCol(
+      TextOps.normalize(text), buckets, portable = true)
 
   /** Add-`alpha`-smoothed log-probability per hash bucket for one corpus:
     * ln((cntᵦ + α) / (total + α·B)). ONE bounded-key aggregation — at
@@ -432,14 +430,18 @@ object Sampling {
     require(alpha > 0, "alpha must be positive (unsmoothed ratios diverge)")
     val pT = bucketLogProbs(target, textCol, buckets, alpha)
     val pR = bucketLogProbs(raw, textCol, buckets, alpha)
-    val lam = typedLit(pT.indices.map(i => pT(i) - pR(i)))
+    val lam = pT.indices.map(i => pT(i) - pR(i))
+    // fused scoring kernel (r14): hash + lambda-sum in one compiled pass,
+    // no intermediate bucket array, no interpreted fold; summation order
+    // (gram order) is preserved, so doubles are bit-identical
+    val tmp = Iterator.iterate("__dsir")(_ + "_")
+      .dropWhile(raw.columns.contains).next()
     raw
-      .withColumn("__gb", gramBuckets(col(textCol), buckets))
-      .withColumn("n_grams", size(col("__gb")))
-      .withColumn(outCol,
-        aggregate(col("__gb"), lit(0.0),
-          (acc, b) => acc + element_at(lam, b + 1)))
-      .drop("__gb")
+      .withColumn(tmp, graft.functions.TextKernels.dsirScoreCol(
+        TextOps.normalize(col(textCol)), lam, buckets, portable = true))
+      .withColumn("n_grams", col(tmp).getField("n_grams"))
+      .withColumn(outCol, col(tmp).getField("score"))
+      .drop(tmp)
   }
 
   /** Weighted sampling WITHOUT replacement via the Gumbel top-k trick

@@ -506,6 +506,17 @@ object TextOps {
     * (Charikar's scheme; bit i set iff Σ ±1 over tokens ≥ 0.) */
   def simHash(text: Column): Column = simHash(text, t => xxhash64(t))
 
+  /** Compiled single-pass SimHash (r14): the HOF reference below folds an
+    * interpreted 64-element `zip_with` per token — never whole-stage-
+    * codegen'd, O(words × 64) boxed array rebuilds per document — while
+    * the [[graft.functions.TextKernels.simHash64Col]] kernel walks the
+    * normalized bytes once with primitive counters. Both token-hash
+    * choices ride through `portable` (md5-60-bit for oracle-replayable
+    * signatures, xxhash64 seed 42 for production). Spec-pinned equal to
+    * the HOF form on both paths. */
+  def simHashFast(text: Column, portable: Boolean): Column =
+    graft.functions.TextKernels.simHash64Col(normalize(text), portable)
+
   def simHash(text: Column, tokenHash: Column => Column): Column = {
     val hashes = transform(split(normalize(text), " "), t => tokenHash(t))
     val counts = aggregate(
@@ -1692,23 +1703,18 @@ object TextOps {
       portable: Boolean = true): Column = {
     require(dim >= 2 && dim <= 1024, "dim must be in [2, 1024]")
     require(n >= 1 && n <= 5, "n must be in [1, 5]")
-    // single-pass kernel (the slice-per-gram HOF form re-splits the text
-    // per gram — O(words²) once CollapseProject inlines the split)
-    val grams = graft.functions.TextKernels.ngramsCol(normalize(text), n)
     // portable=true buckets by md5 (ANSI-replayable, the oracle path);
     // false buckets by xxhash64 — ~10x cheaper per gram, same
     // fit/score-time consistency, for production fits that need no
-    // cross-engine replay
-    val bucketOf: Column => Column =
-      if (portable) g => pmod(portableHash60(g), lit(dim)).cast("int")
-      else g => pmod(xxhash64(g), lit(dim.toLong)).cast("int")
-    val buckets = transform(grams, bucketOf)
-    // count with ONE fold over the bucket array: per-bucket
-    // `size(filter(buckets, _ === b))` would re-evaluate the whole
-    // gram+md5 chain dim times (no CSE across nested lambdas — measured
-    // 60x slower); the fold touches it once and pays O(dim) per gram
-    aggregate(buckets, array_repeat(lit(0), lit(dim)),
-      (acc, b) => transform(acc, (v, i) => when(i === b, v + 1).otherwise(v)))
+    // cross-engine replay.
+    // ONE compiled pass (r14): the previous fold
+    // (`aggregate(buckets, zeros, (acc, b) => transform(acc, ...))`)
+    // rebuilt the dim-element accumulator per gram in the interpreted
+    // HOF evaluator — O(grams × dim) boxed work; the kernel hashes and
+    // counts with primitive arrays in one walk. Spec-pinned equal to
+    // the fold form on both hash paths.
+    graft.functions.TextKernels.hashedCountsCol(normalize(text), dim, n,
+      portable)
   }
 
   /** One row per sentence: (`idCol`, `sent_pos`, `sentence`). Sentences

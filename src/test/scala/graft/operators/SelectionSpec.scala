@@ -102,4 +102,41 @@ class SelectionSpec extends AnyFunSuite {
       col("doc_id"), col("doc_id")).head()
     (0 until 4).foreach(i => assert(bothEmpty.getLong(i) == 0L))
   }
+
+  test("DSIR kernels equal the HOF featurizer/fold reference bit-for-bit") {
+    import org.apache.spark.sql.Column
+    val docs = Tables.load(spark, "/root/testdata/sf0.001")("documents")
+    val edge = Seq((9001L, "", "en"), (9002L, "one", "en"),
+      (9003L, "one two three", "de")).toDF("doc_id", "text", "lang")
+    val all = docs.select("doc_id", "text", "lang").unionByName(edge)
+    val B = 64
+    def hofBuckets(text: Column): Column = {
+      val norm = TextOps.normalize(text)
+      val grams = filter(
+        concat(graft.functions.TextKernels.ngramsCol(norm, 1),
+          graft.functions.TextKernels.ngramsCol(norm, 2)),
+        g => length(g) > 0)
+      transform(grams,
+        g => pmod(TextOps.portableHash60(g), lit(B)).cast("int"))
+    }
+    // bucket arrays: kernel == HOF (order included)
+    val bk = all.select(
+      graft.functions.TextKernels.dsirGramBucketsCol(
+        TextOps.normalize(col("text")), B, portable = true).as("k"),
+      hofBuckets(col("text")).as("h"))
+    val badB = bk.filter(not(col("k") <=> col("h")))
+    assert(badB.isEmpty, badB.collect().take(3).mkString("\n"))
+    // fused scorer: kernel == HOF fold, doubles bit-identical
+    val lam = (0 until B).map(i => math.log((i + 1.0) / (B + i)))
+    val lamLit = typedLit(lam)
+    val sc = all.select(
+      graft.functions.TextKernels.dsirScoreCol(
+        TextOps.normalize(col("text")), lam, B, portable = true).as("k"),
+      struct(
+        size(hofBuckets(col("text"))).as("n_grams"),
+        aggregate(hofBuckets(col("text")), lit(0.0),
+          (acc, b) => acc + element_at(lamLit, b + 1)).as("score")).as("h"))
+    val badS = sc.filter(not(col("k") <=> col("h")))
+    assert(badS.isEmpty, badS.collect().take(3).mkString("\n"))
+  }
 }

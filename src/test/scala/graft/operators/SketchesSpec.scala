@@ -209,4 +209,46 @@ class SketchesSpec extends AnyFunSuite {
     assert(merged.exceptAll(whole).count() == 0 &&
       whole.exceptAll(merged).count() == 0)
   }
+
+  test("simHash kernel equals the HOF fold reference on both hash paths") {
+    // edge rows exercise the token-universe contract: empty text is ONE
+    // empty token, single word, multi-word, unicode
+    val edge = Seq((9001L, ""), (9002L, "word"), (9003L, "a b a b a"),
+      (9004L, "f\u00fcr \u4e2d\u6587 caf\u00e9")).toDF("doc_id", "text")
+    val all = docs.select(col("doc_id"), col("text")).unionByName(edge)
+    val both = all.select(
+      TextOps.simHashFast(col("text"), portable = false).as("k_xx"),
+      TextOps.simHash(col("text")).as("h_xx"),
+      TextOps.simHashFast(col("text"), portable = true).as("k_md5"),
+      TextOps.simHash(col("text"), TextOps.portableHash60).as("h_md5"))
+    val bad = both.filter(col("k_xx") =!= col("h_xx") ||
+      col("k_md5") =!= col("h_md5"))
+    assert(bad.isEmpty, bad.collect().mkString("\n"))
+  }
+
+  test("hashedCounts kernel equals the HOF fold reference on both hash paths") {
+    import org.apache.spark.sql.Column
+    def foldRef(text: Column, dim: Int, n: Int, portable: Boolean): Column = {
+      val grams = graft.functions.TextKernels.ngramsCol(
+        TextOps.normalize(text), n)
+      val bucketOf: Column => Column =
+        if (portable) g => pmod(TextOps.portableHash60(g), lit(dim)).cast("int")
+        else g => pmod(xxhash64(g), lit(dim.toLong)).cast("int")
+      val buckets = transform(grams, bucketOf)
+      aggregate(buckets, array_repeat(lit(0), lit(dim)),
+        (acc, b) => transform(acc, (v, i) => when(i === b, v + 1).otherwise(v)))
+    }
+    val edge = Seq((9001L, ""), (9002L, "one"), (9003L, "one two"),
+      (9004L, "x y z x y")).toDF("doc_id", "text")
+    val all = docs.select(col("doc_id"), col("text")).unionByName(edge)
+    for (n <- Seq(1, 2); portable <- Seq(true, false)) {
+      val got = all.select(
+        TextOps.hashedNgramFeatures(col("text"), dim = 16, n = n,
+          portable = portable).as("k"),
+        foldRef(col("text"), 16, n, portable).as("h"))
+      val bad = got.filter(not(col("k") <=> col("h")))
+      assert(bad.isEmpty, s"n=$n portable=$portable: " +
+        bad.collect().take(3).mkString("\n"))
+    }
+  }
 }
