@@ -137,7 +137,10 @@ object Profile {
       accuracy: Int = 10000): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), "ps in [0,1]")
     val arr = array(ps.map(lit): _*)
-    val agg = (if (exact) percentile(column, arr)
+    // exact mode: the primitive-buffer [[ExactQuantiles]] aggregator
+    // (identical interpolation to the builtin — see its scaladoc)
+    val exactQ = udaf(new ExactQuantiles(ps.toArray))
+    val agg = (if (exact) exactQ(column.cast("double"))
                else percentile_approx(column, arr, lit(accuracy))).as("__q")
     val g =
       if (by.isEmpty) df.agg(agg)
@@ -190,6 +193,84 @@ object Profile {
       edges: Seq[Array[Double]],
       refCounts: Seq[Array[Long]])
 
+  /** Growable primitive buffer for [[ExactQuantiles]] — every non-null
+    * value of the column lands here (the same worst-case footprint as
+    * Spark's builtin `percentile`, whose OpenHashMap holds every DISTINCT
+    * value with a count; on near-unique doubles the two are the same
+    * size, but this one never boxes, never hashes and sorts primitives
+    * once at eval). */
+  private[graft] final class QuantBuf extends Serializable {
+    var a: Array[Double] = new Array[Double](64)
+    var n: Int = 0
+    def add(x: Double): Unit = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, n << 1)
+      a(n) = x; n += 1
+    }
+  }
+
+  /** Exact interpolated percentiles as a typed aggregator — a drop-in
+    * replacement for Spark's `percentile(col, array(fracs))` on DOUBLE
+    * input, reproducing its result exactly (same selection and
+    * interpolation arithmetic `(hi - pos)·v_lo + (pos - lo)·v_hi` over
+    * the ascending-sorted multiset, null inputs skipped, null on an
+    * empty/all-null column; pinned against the builtin in DriftSpec).
+    * Why: the builtin is an ImperativeAggregate over an
+    * OpenHashMap[boxed Double, Long] — per-row boxing + hash probes, a
+    * map-entry merge per distinct value, and a boxed sort at eval. On
+    * near-unique columns (prices, measurements) the map degenerates to
+    * one entry per row and the hashing buys nothing. This buffer appends
+    * to a primitive array (map-side partials merge by arraycopy) and
+    * sorts once with `Arrays.sort(double[])`. Exactness still requires
+    * the full multiset per group — the 100 TB path stays
+    * `percentile_approx` (the `exact=false` default everywhere). */
+  private[graft] final class ExactQuantiles(fracs: Array[Double])
+      extends org.apache.spark.sql.expressions.Aggregator[
+        java.lang.Double, QuantBuf, Seq[Double]] {
+    def zero: QuantBuf = new QuantBuf
+    def reduce(b: QuantBuf, x: java.lang.Double): QuantBuf = {
+      if (x != null) b.add(x.doubleValue())
+      b
+    }
+    def merge(a: QuantBuf, b: QuantBuf): QuantBuf = {
+      if (a.n + b.n > a.a.length)
+        a.a = java.util.Arrays.copyOf(a.a, math.max(a.n + b.n, a.a.length << 1))
+      System.arraycopy(b.a, 0, a.a, a.n, b.n)
+      a.n += b.n
+      a
+    }
+    def finish(b: QuantBuf): Seq[Double] = {
+      if (b.n == 0) return null
+      java.util.Arrays.sort(b.a, 0, b.n)
+      fracs.toSeq.map { p =>
+        val pos = p * (b.n - 1)
+        val lo = math.floor(pos).toInt
+        val hi = math.ceil(pos).toInt
+        if (hi == lo) b.a(lo)
+        else (hi - pos) * b.a(lo) + (pos - lo) * b.a(hi)
+      }
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[QuantBuf] =
+      org.apache.spark.sql.Encoders.kryo[QuantBuf]
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** One `df.agg` column per requested column: exact mode is the typed
+    * [[ExactQuantiles]] aggregator, approx the builtin sketch. */
+  private def quantileAggs(
+      cols: Seq[String], fracs: Seq[Double], exact: Boolean,
+      accuracy: Int): Seq[Column] =
+    if (exact) {
+      val agg = udaf(new ExactQuantiles(fracs.toArray))
+      cols.zipWithIndex.map { case (c, i) =>
+        agg(col(c).cast("double")).as(s"__q$i") }
+    } else {
+      val arr = array(fracs.map(lit): _*)
+      cols.zipWithIndex.map { case (c, i) =>
+        percentile_approx(col(c).cast("double"), arr, lit(accuracy))
+          .as(s"__q$i") }
+    }
+
   private def bucketOf(c: String, e: Array[Double]): Column =
     when(col(c).isNotNull,
       e.foldLeft(lit(0)) { (acc, b) =>
@@ -221,12 +302,7 @@ object Profile {
     require(buckets >= 2 && buckets <= 1000, "need 2 <= buckets <= 1000")
     require(alpha > 0, "alpha must be positive (unsmoothed PSI diverges)")
     val fracs = (1 until buckets).map(_.toDouble / buckets)
-    val arr = array(fracs.map(lit): _*)
-    val qAggs = cols.zipWithIndex.map { case (c, i) =>
-      (if (exact) percentile(col(c).cast("double"), arr)
-       else percentile_approx(col(c).cast("double"), arr, lit(accuracy)))
-        .as(s"__q$i")
-    }
+    val qAggs = quantileAggs(cols, fracs, exact, accuracy)
     val qRow = ref.agg(qAggs.head, qAggs.tail: _*).head()
     val edges: Seq[Array[Double]] = cols.indices.map { i =>
       val e = qRow.getSeq[Double](i)
@@ -298,12 +374,7 @@ object Profile {
       accuracy: Int = 10000): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
     require(lo >= 0 && hi <= 1 && lo < hi, "need 0 <= lo < hi <= 1")
-    val arr = array(lit(lo), lit(hi))
-    val qAggs = cols.zipWithIndex.map { case (c, i) =>
-      (if (exact) percentile(col(c).cast("double"), arr)
-       else percentile_approx(col(c).cast("double"), arr, lit(accuracy)))
-        .as(s"__q$i")
-    }
+    val qAggs = quantileAggs(cols, Seq(lo, hi), exact, accuracy)
     val qRow = df.agg(qAggs.head, qAggs.tail: _*).head()
     cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
       val q = qRow.getSeq[Double](i)

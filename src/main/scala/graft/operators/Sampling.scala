@@ -320,8 +320,11 @@ object Sampling {
       "probs must be quantiles strictly inside (0, 1)")
     require(probs == probs.sorted, "probs must be ascending")
     val parr = array(probs.map(lit): _*)
-    val thrAgg =
-      if (exact) percentile(score, parr)
+    // exact mode: Profile.ExactQuantiles — same interpolation as the
+    // builtin `percentile`, primitive buffers (see its scaladoc)
+    val exactQ = udaf(new Profile.ExactQuantiles(probs.toArray))
+    val thrAgg: Column =
+      if (exact) exactQ(score.cast("double"))
       else percentile_approx(score, parr, lit(accuracy))
     val thr = df.agg(thrAgg.cast("array<double>").as("__thr"))
     df.crossJoin(broadcast(thr))

@@ -1401,12 +1401,16 @@ object TextOps {
     * selection and decontamination search ("find training docs that look
     * like this benchmark prompt") where embedding ANN is overkill.
     *
-    * Plan at scale: the corpus side is ONE explode scan + one shuffle
-    * keyed on (doc, token) for term frequencies; the query side (tiny) is
-    * broadcast TWICE — once to restrict postings to query terms, once to
-    * attach per-term document frequencies (computed exactly, but only for
-    * query terms, so the df table stays broadcastable no matter the
-    * vocabulary size). Scoring is then one shuffle keyed on (query, doc)
+    * Plan at scale: the query token set (tiny) broadcasts onto the corpus
+    * explode scan and drops non-query tokens BEFORE anything shuffles, so
+    * the (doc, token) term-frequency exchange carries only query-term
+    * postings — never the whole tokenized corpus (per-(doc, token) tf is
+    * unaffected by dropping other tokens, so the early filter is exact).
+    * Per-term document frequencies aggregate over the same query-bounded
+    * postings subtree (map-side partial count per token — skew-free even
+    * on stopword queries) and broadcast back, exactly computed but
+    * query-bounded, so the df table stays broadcastable no matter the
+    * vocabulary size. Scoring is then one shuffle keyed on (query, doc)
     * and a per-query top-k window over |queries|·topK-bounded output.
     * N and avgdl ride along as a broadcast 1-row aggregate, never a
     * driver-side collect.
@@ -1434,18 +1438,27 @@ object TextOps {
       w.as("__w"))
     val corpus = base.agg(count(lit(1)).cast("double").as("__n"),
       avg(col("__dl")).as("__avgdl"))
-    val postings = base
-      .select(col("__id"), col("__dl"), explode(col("__w")).as("token"))
-      .filter(length(col("token")) > 0)
-      .groupBy(col("__id"), col("__dl"), col("token"))
-      .agg(count(lit(1)).as("__tf"))
     val qterms = queries.select(col(queryIdCol).as("__qid"),
         explode(split(normalize(col(queryTextCol)), " ")).as("token"))
       .filter(length(col("token")) > 0)
       .distinct()
-    // exact per-term df, computed only for query terms (always small)
-    val dfq = postings
+    // query-term semi-filter BELOW the tf aggregation: per-(doc, token)
+    // tf is unaffected by dropping OTHER tokens, so the broadcast join at
+    // the explode drops non-query tokens before anything shuffles — the
+    // (doc, token) exchange carries only query-term postings instead of
+    // the whole tokenized corpus (r14 optimization, guide §3.2; the old
+    // shape shuffled every token and applied this same join after the agg)
+    val postings = base
+      .select(col("__id"), col("__dl"), explode(col("__w")).as("token"))
+      .filter(length(col("token")) > 0)
       .join(broadcast(qterms.select(col("token")).distinct()), Seq("token"))
+      .groupBy(col("__id"), col("__dl"), col("token"))
+      .agg(count(lit(1)).as("__tf"))
+    // exact per-term df over the SAME query-bounded postings subtree —
+    // map-side partial count per token (hot tokens collapse per partition
+    // before the exchange; a window-over-token here would skew instead),
+    // and the shared postings exchange is stage-reused at runtime
+    val dfq = postings
       .groupBy(col("token"))
       .agg(count(lit(1)).as("__df"))
     val tfNorm = col("__tf") * (k1 + 1) /

@@ -218,4 +218,43 @@ class DriftSpec extends AnyFunSuite {
     cd.select(col("v").cast("double")).as[Double].collect()
       .foreach(v => assert(v >= dlo && v <= dhi, s"$v outside [$dlo, $dhi]"))
   }
+
+  test("ExactQuantiles == builtin percentile bit-for-bit (global, grouped, edges)") {
+    // the r14 optimization replaced the exact-mode builtin `percentile`
+    // (OpenHashMap ImperativeAggregate) with the primitive-buffer typed
+    // aggregator in psiFit/clipOutliers/quantilesBy/scoreBuckets; this
+    // pins the replacement to the builtin's exact double arithmetic
+    val fracs = Array(0.0, 0.05, 1.0 / 3, 0.5, 0.9, 0.95, 1.0)
+    val agg = udaf(new Profile.ExactQuantiles(fracs))
+    val arr = array(fracs.map(lit).toIndexedSeq: _*)
+
+    // real data with heavy duplicates + near-unique doubles
+    for (c <- Seq("l_quantity", "l_extendedprice", "l_discount")) {
+      val Seq(mine, ref) = li.agg(
+        agg(col(c).cast("double")),
+        percentile(col(c).cast("double"), arr)
+      ).head().toSeq.map(_.asInstanceOf[scala.collection.Seq[Double]])
+      assert(mine == ref, s"$c: $mine != $ref")
+    }
+
+    // grouped: per-group buffers, including a single-row group
+    val g = li.groupBy(col("l_returnflag"))
+      .agg(agg(col("l_quantity").cast("double")).as("m"),
+        percentile(col("l_quantity").cast("double"), arr).as("r"))
+      .collect()
+    assert(g.nonEmpty)
+    g.foreach(r => assert(r.getSeq[Double](1) == r.getSeq[Double](2), r))
+
+    // edge rows: negatives, -0.0/0.0, nulls interleaved, single value
+    val edge = Seq[java.lang.Double](-5.0, -0.0, 0.0, null, 7.25, 7.25, null, 1e-300)
+      .toDF("v")
+    val Seq(em, er) = edge.agg(agg(col("v")), percentile(col("v"), arr))
+      .head().toSeq.map(_.asInstanceOf[scala.collection.Seq[Double]])
+    assert(em == er, s"$em != $er")
+
+    // all-null column → null, matching the builtin (callers branch on it)
+    val allNull = Seq[java.lang.Double](null, null).toDF("v")
+    val rn = allNull.agg(agg(col("v")), percentile(col("v"), arr)).head()
+    assert(rn.isNullAt(0) && rn.isNullAt(1), rn)
+  }
 }
