@@ -226,6 +226,19 @@ object Bench {
     val warmDrawsView = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val latency = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // r14 protocol close-out of the one unprotected section: the latency
+    // block runs FIRST on a fresh JVM, BEFORE the warm-up pass that
+    // doubles as the box probe — the r14 baseline artifact published a
+    // degraded first-minute draw (335/211/847/1193 ms) unflagged. Each
+    // shape now runs SPARK_GRAFT_LATENCY_MINOF (default 2) full feed
+    // replays; the published figure is the MIN of the per-draw
+    // steady-state medians (box contention is one-sided noise — same
+    // aggregation the headline and smokes use), every draw is published
+    // in `latency_draws` (draw 0 is the old fresh-JVM single-draw metric,
+    // so prior-round comparability is preserved), and `latency_degraded`
+    // flags a published min still > 2x its pinned quiet reference.
+    val latencyDrawsMap = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    var latencyDegraded = false
     val annRecall = scala.collection.mutable.LinkedHashMap[String, Double]()
     val scaleSmoke = scala.collection.mutable.LinkedHashMap[String, Double]()
     // every raw smoke draw, in measurement order — the aggregate in
@@ -262,6 +275,7 @@ object Bench {
         s""""warmup_sec":${"%.1f".format(warmupSec)},""" +
         s""""heap_gb":${"%.1f".format(heapGb)},""" +
         s""""headline_degraded":$headlineDegraded,""" +
+        s""""latency_degraded":$latencyDegraded,""" +
         s""""fidelity_shed":[${fidelityShed.map(s => s""""$s"""").mkString(",")}]}"""
     val heavyKeys: Set[String] =
       heavyStages.flatMap {
@@ -307,7 +321,14 @@ object Bench {
       "shuffle to the window FAN-OUT (TextOps.fanoutParts); curate " +
       "runs a 1M/10M pair (r9 measured 578s for curate@20M alone). " +
       "r14: headline per-query = min(warm-up draw 0, timed draw(s)) with " +
-      "warm draws published (headline_warm_draws); calibration block " +
+      "warm draws published (headline_warm_draws); latency section (the " +
+      "one block that runs before any box probe can see a degraded " +
+      "draw - the r14 baseline artifact published an unflagged degraded " +
+      "first minute) now runs min-of-N full feed replays per shape " +
+      "(SPARK_GRAFT_LATENCY_MINOF, default 2; per-draw steady medians " +
+      "in latency_draws, draw 0 = the old single-draw metric; repeats " +
+      "shed past 300s of section time) and flags latency_degraded when " +
+      "a published min is still >2x its pinned quiet ref; calibration block " +
       "carries heap_gb + headline_degraded; default heap right-sized to " +
       "the host's probed fast-RAM window (build.sbt, cached 15 min, " +
       "SPARK_DRIVER_MEM overrides) and heap < 24 GB self-downsizes the " +
@@ -340,6 +361,7 @@ object Bench {
         s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec",""" +
           s""""queries":${jmap(results, "%.4f")},""" +
           s""""micro_batch_latency_ms_5k_rows":${jmap(latency, "%.1f")},""" +
+          s""""latency_draws":${jdraws(latencyDrawsMap)},""" +
           s""""ann_recall":${jmap(annRecall, "%.3f")},"scale_smoke":${jmap(scaleSmoke, "%.4f")},""" +
           s""""scale_smoke_draws":${jdraws(smokeDraws)},""" +
           s""""headline_warm_draws":${jmap(warmDrawsView, "%.4f")},""" +
@@ -397,15 +419,28 @@ object Bench {
           ("SELECT user_id, value, lag(value) OVER (PARTITION BY user_id) AS prev " +
             "FROM stream " +
             "WITH (TIMESTAMP='ts', TIMEUNIT='ms', TIEBREAK='event_id', STATEOP='tws')"))
+      // pinned quiet-box per-shape references (the r14 end-of-round
+      // full-fidelity run, corroborated by r13's 142/130/444/847 for the
+      // first three) — only used to set the latency_degraded disclosure
+      // flag, never to scale or shed anything
+      val latencyQuietRef = Map(
+        "rule_filter" -> 144.0, "rule_transform" -> 119.0,
+        "rule_analytic" -> 322.0, "rule_analytic_tws" -> 406.0)
+      val latencyMinOf =
+        sys.env.getOrElse("SPARK_GRAFT_LATENCY_MINOF", "2").toInt.max(1)
+      // repeat-draw shed: the whole latency section historically cost
+      // ~1-2 quiet minutes; if the box is so contended that the measured
+      // draws alone have consumed 300 s, further draws spend budget the
+      // headline needs — shed them (recorded in fidelity_shed) instead
+      // of silently starving the sections that follow
+      val latencyT0 = System.nanoTime()
+      def latencySectionSec: Double = (System.nanoTime() - latencyT0) / 1e9
       latencyShapes.foreach { case (name, sql) =>
         if (name.endsWith("_tws"))
           spark.conf.set("spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         else
           spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        val mem = MemoryStream[(Long, Long, String, Double, Long)]
-        val src = mem.toDF()
-          .toDF("event_id", "user_id", "event_type", "value", "ts")
         // the feed carries epoch-ms longs, so any WITH options must gain
         // TIMEUNIT='ms'; fail loudly if the rule-shape string drifted and
         // the rewrite no-ops (a silent no-op corrupts the latency numbers)
@@ -414,24 +449,46 @@ object Bench {
           sql.replace(optStr, "WITH (TIMESTAMP='ts', TIMEUNIT='ms', TIEBREAK='event_id')")
         require(!sql.contains("WITH (") || rewritten != sql || sql.contains("TIMEUNIT"),
           s"rule shape '$name' has WITH options but not the expected '$optStr'")
-        val out = GraftEngine.sql(rewritten, Map("stream" -> src))
-        val q = out.writeStream.format("noop").outputMode("append").start()
-        feed.grouped(5000).foreach { chunk =>
-          mem.addData(chunk.toIndexedSeq: _*)
-          q.processAllAvailable()
+        // one draw = one full feed replay through a fresh stream; the
+        // per-draw figure is the steady-state median — running heap-fresh
+        // means the FIRST batches pay JIT + codegen compilation, so each
+        // draw reports the median over the LAST quarter of its batches
+        // (chronological), the figure that extrapolates to a long-running
+        // deployment. A/B (3 fresh-JVM runs): analytic 315-343 ms here vs
+        // 996 ms when measured after the 20M smoke stages in r7 — the r7
+        // number was heap pressure, not code.
+        def oneDraw(): Option[Double] = {
+          val mem = MemoryStream[(Long, Long, String, Double, Long)]
+          val src = mem.toDF()
+            .toDF("event_id", "user_id", "event_type", "value", "ts")
+          val out = GraftEngine.sql(rewritten, Map("stream" -> src))
+          val q = out.writeStream.format("noop").outputMode("append").start()
+          feed.grouped(5000).foreach { chunk =>
+            mem.addData(chunk.toIndexedSeq: _*)
+            q.processAllAvailable()
+          }
+          val all = q.recentProgress.toList
+            .filter(_.numInputRows > 0).map(_.batchDuration.toDouble)
+          val steady = all.drop(all.size * 3 / 4).sorted
+          q.stop()
+          if (steady.nonEmpty) Some(steady(steady.size / 2)) else None
         }
-        // running heap-fresh means the FIRST batches pay JIT + codegen
-        // compilation; report steady state — median over the LAST quarter
-        // of the 40 batches (chronological), the figure that extrapolates
-        // to a long-running deployment. A/B (3 fresh-JVM runs): analytic
-        // 315-343 ms here vs 996 ms when measured after the 20M smoke
-        // stages in r7 — the r7 number was heap pressure, not code.
-        val all = q.recentProgress.toList
-          .filter(_.numInputRows > 0).map(_.batchDuration.toDouble)
-        val steady = all.drop(all.size * 3 / 4).sorted
-        q.stop()
-        if (steady.nonEmpty)
-          latency(name) = steady(steady.size / 2) // median ms per 5k-row batch
+        val draws = scala.collection.mutable.ListBuffer[Double]()
+        var d = 0
+        while (d < latencyMinOf &&
+            (d == 0 || latencySectionSec < 300.0 || {
+              fidelityShed += s"latency_repeat_${name}"; false
+            })) {
+          oneDraw().foreach(draws += _)
+          d += 1
+        }
+        if (draws.nonEmpty) {
+          latencyDrawsMap(name) = draws.toList
+          latency(name) = draws.min // box contention is one-sided noise
+        }
+      }
+      latencyDegraded = latency.exists { case (n, v) =>
+        latencyQuietRef.get(n).exists(ref => v > 2.0 * ref)
       }
     } catch { case _: Throwable => ()
     } finally {
@@ -446,7 +503,8 @@ object Bench {
       val lat0 = latency.map { case (k, v) => s""""$k":${"%.1f".format(v)}""" }
         .mkString("{", ",", "}")
       headlinePrinted = true
-      println(s"""{"metric":"latency_only","micro_batch_latency_ms_5k_rows":$lat0}""")
+      println(s"""{"metric":"latency_only","micro_batch_latency_ms_5k_rows":$lat0,""" +
+        s""""latency_draws":${jdraws(latencyDrawsMap)},"latency_degraded":$latencyDegraded}""")
       spark.stop()
       return
     }

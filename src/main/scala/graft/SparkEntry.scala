@@ -3041,12 +3041,17 @@ object SparkEntry {
       (s, dir) => {
         import org.apache.spark.sql.functions._
         val d = Tables.load(s, dir)("documents")
+        // `words` doubles as the assignment side's token count: the
+        // census pass needs only size(token_ids), and size(transform(X))
+        // == size(X), so it counts the word array WITHOUT the per-word
+        // md5 hashing (the expensive half of the tokenizer expression)
+        val words =
+          filter(split(operators.TextOps.normalize(col("text")), " "), w => w =!= "")
         val ids = d.select(col("doc_id"),
-          transform(
-            filter(split(operators.TextOps.normalize(col("text")), " "), w => w =!= ""),
+          transform(words,
             w => (pmod(operators.TextOps.portableHash60(w), lit(97)) + 1).cast("int"))
-            .as("token_ids"))
-        operators.Packing.emitPackedIds(ids, budget = 128, buckets = 8)
+            .as("token_ids"), col("text"))
+        operators.Packing.emitPackedIds(ids, budget = 128, buckets = 8, tokens = Some(size(words)))
           .select(col("seq_id"), col("n_docs"), col("n_tokens"),
             posexplode(col("token_ids")).as(Seq("pos", "token_id")))
       },
@@ -3084,13 +3089,18 @@ object SparkEntry {
       (s, dir) => {
         import org.apache.spark.sql.functions._
         val d = Tables.load(s, dir)("documents")
+        // `words` doubles as the assignment side's token count: the
+        // census pass needs only size(token_ids), and size(transform(X))
+        // == size(X), so it counts the word array WITHOUT the per-word
+        // md5 hashing (the expensive half of the tokenizer expression)
+        val words =
+          filter(split(operators.TextOps.normalize(col("text")), " "), w => w =!= "")
         val ids = d.select(col("doc_id"),
-          transform(
-            filter(split(operators.TextOps.normalize(col("text")), " "), w => w =!= ""),
+          transform(words,
             w => (pmod(operators.TextOps.portableHash60(w), lit(97)) + 1).cast("int"))
-            .as("token_ids"))
+            .as("token_ids"), col("text"))
         operators.Packing.packStats(
-          operators.Packing.emitPackedIds(ids, budget = 128, buckets = 8),
+          operators.Packing.emitPackedIds(ids, budget = 128, buckets = 8, tokens = Some(size(words))),
           budget = 128)
       },
       Some("""
@@ -3130,12 +3140,17 @@ object SparkEntry {
       (s, dir) => {
         import org.apache.spark.sql.functions._
         val d = Tables.load(s, dir)("documents")
+        // `words` doubles as the assignment side's token count: the
+        // census pass needs only size(token_ids), and size(transform(X))
+        // == size(X), so it counts the word array WITHOUT the per-word
+        // md5 hashing (the expensive half of the tokenizer expression)
+        val words =
+          filter(split(operators.TextOps.normalize(col("text")), " "), w => w =!= "")
         val ids = d.select(col("doc_id"),
-          transform(
-            filter(split(operators.TextOps.normalize(col("text")), " "), w => w =!= ""),
+          transform(words,
             w => (pmod(operators.TextOps.portableHash60(w), lit(97)) + 1).cast("int"))
-            .as("token_ids"))
-        operators.Packing.emitPackedIds(ids, budget = 128, buckets = 8)
+            .as("token_ids"), col("text"))
+        operators.Packing.emitPackedIds(ids, budget = 128, buckets = 8, tokens = Some(size(words)))
           .select(col("seq_id"),
             posexplode(arrays_zip(col("doc_lens"), col("doc_starts"))))
           .select(col("seq_id"), col("pos").cast("int").as("di"),
@@ -3174,12 +3189,17 @@ object SparkEntry {
       (s, dir) => {
         import org.apache.spark.sql.functions._
         val d = Tables.load(s, dir)("documents")
+        // `words` doubles as the assignment side's token count: the
+        // census pass needs only size(token_ids), and size(transform(X))
+        // == size(X), so it counts the word array WITHOUT the per-word
+        // md5 hashing (the expensive half of the tokenizer expression)
+        val words =
+          filter(split(operators.TextOps.normalize(col("text")), " "), w => w =!= "")
         val ids = d.select(col("doc_id"),
-          transform(
-            filter(split(operators.TextOps.normalize(col("text")), " "), w => w =!= ""),
+          transform(words,
             w => (pmod(operators.TextOps.portableHash60(w), lit(97)) + 1).cast("int"))
-            .as("token_ids"))
-        operators.Packing.emitPackedChunks(ids, budget = 128, buckets = 8)
+            .as("token_ids"), col("text"))
+        operators.Packing.emitPackedChunks(ids, budget = 128, buckets = 8, tokens = Some(size(words)))
           .select(col("seq_id"), col("n_docs"), col("n_tokens"),
             posexplode(col("token_ids")).as(Seq("pos", "token_id")))
       },
@@ -3219,12 +3239,17 @@ object SparkEntry {
       (s, dir) => {
         import org.apache.spark.sql.functions._
         val d = Tables.load(s, dir)("documents")
+        // `words` doubles as the assignment side's token count: the
+        // census pass needs only size(token_ids), and size(transform(X))
+        // == size(X), so it counts the word array WITHOUT the per-word
+        // md5 hashing (the expensive half of the tokenizer expression)
+        val words =
+          filter(split(operators.TextOps.normalize(col("text")), " "), w => w =!= "")
         val ids = d.select(col("doc_id"),
-          transform(
-            filter(split(operators.TextOps.normalize(col("text")), " "), w => w =!= ""),
+          transform(words,
             w => (pmod(operators.TextOps.portableHash60(w), lit(97)) + 1).cast("int"))
-            .as("token_ids"))
-        operators.Packing.emitPackedChunks(ids, budget = 128, buckets = 8)
+            .as("token_ids"), col("text"))
+        operators.Packing.emitPackedChunks(ids, budget = 128, buckets = 8, tokens = Some(size(words)))
           .select(col("seq_id"),
             posexplode(arrays_zip(col("doc_lens"), col("doc_starts"))))
           .select(col("seq_id"), col("pos").cast("int").as("di"),
@@ -3279,8 +3304,20 @@ object SparkEntry {
           require(merges == expect, s"fixture drift: trained merges $merges " +
             s"!= oracle-pinned $expect — re-derive q_train_pipeline's oracle")
         val v = operators.Bpe.vocab(docs, merges)
+        // localCheckpoint: emitPackedIds consumes its input twice (the
+        // slim packing census + the payload join), and token_ids here is
+        // an UNMATERIALIZED BPE-kernel expression — without materializing
+        // it the corpus is tokenized twice per run (the r14 before-plan's
+        // nodes (2)/(6) each carried the bpeSegment StaticInvoke). The
+        // BPE piece count cannot be derived cheaper than the segmentation
+        // itself (unlike the q_pack_* word-hash ids, which pass a
+        // pre-transform `tokens` override instead), so this is the §8
+        // "fingerprint once, reuse" materialization: tokenize exactly
+        // once, both consumers read the checkpointed blocks. Same
+        // lineage-cut precedent as q_crawl_rank's per-round checkpoint.
         val ids = operators.Bpe.tokenizeIds(docs, merges, v)
           .select(col("doc_id"), col("token_ids"))
+          .localCheckpoint()
         val packed = operators.Packing.emitPackedIds(ids, budget = 256, buckets = 8)
         operators.Packing.shardForTraining(packed, shards = 4, idCol = "seq_id")
           .select(col("seq_id"), col("shard"), col("shard_pos"),

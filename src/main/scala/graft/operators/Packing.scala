@@ -178,6 +178,15 @@ object Packing {
     * token count (so boundaries are also recoverable from either alone).
     *
     * @param idsCol array<int> column of BPE token ids ([[graft.operators.Bpe.tokenizeIds]])
+    * @param tokens optional exact token-count column used by the SLIM
+    *   assignment side instead of `size(idsCol)`. It MUST equal
+    *   `size(idsCol)` row-for-row (the assignment replays against it).
+    *   Point: when `idsCol` is an expensive UNMATERIALIZED expression
+    *   (per-word hashing, BPE segmentation), the census pass otherwise
+    *   re-evaluates the whole tokenizer just to take `size(...)` — a
+    *   caller that can produce the count without the per-token work
+    *   (e.g. `size` of the pre-transform word array, since `transform`
+    *   is length-preserving) halves the corpus-scan cost.
     * @return (seq_id, n_docs, n_tokens, doc_lens, doc_starts, token_ids) */
   def emitPackedIds(
       docs: DataFrame,
@@ -185,10 +194,11 @@ object Packing {
       idsCol: String = "token_ids",
       idCol: String = "doc_id",
       buckets: Int = 4096,
-      padId: Int = 0): DataFrame = {
+      padId: Int = 0,
+      tokens: Option[Column] = None): DataFrame = {
     val ids = docs.select(col(idCol), col(idsCol))
-    val assigned = packGreedy(ids, budget, idCol = idCol, buckets = buckets,
-        tokens = Some(size(col(idsCol)).cast("long")))
+    val assigned = packGreedy(docs, budget, idCol = idCol, buckets = buckets,
+        tokens = Some(tokens.getOrElse(size(col(idsCol))).cast("long")))
       .select(col(idCol), col("seq_id"))
     // volume-sized id shuffle for the one payload-carrying join (only
     // forced when sizing past the session setting — see packSequences);
@@ -242,6 +252,11 @@ object Packing {
     * ~(1 + tokens/budget per doc) duplication bounded by the chunk count.
     *
     * @param idsCol array<int> column of BPE token ids
+    * @param tokens optional exact token-count column for the SLIM
+    *   assignment side — same contract and rationale as
+    *   [[emitPackedIds]]: must equal `size(idsCol)` row-for-row; spares
+    *   the offset-census pass from re-evaluating an expensive
+    *   unmaterialized `idsCol` expression.
     * @return (seq_id, n_docs, n_tokens, doc_lens, doc_starts, token_ids) */
   def emitPackedChunks(
       docs: DataFrame,
@@ -249,7 +264,8 @@ object Packing {
       idsCol: String = "token_ids",
       idCol: String = "doc_id",
       buckets: Int = 4096,
-      padId: Int = 0): DataFrame = {
+      padId: Int = 0,
+      tokens: Option[Column] = None): DataFrame = {
     require(budget > 0, "token budget must be positive")
     require(buckets > 0 && buckets <= (1 << 23), "buckets must fit the 2^40 seq_id split")
     val ids = docs.select(col(idCol), col(idsCol))
@@ -259,8 +275,8 @@ object Packing {
     val b = budget.toLong
     // slim offset assignment, then per-doc fan-out into the sequences the
     // doc's token span touches — all on (id, n, start) rows only
-    val segs = ids
-      .select(col(idCol), size(col(idsCol)).cast("long").as("__n"),
+    val segs = docs
+      .select(col(idCol), tokens.getOrElse(size(col(idsCol))).cast("long").as("__n"),
         bucket.as("pack_bucket"))
       .withColumn("__start",
         coalesce(sum(col("__n")).over(

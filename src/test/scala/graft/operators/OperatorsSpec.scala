@@ -2897,6 +2897,42 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("emitPackedIds/emitPackedChunks: tokens override replays the default layout") {
+    // optimization contract (r14): a caller whose idsCol is an expensive
+    // unmaterialized expression may hand the SLIM assignment side a
+    // cheaper exact count (size of the pre-transform word array — equal
+    // because transform is length-preserving). The artifact must be
+    // bit-identical to the default size(idsCol) path: assignment,
+    // member order, boundaries, padding. Edge rows: empty text,
+    // whitespace-only, tab/newline padding (where a trim-based count
+    // would diverge — the override must NOT be tokenCount).
+    val docs = Seq(
+      (1L, "aa bb cc"), (2L, "dd ee"),
+      (3L, "ff gg hh ii jj kk ll mm nn"), // over budget
+      (4L, "oo"), (5L, ""), (6L, "   "), (7L, "\tpp  qq\n")
+    ).toDF("doc_id", "text")
+    val words = filter(split(TextOps.normalize(col("text")), " "), w => w =!= "")
+    val ids = docs.select(col("doc_id"),
+      transform(words,
+        w => (pmod(TextOps.portableHash60(w), lit(97)) + 1).cast("int"))
+        .as("token_ids"), col("text"))
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(r => (0 until r.length).map(r.get(_).toString).mkString("|"))
+        .sorted.toSeq
+    for (buckets <- Seq(1, 4)) {
+      assert(
+        canon(Packing.emitPackedIds(ids, budget = 8, buckets = buckets,
+          tokens = Some(size(words)))) ==
+        canon(Packing.emitPackedIds(ids, budget = 8, buckets = buckets)),
+        s"emitPackedIds override diverged at buckets=$buckets")
+      assert(
+        canon(Packing.emitPackedChunks(ids, budget = 8, buckets = buckets,
+          tokens = Some(size(words)))) ==
+        canon(Packing.emitPackedChunks(ids, budget = 8, buckets = buckets)),
+        s"emitPackedChunks override diverged at buckets=$buckets")
+    }
+  }
+
   test("corpusDiff labels added/removed/changed and omits unchanged") {
     val prev = Seq(
       (1L, "same text"), (2L, "old text"), (3L, "gone")).toDF("doc_id", "text")
