@@ -168,6 +168,11 @@ object Bench {
     // SPARK_GRAFT_LATENCY_ONLY=1: run ONLY the micro-batch latency section
     // (local A/B iteration on latency itself — fresh-JVM numbers)
     val latencyOnly = sys.env.getOrElse("SPARK_GRAFT_LATENCY_ONLY", "0") == "1"
+    // parsed HERE, outside the latency section's catch-all: a malformed
+    // env value must fail the run loudly, not silently skip the whole
+    // latency section (r14 advice)
+    val latencyMinOf =
+      sys.env.getOrElse("SPARK_GRAFT_LATENCY_MINOF", "2").toInt.max(1)
 
     // the three baseline rule shapes (BASELINE.md)
     val ruleShapes0: List[(String, String)] = List(
@@ -256,7 +261,7 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_RULE_REPLICATE", if (benchOnly.isDefined) "1" else "20").toInt
     val smokePasses =
       sys.env.getOrElse("SPARK_GRAFT_SMOKE_PASSES", "2").toInt.max(1)
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full_r14.json")
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full_r15.json")
 
     def jmap(m: scala.collection.Map[String, Double], fmt: String): String =
       m.map { case (k, v) => s""""$k":${fmt.format(v)}""" }.mkString("{", ",", "}")
@@ -326,9 +331,12 @@ object Bench {
       "draw - the r14 baseline artifact published an unflagged degraded " +
       "first minute) now runs min-of-N full feed replays per shape " +
       "(SPARK_GRAFT_LATENCY_MINOF, default 2; per-draw steady medians " +
-      "in latency_draws, draw 0 = the old single-draw metric; repeats " +
+      "in latency_draws, draw 0 = the old single-draw metric, no-steady " +
+      "draws padded as -1; repeats " +
       "shed past 300s of section time) and flags latency_degraded when " +
-      "a published min is still >2x its pinned quiet ref; calibration block " +
+      "a published min is still >2x its pinned quiet ref (refs are " +
+      "BOX-PINNED milliseconds: on another host the flag is a host " +
+      "disclosure, not a regression signal); calibration block " +
       "carries heap_gb + headline_degraded; default heap right-sized to " +
       "the host's probed fast-RAM window (build.sbt, cached 15 min, " +
       "SPARK_DRIVER_MEM overrides) and heap < 24 GB self-downsizes the " +
@@ -422,12 +430,13 @@ object Bench {
       // pinned quiet-box per-shape references (the r14 end-of-round
       // full-fidelity run, corroborated by r13's 142/130/444/847 for the
       // first three) — only used to set the latency_degraded disclosure
-      // flag, never to scale or shed anything
+      // flag, never to scale or shed anything. BOX-PINNED absolute
+      // milliseconds: on a different host the flag fires permanently and
+      // is then a host-difference disclosure, not a regression signal
+      // (noted in the artifact notes string).
       val latencyQuietRef = Map(
         "rule_filter" -> 144.0, "rule_transform" -> 119.0,
         "rule_analytic" -> 322.0, "rule_analytic_tws" -> 406.0)
-      val latencyMinOf =
-        sys.env.getOrElse("SPARK_GRAFT_LATENCY_MINOF", "2").toInt.max(1)
       // repeat-draw shed: the whole latency section historically cost
       // ~1-2 quiet minutes; if the box is so contended that the measured
       // draws alone have consumed 300 s, further draws spend budget the
@@ -479,18 +488,25 @@ object Bench {
             (d == 0 || latencySectionSec < 300.0 || {
               fidelityShed += s"latency_repeat_${name}"; false
             })) {
-          oneDraw().foreach(draws += _)
+          // a draw with no steady batches records as -1 (placeholder, not
+          // dropped) so draw INDEX 0 always maps to the legacy single-draw
+          // metric in latency_draws (r14 advice)
+          draws += oneDraw().getOrElse(-1.0)
           d += 1
         }
-        if (draws.nonEmpty) {
-          latencyDrawsMap(name) = draws.toList
-          latency(name) = draws.min // box contention is one-sided noise
-        }
+        val okDraws = draws.filter(_ >= 0)
+        if (draws.nonEmpty) latencyDrawsMap(name) = draws.toList
+        if (okDraws.nonEmpty)
+          latency(name) = okDraws.min // box contention is one-sided noise
       }
       latencyDegraded = latency.exists { case (n, v) =>
         latencyQuietRef.get(n).exists(ref => v > 2.0 * ref)
       }
-    } catch { case _: Throwable => ()
+    } catch { case t: Throwable =>
+      // keep the bench alive (the sections after this one are the gate),
+      // but SURFACE the failure — a silently skipped latency section
+      // looks identical to a healthy one in the artifact (r14 advice)
+      System.err.println(s"[bench] latency section failed: $t")
     } finally {
       // restore batch-stage settings — r7 leaked partitions=8 + RocksDB
       // provider from here into everything that followed

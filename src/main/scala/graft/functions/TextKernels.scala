@@ -232,6 +232,169 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  // -------------------------------------------------- span-hash kernels
+
+  /** Fused n-word window hashing for the dup-span family (r15): one
+    * xxhash64 (seed 42, Spark's own entry point) per window, computed
+    * DIRECTLY over the normalized string's byte slice — no per-gram
+    * substring/UTF8String materialization and no cryptographic md5,
+    * which together dominated the dup-span scan stage (the pre-r15 shape
+    * paid `explode(shingles/ngrams)` + a 60-bit md5 per gram). The hash
+    * is INTERNAL to these operators — the DuckDB oracles group the raw
+    * gram strings, so any collision-resistant hash yields identical
+    * results; 64 bits strictly lowers the collision odds of the previous
+    * 60-bit scheme.
+    *
+    * `spanHashesDistinct` mirrors [[shingles]] semantics (per-doc
+    * DISTINCT windows; whole text when shorter than n words; empty grams
+    * skipped — the `length > 0` filter the detect path applied).
+    * `spanHashes` mirrors [[ngrams]] semantics (every window, document
+    * order — array index = window position; fewer than n words → empty).
+    */
+  def spanHashesDistinctCol(normText: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      StaticInvoke(
+        TextKernels.getClass, ArrayType(LongType, containsNull = false),
+        "spanHashesDistinct",
+        Seq(GraftColumnBridge.expression(normText), Literal(n)),
+        Seq(StringType, IntegerType),
+        returnNullable = false))
+
+  def spanHashesCol(normText: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      StaticInvoke(
+        TextKernels.getClass, ArrayType(LongType, containsNull = false),
+        "spanHashes",
+        Seq(GraftColumnBridge.expression(normText), Literal(n)),
+        Seq(StringType, IntegerType),
+        returnNullable = false))
+
+  private def wordStarts(bytes: Array[Byte]): java.util.ArrayList[Integer] = {
+    val starts = new java.util.ArrayList[Integer]()
+    starts.add(0)
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') starts.add(i + 1)
+      i += 1
+    }
+    starts
+  }
+
+  private def sliceHash(bytes: Array[Byte], from: Int, until: Int): Long =
+    XXH64.hashUnsafeBytes(bytes,
+      org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from,
+      until - from, 42L)
+
+  def spanHashesDistinct(norm: UTF8String, n: Int): ArrayData = {
+    val bytes = norm.getBytes
+    val starts = wordStarts(bytes)
+    val words = starts.size()
+    if (words < n) {
+      // whole text as the single window (shingles semantics), skipped
+      // when empty (the detect path's length > 0 filter)
+      return if (bytes.length == 0) new GenericArrayData(Array.emptyLongArray)
+      else new GenericArrayData(Array(sliceHash(bytes, 0, bytes.length)))
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var w = 0
+    while (w + n <= words) {
+      val from = starts.get(w)
+      val until = if (w + n == words) bytes.length else starts.get(w + n) - 1
+      if (until > from) seen.add(sliceHash(bytes, from, until))
+      w += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator(); var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  def spanHashes(norm: UTF8String, n: Int): ArrayData = {
+    val bytes = norm.getBytes
+    val starts = wordStarts(bytes)
+    val words = starts.size()
+    if (words < n) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](words - n + 1)
+    var w = 0
+    while (w + n <= words) {
+      val from = starts.get(w)
+      val until = if (w + n == words) bytes.length else starts.get(w + n) - 1
+      out(w) = sliceHash(bytes, from, until)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  // ------------------------------------------------- span-removal rebuild
+
+  val removeSpansType: StructType = StructType(Seq(
+    StructField("clean_text", StringType, nullable = false),
+    StructField("n_words", LongType, nullable = true),
+    StructField("n_removed", LongType, nullable = true)))
+
+  /** Compiled rebuild for [[graft.operators.TextOps.removeDupSpans]]:
+    * given the normalized text and the (unsorted, possibly overlapping)
+    * removal start positions, delete every word covered by [s, s+n) and
+    * splice the survivors with single spaces — ONE coverage sweep,
+    * O(words + k·log k), replacing the interpreted
+    * `filter(words, exists(starts, ...))` HOF pair that evaluated an
+    * interpreted lambda per (word × start) and dominated the rebuild
+    * stage. Null-text rows reproduce the Column formulation exactly
+    * (clean_text = '' via concat_ws null-skipping, null counts), hence
+    * propagateNull = false and in-kernel null handling. */
+  def removeSpansCol(normText: Column, starts: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      StaticInvoke(
+        TextKernels.getClass, removeSpansType,
+        "removeSpans",
+        Seq(GraftColumnBridge.expression(normText),
+          GraftColumnBridge.expression(starts), Literal(n)),
+        Seq(StringType, ArrayType(IntegerType), IntegerType),
+        propagateNull = false,
+        returnNullable = false))
+
+  def removeSpans(norm: UTF8String, startsArr: ArrayData, n: Int): InternalRow =
+    if (norm == null) {
+      // split(null) → null words: concat_ws gives '', sizes give null
+      new GenericInternalRow(Array[Any](UTF8String.EMPTY_UTF8, null, null))
+    } else {
+      val bytes = norm.getBytes
+      val wStarts = wordStarts(bytes)
+      val words = wStarts.size()
+      val k = if (startsArr == null) 0 else startsArr.numElements()
+      val ss = new Array[Int](k)
+      var i = 0
+      while (i < k) { ss(i) = startsArr.getInt(i); i += 1 }
+      java.util.Arrays.sort(ss)
+      // coverage sweep: a word w is removed iff some start s has
+      // s <= w < s + n
+      val sb = new java.lang.StringBuilder(bytes.length)
+      var kept = 0L
+      var si = 0
+      var coveredUntil = -1 // exclusive word index
+      var w = 0
+      while (w < words) {
+        while (si < k && ss(si) <= w) {
+          val end = ss(si) + n
+          if (end > coveredUntil) coveredUntil = end
+          si += 1
+        }
+        if (w >= coveredUntil) {
+          val from = wStarts.get(w)
+          val until =
+            if (w + 1 == words) bytes.length else wStarts.get(w + 1) - 1
+          if (kept > 0) sb.append(' ')
+          sb.append(new String(bytes, from, until - from,
+            java.nio.charset.StandardCharsets.UTF_8))
+          kept += 1
+        }
+        w += 1
+      }
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString(sb.toString),
+        words.toLong, words.toLong - kept))
+    }
+
   // ----------------------------------------------------- winnowing (MOSS)
 
   /** Winnowed k-gram fingerprints (Schleimer/Wilkerson/Aiken winnowing):

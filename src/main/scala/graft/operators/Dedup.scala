@@ -544,6 +544,19 @@ object Dedup {
       return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), schema)
     }
+    // LongType ids (every in-repo caller) take the co-partitioned RDD
+    // loop (r15): one shuffle per round instead of three — see
+    // [[connectedComponentsRddLong]]. Null endpoints (pathological) and
+    // non-integral id types keep the generic DataFrame loop below.
+    if (pairs.schema(aCol).dataType ==
+          org.apache.spark.sql.types.LongType &&
+        pairs.schema(bCol).dataType ==
+          org.apache.spark.sql.types.LongType &&
+        e0.filter(col("src").isNull || col("dst").isNull).isEmpty) {
+      val out = connectedComponentsRddLong(e0, maxIter, nEdges)
+      e0.unpersist(false)
+      return out
+    }
     // Each round references the previous labels TWICE (propagation join +
     // union), so a persist()-based loop — which caches data but keeps the
     // full logical plan — doubles the plan tree per round: 2^k copies of
@@ -586,6 +599,87 @@ object Dedup {
       iter += 1
     }
     labels.withColumnRenamed("id", "doc_id")
+  }
+
+  /** The long-id distributed CC loop (r15, guide §2.4 "remove shuffles
+    * outright"): min-label propagation over an RDD whose edge set and
+    * label set share ONE HashPartitioner, so each round's propagation
+    * join and convergence merge are narrow (zero-shuffle) and only the
+    * propagated (dst, comp) messages are exchanged — one shuffle per
+    * round where the DataFrame loop paid three (edges re-exchange +
+    * labels re-exchange for the join, plus the union/groupBy exchange;
+    * localCheckpoint erases partitioning info from Catalyst, so those
+    * could never be elided at the SQL layer). Lineage grows linearly
+    * (RDD, no Catalyst plan doubling); each round's labels are persisted
+    * and the previous round's blocks released.
+    *
+    * Semantics are EXACTLY the DataFrame loop's: per round every node
+    * takes the min of its own label and its neighbors' labels; converged
+    * when no label changed; labels start as the node's own id; output
+    * (doc_id, comp) for every node that occurs in a pair.
+    *
+    * Partition count is scale-adaptive: directed-edge count / ~2M rows
+    * per partition (≈32 MB of (long,long) entries), floored at the
+    * session shuffle setting, capped at 4096 — the same sizing contract
+    * as [[graft.operators.TextOps.fanoutParts]]. */
+  private def connectedComponentsRddLong(
+      e0: DataFrame,
+      maxIter: Int,
+      nEdges: Long): DataFrame = {
+    val spark = e0.sparkSession
+    val session = spark.sessionState.conf.numShufflePartitions
+    val nParts = math.max(session.toLong,
+      math.min(4096L, (2 * nEdges) / 2000000L)).toInt
+    val part = new org.apache.spark.HashPartitioner(nParts)
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = e0.rdd
+      .flatMap { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        Iterator((a, b), (b, a))
+      }
+      .partitionBy(part)
+      .persist(level)
+    // initial labels (id -> id) co-partitioned with the edges; the
+    // per-partition HashSet dedup replaces a distinct() shuffle (edges
+    // are already clustered by src)
+    var labels = edges
+      .mapPartitions(it => {
+        val seen = new java.util.HashSet[java.lang.Long]()
+        it.flatMap { case (k, _) =>
+          if (seen.add(k)) Iterator((k, k)) else Iterator.empty
+        }
+      }, preservesPartitioning = true)
+      .persist(level)
+    var persisted: org.apache.spark.rdd.RDD[_] = labels
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // narrow join (co-partitioned) → the round's ONE shuffle: the
+      // propagated messages, min-combined map-side by reduceByKey
+      val propMin = edges.join(labels, part)
+        .map { case (_, (dst, comp)) => (dst, comp) }
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      val next = labels
+        .leftOuterJoin(propMin, part) // narrow: both sides on `part`
+        .mapValues { case (old, pm) =>
+          val m = pm.fold(old)(math.min(old, _)); (m, m < old)
+        }
+        .persist(level)
+      converged = next.filter(_._2._2).count() == 0 // also materializes
+      persisted.unpersist(false) // previous round's blocks, now unread
+      persisted = next
+      labels = next.mapValues(_._1)
+      iter += 1
+    }
+    // the final labels are persisted (via `persisted`); the edge blocks
+    // are no longer read — recomputation of a lost label block falls back
+    // to the (recomputable) lineage, so releasing them early is safe
+    edges.unpersist(false)
+    import spark.implicits._
+    labels.toDF("doc_id", "comp")
+    // remaining label blocks are reaped by the caller-side
+    // materializeAndRelease pattern (keepCanonical/keepBest) or the
+    // ContextCleaner once the result is consumed
   }
 
   /** Near-dup cluster audit: the size histogram of the connected

@@ -187,6 +187,13 @@ object Packing {
     *   caller that can produce the count without the per-token work
     *   (e.g. `size` of the pre-transform word array, since `transform`
     *   is length-preserving) halves the corpus-scan cost.
+    *   VIOLATION SIGNATURE: the contract is enforced only by the caller
+    *   — a divergent override corrupts the layout silently (assignment
+    *   packs against the override while `n_tokens`/`doc_lens` derive
+    *   from the actual ids), so sequences can exceed `budget` or waste
+    *   it. Diagnose with the audit query
+    *   `df.select(sum(tokens), sum(size(col(idsCol)))).first` — the two
+    *   sums must be equal.
     * @return (seq_id, n_docs, n_tokens, doc_lens, doc_starts, token_ids) */
   def emitPackedIds(
       docs: DataFrame,
@@ -202,8 +209,12 @@ object Packing {
       .select(col(idCol), col("seq_id"))
     // volume-sized id shuffle for the one payload-carrying join (only
     // forced when sizing past the session setting — see packSequences);
-    // the assignment side stays the slim (id, seq_id) build side
-    val parts = TextOps.volumeParts(docs)
+    // the assignment side stays the slim (id, seq_id) build side.
+    // Sized from the projected payload frame (`ids`), not the full input:
+    // caller frames may carry columns (raw text) that never ride the
+    // join, and an inflated estimate forces an explicit repartition past
+    // the session setting, which disables AQE's downward coalescing
+    val parts = TextOps.volumeParts(ids)
     val sessionParts = docs.sparkSession.sessionState.conf.numShufflePartitions
     val (lhs, rhs) =
       if (parts > sessionParts)
@@ -254,9 +265,10 @@ object Packing {
     * @param idsCol array<int> column of BPE token ids
     * @param tokens optional exact token-count column for the SLIM
     *   assignment side — same contract and rationale as
-    *   [[emitPackedIds]]: must equal `size(idsCol)` row-for-row; spares
-    *   the offset-census pass from re-evaluating an expensive
-    *   unmaterialized `idsCol` expression.
+    *   [[emitPackedIds]]: must equal `size(idsCol)` row-for-row (same
+    *   violation signature and `sum(tokens)` audit query); spares the
+    *   offset-census pass from re-evaluating an expensive unmaterialized
+    *   `idsCol` expression.
     * @return (seq_id, n_docs, n_tokens, doc_lens, doc_starts, token_ids) */
   def emitPackedChunks(
       docs: DataFrame,
@@ -291,7 +303,9 @@ object Packing {
         greatest(lit(0L), col("__k") * b - col("__start")).cast("int").as("__from"),
         least(col("__n"), (col("__k") + 1) * b - col("__start")).cast("int").as("__to"),
         greatest(lit(0L), col("__start") - col("__k") * b).cast("int").as("__at"))
-    val parts = TextOps.volumeParts(docs)
+    // sized from the projected payload frame — same rationale as
+    // emitPackedIds (caller frames may carry never-joined columns)
+    val parts = TextOps.volumeParts(ids)
     val sessionParts = docs.sparkSession.sessionState.conf.numShufflePartitions
     val (lhs, rhs) =
       if (parts > sessionParts)

@@ -1177,13 +1177,15 @@ object TextOps {
     * near-dup): a doc that embeds one boilerplate paragraph inside unique
     * text scores low on Jaccard but high here.
     *
-    * Plan at scale: one scan exploding distinct windows (the shingle
-    * kernel, no HOF lambdas), windows travel as 60-bit hashes — the
-    * shuffle carries (id, hash) pairs only, never 50-token strings — ONE
-    * shuffle keyed on the hash for the sharing count (window frame, no
-    * join), one shuffle keyed on the doc id for the rollup. 60-bit
-    * hashing makes a false shared-window ~2⁻⁶⁰ per pair — noise next to
-    * the decision thresholds this feeds (e.g. drop at dup_frac > 0.5).
+    * Plan at scale: one scan hashing distinct windows in place (the
+    * fused spanHashes kernel — one xxhash64 per window over the
+    * normalized bytes, no per-gram strings, r15), so the shuffle carries
+    * (id, 64-bit hash) pairs only, never 50-token strings — ONE shuffle
+    * keyed on the hash for the sharing count, one (small-volume) rollup.
+    * Hashing makes a false shared-window ~2⁻⁶⁴ per pair — noise next to
+    * the decision thresholds this feeds (e.g. drop at dup_frac > 0.5);
+    * the hash never leaves the operator (the oracle groups raw gram
+    * strings, so collision-freedom is part of the correctness check).
     *
     * @param n window length in words (Lee et al. use 50; small corpora
     *          want less)
@@ -1197,11 +1199,37 @@ object TextOps {
       parts: Int = 0): DataFrame = {
     require(n >= 1, "n must be positive")
     require(parts >= 0, "parts must be non-negative (0 = size to input volume)")
+    // r15 shape decision, MEASURED (SpanShapeTune @ 2M synth docs,
+    // interleaved min-of-2): the hash-aggregation alternative
+    // ([[dupSpansAgg]] — count per hash + shuffled-hash join instead of
+    // the window sort) loses 9.8 s vs 17.2 s because column pruning
+    // splits its two hash exchanges (no reuse → the gram kernel and the
+    // fan-out shuffle both run twice) while the window's per-partition
+    // sort is bounded by the fan-out sizing and is NOT the bottleneck.
+    // The window formulation stays at every scale; the agg shape is kept
+    // (parity-pinned in OperatorsSpec) as the measured-and-rejected
+    // reference.
+    val windowParts =
+      if (parts > 0) parts else fanoutParts(docs, textCol)
+    dupSpansWindow(docs, n, textCol, idCol, windowParts)
+  }
+
+  /** The pre-r15 window formulation of [[dupSpans]] — the small-volume
+    * plan (2 shuffles: hash window + per-doc rollup, no join) and the
+    * spec-pinned reference the aggregation shape must reproduce. */
+  private[graft] def dupSpansWindow(
+      docs: DataFrame,
+      n: Int,
+      textCol: String,
+      idCol: String,
+      windowParts: Int): DataFrame = {
+    // window hashes come fused from the scan (one xxhash64 per window
+    // over the normalized bytes, r15): no per-gram substring
+    // materialization, no md5 — the hash is internal, the oracles group
+    // raw gram strings (see TextKernels.spanHashesDistinctCol)
     val grams = docs.select(col(idCol).as("__id"),
-        explode(graft.functions.TextKernels.shinglesCol(
-          normalize(col(textCol)), n)).as("__gram"))
-      .filter(length(col("__gram")) > 0)
-      .select(col("__id"), portableHash60(col("__gram")).as("__h"))
+        explode(graft.functions.TextKernels.spanHashesDistinctCol(
+          normalize(col(textCol)), n)).as("__h"))
     // shingles are distinct per doc, so the per-hash row count IS the
     // number of documents sharing the window
     val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
@@ -1221,8 +1249,6 @@ object TextOps {
     // explicit numPartitions also disables AQE's downward coalescing, so
     // forcing it at small scale costs task-launch overhead for nothing
     // (r9 bench: q_dup_spans 1.6× slower at sf0.1 with a forced 32)
-    val windowParts =
-      if (parts > 0) parts else fanoutParts(docs, textCol)
     val sized =
       if (windowParts > docs.sparkSession.sessionState.conf.numShufflePartitions)
         grams.repartition(windowParts, col("__h"))
@@ -1233,6 +1259,52 @@ object TextOps {
         sum(when(col("__docs") > 1, 1L).otherwise(0L)).as("dup_spans"))
       .select(col("__id").as(idCol), col("spans"), col("dup_spans"),
         round(col("dup_spans") / col("spans"), 6).as("dup_frac"))
+  }
+
+  /** The at-scale formulation of [[dupSpans]] (r15, guide §2.3/§2.4):
+    * same output, different plan. The window plan pays (a) an external
+    * SORT of the whole (id, hash) fan-out inside every shuffle partition
+    * (windows require sorted clusters) and (b) a SECOND full-width
+    * exchange for the per-doc rollup (after hash-partitioning by hash,
+    * a doc's grams are scattered, so the map-side partial aggregation
+    * reduces nothing). Here instead:
+    *
+    *   - `spans` never shuffles at all: shingles are distinct per doc,
+    *     so the per-doc window count is a PER-ROW expression
+    *     (`size` of the non-empty shingles) computed at the scan;
+    *   - ONE fan-out-sized exchange of the slim (id, hash) rows feeds a
+    *     hash aggregation (`count` per hash — no sort) AND, via exchange
+    *     reuse, the probe side of a shuffled-hash join against the
+    *     (filtered, duplicated-only) counts — so only gram rows that ARE
+    *     duplicated reach the per-doc rollup exchange, typically a small
+    *     fraction of the corpus;
+    *   - the final per-doc attach joins doc-cardinality rows only.
+    *
+    * Exactness: the inner join keeps exactly the grams with count > 1 —
+    * the rows the window plan counted via `when(__docs > 1, 1)`. */
+  private[graft] def dupSpansAgg(
+      docs: DataFrame,
+      n: Int,
+      textCol: String,
+      idCol: String,
+      windowParts: Int): DataFrame = {
+    val shArr = graft.functions.TextKernels.spanHashesDistinctCol(
+      normalize(col(textCol)), n)
+    val grams = docs.select(col(idCol).as("__id"), explode(shArr).as("__h"))
+    val sized = grams.repartition(windowParts, col("__h"))
+    val dupHashes = sized.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") > 1)
+    val dupPerDoc = sized.join(dupHashes.hint("shuffle_hash"), Seq("__h"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("__dup"))
+    val spans = docs.select(col(idCol).as("__id"),
+        size(shArr).cast("long").as("spans"))
+      .filter(col("spans") > 0)
+    spans.join(dupPerDoc, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("spans"),
+        coalesce(col("__dup"), lit(0L)).as("dup_spans"),
+        round(coalesce(col("__dup"), lit(0L)) / col("spans"), 6).as("dup_frac"))
   }
 
   /** Cross-document duplicated-span REMOVAL — the acting half of
@@ -1247,14 +1319,16 @@ object TextOps {
     * empty out entirely (boilerplate mirrors) — `n_removed = n_words` finds
     * those for dropping.
     *
-    * Plan at scale: positional windows leave the scan as (id, pos, 60-bit
-    * hash) rows — the payload never rides the corpus-global shuffle. ONE
-    * volume-sized hash-keyed shuffle computes each window's occurrence
-    * count and first occurrence (window frame, no join, same sizing lever
-    * as [[dupSpans]]), removal positions roll up per doc (id shuffle), and
-    * one id-keyed join attaches them back to the text for a per-row array
-    * rebuild (O(words · removed spans), scan-stage). Three shuffles total,
-    * all key-growing.
+    * Plan at scale: positional windows leave the scan as (id, pos, 64-bit
+    * xxhash64) rows — one fused kernel, no per-gram strings, and the
+    * payload never rides the corpus-global shuffle. ONE volume-sized
+    * hash-keyed shuffle computes each window's occurrence count and first
+    * occurrence (same sizing lever as [[dupSpans]]), removal positions
+    * roll up per doc (id shuffle), and one id-keyed SHUFFLED-HASH join
+    * attaches them back to the text (the payload is never sorted) for a
+    * compiled coverage-sweep rebuild (O(words + removals·log removals),
+    * scan-stage). Three shuffles total, all key-growing. The hash never
+    * leaves the operator — the oracle replays raw gram strings.
     *
     * @return (idCol, clean_text, n_words, n_removed) — counts in words of
     *         the single-space-normalized text */
@@ -1266,16 +1340,46 @@ object TextOps {
       parts: Int = 0): DataFrame = {
     require(n >= 1, "n must be positive")
     require(parts >= 0, "parts must be non-negative (0 = size to input volume)")
+    // r15 shape decision, MEASURED (SpanShapeTune @ 2M synth docs,
+    // interleaved min-of-2): the hash-aggregation alternative
+    // ([[removeDupSpansAgg]] — decimal-packed first-occurrence election
+    // in a HashAggregate + shuffled-hash joins, zero sorts) only TIES the
+    // window shape (12.4 vs 12.6 s) because pruning-split exchanges run
+    // the gram kernel twice; the window formulation stays (simpler plan,
+    // same speed). The agg shape is kept parity-pinned as the reference.
+    val windowParts =
+      if (parts > 0) parts else fanoutParts(docs, textCol)
+    removeDupSpansWindow(docs, n, textCol, idCol, windowParts)
+  }
+
+  /** (id asc, pos asc)-isomorphic packing of one occurrence into a single
+    * decimal(38,0): `id · 2³² + pos`. Monotone because pos ∈ [0, 2³¹):
+    * for id₁ < id₂, id₁·2³² + pos₁ < (id₁+1)·2³² ≤ id₂·2³² + pos₂ —
+    * negative ids included (decimal arithmetic is exact; precision ≤ 31
+    * digits, no overflow). The point: the lexicographic first-occurrence
+    * election becomes `min` over a decimal — a mutable UnsafeRow buffer
+    * type, so the aggregation stays in HashAggregateExec — where
+    * `min(struct(id, pos))` forces the object-hash path, whose sort-based
+    * fallback would reintroduce the very sort this shape removes. */
+  private def packedOcc(id: Column, pos: Column): Column =
+    id.cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+      lit(4294967296L) + pos
+
+  /** The pre-r15 window formulation of [[removeDupSpans]] — small-volume
+    * plan and spec-pinned reference for [[removeDupSpansAgg]]. */
+  private[graft] def removeDupSpansWindow(
+      docs: DataFrame,
+      n: Int,
+      textCol: String,
+      idCol: String,
+      windowParts: Int): DataFrame = {
+    // fused window hashing at the scan — see dupSpansWindow (r15)
     val occ = docs.select(col(idCol).as("__id"),
-        posexplode(graft.functions.TextKernels.ngramsCol(
-          normalize(col(textCol)), n)).as(Seq("__p", "__gram")))
-      .select(col("__id"), col("__p"),
-        portableHash60(col("__gram")).as("__h"))
+        posexplode(graft.functions.TextKernels.spanHashesCol(
+          normalize(col(textCol)), n)).as(Seq("__p", "__h")))
     val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
     // same corpus-global shuffle shape (and fan-out sizing rationale) as
     // dupSpans: ~wordCount× the input row count rides this window
-    val windowParts =
-      if (parts > 0) parts else fanoutParts(docs, textCol)
     val sized =
       if (windowParts > docs.sparkSession.sessionState.conf.numShufflePartitions)
         occ.repartition(windowParts, col("__h"))
@@ -1289,22 +1393,75 @@ object TextOps {
       .groupBy(col("__id"))
       .agg(collect_list(col("__p")).as("__starts"))
       .withColumnRenamed("__id", idCol)
-    val words = split(normalize(col(textCol)), " ")
+    rebuildCleanText(docs, removals, n, textCol, idCol)
+  }
+
+  /** Shared tail of the span-removal operators (r15): attach the per-doc
+    * removal starts with a SHUFFLED-HASH left join (the sort-merge
+    * default sorted the full text payload by id for nothing — the build
+    * side is only the docs that lost a span) and splice the survivors
+    * with the compiled coverage-sweep kernel
+    * ([[graft.functions.TextKernels.removeSpansCol]]) instead of the
+    * interpreted `filter × exists` HOF pair (O(words · removals) lambda
+    * evaluations per doc, the dominant rebuild cost at the 20M smoke). */
+  private def rebuildCleanText(
+      docs: DataFrame,
+      removals: DataFrame,
+      n: Int,
+      textCol: String,
+      idCol: String): DataFrame = {
     val starts = coalesce(col("__starts"), array().cast("array<int>"))
-    val kept = filter(words, (_, i) =>
-      !exists(starts, s => s <= i && i < s + n))
-    docs.join(removals, Seq(idCol), "left")
-      .select(col(idCol), concat_ws(" ", kept).as("clean_text"),
-        size(words).cast("long").as("n_words"),
-        (size(words) - size(kept)).cast("long").as("n_removed"))
+    docs.join(removals.hint("shuffle_hash"), Seq(idCol), "left")
+      .withColumn("__rs", graft.functions.TextKernels.removeSpansCol(
+        normalize(col(textCol)), starts, n))
+      .select(col(idCol), col("__rs.clean_text").as("clean_text"),
+        col("__rs.n_words").as("n_words"),
+        col("__rs.n_removed").as("n_removed"))
+  }
+
+  /** The at-scale formulation of [[removeDupSpans]] (r15, guide §2.3/§3):
+    * same output, no corpus-global sort. The window plan sorts the whole
+    * (id, pos, hash) fan-out by hash inside every shuffle partition; here
+    * ONE fan-out-sized exchange feeds a hash aggregation — per-hash
+    * occurrence count plus the packed first occurrence ([[packedOcc]]),
+    * both HashAggregate-able buffers — filtered to the duplicated hashes
+    * only, and exchange reuse feeds the same shuffled rows to the probe
+    * side of a shuffled-hash join against that (small) election table.
+    * Non-first occurrences of duplicated windows — exactly the window
+    * plan's removal set — then roll up per doc and rebuild the text
+    * exactly as before. */
+  private[graft] def removeDupSpansAgg(
+      docs: DataFrame,
+      n: Int,
+      textCol: String,
+      idCol: String,
+      windowParts: Int): DataFrame = {
+    val occ = docs.select(col(idCol).as("__id"),
+        posexplode(graft.functions.TextKernels.spanHashesCol(
+          normalize(col(textCol)), n)).as(Seq("__p", "__h")))
+    val sized = occ.repartition(windowParts, col("__h"))
+    val dupFirst = sized.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__occ"),
+        min(packedOcc(col("__id"), col("__p"))).as("__firstP"))
+      .filter(col("__occ") > 1)
+      .select(col("__h"), col("__firstP"))
+    val removals = sized
+      .join(dupFirst.hint("shuffle_hash"), Seq("__h"))
+      .filter(packedOcc(col("__id"), col("__p")) =!= col("__firstP"))
+      .groupBy(col("__id"))
+      .agg(collect_list(col("__p")).as("__starts"))
+      .withColumnRenamed("__id", idCol)
+    rebuildCleanText(docs, removals, n, textCol, idCol)
   }
 
   /** Distinct span-hash signatures of a corpus — the stored table
     * [[removeDupSpansAgainst]] dedups future batches against (the
     * span-level member of the stored-signature family beside
-    * `Dedup.minHashSignatures`/`simHashSignatures`): one 60-bit portable
-    * hash per distinct `n`-word window, text never stored. Materialize
-    * once per corpus snapshot, append each ingested batch's signatures.
+    * `Dedup.minHashSignatures`/`simHashSignatures`): one 64-bit xxhash64
+    * (the fused spanHashes kernel, r15 — stores written by older rounds'
+    * md5-60 scheme must be re-materialized) per distinct `n`-word window,
+    * text never stored. Materialize once per corpus snapshot, append each
+    * ingested batch's signatures.
     *
     * Plan: one explode scan → one hash-keyed dedup shuffle, sized to the
     * window fan-out ([[fanoutParts]]). Output: (span_hash). */
@@ -1314,9 +1471,11 @@ object TextOps {
       textCol: String = "text",
       parts: Int = 0): DataFrame = {
     require(n >= 1 && parts >= 0, "need n >= 1, parts >= 0")
-    val hashes = docs.select(explode(graft.functions.TextKernels.ngramsCol(
-        normalize(col(textCol)), n)).as("__gram"))
-      .select(portableHash60(col("__gram")).as("span_hash"))
+    // fused xxhash64 window hashing (r15) — must stay in lockstep with
+    // removeDupSpansAgainst, which joins stored signatures against batch
+    // hashes computed by the same kernel
+    val hashes = docs.select(explode(graft.functions.TextKernels.spanHashesCol(
+        normalize(col(textCol)), n)).as("span_hash"))
     val windowParts = if (parts > 0) parts else fanoutParts(docs, textCol)
     val sized =
       if (windowParts > docs.sparkSession.sessionState.conf.numShufflePartitions)
@@ -1351,13 +1510,26 @@ object TextOps {
       idCol: String = "doc_id",
       parts: Int = 0): DataFrame = {
     require(n >= 1 && parts >= 0, "need n >= 1, parts >= 0")
-    val occ = docs.select(col(idCol).as("__id"),
-        posexplode(graft.functions.TextKernels.ngramsCol(
-          normalize(col(textCol)), n)).as(Seq("__p", "__gram")))
-      .select(col("__id"), col("__p"),
-        portableHash60(col("__gram")).as("__h"))
+    // r15 shape decision — see [[removeDupSpans]]: window formulation at
+    // every scale (the agg alternative measured no better)
     val windowParts =
       if (parts > 0) parts else fanoutParts(docs, textCol)
+    removeDupSpansAgainstWindow(docs, signatures, n, textCol, idCol,
+      windowParts)
+  }
+
+  /** The pre-r15 window formulation of [[removeDupSpansAgainst]] —
+    * small-volume plan and spec-pinned reference. */
+  private[graft] def removeDupSpansAgainstWindow(
+      docs: DataFrame,
+      signatures: DataFrame,
+      n: Int,
+      textCol: String,
+      idCol: String,
+      windowParts: Int): DataFrame = {
+    val occ = docs.select(col(idCol).as("__id"),
+        posexplode(graft.functions.TextKernels.spanHashesCol(
+          normalize(col(textCol)), n)).as(Seq("__p", "__h")))
     val sized =
       if (windowParts > docs.sparkSession.sessionState.conf.numShufflePartitions)
         occ.repartition(windowParts, col("__h"))
@@ -1385,14 +1557,49 @@ object TextOps {
       .groupBy(col("__id"))
       .agg(collect_list(col("__p")).as("__starts"))
       .withColumnRenamed("__id", idCol)
-    val words = split(normalize(col(textCol)), " ")
-    val starts = coalesce(col("__starts"), array().cast("array<int>"))
-    val kept = filter(words, (_, i) =>
-      !exists(starts, s => s <= i && i < s + n))
-    docs.join(removals, Seq(idCol), "left")
-      .select(col(idCol), concat_ws(" ", kept).as("clean_text"),
-        size(words).cast("long").as("n_words"),
-        (size(words) - size(kept)).cast("long").as("n_removed"))
+    rebuildCleanText(docs, removals, n, textCol, idCol)
+  }
+
+  /** The at-scale formulation of [[removeDupSpansAgainst]] (r15) — same
+    * hash-aggregation election as [[removeDupSpansAgg]] (no corpus-global
+    * sort), with the corpus-signature membership attached by a second
+    * shuffled-hash join on the SAME hash partitioning: a batch occurrence
+    * is removed iff its window is corpus-known (wherever it occurs) or is
+    * a non-first duplicate within the batch — exactly the window plan's
+    * predicate (for a batch-unique hash the election join leaves a null
+    * first occurrence, matching `__occ > 1 = false`). */
+  private[graft] def removeDupSpansAgainstAgg(
+      docs: DataFrame,
+      signatures: DataFrame,
+      n: Int,
+      textCol: String,
+      idCol: String,
+      windowParts: Int): DataFrame = {
+    val occ = docs.select(col(idCol).as("__id"),
+        posexplode(graft.functions.TextKernels.spanHashesCol(
+          normalize(col(textCol)), n)).as(Seq("__p", "__h")))
+    val sized = occ.repartition(windowParts, col("__h"))
+    val dupFirst = sized.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__occ"),
+        min(packedOcc(col("__id"), col("__p"))).as("__firstP"))
+      .filter(col("__occ") > 1)
+      .select(col("__h"), col("__firstP"))
+    // same dedup rationale as the window shape (appended signature
+    // snapshots accumulate duplicate hashes)
+    val sigs = signatures
+      .select(col("span_hash").as("__h"))
+      .dropDuplicates("__h")
+      .withColumn("__corpus", lit(true))
+    val removals = sized
+      .join(sigs.hint("shuffle_hash"), Seq("__h"), "left")
+      .join(dupFirst.hint("shuffle_hash"), Seq("__h"), "left")
+      .filter(coalesce(col("__corpus"), lit(false)) ||
+        (col("__firstP").isNotNull &&
+          packedOcc(col("__id"), col("__p")) =!= col("__firstP")))
+      .groupBy(col("__id"))
+      .agg(collect_list(col("__p")).as("__starts"))
+      .withColumnRenamed("__id", idCol)
+    rebuildCleanText(docs, removals, n, textCol, idCol)
   }
 
   /** Okapi BM25 retrieval over the corpus: score every document against

@@ -1941,6 +1941,53 @@ class OperatorsSpec extends AnyFunSuite {
     assert(s.forall(_ == (1L, 1L, 1.0)))
   }
 
+  test("dup-span agg shapes reproduce the window shapes bit-for-bit") {
+    // the r15 at-scale hash-aggregation shapes (no corpus-global sort)
+    // must equal the window formulations on every edge: shared spans,
+    // full copies, WITHIN-doc repeated windows (first-occurrence election
+    // by position), short docs, empty and null text, negative ids
+    val d = Seq(
+      (5L, "aa bb cc dd unique1 unique2 unique3"),
+      (2L, "other0 aa bb cc dd other1 other2"),
+      (9L, "aa bb cc dd unique1 unique2 unique3"),
+      (4L, "zz yy xx ww vv uu tt"),
+      (1L, "rep rep rep rep rep rep rep rep rep"),
+      (7L, "one two"),
+      (3L, ""),
+      (-6L, "aa bb cc dd other1 other2 other3"),
+      (8L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    for (n <- Seq(2, 4)) {
+      val dw = TextOps.dupSpansWindow(d, n, "text", "doc_id", 64)
+        .orderBy("doc_id").collect().toSeq
+      val da = TextOps.dupSpansAgg(d, n, "text", "doc_id", 64)
+        .orderBy("doc_id").collect().toSeq
+      assert(da == dw, s"dupSpans agg != window at n=$n")
+      val rw = TextOps.removeDupSpansWindow(d, n, "text", "doc_id", 64)
+        .orderBy("doc_id").collect().toSeq
+      val ra = TextOps.removeDupSpansAgg(d, n, "text", "doc_id", 64)
+        .orderBy("doc_id").collect().toSeq
+      assert(ra == rw, s"removeDupSpans agg != window at n=$n")
+    }
+    // incremental twin: corpus owns doc 5's windows; batch-internal dups
+    // still elect by (id, pos)
+    val sigs = TextOps.spanSignatures(d.filter(col("doc_id") === 5L), n = 4)
+    val iw = TextOps.removeDupSpansAgainstWindow(d, sigs, 4, "text", "doc_id", 64)
+      .orderBy("doc_id").collect().toSeq
+    val ia = TextOps.removeDupSpansAgainstAgg(d, sigs, 4, "text", "doc_id", 64)
+      .orderBy("doc_id").collect().toSeq
+    assert(ia == iw, "removeDupSpansAgainst agg != window")
+    // the sf fixture corpus through the PUBLIC dispatch (small volume →
+    // window) vs the forced agg shape — real text, real hashes
+    val fw = TextOps.dupSpans(docs, n = 8).orderBy("doc_id").collect().toSeq
+    val fa = TextOps.dupSpansAgg(docs, 8, "text", "doc_id", 64)
+      .orderBy("doc_id").collect().toSeq
+    assert(fa == fw, "dupSpans agg != window on sf0.001 documents")
+    val gw = TextOps.removeDupSpans(docs, n = 8).orderBy("doc_id").collect().toSeq
+    val ga = TextOps.removeDupSpansAgg(docs, 8, "text", "doc_id", 64)
+      .orderBy("doc_id").collect().toSeq
+    assert(ga == gw, "removeDupSpans agg != window on sf0.001 documents")
+  }
+
   test("hybridTopK fuses lexical and semantic ranks with RRF") {
     // doc 1 is the lexical match (shares every query term, orthogonal
     // embedding); doc 2 is the semantic match (identical vector, disjoint
