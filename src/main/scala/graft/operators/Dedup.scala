@@ -188,8 +188,12 @@ object Dedup {
 
     // one-shuffle candidate generation with the hot-bucket cap folded in
     // (oversized buckets — boilerplate, near-constant content — carry no
-    // discriminating signal and are dropped whole, standard LSH-at-scale)
-    val cand = bucketPairs(banded, Seq("band", "bucket"), "id", maxBucket)
+    // discriminating signal and are dropped whole, standard LSH-at-scale);
+    // the banded exchange is sized to its fan-out (rows × bands — the
+    // session setting was sized for the corpus, not its 16× banding)
+    val cand = bucketPairs(banded, Seq("band", "bucket"), "id", maxBucket,
+      fanoutRows = (TextOps.leafRowBound(docs) * bands)
+        .min(BigInt(Long.MaxValue)).toLong)
 
     // exact-Jaccard verification only on the candidate pairs
     val out = cand
@@ -452,11 +456,27 @@ object Dedup {
     * exchanged once and the per-bucket pair explosion is bounded by the
     * cap. Profiled at 2M docs / 32M banded rows the candidate stage drops
     * ~3×. `dedup = false` keeps one pair instance per shared bucket
-    * (winnowing counts shared fingerprints). */
+    * (winnowing counts shared fingerprints).
+    *
+    * `fanoutRows` (r15, guide §2.2/§5): the banded set is `bands ×` the
+    * corpus row count — far past what the session shuffle setting was
+    * sized for — and the bucket aggregation is a collect_list whose
+    * object-hash path falls back to SORT-based beyond the per-partition
+    * group threshold, so an under-partitioned exchange external-sorts
+    * multi-GB partitions. Callers that know the fan-out (rows × bands)
+    * pass it here and the exchange is sized to ~32 MB of banded rows per
+    * partition (same contract as TextOps.fanoutParts: floor = session
+    * setting so small inputs keep AQE coalescing, cap 4096). */
   private[operators] def bucketPairs(
       banded: DataFrame, keys: Seq[String], idCol: String, max: Int,
-      dedup: Boolean = true): DataFrame = {
-    val grouped = banded
+      dedup: Boolean = true, fanoutRows: Long = 0L): DataFrame = {
+    val session = banded.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = math.max(session.toLong,
+      math.min(4096L, fanoutRows * 28L / (32L << 20))).toInt
+    val sized =
+      if (parts > session) banded.repartition(parts, keys.map(col): _*)
+      else banded
+    val grouped = sized
       .groupBy(keys.map(col): _*)
       .agg(array_sort(collect_list(col(idCol))).as("__ids"))
     val kept =

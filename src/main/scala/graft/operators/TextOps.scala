@@ -1663,11 +1663,16 @@ object TextOps {
       .agg(count(lit(1)).as("__tf"))
     // exact per-term df over the SAME query-bounded postings subtree —
     // map-side partial count per token (hot tokens collapse per partition
-    // before the exchange; a window-over-token here would skew instead),
-    // and the shared postings exchange is stage-reused at runtime
+    // before the exchange; a window-over-token here would skew instead).
+    // count(when(__tf >= 1, 1)) not count(1) (r15): __tf ≥ 1 always, so
+    // the value is identical, but the non-foldable reference keeps this
+    // subtree's postings copy un-pruned and therefore byte-identical to
+    // the scoring side's — ReuseExchange then executes the postings
+    // exchange once (see keywordsTfidf for the pattern and why a bare
+    // count(__tf) is optimized away)
     val dfq = postings
       .groupBy(col("token"))
-      .agg(count(lit(1)).as("__df"))
+      .agg(count(when(col("__tf") >= 1, 1)).as("__df"))
     val tfNorm = col("__tf") * (k1 + 1) /
       (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl")))
     val idf = log(lit(1.0) +
@@ -1751,8 +1756,18 @@ object TextOps {
       .filter(length(col("token")) > 0)
       .groupBy(col("__id"), col("token"))
       .agg(count(lit(1)).as("__tf"))
+    // df counts `when(__tf >= 1, 1)`, NOT lit(1) (r15, guide §2.4): every
+    // postings group has __tf = count(1) ≥ 1, so the value is identical —
+    // but the (non-foldable) reference to __tf stops column pruning from
+    // narrowing this subtree's copy of the postings aggregation, which
+    // made the two copies' exchanges differ and defeated ReuseExchange:
+    // the plan paid the full (doc, token) postings exchange TWICE (r14
+    // plan nodes (6)/(13)). With identical subtrees the scan + postings
+    // exchange execute once, read twice. (A bare count(__tf) does NOT
+    // work: Catalyst knows counts are non-null and rewrites it back to
+    // count(1), re-enabling the pruning.)
     val df = postings.groupBy(col("token"))
-      .agg(count(lit(1)).as("__df"))
+      .agg(count(when(col("__tf") >= 1, 1)).as("__df"))
     val n = docs.agg(count(lit(1)).cast("double").as("__n"))
     val ranked = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__id"))
