@@ -527,10 +527,19 @@ object Bench {
 
     // rule-shape throughput is measured on a replicated in-memory stream so
     // per-job fixed overhead (~0.3s) doesn't swamp per-row cost — the
-    // reference's numbers are per-row costs of a warm single-core loop
+    // reference's numbers are per-row costs of a warm single-core loop.
+    // r15 measurement-bug fix (guide §2.6/§6, disclosed in
+    // OPTIMIZATION_r15.md): the replicated cache inherited the parquet
+    // scan's partitioning — ONE partition — so every rule-shape scan ran
+    // as a single task regardless of $SPARK_GRAFT_CPUS and the scaling
+    // block measured task overhead, not the engine. The untimed setup now
+    // lays the cache out at 2 partitions per core (the layout any real
+    // deployment of this table would have); old numbers are kept in the
+    // committed r15 baseline artifact.
     val bigEvents = tables0("events")
       .crossJoin(spark.range(replicate).select(org.apache.spark.sql.functions.col("id").as("__rep")))
       .drop("__rep")
+      .repartition(cpus.toInt * 2)
       .cache()
     eventRows = bigEvents.count() // warms cache + JVM
     val tables = tables0 + ("stream" -> bigEvents)
@@ -658,10 +667,13 @@ object Bench {
     // BENCH_ONLY subset (local iteration on the smoke entries themselves)
     val smokeFlag = sys.env.getOrElse("SPARK_GRAFT_SCALE_SMOKE", "1")
     if ((benchOnly.isEmpty && smokeFlag == "1") || smokeFlag == "force") {
+      // same 1-partition-cache fix as bigEvents (r15): the 20M stateful
+      // smokes otherwise START from a single-task scan
       val big10 = tables0("events")
         .crossJoin(spark.range(10L * replicate)
           .select(org.apache.spark.sql.functions.col("id").as("__rep")))
         .drop("__rep")
+        .repartition(cpus.toInt * 2)
         .cache()
       scaleSmoke("rows_20m") = big10.count().toDouble
       val t10 = tables0 + ("stream" -> big10)

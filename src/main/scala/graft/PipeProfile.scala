@@ -65,6 +65,18 @@ object PipeProfile {
         .filter(col("jaccard") >= 0.7)
         .select("doc_a", "doc_b", "jaccard")
       t("  mh: verify join") { out.write.format("noop").mode("overwrite").save() }
+      // r15 A/B: shuffled-hash attach (build = the small candidate side)
+      // — the SMJ default sorts the heavy shingle table by id twice
+      val outShj = cand.hint("shuffle_hash")
+        .join(withSh.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .hint("shuffle_hash")
+        .join(withSh.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .withColumn("jaccard",
+          round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))), 6))
+        .filter(col("jaccard") >= 0.7)
+        .select("doc_a", "doc_b", "jaccard")
+      t("  mh: verify join SHJ") { outShj.write.format("noop").mode("overwrite").save() }
       withSh.unpersist()
     }
     var pairs: DataFrame = null

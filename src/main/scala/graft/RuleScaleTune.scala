@@ -39,8 +39,10 @@ object RuleScaleTune {
       val big = tables0("events")
         .crossJoin(spark.range(replicate).select(col("id").as("__rep")))
         .drop("__rep")
+        .repartition(cpus.toInt * 2) // the bench's r15 cache layout
         .cache()
       val rows = big.count()
+      println(s"cpus=$cpus stream cache partitions=${big.rdd.getNumPartitions}")
       val tables = tables0 + ("stream" -> big)
       // untimed warm-up pass (JIT/codegen), then median of 3
       shapes.foreach { case (_, sql) =>
