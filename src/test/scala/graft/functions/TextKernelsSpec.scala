@@ -164,4 +164,66 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(out.getString(0) == "a b&c=d/e?f")
     assert(!out.getString(1).contains(" "))
   }
+
+  test("spanHashes kernels match xxhash64 over the string n-gram kernels") {
+    // the r15 fused window hashing must equal hashing the materialized
+    // gram strings with Spark's own xxhash64 (same XXH64 seed-42 entry
+    // point over the UTF-8 bytes) — positional and distinct variants
+    val norm = graft.operators.TextOps.normalize(col("text"))
+    val df = (edgeCases :+ null).toDF("text")
+    for (n <- Seq(1, 2, 4, 50)) {
+      val rows = df.select(
+        TextKernels.spanHashesCol(norm, n).as("k"),
+        transform(TextKernels.ngramsCol(norm, n), g => xxhash64(g)).as("r"),
+        TextKernels.spanHashesDistinctCol(norm, n).as("kd"),
+        transform(filter(TextKernels.shinglesCol(norm, n),
+          g => length(g) > 0), g => xxhash64(g)).as("rd")).collect()
+      rows.foreach { r =>
+        assert(r.isNullAt(0) == r.isNullAt(1), s"null mismatch at n=$n")
+        if (!r.isNullAt(0)) assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+          s"positional hashes diverge at n=$n")
+        assert(r.isNullAt(2) == r.isNullAt(3), s"null mismatch (distinct) n=$n")
+        if (!r.isNullAt(2)) assert(r.getSeq[Long](2) == r.getSeq[Long](3),
+          s"distinct hashes diverge at n=$n")
+      }
+    }
+  }
+
+  test("removeSpans kernel matches the filter×exists Column formulation") {
+    // overlapping, unsorted, duplicate, out-of-range and empty removal
+    // sets; null and empty text
+    val cases = Seq(
+      ("a b c d e f g h", Seq(0)),
+      ("a b c d e f g h", Seq(2, 1)),          // unsorted, overlapping
+      ("a b c d e f g h", Seq(0, 0, 5)),       // duplicates
+      ("a b c d e f g h", Seq(6)),             // tail clipped by n
+      ("a b c d e f g h", Seq.empty[Int]),
+      ("a b c d e f g h", Seq(0, 1, 2, 3, 4, 5, 6, 7)), // empties out
+      ("one", Seq(0)),
+      ("", Seq.empty[Int]),
+      (null.asInstanceOf[String], Seq.empty[Int]))
+    for (n <- Seq(1, 3)) {
+      val df = cases.toDF("text", "starts")
+        .withColumn("starts", col("starts").cast("array<int>"))
+      val norm = graft.operators.TextOps.normalize(col("text"))
+      val words = split(norm, " ")
+      val kept = filter(words, (_, i) =>
+        !exists(col("starts"), s => s <= i && i < s + n))
+      val rows = df.select(
+        TextKernels.removeSpansCol(norm, col("starts"), n).as("k"),
+        struct(
+          concat_ws(" ", kept).as("clean_text"),
+          size(words).cast("long").as("n_words"),
+          (size(words) - size(kept)).cast("long").as("n_removed")).as("r"))
+        .collect()
+      rows.foreach { r =>
+        val k = r.getStruct(0); val ref = r.getStruct(1)
+        assert(k.getString(0) == ref.getString(0), s"clean_text diverges n=$n")
+        assert(k.isNullAt(1) == ref.isNullAt(1) &&
+          (k.isNullAt(1) || k.getLong(1) == ref.getLong(1)), s"n_words n=$n")
+        assert(k.isNullAt(2) == ref.isNullAt(2) &&
+          (k.isNullAt(2) || k.getLong(2) == ref.getLong(2)), s"n_removed n=$n")
+      }
+    }
+  }
 }
