@@ -195,9 +195,20 @@ object Dedup {
       fanoutRows = (TextOps.leafRowBound(docs) * bands)
         .min(BigInt(Long.MaxValue)).toLong)
 
-    // exact-Jaccard verification only on the candidate pairs
-    val out = cand
+    // exact-Jaccard verification only on the candidate pairs. The attach
+    // joins build on the slim pair side (shuffled-hash hint) instead of
+    // sort-merge, which sorted the heavy shingle arrays by id twice —
+    // interleaved A/B at 10M synth docs (MinhashAbTune): the verify stage
+    // reads 1.5–2.7× faster, and at headline scale AQE's own planning is
+    // unaffected (measured neutral at sf0.1). A Bloom prefilter of the
+    // shingle side to candidate endpoints (guide §3.2) was built and
+    // REJECTED: measured neutral at 10M (local shuffles are page-cache
+    // absorbed; candidates are 20% of the synth corpus) and +0.6 s per
+    // call at sf0.1 from the extra persist/count/Bloom job barriers —
+    // see OPTIMIZATION_r15.md.
+    val out = cand.hint("shuffle_hash")
       .join(withSh.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .hint("shuffle_hash")
       .join(withSh.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jaccard",
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
@@ -253,8 +264,9 @@ object Dedup {
       .select(col("id").as("doc_new"), explode(col("__ids")).as("doc_corpus"))
       .filter(col("doc_new") =!= col("doc_corpus"))
       .dropDuplicates("doc_new", "doc_corpus")
-    val out = cand
+    val out = cand.hint("shuffle_hash")
       .join(shN.select(col("id").as("doc_new"), col("sh").as("sh_a")), "doc_new")
+      .hint("shuffle_hash")
       .join(shC.select(col("id").as("doc_corpus"), col("sh").as("sh_b")), "doc_corpus")
       .withColumn("jaccard",
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
@@ -314,8 +326,9 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
     val cand = bucketPairs(banded, Seq("band", "bucket"), "id", maxBucket)
-    val out = cand
+    val out = cand.hint("shuffle_hash")
       .join(s.select(col("id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .hint("shuffle_hash")
       .join(s.select(col("id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .withColumn("jaccard_est", sigJaccard(col("sig_a"), col("sig_b")))
       .filter(col("jaccard_est") >= threshold)
@@ -357,7 +370,9 @@ object Dedup {
       .select(col("id").as("doc_new"), explode(col("__ids")).as("doc_corpus"))
       .filter(col("doc_new") =!= col("doc_corpus"))
       .dropDuplicates("doc_new", "doc_corpus")
+      .hint("shuffle_hash")
       .join(sN.select(col("id").as("doc_new"), col("sig").as("sig_a")), "doc_new")
+      .hint("shuffle_hash")
       .join(sC.select(col("id").as("doc_corpus"), col("sig").as("sig_b")), "doc_corpus")
       .withColumn("jaccard_est", sigJaccard(col("sig_a"), col("sig_b")))
       .filter(col("jaccard_est") >= threshold)
@@ -902,7 +917,9 @@ object Dedup {
       .select(col("id").as("doc_new"), explode(col("__ids")).as("doc_corpus"))
       .filter(col("doc_new") =!= col("doc_corpus"))
       .dropDuplicates("doc_new", "doc_corpus")
+      .hint("shuffle_hash")
       .join(sN.select(col("id").as("doc_new"), col("sig").as("sig_a")), "doc_new")
+      .hint("shuffle_hash")
       .join(sC.select(col("id").as("doc_corpus"), col("sig").as("sig_b")), "doc_corpus")
       .withColumn("dist", TextOps.hamming(col("sig_a"), col("sig_b")))
       .filter(col("dist") <= maxDist)
