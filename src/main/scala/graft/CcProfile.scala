@@ -82,6 +82,12 @@ object CcProfile {
       edges.unpersist(false)
       persisted.unpersist(false)
       e0.unpersist(false)
+      // the shipped loop (delta propagation), same pass for an
+      // interleaved A/B against the send-everything mirror above
+      val t0 = System.nanoTime()
+      operators.Dedup.connectedComponents(chainEdges(n), localThreshold = 0L)
+        .write.format("noop").mode("overwrite").save()
+      println(f"shipped cc end-to-end    ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
     spark.stop()
   }

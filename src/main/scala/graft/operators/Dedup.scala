@@ -686,12 +686,24 @@ object Dedup {
       }, preservesPartitioning = true)
       .persist(level)
     var persisted: org.apache.spark.rdd.RDD[_] = labels
+    // DELTA propagation (r15, guide §2.3 — shuffle fewer bytes): only
+    // nodes whose label DECREASED last round re-send it. A node's label
+    // is the cumulative min of its own id and every value delivered to
+    // it, and labels only decrease, so re-sending an unchanged label is
+    // always redundant — per-round states are provably identical to the
+    // send-everything loop (including at a maxIter cutoff). Round 1
+    // sends from everyone (every label is new); the changed set then
+    // shrinks with convergence, so the per-round message exchange decays
+    // instead of staying at 2×|edges| for every round. `changed` stays
+    // a filter-view of the persisted round result (filter/mapValues
+    // preserve the partitioning), so the propagation join is narrow.
+    var changed = labels
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       // narrow join (co-partitioned) → the round's ONE shuffle: the
       // propagated messages, min-combined map-side by reduceByKey
-      val propMin = edges.join(labels, part)
+      val propMin = edges.join(changed, part)
         .map { case (_, (dst, comp)) => (dst, comp) }
         .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
       val next = labels
@@ -704,6 +716,7 @@ object Dedup {
       persisted.unpersist(false) // previous round's blocks, now unread
       persisted = next
       labels = next.mapValues(_._1)
+      changed = next.filter(_._2._2).mapValues(_._1)
       iter += 1
     }
     // the final labels are persisted (via `persisted`); the edge blocks
