@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -41,31 +41,94 @@ object Bpe {
     *
     * @param minCount stop early when the best pair occurs fewer times
     * @return merges in rank order, e.g. `("e","s") :: ("es","t") :: …` */
-  /** Adjacent symbol pairs of a segmentation, in order, with
-    * multiplicity — the unit of BPE statistics. */
-  private def adjPairs(syms: Column): Column =
-    zip_with(
-      slice(syms, lit(1), size(syms) - 1),
-      slice(syms, lit(2), size(syms) - 1),
-      (a, b) => struct(a.as("l"), b.as("r")))
-
-  /** Pin a small working table as an explicitly-persisted RDD (so the
-    * previous round's copy can be FREED — localCheckpoint blocks cannot
-    * be) and rebuild a DataFrame over it, truncating lineage. The tables
-    * are vocab-bounded (thousands to a few million rows), so they are
-    * coalesced to `parts` partitions — running each merge round's jobs
-    * as 32-way task storms over a 5k-row dict is pure launch overhead
-    * (measured 2.3 s/round at 32 partitions vs 0.3 at 1). */
-  private def pin(df: DataFrame, parts: Int): (DataFrame, RDD[Row]) = {
-    val rdd = df.coalesce(parts).rdd
+  /** Pin a vocab-bounded working RDD: explicitly persisted (so the
+    * previous round's copy can be FREED — bare localCheckpoint blocks
+    * cannot be), lineage truncated (persist alone does NOT — without
+    * this the task binary regrows every round until deserialization
+    * stack-overflows, ~round 50), materialized by one action. The
+    * tables are coalesced to `partsFor` partitions upstream — running
+    * each merge round's jobs as 32-way task storms over a 5k-row dict
+    * is pure launch overhead (measured 2.3 s/round at 32 partitions vs
+    * 0.3 at 1). */
+  private def pinRdd[T](rdd: RDD[T]): RDD[T] = {
     rdd.persist(StorageLevel.MEMORY_AND_DISK)
-    // persist alone does NOT truncate lineage — without this the task
-    // binary regrows every round until deserialization stack-overflows
-    // (~round 50); localCheckpoint cuts the dependency chain at the
-    // cached blocks while the RDD handle stays free-able
     rdd.localCheckpoint()
     rdd.count()
-    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+    rdd
+  }
+
+  /** [[pinRdd]] for the standing pair table, with the NEXT round's
+    * arg-max fused into the materializing action: one treeAggregate both
+    * caches the checkpoint blocks and returns the best (count desc, then
+    * binary-UTF-8 lexicographic (l, r)) pair — the tie-break is
+    * [[UTF8String]].compareTo, bit-identical to the DataFrame
+    * `orderBy(n desc, l, r)` this replaces, so the learned table is
+    * unchanged while the separate per-round top-1 job (plus its Catalyst
+    * plan) disappears. */
+  private def pinPairs(rdd: RDD[((String, String), Long)])
+      : (RDD[((String, String), Long)], Option[((String, String), Long)]) = {
+    rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    rdd.localCheckpoint()
+    val best = rdd.aggregate(Option.empty[((String, String), Long)])(
+      (acc, x) => Some(acc.fold(x)(betterPair(_, x))),
+      (a, b) => (a, b) match {
+        case (Some(x), Some(y)) => Some(betterPair(x, y))
+        case (None, y) => y
+        case (x, None) => x
+      })
+    (rdd, best)
+  }
+
+  /** The winner under (count desc, UTF8-binary l, UTF8-binary r) — the
+    * exact ordering of `orderBy(col("n").desc, col("l"), col("r"))` over
+    * StringType columns. */
+  private def betterPair(
+      a: ((String, String), Long),
+      b: ((String, String), Long)): ((String, String), Long) = {
+    import org.apache.spark.unsafe.types.UTF8String
+    if (a._2 != b._2) { if (a._2 > b._2) a else b }
+    else {
+      val cl = UTF8String.fromString(a._1._1)
+        .compareTo(UTF8String.fromString(b._1._1))
+      if (cl != 0) { if (cl < 0) a else b }
+      else if (UTF8String.fromString(a._1._2)
+        .compareTo(UTF8String.fromString(b._1._2)) <= 0) a
+      else b
+    }
+  }
+
+  /** Adjacent symbol pairs of one segmentation, in order, with
+    * multiplicity — the unit of BPE statistics. */
+  private def adjArr(s: Array[String]): Iterator[(String, String)] =
+    if (s.length < 2) Iterator.empty
+    else (0 until s.length - 1).iterator.map(j => (s(j), s(j + 1)))
+
+  private def hasPairArr(s: Array[String], l: String, r: String): Boolean = {
+    var j = 0
+    while (j < s.length - 1) {
+      if (s(j) == l && s(j + 1) == r) return true
+      j += 1
+    }
+    false
+  }
+
+  /** One greedy left-to-right merge pass — the compiled twin of
+    * [[mergeOnce]]'s fold (append each symbol, collapsing into the
+    * accumulator's tail when (tail, symbol) == (l, r); the collapsed
+    * product itself participates as the new tail, so e.g. "aaa" under
+    * ("a","a") yields ["aa","a"]). */
+  private[operators] def mergeOnceArr(
+      s: Array[String], l: String, r: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
+    var i = 0
+    while (i < s.length) {
+      val x = s(i)
+      if (out.nonEmpty && out(out.length - 1) == l && x == r)
+        out(out.length - 1) = l + r
+      else out += x
+      i += 1
+    }
+    out.toArray
   }
 
   /** Partition count for a vocab-bounded working table: ~1 per 100k rows,
@@ -109,56 +172,77 @@ object Bpe {
       return trainMergesLocal(w, numMerges, minCount)
     }
     val dictParts = partsFor(vocab)
-    // initial segmentation: characters + the end-of-word sentinel
-    var (dict, dictRdd) = pin(words
+    // initial segmentation: characters + the end-of-word sentinel. The
+    // split stays in DataFrame land (Spark's split("") walks code
+    // points — per-char Scala iteration would shear surrogate pairs),
+    // then the merge loop runs as COMPILED RDD rounds: the r14 shape
+    // paid ~3 Catalyst-planned jobs per round (top-1 collect + two pin
+    // counts) of interpreted HOF evaluation over a vocab-bounded,
+    // often single-partition dict — pure planning/launch overhead
+    // (guide §1.2 step 2: once the distributed shape is right, make the
+    // per-round work compiled; measured 0.72 → 0.11 s/round at the 2M
+    // smoke). The arg-max rides the pairs materialization (pinPairs)
+    // and the dict materialization rides the same job (deltas are
+    // derived through the persisted new dict), so a round is ONE job.
+    var dictRdd = pinRdd(words
       .select(concat(split(col("w"), ""), array(lit(EndOfWord))).as("syms"),
-        col("cnt")), dictParts)
+        col("cnt"))
+      .coalesce(dictParts)
+      .rdd.map(r => (r.getSeq[String](0).toArray, r.getLong(1))))
     words.unpersist(false) // dict is pinned; the census is no longer read
     // standing pair counts — built ONCE by full aggregation, then patched
-    // with per-merge deltas
-    var (pairs, pairsRdd) = pin(dict
-      .select(explode(adjPairs(col("syms"))).as("p"), col("cnt"))
-      .select(col("p.l").as("l"), col("p.r").as("r"), col("cnt"))
-      .groupBy("l", "r").agg(sum(col("cnt")).as("n")), dictParts)
+    // with per-merge deltas (exact integer sums: commutative, so the
+    // reduceByKey order is immaterial)
+    var (pairsRdd, best) = pinPairs(dictRdd
+      .flatMap { case (s, c) => adjArr(s).map(p => (p, c)) }
+      .reduceByKey(_ + _, dictParts))
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var round = 0
     var done = false
-    while (round < numMerges && !done) {
-      // deterministic top pair: count, then lexicographic (l, r)
-      val best = pairs.orderBy(col("n").desc, col("l"), col("r"))
-        .limit(1).collect()
-      if (best.isEmpty || best(0).getLong(2) < minCount) done = true
-      else {
-        val (l, r) = (best(0).getString(0), best(0).getString(1))
-        merges += ((l, r))
-        val hasP = exists(adjPairs(col("syms")),
-          p => p("l") === lit(l) && p("r") === lit(r))
-        // exact count deltas from the affected words alone: debit every
-        // old adjacency, credit every new one (multiplicities included —
-        // transform keeps duplicates, the groupBy sums them)
-        val deltas = dict.filter(hasP)
-          .withColumn("__new", mergeOnce(col("syms"), l, r))
-          .select(explode(concat(
-            transform(adjPairs(col("syms")),
-              p => struct(p("l").as("l"), p("r").as("r"), (-col("cnt")).as("dn"))),
-            transform(adjPairs(col("__new")),
-              p => struct(p("l").as("l"), p("r").as("r"), col("cnt").as("dn"))))).as("d"))
-          .select(col("d.l").as("l"), col("d.r").as("r"), col("d.dn").as("dn"))
-          .groupBy("l", "r").agg(sum(col("dn")).as("dn"))
-        val (newPairs, newPairsRdd) = pin(pairs
-          .join(deltas, Seq("l", "r"), "full_outer")
-          .select(col("l"), col("r"),
-            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"))
-          .filter(col("n") > 0), dictParts)
-        val (newDict, newDictRdd) = pin(dict.select(
-          when(hasP, mergeOnce(col("syms"), l, r)).otherwise(col("syms")).as("syms"),
-          col("cnt")), dictParts)
-        pairsRdd.unpersist(false); dictRdd.unpersist(false)
-        pairs = newPairs; pairsRdd = newPairsRdd
-        dict = newDict; dictRdd = newDictRdd
-        round += 1
+    // thread-local, read at RDD construction: makes the round's ONE
+    // action (pinPairs' aggregate) also finalize the mid-lineage
+    // newDict localCheckpoint — without it doCheckpoint stops at the
+    // terminal marked RDD, the dict lineage never truncates, and the
+    // task binary regrows every round (the ~round-50 stack overflow)
+    val sc = docs.sparkSession.sparkContext
+    val ckptAll = "spark.checkpoint.checkpointAllMarkedAncestors"
+    val prevCkptAll = sc.getLocalProperty(ckptAll)
+    sc.setLocalProperty(ckptAll, "true")
+    try while (round < numMerges && !done) {
+      best match {
+        // deterministic top pair: count, then binary-lexicographic (l, r)
+        case None => done = true
+        case Some((_, n)) if n < minCount => done = true
+        case Some(((l, r), _)) =>
+          merges += ((l, r))
+          val newDict = dictRdd.map { case (s, c) =>
+            (if (hasPairArr(s, l, r)) mergeOnceArr(s, l, r) else s, c)
+          }
+          newDict.persist(StorageLevel.MEMORY_AND_DISK)
+          newDict.localCheckpoint()
+          // exact count deltas from the affected words alone: debit every
+          // old adjacency, credit every new one (multiplicities included —
+          // the reduceByKey sums them). Routed THROUGH the persisted
+          // newDict (zipped with the old dict — map preserves partition
+          // count and row order, so the zip is positional identity): the
+          // one pairs-materializing job then also computes and caches
+          // every newDict block and finalizes its checkpoint, so a round
+          // costs ONE tiny job, not three.
+          val deltas = newDict.zipPartitions(dictRdd) { (nIt, oIt) =>
+            nIt.zip(oIt).flatMap { case ((ns, _), (s, c)) =>
+              if (!hasPairArr(s, l, r)) Iterator.empty
+              else adjArr(s).map(p => (p, -c)) ++ adjArr(ns).map(p => (p, c))
+            }
+          }
+          val (newPairsRdd, newBest) = pinPairs(pairsRdd.union(deltas)
+            .reduceByKey(_ + _, dictParts)
+            .filter(_._2 > 0))
+          pairsRdd.unpersist(false); dictRdd.unpersist(false)
+          pairsRdd = newPairsRdd; best = newBest
+          dictRdd = newDict
+          round += 1
       }
-    }
+    } finally sc.setLocalProperty(ckptAll, prevCkptAll)
     pairsRdd.unpersist(false); dictRdd.unpersist(false)
     merges.toSeq
   }

@@ -2806,6 +2806,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed BPE trainer: deep merge runs stay lineage-truncated and match local") {
+    // 150+ rounds through the compiled RDD loop: (a) the table must equal
+    // the driver-local trainer's exactly, and (b) the run must survive —
+    // if a round's localCheckpoint ever fails to finalize (the one action
+    // per round must checkpoint the MID-LINEAGE dict too), the task
+    // binary regrows every round and deep runs die with a serialization
+    // stack overflow around round 50
+    val rnd = new scala.util.Random(7)
+    val words = Seq.fill(120)(
+      Seq.fill(6 + rnd.nextInt(5))("abcdefgh"(rnd.nextInt(8))).mkString)
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val local = Bpe.trainMerges(docs, numMerges = 200, minCount = 1L)
+    assert(local.size > 150, s"corpus too small to stress deep rounds: ${local.size}")
+    val dist = Bpe.trainMerges(docs, numMerges = 200, minCount = 1L,
+      localThreshold = 0L)
+    assert(dist == local)
+  }
+
   test("byte-level BPE: proxy bijection, no <unk> ever, lossless decode, ASCII parity") {
     // total bijection: any string round-trips through proxy/unproxy
     val hard = "héllo wörld 😀 漢字  ctrl\ttab"
