@@ -180,8 +180,9 @@ object Bpe {
     // counts) of interpreted HOF evaluation over a vocab-bounded,
     // often single-partition dict — pure planning/launch overhead
     // (guide §1.2 step 2: once the distributed shape is right, make the
-    // per-round work compiled; measured 0.72 → 0.11 s/round at the 2M
-    // smoke). The arg-max rides the pairs materialization (pinPairs)
+    // per-round work compiled; the 2M×100-merge smoke measured 79.6 →
+    // 38.1 s cold-harness and 31.96 → 13.63 s in the full-protocol
+    // bench pair). The arg-max rides the pairs materialization (pinPairs)
     // and the dict materialization rides the same job (deltas are
     // derived through the persisted new dict), so a round is ONE job.
     var dictRdd = pinRdd(words
